@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over ``clickhousemigrators3_spark.registry`` — every operator from
+SURVEY.md §2/§7.3 registers itself there with a Spark callable and (when
+SQL-expressible) a DuckDB oracle twin.
 """
 
 from __future__ import annotations
@@ -13,26 +11,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Monthly partition rollup over lineitem — the reference's partition
+    discovery (M4) fused with per-partition count+revenue validation
+    aggregates (A1/A2). See SURVEY.md §7.1.
+    """
+    from clickhousemigrators3_spark.operators.relational import flagship_partition_rollup
+
+    return flagship_partition_rollup(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 / §7.3."""
+    from clickhousemigrators3_spark.registry import load_all
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.fn for name, q in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for each SQL-expressible query (same keys as
+    ``queries()``; non-SQL-expressible ops omitted → rows-only check)."""
+    from clickhousemigrators3_spark.registry import load_all
+
+    return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}

@@ -1,0 +1,119 @@
+"""Sources / catalog layer — SURVEY.md §2.1 (S1-S8) re-expressed for Spark.
+
+The reference's "catalog" is ClickHouse's ``system.*`` tables queried over
+HTTP (``ch_client.py``, ``partition.py:13-17``, ``migration.py:266-284``).
+Here the catalog is the Spark catalog plus a parquet-directory convention:
+a *dataset root* contains one ``<table>.parquet`` file/dir per table
+(the driver fixtures), or a ``<table>/`` partitioned directory tree for
+tables this engine has written with ``partitionBy``.
+
+Nothing in this module ever collects row data; schema and existence checks
+are metadata-only (S3/S4 parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import TABLES
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Path of a fixture table inside a dataset root."""
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1 — open a source table.
+
+    Reference parity: ``ch_client.py:10-25`` opens a ClickHouse client; here a
+    table is a parquet scan whose filters/projections Catalyst pushes into
+    the file reader (check ``PushedFilters``/``ReadSchema`` in ``.explain``).
+    """
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (catalog parity for
+    ``spark.sql`` queries). Returns name → DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """S3 — existence scan.
+
+    Reference parity: ``migration.py:424-426`` probes ``system.tables``.
+    Here: does the path exist and contain a readable footer — checked via
+    the JVM Hadoop FS API so it works for any supported filesystem
+    (file://, s3a://, hdfs://), not just local paths.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hadoop_path))
+
+
+def get_schema(spark: SparkSession, path: str):
+    """S4 — DDL reflection.
+
+    Reference parity: ``migration.py:21-46`` (``SHOW CREATE TABLE`` as text,
+    then regex surgery). Spark-native: the schema is a structured
+    ``StructType`` read from the parquet footer — no text DDL, no regex
+    (obsoletes S5's rewrite entirely, SURVEY §1.4).
+    """
+    return spark.read.parquet(path).schema
+
+
+def probe_sink(spark: SparkSession, base_path: str) -> bool:
+    """S2 — sink capability probe.
+
+    Reference parity: ``ch_client.py:27-77`` verifies the S3 storage policy
+    by creating and dropping a probe table. Here: write a 1-row parquet file
+    under the target prefix, read it back, delete it.
+    """
+    import time
+
+    probe = os.path.join(base_path, f"__tmp_sink_probe_{int(time.time())}")
+    try:
+        spark.range(1).write.mode("overwrite").parquet(probe)
+        ok = spark.read.parquet(probe).count() == 1
+    except Exception:
+        return False
+    finally:
+        _delete_path(spark, probe)
+    return ok
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """S7 — DROP TABLE equivalent: recursively delete a dataset path."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(hadoop_path):
+        fs.delete(hadoop_path, True)
+
+
+def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
+    """S8 — RENAME TABLE equivalent: atomic directory rename (HDFS/local are
+    atomic; on S3 a manifest-pointer commit should replace this — see
+    operators/migrate.py)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    src_p = jvm.org.apache.hadoop.fs.Path(src)
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = src_p.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.rename(src_p, dst_p))
+
+
+drop_path = _delete_path
