@@ -32,7 +32,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     table is a parquet scan whose filters/projections Catalyst pushes into
     the file reader (check ``PushedFilters``/``ReadSchema`` in ``.explain``).
     """
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS), surfaced as long nanos under
+        # spark.sql.legacy.parquet.nanosAsLong (session.py). Convert to
+        # timestamp_ntz at µs precision — lossless for these fixtures.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer div — float division would lose low bits at ~1.7e18 ns
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+    return df
 
 
 def register_tables(

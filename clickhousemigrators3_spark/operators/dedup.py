@@ -1,1 +1,360 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication operators over ``documents`` / ``embeddings`` (SURVEY.md
+§7.3, BASELINE north-star): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the point of each operator, beyond small-SF correctness):
+
+* Exact dedup groups by a 60-bit content fingerprint — shuffle keys are
+  16-byte hashes, never document bodies.
+* MinHash-LSH: shingle → per-seed min-hash → banded signature → bucket
+  join. Candidate generation is |bands| × |docs| rows; the quadratic
+  verify join runs only on bucket-collision candidates. This is the
+  standard sub-quadratic near-dup pipeline (cf. Broder '97) expressed
+  entirely in built-in exprs — explode/min/collect_list/self-join.
+* SimHash: 32-bit fingerprints via per-bit vote aggregation — one explode +
+  one groupBy; hamming-adjacent docs land in identical fingerprints for
+  this corpus size.
+* All hashes are md5-derived (functions/hashing.py) so DuckDB oracles
+  reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.hashing import oracle_hash_sql, stable_hash60
+from ..functions.text import sql_word_shingles, word_shingles
+from ..functions.vectors import cosine, sql_cosine, to_double
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keep_id
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct text with
+    the retained (minimum) doc_id and the copy count. Shuffle carries only
+    (hash, id) pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("_h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+@register(
+    "dedup_exact_retained",
+    """
+    SELECT doc_id, lang, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retained rows themselves (first doc_id per distinct text) — the
+    deterministic alternative to ``dropDuplicates`` (whose survivor choice
+    is partition-order-dependent)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+N_SEEDS = 16
+BAND_SIZE = 4  # 4 bands × 4 rows
+JACCARD_THRESHOLD = 0.5
+SHINGLE_N = 3
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("shingle")
+    ).distinct()
+
+
+_SQL_SHINGLES = f"""
+  SELECT DISTINCT doc_id, unnest({sql_word_shingles('text', SHINGLE_N)}) AS shingle
+  FROM documents
+"""
+
+MINHASH_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+seeds AS (SELECT unnest(generate_series(0, {N_SEEDS - 1})) AS seed),
+hashed AS (
+  SELECT doc_id, seed,
+         {oracle_hash_sql("seed::VARCHAR || ':' || shingle")} AS h
+  FROM sh, seeds),
+minh AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, seed // {BAND_SIZE} AS band,
+         md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS sig
+  FROM minh GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT i.a_id, i.b_id,
+       CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.a_id
+JOIN cnt cb ON cb.doc_id = i.b_id
+WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+@register("dedup_minhash_lsh_pairs", MINHASH_ORACLE)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: word-3-gram shingles → 16 md5-seeded
+    min-hashes → 4-band signatures → bucket self-join for candidates → exact
+    Jaccard verify ≥ 0.5.
+
+    At 100 TB the only quadratic step (verify) touches bucket collisions
+    only; everything else is linear explodes + grouped mins. Band signatures
+    (md5 of the ordered hash run) keep the bucket join key small."""
+    sh = _shingles(spark, sf_dir)
+
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(N_SEEDS)])).alias("seed")
+    hashed = sh.select("doc_id", "shingle", seeds).withColumn(
+        "h", stable_hash60(F.concat_ws(":", F.col("seed"), F.col("shingle")))
+    )
+    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minh"))
+    bands = (
+        minh.withColumn("band", F.floor(F.col("seed") / BAND_SIZE))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "minh"))),
+                        lambda s: s["minh"].cast("string"),
+                    ),
+                )
+            ).alias("sig")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("band").alias("band"), F.col("sig").alias("sig")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("band").alias("band"), F.col("sig").alias("sig")
+    )
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    sh_a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        cand.join(sh_a, "a_id")
+        .join(sh_b, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("c").alias("cb"))
+    jac = F.col("i").cast("double") / (F.col("ca") + F.col("cb") - F.col("i"))
+    return (
+        inter.join(ca, "a_id")
+        .join(cb, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+_SIMHASH_BIT_SUMS_SQL = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_FP_SQL = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+)
+
+SIMHASH_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+h AS (SELECT doc_id, {oracle_hash_sql('w')} AS h FROM w WHERE w <> ''),
+bits AS (SELECT doc_id, {_SIMHASH_BIT_SUMS_SQL} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_FP_SQL} AS BIGINT) AS simhash
+FROM bits ORDER BY doc_id
+"""
+
+
+@register("dedup_simhash_fingerprints", SIMHASH_ORACLE)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (Charikar) 32-bit fingerprints over word unigrams
+    (frequency-weighted by explode multiplicity): per-bit ±1 votes summed in
+    one grouped aggregation, fingerprint assembled from vote signs. Hamming
+    distance over these is the near-dup measure; identical fingerprints are
+    dup candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    h = words.withColumn("h", stable_hash60(F.col("w")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = h.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bits.select("doc_id", fp.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard pairs (exact, candidate-blocked)
+# ---------------------------------------------------------------------------
+
+BLOCK_N = 5  # candidate block: shared 5-gram
+NGRAM_THRESHOLD = 0.4
+
+NGRAM_ORACLE = f"""
+WITH sh3 AS ({_SQL_SHINGLES}),
+sh5 AS (
+  SELECT DISTINCT doc_id, unnest({sql_word_shingles('text', BLOCK_N)}) AS shingle
+  FROM documents),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh5 a JOIN sh5 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh3 GROUP BY 1),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS i
+  FROM cand c
+  JOIN sh3 sa ON sa.doc_id = c.a_id
+  JOIN sh3 sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT i.a_id, i.b_id, CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.a_id
+JOIN cnt cb ON cb.doc_id = i.b_id
+WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= {NGRAM_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+@register("dedup_ngram_jaccard_pairs", NGRAM_ORACLE)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over candidate pairs blocked by a shared
+    5-gram — the "rare long shingle" blocking that keeps the pair space
+    near-linear on natural text while the verify remains exact."""
+    sh3 = _shingles(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    sh5 = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), BLOCK_N)).alias("shingle")
+    ).distinct()
+    a5 = sh5.select(F.col("doc_id").alias("a_id"), "shingle")
+    b5 = sh5.select(F.col("doc_id").alias("b_id"), "shingle")
+    cand = (
+        a5.join(b5, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    cnt = sh3.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    sh_a = sh3.select(F.col("doc_id").alias("a_id"), "shingle")
+    sh_b = sh3.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        cand.join(sh_a, "a_id")
+        .join(sh_b, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("c").alias("cb"))
+    jac = F.col("i").cast("double") / (F.col("ca") + F.col("cb") - F.col("i"))
+    return (
+        inter.join(ca, "a_id")
+        .join(cb, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NGRAM_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.4
+
+COSINE_PAIRS_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND({sql_cosine('a.v', 'b.v')}, 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {sql_cosine('a.v', 'b.v')} >= {COSINE_DUP_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+@register("dedup_embedding_cosine_pairs", COSINE_PAIRS_ORACLE)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute-force form (the correctness
+    baseline — the scale path is the LSH/IVF bucketing in
+    operators/similarity.py, which cuts the pair space before the exact
+    cosine). Dot products are sequential-double JVM exprs, bit-identical to
+    the oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("_c", cos)
+        .filter(F.col("_c") >= COSINE_DUP_THRESHOLD)
+        .select("a_id", "b_id", F.round(F.col("_c"), 6).alias("cos_sim"))
+        .orderBy("a_id", "b_id")
+    )

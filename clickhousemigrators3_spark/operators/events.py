@@ -1,1 +1,185 @@
-"""Placeholder — filled in as operators land."""
+"""Event-stream operators over ``events`` (SURVEY.md §7.3: tumbling/sliding
+windows, sessionization, JSON extraction, pivot). Batch forms here — each
+has a DuckDB oracle; the Structured Streaming twin of the tumbling window
+lives in streaming/stream_queries.py (rows-only check).
+
+Scale notes: all window aggregations shuffle on (window, key) with map-side
+partial aggregation; sessionization is a per-user window scan — partition by
+user_id, no global sort. ``value`` sums go through DECIMAL(18,2) for
+cross-engine exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+_SUM_VALUE_SQL = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value"
+
+
+def _sum_value():
+    return F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value")
+
+
+@register(
+    "ev_tumbling_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events, {_SUM_VALUE_SQL}
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type. Uses ``F.window`` (the same
+    construct the streaming twin uses) and surfaces ``window.start``."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_value())
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value"
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@register(
+    "ev_sliding_1h_30m",
+    f"""
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start,
+             value
+      FROM events)
+    SELECT window_start, COUNT(*) AS n_events, {_SUM_VALUE_SQL}
+    FROM expanded GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in 2
+    windows; Spark's TimeWindow expansion does this natively. The oracle
+    expands the two epoch-aligned window starts explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_value())
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+SESSION_GAP_MIN = 30
+
+SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '{SESSION_GAP_MIN} minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, {_SUM_VALUE_SQL}
+FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_idx
+"""
+
+
+@register("ev_sessionization", SESSION_ORACLE)
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a {SESSION_GAP_MIN}-minute
+    inactivity gap; session id = running sum of session-start flags (the
+    classic lag-gap-cumsum). Batch twin of streaming
+    ``session_window``; per-user windows mean the only shuffle is the
+    user_id hash partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap = F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+    new_session = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > gap), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = e.withColumn("new_session", new_session).withColumn(
+        "session_idx", F.sum("new_session").over(run)
+    )
+    return (
+        sessions.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            _sum_value(),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+@register(
+    "ev_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n_events,
+           (CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+            / COUNT(*)) AS avg_k
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the ``props`` payload column
+    (``get_json_object`` — JVM-side JSON path, no UDF) + typed aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ev_type_pivot_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_type_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide daily counts per event type) with an explicit value list —
+    the scalable form: no extra pass to discover pivot values, single
+    aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    out = (
+        e.groupBy(day)
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("day")
+    )
+    # pivot yields nulls for absent combos; oracle's CASE-sum yields 0
+    cols = ["click", "error", "purchase", "signup", "view"]
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out

@@ -1,1 +1,176 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity search over the ``embeddings`` table (SURVEY.md §7.3,
+BASELINE north-star): brute-force cosine top-k as the correctness baseline,
+IVF (inverted-file) cluster-probed top-k as the scale path.
+
+Scale design: brute-force is O(Q·N) dot products — fine when the query set
+is small and broadcast; the IVF variant prunes to nprobe clusters, which is
+how the same plan holds when N is 10^9: the assignment pass is one linear
+scan, the probe join touches only the probed clusters' rows. All vector math
+is JVM higher-order exprs (functions/vectors.py) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.vectors import cosine, sql_cosine, to_double
+from ..registry import register
+
+N_QUERIES = 5  # queries = vec_id < 5
+TOP_K = 10
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+
+
+KNN_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {sql_cosine('q.v', 'e.v')} AS c
+  FROM q JOIN e ON e.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, rn AS rank, ROUND(c, 6) AS cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rn
+      FROM s)
+WHERE rn <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("knn_bruteforce_topk", KNN_ORACLE)
+def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against the
+    corpus, score every pair, per-query window top-k. The window's
+    WindowGroupLimit keeps per-partition state at k rows. Exact — the recall
+    baseline the ANN variant is judged against."""
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("c", cosine(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rn").alias("rank"),
+            F.round(F.col("c"), 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+N_CENTROIDS = 8  # deterministic "trained" centroids: vec_id < 8
+N_PROBE = 2
+IVF_TOP_K = 5
+
+IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cent_id AS cluster FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'c.cv')} DESC, c.cent_id) AS rn
+    FROM e, cent c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT query_id, cent_id AS cluster FROM (
+    SELECT q.query_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {sql_cosine('q.qv', 'c.cv')} DESC, c.cent_id) AS rn
+    FROM q, cent c)
+  WHERE rn <= {N_PROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM probe p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.cand_id, {sql_cosine('q.qv', 'e.v')} AS c
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN e ON e.vec_id = c.cand_id)
+SELECT query_id, cand_id AS neighbor_id, rn AS rank, ROUND(c, 6) AS cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, cand_id) AS rn
+      FROM scored)
+WHERE rn <= {IVF_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_ivf_topk", IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest of
+    {N_CENTROIDS} centroids (one linear pass, centroids broadcast), then
+    answer each query from its {N_PROBE} best clusters only.
+
+    Centroids here are deterministically "sampled" (vec_id < N) so the
+    oracle can reproduce them; a production build would k-means them — the
+    query plan is identical. At 10^9 vectors the candidate join reads
+    nprobe/nlist of the corpus instead of all of it; writing the corpus
+    partitioned by ``cluster`` turns the probe into partition pruning."""
+    e = _vectors(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    # assignment pass: nearest centroid per vector
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ac"), F.asc("cent_id")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ac", cosine(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cent_id"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("qc", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", F.col("cent_id").alias("cluster"))
+    )
+    cand = (
+        probe.join(assign, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(e, cand.cand_id == e.vec_id)
+        .withColumn("c", cosine(F.col("qv"), F.col("v")))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            F.col("rn").alias("rank"),
+            F.round(F.col("c"), 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1,1 +1,156 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §7.3 /
+BASELINE north-star: language-ID, quality scoring, token counting, document
+fingerprinting).
+
+All pure JVM expressions (regexp_count / split / md5) — no Python UDFs in
+the hot path; at 100 TB each query is a single narrow map + small agg, no
+shuffle beyond the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import oracle_hash_sql, stable_hash60
+from ..functions.text import (
+    PUNCT_PATTERN,
+    STOP_PATTERN,
+    TOKEN_PATTERN,
+    WORD_PATTERN,
+    langid_expr,
+    rx_count,
+    sql_langid,
+    sql_rx_count,
+)
+from ..registry import register
+
+def _words():
+    # built lazily — Column construction needs an active SparkContext
+    return rx_count(F.col("text"), WORD_PATTERN)
+
+
+_SQL_WORDS = sql_rx_count("text", WORD_PATTERN)
+
+
+@register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           {_SQL_WORDS} AS n_words,
+           {sql_rx_count('text', TOKEN_PATTERN)} AS n_tokens,
+           {sql_rx_count('text', PUNCT_PATTERN)} AS n_punct
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace-ish word count + BPE-ish regex token count
+    (letter runs / digit runs / single punctuation) + punctuation count.
+    One narrow projection over the scan — embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _words().alias("n_words"),
+        rx_count(F.col("text"), TOKEN_PATTERN).alias("n_tokens"),
+        rx_count(F.col("text"), PUNCT_PATTERN).alias("n_punct"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    SELECT doc_id,
+           {_SQL_WORDS} AS n_words,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST({sql_rx_count('text', PUNCT_PATTERN)} AS DOUBLE)
+                     / length(text) END AS punct_ratio,
+           CASE WHEN {_SQL_WORDS} = 0 THEN 0.0
+                ELSE CAST({sql_rx_count('lower(text)', STOP_PATTERN)} AS DOUBLE)
+                     / {_SQL_WORDS} END AS stopword_ratio,
+           CASE WHEN {_SQL_WORDS} = 0 THEN 0.0
+                ELSE CAST(length(text) AS DOUBLE) / {_SQL_WORDS} END AS chars_per_word,
+           (CASE WHEN {_SQL_WORDS} >= 20 THEN 1 ELSE 0 END
+            + CASE WHEN {_SQL_WORDS} = 0 THEN 0
+                   WHEN CAST({sql_rx_count('lower(text)', STOP_PATTERN)} AS DOUBLE)
+                        / {_SQL_WORDS} BETWEEN 0.05 AND 0.6 THEN 1 ELSE 0 END
+            + CASE WHEN length(text) = 0 THEN 0
+                   WHEN CAST({sql_rx_count('text', PUNCT_PATTERN)} AS DOUBLE)
+                        / length(text) <= 0.2 THEN 1 ELSE 0 END) AS quality_score
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword signals + a 0-3 integer
+    quality score (the typical pre-training heuristic filter shape). All
+    ratios are guarded divisions of identical integer counts — deterministic
+    across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_words = _words()
+    n_punct = rx_count(text, PUNCT_PATTERN)
+    n_stop = rx_count(F.lower(text), STOP_PATTERN)
+    length = F.length(text)
+    punct_ratio = F.when(length == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / length
+    )
+    stop_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / n_words
+    )
+    chars_per_word = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        length.cast("double") / n_words
+    )
+    score = (
+        F.when(n_words >= 20, 1).otherwise(0)
+        + F.when(
+            (n_words != 0) & stop_ratio.between(0.05, 0.6), 1
+        ).otherwise(0)
+        + F.when((length != 0) & (punct_ratio <= 0.2), 1).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        chars_per_word.alias("chars_per_word"),
+        score.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_langid",
+    f"""
+    SELECT {sql_langid('text')} AS detected_lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: marker-stopword/CJK-range hit counts with deterministic
+    argmax (n-gram-heuristic class of detectors). Returns the detected-lang
+    distribution."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(langid_expr(F.col("text")).alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("detected_lang")
+    )
+
+
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    SELECT doc_id,
+           {oracle_hash_sql(_NORM_SQL)} AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whitespace-normalized, case-folded 60-bit
+    content hash — the join key for exact dedup across shards/snapshots."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", stable_hash60(norm).alias("fingerprint")).orderBy("doc_id")

@@ -36,6 +36,10 @@ def get_spark(
         .appName(app_name)
         # --- deterministic semantics ---
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet TIMESTAMP(NANOS) (events.ts) is unsupported by the vectorized
+        # reader — read as long nanos; catalog.load_table converts losslessly
+        # to timestamp_ntz (fixture nanos are µs-aligned, verified)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- adaptive execution: runtime re-plan for stragglers/skew ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
