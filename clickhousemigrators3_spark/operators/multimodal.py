@@ -1,1 +1,146 @@
-"""Placeholder — filled in as operators land."""
+"""Multimodal-column operators (SURVEY.md §7.3 / BASELINE north-star).
+
+Pattern: image/audio/video payloads are opaque ``binary`` columns with a
+typed metadata struct alongside. Decode / feature-extract / frame-sample run
+as Arrow-batched ``mapInPandas`` stages — the Spark-side plumbing (schema,
+batch shape, partitioning) is real; the actual codec call is STUBBED behind
+an import-try (the image/audio libs aren't in this container) with a
+deterministic fake so tests are stable. Swap ``_decode_stub`` for a real
+PIL/ffmpeg call and nothing else changes.
+
+The fixtures carry no binary column, so payloads are derived as
+``encode(text, 'utf-8')`` — which also gives the metadata query a DuckDB
+oracle (octet_length).
+
+Scale: mapInPandas streams Arrow batches through Python — ~10-100× the
+throughput of row-at-a-time UDFs; batch size bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (session.py) so executor
+memory is independent of corpus size. Payload columns prune away for any
+query not touching them (columnar parquet).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a derived binary payload + typed metadata struct."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """STUB decode: the real implementation would be e.g.
+    ``PIL.Image.open(io.BytesIO(payload))``. Deterministic fake: byte stats.
+    """
+    try:
+        import PIL.Image  # noqa: F401 — not in this container
+
+        raise NotImplementedError("real image decode not wired up yet")
+    except ImportError:
+        pass
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "first_byte": payload[0] if n else 0,
+        "byte_sum_mod": sum(payload) % 65536,
+    }
+
+
+@register(
+    "mm_binary_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'text/plain' AS mime
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata via Arrow-batched ``mapInPandas`` — the
+    smallest real multimodal pipeline: binary in, typed scalars out. The
+    oracle checks the byte accounting end-to-end through the Python stage."""
+    src = _payloads(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                }
+            )
+
+    out = src.mapInPandas(extract, schema="doc_id long, n_bytes long, mime string")
+    return out.orderBy("doc_id")
+
+
+@register("mm_feature_extract", None)  # stubbed decode → rows-only check
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads: mapInPandas batch →
+    fixed-dim float feature vector per document (deterministic stub in place
+    of a real model/codec). Schema/batch plumbing is exactly what a CLIP- or
+    mel-spectrogram-style extractor needs."""
+    src = _payloads(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(
+                lambda p: [
+                    float(v)
+                    for v in (
+                        _decode_stub(p)["n_bytes"] % 256,
+                        _decode_stub(p)["first_byte"],
+                        _decode_stub(p)["byte_sum_mod"] % 256,
+                    )
+                ]
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return src.mapInPandas(
+        extract, schema="doc_id long, features array<float>"
+    ).orderBy("doc_id")
+
+
+@register("mm_frame_sample", None)  # stubbed decode → rows-only check
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-like payloads: each payload explodes into
+    ≤4 evenly-spaced fixed-size "frames" (chunks) — one row per frame, the
+    fan-out shape of real frame extraction. mapInPandas may emit more rows
+    than it consumes; output partitioning stays aligned with input splits."""
+    src = _payloads(spark, sf_dir)
+    frame_size, max_frames = 64, 4
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = min(max_frames, max(n // frame_size, 1))
+                stride = max(n // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = bytes(payload[i * stride : i * stride + frame_size])
+                    rows.append((int(doc_id), i, len(chunk)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return src.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, frame_bytes int"
+    ).orderBy("doc_id", "frame_idx")

@@ -41,10 +41,13 @@ def grouped_counts(
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     aggs = [F.count(F.lit(1)).alias("row_cnt")]
     if checksum_cols:
-        # order-insensitive: sum of per-row hashes is commutative
-        aggs.append(
-            F.sum(F.xxhash64(*[F.col(c) for c in checksum_cols])).alias("content_hash")
+        # order-insensitive: sum of per-row hashes is commutative; mask to
+        # 31 bits so the ANSI-mode long sum can't overflow (safe to 2^32
+        # rows per group)
+        row_hash = F.xxhash64(*[F.col(c) for c in checksum_cols]).bitwiseAND(
+            F.lit(0x7FFFFFFF)
         )
+        aggs.append(F.sum(row_hash).alias("content_hash"))
     return df.groupBy(*cols).agg(*aggs)
 
 

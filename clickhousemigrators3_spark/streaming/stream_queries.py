@@ -1,1 +1,99 @@
-"""Placeholder — filled in as operators land."""
+"""Structured Streaming twins (SURVEY.md §2.7 notes the reference is
+batch-only; §7.3/§7.4 adds the streaming extension for ``events``).
+
+Each query runs the *same logical plan* as its batch twin in
+operators/events.py, but through ``readStream`` with a watermark, a
+``Trigger.AvailableNow`` drain of the fixture parquet, and a memory sink.
+The callables block until the stream drains, then return the sink table —
+so the driver's rows-only check exercises the full streaming path.
+
+Scale: at 100 TB/day the same code runs continuously — watermark bounds
+state, ``maxFilesPerTrigger`` paces ingestion (the streaming analogue of the
+reference's ``insert_interval`` throttle, C2); the memory sink becomes a
+parquet/Kafka sink.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, table_path
+from ..registry import register
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema from the batch reader (includes the nanos→ntz ts conversion
+    # contract: streaming reads the raw long and applies the same transform)
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # readStream needs a directory source; the fixture is a single file —
+    # stream the parent dir with a glob filter selecting just this table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        # TIMESTAMP (ltz), not ntz: watermarks require event-time to be
+        # TIMESTAMP type; session tz is pinned UTC so wall-clock values
+        # match the batch twin's ntz values exactly
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    assert stream.columns == batch.columns
+    return stream
+
+
+def _drain_to_memory(agg: DataFrame, output_mode: str) -> str:
+    name = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+@register("stream_tumbling_hourly", None)  # streaming → rows-only check
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_tumbling_hourly: watermarked tumbling 1-hour
+    window counts per event_type, drained with AvailableNow into a memory
+    sink. Late data beyond the 2-hour watermark would be dropped in
+    continuous operation; with a full drain the result equals the batch
+    twin (asserted in tests/test_streaming.py)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
+    # complete mode: append would withhold the trailing windows the
+    # watermark hasn't closed when the drain ends — complete emits every
+    # window, making the full-drain result equal the batch twin
+    name = _drain_to_memory(agg, "complete")
+    return spark.table(name).orderBy("hour_start", "event_type")
+
+
+@register("stream_user_running_totals", None)  # streaming → rows-only check
+def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful aggregation without time windows: per-user event
+    totals in update mode — the state-store-backed shape of a continuously
+    maintained feature table."""
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    name = _drain_to_memory(agg, "complete")
+    return spark.table(name).orderBy("user_id")

@@ -1,0 +1,177 @@
+"""Migration-engine tests — the runtime-validation behaviors the reference
+enforces (SURVEY §5) as unit tests: happy path, resume, corrupted-dest
+validation failure, lock contention, config precedence, report shape."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from clickhousemigrators3_spark.config import MigrationConfig, resolve_config
+from clickhousemigrators3_spark.lock import table_lock
+from clickhousemigrators3_spark.operators.migrate import (
+    migrate_full_database,
+    migrate_single_table,
+)
+from clickhousemigrators3_spark.report import exit_code, generate_report, summarize
+from clickhousemigrators3_spark import resume as ledger
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def make_cfg(tmp_path, **kw) -> MigrationConfig:
+    base = dict(
+        source_dir=SF_DIR,
+        dest_dir=str(tmp_path / "dest"),
+        partition_keys=["l_returnflag", "l_linestatus"],
+        insert_interval=0.0,
+        lock_dir=str(tmp_path / "locks"),
+        progress_path=str(tmp_path / "progress.json"),
+        report_dir=str(tmp_path / "reports"),
+        strategy="batch",
+    )
+    base.update(kw)
+    return MigrationConfig(**base)
+
+
+def test_migrate_happy_path_batch(spark, tmp_path):
+    cfg = make_cfg(tmp_path)
+    res = migrate_single_table(spark, cfg, "lineitem")
+    assert res["status"] == "completed", res.get("error")
+    assert res["total_partitions"] == 6
+    assert res["migrated_rows"] == 6000
+    assert all(c["passed"] for c in res["check_results"])
+    out = spark.read.parquet(str(tmp_path / "dest" / "lineitem"))
+    assert out.count() == 6000
+    # partition layout on disk (S10 → partitionBy)
+    dirs = os.listdir(tmp_path / "dest" / "lineitem")
+    assert any(d.startswith("l_returnflag=") for d in dirs)
+    # idempotence guard (C5): second run skips
+    res2 = migrate_single_table(spark, cfg, "lineitem")
+    assert res2["status"] == "skipped"
+
+
+def test_migrate_per_partition_resume(spark, tmp_path):
+    cfg = make_cfg(tmp_path, strategy="per_partition", resume=True, table="orders")
+    cfg.partition_keys = ["o_orderstatus"]
+    # simulate a prior crashed run: partition 'F' already copied + checkpointed
+    from clickhousemigrators3_spark.operators.migrate import (
+        _copy_partitions,
+        _staging_path,
+    )
+    from clickhousemigrators3_spark.catalog import load_table
+
+    src = load_table(spark, SF_DIR, "orders")
+    _copy_partitions(src, _staging_path(cfg.dest_dir, "orders"), ["o_orderstatus"], [("F",)])
+    progress = ledger.init_table({}, "default", "orders")
+    ledger.mark_partition(progress, "default", "orders", "F", cfg.progress_path)
+
+    res = migrate_single_table(spark, cfg, "orders")
+    assert res["status"] == "completed", res.get("error")
+    out = spark.read.parquet(str(tmp_path / "dest" / "orders"))
+    assert out.count() == src.count()
+    # resumed run only re-copied the remaining partitions, but validated all
+    assert {c["partition"] for c in res["check_results"]} == {"F", "O", "P"}
+
+
+def test_validation_blocks_swap_on_corruption(spark, tmp_path, monkeypatch):
+    """C10: a corrupted staging copy must fail validation and never be
+    promoted to the final path."""
+    cfg = make_cfg(tmp_path, checksum=True)
+    import clickhousemigrators3_spark.operators.migrate as mig
+
+    real_copy = mig._copy_partitions
+
+    def corrupt_copy(src, staging, keys, parts):
+        # drop some rows from one partition → count + checksum mismatch
+        from pyspark.sql import functions as F
+
+        corrupted = src.filter(
+            ~((F.col("l_returnflag") == "A") & (F.col("l_linenumber") == 1))
+        )
+        real_copy(corrupted, staging, keys, parts)
+
+    monkeypatch.setattr(mig, "_copy_partitions", corrupt_copy)
+    res = migrate_single_table(spark, cfg, "lineitem")
+    assert res["status"] == "failed"
+    assert "validation failed" in res["error"]
+    assert not os.path.exists(tmp_path / "dest" / "lineitem")  # never promoted
+    assert os.path.exists(tmp_path / "dest" / "_staging_lineitem")  # kept for debug
+
+
+def test_checksum_catches_content_corruption(spark, tmp_path, monkeypatch):
+    """Checksum upgrade: same row COUNT but different content must fail."""
+    cfg = make_cfg(tmp_path, checksum=True)
+    import clickhousemigrators3_spark.operators.migrate as mig
+    from pyspark.sql import functions as F
+
+    real_copy = mig._copy_partitions
+
+    def mutate_copy(src, staging, keys, parts):
+        mutated = src.withColumn(
+            "l_quantity",
+            F.when(F.col("l_linenumber") == 1, F.col("l_quantity") + 1).otherwise(
+                F.col("l_quantity")
+            ),
+        )
+        real_copy(mutated, staging, keys, parts)
+
+    monkeypatch.setattr(mig, "_copy_partitions", mutate_copy)
+    res = migrate_single_table(spark, cfg, "lineitem")
+    assert res["status"] == "failed"
+    # counts are equal, so only the checksum can catch it
+    assert all(
+        c["src_count"] == c["dst_count"] for c in res["check_results"]
+    )
+
+
+def test_lock_contention(spark, tmp_path):
+    cfg = make_cfg(tmp_path)
+    with table_lock(cfg.lock_dir, "default", "lineitem"):
+        res = migrate_single_table(spark, cfg, "lineitem")
+    assert res["status"] == "locked"
+
+
+def test_full_database_error_isolation(spark, tmp_path):
+    """C9: one bad table must not stop the rest."""
+    cfg = make_cfg(tmp_path, partition_keys=[])
+    results = migrate_full_database(spark, cfg, tables=["region", "no_such_table", "nation"])
+    by_table = {r["table"]: r["status"] for r in results}
+    assert by_table["region"] == "completed"
+    assert by_table["no_such_table"] == "failed"
+    assert by_table["nation"] == "completed"
+    assert exit_code(results) == 1  # C11
+
+
+def test_config_precedence(tmp_path, monkeypatch):
+    """Q1 fix: CLI > env > file > default, per key."""
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text("insert_interval: 9\nstrategy: per_partition\ntable: from_file\n")
+    monkeypatch.setenv("MIGRATION_TABLE", "from_env")
+    cfg = resolve_config(
+        ["--table", "from_cli", "--config-file", str(cfg_file)]
+    )
+    assert cfg.table == "from_cli"  # CLI wins
+    assert cfg.insert_interval == 9.0  # file wins (no CLI/env)
+    assert cfg.strategy == "per_partition"
+    monkeypatch.delenv("MIGRATION_TABLE")
+    cfg2 = resolve_config(["--config-file", str(cfg_file)])
+    assert cfg2.table == "from_file"
+
+
+def test_report_shape(tmp_path):
+    results = [
+        {"table": "a", "status": "completed", "migrated_rows": 10, "completed_partitions": 2},
+        {"table": "b", "status": "failed", "error": "x"},
+    ]
+    path = generate_report(results, str(tmp_path), start_time=0.0)
+    with open(path) as f:
+        report = json.load(f)
+    assert set(report) == {"migration_info", "results", "summary"}
+    assert report["summary"]["total_tables"] == 2
+    assert report["summary"]["completed"] == 1
+    assert report["summary"]["failed"] == 1
+    assert report["summary"]["migrated_rows"] == 10
+    assert exit_code(results) == 1

@@ -1,0 +1,53 @@
+"""Streaming twins must agree with their batch counterparts after a full
+AvailableNow drain."""
+
+from __future__ import annotations
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_tumbling_matches_batch(spark):
+    from clickhousemigrators3_spark.operators.events import ev_tumbling_hourly
+    from clickhousemigrators3_spark.streaming.stream_queries import (
+        stream_tumbling_hourly,
+    )
+
+    batch = ev_tumbling_hourly(spark, SF_DIR).collect()
+    stream = stream_tumbling_hourly(spark, SF_DIR).collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+
+
+def test_stream_running_totals(spark):
+    from clickhousemigrators3_spark.streaming.stream_queries import (
+        stream_user_running_totals,
+    )
+    from clickhousemigrators3_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    out = {r["user_id"]: r["n_events"] for r in stream_user_running_totals(spark, SF_DIR).collect()}
+    e = load_table(spark, SF_DIR, "events")
+    expected = {
+        r["user_id"]: r["cnt"]
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert out == expected
+
+
+def test_multimodal_plumbing(spark):
+    from clickhousemigrators3_spark.operators.multimodal import (
+        mm_feature_extract,
+        mm_frame_sample,
+    )
+
+    feats = mm_feature_extract(spark, SF_DIR)
+    rows = feats.collect()
+    assert len(rows) == 500
+    assert all(len(r["features"]) == 3 for r in rows)
+    assert feats.schema["features"].dataType.simpleString() == "array<float>"
+
+    frames = mm_frame_sample(spark, SF_DIR).collect()
+    assert len(frames) >= 500  # fan-out: ≥1 frame per doc
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(idx == sorted(idx) and idx[0] == 0 for idx in by_doc.values())
