@@ -19,13 +19,21 @@ import time
 
 
 HEADLINE = [
+    # reference surface
     "flagship_partition_rollup",
+    "a3_count_validation_join",
+    "a3_checksum_validation",
+    # TPC-H-style relational
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    "a3_count_validation_join",
-    "a3_checksum_validation",
+    "tpch_q6_forecast_revenue",
     "window_topn_orders_per_customer",
+    # LLM-pipeline extensions
+    "dedup_minhash_lsh_pairs",
+    "text_quality_scores",
+    "knn_bruteforce_topk",
+    "ev_sessionization",
 ]
 
 

@@ -1,0 +1,374 @@
+"""Analytics operators beyond the reference surface — set ops, grouping
+sets, subqueries, deterministic sampling, distinct aggregates, scalar/string
+function parity (SURVEY §2.4 F-table, §2.7's "absent categories" filled in
+as first-class engine capabilities).
+
+All DuckDB-checkable; money aggregates decimal-exact as everywhere else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import oracle_hash_sql, stable_hash32
+from ..functions.money import (
+    SQL_REVENUE,
+    dec,
+    revenue_expr,
+    sql_dec,
+    sql_sum_double,
+    sum_double,
+)
+from ..registry import register
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT {sql_sum_double(f"{sql_dec('l_extendedprice')} * {sql_dec('l_discount')}",
+                           'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate reaches
+    the parquet reader (PushedFilters) — the canonical pushdown check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(sum_double(dec("l_extendedprice") * dec("l_discount"), "revenue"))
+
+
+TPCH_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, {sql_sum_double(SQL_REVENUE, 'revenue')}, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10_returned_items", TPCH_Q10_ORACLE)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: selective fact filter + 3 broadcast dims + top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum_double(revenue_expr(), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+_URGENT = "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+_RICH = "SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000"
+
+
+def _urgent(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def _rich(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+@register(
+    "setop_union",
+    f"SELECT custkey FROM ({_URGENT} UNION {_RICH}) ORDER BY custkey",
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — union + distinct shuffle on the key only."""
+    return _urgent(spark, sf_dir).union(_rich(spark, sf_dir)).distinct().orderBy("custkey")
+
+
+@register(
+    "setop_intersect",
+    f"SELECT custkey FROM ({_URGENT} INTERSECT {_RICH}) ORDER BY custkey",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _urgent(spark, sf_dir).intersect(_rich(spark, sf_dir)).orderBy("custkey")
+
+
+@register(
+    "setop_except",
+    f"SELECT custkey FROM ({_RICH} EXCEPT {_URGENT}) ORDER BY custkey",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rich(spark, sf_dir).exceptAll(_urgent(spark, sf_dir)).distinct().orderBy(
+        "custkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum_double(SQL_REVENUE, 'revenue')},
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag×status → grand total) in one
+    pass — Spark expands grouping sets in a single shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            sum_double(revenue_expr(), "revenue"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+    """,
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_orders_above_avg",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def subquery_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price. The scalar
+    aggregates once and broadcasts — no per-row recomputation."""
+    o = load_table(spark, sf_dir, "orders")
+    avg = o.agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        o.join(F.broadcast(avg))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "subquery_correlated_max_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM orders o1
+    WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o1.o_custkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery (each customer's max-price orders) decorrelated
+    into a grouped-max self-join — the plan Catalyst would produce for the
+    SQL form, written explicitly."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("o_totalprice").alias("max_price")
+    )
+    return (
+        o.join(
+            F.broadcast(mx),
+            (o.o_custkey == mx.ck) & (o.o_totalprice == mx.max_price),
+        )
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + distinct aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_hash_5pct",
+    f"""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE {oracle_hash_sql('CAST(o_orderkey AS VARCHAR)', bits=32)} % 100 < 5
+    ORDER BY o_orderkey
+    """,
+)
+def sample_hash_5pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% sample via content hash — reproducible across
+    engines, runs, and partitionings (TABLESAMPLE's RNG is none of those).
+    The standard trick for stable eval/holdout splits in data pipelines."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = stable_hash32(F.col("o_orderkey").cast("string")) % 100
+    return o.filter(bucket < 5).select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+@register(
+    "agg_distinct_counts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation — Spark plans this as expand + two-phase
+    aggregate; exact, unlike approx_count_distinct (provided separately as a
+    rows-only sketch query since HLL implementations differ per engine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("approx_distinct_sketch", None)  # HLL algos differ per engine → rows-only
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts — the 100 TB path for
+    cardinality estimation (fixed memory per group vs. the exact expand).
+    Engine-specific sketch → rows-only driver check; the unit test bounds
+    its error against the exact count instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar / string function parity (SURVEY §2.4 F1-F9 as generic ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_scalar_functions",
+    r"""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+           regexp_replace(p_name, '\s+', '_', 'g') AS name_snake,
+           length(p_name) AS name_len,
+           substring(p_name, 1, 5) AS name_pfx,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part ORDER BY p_partkey
+    """,
+)
+def string_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F5 parity as generic column ops: regex extract/replace (the
+    reference's DDL-rewrite and engine_full-parse regexes, structured),
+    whitespace normalization, substring/concat/length."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_u"),
+        F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_head"),
+        F.regexp_replace(F.col("p_name"), r"\s+", "_").alias("name_snake"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.substring(F.col("p_name"), 1, 5).alias("name_pfx"),
+        F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "date_format_functions",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(date_part('quarter', o_orderdate) AS INT) AS order_quarter,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_2002
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def date_format_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 parity (timestamp formatting) as generic ops: date_format,
+    year/quarter extraction, date arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("order_month"),
+        F.year(F.col("o_orderdate")).cast("int").alias("order_year"),
+        F.quarter(F.col("o_orderdate")).cast("int").alias("order_quarter"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp_ntz"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_2002"),
+    ).orderBy("o_orderkey")

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.hashing import oracle_hash_sql, stable_hash60
+from ..functions.hashing import oracle_hash_sql, stable_hash32, stable_hash60
 from ..functions.text import sql_word_shingles, word_shingles
 from ..functions.vectors import cosine, sql_cosine, to_double
 from ..registry import register
@@ -86,6 +86,22 @@ BAND_SIZE = 4  # 4 bands × 4 rows
 JACCARD_THRESHOLD = 0.5
 SHINGLE_N = 3
 
+# Affine permutation family over a 31-bit prime: minhash_i = min((a_i·h+b_i)
+# mod P) with h = 32-bit stable hash of the shingle. One md5 per shingle
+# (not per shingle×seed) — the seeds are pure arithmetic, 16 min-aggregates
+# in a single groupBy, no row explosion. a_i·h < 2^62 so the ANSI long
+# multiply can't overflow. Constants are fixed literals so the DuckDB oracle
+# reproduces them exactly.
+MINHASH_P = 2147483647  # 2^31 - 1
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (961748941, 179424673), (982451653, 373587883), (217645199, 617959159),
+    (413158511, 797003413), (687995171, 104395301), (899809343, 295075147),
+    (479001599, 523717123), (715225739, 982451707), (198491317, 336500717),
+    (541593427, 785335189), (383721781, 154858631), (619219373, 846749339),
+    (300301507, 952429583), (756065159, 458938217), (112272535, 662913017),
+    (858599509, 263901989),
+]
+
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -99,28 +115,40 @@ _SQL_SHINGLES = f"""
   FROM documents
 """
 
+_SQL_MINHASH_AGGS = ", ".join(
+    f"MIN(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+    for i, (a, b) in enumerate(MINHASH_COEFFS)
+)
+_SQL_BAND_SIGS = ", ".join(
+    "md5("
+    + " || ',' || ".join(
+        f"m{j}::VARCHAR" for j in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
+    )
+    + f") AS sig{band}"
+    for band in range(N_SEEDS // BAND_SIZE)
+)
+_SQL_BAND_UNPIVOT = " UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band, sig{band} AS sig FROM sigs"
+    for band in range(N_SEEDS // BAND_SIZE)
+)
+
 MINHASH_ORACLE = f"""
 WITH sh AS ({_SQL_SHINGLES}),
-seeds AS (SELECT unnest(generate_series(0, {N_SEEDS - 1})) AS seed),
 hashed AS (
-  SELECT doc_id, seed,
-         {oracle_hash_sql("seed::VARCHAR || ':' || shingle")} AS h
-  FROM sh, seeds),
-minh AS (SELECT doc_id, seed, MIN(h) AS minh FROM hashed GROUP BY 1, 2),
-bands AS (
-  SELECT doc_id, seed // {BAND_SIZE} AS band,
-         md5(string_agg(minh::VARCHAR, ',' ORDER BY seed)) AS sig
-  FROM minh GROUP BY 1, 2),
+  SELECT DISTINCT doc_id, {oracle_hash_sql('shingle', bits=32)} AS h FROM sh),
+minh AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_SQL_BAND_SIGS} FROM minh),
+bands AS ({_SQL_BAND_UNPIVOT}),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM hashed GROUP BY 1),
 inter AS (
   SELECT c.a_id, c.b_id, COUNT(*) AS i
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.a_id
-  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+  JOIN hashed sa ON sa.doc_id = c.a_id
+  JOIN hashed sb ON sb.doc_id = c.b_id AND sb.h = sa.h
   GROUP BY 1, 2)
 SELECT i.a_id, i.b_id,
        CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) AS jaccard
@@ -134,35 +162,60 @@ ORDER BY a_id, b_id
 
 @register("dedup_minhash_lsh_pairs", MINHASH_ORACLE)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs: word-3-gram shingles → 16 md5-seeded
-    min-hashes → 4-band signatures → bucket self-join for candidates → exact
-    Jaccard verify ≥ 0.5.
+    """MinHash-LSH near-duplicate pairs: word-3-gram shingles → one 32-bit
+    stable hash per shingle → 16 affine-permutation min-hashes in a single
+    groupBy (no seed explosion) → 4-band signatures → bucket self-join for
+    candidates → exact Jaccard verify ≥ 0.5.
 
     At 100 TB the only quadratic step (verify) touches bucket collisions
     only; everything else is linear explodes + grouped mins. Band signatures
-    (md5 of the ordered hash run) keep the bucket join key small."""
-    sh = _shingles(spark, sf_dir)
-
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(N_SEEDS)])).alias("seed")
-    hashed = sh.select("doc_id", "shingle", seeds).withColumn(
-        "h", stable_hash60(F.concat_ws(":", F.col("seed"), F.col("shingle")))
+    (md5 of the ordered hash run) keep the bucket join key small. The
+    hashed shingle set is persisted because three downstream stages (minhash,
+    per-doc counts, intersection join) consume it — at scale you'd
+    materialize it the same way; Jaccard is computed over hashed shingle
+    sets (8-byte join keys, not strings), identically in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("shingle")
     )
-    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minh"))
-    bands = (
-        minh.withColumn("band", F.floor(F.col("seed") / BAND_SIZE))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "minh"))),
-                        lambda s: s["minh"].cast("string"),
-                    ),
-                )
-            ).alias("sig")
-        )
+    # single distinct over (doc_id, hash) — strings never shuffle
+    hashed = raw.select(
+        "doc_id", stable_hash32(F.col("shingle")).alias("h")
+    ).distinct()
+    hashed.persist()
+    minh = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
     )
+    sig_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{j}").cast("string")
+                    for j in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
+                ],
+            )
+        ).alias(f"sig{band}")
+        for band in range(N_SEEDS // BAND_SIZE)
+    ]
+    sigs = minh.select("doc_id", *sig_cols)
+    # unpivot the band signatures to (doc_id, band, sig) for the bucket join
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"), F.col(f"sig{band}").alias("sig")
+                    )
+                    for band in range(N_SEEDS // BAND_SIZE)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = bands.select(
         F.col("doc_id").alias("a_id"), F.col("band").alias("band"), F.col("sig").alias("sig")
     )
@@ -176,12 +229,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
-    sh_a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    cnt = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    h_a = hashed.select(F.col("doc_id").alias("a_id"), "h")
+    h_b = hashed.select(F.col("doc_id").alias("b_id"), "h")
     inter = (
-        cand.join(sh_a, "a_id")
-        .join(sh_b, ["b_id", "shingle"])
+        cand.join(h_a, "a_id")
+        .join(h_b, ["b_id", "h"])
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("i"))
     )

@@ -45,6 +45,7 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> dict[str, Query]:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
+        analytics,
         dedup,
         events,
         migrate_queries,

@@ -1,0 +1,91 @@
+"""ClickHouse JDBC source/sink — S1 parity for a live server (reference
+``ch_client.py:10-25`` opens clickhouse-connect over HTTP 8123; Spark's
+native path is the JDBC datasource with the ClickHouse JDBC driver on the
+executor classpath).
+
+No ClickHouse server (or driver jar) ships in this container, so this module
+only *builds* readers/writers — construction is unit-tested, the round-trip
+is exercised when a server is available. The parquet fixtures stand in for
+ClickHouse tables everywhere else in the engine (SURVEY §1.4).
+
+Scale notes encoded below:
+
+* reads are range-partitioned over a numeric column so N executors pull in
+  parallel (``numPartitions``/``partitionColumn`` — the JDBC analogue of the
+  reference's partition-by-partition pull);
+* ``pushDownPredicate``/``pushDownAggregate`` keep filters server-side, the
+  property the reference relied on by shipping whole SQL strings
+  (``migration.py:473-477``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+DEFAULT_PORT = 8123  # reference config.py:11
+DRIVER = "com.clickhouse.jdbc.ClickHouseDriver"
+
+
+def jdbc_url(host: str, port: int = DEFAULT_PORT, database: str = "default") -> str:
+    return f"jdbc:clickhouse://{host}:{port}/{database}"
+
+
+def reader(
+    spark: SparkSession,
+    host: str,
+    database: str,
+    table: str,
+    user: str = "default",
+    password: str = "",
+    port: int = DEFAULT_PORT,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrameReader:
+    """Configured JDBC reader for one ClickHouse table. Call ``.load()``
+    against a live server."""
+    r = (
+        spark.read.format("jdbc")
+        .option("url", jdbc_url(host, port, database))
+        .option("dbtable", f"{database}.{table}")
+        .option("user", user)
+        .option("password", password)
+        .option("driver", DRIVER)
+        .option("pushDownPredicate", "true")
+        .option("pushDownAggregate", "true")
+        .option("fetchsize", "100000")
+    )
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option(
+                "upperBound",
+                str(upper_bound if upper_bound is not None else 1 << 31),
+            )
+        )
+    return r
+
+
+def read_table(spark: SparkSession, **kwargs) -> DataFrame:
+    """S1: ``spark.read.format('jdbc')…load()`` — raises without a live
+    server/driver; see module docstring."""
+    return reader(spark, **kwargs).load()
+
+
+def migrate_to_parquet(
+    spark: SparkSession,
+    dest_path: str,
+    partition_keys: list[str],
+    **reader_kwargs,
+) -> None:
+    """The BASELINE.json north-star one-liner: ClickHouse table → partitioned
+    Parquet on S3/HDFS. Executors stream rows server→object-store directly;
+    the driver moves no data (the reference's core property, preserved)."""
+    df = read_table(spark, **reader_kwargs)
+    writer = df.write.mode("overwrite")
+    if partition_keys:
+        writer = writer.partitionBy(*partition_keys)
+    writer.parquet(dest_path)
