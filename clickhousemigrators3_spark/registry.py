@@ -46,6 +46,7 @@ def load_all() -> dict[str, Query]:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
         analytics,
+        asof,
         dedup,
         events,
         migrate_queries,
