@@ -154,3 +154,98 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     return d.select("doc_id", stable_hash60(norm).alias("fingerprint")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF and character n-gram profile
+# ---------------------------------------------------------------------------
+
+_SQL_TERMS = """
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+"""
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH w AS ({_SQL_TERMS}),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w WHERE term <> '' GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, term, tfidf, rn AS rank FROM (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) DESC,
+                                         tf.term) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    WHERE rn <= 3 ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency per doc × ln(N/df), top-3 terms per document.
+    Two grouped aggregations + a broadcast df join; the per-doc top-k is a
+    WindowGroupLimit. The document-frequency table is the only shared state —
+    at corpus scale it's a small broadcast (vocabulary-sized, not
+    corpus-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            # rounded to 6dp: ln() differs by 1 ulp across engines, so both
+            # the output value and the ranking key must be rounded
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+@register(
+    "text_char_trigram_top20",
+    """
+    WITH g AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(length(text) - 2, 0)),
+               i -> substr(text, i, 3))) AS tri
+      FROM documents)
+    SELECT tri, COUNT(*) AS cnt FROM g
+    GROUP BY 1 ORDER BY cnt DESC, tri LIMIT 20
+    """,
+)
+def text_char_trigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram frequency profile (the feature space of classic
+    n-gram language detectors), global top-20. Explode is linear in corpus
+    bytes; the aggregate shuffles only distinct trigrams."""
+    d = load_table(spark, sf_dir, "documents")
+    tri = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0))),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("tri")
+    )
+    return (
+        tri.groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tri"))
+        .limit(20)
+    )

@@ -1,0 +1,313 @@
+"""Additional TPC-H-shaped workload coverage: EXISTS-with-date-window (Q4),
+conditional aggregation (Q12/Q14), HAVING (Q18), anti-join + scalar-subquery
+(Q22), min-within-group join (Q2 shape), and the window-function breadth
+suite (rank/dense_rank/ntile, moving aggregates, cumulative sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.money import (
+    SQL_REVENUE,
+    dec,
+    revenue_expr,
+    sql_dec,
+    sql_sum_double,
+    sum_double,
+)
+from ..registry import register
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: date-windowed EXISTS → left-semi join; the semi-join
+    shuffles only the join key from lineitem."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional CASE aggregation over a fact-fact join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    f"""
+    SELECT (100.0 * CAST(SUM(CASE WHEN p_type LIKE 'type0%'
+                                  THEN {SQL_REVENUE} ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DOUBLE)
+            / CAST(SUM({SQL_REVENUE}) AS DOUBLE)) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional revenue share with a broadcast part join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = revenue_expr()
+    promo = F.when(
+        F.col("p_type").like("type0%"), rev
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    SELECT o_orderkey, o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ) big ON o_orderkey = l_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING over a grouped fact, joined back to orders, top-100."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_totalprice", F.col("sum_qty").cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar subquery threshold + anti-join + grouped totals."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    SELECT s.s_suppkey, s.s_name, x.l_partkey, CAST(x.min_price AS DOUBLE) AS min_price
+    FROM (
+      SELECT l_partkey, MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+      FROM lineitem GROUP BY 1
+    ) x
+    JOIN lineitem l ON l.l_partkey = x.l_partkey
+      AND CAST(l.l_extendedprice AS DECIMAL(18,2)) = x.min_price
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ORDER BY x.l_partkey, s.s_suppkey
+    """,
+)
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: min-within-group rejoined to recover the argmin rows
+    (cheapest supplier per part)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    mins = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min(dec("l_extendedprice")).alias("min_price")
+    )
+    return (
+        li.join(
+            mins,
+            (li.l_partkey == mins.pk) & (dec("l_extendedprice") == mins.min_price),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "l_partkey",
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+        .orderBy("l_partkey", "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_dense_ntile",
+    """
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_custkey", "rnk", "o_orderkey")
+
+
+@register(
+    "window_moving_avg_3",
+    """
+    SELECT o_custkey, o_orderkey,
+           (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            / COUNT(*) OVER w) AS moving_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average per customer — bounded-frame window aggregate.
+    Explicit exact-sum/count division (Spark's avg(DECIMAL) rounds to
+    scale+4; dividing the identical exact sums keeps both engines
+    bit-equal)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    avg3 = F.sum(dec("o_totalprice")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        avg3.alias("moving_avg3"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_cumulative_revenue",
+    f"""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+             {sql_sum_double(SQL_REVENUE, 'rev')}
+      FROM lineitem GROUP BY 1)
+    SELECT m, rev,
+           CAST(SUM(CAST(rev AS DECIMAL(24,6))) OVER (ORDER BY m
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+    FROM monthly ORDER BY m
+    """,
+)
+def window_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global cumulative sum over the (tiny) monthly rollup — the
+    single-partition window runs on #months rows, not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("m")
+    ).agg(sum_double(revenue_expr(), "rev"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "m",
+        "rev",
+        F.sum(F.col("rev").cast("decimal(24,6)")).over(w).cast("double").alias("cum_rev"),
+    ).orderBy("m")

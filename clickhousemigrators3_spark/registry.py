@@ -47,6 +47,7 @@ def load_all() -> dict[str, Query]:
     from .operators import (  # noqa: F401
         analytics,
         asof,
+        clusters,
         dedup,
         events,
         migrate_queries,
@@ -54,6 +55,7 @@ def load_all() -> dict[str, Query]:
         relational,
         similarity,
         textops,
+        tpch_more,
         validate_queries,
     )
     from .streaming import stream_queries  # noqa: F401

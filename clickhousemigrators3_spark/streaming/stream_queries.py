@@ -97,3 +97,27 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _drain_to_memory(agg, "complete")
     return spark.table(name).orderBy("user_id")
+
+
+@register("stream_session_window", None)  # streaming → rows-only check
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` stateful streaming aggregation: per-user
+    sessions closed by a 30-minute inactivity gap — the streaming twin of
+    the batch lag-gap-cumsum in operators/events.py. Watermark bounds the
+    session state store; sessions not yet closed by the watermark when the
+    AvailableNow drain ends are withheld (append mode), which the test
+    accounts for by asserting emitted ⊆ batch."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    name = _drain_to_memory(agg, "append")
+    return spark.table(name).orderBy("user_id", "session_start")

@@ -88,3 +88,59 @@ def test_probe_sink(spark, tmp_path):
     from clickhousemigrators3_spark.catalog import probe_sink
 
     assert probe_sink(spark, str(tmp_path)) is True
+
+
+def test_salted_join_equivalence(spark):
+    from clickhousemigrators3_spark.functions.skew import salted_agg_count, salted_join
+    from clickhousemigrators3_spark.catalog import load_table
+    import pyspark.sql.functions as F2
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select("l_orderkey := o_orderkey".split(" := ")[1], "o_totalprice") \
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(o, "l_orderkey").count()
+    salted = salted_join(li, o, "l_orderkey", n_salts=4).count()
+    assert plain == salted
+    cnt = {r["l_orderkey"]: r["cnt"] for r in salted_agg_count(li, "l_orderkey", 4).collect()}
+    expected = {
+        r["l_orderkey"]: r["c"]
+        for r in li.groupBy("l_orderkey").agg(F2.count(F2.lit(1)).alias("c")).collect()
+    }
+    assert cnt == expected
+
+
+def test_bucketed_join_no_exchange(spark):
+    from clickhousemigrators3_spark.functions.bucketing import (
+        bucketed_join,
+        plan_has_exchange,
+        write_bucketed,
+    )
+    from clickhousemigrators3_spark.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    ).select("l_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", "l_orderkey", 4)
+    write_bucketed(o, "b_orders", "l_orderkey", 4)
+    joined = bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+    assert not plan_has_exchange(joined), "bucketed join must not shuffle"
+    assert joined.count() == li.join(o, "l_orderkey").count()
+
+
+def test_stream_session_window_subset_of_batch(spark):
+    from clickhousemigrators3_spark.operators.events import ev_sessionization
+    from clickhousemigrators3_spark.streaming.stream_queries import (
+        stream_session_window,
+    )
+
+    emitted = stream_session_window(spark, SF_DIR).collect()
+    assert len(emitted) > 0
+    batch = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in ev_sessionization(spark, SF_DIR).collect()
+    }
+    for r in emitted:
+        key = (r["user_id"], r["session_start"])
+        assert key in batch, f"streamed session {key} not in batch result"
+        assert batch[key] == r["n_events"]
