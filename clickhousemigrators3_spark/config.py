@@ -20,6 +20,10 @@ DEFAULTS: dict[str, Any] = {
     "dest_dir": None,
     "table": None,
     "partition_keys": "",
+    # derived partition columns: "name=<sql expr>;name2=<expr>" — computed
+    # with withColumn(expr) before partition discovery (e.g.
+    # "p_month=CAST(date_trunc('month', l_shipdate) AS DATE)")
+    "derived_partitions": "",
     "insert_interval": 1.0,  # reference default, config.py:7
     "resume": False,
     "strategy": "batch",
@@ -77,6 +81,7 @@ class MigrationConfig:
     dest_dir: str | None = None
     table: str | None = None
     partition_keys: list[str] = field(default_factory=list)
+    derived_partitions: dict[str, str] = field(default_factory=dict)
     insert_interval: float = 1.0
     resume: bool = False
     strategy: str = "batch"  # 'batch' (one partitioned write) | 'per_partition' (C1 parity)
@@ -118,7 +123,18 @@ def resolve_config(argv: list[str] | None = None) -> MigrationConfig:
         key_list = [k.strip() for k in keys.split(",") if k.strip()]
     else:
         key_list = list(keys)
-    cfg = MigrationConfig(partition_keys=key_list, **merged)
+    derived = merged.pop("derived_partitions") or ""
+    if isinstance(derived, str):
+        derived_map = {}
+        for item in derived.split(";"):
+            if "=" in item:
+                name, _, expr = item.partition("=")
+                derived_map[name.strip()] = expr.strip()
+    else:
+        derived_map = dict(derived)
+    cfg = MigrationConfig(
+        partition_keys=key_list, derived_partitions=derived_map, **merged
+    )
     if cfg.mode == "single" and not cfg.table:
         raise SystemExit("--table is required in single mode")  # config.py:65-66 parity
     return cfg

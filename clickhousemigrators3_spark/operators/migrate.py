@@ -182,6 +182,11 @@ def migrate_single_table(
             from ..catalog import load_table
 
             src = load_table(spark, cfg.source_dir, table)
+            # derived partition columns (SURVEY §7.4 composite-partition
+            # parity): e.g. a month column computed from a timestamp —
+            # materialized before discovery so partitionBy sees a real column
+            for name, expr in cfg.derived_partitions.items():
+                src = src.withColumn(name, F.expr(expr))
             keys = [k for k in cfg.partition_keys if k in src.columns]
 
             # 5. partition discovery (M4); empty → fast path (C7)

@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
         clusters,
         dedup,
         events,
+        grouped_pandas,
         migrate_queries,
         multimodal,
         relational,

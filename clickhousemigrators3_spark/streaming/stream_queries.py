@@ -121,3 +121,43 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _drain_to_memory(agg, "append")
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+@register("stream_stateful_anomaly_flags", None)  # custom state → rows-only
+def stream_stateful_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running mean of ``value`` kept in the state store; each batch
+    emits events whose value exceeds 3× the running mean seen so far (a
+    streaming anomaly detector no built-in aggregation expresses).
+
+    State is a 2-tuple (count, sum) per user — constant memory per key; the
+    GroupStateTimeout would evict idle users in continuous operation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+
+    def flag(key, pdfs, state: GroupState):
+        (user_id,) = key
+        cnt, total = state.get if state.exists else (0, 0.0)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            for _, r in pdf.iterrows():
+                mean = total / cnt if cnt else None
+                if mean is not None and r["value"] > 3.0 * mean:
+                    rows.append((int(user_id), int(r["event_id"]), float(r["value"]), float(mean)))
+                cnt += 1
+                total += float(r["value"])
+        state.update((cnt, total))
+        yield pd.DataFrame(rows, columns=["user_id", "event_id", "value", "running_mean"])
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        flag,
+        outputStructType="user_id long, event_id long, value double, running_mean double",
+        stateStructType="cnt long, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = _drain_to_memory(out, "append")
+    return spark.table(name).orderBy("user_id", "event_id")

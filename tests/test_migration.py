@@ -175,3 +175,29 @@ def test_report_shape(tmp_path):
     assert report["summary"]["failed"] == 1
     assert report["summary"]["migrated_rows"] == 10
     assert exit_code(results) == 1
+
+
+def test_migrate_derived_date_partition(spark, tmp_path):
+    """SURVEY §7.4: a derived date partition key must round-trip through the
+    partitionBy directory encoding with type fidelity."""
+    cfg = make_cfg(
+        tmp_path,
+        partition_keys=["p_month"],
+        derived_partitions={"p_month": "CAST(date_trunc('month', l_shipdate) AS DATE)"},
+    )
+    res = migrate_single_table(spark, cfg, "lineitem")
+    assert res["status"] == "completed", res.get("error")
+    out = spark.read.parquet(str(tmp_path / "dest" / "lineitem"))
+    assert out.count() == 6000
+    assert out.schema["p_month"].dataType.simpleString() == "date"
+    from pyspark.sql import functions as F
+    import datetime
+
+    months = sorted(r["p_month"] for r in out.select("p_month").distinct().collect())
+    assert res["total_partitions"] == len(months)
+    assert all(isinstance(m, datetime.date) and m.day == 1 for m in months)
+    # original timestamp column still intact alongside the derived key
+    mismatch = out.filter(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date") != F.col("p_month")
+    ).count()
+    assert mismatch == 0

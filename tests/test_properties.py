@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) for the pure-Python engine pieces."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clickhousemigrators3_spark.report import exit_code, summarize
+from clickhousemigrators3_spark.resume import remaining, serialize_partition
+
+
+@given(
+    st.lists(st.text(max_size=8), max_size=30, unique=True),
+    st.lists(st.text(max_size=8), max_size=30),
+)
+def test_remaining_is_order_preserving_set_difference(all_parts, done):
+    out = remaining(all_parts, done)
+    assert out == [p for p in all_parts if p not in set(done)]
+    # idempotent: removing done twice changes nothing
+    assert remaining(out, done) == out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.integers(), st.text(max_size=5), st.none()),
+            st.one_of(st.integers(), st.text(max_size=5)),
+        ),
+        max_size=10,
+    )
+)
+def test_serialize_partition_deterministic(values):
+    for v in values:
+        assert serialize_partition(v) == serialize_partition(tuple(v))
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "status": st.sampled_from(["completed", "failed", "skipped", "locked"]),
+                "migrated_rows": st.integers(min_value=0, max_value=10**9),
+                "completed_partitions": st.integers(min_value=0, max_value=1000),
+            }
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=50)
+def test_summary_tallies_consistent(results):
+    s = summarize(results)
+    assert s["total_tables"] == len(results)
+    assert (
+        s["completed"] + s["failed"] + s["skipped"] + s["locked"] == len(results)
+    )
+    assert s["migrated_rows"] == sum(r["migrated_rows"] for r in results)
+    assert (exit_code(results) == 1) == any(r["status"] == "failed" for r in results)
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=30)
+def test_config_coercion_bools(s):
+    from clickhousemigrators3_spark.config import _coerce
+
+    out = _coerce("resume", s)
+    assert isinstance(out, bool)
+    assert out == (s.strip().lower() in ("1", "true", "yes", "on"))
