@@ -131,3 +131,52 @@ def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
 
 
 drop_path = _delete_path
+
+
+def load_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Generic source reader: parquet / csv / json (+ any Spark-supported
+    format). CSV/JSON get sane defaults (header, no sampling-based schema
+    inference when a schema is supplied — full-file inference is an extra
+    pass you never want at 100 TB)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        if schema is None:
+            reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    sort_within_partitions: list[str] | None = None,
+    max_records_per_file: int | None = 1_000_000,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    """Production writer: partitioned, optionally sorted-within-partition
+    (better column compression + row-group skipping on the sort key),
+    bounded file sizes, zstd. These four knobs are most of the difference
+    between a scan-friendly 100 TB dataset and a small-files swamp."""
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    writer = df.write.mode(mode).format(fmt).option("compression", compression)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

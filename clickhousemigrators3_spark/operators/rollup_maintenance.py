@@ -1,0 +1,71 @@
+"""Incremental rollup maintenance — the hypertable/continuous-aggregate
+pattern: a pre-aggregated rollup table partitioned by day, refreshed
+incrementally by overwriting ONLY the day partitions a new batch of events
+touches (dynamic partition overwrite), never recomputing history.
+
+At 100 TB/day this is the difference between an O(history) nightly rebuild
+and an O(new data) merge: the refresh reads just the incoming chunk plus the
+affected partitions' raw slice, and the write replaces just those
+directories. Correctness invariant (tested): incremental refresh ≡ full
+recompute.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _hourly_rollup(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def build_rollup(events: DataFrame, rollup_path: str) -> None:
+    """Initial build: full aggregation, written partitioned by day."""
+    _hourly_rollup(events).write.mode("overwrite").partitionBy("day").parquet(
+        rollup_path
+    )
+
+
+def refresh_rollup(
+    spark: SparkSession, all_events: DataFrame, new_events: DataFrame, rollup_path: str
+) -> list:
+    """Incremental refresh for a batch of (possibly late) events:
+
+    1. affected days = distinct days in the new batch (driver sees only the
+       day list — metadata);
+    2. recompute the rollup for those days from the raw table (correct under
+       late data: the partition is rebuilt from all its rows, not merged
+       approximately);
+    3. dynamic partition overwrite replaces exactly those day directories.
+    """
+    days = [r["day"] for r in new_events.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct().collect()]
+    if not days:
+        return []
+    affected = all_events.filter(
+        F.date_trunc("day", F.col("ts")).cast("date").isin(days)
+    )
+    # mode=overwrite + partitionOverwriteMode=dynamic (session default):
+    # only the partitions present in this frame are replaced
+    _hourly_rollup(affected).write.mode("overwrite").partitionBy("day").parquet(
+        rollup_path
+    )
+    return days
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    return spark.read.parquet(rollup_path)

@@ -144,3 +144,58 @@ def test_stream_session_window_subset_of_batch(spark):
         key = (r["user_id"], r["session_start"])
         assert key in batch, f"streamed session {key} not in batch result"
         assert batch[key] == r["n_events"]
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.rollup_maintenance import (
+        build_rollup,
+        read_rollup,
+        refresh_rollup,
+        _hourly_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp_ntz")
+    initial, late = e.filter(F.col("ts") < cutoff), e.filter(F.col("ts") >= cutoff)
+    path = str(tmp_path / "rollup")
+    build_rollup(initial, path)
+    n_days_before = read_rollup(spark, path).select("day").distinct().count()
+    days = refresh_rollup(spark, e, late, path)
+    assert len(days) > 0
+    cols = ["day", "hour_start", "event_type", "n_events", "sum_value"]
+    got = {tuple(r) for r in read_rollup(spark, path).select(*cols).collect()}
+    expected = {tuple(r) for r in _hourly_rollup(e).select(*cols).collect()}
+    assert got == expected  # incremental ≡ full recompute
+    assert read_rollup(spark, path).select("day").distinct().count() > n_days_before
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    from clickhousemigrators3_spark.catalog import load_format, load_table, write_dataset
+
+    n = load_table(spark, SF_DIR, "nation")
+    write_dataset(n, str(tmp_path / "nation_csv"), fmt="csv", compression="none")
+    back_csv = load_format(spark, str(tmp_path / "nation_csv"), "csv", schema=n.schema)
+    assert sorted(map(tuple, back_csv.collect())) == sorted(map(tuple, n.collect()))
+    write_dataset(n, str(tmp_path / "nation_json"), fmt="json", compression="none")
+    back_json = load_format(spark, str(tmp_path / "nation_json"), "json", schema=n.schema)
+    assert sorted(map(tuple, back_json.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_write_dataset_partitioned_sorted(spark, tmp_path):
+    import os
+    from clickhousemigrators3_spark.catalog import load_table, write_dataset
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    path = str(tmp_path / "li")
+    write_dataset(
+        li,
+        path,
+        partition_by=["l_returnflag"],
+        sort_within_partitions=["l_shipdate"],
+        max_records_per_file=1000,
+    )
+    dirs = [d for d in os.listdir(path) if d.startswith("l_returnflag=")]
+    assert len(dirs) == 3
+    assert spark.read.parquet(path).count() == 6000
