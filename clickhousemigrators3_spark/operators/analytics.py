@@ -342,7 +342,7 @@ def string_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.col("p_brand")).alias("brand_u"),
         F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_head"),
         F.regexp_replace(F.col("p_name"), r"\s+", "_").alias("name_snake"),
-        F.length(F.col("p_name")).alias("name_len"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
         F.substring(F.col("p_name"), 1, 5).alias("name_pfx"),
         F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
     ).orderBy("p_partkey")
@@ -371,4 +371,88 @@ def date_format_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2002-01-01").cast("timestamp_ntz"), F.col("o_orderdate"))
         .cast("int")
         .alias("days_to_2002"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation, exact median, null-handling surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_agg_types_per_user",
+    """
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           len(list(DISTINCT event_type)) AS n_types
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def array_agg_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the set of event types per user as a sorted array
+    (collect_set is unordered — sort_array makes it deterministic and
+    cross-engine comparable)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_set("event_type")).alias("types"),
+            F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "median_value_per_type",
+    """
+    SELECT event_type,
+           ROUND(median(value), 6) AS med,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def median_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + interpolated p90 per event type. Both engines define
+    these as linear interpolation between adjacent order statistics; rounded
+    to 6dp to absorb the interpolation arithmetic's last ulp."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.median("value"), 6).alias("med"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "null_handling_surface",
+    """
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_band,
+           GREATEST(o_totalprice, 100000.0) AS floored_price,
+           IFNULL(NULL, o_orderkey) AS ifnull_demo
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def null_handling_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null/conditional scalar surface: coalesce/nullif/case/greatest/
+    ifnull — all JVM codegen, listed once so the inventory is explicit."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floored_price"),
+        F.ifnull(F.lit(None).cast("long"), F.col("o_orderkey")).alias("ifnull_demo"),
     ).orderBy("o_orderkey")

@@ -383,7 +383,7 @@ def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
         .orderBy("o_custkey", "rn")

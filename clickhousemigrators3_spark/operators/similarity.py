@@ -68,7 +68,7 @@ def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.col("rn").alias("rank"),
+            F.col("rn").cast("long").alias("rank"),
             F.round(F.col("c"), 6).alias("cos_sim"),
         )
         .orderBy("query_id", "rank")
@@ -169,7 +169,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("cand_id").alias("neighbor_id"),
-            F.col("rn").alias("rank"),
+            F.col("rn").cast("long").alias("rank"),
             F.round(F.col("c"), 6).alias("cos_sim"),
         )
         .orderBy("query_id", "rank")

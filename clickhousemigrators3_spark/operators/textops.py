@@ -51,9 +51,9 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        _words().alias("n_words"),
-        rx_count(F.col("text"), TOKEN_PATTERN).alias("n_tokens"),
-        rx_count(F.col("text"), PUNCT_PATTERN).alias("n_punct"),
+        _words().cast("long").alias("n_words"),
+        rx_count(F.col("text"), TOKEN_PATTERN).cast("long").alias("n_tokens"),
+        rx_count(F.col("text"), PUNCT_PATTERN).cast("long").alias("n_punct"),
     ).orderBy("doc_id")
 
 
@@ -109,7 +109,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         chars_per_word.alias("chars_per_word"),
@@ -212,6 +212,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.col("rank").cast("long"))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
         .orderBy("doc_id", "rank")

@@ -35,6 +35,8 @@ def _norm_cell(v):
         return v.to_pydatetime()
     if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
         return datetime.datetime(v.year, v.month, v.day)
+    if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0:  # numpy array (list col)
+        return tuple(_norm_cell(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
         return _norm_cell(v.item())
     if isinstance(v, (list, tuple)):
