@@ -27,6 +27,7 @@ DEFAULTS: dict[str, Any] = {
     "insert_interval": 1.0,  # reference default, config.py:7
     "resume": False,
     "strategy": "batch",
+    "publish_mode": "rename",  # 'rename' (atomic dir move) | 'manifest' (S3-safe pointer)
     "lock_dir": "./locks",
     "progress_path": "./migration_progress.json",
     "report_dir": "./reports",
@@ -85,6 +86,7 @@ class MigrationConfig:
     insert_interval: float = 1.0
     resume: bool = False
     strategy: str = "batch"  # 'batch' (one partitioned write) | 'per_partition' (C1 parity)
+    publish_mode: str = "rename"  # 'rename' | 'manifest' (see operators/migrate.py)
     lock_dir: str = "./locks"
     progress_path: str = "./migration_progress.json"
     report_dir: str = "./reports"

@@ -56,6 +56,51 @@ def _final_path(dest_dir: str, table: str) -> str:
     return os.path.join(dest_dir, table)
 
 
+# --- manifest-pointer publish (object-store-safe cutover) -------------------
+#
+# Directory rename is atomic on HDFS/local but NOT on S3 (copy+delete). The
+# manifest pattern makes cutover a single small-object PUT instead: data
+# lands in an immutable versioned prefix (`<table>__v<epoch>`), and
+# `<table>.manifest.json` names the current version. Readers resolve the
+# manifest; publish = rewrite one tiny JSON (S3 PUTs of a single key are
+# atomic and strongly consistent). Old versions stay for time-travel/GC.
+
+
+def _manifest_path(dest_dir: str, table: str) -> str:
+    return os.path.join(dest_dir, f"{table}.manifest.json")
+
+
+def publish_manifest(dest_dir: str, table: str, data_path: str) -> str:
+    import json
+    import tempfile
+
+    manifest = {"table": table, "data_path": data_path, "published_at": time.time()}
+    d = os.path.dirname(os.path.abspath(_manifest_path(dest_dir, table)))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".manifest_")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(dest_dir, table))  # local analogue of the PUT
+    return _manifest_path(dest_dir, table)
+
+
+def resolve_manifest(dest_dir: str, table: str) -> str | None:
+    import json
+
+    path = _manifest_path(dest_dir, table)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)["data_path"]
+
+
+def read_published(spark: SparkSession, dest_dir: str, table: str) -> DataFrame:
+    """Read a manifest-published table (falls back to the plain final path
+    for rename-published tables)."""
+    data_path = resolve_manifest(dest_dir, table) or _final_path(dest_dir, table)
+    return spark.read.parquet(data_path)
+
+
 def discover_partition_values(df: DataFrame, keys: list[str]) -> list[tuple]:
     """M4: ordered distinct partition tuples — the only data-derived values
     the driver ever collects (bounded by #partitions, not #rows)."""
@@ -166,12 +211,23 @@ def migrate_single_table(
     try:
         with table_lock(cfg.lock_dir, DB, table):
             final = _final_path(cfg.dest_dir, table)
-            staging = _staging_path(cfg.dest_dir, table)
+            if cfg.publish_mode == "manifest":
+                # immutable versioned prefix; cutover = manifest pointer PUT
+                staging = os.path.join(
+                    cfg.dest_dir, f"{table}__v{int(time.time())}"
+                )
+            else:
+                staging = _staging_path(cfg.dest_dir, table)
 
             # 3. idempotence guard (C5; Q7 fix: ledger status + dest
             # existence, not a DDL substring probe)
-            if ledger.is_table_completed(progress, DB, table) and table_exists(
-                spark, final
+            published = (
+                resolve_manifest(cfg.dest_dir, table)
+                if cfg.publish_mode == "manifest"
+                else (final if table_exists(spark, final) else None)
+            )
+            if ledger.is_table_completed(progress, DB, table) and published and (
+                table_exists(spark, published)
             ):
                 result["status"] = "skipped"
                 return result
@@ -241,10 +297,13 @@ def migrate_single_table(
                 )
 
             # 12. swap — strictly after validation (S7/S8 ordering)
-            if table_exists(spark, final):
-                drop_path(spark, final)
-            if not rename_path(spark, staging, final):
-                raise OSError(f"atomic rename failed: {staging} -> {final}")
+            if cfg.publish_mode == "manifest":
+                publish_manifest(cfg.dest_dir, table, staging)
+            else:
+                if table_exists(spark, final):
+                    drop_path(spark, final)
+                if not rename_path(spark, staging, final):
+                    raise OSError(f"atomic rename failed: {staging} -> {final}")
 
             # 13. mark completed
             ledger.mark_table_completed(progress, DB, table, cfg.progress_path)

@@ -411,3 +411,30 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.datediff(F.col("o_orderdate"), prev).cast("int").alias("gap_days"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "sql_api_revenue_by_nation",
+    """
+    SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                     AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``spark.sql`` entry path: register the catalog views and run the
+    SAME SQL text the oracle runs (dialect-shared subset). Demonstrates that
+    the engine's second API surface — SQL over registered tables — produces
+    identical plans/results to the DataFrame API (both compile through
+    Catalyst)."""
+    from ..catalog import register_tables
+
+    register_tables(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
+    from ..registry import REGISTRY
+
+    return spark.sql(REGISTRY["sql_api_revenue_by_nation"].oracle)

@@ -201,3 +201,32 @@ def test_migrate_derived_date_partition(spark, tmp_path):
         F.date_trunc("month", F.col("l_shipdate")).cast("date") != F.col("p_month")
     ).count()
     assert mismatch == 0
+
+
+def test_manifest_publish_mode(spark, tmp_path):
+    """S3-safe cutover: data in immutable versioned prefixes, cutover via
+    manifest pointer; republish swaps the pointer and keeps the old version."""
+    import time as _time
+    from clickhousemigrators3_spark.operators.migrate import (
+        read_published,
+        resolve_manifest,
+    )
+
+    cfg = make_cfg(tmp_path, publish_mode="manifest", partition_keys=["o_orderstatus"])
+    res = migrate_single_table(spark, cfg, "orders")
+    assert res["status"] == "completed", res.get("error")
+    v1 = resolve_manifest(cfg.dest_dir, "orders")
+    assert v1 and "__v" in v1
+    assert read_published(spark, cfg.dest_dir, "orders").count() == 1500
+    # no plain-rename final dir in manifest mode
+    assert not os.path.exists(tmp_path / "dest" / "orders")
+
+    # republish (e.g. recompute): new version prefix, pointer moves, v1 stays
+    _time.sleep(1.1)  # distinct version epoch
+    ledger.save_progress(cfg.progress_path, {})  # clear completed status
+    res2 = migrate_single_table(spark, cfg, "orders")
+    assert res2["status"] == "completed", res2.get("error")
+    v2 = resolve_manifest(cfg.dest_dir, "orders")
+    assert v2 != v1
+    assert os.path.exists(v1)  # old version retained for time-travel/GC
+    assert read_published(spark, cfg.dest_dir, "orders").count() == 1500
