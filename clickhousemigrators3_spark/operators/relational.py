@@ -346,14 +346,17 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     ORDER BY c_custkey
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS) — the exact primitive behind resume (A6)."""
+    """LEFT ANTI join (NOT EXISTS) — the exact primitive behind resume (A6).
+    The right side is filtered (big-ticket orders) so the anti-join is
+    non-degenerate on the fixtures (every customer has *some* order)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")

@@ -163,14 +163,19 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > a
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT' AND o_totalprice > 350000)
     GROUP BY c_nationkey ORDER BY c_nationkey
     """,
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q22 shape: scalar subquery threshold + anti-join + grouped totals."""
+    """Q22 shape: scalar subquery threshold + anti-join + grouped totals.
+    Anti-join target narrowed (urgent big-ticket orders) so the result is
+    non-degenerate on the fixtures."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
         (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a")
     )

@@ -199,3 +199,36 @@ def test_write_dataset_partitioned_sorted(spark, tmp_path):
     dirs = [d for d in os.listdir(path) if d.startswith("l_returnflag=")]
     assert len(dirs) == 3
     assert spark.read.parquet(path).count() == 6000
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Independent oracle for the as-of join: pandas merge_asof with
+    allow_exact_matches=False over the same frames."""
+    import pandas as pd
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.asof import asof_join_last_click
+    from pyspark.sql import functions as F
+
+    got = asof_join_last_click(spark, SF_DIR).toPandas()
+
+    e = load_table(spark, SF_DIR, "events").toPandas()
+    purchases = e[e.event_type == "purchase"].sort_values("ts")
+    clicks = e[e.event_type == "click"].sort_values("ts")
+    expected = pd.merge_asof(
+        purchases,
+        clicks[["user_id", "ts", "value"]].rename(columns={"value": "last_click_value"}),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=False,
+    ).sort_values("event_id")
+
+    g = got.sort_values("event_id").reset_index(drop=True)
+    x = expected[["event_id", "user_id", "ts", "last_click_value"]].reset_index(drop=True)
+    assert len(g) == len(x)
+    import numpy as np
+
+    assert (g["event_id"].values == x["event_id"].values).all()
+    a, b = g["last_click_value"].values, x["last_click_value"].values
+    both_nan = np.isnan(a) & np.isnan(b)
+    assert (both_nan | (a == b)).all()
