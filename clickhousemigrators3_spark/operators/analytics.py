@@ -65,7 +65,9 @@ LIMIT 20
 
 @register("tpch_q10_returned_items", TPCH_Q10_ORACLE)
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: selective fact filter + 3 broadcast dims + top-20."""
+    """TPC-H Q10 shape: selective fact filter + top-20. Only nation (25
+    rows at any SF) is force-broadcast; orders/customer join strategy is
+    AQE's call — they grow with SF."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
@@ -74,8 +76,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(sum_double(revenue_expr(), "revenue"))
@@ -234,14 +236,15 @@ def subquery_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated subquery (each customer's max-price orders) decorrelated
     into a grouped-max self-join — the plan Catalyst would produce for the
-    SQL form, written explicitly."""
+    SQL form, written explicitly. The grouped side is per-customer (scales
+    with SF) so no broadcast hint."""
     o = load_table(spark, sf_dir, "orders")
     mx = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.max("o_totalprice").alias("max_price")
     )
     return (
         o.join(
-            F.broadcast(mx),
+            mx,
             (o.o_custkey == mx.ck) & (o.o_totalprice == mx.max_price),
         )
         .select("o_custkey", "o_orderkey", "o_totalprice")

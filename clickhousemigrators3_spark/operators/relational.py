@@ -255,16 +255,18 @@ LIMIT 10
 @register("tpch_q3_shipping_priority", Q3_ORACLE)
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → broadcast join → agg → top-k.
-    customer is broadcast (no shuffle of orders/lineitem on the dim side);
-    orders⋈lineitem is the only real shuffle; top-10 is a TakeOrdered, not a
-    global sort. Tie-broken by l_orderkey so the limit is deterministic."""
+    No forced broadcasts: orders/customer grow with SF, so the hint that
+    helps at sf0.1 would OOM a 100 TB driver — AQE broadcasts them while
+    they fit the threshold and falls back to shuffle joins beyond it.
+    Top-10 is a TakeOrdered, not a global sort; tie-broken by l_orderkey so
+    the limit is deterministic."""
     cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
@@ -295,10 +297,11 @@ ORDER BY revenue DESC, n_name
 
 @register("tpch_q5_local_supplier_volume", Q5_ORACLE)
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join. All dimension sides broadcast; the
-    only shuffle joins are lineitem⋈orders. The s_nationkey=c_nationkey
-    condition makes it a cyclic join — expressed as a post-join filter so
-    Catalyst keeps the star plan."""
+    """TPC-H Q5 shape: 6-way star join. Bounded dims (region/nation/
+    supplier) broadcast explicitly; customer/orders scale with SF so their
+    join strategy is left to AQE. The s_nationkey=c_nationkey condition
+    makes it a cyclic join — expressed as a post-join filter so Catalyst
+    keeps the star plan."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -311,7 +314,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
