@@ -53,6 +53,7 @@ def load_all() -> dict[str, Query]:
         grouped_pandas,
         migrate_queries,
         multimodal,
+        pipeline,
         relational,
         similarity,
         textops,

@@ -51,3 +51,23 @@ def test_multimodal_plumbing(spark):
     for r in frames:
         by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(idx == sorted(idx) and idx[0] == 0 for idx in by_doc.values())
+
+
+def test_checkpointed_ingest_exactly_once(spark, tmp_path):
+    """Re-running the checkpointed ingest must not duplicate rows."""
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.streaming.ingest import ingest_events_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ingest_events_to_parquet(spark, SF_DIR, out, ckpt)
+    total = load_table(spark, SF_DIR, "events").count()
+    got = spark.read.parquet(out)
+    assert got.count() == total
+    assert "day" in got.columns
+    # restart against the same checkpoint: source unchanged → zero new rows
+    ingest_events_to_parquet(spark, SF_DIR, out, ckpt)
+    assert spark.read.parquet(out).count() == total
+    # partition layout usable for pruning
+    import os
+
+    assert any(d.startswith("day=") for d in os.listdir(out))
