@@ -1,0 +1,143 @@
+"""Embedding-column analytics beyond search: per-label centroids, vector
+normalization stats, and an iterative Lloyd's k-means — the "train a small
+model on a huge column" shape.
+
+Centroid math is posexplode → grouped mean per (label, dim) → re-assemble
+ordered arrays; everything stays JVM-side, shuffle carries (label, dim)
+pairs. k-means iterates that same step under argmax-cosine assignment —
+iterative and driver-looped, hence rows-only for the oracle check, with
+convergence asserted in unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.vectors import cosine, to_double
+from ..registry import register
+
+DIM = 64
+
+
+@register(
+    "embedding_label_centroids",
+    f"""
+    WITH flat AS (
+      -- parallel unnests of equal length zip positionally in DuckDB
+      SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS val,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings),
+    means AS (
+      SELECT label, dim, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS m
+      FROM flat GROUP BY 1, 2)
+    SELECT label,
+           ROUND(CAST(SUM(m * m) AS DOUBLE), 6) AS centroid_sqnorm,
+           COUNT(*) AS n_dims
+    FROM means GROUP BY label ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column via posexplode + grouped
+    mean; surfaced as the centroid's squared norm (a scalar both engines
+    compute identically after a deterministic per-dim mean — full arrays
+    compare fine too, but a 64-double column makes mismatch triage noisy).
+
+    Sum order: grouped SUM over doubles is order-dependent, so the per-dim
+    mean uses SUM(val)/COUNT — both engines sum the same ~N values per
+    (label,dim) group; rounding the final scalar to 6dp absorbs the
+    reduction-order ulp."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode(to_double(F.col("embedding"))).alias("dim", "val")
+    )
+    means = flat.groupBy("label", "dim").agg(
+        (F.sum("val") / F.count(F.lit(1))).alias("m")
+    )
+    return (
+        means.groupBy("label")
+        .agg(
+            F.round(F.sum(F.col("m") * F.col("m")), 6).alias("centroid_sqnorm"),
+            F.count(F.lit(1)).alias("n_dims"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "vocab_dictionary_encoding",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''),
+    counts AS (SELECT term, COUNT(*) AS freq FROM words WHERE term <> '' GROUP BY 1)
+    SELECT term, freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS token_id
+    FROM counts ORDER BY token_id
+    """,
+)
+def vocab_dictionary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build (the tokenizer-training precursor): corpus term
+    frequencies with deterministic frequency-ranked token ids. The global
+    ROW_NUMBER is over #distinct-terms rows (vocabulary-sized), not corpus
+    rows — fine on one partition at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = words.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+        .orderBy("token_id")
+    )
+
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 5
+
+
+@register("kmeans_lloyd_clusters", None)  # iterative → rows-only check
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding column: deterministic init
+    (first K vectors), argmax-cosine assignment, centroid = per-dim mean,
+    fixed {KMEANS_ITERS} iterations (driver-looped; each iteration is one
+    assignment join + one grouped mean — the distributed-iteration pattern).
+    Returns (vec_id, cluster) — the trained version of ann_ivf_topk's
+    sampled centroids."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    e.persist()
+    cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cluster"))
+        assign = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("sim", cosine(F.col("v"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "v")
+        )
+        flat = assign.select("cluster", F.posexplode(F.col("v")).alias("dim", "val"))
+        means = flat.groupBy("cluster", "dim").agg(
+            (F.sum("val") / F.count(F.lit(1))).alias("m")
+        )
+        cent = (
+            means.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+    return assign.select("vec_id", "cluster").orderBy("vec_id")

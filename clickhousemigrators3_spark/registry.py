@@ -49,6 +49,7 @@ def load_all() -> dict[str, Query]:
         asof,
         clusters,
         dedup,
+        embeddings_ops,
         events,
         grouped_pandas,
         migrate_queries,

@@ -232,3 +232,18 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     a, b = g["last_click_value"].values, x["last_click_value"].values
     both_nan = np.isnan(a) & np.isnan(b)
     assert (both_nan | (a == b)).all()
+
+
+def test_kmeans_converges_and_partitions(spark):
+    from clickhousemigrators3_spark.operators.embeddings_ops import (
+        K_CLUSTERS,
+        kmeans_lloyd_clusters,
+    )
+
+    assign = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd_clusters(spark, SF_DIR).collect()}
+    assert len(assign) == 500  # every vector assigned
+    clusters = set(assign.values())
+    assert 1 < len(clusters) <= K_CLUSTERS
+    # determinism: a second run gives the identical assignment
+    assign2 = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd_clusters(spark, SF_DIR).collect()}
+    assert assign == assign2
