@@ -183,3 +183,42 @@ def ev_type_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
+
+
+@register(
+    "range_join_events_in_error_windows",
+    f"""
+    WITH err_hours AS (
+      SELECT date_trunc('hour', ts) AS h_start,
+             date_trunc('hour', ts) + INTERVAL '1 hour' AS h_end
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1 HAVING COUNT(*) >= 3)
+    SELECT e.event_type, COUNT(*) AS n_events, {_SUM_VALUE_SQL}
+    FROM events e JOIN err_hours w
+      ON e.ts >= w.h_start AND e.ts < w.h_end
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def range_join_events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: all events falling inside "error-storm" windows (hours
+    with ≥3 errors). Naive ``ts BETWEEN start AND end`` joins are O(n·m);
+    because these intervals are hour-aligned, the join is expressed as an
+    EQUI-join on the hour bucket — hash join, no Cartesian pass. For
+    arbitrary intervals the same trick buckets both sides to a grid and
+    joins (bucket, overlap-filter), keeping the pair space linear in
+    events × avg-buckets-per-interval."""
+    e = load_table(spark, sf_dir, "events")
+    err_hours = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h_start"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 3)
+        .select("h_start")
+    )
+    bucketed = e.withColumn("h_start", F.date_trunc("hour", F.col("ts")))
+    return (
+        bucketed.join(err_hours, "h_start")  # equi-join on the aligned bucket
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_value())
+        .orderBy("event_type")
+    )

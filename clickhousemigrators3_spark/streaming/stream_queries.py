@@ -161,3 +161,20 @@ def stream_stateful_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     name = _drain_to_memory(out, "append")
     return spark.table(name).orderBy("user_id", "event_id")
+
+
+@register("stream_dedup_within_watermark", None)  # streaming → rows-only check
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on a content
+    key — the in-flight twin of the batch exact-dedup operator. State holds
+    only keys younger than the watermark (bounded memory at any stream
+    volume), the property plain dropDuplicates lacks on streams. Here the
+    key is (user_id, event_type, value) — a semantic-duplicate guard."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "value"])
+    )
+    agg = deduped.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_unique_events"))
+    name = _drain_to_memory(agg, "complete")
+    return spark.table(name).orderBy("user_id")

@@ -71,3 +71,33 @@ def test_checkpointed_ingest_exactly_once(spark, tmp_path):
     import os
 
     assert any(d.startswith("day=") for d in os.listdir(out))
+
+
+def test_stream_dedup_counts_bounded_by_batch(spark):
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.streaming.stream_queries import (
+        stream_dedup_within_watermark,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: r["n_unique_events"]
+        for r in stream_dedup_within_watermark(spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    batch = {
+        r["user_id"]: r["n"]
+        for r in e.dropDuplicates(["user_id", "event_type", "value"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    # watermark-scoped state can only dedup within the window → counts
+    # between the globally-deduped batch count and the raw count
+    raw = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for u in got:
+        assert batch[u] <= got[u] <= raw[u]
