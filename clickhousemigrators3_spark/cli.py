@@ -16,10 +16,13 @@ def main(argv: list[str] | None = None) -> int:
     from .report import exit_code, generate_report
     from .session import get_spark
 
+    from .logging_setup import setup_logger
+
     cfg = resolve_config(argv)
     if not cfg.source_dir or not cfg.dest_dir:
         print("--source-dir and --dest-dir are required", file=sys.stderr)
         return 2
+    logger = setup_logger(cfg.log_dir)
     start = time.time()
     spark = get_spark(app_name="spark-migrator")
     try:
@@ -34,6 +37,7 @@ def main(argv: list[str] | None = None) -> int:
         path = generate_report(
             results, cfg.report_dir, start, config_snapshot=vars(cfg)
         )
+        logger.info("report written: %s", path)
         print(f"report: {path}")
         for r in results:
             print(

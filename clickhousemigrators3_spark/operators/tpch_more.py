@@ -316,3 +316,161 @@ def window_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         F.sum(F.col("rev").cast("decimal(24,6)")).over(w).cast("double").alias("cum_rev"),
     ).orderBy("m")
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           {sql_sum_double(SQL_REVENUE, 'revenue')}
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: the same dimension table (nation) joined twice under
+    different roles with a symmetric cross-nation predicate — alias-heavy
+    plan Catalyst must keep distinct."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(sum_double(revenue_expr(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH vals AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+      FROM lineitem GROUP BY 1),
+    threshold AS (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.0007 AS t
+      FROM lineitem)
+    SELECT l_partkey, part_value FROM vals, threshold
+    WHERE part_value > t ORDER BY part_value DESC, l_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: grouped values filtered against a global-aggregate
+    threshold (fraction of total) — groupBy + scalar-broadcast join.
+    Threshold 0.0007 of total revenue sits above the mean per-part share on
+    the fixtures, so the result is selective but non-empty."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).cast("double").alias("part_value")
+    )
+    threshold = li.agg(
+        (F.sum(dec("l_extendedprice")).cast("double") * F.lit(0.0007)).alias("t")
+    )
+    return (
+        vals.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("t"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue_view AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue_view ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue_view)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: a derived view consumed twice (rows + its own MAX) —
+    argmax by scalar subquery. Exact-decimal revenue makes the equality
+    against MAX safe cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue_view = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue_expr()).cast("double").alias("total_revenue")
+    )
+    mx = revenue_view.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue_view, s.s_suppkey == revenue_view.supplier_no)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q20_part_suppliers",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_suppkey = s_suppkey
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-15')
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested semi-joins (suppliers who shipped parts from a
+    name-filtered part subset in a date window) — semi inside semi, each
+    level shuffling only join keys."""
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-15").cast("timestamp_ntz"))
+    )
+    li_parts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    return (
+        s.join(li_parts, s.s_suppkey == li_parts.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
