@@ -474,3 +474,59 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "window_percentiles_firstlast",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER w AS cheapest_order,
+           last_value(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS priciest_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_percentiles_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / first_value / last_value — the remaining
+    window surface. last_value needs the explicit full frame (the default
+    frame ends at CURRENT ROW in both engines). Ratios rounded to 6dp
+    (divisions of small ints — identical, rounding is belt-and-braces)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(w_full).alias("priciest_order"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "setop_except_all",
+    """
+    SELECT l_orderkey FROM (
+      SELECT l_orderkey FROM lineitem
+      EXCEPT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1)
+    ORDER BY l_orderkey
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): multiplicity-aware difference — each
+    orderkey loses exactly one occurrence per line-1 row, unlike the
+    set-semantics EXCEPT which would drop every occurrence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey")
+        .exceptAll(li.filter(F.col("l_linenumber") == 1).select("l_orderkey"))
+        .orderBy("l_orderkey")
+    )
