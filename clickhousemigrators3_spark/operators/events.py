@@ -222,3 +222,46 @@ def range_join_events_in_error_windows(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.count(F.lit(1)).alias("n_events"), _sum_value())
         .orderBy("event_type")
     )
+
+
+@register(
+    "ev_json_malformed_tolerance",
+    """
+    WITH dirty AS (
+      SELECT event_type,
+             CASE WHEN event_id % 10 = 0 THEN 'x' || props ELSE props END AS props
+      FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_malformed,
+           CAST(SUM(CASE WHEN json_valid(props)
+                         THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS sum_k_valid
+    FROM dirty GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_json_malformed_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data tolerance: 10% of the JSON payloads are deterministically
+    corrupted (prefix garbage — Spark's Jackson parser tolerates trailing
+    garbage, so suffix corruption wouldn't register), and the parse degrades
+    to NULL instead of failing the job (``get_json_object`` is
+    null-on-malformed; the oracle mirrors it with json_valid guards). The malformed count is the data-quality metric a
+    pipeline would alert on."""
+    e = load_table(spark, sf_dir, "events")
+    dirty = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 10 == 0, F.concat(F.lit("x"), F.col("props")))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        dirty.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("long").alias("n_malformed"),
+            F.sum(F.coalesce(k, F.lit(0))).cast("long").alias("sum_k_valid"),
+        )
+        .orderBy("event_type")
+    )
