@@ -247,3 +247,44 @@ def test_kmeans_converges_and_partitions(spark):
     # determinism: a second run gives the identical assignment
     assign2 = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd_clusters(spark, SF_DIR).collect()}
     assert assign == assign2
+
+
+def test_udf_surface_matches_jvm_twins(spark):
+    """Row UDF and pandas UDF must agree exactly with their JVM twins."""
+    from pyspark.sql.types import StringType
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.functions.udfs import (
+        l2_norm_pandas,
+        quality_band_jvm,
+        quality_band_py,
+        register_udfs,
+    )
+    from clickhousemigrators3_spark.functions.vectors import dot, to_double
+
+    register_udfs(spark)
+    # row UDF vs JVM CASE over the quality scores
+    from clickhousemigrators3_spark.operators.textops import text_quality_scores
+
+    scores = text_quality_scores(spark, SF_DIR).select("doc_id", "quality_score")
+    udf_col = F.udf(quality_band_py, StringType())(F.col("quality_score"))
+    both = scores.select(
+        udf_col.alias("py_band"),
+        quality_band_jvm(F.col("quality_score")).alias("jvm_band"),
+    )
+    assert both.filter(F.col("py_band") != F.col("jvm_band")).count() == 0
+
+    # pandas UDF vs higher-order JVM expression (exact: same double math)
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        to_double(F.col("embedding")).alias("v")
+    )
+    cmp = e.select(
+        l2_norm_pandas(F.col("v")).alias("py_norm"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("jvm_norm"),
+    )
+    mismatch = cmp.filter(
+        F.abs(F.col("py_norm") - F.col("jvm_norm")) > 1e-12
+    ).count()
+    assert mismatch == 0
+
+    # SQL registration path
+    spark.sql("SELECT quality_band(3) AS b").collect()[0]["b"] == "high"
