@@ -7,9 +7,17 @@ SQL-expressible) a DuckDB oracle twin.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the package lives next to this file — make the contract importable from
+# any working directory the driver happens to use
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
