@@ -459,3 +459,98 @@ def null_handling_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floored_price"),
         F.ifnull(F.lit(None).cast("long"), F.col("o_orderkey")).alias("ifnull_demo"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "unpivot_daily_event_counts",
+    """
+    WITH wide AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY 1)
+    SELECT day, event_type, cnt
+    FROM wide UNPIVOT (cnt FOR event_type IN (click, view))
+    ORDER BY day, event_type
+    """,
+)
+def unpivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-day counts back to long form — the inverse of
+    the pivot operator, via the native ``DataFrame.unpivot`` (Spark 3.4+)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    wide = (
+        e.groupBy(day)
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("click"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("view"),
+        )
+    )
+    return (
+        wide.unpivot("day", ["click", "view"], "event_type", "cnt")
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "histogram_value_buckets",
+    """
+    SELECT CAST(CASE WHEN value < 0 THEN 0
+                WHEN value >= 200 THEN 21
+                ELSE floor(value / 10) + 1 END AS BIGINT) AS bucket,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram binning (width_bucket semantics: 20 buckets over [0,200),
+    underflow→0, overflow→21, written as explicit arithmetic so the oracle
+    is dialect-independent — DuckDB 1.0 lacks width_bucket). The grouped
+    form scales as a plain aggregate (bytes shuffled ∝ #buckets)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    bucket = (
+        F.when(v < 0, 0)
+        .when(v >= 200, 21)
+        .otherwise(F.floor(v / 10) + 1)
+        .cast("long")
+    )
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "stats_aggregates_lineitem",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(stddev_samp(l_quantity), 6) AS std_qty,
+           ROUND(var_samp(l_discount), 8) AS var_disc,
+           ROUND(skewness(l_quantity) * (COUNT(*) - 2) / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 6) AS skew_qty
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar / stddev / variance / skewness).
+    Both engines use streaming moment updates whose accumulation order
+    differs — rounded to absorb the trailing-ulp drift. Skewness definitions
+    differ (Spark: population g1; DuckDB: sample-adjusted G1) — the oracle
+    converts G1 back to g1 with the (n-2)/sqrt(n(n-1)) factor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+            F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+            F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -411,3 +411,43 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.round(F.col("_c"), 6).alias("cos_sim"))
         .orderBy("a_id", "b_id")
     )
+
+
+FUZZY_MAX_DIST = 40
+FUZZY_PREFIX = 100
+
+FUZZY_ORACLE = f"""
+WITH pairs AS ({{minhash}}),
+docs AS (SELECT doc_id, substr(text, 1, {FUZZY_PREFIX}) AS head FROM documents)
+SELECT p.a_id, p.b_id,
+       CAST(levenshtein(da.head, db.head) AS BIGINT) AS edit_distance
+FROM pairs p
+JOIN docs da ON da.doc_id = p.a_id
+JOIN docs db ON db.doc_id = p.b_id
+WHERE levenshtein(da.head, db.head) <= {FUZZY_MAX_DIST}
+ORDER BY a_id, b_id
+"""
+
+
+@register("dedup_fuzzy_levenshtein_pairs", FUZZY_ORACLE.format(minhash=MINHASH_ORACLE.strip()))
+def dedup_fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification layer on top of the MinHash candidates:
+    Levenshtein over the first {FUZZY_PREFIX} chars, keeping pairs within
+    {FUZZY_MAX_DIST} edits. Levenshtein is O(len²) per pair — exactly why it
+    only ever runs on the LSH-candidate set, never pairwise over the corpus
+    (both engines return identical integer distances — no rounding)."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.col("text"), 1, FUZZY_PREFIX).alias("head")
+    )
+    da = d.select(F.col("doc_id").alias("a_id"), F.col("head").alias("head_a"))
+    db = d.select(F.col("doc_id").alias("b_id"), F.col("head").alias("head_b"))
+    dist = F.levenshtein(F.col("head_a"), F.col("head_b"))
+    return (
+        pairs.join(da, "a_id")
+        .join(db, "b_id")
+        .withColumn("edit_distance", dist.cast("long"))
+        .filter(F.col("edit_distance") <= FUZZY_MAX_DIST)
+        .select("a_id", "b_id", "edit_distance")
+        .orderBy("a_id", "b_id")
+    )
