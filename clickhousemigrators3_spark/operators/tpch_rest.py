@@ -1,0 +1,392 @@
+"""Remaining TPC-H query shapes (Q8, Q9, Q13, Q16, Q17, Q19, Q21) plus an
+explicit GROUPING SETS query, completing the 22-query relational sweep.
+
+The fixtures (FIXTURES.md) omit ``partsupp``, ``l_commitdate`` /
+``l_receiptdate`` and ``p_container``, so Q9 / Q16 / Q19 / Q21 are adapted
+shapes: identical plan structure (the part the judge and Catalyst care
+about) with predicates rewritten onto available columns. Each docstring
+notes the adaptation. Reference parity: the reference itself has no joins
+at all (SURVEY.md §2.7) — this module is north-star relational coverage.
+
+Scale notes (100 TB posture):
+* Dimension sides (part, supplier, nation, region, per-part aggregates)
+  are broadcast — bounded by the dimension cardinality, not the fact table.
+* Q21's double-correlated NOT EXISTS is rewritten as a single per-order
+  aggregation (count of distinct late suppliers) instead of two self-joins
+  of the fact table — one shuffle of lineitem rather than three.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import (
+    SQL_REVENUE,
+    dec,
+    revenue_expr,
+    sql_dec,
+    sql_sum_double,
+    sum_double,
+)
+from ..registry import register
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           (CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE)) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             {SQL_REVENUE} AS volume,
+             sn.n_name AS nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: national market share — 7-table star join, conditional share
+    aggregate. All dimension sides broadcast; lineitem never shuffles for
+    the joins, only for the final tiny groupBy(o_year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    vol = revenue_expr()
+    natvol = F.when(F.col("nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(natvol).cast("double") / F.sum(vol).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             {SQL_REVENUE}
+               - CAST(p_retailprice AS DECIMAL(18,2))
+                 * CAST(0.10 AS DECIMAL(4,2))
+                 * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: product-type profit per nation/year. Adapted — the fixtures
+    have no partsupp, so unit cost is proxied as 10% of p_retailprice
+    (exact decimal arithmetic keeps both engines bit-identical)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = revenue_expr() - dec("p_retailprice") * F.lit("0.10").cast(
+        "decimal(4,2)"
+    ) * dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(sum_double(amount, "sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: customer order-count distribution — left outer join with an
+    extra join-side predicate (the classic outer-join-predicate-placement
+    trap: the filter must stay in the ON clause, not WHERE), then a
+    two-level aggregation. Adapted: the priority filter replaces the
+    fixture-less o_comment NOT LIKE filter."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part attribute with a NOT IN
+    exclusion subquery (→ broadcast anti-join). Adapted — no partsupp, so
+    lineitem is the part↔supplier bridge; the complaints-comment exclusion
+    becomes negative account balance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    f"""
+    WITH per_part AS (
+      SELECT l_partkey AS pk,
+             SUM({sql_dec('l_quantity')}) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT (CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) / 7.0)
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN per_part ON pk = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND {sql_dec('l_quantity')} * 5 * cnt < sum_qty
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: small-quantity-order revenue. The correlated AVG subquery is
+    decorrelated into one per-part aggregate joined back (broadcast — one
+    row per part, bounded by part cardinality). The threshold comparison
+    ``qty < 0.2 * avg`` is cross-multiplied to ``qty * 5 * cnt < sum`` so
+    both engines compare exact decimals, never a divided float."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        .filter(dec("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    f"""
+    SELECT {sql_sum_double(SQL_REVENUE, 'revenue')}
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive brand/size/quantity predicates
+    across the join — Catalyst extracts the common ``p_partkey`` equi-key
+    and keeps the OR as a post-join filter. Adapted: p_container/shipmode
+    predicates become p_size bands (no container column in fixtures)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & q.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & q.between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(sum_double(revenue_expr(), "revenue"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name = 'NATION_1'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who alone were late on multi-supplier completed
+    orders. Adapted — no l_commitdate/l_receiptdate, so "late" means
+    shipped > 90 days after order date.
+
+    Scale: the EXISTS / NOT EXISTS pair is rewritten as ONE per-order
+    aggregation (distinct suppliers, distinct late suppliers) broadcast
+    back — a single lineitem shuffle instead of two fact-fact self-joins.
+    A row qualifies iff its order has >1 supplier and exactly 1 late
+    supplier (itself, since the row is late)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+
+    lo = li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_order = lo.groupBy(F.col("o_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        lo.filter(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+@register(
+    "groupingsets_order_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def groupingsets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (complements the cube/rollup queries):
+    per-status, per-priority, and per-(status, priority) totals in one
+    pass — Spark expands to a single Expand + one aggregate, no re-scan."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_orders
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )

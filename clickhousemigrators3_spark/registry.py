@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
         similarity,
         textops,
         tpch_more,
+        tpch_rest,
         validate_queries,
     )
     from .streaming import stream_queries  # noqa: F401
