@@ -144,3 +144,43 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(
         sample, schema="doc_id long, frame_idx int, frame_bytes int"
     ).orderBy("doc_id", "frame_idx")
+
+
+@register("mm_resize", None)  # stubbed decode → rows-only check
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: decode payload → (h, w) from header bytes →
+    downscale to fit a 64×64 box (aspect preserved) → re-encoded payload.
+    The pixel work is a deterministic stub (no codec libs in this
+    container, see _decode_stub); the Spark surface — binary in/binary out
+    mapInPandas, Arrow batches, 1:1 row mapping, metadata columns typed —
+    is exactly what a real PIL/libvips resize stage needs. Scale: pure map,
+    no shuffle; batch size bounded by arrow.maxRecordsPerBatch so executor
+    memory holds ~batch×payload bytes."""
+    src = _payloads(spark, sf_dir)
+    box = 64
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                # fake dims from header bytes (deterministic stand-in for a
+                # real decode): 1..256 each
+                h = (payload[0] if n > 0 else 0) + 1
+                w = (payload[1] if n > 1 else 0) + 1
+                scale = min(box / h, box / w, 1.0)
+                nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+                # fake re-encode: truncate payload proportionally to area ratio
+                out_len = max(int(n * (nh * nw) / (h * w)), 1) if n else 0
+                rows.append(
+                    (int(doc_id), h, w, nh, nw, bytes(payload[:out_len]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "src_h", "src_w", "dst_h", "dst_w", "payload"],
+            )
+
+    return src.mapInPandas(
+        resize,
+        schema="doc_id long, src_h int, src_w int, dst_h int, dst_w int, payload binary",
+    ).orderBy("doc_id")

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.vectors import cosine, sql_cosine, to_double
+from ..functions.vectors import cosine, dot, sql_cosine, sql_dot, to_double
 from ..registry import register
 
 N_QUERIES = 5  # queries = vec_id < 5
@@ -166,6 +166,107 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= IVF_TOP_K)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            F.col("rn").cast("long").alias("rank"),
+            F.round(F.col("c"), 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH-bucketed top-k (the third ANN strategy: signature
+# buckets instead of IVF cluster probes)
+# ---------------------------------------------------------------------------
+
+LSH_NBITS = 6  # 2^6 = 64 buckets
+LSH_HP_BASE = 20  # hyperplanes = corpus vectors vec_id in [20, 26)
+LSH_TOP_K = 5
+
+LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+hp AS (SELECT vec_id - {LSH_HP_BASE} AS hp_id, v AS hv
+       FROM e WHERE vec_id >= {LSH_HP_BASE}
+         AND vec_id < {LSH_HP_BASE + LSH_NBITS}),
+bits AS (
+  SELECT e.vec_id,
+         CASE WHEN {sql_dot('e.v', 'hp.hv')} > 0
+              THEN CAST(1 AS BIGINT) << hp.hp_id ELSE 0 END AS b
+  FROM e, hp),
+buckets AS (
+  SELECT vec_id, CAST(SUM(b) AS BIGINT) AS bucket FROM bits GROUP BY 1),
+q AS (SELECT e.vec_id AS query_id, e.v AS qv, b.bucket
+      FROM e JOIN buckets b ON b.vec_id = e.vec_id
+      WHERE e.vec_id < {N_QUERIES}),
+cand AS (
+  SELECT q.query_id, b.vec_id AS cand_id, q.qv
+  FROM q JOIN buckets b ON b.bucket = q.bucket
+  WHERE b.vec_id <> q.query_id),
+scored AS (
+  SELECT c.query_id, c.cand_id, {sql_cosine('c.qv', 'e.v')} AS c
+  FROM cand c JOIN e ON e.vec_id = c.cand_id)
+SELECT query_id, cand_id AS neighbor_id, rn AS rank, ROUND(c, 6) AS cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, cand_id) AS rn
+      FROM scored)
+WHERE rn <= {LSH_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_lsh_topk", LSH_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k: sign-of-dot-product against NBITS
+    hyperplanes packs each vector into a bucket id; queries rescore only
+    their own bucket (N/2^NBITS expected candidates).
+
+    The hyperplanes are corpus vectors (zero-mean per FIXTURES stats), kept
+    relational so the DuckDB twin reproduces them; in production they'd be
+    literal broadcast arrays, making bucket assignment a pure projection
+    with zero shuffle. Candidate generation joins on the 8-byte bucket key
+    only — vectors rejoin at rescoring, so the bucket shuffle never carries
+    embeddings. Scale: assignment is one linear scan; the rescore join
+    touches one bucket per query (multi-probe = OR over Hamming-adjacent
+    buckets, same plan)."""
+    e = _vectors(spark, sf_dir)
+    hp = (
+        e.filter(
+            (F.col("vec_id") >= LSH_HP_BASE)
+            & (F.col("vec_id") < LSH_HP_BASE + LSH_NBITS)
+        )
+        .select((F.col("vec_id") - LSH_HP_BASE).alias("hp_id"), F.col("v").alias("hv"))
+    )
+    bits = e.crossJoin(F.broadcast(hp)).select(
+        "vec_id",
+        F.when(dot(F.col("v"), F.col("hv")) > 0, F.expr("shiftleft(CAST(1 AS BIGINT), hp_id)"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("b"),
+    )
+    buckets = bits.groupBy("vec_id").agg(F.sum("b").cast("long").alias("bucket"))
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .join(buckets, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("bucket"),
+        )
+    )
+    cand = (
+        F.broadcast(q)
+        .join(buckets, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), "qv")
+    )
+    scored = cand.join(e, cand.cand_id == e.vec_id).withColumn(
+        "c", cosine(F.col("qv"), F.col("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LSH_TOP_K)
         .select(
             "query_id",
             F.col("cand_id").alias("neighbor_id"),
