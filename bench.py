@@ -28,11 +28,14 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_suppliers",
     "window_topn_orders_per_customer",
     # LLM-pipeline extensions
     "dedup_minhash_lsh_pairs",
     "text_quality_scores",
     "knn_bruteforce_topk",
+    "ann_lsh_topk",
     "ev_sessionization",
 ]
 

@@ -342,11 +342,16 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
     )
-    per_order = lo.groupBy(F.col("o_orderkey").alias("po_orderkey")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # two cascaded regular aggregations instead of two COUNT(DISTINCT)s in
+    # one: avoids Catalyst's 2x Expand of the joined fact rows — the first
+    # groupBy collapses to one row per (order, supplier) with map-side
+    # partial aggregation, the second counts those
+    per_supp = lo.groupBy(
+        F.col("o_orderkey").alias("po_orderkey"), F.col("l_suppkey").alias("ps")
+    ).agg(F.max("is_late").alias("supp_late"))
+    per_order = per_supp.groupBy("po_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("supp_late").cast("long")).alias("n_late_supp"),
     )
     return (
         lo.filter(F.col("is_late"))
