@@ -178,3 +178,70 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     agg = deduped.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_unique_events"))
     name = _drain_to_memory(agg, "complete")
     return spark.table(name).orderBy("user_id")
+
+
+@register("stream_stream_interval_join", None)  # streaming → rows-only check
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same user's
+    clicks in the preceding 10 minutes — both sides watermarked so Spark can
+    bound the buffered state (clicks older than purchase-watermark − 10 min
+    are evicted). The canonical funnel/attribution join; at scale the state
+    store holds only the interval's worth of the click stream per user.
+    Batch twin equality is asserted in tests/test_streaming.py."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
+    name = _drain_to_memory(joined, "append")
+    return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+def batch_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_stream_interval_join (not registered — used by
+    tests to assert the streaming result equals the batch plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")
+            )
+            & (F.col("click_ts") < F.col("purchase_ts")),
+        )
+        .select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
+        .orderBy("purchase_id", "click_id")
+    )

@@ -101,3 +101,17 @@ def test_stream_dedup_counts_bounded_by_batch(spark):
     }
     for u in got:
         assert batch[u] <= got[u] <= raw[u]
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from clickhousemigrators3_spark.streaming.stream_queries import (
+        batch_purchase_click_join,
+        stream_stream_interval_join,
+    )
+
+    batch = batch_purchase_click_join(spark, SF_DIR).collect()
+    stream = stream_stream_interval_join(spark, SF_DIR).collect()
+    # AvailableNow drains everything; inner interval join emits eagerly, so
+    # the full-drain result must equal the batch plan exactly
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
+    assert len(batch) > 0
