@@ -58,10 +58,11 @@ def main() -> int:
         q = registry.get(name)
         if q is None:
             continue
-        # two iterations, report steady-state (min): iteration 1 pays JVM JIT
-        # and codegen compilation, which amortize to zero on a real cluster
+        # three iterations, report steady-state (min): iteration 1 pays JVM
+        # JIT and codegen compilation, which amortize to zero on a real
+        # cluster; min-of-3 also absorbs co-tenant machine noise
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             n = df.count()  # forces execution; results are small aggregates

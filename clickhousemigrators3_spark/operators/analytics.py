@@ -554,3 +554,33 @@ def stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "skew_salted_join_counts",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name ORDER BY s_name
+    """,
+)
+def skew_salted_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join (functions/skew.py) driven through the contract:
+    lineitem×supplier with the supplier side replicated across 8 salts so a
+    hot supplier key fans out over 8 reducer tasks instead of one straggler.
+    Result set provably identical to the plain join (the oracle IS the
+    plain join). AQE skew-split covers most cases at runtime; explicit
+    salting is the escape hatch when one key exceeds a single task even
+    after splitting."""
+    from ..functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(
+        li.select(F.col("l_suppkey").alias("s_suppkey")), s, on="s_suppkey"
+    )
+    return (
+        joined.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("s_name")
+    )
