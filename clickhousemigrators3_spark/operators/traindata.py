@@ -1,0 +1,215 @@
+"""Training-data-pipeline operators beyond dedup/similarity/text-analysis:
+PII redaction, repetition-based quality scoring (Gopher-style signals),
+stratified per-stratum sampling, and token-budget shard packing — the
+curation steps between "raw corpus" and "tokenizer-ready shards".
+
+All pure JVM expressions; per-doc work is a narrow map, the only shuffles
+are per-stratum windows (bounded by stratum cardinality, never global).
+Reference parity: none (the reference is a migration tool, SURVEY.md §0) —
+this is BASELINE north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+# fixtures carry no real PII (synthetic word salad), so the operator injects
+# deterministic PII in-query and redacts it — the redaction regexes and the
+# count assertions are then provably non-trivial in both engines
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RX = r"\d{3}-\d{3}-\d{4}"
+
+
+@register(
+    "text_pii_redaction",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(t) - length(regexp_replace(t, '{EMAIL_RX}', '', 'g'))
+                AS BIGINT) > 0 AS had_email,
+           CAST(regexp_matches(t, '{PHONE_RX}') AS BOOLEAN) AS had_phone,
+           regexp_replace(regexp_replace(t, '{EMAIL_RX}', '[EMAIL]', 'g'),
+                          '{PHONE_RX}', '[PHONE]', 'g') AS redacted
+    FROM seeded ORDER BY doc_id
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: regexp-redact emails and phone numbers to typed
+    placeholders, with per-doc found-PII flags for audit metrics. Narrow
+    map over the scan — embarrassingly parallel; the regexes run in JVM
+    codegen, never Python."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return seeded.select(
+        "doc_id",
+        (F.length("t") - F.length(F.regexp_replace("t", EMAIL_RX, "")) > 0).alias(
+            "had_email"
+        ),
+        (F.length("t") - F.length(F.regexp_replace("t", PHONE_RX, "")) > 0).alias(
+            "had_phone"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("t", EMAIL_RX, "[EMAIL]"), PHONE_RX, "[PHONE]"
+        ).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_repetition_scores",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS g
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+            FROM documents WHERE trim(text) <> '')
+      WHERE len(ws) >= 2),
+    stats AS (
+      SELECT doc_id,
+             CAST(COUNT(g) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+      FROM grams GROUP BY 1)
+    SELECT doc_id, n_bigrams, n_distinct,
+           CASE WHEN n_bigrams = 0 THEN 0.0
+                ELSE 1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams END
+             AS dup_bigram_frac
+    FROM stats ORDER BY doc_id
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style): fraction of duplicate word
+    bigrams per document — high values flag boilerplate/spam for filtering.
+    Explode → per-doc window (lead) → grouped count/count-distinct; shuffle
+    keys are (doc_id, pos) / (doc_id, bigram), never full texts."""
+    d = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = words.select(
+        "doc_id", F.concat_ws(" ", "w", F.lead("w").over(w)).alias("g"),
+        F.lead("w").over(w).alias("_next"),
+    ).filter(F.col("_next").isNotNull())
+    stats = grams.groupBy("doc_id").agg(
+        F.count("g").alias("n_bigrams"),
+        F.count_distinct("g").alias("n_distinct"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        F.when(F.col("n_bigrams") == 0, F.lit(0.0))
+        .otherwise(1.0 - F.col("n_distinct").cast("double") / F.col("n_bigrams"))
+        .alias("dup_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+SAMPLE_PER_LANG = 20
+
+
+@register(
+    "stratified_sample_per_lang",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents)
+    WHERE rn <= {SAMPLE_PER_LANG}
+    ORDER BY lang, doc_id
+    """,
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: a fixed quota per language, chosen by stable
+    content hash so the sample is deterministic, reproducible, and
+    shuffle-light (per-stratum window with WindowGroupLimit — each
+    partition keeps only quota rows). The domain-mixing primitive for
+    balancing a training corpus across sources/languages."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_PER_LANG)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+SHARD_TOKEN_BUDGET = 2000
+
+
+@register(
+    "pack_token_shards",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(length(trim(text)) -
+                  length(replace(trim(text), ' ', '')) + 1 AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE trim(text) <> '')
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       - n_tokens)
+                      / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
+    FROM toks ORDER BY lang, shard_id, doc_id
+    """,
+)
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (sequence-packing precursor): documents
+    are laid out in a deterministic hash order per language and assigned to
+    shards by running token count, ~{SHARD_TOKEN_BUDGET} tokens per shard.
+    Per-stratum window cumsum — state bounded per language partition; at
+    100 TB you'd sub-stratify (lang, hash-prefix) to cap any one window's
+    partition, same plan."""
+    d = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.length(F.trim("text"))
+            - F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
+        .cast("long")
+        .alias("shard_id"),
+    ).orderBy("lang", "shard_id", "doc_id")

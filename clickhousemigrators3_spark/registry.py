@@ -60,6 +60,7 @@ def load_all() -> dict[str, Query]:
         textops,
         tpch_more,
         tpch_rest,
+        traindata,
         validate_queries,
     )
     from .streaming import stream_queries  # noqa: F401
