@@ -213,3 +213,154 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shard_id"),
     ).orderBy("lang", "shard_id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination detection
+# ---------------------------------------------------------------------------
+# The "eval benchmark" is a deterministic slice of the corpus (doc_id % 97
+# == 0) standing in for a held-out test suite; training docs sharing word
+# 3-grams with it are flagged with an overlap ratio.
+CONTAM_N = 3
+CONTAM_MOD = 97
+
+
+def _contam_oracle() -> str:
+    from ..functions.text import sql_word_shingles
+
+    grams = sql_word_shingles("text", CONTAM_N)
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, unnest({grams}) AS g FROM documents),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % {CONTAM_MOD} = 0),
+train AS (SELECT * FROM grams WHERE doc_id % {CONTAM_MOD} <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS total_grams FROM train GROUP BY 1),
+ov AS (
+  SELECT t.doc_id, COUNT(*) AS overlap_grams
+  FROM train t JOIN eval_g e ON t.g = e.g GROUP BY 1)
+SELECT o.doc_id AS doc_id,
+       CAST(o.overlap_grams AS BIGINT) AS overlap_grams,
+       CAST(t.total_grams AS BIGINT) AS total_grams,
+       ROUND(CAST(o.overlap_grams AS DOUBLE) / t.total_grams, 6)
+         AS contamination_pct
+FROM ov o JOIN tot t ON o.doc_id = t.doc_id
+ORDER BY o.doc_id
+"""
+
+
+@register("text_contamination_ngram_overlap", _contam_oracle())
+def text_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag training docs whose word
+    {CONTAM_N}-grams overlap the eval slice's gram set, with the overlap
+    ratio per doc.
+
+    Scale plan: the eval side is a benchmark suite — tiny next to a 100 TB
+    corpus — so its distinct gram set is broadcast and the scan over
+    training docs stays a single shuffle-free map + broadcast-hash-join,
+    then one groupBy on doc_id. No corpus-vs-corpus join ever happens."""
+    from ..functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), CONTAM_N)).alias("g")
+    ).distinct()
+    eval_g = grams.filter(F.col("doc_id") % CONTAM_MOD == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    tot = train.groupBy("doc_id").agg(F.count("*").alias("total_grams"))
+    ov = (
+        train.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_grams"))
+    )
+    return (
+        ov.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "overlap_grams",
+            "total_grams",
+            F.round(
+                F.col("overlap_grams").cast("double") / F.col("total_grams"), 6
+            ).alias("contamination_pct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup retained set (greedy keep-smaller-id over MinHash-LSH pairs)
+# ---------------------------------------------------------------------------
+def _retained_oracle() -> str:
+    from .dedup import MINHASH_ORACLE
+
+    return f"""
+WITH pairs AS ({MINHASH_ORACLE.strip()})
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT b_id FROM pairs)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_minhash_retained", _retained_oracle())
+def dedup_minhash_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus that survives near-dup removal: greedy policy dropping
+    the larger doc_id of every MinHash-LSH duplicate pair (the
+    transitive-closure variant is dedup_clusters_connected_components).
+
+    Scale plan: the drop-list is the LSH pair set — tiny next to the
+    corpus — so the final step is a broadcast-able left-anti join; the
+    heavy lifting is the LSH pipeline itself (linear explodes + grouped
+    mins, see dedup_minhash_lsh_pairs)."""
+    from .dedup import dedup_minhash_lsh_pairs
+
+    drop = dedup_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("b_id").alias("doc_id")
+    ).distinct()
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language percentile quality gate
+# ---------------------------------------------------------------------------
+GATE_PCT = 0.25
+
+
+@register(
+    "quality_percentile_gate",
+    f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+           AS len_pctile
+  FROM documents)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(len_pctile, 6) AS len_pctile
+FROM r WHERE len_pctile >= {GATE_PCT}
+ORDER BY doc_id
+""",
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-percentile quality gate: keep docs at or above the 25th
+    length percentile *within their language* — the distribution-aware
+    filter a curation pipeline uses instead of one global length cutoff.
+
+    percent_rank is computed per-lang with a doc_id tie-break so both
+    engines rank identically. Scale plan: one shuffle on lang; at 100 TB
+    you'd sub-stratify the window key or pre-aggregate a per-lang quantile
+    sketch and broadcast the cutoffs — same semantics, bounded state."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.percent_rank().over(w), 6).alias("len_pctile"),
+        )
+        .filter(F.col("len_pctile") >= GATE_PCT)
+        .orderBy("doc_id")
+    )
