@@ -364,3 +364,43 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("len_pctile") >= GATE_PCT)
         .orderBy("doc_id")
     )
+
+
+DECONTAM_THRESHOLD = 0.02
+
+
+def _decontam_oracle() -> str:
+    return f"""
+WITH contam AS ({_contam_oracle().strip()})
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % {CONTAM_MOD} <> 0
+  AND doc_id NOT IN
+    (SELECT doc_id FROM contam
+     WHERE contamination_pct >= {DECONTAM_THRESHOLD})
+ORDER BY doc_id
+"""
+
+
+@register("text_decontaminated_retained", _decontam_oracle())
+def text_decontaminated_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training corpus after decontamination: the train slice minus
+    docs whose eval-set {CONTAM_N}-gram overlap ratio reaches
+    {DECONTAM_THRESHOLD} (the eval slice itself is excluded by
+    definition). Closes the curation loop: contamination scan → threshold
+    → clean retained set.
+
+    Scale plan: the drop-list (contaminated doc_ids) is tiny — a broadcast
+    left-anti join against the corpus scan; no extra shuffle beyond the
+    contamination scan itself."""
+    contam = text_contamination_ngram_overlap(spark, sf_dir)
+    drop = contam.filter(F.col("contamination_pct") >= DECONTAM_THRESHOLD).select(
+        "doc_id"
+    )
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % CONTAM_MOD != 0
+    )
+    return (
+        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
