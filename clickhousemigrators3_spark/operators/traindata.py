@@ -404,3 +404,37 @@ def text_decontaminated_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+def _emb_retained_oracle() -> str:
+    from .dedup import COSINE_PAIRS_ORACLE
+
+    return f"""
+WITH pairs AS ({COSINE_PAIRS_ORACLE.strip()})
+SELECT vec_id, CAST(label AS INTEGER) AS label FROM embeddings
+WHERE vec_id NOT IN (SELECT b_id FROM pairs)
+ORDER BY vec_id
+"""
+
+
+@register("dedup_embedding_retained", _emb_retained_oracle())
+def dedup_embedding_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings surviving cosine near-dup removal: greedy drop of the
+    larger vec_id of every pair at/above the cosine threshold — the vector
+    twin of dedup_minhash_retained.
+
+    Scale plan: pair discovery comes from the bucketed LSH/IVF path
+    (operators/similarity.py) rather than the brute-force baseline used
+    for oracle parity here; the drop-list stays tiny either way, so the
+    final step is a broadcast left-anti join against the corpus scan."""
+    from .dedup import dedup_embedding_cosine_pairs
+
+    drop = dedup_embedding_cosine_pairs(spark, sf_dir).select(
+        F.col("b_id").alias("vec_id")
+    ).distinct()
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.join(F.broadcast(drop), "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
