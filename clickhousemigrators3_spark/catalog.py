@@ -32,6 +32,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     table is a parquet scan whose filters/projections Catalyst pushes into
     the file reader (check ``PushedFilters``/``ReadSchema`` in ``.explain``).
     """
+    if name == "events":
+        # Parquet TIMESTAMP(NANOS) is unsupported by Spark's reader unless
+        # nanosAsLong is on. session.get_spark sets it at build time, but
+        # load_table must also work on a caller-provided vanilla session
+        # (e.g. an external harness) — the conf is runtime-settable.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # removed/static in some future Spark — fall through to read
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS), surfaced as long nanos under

@@ -386,20 +386,23 @@ def date_format_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_types_per_user",
     """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
            len(list(DISTINCT event_type)) AS n_types
     FROM events GROUP BY 1 ORDER BY 1
     """,
 )
 def array_agg_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation: the set of event types per user as a sorted array
-    (collect_set is unordered — sort_array makes it deterministic and
-    cross-engine comparable)."""
+    """Array aggregation: the set of event types per user, built as a sorted
+    array (collect_set is unordered — sort_array makes it deterministic)
+    then serialized to a comma-joined string at the output boundary so
+    external comparators that can't sort list cells still hash it."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_set("event_type")).alias("types"),
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+                "types"
+            ),
             F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
         )
         .orderBy("user_id")

@@ -52,13 +52,23 @@ def grouped_zscore_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("grouped_linear_trend_per_user", None)  # pandas regression → rows-only
+@register(
+    "grouped_linear_trend_per_user",
+    """
+    SELECT user_id,
+           ROUND(COALESCE(regr_slope(value, epoch(ts)) * 86400, 0), 6)
+               AS slope_per_day,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
 def grouped_linear_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user linear trend of event values over time (least-squares slope
-    via numpy inside applyInPandas) — the 'small model per group' pattern
-    (forecasting, drift detection) that has no built-in equivalent."""
-    import numpy as np
-
+    via the centered normal equations inside applyInPandas) — the 'small
+    model per group' pattern (forecasting, drift detection). Slope reported
+    per *day* and rounded to 6dp so the DuckDB ``regr_slope`` oracle matches
+    despite different fp summation orders (same discipline as
+    grouped_zscore_per_lang)."""
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
 
     def trend(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -71,11 +81,15 @@ def grouped_linear_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame
             denom = (x * x).sum()
             slope = float((x * y).sum() / denom) if denom else 0.0
         return pd.DataFrame(
-            {"user_id": pdf["user_id"].iloc[:1], "slope": [slope], "n": [len(pdf)]}
+            {
+                "user_id": pdf["user_id"].iloc[:1],
+                "slope_per_day": [round(slope * 86400.0, 6)],
+                "n": [len(pdf)],
+            }
         )
 
     return (
         e.groupBy("user_id")
-        .applyInPandas(trend, schema="user_id long, slope double, n long")
+        .applyInPandas(trend, schema="user_id long, slope_per_day double, n long")
         .orderBy("user_id")
     )

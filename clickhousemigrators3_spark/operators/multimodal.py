@@ -98,7 +98,10 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads: mapInPandas batch →
     fixed-dim float feature vector per document (deterministic stub in place
     of a real model/codec). Schema/batch plumbing is exactly what a CLIP- or
-    mel-spectrogram-style extractor needs."""
+    mel-spectrogram-style extractor needs. The vector stays an
+    ``array<float>`` through the Python stage; the output boundary projects
+    the fixed dims to scalar columns (external result comparators can't sort
+    list-typed cells)."""
     src = _payloads(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -115,12 +118,35 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
-    return src.mapInPandas(
-        extract, schema="doc_id long, features array<float>"
+    vecs = src.mapInPandas(extract, schema="doc_id long, features array<float>")
+    return vecs.select(
+        "doc_id",
+        F.col("features")[0].alias("f0"),
+        F.col("features")[1].alias("f1"),
+        F.col("features")[2].alias("f2"),
     ).orderBy("doc_id")
 
 
-@register("mm_frame_sample", None)  # stubbed decode → rows-only check
+@register(
+    "mm_frame_sample",
+    """
+    WITH p AS (
+        SELECT doc_id, octet_length(encode(text)) AS n,
+               LEAST(4, GREATEST(octet_length(encode(text)) // 64, 1)) AS nf
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n, nf, GREATEST(n // nf, 1) AS stride FROM p
+    ), f AS (
+        SELECT doc_id, n, stride,
+               CAST(unnest(range(0, nf)) AS INT) AS frame_idx
+        FROM s
+    )
+    SELECT doc_id, frame_idx,
+           CAST(LEAST(64, GREATEST(n - frame_idx * stride, 0)) AS INT)
+               AS frame_bytes
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for video-like payloads: each payload explodes into
     ≤4 evenly-spaced fixed-size "frames" (chunks) — one row per frame, the
