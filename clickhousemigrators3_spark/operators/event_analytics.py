@@ -1,0 +1,222 @@
+"""ClickHouse-parity event analytics over ``events`` (SURVEY.md §7.3).
+
+The reference lives in the ClickHouse ecosystem, where the signature
+analytics surface is windowFunnel / retention / argMax / topK. These are
+re-expressed Spark-first — conditional aggregation, ``max_by``/``min_by``,
+and ranked windows; no UDFs — and each has a DuckDB oracle.
+
+Scale notes: every query is one or two shuffles on ``user_id`` (or day) with
+map-side partial aggregation. The funnel is three grouped mins joined on
+``user_id`` — at 100 TB all three aggregates and the joins co-partition on
+the same key, so AQE plans a single exchange; nothing is collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+FUNNEL_WINDOW_HOURS = 24
+
+
+@register(
+    "ev_funnel_steps",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+            AND e.ts <= v.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+          GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e
+          JOIN v ON v.user_id = e.user_id
+          JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            AND e.ts <= v.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+          GROUP BY 1),
+    steps AS (
+      SELECT u.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  WHEN v.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS step
+      FROM u
+      LEFT JOIN v ON v.user_id = u.user_id
+      LEFT JOIN c ON c.user_id = u.user_id
+      LEFT JOIN p ON p.user_id = u.user_id)
+    SELECT step, COUNT(*) AS n_users FROM steps GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel parity (ClickHouse ``windowFunnel(window)(ts, cond...)``,
+    simplified to first-event anchoring): per user, how far the ordered
+    chain view → click → purchase progresses within 24 h of the first view.
+    Output: funnel histogram (step 0-3 → user count).
+
+    Spark shape: three filtered grouped mins, each joined back on user_id —
+    per-step predicates stay in JVM expressions, and the chain condition
+    (strictly increasing timestamps inside the anchor window) is plain
+    column arithmetic."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+
+    u = e.select("user_id").distinct()
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("step")
+        )
+    )
+    return steps.groupBy("step").agg(F.count(F.lit(1)).alias("n_users")).orderBy("step")
+
+
+@register(
+    "ev_retention_day0",
+    """
+    WITH cohort AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(ts AS DATE) = DATE '2024-01-01'),
+    act AS (
+      SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS d
+      FROM events e JOIN cohort c ON c.user_id = e.user_id)
+    SELECT (SELECT COUNT(*) FROM cohort) AS cohort_size,
+           COUNT(DISTINCT CASE WHEN d = DATE '2024-01-02' THEN user_id END)
+               AS retained_d1,
+           COUNT(DISTINCT CASE WHEN d = DATE '2024-01-04' THEN user_id END)
+               AS retained_d3,
+           COUNT(DISTINCT CASE WHEN d = DATE '2024-01-08' THEN user_id END)
+               AS retained_d7
+    FROM act
+    """,
+)
+def ev_retention_day0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retention parity (ClickHouse ``retention(cond0, cond1, ...)``): of the
+    users active on 2024-01-01, how many came back on day +1 / +3 / +7.
+    One semi-join to restrict to the cohort, then a single conditional
+    distinct-count pass — no per-day self-joins."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = e.filter(F.col("d") == F.lit("2024-01-01").cast("date")).select(
+        "user_id"
+    ).distinct()
+    act = e.join(F.broadcast(cohort), "user_id").distinct()
+
+    def came_back(day: str, alias: str):
+        return F.count_distinct(
+            F.when(F.col("d") == F.lit(day).cast("date"), F.col("user_id"))
+        ).alias(alias)
+
+    return act.agg(
+        F.count_distinct("user_id").alias("cohort_size"),
+        came_back("2024-01-02", "retained_d1"),
+        came_back("2024-01-04", "retained_d3"),
+        came_back("2024-01-08", "retained_d7"),
+    )
+
+
+@register(
+    "ev_argmax_per_user",
+    """
+    WITH t AS (
+      SELECT user_id, ts, event_id, value, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_last,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_first
+      FROM events)
+    SELECT user_id,
+           MAX(CASE WHEN rn_last = 1 THEN value END) AS last_value,
+           MAX(CASE WHEN rn_last = 1 THEN event_type END) AS last_type,
+           MAX(CASE WHEN rn_first = 1 THEN value END) AS first_value,
+           MAX(ts) AS last_ts
+    FROM t GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ev_argmax_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argMax/argMin parity (ClickHouse ``argMax(value, ts)``): the value and
+    type carried by each user's latest event, plus the value of the
+    earliest. Spark-first: ``max_by``/``min_by`` with a (ts, event_id)
+    struct key — single hash aggregate, no window, no second shuffle; the
+    composite key makes ties impossible, so both engines agree exactly."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by("value", key).alias("last_value"),
+            F.max_by("event_type", key).alias("last_type"),
+            F.min_by("value", key).alias("first_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TOPK_PER_DAY = 2
+
+
+@register(
+    "ev_topk_types_per_day",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type, n, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                                       ORDER BY n DESC, event_type) AS rn
+          FROM d)
+    WHERE rn <= {TOPK_PER_DAY}
+    ORDER BY day, rank
+    """,
+)
+def ev_topk_types_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topK parity (ClickHouse ``topK(k)(col)``, exact form): the 2 most
+    frequent event types per day, deterministic tie-break on type name.
+    Count-then-rank: the heavy input reduces to |days|×|types| rows before
+    the window, so the rank runs on a tiny relation; Spark plans a
+    WindowGroupLimit (top-k pushdown) for the rn filter."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK_PER_DAY)
+        .orderBy("day", "rank")
+        .select("day", "event_type", "n", "rank")
+    )

@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
         clusters,
         dedup,
         embeddings_ops,
+        event_analytics,
         events,
         grouped_pandas,
         migrate_queries,
