@@ -220,3 +220,125 @@ def ev_topk_types_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day", "rank")
         .select("day", "event_type", "n", "rank")
     )
+
+
+@register(
+    "ev_gapfill_daily_purchases",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                 AS day
+      FROM bounds),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT s.day, COALESCE(d.n, 0) AS n_purchases
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    ORDER BY s.day
+    """,
+)
+def ev_gapfill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (ClickHouse ``ORDER BY day WITH FILL``):
+    daily purchase counts on a dense date spine — days with no purchases
+    appear as 0, not as holes. The spine is generated with ``sequence``
+    over the observed [min, max] date bounds (one tiny aggregate, then a
+    broadcast-able explode) and left-joined to the grouped counts; the
+    heavy side shuffles once on day."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "ev_locf_daily_value",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(min(ts) AS DATE)
+                 + INTERVAL 9 DAY AS hi
+      FROM events),
+    spine AS (
+      SELECT u.user_id,
+             CAST(unnest(generate_series(b.lo, CAST(b.hi AS DATE),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u
+      CROSS JOIN bounds b),
+    daily AS (
+      SELECT user_id, day, value AS day_value FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id < 20)
+      WHERE rn = 1)
+    SELECT s.user_id, s.day,
+           ROUND(LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS filled_value
+    FROM spine s
+    LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ORDER BY s.user_id, s.day
+    """,
+)
+def ev_locf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF interpolation (ClickHouse ``WITH FILL … INTERPOLATE``): each
+    user's latest ``value`` per day, carried forward over days with no
+    events (null until the first observation). Dense user×day spine for a
+    10-day horizon (users < 20 keep the fixture output bounded), per-day
+    last observation via a (ts, event_id)-ordered window, then
+    ``last(value, ignorenulls=True)`` over an unbounded-preceding row
+    frame — the standard forward-fill; both engines define it identically.
+
+    Scale: the spine is |users|×|days| rows — tiny next to the event log —
+    and both the per-day reduction and the forward-fill window partition on
+    user_id, so the whole query is one co-partitioned shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    bounds = e.agg(F.to_date(F.min("ts")).alias("lo")).select(
+        "lo", F.date_add(F.col("lo"), 9).alias("hi")
+    )
+    users = e.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        e.select("user_id", F.to_date("ts").alias("day"), "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("day_value"))
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.round(F.last("day_value", ignorenulls=True).over(w_fill), 6).alias(
+                "filled_value"
+            ),
+        )
+        .orderBy("user_id", "day")
+    )

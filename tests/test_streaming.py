@@ -42,8 +42,12 @@ def test_multimodal_plumbing(spark):
     feats = mm_feature_extract(spark, SF_DIR)
     rows = feats.collect()
     assert len(rows) == 500
-    assert all(len(r["features"]) == 3 for r in rows)
-    assert feats.schema["features"].dataType.simpleString() == "array<float>"
+    # vector dims projected to scalar columns at the output boundary
+    assert [f.name for f in feats.schema.fields] == ["doc_id", "f0", "f1", "f2"]
+    assert all(
+        r["f0"] is not None and r["f1"] is not None and r["f2"] is not None
+        for r in rows
+    )
 
     frames = mm_frame_sample(spark, SF_DIR).collect()
     assert len(frames) >= 500  # fan-out: ≥1 frame per doc
