@@ -587,3 +587,73 @@ def skew_salted_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lines"))
         .orderBy("s_name")
     )
+
+
+@register(
+    "array_functions_surface",
+    """
+    WITH g AS (
+      SELECT l_orderkey,
+             list(l_quantity
+                  ORDER BY l_linenumber, l_quantity, l_extendedprice) AS qtys,
+             list(l_extendedprice
+                  ORDER BY l_linenumber, l_quantity, l_extendedprice) AS prices
+      FROM lineitem WHERE l_orderkey < 1000 GROUP BY 1)
+    SELECT l_orderkey,
+           len(qtys) AS n_items,
+           CAST(list_aggregate(qtys, 'sum') AS DOUBLE) AS total_qty,
+           CAST(list_aggregate(qtys, 'max') AS DOUBLE) AS max_qty,
+           len(list_filter(qtys, x -> x >= 30)) AS n_heavy,
+           CAST(list_aggregate(
+               list_transform(range(1, len(qtys) + 1),
+                              i -> CAST(qtys[i] AS DECIMAL(18,2))
+                                   * CAST(prices[i] AS DECIMAL(18,2))),
+               'sum') AS DOUBLE) AS revenue
+    FROM g ORDER BY l_orderkey
+    """,
+)
+def array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface (ClickHouse arrayMap / arrayFilter
+    / arrayReduce parity): per-order line quantities collected into a
+    linenumber-ordered array, then transform / filter / aggregate / zip_with
+    — all JVM lambda expressions, zero Python UDFs. Both line arrays are
+    extracted from ONE struct array under a total order (linenumber alone
+    is not unique in the fixture — independent sorts would pair qty/price
+    from different lines), and the revenue fold runs in DECIMAL(18,2)
+    products so the sum is exact and order-independent in both engines.
+    Arrays stay internal — the output is scalar columns."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    lines = F.array_sort(
+        F.collect_list(
+            F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+        )
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.transform(lines, lambda s: s["l_quantity"]).alias("qtys"),
+        F.transform(lines, lambda s: s["l_extendedprice"]).alias("prices"),
+    )
+    acc_t = "decimal(30,4)"
+    products = F.zip_with(
+        "qtys",
+        "prices",
+        lambda q, p: (
+            q.cast("decimal(18,2)") * p.cast("decimal(18,2)")
+        ).cast(acc_t),
+    )
+    return (
+        g.select(
+            "l_orderkey",
+            F.size("qtys").cast("long").alias("n_items"),
+            F.aggregate("qtys", F.lit(0.0), lambda a, x: a + x).alias("total_qty"),
+            F.array_max("qtys").cast("double").alias("max_qty"),
+            F.size(F.filter("qtys", lambda x: x >= 30)).cast("long").alias("n_heavy"),
+            F.aggregate(
+                products,
+                F.lit(0).cast(acc_t),
+                lambda a, x: (a + x).cast(acc_t),
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_orderkey")
+    )
