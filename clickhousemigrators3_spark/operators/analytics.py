@@ -657,3 +657,25 @@ def array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@register("approx_percentiles_value", None)  # sketch impls differ → rows-only
+def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch (ClickHouse ``quantileTDigest`` class):
+    p50/p90/p99 of event values per type via ``approx_percentile`` — a
+    mergeable sketch, so partial aggregation works map-side and the shuffle
+    carries one sketch per (type, partition), not raw rows. The exact twin
+    (median_value_per_type) is the oracle-checked counterpart; this entry
+    is the 100 TB path where an exact global sort is not worth the cost."""
+    e = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            pct[0].alias("p50"),
+            pct[1].alias("p90"),
+            pct[2].alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -342,3 +342,49 @@ def ev_locf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "ev_wau_sliding_7d",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                 AS day
+      FROM bounds),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT s.day, COUNT(DISTINCT a.user_id) AS wau
+    FROM spine s
+    JOIN act a ON a.d <= s.day AND a.d > s.day - INTERVAL 7 DAY
+    GROUP BY s.day ORDER BY s.day
+    """,
+)
+def ev_wau_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct active users per day (WAU curve — the
+    ClickHouse ``uniq`` -over-sliding-window dashboard staple). Shape:
+    reduce the event log to distinct (user, day) FIRST — that collapses the
+    heavy side by ~|events per user-day| before the range join fans each
+    activity row out to at most 7 spine days. The spine is tiny and
+    broadcast; distinct-count per day is the only real shuffle. A plain
+    window can't express this (distinct over a range frame), so the
+    explicit fan-out join IS the scalable plan."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(
+            F.broadcast(spine),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") > F.date_sub(F.col("day"), 7)),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .orderBy("day")
+    )
