@@ -37,6 +37,8 @@ HEADLINE = [
     "knn_bruteforce_topk",
     "ann_lsh_topk",
     "ev_sessionization",
+    "ev_funnel_steps",
+    "ev_wau_sliding_7d",
 ]
 
 
