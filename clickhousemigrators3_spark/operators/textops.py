@@ -250,3 +250,46 @@ def text_char_trigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("tri"))
         .limit(20)
     )
+
+
+@register(
+    "text_url_functions",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+                 || '/view?lang=' || lang || '&ref=feed' AS url
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&#]+)', 1) AS lang_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u ORDER BY doc_id
+    """,
+)
+def text_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function surface (ClickHouse ``domain`` / ``path`` /
+    ``extractURLParameter`` / ``protocol`` parity): URLs derived
+    deterministically from the fixture (the corpus carries no real URLs),
+    then parsed with Spark's ``parse_url`` — JVM-side, no regex UDF. The
+    oracle re-derives the same parts with anchored regexes, pinning
+    ``parse_url``'s HOST/PATH/QUERY-key semantics cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/view?lang="),
+        F.col("lang"),
+        F.lit("&ref=feed"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    ).orderBy("doc_id")

@@ -183,6 +183,32 @@ def test_csv_json_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back_json.collect())) == sorted(map(tuple, n.collect()))
 
 
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema drift across parquet batches (the migration-tool reality:
+    source tables grow columns over time). mergeSchema unifies old and new
+    footers on read; rows written before the column appeared read as null.
+    Columns only ever ADD in this model — reference parity for S4's
+    runtime DDL reflection, without text DDL."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_format, load_table
+
+    n = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "evolving")
+    n.select("n_nationkey", "n_name").write.parquet(path + "/batch=1")
+    n.select(
+        "n_nationkey", "n_name", F.col("n_regionkey").alias("added_region")
+    ).write.parquet(path + "/batch=2")
+
+    merged = load_format(spark, path, "parquet", mergeSchema="true")
+    assert set(merged.columns) == {"n_nationkey", "n_name", "added_region", "batch"}
+    n_rows = n.count()
+    assert merged.count() == 2 * n_rows
+    # pre-evolution rows surface the new column as null
+    assert merged.filter("batch = 1 AND added_region IS NULL").count() == n_rows
+    assert merged.filter("batch = 2 AND added_region IS NOT NULL").count() == n_rows
+
+
 def test_write_dataset_partitioned_sorted(spark, tmp_path):
     import os
     from clickhousemigrators3_spark.catalog import load_table, write_dataset
