@@ -314,3 +314,93 @@ def test_udf_surface_matches_jvm_twins(spark):
 
     # SQL registration path
     spark.sql("SELECT quality_band(3) AS b").collect()[0]["b"] == "high"
+
+
+def test_merge_upsert_partition_grain(spark, tmp_path):
+    """MERGE semantics: matched keys take source values, unmatched insert;
+    untouched partitions are not rewritten (their files stay identical)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.maintenance import merge_upsert
+
+    n = load_table(spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "tgt")
+    n.repartition("n_regionkey").write.partitionBy("n_regionkey").parquet(path)
+
+    files_before = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("n_regionkey=")
+    }
+
+    # source: update two keys in region 0, insert one new key in region 0
+    # (keys 0 and 5 live in region 0 — merge_upsert's contract requires the
+    # source to carry each key's current partition value)
+    src = spark.createDataFrame(
+        [(0, "UPDATED-A", 0), (5, "UPDATED-B", 0), (900, "BRAND-NEW", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    stats = merge_upsert(
+        spark, path, src, key_cols=["n_nationkey"], partition_cols=["n_regionkey"]
+    )
+    assert stats["touched_partitions"] == 1
+
+    out = spark.read.parquet(path)
+    assert out.count() == n.count() + 1
+    got = {
+        r["n_nationkey"]: r["n_name"]
+        for r in out.filter(F.col("n_regionkey") == 0).collect()
+    }
+    assert got[0] == "UPDATED-A" and got[5] == "UPDATED-B" and got[900] == "BRAND-NEW"
+    # untouched partitions byte-stable: same file listing
+    for d, before in files_before.items():
+        if d != "n_regionkey=0":
+            assert sorted(os.listdir(os.path.join(path, d))) == before
+
+
+def test_compact_partitions(spark, tmp_path):
+    import os
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.maintenance import (
+        compact_partitions,
+        fragmented_partitions,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "frag")
+    # deliberately fragment: 8 files per partition value
+    li.repartition(8).write.partitionBy("l_returnflag").parquet(path)
+
+    def files_per_part():
+        return {
+            d: len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")])
+            for d in os.listdir(path)
+            if d.startswith("l_returnflag=")
+        }
+
+    assert all(v == 8 for v in files_per_part().values())
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    checksum_before = before.selectExpr(
+        "sum(cast(xxhash64(l_orderkey, l_quantity) AS DECIMAL(38,0))) AS c"
+    ).collect()[0]["c"]
+
+    stats = compact_partitions(spark, path, ["l_returnflag"], max_files=4)
+    assert stats["compacted_partitions"] == 3
+    assert all(v == 1 for v in files_per_part().values())
+    assert fragmented_partitions(spark, path, ["l_returnflag"], max_files=4) == []
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    checksum_after = after.selectExpr(
+        "sum(cast(xxhash64(l_orderkey, l_quantity) AS DECIMAL(38,0))) AS c"
+    ).collect()[0]["c"]
+    assert checksum_after == checksum_before  # content identical, fewer files
