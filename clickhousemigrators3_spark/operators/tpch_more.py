@@ -530,3 +530,43 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .exceptAll(li.filter(F.col("l_linenumber") == 1).select("l_orderkey"))
         .orderBy("l_orderkey")
     )
+
+
+@register(
+    "window_range_frame_30d",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(date_diff('day', DATE '1990-01-01',
+                                       CAST(o_orderdate AS DATE)) AS BIGINT)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame (RANGE BETWEEN, vs the row frames
+    elsewhere): each order's trailing-30-day spend for the same customer —
+    the frame holds every order whose DATE is within 30 days, however many
+    rows that is. Both engines order by integer day-offset so the range
+    arithmetic is identical; the sum is decimal-exact. Ties in the order
+    column are fine: RANGE frames include all peer rows, which is
+    deterministic (unlike ROWS with ties)."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+    ).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
