@@ -156,3 +156,50 @@ def compact_partitions(
         .parquet(path)
     )
     return {"compacted_partitions": len(frag)}
+
+
+def delete_keys(
+    spark: SparkSession,
+    target_path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+) -> dict:
+    """DELETE WHERE key IN (keys) — the right-to-be-forgotten primitive.
+    Copy-on-write at partition grain, same posture as :func:`merge_upsert`:
+    ``keys`` must carry the partition columns (at 100 TB you keep a
+    key→partition index or derive the partition from the key); only the
+    partitions containing doomed keys are read, anti-joined, rewritten.
+
+    Returns ``{"touched_partitions": n, "rows_deleted": n}``.
+    """
+    touched = [
+        tuple(r) for r in keys.select(*partition_cols).distinct().collect()
+    ]
+    if not touched:
+        return {"touched_partitions": 0, "rows_deleted": 0}
+
+    target = spark.read.parquet(target_path)
+    pred = F.lit(False)
+    for vals in touched:
+        clause = F.lit(True)
+        for c, v in zip(partition_cols, vals):
+            clause = clause & (F.col(c) == F.lit(v))
+        pred = pred | clause
+    existing = target.filter(pred)
+    n_before = existing.count()
+    kept = existing.join(
+        keys.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    )
+    n_after = kept.count()
+    _ensure_dynamic_overwrite(spark)
+    (
+        kept.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(target_path)
+    )
+    return {
+        "touched_partitions": len(touched),
+        "rows_deleted": n_before - n_after,
+    }

@@ -404,3 +404,37 @@ def test_compact_partitions(spark, tmp_path):
         "sum(cast(xxhash64(l_orderkey, l_quantity) AS DECIMAL(38,0))) AS c"
     ).collect()[0]["c"]
     assert checksum_after == checksum_before  # content identical, fewer files
+
+
+def test_delete_keys_partition_grain(spark, tmp_path):
+    import os
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.maintenance import delete_keys
+
+    n = load_table(spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "tgt")
+    n.repartition("n_regionkey").write.partitionBy("n_regionkey").parquet(path)
+    files_before = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("n_regionkey=")
+    }
+
+    # forget keys 1 and 6 (both region 1); key 777 doesn't exist (no-op)
+    doomed = spark.createDataFrame(
+        [(1, 1), (6, 1), (777, 1)], "n_nationkey long, n_regionkey long"
+    )
+    stats = delete_keys(
+        spark, path, doomed, key_cols=["n_nationkey"], partition_cols=["n_regionkey"]
+    )
+    assert stats == {"touched_partitions": 1, "rows_deleted": 2}
+
+    out = spark.read.parquet(path)
+    assert out.count() == n.count() - 2
+    assert out.filter("n_nationkey IN (1, 6)").count() == 0
+    for d, before in files_before.items():
+        if d != "n_regionkey=1":
+            assert sorted(os.listdir(os.path.join(path, d))) == before
