@@ -679,3 +679,86 @@ def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "percentile_disc_per_type",
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50_disc,
+           quantile_disc(value, 0.9) AS p90_disc,
+           MIN(value) AS min_v, MAX(value) AS max_v
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def percentile_disc_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (``PERCENTILE_DISC``): unlike the interpolated
+    continuous form (median_value_per_type, which needs 6dp rounding), the
+    discrete percentile RETURNS an actual data value — both engines pick
+    the same order statistic, so the comparison is exact with no rounding."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+                "p50_disc"
+            ),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias(
+                "p90_disc"
+            ),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_conditional_if",
+    """
+    SELECT n_name,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_finished,
+           CAST(COUNT(DISTINCT CASE WHEN o_totalprice > 200000
+                                    THEN o_custkey END) AS BIGINT) AS big_spenders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def agg_conditional_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregate surface (ClickHouse ``countIf``/``sumIf``,
+    ANSI ``FILTER`` clause): several differently-filtered aggregates in ONE
+    grouped pass — the idiom that replaces N filtered scans with one. All
+    conditions evaluate map-side; the decimal discipline keeps the filtered
+    money sum exact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                )
+            )
+            .cast("double")
+            .alias("sum_finished"),
+            F.count_distinct(
+                F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+            )
+            .cast("long")
+            .alias("big_spenders"),
+        )
+        .orderBy("n_name")
+    )
