@@ -42,3 +42,85 @@ def ingest_events_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_upsert_latest_state(
+    spark: SparkSession,
+    sf_dir: str,
+    state_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming materialization of "latest event per user" into a
+    partitioned parquet state table — ClickHouse ReplacingMergeTree
+    semantics, Spark-first: ``foreachBatch`` reduces each micro-batch to
+    one row per user (``max_by`` on the (ts, event_id) key, same as the
+    batch ev_argmax query), then MERGEs it into the state table with
+    :func:`~..operators.maintenance.merge_upsert` at partition grain.
+
+    Exactly-once: the checkpoint replays a failed batch, and merge_upsert
+    is idempotent (same keys → same partitions rewritten to the same
+    content), so replays converge instead of duplicating — the streaming
+    continuation of the migrator's Q4 fix.
+
+    Scale: state partitions on ``bucket`` (user_id mod 16), so each
+    micro-batch rewrites only the buckets its users touch; the per-batch
+    reduction keeps the merge source at |distinct users in batch| rows.
+    """
+    from pyspark.sql import DataFrame
+
+    from ..operators.maintenance import merge_upsert
+
+    stream = _events_stream(spark, sf_dir)
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        key = F.struct(F.col("ts"), F.col("event_id"))
+        latest = (
+            batch.groupBy("user_id")
+            .agg(
+                F.max_by("event_type", key).alias("last_type"),
+                F.max_by("value", key).alias("last_value"),
+                F.max("ts").alias("last_ts"),
+            )
+            .withColumn("bucket", (F.col("user_id") % 16).cast("int"))
+        )
+        spark_ = batch.sparkSession
+        try:
+            existing = spark_.read.parquet(state_path)
+        except Exception:  # first batch: no state yet
+            latest.repartition("bucket").write.partitionBy("bucket").parquet(
+                state_path
+            )
+            return
+        # within-run ordering: a later batch may carry a user already in
+        # state; keep the newer row (max last_ts wins on replay too)
+        src = (
+            latest.unionByName(
+                existing.join(
+                    latest.select("user_id").distinct(), "user_id", "left_semi"
+                )
+            )
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("last_type", "last_value", "last_ts", "bucket"),
+                    F.struct("last_ts", "last_value"),
+                ).alias("s")
+            )
+            .select("user_id", "s.last_type", "s.last_value", "s.last_ts", "s.bucket")
+        )
+        merge_upsert(
+            spark_,
+            state_path,
+            src,
+            key_cols=["user_id"],
+            partition_cols=["bucket"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -119,3 +119,35 @@ def test_stream_stream_join_matches_batch(spark):
     # the full-drain result must equal the batch plan exactly
     assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
     assert len(batch) > 0
+
+
+def test_stream_upsert_latest_state_matches_batch_argmax(spark, tmp_path):
+    """The streamed latest-state table must equal the batch argMax query:
+    same per-user last event regardless of micro-batch slicing."""
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        ev_argmax_per_user,
+    )
+    from clickhousemigrators3_spark.streaming.ingest import (
+        stream_upsert_latest_state,
+    )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream_upsert_latest_state(spark, SF_DIR, state, ckpt)
+
+    got = {
+        r["user_id"]: (r["last_type"], r["last_value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    expected = {
+        r["user_id"]: (r["last_type"], r["last_value"])
+        for r in ev_argmax_per_user(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # restart with same checkpoint: no new data → state unchanged
+    stream_upsert_latest_state(spark, SF_DIR, state, ckpt)
+    again = {
+        r["user_id"]: (r["last_type"], r["last_value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert again == expected
