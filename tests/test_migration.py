@@ -230,3 +230,50 @@ def test_manifest_publish_mode(spark, tmp_path):
     assert v2 != v1
     assert os.path.exists(v1)  # old version retained for time-travel/GC
     assert read_published(spark, cfg.dest_dir, "orders").count() == 1500
+
+
+def test_cli_end_to_end(tmp_path):
+    """EP1 parity smoke: the CLI migrates one table from fixtures to a
+    destination dir, writes a JSON report, prints per-table status, and
+    exits 0. Runs in a subprocess — the CLI owns its SparkSession
+    lifecycle (creates and stops it), which must not touch the pytest
+    fixture session."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    dest = tmp_path / "dest"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; from clickhousemigrators3_spark.cli import main; "
+            "sys.exit(main(sys.argv[1:]))",
+            "--mode", "single",
+            "--source-dir", "/root/testdata/sf0.001",
+            "--dest-dir", str(dest),
+            "--table", "nation",
+            "--partition-keys", "n_regionkey",
+            "--insert-interval", "0",
+            "--lock-dir", str(tmp_path / "locks"),
+            "--progress-path", str(tmp_path / "progress.json"),
+            "--report-dir", str(tmp_path / "reports"),
+            "--log-dir", str(tmp_path / "logs"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "nation: completed" in proc.stdout
+    reports = list((tmp_path / "reports").glob("*.json"))
+    assert reports, proc.stdout
+    report = json.loads(reports[0].read_text())
+    assert report["summary"]["completed"] == 1
+    # migrated data exists, partitioned on the requested key
+    out_dirs = os.listdir(dest / "nation")
+    assert any(d.startswith("n_regionkey=") for d in out_dirs)
