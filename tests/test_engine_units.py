@@ -438,3 +438,52 @@ def test_delete_keys_partition_grain(spark, tmp_path):
     for d, before in files_before.items():
         if d != "n_regionkey=1":
             assert sorted(os.listdir(os.path.join(path, d))) == before
+
+
+def test_dml_model_equivalence(spark, tmp_path):
+    """Model-based check of the DML triad: a seeded random sequence of
+    upserts and deletes applied to (a) the parquet state via
+    merge_upsert/delete_keys and (b) a plain dict model must stay
+    equivalent after every step."""
+    import random
+
+    from clickhousemigrators3_spark.operators.maintenance import (
+        delete_keys,
+        merge_upsert,
+    )
+
+    rng = random.Random(20260813)
+    path = str(tmp_path / "state")
+    n_buckets = 4
+
+    def bucket(k):
+        return k % n_buckets
+
+    # seed state: keys 0..19
+    model = {k: f"v0-{k}" for k in range(20)}
+    seed = spark.createDataFrame(
+        [(k, v, bucket(k)) for k, v in model.items()],
+        "key long, val string, bucket long",
+    )
+    seed.repartition("bucket").write.partitionBy("bucket").parquet(path)
+
+    for step in range(4):
+        op = rng.choice(["upsert", "delete"])
+        ks = rng.sample(range(30), rng.randint(1, 5))
+        if op == "upsert":
+            rows = [(k, f"v{step + 1}-{k}", bucket(k)) for k in ks]
+            src = spark.createDataFrame(rows, "key long, val string, bucket long")
+            merge_upsert(spark, path, src, ["key"], ["bucket"])
+            for k in ks:
+                model[k] = f"v{step + 1}-{k}"
+        else:
+            doomed = spark.createDataFrame(
+                [(k, bucket(k)) for k in ks], "key long, bucket long"
+            )
+            delete_keys(spark, path, doomed, ["key"], ["bucket"])
+            for k in ks:
+                model.pop(k, None)
+        got = {
+            r["key"]: r["val"] for r in spark.read.parquet(path).collect()
+        }
+        assert got == model, f"diverged at step {step} after {op} {sorted(ks)}"
