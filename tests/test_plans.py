@@ -90,3 +90,57 @@ def test_window_topn_uses_group_limit(spark):
 
     plan = _plan(window_topn(spark, SF_DIR))
     assert "WindowGroupLimit" in plan  # partial top-k before the shuffle
+
+
+def test_funnel_broadcasts_user_aggregates(spark):
+    """The funnel's per-user step aggregates are tiny relative to the event
+    log — they must broadcast (at fixture scale), never sort-merge."""
+    from clickhousemigrators3_spark.operators.event_analytics import ev_funnel_steps
+
+    plan = _plan(ev_funnel_steps(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_wau_spine_broadcasts(spark):
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        ev_wau_sliding_7d,
+    )
+
+    plan = _plan(ev_wau_sliding_7d(spark, SF_DIR))
+    # date spine is force-broadcast: the range join must be BNLJ/broadcast,
+    # never a cartesian over the full activity set
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_per_day_uses_window_group_limit(spark):
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        ev_topk_types_per_day,
+    )
+
+    plan = _plan(ev_topk_types_per_day(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan  # rank filter pushed into the window
+
+
+def test_argmax_single_exchange(spark):
+    """max_by aggregation must be one shuffle (plus the output sort) — no
+    window, no join."""
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        ev_argmax_per_user,
+    )
+
+    plan = _plan(ev_argmax_per_user(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_array_functions_stay_jvm(spark):
+    """Higher-order array exprs must not fall back to Python evaluation."""
+    from clickhousemigrators3_spark.operators.analytics import (
+        array_functions_surface,
+    )
+
+    plan = _plan(array_functions_surface(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
