@@ -113,14 +113,20 @@ def _copy_partitions(
     staging: str,
     keys: list[str],
     parts: list[tuple] | None,
-) -> None:
+) -> int:
     """S10: one partitioned write for the given partition set (``None`` →
     everything). Dynamic partition overwrite → idempotent replay (Q4 fix).
+    Returns the row count witnessed by the write job itself (``observe`` —
+    zero extra scan), which the caller cross-checks against the staged
+    read-back: a third invariant beyond src/dst counts that catches
+    read-after-write visibility gaps on eventually-consistent stores.
 
     Partition selection scales with #partitions: single-key → pushed-down
     ``isin``; composite → broadcast semi-join against the partition list
     (an OR-chain of predicates would blow up the expression tree at 10^4+
     partitions)."""
+    from pyspark.sql import Observation
+
     if parts is not None:
         if len(parts) == 1:
             src = src.filter(partition_predicate(dict(zip(keys, parts[0]))))
@@ -132,10 +138,13 @@ def _copy_partitions(
                 [tuple(p) for p in parts], schema=src.select(*keys).schema
             )
             src = src.join(F.broadcast(sel), on=keys, how="left_semi")
+    obs = Observation()
+    src = src.observe(obs, F.count(F.lit(1)).alias("rows_written"))
     writer = src.write.mode("overwrite")
     if keys:
         writer = writer.partitionBy(*keys)
     writer.parquet(staging)
+    return int(obs.get["rows_written"])
 
 
 def _validate(
@@ -259,22 +268,31 @@ def migrate_single_table(
             # 9. total rows (A1)
             total_rows = src.count()
 
-            # 10. copy (C1/S10)
+            # 10. copy (C1/S10); rows_witnessed = counts observed inside the
+            # write jobs themselves (zero extra scan) — complete only when
+            # this run copied every partition
+            rows_witnessed: int | None = None
+            full_copy = len(todo_tuples) == len(parts)
             if keys and cfg.strategy == "per_partition":
+                witnessed = 0
                 for values, part_str in [
                     (p, s) for p, s in zip(parts, part_strs) if s in todo
                 ]:
-                    _copy_partitions(src, staging, keys, [values])
+                    witnessed += _copy_partitions(src, staging, keys, [values])
                     if cfg.insert_interval:
                         time.sleep(cfg.insert_interval)  # C2 throttle parity
                     ledger.mark_partition(
                         progress, DB, table, part_str, cfg.progress_path
                     )  # C3
+                if full_copy:
+                    rows_witnessed = witnessed
             elif not keys:
-                _copy_partitions(src, staging, keys, None)  # C7 whole-table copy
+                rows_witnessed = _copy_partitions(src, staging, keys, None)  # C7
             elif todo_tuples:
-                sel = None if len(todo_tuples) == len(parts) else todo_tuples
-                _copy_partitions(src, staging, keys, sel)
+                sel = None if full_copy else todo_tuples
+                witnessed = _copy_partitions(src, staging, keys, sel)
+                if full_copy:
+                    rows_witnessed = witnessed
                 for part_str in todo:
                     ledger.mark_partition(progress, DB, table, part_str, cfg.progress_path)
             # todo empty with keys: nothing to copy — staging holds the
@@ -294,6 +312,13 @@ def migrate_single_table(
             if dst_total != total_rows:
                 raise AssertionError(
                     f"table invariant failed: dst={dst_total} != src={total_rows}"
+                )
+            if rows_witnessed is not None and rows_witnessed != dst_total:
+                # write job saw N rows but the staged read-back disagrees →
+                # read-after-write visibility gap (or files lost post-write)
+                raise AssertionError(
+                    "write/read-back invariant failed: "
+                    f"written={rows_witnessed} != read_back={dst_total}"
                 )
 
             # 12. swap — strictly after validation (S7/S8 ordering)
