@@ -265,3 +265,38 @@ def ev_json_malformed_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ev_variant_json_surface",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INT) AS max_k,
+           COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL)
+               AS n_with_k
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_variant_json_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (ClickHouse JSON-type parity, Spark 4
+    ``parse_json``/``variant_get``): props parsed once into an open-schema
+    variant, fields extracted with typed paths. Unlike ``get_json_object``
+    (string re-parse per extraction), the variant parses once into a binary
+    shredded form — at 100 TB the difference between O(extractions) and
+    O(1) JSON parses per row."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
