@@ -762,3 +762,38 @@ def agg_conditional_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "try_functions_surface",
+    """
+    SELECT event_id,
+           value / NULLIF(CAST(value AS INTEGER) - CAST(value AS INTEGER), 0)
+               AS div_by_zero,
+           TRY_CAST(event_type AS INTEGER) AS bad_cast,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS good_cast,
+           COALESCE(TRY_CAST(event_type AS INTEGER), -1) AS defaulted
+    FROM events WHERE event_id < 100 ORDER BY event_id
+    """,
+)
+def try_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe function surface (ClickHouse ``toInt32OrNull`` /
+    ``...OrNull`` parity): this engine runs ANSI mode, where bare division
+    by zero and bad casts RAISE — ``try_divide``/``try_cast`` are the
+    explicit or-null escape hatches, so malformed rows degrade to nulls
+    instead of failing 100 TB jobs. The oracle mirrors with NULLIF-guarded
+    division and TRY_CAST."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    zero = (F.col("value").cast("int") - F.col("value").cast("int")).cast("double")
+    return e.select(
+        "event_id",
+        F.try_divide(F.col("value"), zero).alias("div_by_zero"),
+        F.try_to_number(F.col("event_type"), F.lit("999999")).cast("int").alias(
+            "bad_cast"
+        ),
+        F.get_json_object("props", "$.k").try_cast("int").alias("good_cast"),
+        F.coalesce(
+            F.try_to_number(F.col("event_type"), F.lit("999999")).cast("int"),
+            F.lit(-1),
+        ).alias("defaulted"),
+    ).orderBy("event_id")
