@@ -35,9 +35,16 @@ def asof_join(
     ts: str,
     payload: dict[str, Column],
     probe_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """Generic as-of join. ``payload`` maps output-column → source column
-    expression; probe rows keep ``probe_cols``."""
+    expression; probe rows keep ``probe_cols``.
+
+    ``direction="backward"`` attaches the latest strictly-earlier source row
+    (the default, DuckDB ``ON p.ts > s.ts``); ``"forward"`` the earliest
+    strictly-later one (``ON p.ts < s.ts``) — same union-sort trick with the
+    scan order reversed, so the nearest preceding row in window order is the
+    nearest *later* timestamp."""
     src_tagged = source.select(
         *by,
         F.col(ts).alias("_ts"),
@@ -53,9 +60,10 @@ def asof_join(
         *[F.col(c).alias(f"_k_{c}") for c in probe_cols],
     )
     unioned = src_tagged.unionByName(probe_tagged)
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("_ts"), F.col("_tag"))
+        .orderBy(ts_order, F.col("_tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -102,3 +110,33 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_cols=["event_id"],
     )
     return out.select("event_id", "user_id", "ts", "last_click_value").orderBy("event_id")
+
+
+@register(
+    "asof_join_next_view_after_purchase",
+    """
+    SELECT p.event_id, p.user_id, p.ts, v.value AS next_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts < v.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every purchase, the value of the user's first
+    strictly later 'view' event (NULL if none) — e.g. post-purchase
+    engagement attribution. Checked against DuckDB's native forward
+    ASOF LEFT JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view")
+    out = asof_join(
+        probe=purchases,
+        source=views,
+        by=["user_id"],
+        ts="ts",
+        payload={"next_view_value": F.col("value")},
+        probe_cols=["event_id"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "ts", "next_view_value").orderBy("event_id")

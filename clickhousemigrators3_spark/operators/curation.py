@@ -1,0 +1,164 @@
+"""Corpus-curation operators (BASELINE north-star / SURVEY.md §7.3 family):
+sliding-window document chunking, int8 embedding quantization, and
+domain-mixture reweighting — the steps between a deduped corpus and a
+tokenizer/trainer-ready dataset.
+
+Reference parity: none (the reference is a migration tool, SURVEY.md §0);
+these extend the training-data-pipeline surface alongside
+operators/traindata.py.
+
+Scale notes per operator are on the docstrings; the common shape is narrow
+map + bounded explode — no shuffle grows faster than the output itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import to_double
+from ..registry import register
+
+CHUNK_SIZE = 64  # words per chunk
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 words
+
+
+@register(
+    "doc_chunk_overlap",
+    f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents WHERE trim(text) <> ''),
+    s AS (
+      SELECT doc_id, ws, unnest(range(0, len(ws), {CHUNK_STRIDE})) AS start
+      FROM w)
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(list_slice(ws, start + 1, start + {CHUNK_SIZE})) AS INT)
+               AS n_chunk_words,
+           md5(array_to_string(list_slice(ws, start + 1, start + {CHUNK_SIZE}), ' '))
+               AS chunk_md5
+    FROM s ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: each document splits into {CHUNK_SIZE}-word
+    chunks at stride {CHUNK_STRIDE} (16-word overlap) — the standard
+    context-window packing shape for embedding/RAG pipelines. Chunk text is
+    surfaced as md5 so the comparator stays scalar; real pipelines keep the
+    string column.
+
+    Scale: split + sequence-explode + slice, all JVM built-ins; the explode
+    fan-out is output-proportional (~n_words/stride rows per doc) and never
+    shuffles — chunks stay on the partition that read the document."""
+    d = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    w = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    s = w.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ws") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.expr(f"slice(ws, start + 1, {CHUNK_SIZE})")
+    return s.select(
+        "doc_id",
+        F.expr(f"CAST(start div {CHUNK_STRIDE} AS INT)").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS ma
+          FROM e),
+    q AS (SELECT vec_id, ma,
+                 CASE WHEN ma = 0
+                      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(
+                             v, x -> CAST(floor(x * 127 / ma + 0.5) AS BIGINT))
+                 END AS qv
+          FROM m)
+    SELECT vec_id,
+           ROUND(ma / 127, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|v|/127, q =
+    round-half-up(v/scale)) — the 4× storage/bandwidth cut applied before
+    ANN indexing at scale. Quantized codes are surfaced as sum/min/max
+    invariants so the comparator stays scalar; rounding is spelled
+    ``floor(x*127/ma + 0.5)`` so both engines make the identical
+    half-up choice on the identical double.
+
+    Scale: pure narrow map over the vector column — no shuffle at all; the
+    higher-order exprs run in the JVM, never Python."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    m = e.withColumn("ma", F.array_max(F.transform("v", lambda x: F.abs(x))))
+    q = m.withColumn(
+        "qv",
+        F.expr(
+            "CASE WHEN ma = 0 THEN transform(v, x -> 0L) "
+            "ELSE transform(v, x -> CAST(floor(x * 127 / ma + 0.5) AS BIGINT)) END"
+        ),
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("ma") / 127, 6).alias("scale"),
+        F.expr("aggregate(qv, 0L, (a, x) -> a + x)").alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "mixture_domain_weights",
+    """
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1, 2),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM c)
+    SELECT c.lang, c.source, c.n_docs,
+           ROUND(CAST(c.n_docs AS DOUBLE) / t.tot, 6) AS actual_frac,
+           ROUND((1.0 / t.k) / (CAST(c.n_docs AS DOUBLE) / t.tot), 6) AS weight
+    FROM c, t ORDER BY lang, source
+    """,
+)
+def mixture_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-(lang, source) corpus share and the
+    resampling weight that would equalize the mixture (target = uniform
+    across observed domains; swap the target vector for DoReMi-style learned
+    weights). The weight column is what a sampler multiplies into each
+    document's keep-probability.
+
+    Scale: one grouped count (shuffle keys = domain pairs, cardinality
+    ~dozens) + a broadcast of the 1-row totals — nothing global moves."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").alias("tot"), F.count(F.lit(1)).alias("k")
+    )
+    actual = F.col("n_docs").cast("double") / F.col("tot")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.round(actual, 6).alias("actual_frac"),
+            F.round((F.lit(1.0) / F.col("k")) / actual, 6).alias("weight"),
+        )
+        .orderBy("lang", "source")
+    )

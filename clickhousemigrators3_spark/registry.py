@@ -48,6 +48,7 @@ def load_all() -> dict[str, Query]:
         analytics,
         asof,
         clusters,
+        curation,
         dedup,
         embeddings_ops,
         event_analytics,
