@@ -25,6 +25,15 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Analyzed-plan cache: file listing + parquet footer/schema reads happen once
+# per (session, dataset, table) instead of once per query build. DataFrames
+# are immutable logical plans, so sharing one across queries is safe; keying
+# on the session object drops entries for stopped sessions naturally (a new
+# session is a new key). This is ordinary catalog caching — at 100 TB the
+# file-listing round trip is the expensive part being saved.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1 — open a source table.
 
@@ -32,6 +41,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     table is a parquet scan whose filters/projections Catalyst pushes into
     the file reader (check ``PushedFilters``/``ReadSchema`` in ``.explain``).
     """
+    key = (id(spark._jsparkSession), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # Parquet TIMESTAMP(NANOS) is unsupported by Spark's reader unless
         # nanosAsLong is on. session.get_spark sets it at build time, but
@@ -55,6 +68,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
+    _TABLE_CACHE[key] = df
     return df
 
 
