@@ -275,3 +275,57 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality measurement: recall@k of the IVF path vs the exact baseline
+# ---------------------------------------------------------------------------
+
+RECALL_K = 5
+
+RECALL_ORACLE = f"""
+WITH exact_all AS ({KNN_ORACLE}),
+exact AS (SELECT query_id, neighbor_id FROM exact_all WHERE rank <= {RECALL_K}),
+approx_all AS ({IVF_ORACLE}),
+approx AS (SELECT query_id, neighbor_id FROM approx_all),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1),
+qs AS (SELECT DISTINCT query_id FROM exact)
+SELECT q.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE) / {RECALL_K}, 6) AS recall_at_k
+FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+@register("ann_ivf_recall_at_k", RECALL_ORACLE)
+def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{RECALL_K} of the IVF path against the exact brute-force
+    baseline, per query — the standard ANN quality gate. At 10^9 vectors
+    the exact side runs on a sampled query panel only; the measurement plan
+    (two top-k pipelines + an intersection count) is unchanged."""
+    exact = knn_bruteforce_topk(spark, sf_dir).filter(
+        F.col("rank") <= RECALL_K
+    ).select("query_id", "neighbor_id")
+    approx = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qs = exact.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / RECALL_K, 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
