@@ -144,3 +144,48 @@ def test_array_functions_stay_jvm(spark):
     plan = _plan(array_functions_surface(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_doc_chunk_stays_jvm_and_prunes(spark):
+    """Chunking is split+sequence+slice built-ins: no Python eval boundary,
+    and the scan reads only (doc_id, text)."""
+    from clickhousemigrators3_spark.operators.curation import doc_chunk_overlap
+
+    plan = _plan(doc_chunk_overlap(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in schema_line and "source" not in schema_line
+
+
+def test_quantize_no_join_no_python(spark):
+    """int8 quantization is a pure narrow map — no join, no Python; the only
+    exchange is the final presentation sort."""
+    from clickhousemigrators3_spark.operators.curation import embedding_quantize_int8
+
+    plan = _plan(embedding_quantize_int8(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_asof_forward_single_shuffle_no_range_join(spark):
+    """Forward as-of keeps the union-sort form: one hash exchange on the
+    group key, never a range self-join blow-up."""
+    from clickhousemigrators3_spark.operators.asof import asof_join_next_view
+
+    plan = _plan(asof_join_next_view(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ann_recall_broadcasts_queries(spark):
+    """Recall measurement reuses the top-k pipelines; the small query panel
+    and centroid set must stay on the build side (broadcast), not shuffle the
+    corpus."""
+    from clickhousemigrators3_spark.operators.similarity import ann_ivf_recall_at_k
+
+    plan = _plan(ann_ivf_recall_at_k(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
