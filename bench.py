@@ -39,6 +39,8 @@ HEADLINE = [
     "ev_sessionization",
     "ev_funnel_steps",
     "ev_wau_sliding_7d",
+    "doc_chunk_overlap",
+    "embedding_quantize_int8",
 ]
 
 
@@ -60,11 +62,12 @@ def main() -> int:
         q = registry.get(name)
         if q is None:
             continue
-        # three iterations, report steady-state (min): iteration 1 pays JVM
+        # five iterations, report steady-state (min): iteration 1 pays JVM
         # JIT and codegen compilation, which amortize to zero on a real
-        # cluster; min-of-3 also absorbs co-tenant machine noise
+        # cluster; min-of-5 also absorbs co-tenant machine noise (observed
+        # run-to-run spread on this box is ~1.5× under load)
         best = None
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             n = df.count()  # forces execution; results are small aggregates
