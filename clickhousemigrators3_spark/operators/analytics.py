@@ -797,3 +797,78 @@ def try_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1),
         ).alias("defaulted"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# IPv4 function surface (ClickHouse IPv4NumToString / IPv4StringToNum /
+# isIPAddressInRange family) — derived deterministically from user_id so the
+# oracle reproduces every value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ipv4_functions_surface",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    ips AS (
+      SELECT user_id,
+             167772160 + ((user_id * 7919) % 16777216) AS ip_num,
+             (user_id * 104729) % 4294967296 AS ip2_num
+      FROM u)
+    SELECT user_id,
+           CAST(ip_num AS BIGINT) AS ip_num,
+           ((ip_num >> 24) & 255) || '.' || ((ip_num >> 16) & 255) || '.'
+             || ((ip_num >> 8) & 255) || '.' || (ip_num & 255) AS ip_str,
+           (((ip_num >> 24) & 255) * 16777216 + ((ip_num >> 16) & 255) * 65536
+             + ((ip_num >> 8) & 255) * 256 + (ip_num & 255)) = ip_num AS rt_ok,
+           (ip_num >> 16) = 2602 AS in_cidr_10_42_16,
+           CAST(ip2_num AS BIGINT) AS ip2_num,
+           CASE WHEN (ip2_num >> 24) = 10 THEN 'rfc1918-10/8'
+                WHEN (ip2_num >> 20) = 2753 THEN 'rfc1918-172.16/12'
+                WHEN (ip2_num >> 16) = 49320 THEN 'rfc1918-192.168/16'
+                ELSE 'public' END AS ip2_class
+    FROM ips ORDER BY user_id
+    """,
+)
+def ipv4_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 function surface, ClickHouse-parity: num→dotted-quad rendering,
+    string→num round-trip proof, /16 CIDR membership, RFC1918
+    classification — all integer shifts/masks in whole-stage codegen (IPs
+    are synthesized from user_id; fixtures carry none). 10.42/16 packs to
+    2602 = (10<<8)+42; 172.16/12's top 12 bits are 2753; 192.168/16's top
+    16 are 49320."""
+    u = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    ips = u.select(
+        "user_id",
+        (F.lit(167772160) + (F.col("user_id") * 7919) % 16777216).alias("ip_num"),
+        ((F.col("user_id") * 104729) % F.lit(4294967296)).alias("ip2_num"),
+    )
+    oct_ = lambda n, s: F.shiftright(F.col(n), s).bitwiseAND(F.lit(255))  # noqa: E731
+    ip_str = F.concat_ws(
+        ".",
+        oct_("ip_num", 24).cast("string"),
+        oct_("ip_num", 16).cast("string"),
+        oct_("ip_num", 8).cast("string"),
+        (F.col("ip_num").bitwiseAND(F.lit(255))).cast("string"),
+    )
+    rt = (
+        oct_("ip_num", 24) * 16777216
+        + oct_("ip_num", 16) * 65536
+        + oct_("ip_num", 8) * 256
+        + F.col("ip_num").bitwiseAND(F.lit(255))
+    ) == F.col("ip_num")
+    ip2_class = (
+        F.when(F.shiftright("ip2_num", 24) == 10, "rfc1918-10/8")
+        .when(F.shiftright("ip2_num", 20) == 2753, "rfc1918-172.16/12")
+        .when(F.shiftright("ip2_num", 16) == 49320, "rfc1918-192.168/16")
+        .otherwise("public")
+    )
+    return ips.select(
+        "user_id",
+        F.col("ip_num").cast("long").alias("ip_num"),
+        ip_str.alias("ip_str"),
+        rt.alias("rt_ok"),
+        (F.shiftright("ip_num", 16) == 2602).alias("in_cidr_10_42_16"),
+        F.col("ip2_num").cast("long").alias("ip2_num"),
+        ip2_class.alias("ip2_class"),
+    ).orderBy("user_id")

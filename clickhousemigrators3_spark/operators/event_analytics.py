@@ -388,3 +388,99 @@ def ev_wau_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("wau"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# sequenceMatch — ordered event-pattern matching (ClickHouse sequenceMatch)
+# ---------------------------------------------------------------------------
+
+SEQ_PATTERN = "v.*c.*p"  # view … click … purchase, in order, gaps allowed
+
+
+@register(
+    "ev_sequence_match",
+    f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           md5(string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id))
+               AS seq_md5,
+           regexp_matches(
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+               '{SEQ_PATTERN}') AS matched
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ev_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')`` parity: per user,
+    whether a view→click→purchase subsequence occurs in timestamp order
+    (gaps allowed). The per-user history compresses to a one-char-per-event
+    string (event types have distinct initials), matched with one regex —
+    the automaton-over-ordered-events shape, no joins.
+
+    Scale: one shuffle on user_id; state per user is its compressed history
+    (1 byte/event) — the same bounded-by-user-history class as
+    sessionization, ~3 orders lighter than collecting full rows. The
+    deterministic (ts, event_id) sort key makes the string — and its md5
+    audit column — reproducible across engines."""
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("c")
+        ).alias("r"),
+    )
+    agg = rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws(
+            "", F.expr("transform(array_sort(collect_list(r)), x -> x.c)")
+        ).alias("seq"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.md5("seq").alias("seq_md5"),
+        F.col("seq").rlike(SEQ_PATTERN).alias("matched"),
+    ).orderBy("user_id")
+
+
+SEQ_COUNT_PATTERN = "v.*?c.*?p"  # lazy: leftmost non-overlapping occurrences
+
+
+@register(
+    "ev_sequence_count",
+    f"""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, '{SEQ_COUNT_PATTERN}')) AS INT)
+               AS n_matches
+    FROM s ORDER BY user_id
+    """,
+)
+def ev_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount`` parity: how many non-overlapping
+    view→click→purchase subsequences each user's ordered history contains.
+    Lazy quantifiers make the scan greedy-leftmost in both engines, so the
+    counts agree exactly. Same compressed-history shape as
+    ``ev_sequence_match`` — one shuffle, 1 byte of state per event."""
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("c")
+        ).alias("r"),
+    )
+    agg = rows.groupBy("user_id").agg(
+        F.concat_ws(
+            "", F.expr("transform(array_sort(collect_list(r)), x -> x.c)")
+        ).alias("seq")
+    )
+    return agg.select(
+        "user_id",
+        F.size(F.expr(f"regexp_extract_all(seq, '{SEQ_COUNT_PATTERN}', 0)")).alias(
+            "n_matches"
+        ),
+    ).orderBy("user_id")
