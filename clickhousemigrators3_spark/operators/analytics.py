@@ -872,3 +872,41 @@ def ipv4_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ip2_num").cast("long").alias("ip2_num"),
         ip2_class.alias("ip2_class"),
     ).orderBy("user_id")
+
+
+@register(
+    "histogram_equidepth_value",
+    """
+    WITH b AS (
+      SELECT value,
+             NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_equidepth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram over event values: NTILE(10) with a
+    deterministic (value, event_id) tie-break, then per-bucket count and
+    bounds — the companion to the equi-width histogram above.
+
+    Scale: exact NTILE needs a total order (one sorted exchange; fine at
+    fixture scale, serial at 100 TB). The scale path replaces the global
+    window with approx_percentile cut points + a range bucket join —
+    ``approx_percentiles_value`` is that estimator; this query is its exact
+    twin for validating the sketch's error."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    b = e.select("value", F.ntile(10).over(w).alias("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

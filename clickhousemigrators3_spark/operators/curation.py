@@ -162,3 +162,54 @@ def mixture_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "scd2_customer_price_history",
+    """
+    WITH changes AS (
+      SELECT o_custkey AS customer_id,
+             o_orderdate AS valid_from,
+             max_by(o_totalprice, o_orderkey) AS price,
+             CAST(COUNT(*) AS BIGINT) AS n_changes_that_day
+      FROM orders GROUP BY 1, 2)
+    SELECT customer_id, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY customer_id
+                                  ORDER BY valid_from) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY customer_id
+                                  ORDER BY valid_from) IS NULL AS is_current,
+           price, n_changes_that_day
+    FROM changes ORDER BY customer_id, valid_from
+    """,
+)
+def scd2_customer_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval construction — the standard warehouse shape for
+    dimension history: collapse each key's change events to one row per
+    change date (latest writer wins via ``max_by`` on the highest order
+    key), then derive [valid_from, valid_to) intervals with LEAD; the open
+    interval is the current row.
+
+    Scale: one shuffle on the dimension key for the groupBy, and the window
+    reuses that partitioning (no second exchange); state per key = its
+    change count, never the fact table. Applying such intervals to facts is
+    the range join in operators/events.py."""
+    o = load_table(spark, sf_dir, "orders")
+    changes = o.groupBy(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderdate").alias("valid_from"),
+    ).agg(
+        F.expr("max_by(o_totalprice, o_orderkey)").alias("price"),
+        F.count(F.lit(1)).alias("n_changes_that_day"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("customer_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w)
+    return changes.select(
+        "customer_id",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "price",
+        "n_changes_that_day",
+    ).orderBy("customer_id", "valid_from")

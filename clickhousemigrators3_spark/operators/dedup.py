@@ -451,3 +451,115 @@ def dedup_fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("a_id", "b_id", "edit_distance")
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment scoring over the LSH candidates (sub-document duplication)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.6
+
+CONTAINMENT_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hashed AS (
+  SELECT DISTINCT doc_id, {oracle_hash_sql('shingle', bits=32)} AS h FROM sh),
+minh AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_SQL_BAND_SIGS} FROM minh),
+bands AS ({_SQL_BAND_UNPIVOT}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM hashed GROUP BY 1),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS i
+  FROM cand c
+  JOIN hashed sa ON sa.doc_id = c.a_id
+  JOIN hashed sb ON sb.doc_id = c.b_id AND sb.h = sa.h
+  GROUP BY 1, 2)
+SELECT i.a_id, i.b_id,
+       CAST(i.i AS DOUBLE) / LEAST(ca.c, cb.c) AS containment
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.a_id
+JOIN cnt cb ON cb.doc_id = i.b_id
+WHERE CAST(i.i AS DOUBLE) / LEAST(ca.c, cb.c) >= {CONTAINMENT_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+@register("dedup_containment_pairs", CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) over shingle sets,
+    on the same LSH candidate set as the Jaccard verify. Containment
+    catches a short document embedded inside a long one (quote farms,
+    boilerplate wrappers) where Jaccard stays low because the union is
+    dominated by the long side — the standard companion metric in corpus
+    dedup. Shares every stage with the Jaccard pipeline, so at scale the
+    two verifies ride one candidate generation."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("shingle")
+    )
+    hashed = raw.select(
+        "doc_id", stable_hash32(F.col("shingle")).alias("h")
+    ).distinct()
+    minh = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+    )
+    sig_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{j}").cast("string")
+                    for j in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
+                ],
+            )
+        ).alias(f"sig{band}")
+        for band in range(N_SEEDS // BAND_SIZE)
+    ]
+    sigs = minh.select("doc_id", *sig_cols)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"), F.col(f"sig{band}").alias("sig")
+                    )
+                    for band in range(N_SEEDS // BAND_SIZE)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "sig")
+    cand = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    cnt = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    h_a = hashed.select(F.col("doc_id").alias("a_id"), "h")
+    h_b = hashed.select(F.col("doc_id").alias("b_id"), "h")
+    inter = (
+        cand.join(h_a, "a_id")
+        .join(h_b, ["b_id", "h"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("c").alias("cb"))
+    containment = F.col("i").cast("double") / F.least(F.col("ca"), F.col("cb"))
+    return (
+        inter.join(ca, "a_id")
+        .join(cb, "b_id")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("a_id", "b_id", "containment")
+        .orderBy("a_id", "b_id")
+    )
