@@ -160,19 +160,17 @@ ORDER BY a_id, b_id
 """
 
 
-@register("dedup_minhash_lsh_pairs", MINHASH_ORACLE)
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs: word-3-gram shingles → one 32-bit
-    stable hash per shingle → 16 affine-permutation min-hashes in a single
-    groupBy (no seed explosion) → 4-band signatures → bucket self-join for
-    candidates → exact Jaccard verify ≥ 0.5.
+def _lsh_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH verify input: word-3-gram shingles → one 32-bit stable
+    hash per shingle → 16 affine-permutation min-hashes in a single groupBy
+    (no seed explosion) → 4-band signatures → bucket self-join →
+    per-candidate intersection size and set sizes: ``(a_id, b_id, i, ca,
+    cb)``. Every set-overlap verify (Jaccard, containment) is a filter over
+    this one relation, so at scale they ride a single candidate generation.
 
-    At 100 TB the only quadratic step (verify) touches bucket collisions
-    only; everything else is linear explodes + grouped mins. Band signatures
-    (md5 of the ordered hash run) keep the bucket join key small. The
-    hashed shingle set is persisted because three downstream stages (minhash,
-    per-doc counts, intersection join) consume it — at scale you'd
-    materialize it the same way; Jaccard is computed over hashed shingle
+    The hashed shingle set is persisted because three downstream stages
+    (minhash, per-doc counts, intersection join) consume it — at scale you'd
+    materialize it the same way; overlap is computed over hashed shingle
     sets (8-byte join keys, not strings), identically in the oracle."""
     d = load_table(spark, sf_dir, "documents")
     raw = d.select(
@@ -240,11 +238,19 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("c").alias("ca"))
     cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("c").alias("cb"))
+    return inter.join(ca, "a_id").join(cb, "b_id")
+
+
+@register("dedup_minhash_lsh_pairs", MINHASH_ORACLE)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: the shared candidate pipeline
+    (``_lsh_scored_candidates``) + exact Jaccard verify ≥ 0.5. At 100 TB
+    the only quadratic step (verify) touches bucket collisions only;
+    everything else is linear explodes + grouped mins."""
+    scored = _lsh_scored_candidates(spark, sf_dir)
     jac = F.col("i").cast("double") / (F.col("ca") + F.col("cb") - F.col("i"))
     return (
-        inter.join(ca, "a_id")
-        .join(cb, "b_id")
-        .withColumn("jaccard", jac)
+        scored.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", "jaccard")
         .orderBy("a_id", "b_id")
@@ -490,75 +496,17 @@ ORDER BY a_id, b_id
 @register("dedup_containment_pairs", CONTAINMENT_ORACLE)
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs: |A∩B| / min(|A|,|B|) over shingle sets,
-    on the same LSH candidate set as the Jaccard verify. Containment
-    catches a short document embedded inside a long one (quote farms,
-    boilerplate wrappers) where Jaccard stays low because the union is
-    dominated by the long side — the standard companion metric in corpus
-    dedup. Shares every stage with the Jaccard pipeline, so at scale the
-    two verifies ride one candidate generation."""
-    d = load_table(spark, sf_dir, "documents")
-    raw = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("shingle")
-    )
-    hashed = raw.select(
-        "doc_id", stable_hash32(F.col("shingle")).alias("h")
-    ).distinct()
-    minh = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
-            for i, (a, b) in enumerate(MINHASH_COEFFS)
-        ]
-    )
-    sig_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{j}").cast("string")
-                    for j in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
-                ],
-            )
-        ).alias(f"sig{band}")
-        for band in range(N_SEEDS // BAND_SIZE)
-    ]
-    sigs = minh.select("doc_id", *sig_cols)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"), F.col(f"sig{band}").alias("sig")
-                    )
-                    for band in range(N_SEEDS // BAND_SIZE)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a = bands.select(F.col("doc_id").alias("a_id"), "band", "sig")
-    b = bands.select(F.col("doc_id").alias("b_id"), "band", "sig")
-    cand = (
-        a.join(b, on=["band", "sig"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    cnt = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
-    h_a = hashed.select(F.col("doc_id").alias("a_id"), "h")
-    h_b = hashed.select(F.col("doc_id").alias("b_id"), "h")
-    inter = (
-        cand.join(h_a, "a_id")
-        .join(h_b, ["b_id", "h"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("c").alias("ca"))
-    cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("c").alias("cb"))
+    on the same LSH candidate set as the Jaccard verify
+    (``_lsh_scored_candidates``). Containment catches a short document
+    embedded inside a long one (quote farms, boilerplate wrappers) where
+    Jaccard stays low because the union is dominated by the long side — the
+    standard companion metric in corpus dedup. Shares every stage with the
+    Jaccard pipeline, so at scale the two verifies ride one candidate
+    generation."""
+    scored = _lsh_scored_candidates(spark, sf_dir)
     containment = F.col("i").cast("double") / F.least(F.col("ca"), F.col("cb"))
     return (
-        inter.join(ca, "a_id")
-        .join(cb, "b_id")
-        .withColumn("containment", containment)
+        scored.withColumn("containment", containment)
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .select("a_id", "b_id", "containment")
         .orderBy("a_id", "b_id")
