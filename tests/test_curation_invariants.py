@@ -1,0 +1,140 @@
+"""Semantic invariants of the curation / event-pattern operators — checks
+the oracle comparison can't express (cross-query consistency, structural
+properties of intervals and chunks)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_chunking_covers_every_word_once_per_stride(spark):
+    from clickhousemigrators3_spark.operators.curation import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunk_overlap,
+    )
+    from clickhousemigrators3_spark.catalog import load_table
+
+    chunks = doc_chunk_overlap(spark, SF_DIR)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+            F.min("n_chunk_words").alias("min_w"),
+            F.max("n_chunk_words").alias("max_w"),
+            F.sum("n_chunk_words").alias("sum_w"),
+        )
+        .collect()
+    )
+    words = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.trim("text") != "")
+        .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .collect()
+    }
+    assert per_doc and len(per_doc) == len(words)
+    for r in per_doc:
+        n = words[r["doc_id"]]
+        # chunk starts are 0, stride, … < n_words
+        assert r["n_chunks"] == math.ceil(n / CHUNK_STRIDE)
+        assert r["max_idx"] == r["n_chunks"] - 1
+        assert 1 <= r["min_w"] and r["max_w"] <= CHUNK_SIZE
+        # total chunked words ≥ source words (overlap duplicates some)
+        assert r["sum_w"] >= n
+
+
+def test_quantization_codes_bounded_and_scale_consistent(spark):
+    from clickhousemigrators3_spark.operators.curation import embedding_quantize_int8
+
+    rows = embedding_quantize_int8(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        assert r["scale"] >= 0
+
+
+def test_mixture_weights_form_a_distribution(spark):
+    from clickhousemigrators3_spark.operators.curation import mixture_domain_weights
+
+    rows = mixture_domain_weights(spark, SF_DIR).collect()
+    k = len(rows)
+    assert abs(sum(r["actual_frac"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        # weight is defined as (1/k) / actual_frac — resampling by it
+        # equalizes the mixture
+        assert abs(r["weight"] * r["actual_frac"] - 1.0 / k) < 1e-3
+
+
+def test_scd2_intervals_chain_with_one_open_row(spark):
+    from clickhousemigrators3_spark.operators.curation import (
+        scd2_customer_price_history,
+    )
+
+    rows = scd2_customer_price_history(spark, SF_DIR).collect()
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r["customer_id"], []).append(r)
+    assert by_cust
+    for hist in by_cust.values():
+        # exactly one current row, and it is the last interval
+        assert sum(1 for r in hist if r["is_current"]) == 1
+        assert hist[-1]["is_current"] and hist[-1]["valid_to"] is None
+        for prev, nxt in zip(hist, hist[1:]):
+            # intervals chain: [from, to) with to == next.from, strictly increasing
+            assert prev["valid_to"] == nxt["valid_from"]
+            assert prev["valid_from"] < nxt["valid_from"]
+
+
+def test_asof_directions_agree_with_bruteforce(spark):
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.asof import (
+        asof_join_last_click,
+        asof_join_next_view,
+    )
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    rows = e.collect()
+    clicks: dict = {}
+    views: dict = {}
+    purchases = []
+    for r in rows:
+        if r["event_type"] == "click":
+            clicks.setdefault(r["user_id"], []).append((r["ts"], r["value"]))
+        elif r["event_type"] == "view":
+            views.setdefault(r["user_id"], []).append((r["ts"], r["value"]))
+        elif r["event_type"] == "purchase":
+            purchases.append(r)
+
+    back = {r["event_id"]: r["last_click_value"] for r in asof_join_last_click(spark, SF_DIR).collect()}
+    fwd = {r["event_id"]: r["next_view_value"] for r in asof_join_next_view(spark, SF_DIR).collect()}
+    assert len(back) == len(purchases) == len(fwd)
+    for p in purchases:
+        earlier = [(t, v) for t, v in clicks.get(p["user_id"], []) if t < p["ts"]]
+        later = [(t, v) for t, v in views.get(p["user_id"], []) if t > p["ts"]]
+        assert back[p["event_id"]] == (max(earlier)[1] if earlier else None)
+        assert fwd[p["event_id"]] == (min(later)[1] if later else None)
+
+
+def test_sequence_match_consistent_with_count(spark):
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        ev_sequence_count,
+        ev_sequence_match,
+    )
+
+    matched = {
+        r["user_id"]: r["matched"] for r in ev_sequence_match(spark, SF_DIR).collect()
+    }
+    counts = {
+        r["user_id"]: r["n_matches"] for r in ev_sequence_count(spark, SF_DIR).collect()
+    }
+    assert matched and set(matched) == set(counts)
+    for uid, m in matched.items():
+        assert m == (counts[uid] >= 1)
