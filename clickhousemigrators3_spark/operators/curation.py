@@ -122,9 +122,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@register(
-    "mixture_domain_weights",
-    """
+MIXTURE_ORACLE = """
     WITH c AS (
       SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM documents GROUP BY 1, 2),
@@ -134,8 +132,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(c.n_docs AS DOUBLE) / t.tot, 6) AS actual_frac,
            ROUND((1.0 / t.k) / (CAST(c.n_docs AS DOUBLE) / t.tot), 6) AS weight
     FROM c, t ORDER BY lang, source
-    """,
-)
+"""
+
+
+@register("mixture_domain_weights", MIXTURE_ORACLE)
 def mixture_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture reweighting: per-(lang, source) corpus share and the
     resampling weight that would equalize the mixture (target = uniform
@@ -213,3 +213,45 @@ def scd2_customer_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         "n_changes_that_day",
     ).orderBy("customer_id", "valid_from")
+
+
+SAMPLE_BASE_RATE = 0.2  # target corpus-wide keep rate before reweighting
+
+RESAMPLE_ORACLE = f"""
+WITH mix AS ({MIXTURE_ORACLE}),
+kept AS (
+  SELECT d.doc_id, d.lang, d.source
+  FROM documents d
+  JOIN mix m ON m.lang = d.lang AND m.source = d.source
+  WHERE (('0x' || substr(md5('mx' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)
+          / 4294967296.0
+        < LEAST(1.0, {SAMPLE_BASE_RATE} * m.weight))
+SELECT doc_id, lang, source FROM kept ORDER BY doc_id
+"""
+
+
+@register("mixture_resampled_docs", RESAMPLE_ORACLE)
+def mixture_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the mixture: keep each document with probability
+    base_rate × its domain weight (capped at 1), decided by a deterministic
+    per-document hash fraction — so over-represented domains are downsampled
+    toward the uniform target and the selection is reproducible run-to-run
+    (the property random() sampling loses on retries/replays).
+
+    Scale: weights table is domain-cardinality rows → broadcast; the keep
+    decision is a narrow map over the scan. This is the executable
+    counterpart of ``mixture_domain_weights``."""
+    from ..functions.hashing import stable_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    w = mixture_domain_weights(spark, sf_dir).select("lang", "source", "weight")
+    frac = stable_hash32(
+        F.concat(F.lit("mx"), F.col("doc_id").cast("string"))
+    ).cast("double") / F.lit(4294967296.0)
+    keep_p = F.least(F.lit(1.0), F.lit(SAMPLE_BASE_RATE) * F.col("weight"))
+    return (
+        d.join(F.broadcast(w), ["lang", "source"])
+        .filter(frac < keep_p)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
