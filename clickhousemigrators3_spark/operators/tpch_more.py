@@ -570,3 +570,32 @@ def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "window_percentrank_cumedist",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey), 6)
+               AS pr,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice, o_orderkey), 6) AS cd
+    FROM orders WHERE o_custkey % 100 = 0
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_percentrank_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window surface: PERCENT_RANK and CUME_DIST of each
+    order within its customer's price history (deterministic
+    (price, orderkey) tie-break; 1%-of-customers slice keeps the oracle
+    result compact). Same one-shuffle-per-partition-key topology as every
+    other window query."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    ).orderBy("o_custkey", "o_orderkey")
