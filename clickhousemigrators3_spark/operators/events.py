@@ -300,3 +300,39 @@ def ev_variant_json_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ev_time_bucket_15m",
+    f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+           COUNT(*) AS n_events, {_SUM_VALUE_SQL},
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_time_bucket_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-interval ``time_bucket`` (the TimescaleDB/hypertable rollup
+    primitive, 15-minute grain): one grouped aggregation per bucket with
+    count/sum/min/max — the raw material the incremental rollup
+    (operators/rollup_maintenance.py) refreshes. ``F.window`` is the Spark
+    spelling; grain is a literal, so Catalyst folds the bucket boundary
+    arithmetic into the scan projection."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _sum_value(),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("bucket_start")
+    )
