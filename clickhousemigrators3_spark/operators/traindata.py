@@ -407,10 +407,10 @@ def text_decontaminated_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_retained_oracle() -> str:
-    from .dedup import COSINE_PAIRS_ORACLE
+    from .dedup import EMB_LSH_PAIRS_ORACLE
 
     return f"""
-WITH pairs AS ({COSINE_PAIRS_ORACLE.strip()})
+WITH pairs AS ({EMB_LSH_PAIRS_ORACLE.strip()})
 SELECT vec_id, CAST(label AS INTEGER) AS label FROM embeddings
 WHERE vec_id NOT IN (SELECT b_id FROM pairs)
 ORDER BY vec_id
@@ -423,13 +423,16 @@ def dedup_embedding_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger vec_id of every pair at/above the cosine threshold — the vector
     twin of dedup_minhash_retained.
 
-    Scale plan: pair discovery comes from the bucketed LSH/IVF path
-    (operators/similarity.py) rather than the brute-force baseline used
-    for oracle parity here; the drop-list stays tiny either way, so the
-    final step is a broadcast left-anti join against the corpus scan."""
-    from .dedup import dedup_embedding_cosine_pairs
+    Scale plan: pair discovery is the bucketed hyperplane-LSH path
+    (dedup_embedding_lsh_pairs) — bucket-collision candidates + exact
+    cosine verify — not the O(n²) brute-force baseline, which survives
+    only as the recall gate (dedup_embedding_lsh_recall). The drop-list
+    stays tiny, so the final step is a broadcast left-anti join against
+    the corpus scan; no quadratic stage remains anywhere in the retained
+    path."""
+    from .dedup import dedup_embedding_lsh_pairs
 
-    drop = dedup_embedding_cosine_pairs(spark, sf_dir).select(
+    drop = dedup_embedding_lsh_pairs(spark, sf_dir).select(
         F.col("b_id").alias("vec_id")
     ).distinct()
     e = load_table(spark, sf_dir, "embeddings")
