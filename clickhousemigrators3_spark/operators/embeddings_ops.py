@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.vectors import cosine, to_double
+from ..functions.vectors import cosine, sql_cosine, to_double
 from ..registry import register
 
 DIM = 64
@@ -102,14 +102,58 @@ K_CLUSTERS = 8
 KMEANS_ITERS = 5
 
 
-@register("kmeans_lloyd_clusters", None)  # iterative → rows-only check
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's iterations as a DuckDB CTE chain: a fixed iteration
+    count makes the 'iterative' algorithm SQL-expressible, upgrading the
+    k-means check from rows-only to a full value oracle. assign_i uses
+    cent_{i-1}; the query returns the final iteration's assignment, exactly
+    like the driver loop."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {K_CLUSTERS})",
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"""assign{i} AS (
+  SELECT vec_id, cluster, v FROM (
+    SELECT e.vec_id, c.cluster, e.v,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'c.cv')} DESC, c.cluster) AS rn
+    FROM e, cent{i - 1} c) WHERE rn = 1)"""
+        )
+        if i < KMEANS_ITERS:
+            parts.append(
+                f"""flat{i} AS (
+  SELECT cluster, unnest(v) AS val,
+         unnest(generate_series(1, len(v))) AS dim
+  FROM assign{i})"""
+            )
+            parts.append(
+                f"""means{i} AS (
+  SELECT cluster, dim, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS m
+  FROM flat{i} GROUP BY 1, 2)"""
+            )
+            parts.append(
+                f"""cent{i} AS (
+  SELECT cluster, list(m ORDER BY dim) AS cv FROM means{i} GROUP BY cluster)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, cluster FROM assign{KMEANS_ITERS} ORDER BY vec_id"
+    )
+
+
+@register("kmeans_lloyd_clusters", _kmeans_oracle())
 def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding column: deterministic init
     (first K vectors), argmax-cosine assignment, centroid = per-dim mean,
     fixed {KMEANS_ITERS} iterations (driver-looped; each iteration is one
     assignment join + one grouped mean — the distributed-iteration pattern).
     Returns (vec_id, cluster) — the trained version of ann_ivf_topk's
-    sampled centroids."""
+    sampled centroids. Oracle: the identical fixed-depth recurrence unrolled
+    as a DuckDB CTE chain (_kmeans_oracle), so the check is full value
+    parity, not rows-only."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
