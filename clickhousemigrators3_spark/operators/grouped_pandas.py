@@ -63,12 +63,35 @@ def grouped_zscore_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def grouped_linear_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user linear trend of event values over time (least-squares slope
-    via the centered normal equations inside applyInPandas) — the 'small
-    model per group' pattern (forecasting, drift detection). Slope reported
-    per *day* and rounded to 6dp so the DuckDB ``regr_slope`` oracle matches
-    despite different fp summation orders (same discipline as
-    grouped_zscore_per_lang)."""
+    """Per-user linear trend of event values over time via the native
+    ``regr_slope`` aggregate — one shuffle, pure JVM HashAggregate, no
+    Python boundary (the DuckDB oracle uses its own ``regr_slope``). Slope
+    reported per *day* and rounded to 6dp to absorb fp summation-order
+    drift between engines. The pandas normal-equations form survives as an
+    unverified-twin unit test (``grouped_linear_trend_pandas_twin``), the
+    same discipline functions/udfs.py uses for its JVM twins."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # micros/1e6 matches DuckDB's epoch(ts) bit-for-bit (UTC session TZ)
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")) / 1e6
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.regr_slope(F.col("value"), epoch) * 86400.0, F.lit(0.0)
+                ),
+                6,
+            ).alias("slope_per_day"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def grouped_linear_trend_pandas_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas twin of grouped_linear_trend_per_user (centered
+    normal equations per group) — kept unregistered as the grouped-Arrow
+    plumbing demo; tests assert it matches the native aggregate."""
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
 
     def trend(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -487,3 +487,26 @@ def test_dml_model_equivalence(spark, tmp_path):
             r["key"]: r["val"] for r in spark.read.parquet(path).collect()
         }
         assert got == model, f"diverged at step {step} after {op} {sorted(ks)}"
+
+
+def test_grouped_trend_pandas_twin_matches_native(spark):
+    """The applyInPandas normal-equations form must agree with the native
+    regr_slope aggregate (same discipline as the udfs.py JVM twins)."""
+    from clickhousemigrators3_spark.operators.grouped_pandas import (
+        grouped_linear_trend_pandas_twin,
+        grouped_linear_trend_per_user,
+    )
+
+    native = {
+        r["user_id"]: (r["slope_per_day"], r["n"])
+        for r in grouped_linear_trend_per_user(spark, SF_DIR).collect()
+    }
+    twin = {
+        r["user_id"]: (r["slope_per_day"], r["n"])
+        for r in grouped_linear_trend_pandas_twin(spark, SF_DIR).collect()
+    }
+    assert set(native) == set(twin)
+    for uid, (slope, n) in native.items():
+        assert twin[uid][1] == n
+        # both rounded to 6dp; allow a last-digit rounding-boundary flip
+        assert abs(twin[uid][0] - slope) <= 2e-6, uid

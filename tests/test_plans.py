@@ -189,3 +189,29 @@ def test_ann_recall_broadcasts_queries(spark):
 
     plan = _plan(ann_ivf_recall_at_k(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_grouped_trend_is_jvm_hashaggregate(spark):
+    """The per-user regression slope is a native regr_slope aggregate: one
+    HashAggregate pair, no Python/Arrow boundary in the plan."""
+    from clickhousemigrators3_spark.operators.grouped_pandas import (
+        grouped_linear_trend_per_user,
+    )
+
+    plan = _plan(grouped_linear_trend_per_user(spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_emb_lsh_dedup_no_cartesian(spark):
+    """The LSH embedding near-dup path must never degenerate to the
+    brute-force cartesian: candidates come from the (band, bucket)
+    equi-join."""
+    from clickhousemigrators3_spark.operators.dedup import (
+        dedup_embedding_lsh_pairs,
+    )
+
+    plan = _plan(dedup_embedding_lsh_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
