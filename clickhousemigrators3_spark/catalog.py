@@ -27,11 +27,25 @@ def table_path(sf_dir: str, name: str) -> str:
 
 # Analyzed-plan cache: file listing + parquet footer/schema reads happen once
 # per (session, dataset, table) instead of once per query build. DataFrames
-# are immutable logical plans, so sharing one across queries is safe; keying
-# on the session object drops entries for stopped sessions naturally (a new
-# session is a new key). This is ordinary catalog caching — at 100 TB the
-# file-listing round trip is the expensive part being saved.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# are immutable logical plans, so sharing one across queries is safe. Each
+# entry holds the owning SparkSession so _prune_table_cache can evict
+# entries for stopped sessions (a cached DataFrame strongly references its
+# session, so without explicit eviction stopped sessions and their plans
+# would leak for the process lifetime). This is ordinary catalog caching —
+# at 100 TB the file-listing round trip is the expensive part being saved.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _prune_table_cache() -> None:
+    """Drop cache entries whose SparkSession has been stopped (its
+    SparkContext's _jsc goes None on stop)."""
+    dead = [
+        k
+        for k, (sess, _) in _TABLE_CACHE.items()
+        if getattr(getattr(sess, "_sc", None), "_jsc", None) is None
+    ]
+    for k in dead:
+        del _TABLE_CACHE[k]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,10 +55,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     table is a parquet scan whose filters/projections Catalyst pushes into
     the file reader (check ``PushedFilters``/``ReadSchema`` in ``.explain``).
     """
+    _prune_table_cache()
     key = (id(spark._jsparkSession), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
-        return cached
+        return cached[1]
     if name == "events":
         # Parquet TIMESTAMP(NANOS) is unsupported by Spark's reader unless
         # nanosAsLong is on. session.get_spark sets it at build time, but
@@ -68,7 +83,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
-    _TABLE_CACHE[key] = df
+    _TABLE_CACHE[key] = (spark, df)
     return df
 
 

@@ -879,7 +879,7 @@ def ipv4_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT value,
-             NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+             NTILE(10) OVER (ORDER BY value NULLS LAST, event_id) AS bucket
       FROM events)
     SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, MIN(value) AS lo,
            MAX(value) AS hi
@@ -899,7 +899,9 @@ def histogram_equidepth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    # asc_nulls_last matches DuckDB's default NULLS LAST; Spark ascending is
+    # NULLS FIRST, which would silently put any NULL values in bucket 1.
+    w = Window.orderBy(F.asc_nulls_last("value"), "event_id")
     b = e.select("value", F.ntile(10).over(w).alias("bucket"))
     return (
         b.groupBy("bucket")

@@ -36,6 +36,7 @@ def asof_join(
     payload: dict[str, Column],
     probe_cols: list[str],
     direction: str = "backward",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Generic as-of join. ``payload`` maps output-column → source column
     expression; probe rows keep ``probe_cols``.
@@ -44,11 +45,21 @@ def asof_join(
     (the default, DuckDB ``ON p.ts > s.ts``); ``"forward"`` the earliest
     strictly-later one (``ON p.ts < s.ts``) — same union-sort trick with the
     scan order reversed, so the nearest preceding row in window order is the
-    nearest *later* timestamp."""
+    nearest *later* timestamp.
+
+    ``tie_break`` names a source column used as the final ordering key when
+    two source rows in the same group share a timestamp — without it the
+    window order ties and ``last()`` picks an arbitrary one per run. The
+    winner at equal ts is the max ``tie_break`` value (backward) / min
+    (forward); pass the source's unique id for determinism. (DuckDB's ASOF
+    JOIN is likewise unspecified on source-ts ties, so there is no one
+    "correct" row — only a repeatable one.)"""
+    tie_src = F.col(tie_break) if tie_break else F.lit(0)
     src_tagged = source.select(
         *by,
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_tag"),
+        tie_src.alias("_tie"),
         *[expr.alias(f"_p_{name}") for name, expr in payload.items()],
         *[F.lit(None).cast(probe.schema[c].dataType).alias(f"_k_{c}") for c in probe_cols],
     )
@@ -56,14 +67,20 @@ def asof_join(
         *by,
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_tag"),
+        F.lit(None).cast(src_tagged.schema["_tie"].dataType).alias("_tie"),
         *[F.lit(None).cast(source.select(expr.alias("x")).schema["x"].dataType).alias(f"_p_{name}") for name, expr in payload.items()],
         *[F.col(c).alias(f"_k_{c}") for c in probe_cols],
     )
     unioned = src_tagged.unionByName(probe_tagged)
-    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
+    if direction == "backward":
+        # scan old→new; among equal-ts sources the max tie wins (last seen)
+        order = [F.col("_ts").asc(), F.col("_tag"), F.asc_nulls_first("_tie")]
+    else:
+        # scan new→old; among equal-ts sources the min tie wins (last seen)
+        order = [F.col("_ts").desc(), F.col("_tag"), F.desc_nulls_first("_tie")]
     w = (
         Window.partitionBy(*by)
-        .orderBy(ts_order, F.col("_tag"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -108,6 +125,7 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts="ts",
         payload={"last_click_value": F.col("value")},
         probe_cols=["event_id"],
+        tie_break="event_id",
     )
     return out.select("event_id", "user_id", "ts", "last_click_value").orderBy("event_id")
 
@@ -138,5 +156,6 @@ def asof_join_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload={"next_view_value": F.col("value")},
         probe_cols=["event_id"],
         direction="forward",
+        tie_break="event_id",
     )
     return out.select("event_id", "user_id", "ts", "next_view_value").orderBy("event_id")

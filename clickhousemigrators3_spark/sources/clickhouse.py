@@ -30,8 +30,7 @@ def jdbc_url(host: str, port: int = DEFAULT_PORT, database: str = "default") -> 
     return f"jdbc:clickhouse://{host}:{port}/{database}"
 
 
-def reader(
-    spark: SparkSession,
+def reader_options(
     host: str,
     database: str,
     table: str,
@@ -42,31 +41,54 @@ def reader(
     num_partitions: int = 32,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
-) -> DataFrameReader:
+    predicate: str | None = None,
+) -> dict[str, str]:
+    """The full JDBC option map for one ClickHouse table read, as a pure
+    function of its inputs — the contract the JVM datasource receives.
+    Contract-tested against golden values (tests/test_engine_units.py)
+    since no live server exists in this container.
+
+    ``predicate`` is pushed via a dbtable subquery (the JDBC way to
+    guarantee server-side filtering regardless of what Catalyst decides to
+    push — the property the reference got by shipping whole SQL strings,
+    ``migration.py:473-477``)."""
+    if partition_column is not None and lower_bound is not None and upper_bound is not None:
+        if lower_bound >= upper_bound:
+            raise ValueError(
+                f"lowerBound ({lower_bound}) must be < upperBound ({upper_bound})"
+            )
+    qualified = f"{database}.{table}"
+    dbtable = (
+        qualified
+        if predicate is None
+        else f"(SELECT * FROM {qualified} WHERE {predicate}) AS src"
+    )
+    opts = {
+        "url": jdbc_url(host, port, database),
+        "dbtable": dbtable,
+        "user": user,
+        "password": password,
+        "driver": DRIVER,
+        "pushDownPredicate": "true",
+        "pushDownAggregate": "true",
+        "fetchsize": "100000",
+    }
+    if partition_column is not None:
+        opts.update(
+            {
+                "partitionColumn": partition_column,
+                "numPartitions": str(num_partitions),
+                "lowerBound": str(lower_bound if lower_bound is not None else 0),
+                "upperBound": str(upper_bound if upper_bound is not None else 1 << 31),
+            }
+        )
+    return opts
+
+
+def reader(spark: SparkSession, **kwargs) -> DataFrameReader:
     """Configured JDBC reader for one ClickHouse table. Call ``.load()``
     against a live server."""
-    r = (
-        spark.read.format("jdbc")
-        .option("url", jdbc_url(host, port, database))
-        .option("dbtable", f"{database}.{table}")
-        .option("user", user)
-        .option("password", password)
-        .option("driver", DRIVER)
-        .option("pushDownPredicate", "true")
-        .option("pushDownAggregate", "true")
-        .option("fetchsize", "100000")
-    )
-    if partition_column is not None:
-        r = (
-            r.option("partitionColumn", partition_column)
-            .option("numPartitions", str(num_partitions))
-            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
-            .option(
-                "upperBound",
-                str(upper_bound if upper_bound is not None else 1 << 31),
-            )
-        )
-    return r
+    return spark.read.format("jdbc").options(**reader_options(**kwargs))
 
 
 def read_table(spark: SparkSession, **kwargs) -> DataFrame:

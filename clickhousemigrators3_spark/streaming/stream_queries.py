@@ -37,13 +37,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        # TIMESTAMP (ltz), not ntz: watermarks require event-time to be
-        # TIMESTAMP type; session tz is pinned UTC so wall-clock values
-        # match the batch twin's ntz values exactly
+    # Watermarks require event-time to be TIMESTAMP (ltz); the fixture's ts
+    # arrives as long nanos or TIMESTAMP_NTZ depending on how the parquet was
+    # written. Session tz is pinned UTC so wall-clock values match the batch
+    # twin's ntz values exactly in either case.
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     assert stream.columns == batch.columns
     return stream
 

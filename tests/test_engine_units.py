@@ -23,6 +23,102 @@ def test_jdbc_reader_construction(spark):
     assert r is not None
 
 
+def test_jdbc_reader_options_contract():
+    """Golden-value contract for every branch of reader_options — the exact
+    option map the JVM JDBC datasource receives (no live server exists, so
+    the contract IS the testable surface)."""
+    import pytest
+
+    from clickhousemigrators3_spark.sources.clickhouse import reader_options
+
+    # plain read: no partitioning keys present at all
+    plain = reader_options(host="ch1", database="db", table="t")
+    assert plain == {
+        "url": "jdbc:clickhouse://ch1:8123/db",
+        "dbtable": "db.t",
+        "user": "default",
+        "password": "",
+        "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+        "pushDownPredicate": "true",
+        "pushDownAggregate": "true",
+        "fetchsize": "100000",
+    }
+
+    # partitioned read: explicit bounds land verbatim, count stringified
+    part = reader_options(
+        host="ch1",
+        database="db",
+        table="t",
+        partition_column="id",
+        num_partitions=8,
+        lower_bound=100,
+        upper_bound=5000,
+    )
+    assert part["partitionColumn"] == "id"
+    assert part["numPartitions"] == "8"
+    assert part["lowerBound"] == "100"
+    assert part["upperBound"] == "5000"
+
+    # default bounds: full non-negative int32 range
+    dflt = reader_options(host="ch1", database="db", table="t", partition_column="id")
+    assert (dflt["lowerBound"], dflt["upperBound"]) == ("0", str(1 << 31))
+    assert dflt["numPartitions"] == "32"
+
+    # predicate → guaranteed server-side subquery pushdown
+    pred = reader_options(
+        host="ch1", database="db", table="t", predicate="d >= '2024-01-01'"
+    )
+    assert pred["dbtable"] == "(SELECT * FROM db.t WHERE d >= '2024-01-01') AS src"
+
+    # custom port/user/password reach the url and auth options
+    auth = reader_options(
+        host="ch2", database="db", table="t", port=9000, user="ro", password="pw"
+    )
+    assert auth["url"] == "jdbc:clickhouse://ch2:9000/db"
+    assert (auth["user"], auth["password"]) == ("ro", "pw")
+
+    # inverted bounds are a config error, not a silent empty read
+    with pytest.raises(ValueError, match="lowerBound"):
+        reader_options(
+            host="ch1",
+            database="db",
+            table="t",
+            partition_column="id",
+            lower_bound=10,
+            upper_bound=10,
+        )
+
+
+def test_migrate_to_parquet_dry_run(spark, tmp_path, monkeypatch):
+    """migrate_to_parquet end-to-end with a parquet-backed stand-in for the
+    JDBC source: the writer path (overwrite mode, partitionBy) is real; only
+    the server read is substituted."""
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.sources import clickhouse as ch
+
+    src = load_table(spark, SF_DIR, "orders").limit(500)
+    monkeypatch.setattr(ch, "read_table", lambda spark, **kw: src)
+
+    dest = str(tmp_path / "out")
+    ch.migrate_to_parquet(
+        spark,
+        dest_path=dest,
+        partition_keys=["o_orderpriority"],
+        host="ch1",
+        database="db",
+        table="orders",
+    )
+    back = spark.read.parquet(dest)
+    assert back.count() == 500
+    # partition column became a directory key and survives the round-trip
+    assert sorted(back.columns) == sorted(src.columns)
+    import os
+
+    assert any(
+        d.startswith("o_orderpriority=") for d in os.listdir(dest) if not d.startswith("_")
+    )
+
+
 def test_approx_distinct_error_bound(spark):
     from clickhousemigrators3_spark.operators.analytics import (
         agg_distinct_counts,
