@@ -2,15 +2,16 @@
 
 Pattern: image/audio/video payloads are opaque ``binary`` columns with a
 typed metadata struct alongside. Decode / feature-extract / frame-sample run
-as Arrow-batched ``mapInPandas`` stages — the Spark-side plumbing (schema,
-batch shape, partitioning) is real; the actual codec call is STUBBED behind
-an import-try (the image/audio libs aren't in this container) with a
-deterministic fake so tests are stable. Swap ``_decode_stub`` for a real
-PIL/ffmpeg call and nothing else changes.
+as Arrow-batched ``mapInPandas`` stages. The codec is REAL pure Python
+(functions/codecs.py): payloads synthesized here are genuine valid PNG/WAV
+files, and the decode stage parses actual container headers — so these
+queries exercise a true binary encode → Arrow transfer → decode round trip.
+A PIL/libvips/ffmpeg swap-in would replace only the pixel/sample math.
 
-The fixtures carry no binary column, so payloads are derived as
-``encode(text, 'utf-8')`` — which also gives the metadata query a DuckDB
-oracle (octet_length).
+The fixtures carry no binary column, so payloads are derived per doc: the
+metadata/frame queries use ``encode(text, 'utf-8')`` (giving octet_length
+oracles), the codec queries synthesize PNG/WAV with dimensions that are
+deterministic functions of ``doc_id`` (giving exact header-value oracles).
 
 Scale: mapInPandas streams Arrow batches through Python — ~10-100× the
 throughput of row-at-a-time UDFs; batch size bounded by
@@ -46,22 +47,36 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """STUB decode: the real implementation would be e.g.
-    ``PIL.Image.open(io.BytesIO(payload))``. Deterministic fake: byte stats.
-    """
-    try:
-        import PIL.Image  # noqa: F401 — not in this container
+def _media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a synthesized REAL media payload: even doc_ids become
+    valid grayscale PNGs, odd doc_ids valid PCM WAVs, parameters derived
+    deterministically from doc_id (so header values are SQL-predictable).
+    Synthesis runs executor-side in Arrow batches — the driver never sees a
+    payload byte, same as reading a real binary column from parquet."""
+    from ..functions.codecs import make_png, make_wav
 
-        raise NotImplementedError("real image decode not wired up yet")
-    except ImportError:
-        pass
-    n = len(payload)
-    return {
-        "n_bytes": n,
-        "first_byte": payload[0] if n else 0,
-        "byte_sum_mod": sum(payload) % 65536,
-    }
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    payloads.append(
+                        make_png(16 + i % 64, 16 + (i // 64) % 64, gray=i % 256)
+                    )
+                else:
+                    payloads.append(
+                        make_wav(
+                            256 + i % 512,
+                            sample_rate=8000 + (i % 8) * 1000,
+                            channels=1 + (i // 2) % 2,
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return d.mapInPandas(synth, schema="doc_id long, payload binary")
 
 
 @register(
@@ -93,37 +108,71 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
-@register("mm_feature_extract", None)  # stubbed decode → rows-only check
+@register(
+    "mm_feature_extract",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(16 + doc_id % 64 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(16 + (doc_id // 64) % 64 AS BIGINT) END AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS BIGINT)
+               AS bit_depth,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                ELSE 1 + (doc_id // 2) % 2 END AS BIGINT) AS channels,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(8000 + (doc_id % 8) * 1000 AS BIGINT)
+           END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST((256 + doc_id % 512) * 1000
+                          // (8000 + (doc_id % 8) * 1000) AS BIGINT)
+           END AS duration_ms
+    FROM documents ORDER BY doc_id
+    """,
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary payloads: mapInPandas batch →
-    fixed-dim float feature vector per document (deterministic stub in place
-    of a real model/codec). Schema/batch plumbing is exactly what a CLIP- or
-    mel-spectrogram-style extractor needs. The vector stays an
-    ``array<float>`` through the Python stage; the output boundary projects
-    the fixed dims to scalar columns (external result comparators can't sort
-    list-typed cells)."""
-    src = _payloads(spark, sf_dir)
+    """Metadata feature extraction with a REAL codec: synthesized valid
+    PNG/WAV payloads (see _media_payloads) flow through Arrow as binary, and
+    the decode stage parses actual container headers (functions/codecs.py —
+    PNG IHDR, RIFF fmt/data walk). The oracle recomputes every header field
+    from the doc_id formulas, so a bug in either the encoder or the parser
+    breaks parity. This is the schema/batch plumbing a CLIP- or
+    mel-spectrogram-style extractor drops into unchanged."""
+    from ..functions.codecs import parse_header
+
+    src = _media_payloads(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(
-                lambda p: [
-                    float(v)
-                    for v in (
-                        _decode_stub(p)["n_bytes"] % 256,
-                        _decode_stub(p)["first_byte"],
-                        _decode_stub(p)["byte_sum_mod"] % 256,
-                    )
-                ]
+            hdrs = [parse_header(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [h["fmt"] for h in hdrs],
+                    "width": pd.array([h.get("width") for h in hdrs], dtype="Int64"),
+                    "height": pd.array([h.get("height") for h in hdrs], dtype="Int64"),
+                    "bit_depth": pd.array(
+                        [h.get("bit_depth") for h in hdrs], dtype="Int64"
+                    ),
+                    "channels": pd.array(
+                        [h.get("channels") for h in hdrs], dtype="Int64"
+                    ),
+                    "sample_rate": pd.array(
+                        [h.get("sample_rate") for h in hdrs], dtype="Int64"
+                    ),
+                    "duration_ms": pd.array(
+                        [h.get("duration_ms") for h in hdrs], dtype="Int64"
+                    ),
+                }
             )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
-    vecs = src.mapInPandas(extract, schema="doc_id long, features array<float>")
-    return vecs.select(
-        "doc_id",
-        F.col("features")[0].alias("f0"),
-        F.col("features")[1].alias("f1"),
-        F.col("features")[2].alias("f2"),
+    return src.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, fmt string, width long, height long, bit_depth long,"
+            " channels long, sample_rate long, duration_ms long"
+        ),
     ).orderBy("doc_id")
 
 
@@ -172,41 +221,55 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
-@register("mm_resize", None)  # stubbed decode → rows-only check
+@register(
+    "mm_resize",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(16 + (doc_id * 7) % 80 AS BIGINT) AS src_h,
+             CAST(16 + doc_id % 80 AS BIGINT) AS src_w
+      FROM documents)
+    SELECT doc_id, src_h, src_w,
+           CAST(GREATEST(FLOOR(src_h * LEAST(64.0 / src_h, 64.0 / src_w, 1.0)),
+                         1) AS BIGINT) AS dst_h,
+           CAST(GREATEST(FLOOR(src_w * LEAST(64.0 / src_h, 64.0 / src_w, 1.0)),
+                         1) AS BIGINT) AS dst_w
+    FROM p ORDER BY doc_id
+    """,
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing: decode payload → (h, w) from header bytes →
-    downscale to fit a 64×64 box (aspect preserved) → re-encoded payload.
-    The pixel work is a deterministic stub (no codec libs in this
-    container, see _decode_stub); the Spark surface — binary in/binary out
-    mapInPandas, Arrow batches, 1:1 row mapping, metadata columns typed —
-    is exactly what a real PIL/libvips resize stage needs. Scale: pure map,
-    no shuffle; batch size bounded by arrow.maxRecordsPerBatch so executor
-    memory holds ~batch×payload bytes."""
-    src = _payloads(spark, sf_dir)
+    """Image resize with a REAL codec round trip: synthesize a valid PNG per
+    doc (dims = doc_id formulas), parse its IHDR for (h, w), downscale to
+    fit a 64×64 box (aspect preserved), re-encode a genuine PNG at the new
+    dimensions, and emit the dst dims by re-parsing the re-encoded bytes —
+    encoder and parser must agree twice for the oracle to hold. The pixel
+    resample itself is the only simplification (solid-gray fill); a real
+    PIL/libvips stage changes nothing outside the inner loop.
+
+    Scale: pure map, no shuffle; batch size bounded by
+    arrow.maxRecordsPerBatch so executor memory holds ~batch x payload."""
+    from ..functions.codecs import make_png, parse_header
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
     box = 64
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                # fake dims from header bytes (deterministic stand-in for a
-                # real decode): 1..256 each
-                h = (payload[0] if n > 0 else 0) + 1
-                w = (payload[1] if n > 1 else 0) + 1
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                src = make_png(16 + i % 80, 16 + (i * 7) % 80, gray=i % 256)
+                hdr = parse_header(src)
+                h, w = hdr["height"], hdr["width"]
                 scale = min(box / h, box / w, 1.0)
                 nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
-                # fake re-encode: truncate payload proportionally to area ratio
-                out_len = max(int(n * (nh * nw) / (h * w)), 1) if n else 0
-                rows.append(
-                    (int(doc_id), h, w, nh, nw, bytes(payload[:out_len]))
-                )
+                out = parse_header(make_png(nw, nh, gray=i % 256))
+                rows.append((i, h, w, out["height"], out["width"]))
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "src_h", "src_w", "dst_h", "dst_w", "payload"],
+                rows, columns=["doc_id", "src_h", "src_w", "dst_h", "dst_w"]
             )
 
-    return src.mapInPandas(
+    return d.mapInPandas(
         resize,
-        schema="doc_id long, src_h int, src_w int, dst_h int, dst_w int, payload binary",
+        schema="doc_id long, src_h long, src_w long, dst_h long, dst_w long",
     ).orderBy("doc_id")

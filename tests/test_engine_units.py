@@ -606,3 +606,49 @@ def test_grouped_trend_pandas_twin_matches_native(spark):
         assert twin[uid][1] == n
         # both rounded to 6dp; allow a last-digit rounding-boundary flip
         assert abs(twin[uid][0] - slope) <= 2e-6, uid
+
+
+def test_codecs_png_wav_roundtrip():
+    """Pure-Python codec contract: encode → parse returns the exact header
+    values, for every supported container plus the unknown fallback."""
+    from clickhousemigrators3_spark.functions.codecs import (
+        make_png,
+        make_wav,
+        parse_header,
+    )
+
+    png = parse_header(make_png(33, 47, gray=128))
+    assert (png["fmt"], png["width"], png["height"]) == ("png", 33, 47)
+    assert (png["bit_depth"], png["channels"]) == (8, 1)
+
+    wav = parse_header(make_wav(1000, sample_rate=16000, channels=2, bits=16))
+    assert (wav["fmt"], wav["channels"], wav["sample_rate"]) == ("wav", 2, 16000)
+    assert (wav["bit_depth"], wav["n_samples"], wav["duration_ms"]) == (16, 1000, 62)
+
+    # GIF89a golden bytes: 320x200 little-endian dims
+    gif = parse_header(b"GIF89a" + bytes([64, 1, 200, 0]) + b"\x00" * 6)
+    assert (gif["fmt"], gif["width"], gif["height"]) == ("gif", 320, 200)
+
+    # minimal JPEG: SOI + APP0 + SOF0 (precision 8, 480x640, 3 channels)
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + bytes([8]) + struct.pack(
+        ">HH", 480, 640
+    ) + bytes([3]) + bytes(9)
+    jpg = parse_header(b"\xff\xd8" + app0 + sof0)
+    assert (jpg["fmt"], jpg["width"], jpg["height"], jpg["channels"]) == (
+        "jpeg", 640, 480, 3,
+    )
+
+    unk = parse_header(b"\x01\x02\x03")
+    assert unk["fmt"] == "bin" and unk["n_bytes"] == 3 and unk["first_byte"] == 1
+
+    # a PNG with a valid zlib stream decompresses back to its scanlines
+    import zlib
+
+    body = make_png(5, 3, gray=7)
+    idat_off = body.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", body[idat_off - 8 : idat_off - 4])[0]
+    raw = zlib.decompress(body[idat_off : idat_off + idat_len])
+    assert raw == (b"\x00" + bytes([7]) * 5) * 3

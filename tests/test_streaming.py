@@ -42,12 +42,15 @@ def test_multimodal_plumbing(spark):
     feats = mm_feature_extract(spark, SF_DIR)
     rows = feats.collect()
     assert len(rows) == 500
-    # vector dims projected to scalar columns at the output boundary
-    assert [f.name for f in feats.schema.fields] == ["doc_id", "f0", "f1", "f2"]
-    assert all(
-        r["f0"] is not None and r["f1"] is not None and r["f2"] is not None
-        for r in rows
-    )
+    # real codec round trip: PNG rows carry dims, WAV rows carry audio fields
+    for r in rows:
+        if r["fmt"] == "png":
+            assert r["width"] == 16 + r["doc_id"] % 64
+            assert r["sample_rate"] is None
+        else:
+            assert r["fmt"] == "wav"
+            assert r["sample_rate"] == 8000 + (r["doc_id"] % 8) * 1000
+            assert r["width"] is None
 
     frames = mm_frame_sample(spark, SF_DIR).collect()
     assert len(frames) >= 500  # fan-out: ≥1 frame per doc
