@@ -590,6 +590,76 @@ def skew_salted_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_hotkey_salted_agg",
+    """
+    WITH skewed AS (
+      SELECT CASE WHEN l_orderkey % 2 = 0 THEN CAST(-1 AS BIGINT)
+                  ELSE l_orderkey END AS hot_key
+      FROM lineitem)
+    SELECT hot_key, CAST(COUNT(*) AS BIGINT) AS n
+    FROM skewed GROUP BY hot_key ORDER BY n DESC, hot_key LIMIT 10
+    """,
+)
+def skew_hotkey_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted aggregation under REAL skew: half of lineitem collapses onto
+    one derived key (-1), the worst case for a plain groupBy (one reducer
+    owns 50% of the table). The two-phase salted count (partial on
+    (key, salt), final on key) splits that key across 8 tasks; the oracle is
+    the plain group-count, so correctness under the hot key is
+    value-checked, not assumed. Plan guard: tests/test_plans.py asserts the
+    salt fan-out survives optimization."""
+    from ..functions.skew import salted_agg_count
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(-1).cast("long"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("hot_key")
+    )
+    counted = salted_agg_count(li, "hot_key", n_salts=8)
+    return (
+        counted.select("hot_key", F.col("cnt").alias("n"))
+        .orderBy(F.desc("n"), "hot_key")
+        .limit(10)
+    )
+
+
+@register(
+    "skew_hotkey_salted_join",
+    """
+    WITH skewed AS (
+      SELECT CASE WHEN l_orderkey % 2 = 0 THEN CAST(1 AS BIGINT)
+                  ELSE 1 + l_orderkey % 100 END AS s_suppkey
+      FROM lineitem)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM skewed JOIN supplier USING (s_suppkey)
+    GROUP BY s_name ORDER BY s_name
+    """,
+)
+def skew_hotkey_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under REAL skew: half of lineitem's rows map to supplier
+    key 1, the classic one-straggler join. salted_join replicates the
+    supplier side across 8 salts so the hot key's probe work spreads over 8
+    tasks; the oracle is the plain join+count. (AQE skew-split also fires on
+    shuffled joins at runtime — explicit salting is the guarantee when one
+    key exceeds a single task even after splitting, and the form that works
+    for aggregation state too.)"""
+    from ..functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1).cast("long"))
+        .otherwise(1 + F.col("l_orderkey") % 100)
+        .alias("s_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(li, s, on="s_suppkey", n_salts=8)
+    return (
+        joined.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("s_name")
+    )
+
+
+@register(
     "array_functions_surface",
     """
     WITH g AS (

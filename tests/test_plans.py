@@ -215,3 +215,34 @@ def test_emb_lsh_dedup_no_cartesian(spark):
 
     plan = _plan(dedup_embedding_lsh_pairs(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_skew_salt_fanout_in_plan(spark):
+    """The hot-key queries must keep their salt fan-out through optimization:
+    the salted agg partially aggregates on (key, _salt) before the final
+    combine, and the salted join replicates the small side via explode
+    (Generate) and joins on (key, _salt)."""
+    from clickhousemigrators3_spark.operators.analytics import (
+        skew_hotkey_salted_agg,
+        skew_hotkey_salted_join,
+    )
+
+    agg_plan = _plan(skew_hotkey_salted_agg(spark, SF_DIR))
+    assert "_salt" in agg_plan  # partial phase keyed on (hot_key, _salt)
+
+    join_plan = _plan(skew_hotkey_salted_join(spark, SF_DIR))
+    assert "Generate explode" in join_plan  # small side replicated per salt
+    assert "_salt" in join_plan  # join key extended with the salt
+    assert "CartesianProduct" not in join_plan
+
+
+def test_skew_hotkey_is_actually_skewed(spark):
+    """Fixture sanity: the derived hot key really owns ~50% of the rows —
+    without this the stress case silently degrades to a uniform join."""
+    from clickhousemigrators3_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    total = li.count()
+    hot = li.filter(F.col("l_orderkey") % 2 == 0).count()
+    assert 0.4 < hot / total < 0.6
