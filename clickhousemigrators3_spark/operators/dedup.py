@@ -162,16 +162,23 @@ ORDER BY a_id, b_id
 
 def _lsh_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared LSH verify input: word-3-gram shingles → one 32-bit stable
-    hash per shingle → 16 affine-permutation min-hashes in a single groupBy
-    (no seed explosion) → 4-band signatures → bucket self-join →
-    per-candidate intersection size and set sizes: ``(a_id, b_id, i, ca,
+    hash per shingle → ONE groupBy(doc_id) producing the 16
+    affine-permutation min-hashes AND the per-doc hash set AND its size →
+    4-band signatures → bucket self-join → exact overlap via
+    ``array_intersect`` on the two candidates' sets: ``(a_id, b_id, i, ca,
     cb)``. Every set-overlap verify (Jaccard, containment) is a filter over
     this one relation, so at scale they ride a single candidate generation.
 
-    The hashed shingle set is persisted because three downstream stages
-    (minhash, per-doc counts, intersection join) consume it — at scale you'd
-    materialize it the same way; overlap is computed over hashed shingle
-    sets (8-byte join keys, not strings), identically in the oracle."""
+    Plan shape (the round-3 rework): the old form persisted the exploded
+    (doc_id, h) relation and verified by joining it twice per candidate —
+    two shuffles of the biggest table in the pipeline. Collapsing signature
+    + set construction into one aggregation means the corpus-sized relation
+    is shuffled exactly once; the per-doc relation (one row per document,
+    set bounded by document length — NOT corpus size) is what's persisted,
+    and candidate verification is two joins against it (AQE broadcasts them
+    when small; they stay shuffle joins at 10^9 docs) followed by a narrow
+    ``array_intersect``. Overlap is still computed over hashed shingle sets
+    (4-byte elements, not strings), identically in the oracle."""
     d = load_table(spark, sf_dir, "documents")
     raw = d.select(
         "doc_id", F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("shingle")
@@ -180,13 +187,14 @@ def _lsh_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = raw.select(
         "doc_id", stable_hash32(F.col("shingle")).alias("h")
     ).distinct()
-    hashed.persist()
-    minh = hashed.groupBy("doc_id").agg(
+    per_doc = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
             for i, (a, b) in enumerate(MINHASH_COEFFS)
-        ]
+        ],
+        F.collect_list("h").alias("hs"),
     )
+    per_doc.persist()
     sig_cols = [
         F.md5(
             F.concat_ws(
@@ -199,7 +207,7 @@ def _lsh_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"sig{band}")
         for band in range(N_SEEDS // BAND_SIZE)
     ]
-    sigs = minh.select("doc_id", *sig_cols)
+    sigs = per_doc.select("doc_id", *sig_cols)
     # unpivot the band signatures to (doc_id, band, sig) for the bucket join
     bands = sigs.select(
         "doc_id",
@@ -227,18 +235,19 @@ def _lsh_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    cnt = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
-    h_a = hashed.select(F.col("doc_id").alias("a_id"), "h")
-    h_b = hashed.select(F.col("doc_id").alias("b_id"), "h")
-    inter = (
-        cand.join(h_a, "a_id")
-        .join(h_b, ["b_id", "h"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("i"))
+    sets_a = per_doc.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("hs_a"))
+    sets_b = per_doc.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("hs_b"))
+    return (
+        cand.join(sets_a, "a_id")
+        .join(sets_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("i"),
+            F.size("hs_a").alias("ca"),
+            F.size("hs_b").alias("cb"),
+        )
     )
-    ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("c").alias("ca"))
-    cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("c").alias("cb"))
-    return inter.join(ca, "a_id").join(cb, "b_id")
 
 
 @register("dedup_minhash_lsh_pairs", MINHASH_ORACLE)
