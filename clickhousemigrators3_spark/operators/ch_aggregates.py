@@ -1,0 +1,175 @@
+"""ClickHouse-parity aggregate surfaces beyond the basics (SURVEY.md §2.3
+covers the reference's own aggregations; these are the combinator-style
+aggregates ClickHouse users lean on — groupBitAnd/Or/Xor, entropy,
+topKWeighted, groupArrayMovingSum, runningDifference — re-expressed as
+Spark built-ins so they stay inside whole-stage codegen).
+
+Scale notes: every query here is a single grouped aggregation or a single
+partitioned window — one shuffle each, no Python boundary, no driver-side
+iteration. The moving-window forms reuse the same (user) partitioning the
+event queries already shuffle on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "bitwise_agg_surface",
+    """
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS band,
+           CAST(bit_or(user_id) AS BIGINT) AS bor,
+           CAST(bit_xor(user_id) AS BIGINT) AS bxor,
+           CAST(LEAST(COUNT(DISTINCT user_id), 10) AS BIGINT) AS uniq_upto_10
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def bitwise_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse groupBitAnd/groupBitOr/groupBitXor + uniqUpTo(10) parity:
+    Spark's bit_and/bit_or/bit_xor aggregates (JVM, map-side combinable) and
+    a capped distinct count. One grouped aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").alias("band"),
+            F.bit_or("user_id").alias("bor"),
+            F.bit_xor("user_id").alias("bxor"),
+            F.least(F.count_distinct("user_id"), F.lit(10))
+            .cast("long")
+            .alias("uniq_upto_10"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "entropy_event_type_daily",
+    """
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT day, SUM(n) AS tot FROM c GROUP BY day)
+    SELECT c.day,
+           ROUND(-SUM((CAST(n AS DOUBLE) / tot)
+                      * log2(CAST(n AS DOUBLE) / tot)), 6) AS entropy,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM c JOIN t USING (day)
+    GROUP BY c.day ORDER BY c.day
+    """,
+)
+def entropy_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``entropy()`` parity: per-day Shannon entropy of the
+    event-type distribution. Two grouped aggregations over the same day key
+    (count per (day, type), then the -Σ p·log2 p combine) — the second
+    reuses the first's partitioning, so one shuffle of the corpus total."""
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("day"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.withColumn("tot", tot)
+        .groupBy("day")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "topk_weighted_sources",
+    """
+    WITH w AS (
+      SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS weight
+      FROM documents GROUP BY 1, 2)
+    SELECT lang, source, weight, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY weight DESC, source) AS rn
+          FROM w)
+    WHERE rn <= 3 ORDER BY lang, rank
+    """,
+)
+def topk_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted`` parity: per language, the top-3 sources
+    by total character weight. Grouped sum then per-group window top-k —
+    WindowGroupLimit keeps per-partition state at k rows, the same plan
+    shape as window_topn (asserted there)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("long").alias("weight")
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("weight"), F.asc("source"))
+    return (
+        w.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "source", "weight", F.col("rn").cast("long").alias("rank"))
+        .orderBy("lang", "rank")
+    )
+
+
+@register(
+    "moving_agg_per_user",
+    """
+    WITH m AS (
+      SELECT user_id, event_id,
+             SUM(CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS msum,
+             COUNT(*)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mcnt,
+             value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(msum AS DOUBLE) AS moving_sum_3,
+           ROUND(CAST(msum AS DOUBLE) / mcnt, 6) AS moving_avg_3,
+           ROUND(value - COALESCE(prev, value), 2) AS running_diff
+    FROM m ORDER BY user_id, event_id
+    """,
+)
+def moving_agg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse groupArrayMovingSum/Avg + runningDifference parity:
+    per-user 3-row moving sum/avg over event values and the consecutive
+    delta. One shuffle on user_id; both window frames share the same sort.
+    The moving sum goes through DECIMAL(18,2) so the sliding-frame
+    retraction order can never drift the float (registry determinism
+    rule)."""
+    e = load_table(spark, sf_dir, "events")
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    msum = F.sum(F.col("value").cast("decimal(18,2)")).over(frame)
+    mcnt = F.count(F.lit(1)).over(frame)
+    prev = F.lag("value").over(seq)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            msum.cast("double").alias("moving_sum_3"),
+            F.round(msum.cast("double") / mcnt, 6).alias("moving_avg_3"),
+            F.round(
+                F.col("value") - F.coalesce(prev, F.col("value")), 2
+            ).alias("running_diff"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -47,6 +47,7 @@ def load_all() -> dict[str, Query]:
     from .operators import (  # noqa: F401
         analytics,
         asof,
+        ch_aggregates,
         clusters,
         curation,
         dedup,
