@@ -484,3 +484,98 @@ def ev_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_matches"
         ),
     ).orderBy("user_id")
+
+
+@register(
+    "ev_window_funnel_sliding",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS lv
+      FROM events),
+    seq2 AS (
+      SELECT user_id, ts, event_id, event_type, lv,
+             MAX(CASE WHEN event_type = 'click' THEN lv END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS bc
+      FROM seq),
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                       AND ts <= lv + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+                      THEN 1 ELSE 0 END) AS s2,
+             MAX(CASE WHEN event_type = 'purchase' AND bc IS NOT NULL
+                       AND ts <= bc + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+                      THEN 1 ELSE 0 END) AS s3
+      FROM seq2 GROUP BY user_id)
+    SELECT CASE WHEN s3 = 1 THEN 3 WHEN s2 = 1 THEN 2
+                WHEN s1 = 1 THEN 1 ELSE 0 END AS step,
+           COUNT(*) AS n_users
+    FROM per_user GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_window_funnel_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windowFunnel — ClickHouse ``windowFunnel`` proper, where the
+    chain may anchor at ANY view, not just the user's first (the
+    ev_funnel_steps simplification). Exists-any-chain semantics:
+
+    * step 2 — some view→click with click ≤ view + window;
+    * step 3 — some view→click→purchase with purchase ≤ view + window.
+
+    The trick that keeps this one linear pass instead of an anchors×events
+    join: for each event, ``lv`` = latest earlier view; a purchase completes
+    a chain iff the best "view that starts a view→click chain ending before
+    me" (``bc``, a running max of ``lv`` over earlier clicks) is within the
+    window — choosing the LATEST qualifying view maximizes slack for every
+    inner condition, so exists-any-chain reduces to two cascaded
+    conditional running maxes. One shuffle on user_id, constant state per
+    row; the oracle runs the identical formulation."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lv = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(prior)
+    seq = e.withColumn("lv", lv)
+    bc = F.max(F.when(F.col("event_type") == "click", F.col("lv"))).over(prior)
+    seq2 = seq.withColumn("bc", bc)
+    per_user = seq2.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("lv").isNotNull()
+                & (F.col("ts") <= F.col("lv") + win),
+                1,
+            ).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("bc").isNotNull()
+                & (F.col("ts") <= F.col("bc") + win),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    step = (
+        F.when(F.col("s3") == 1, 3)
+        .when(F.col("s2") == 1, 2)
+        .when(F.col("s1") == 1, 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(step.alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("step")
+    )
