@@ -246,3 +246,33 @@ def test_skew_hotkey_is_actually_skewed(spark):
     total = li.count()
     hot = li.filter(F.col("l_orderkey") % 2 == 0).count()
     assert 0.4 < hot / total < 0.6
+
+
+def test_registry_no_python_boundary(spark):
+    """Sweeping scale guard: no registered query may put Python in the hot
+    path. Row-at-a-time BatchEvalPython is banned outright; Arrow stages
+    (MapInPandas / FlatMapGroupsInPandas) are allowed only for the five
+    queries whose semantics need them (multimodal codec plumbing, the
+    grouped-Arrow demo). A new query that silently falls off the JVM fast
+    path fails here, not in a profile six months later."""
+    from clickhousemigrators3_spark.registry import load_all
+
+    ARROW_SANCTIONED = {
+        "grouped_zscore_per_lang",
+        "mm_binary_metadata",
+        "mm_feature_extract",
+        "mm_frame_sample",
+        "mm_resize",
+    }
+    offenders = {}
+    for name, q in sorted(load_all().items()):
+        if name.startswith("stream_"):
+            continue  # streaming twins execute on call; covered elsewhere
+        plan = _plan(q.fn(spark, SF_DIR))
+        if "BatchEvalPython" in plan:
+            offenders[name] = "BatchEvalPython"
+        elif (
+            "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+        ) and name not in ARROW_SANCTIONED:
+            offenders[name] = "unsanctioned Arrow stage"
+    assert not offenders, offenders
