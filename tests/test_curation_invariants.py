@@ -138,3 +138,52 @@ def test_sequence_match_consistent_with_count(spark):
     assert matched and set(matched) == set(counts)
     for uid, m in matched.items():
         assert m == (counts[uid] >= 1)
+
+
+def test_sliding_funnel_matches_bruteforce(spark):
+    """ev_window_funnel_sliding's running-max reduction vs the literal
+    exists-any-chain triple join, computed independently on sf0.001. The
+    oracle runs the same reduction as the Spark query, so this is the check
+    that the REDUCTION itself is right, not just engine parity."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        FUNNEL_WINDOW_HOURS,
+        ev_window_funnel_sliding,
+    )
+
+    got = {
+        r["step"]: r["n_users"]
+        for r in ev_window_funnel_sliding(spark, SF_DIR).collect()
+    }
+
+    e = load_table(spark, SF_DIR, "events").select("user_id", "ts", "event_type")
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    v = e.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("vt"))
+    c = e.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("ct"))
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("pt"))
+
+    s1 = v.select("user_id").distinct()
+    s2 = (
+        v.join(c, "user_id")
+        .filter((F.col("ct") > F.col("vt")) & (F.col("ct") <= F.col("vt") + win))
+        .select("user_id")
+        .distinct()
+    )
+    s3 = (
+        v.join(c, "user_id")
+        .join(p, "user_id")
+        .filter(
+            (F.col("ct") > F.col("vt"))
+            & (F.col("pt") > F.col("ct"))
+            & (F.col("pt") <= F.col("vt") + win)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    all_users = e.select("user_id").distinct()
+    n1, n2, n3, n = s1.count(), s2.count(), s3.count(), all_users.count()
+    expected = {3: n3, 2: n2 - n3, 1: n1 - n2, 0: n - n1}
+    expected = {k: v for k, v in expected.items() if v > 0}
+    assert got == expected

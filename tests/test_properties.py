@@ -65,3 +65,47 @@ def test_config_coercion_bools(s):
     out = _coerce("resume", s)
     assert isinstance(out, bool)
     assert out == (s.strip().lower() in ("1", "true", "yes", "on"))
+
+
+@given(
+    st.integers(min_value=1, max_value=300),
+    st.integers(min_value=1, max_value=300),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=40)
+def test_codec_png_roundtrip(w, h, gray):
+    from clickhousemigrators3_spark.functions.codecs import make_png, parse_header
+
+    hdr = parse_header(make_png(w, h, gray=gray))
+    assert (hdr["fmt"], hdr["width"], hdr["height"]) == ("png", w, h)
+    assert (hdr["bit_depth"], hdr["channels"]) == (8, 1)
+
+
+@given(
+    st.integers(min_value=0, max_value=50_000),
+    st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from([8, 16, 24, 32]),
+)
+@settings(max_examples=40)
+def test_codec_wav_roundtrip(n_samples, rate, channels, bits):
+    from clickhousemigrators3_spark.functions.codecs import make_wav, parse_header
+
+    hdr = parse_header(make_wav(n_samples, rate, channels, bits))
+    assert (hdr["fmt"], hdr["channels"], hdr["sample_rate"]) == ("wav", channels, rate)
+    assert hdr["bit_depth"] == bits
+    assert hdr["n_samples"] == n_samples
+    assert hdr["duration_ms"] == n_samples * 1000 // rate
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=60)
+def test_codec_parse_never_raises(payload):
+    """Arbitrary (possibly truncated/garbage) payloads must parse to SOME
+    metadata row, never raise — the property the mapInPandas stage relies on
+    for corrupt inputs at 100 TB."""
+    from clickhousemigrators3_spark.functions.codecs import parse_header
+
+    out = parse_header(payload)
+    assert out["n_bytes"] == len(payload)
+    assert isinstance(out["fmt"], str)
