@@ -266,6 +266,80 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_RECALL_ORACLE = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hashed AS (
+  SELECT DISTINCT doc_id, {oracle_hash_sql('shingle', bits=32)} AS h FROM sh),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM hashed GROUP BY 1),
+pair_i AS (
+  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, COUNT(*) AS i
+  FROM hashed sa JOIN hashed sb ON sb.h = sa.h AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT a_id, b_id FROM pair_i p
+  JOIN cnt ca ON ca.doc_id = p.a_id
+  JOIN cnt cb ON cb.doc_id = p.b_id
+  WHERE CAST(p.i AS DOUBLE) / (ca.c + cb.c - p.i) >= {JACCARD_THRESHOLD}),
+found AS ({MINHASH_ORACLE}),
+hits AS (SELECT COUNT(*) AS n FROM truth t
+         JOIN found f ON f.a_id = t.a_id AND f.b_id = t.b_id)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
+       ROUND((SELECT n FROM hits)
+             / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6) AS recall
+"""
+
+
+@register("dedup_minhash_recall", MINHASH_RECALL_ORACLE)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the text-LSH path (the twin of
+    dedup_embedding_lsh_recall): ground truth = EVERY pair with exact
+    Jaccard ≥ {JACCARD_THRESHOLD}, computed by the inverted-index exact
+    algorithm (self-join of the (doc, shingle-hash) relation on the hash,
+    so only pairs sharing ≥1 shingle are scored — sub-quadratic, but still
+    the expensive exact form); found = the banded-LSH pairs. Measures what
+    the 4×4 band/row choice gives up. Gate duty only — never in the bench
+    headline set, exactly like the embedding brute-force twin."""
+    hashed = _shingles(spark, sf_dir).select(
+        "doc_id", stable_hash32(F.col("shingle")).alias("h")
+    ).distinct()
+    cnt = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    sa = hashed.select(F.col("doc_id").alias("a_id"), "h")
+    sb = hashed.select(F.col("doc_id").alias("b_id"), "h")
+    pair_i = (
+        sa.join(sb, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("c").alias("cb"))
+    jac = F.col("i").cast("double") / (F.col("ca") + F.col("cb") - F.col("i"))
+    truth = (
+        pair_i.join(ca, "a_id")
+        .join(cb, "b_id")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+    found = dedup_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    hits = found.join(truth, ["a_id", "b_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_true.crossJoin(n_found)
+        .crossJoin(hits)
+        .select(
+            "n_true",
+            "n_found",
+            F.round(
+                F.col("n_hits") / F.col("n_true").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
