@@ -1,6 +1,10 @@
 """CLI entry point — EP1 parity (reference ``cli.py:5-21`` /
 ``orchestrator.py:21-89``): parse/layer config → probe sink → resume →
 migrate → report → exit code.
+
+Beyond the reference's migration modes, the CLI exposes the query registry
+(``list-queries`` / ``query <name>``) so the engine is drivable as an
+analytics tool, not only a migrator.
 """
 
 from __future__ import annotations
@@ -9,7 +13,67 @@ import sys
 import time
 
 
+def cli_list_queries() -> int:
+    from .registry import load_all
+
+    for name, q in sorted(load_all().items()):
+        kind = "oracle" if q.oracle is not None else "rows-only"
+        print(f"{name}\t{kind}")
+    return 0
+
+
+def cli_query(argv: list[str]) -> int:
+    """``query <name> [--sf-dir D] [--limit N] [--explain]`` — run one
+    registered query and print its rows (tab-separated, driver-side limit
+    applied BEFORE collect so the driver never holds a full result)."""
+    from .registry import load_all
+    from .session import get_spark
+
+    if not argv or argv[0].startswith("-"):
+        print("usage: query <name> [--sf-dir D] [--limit N] [--explain]", file=sys.stderr)
+        return 2
+    name, rest = argv[0], argv[1:]
+    sf_dir, limit, explain = "/root/testdata/sf0.001", 20, False
+    it = iter(rest)
+    for a in it:
+        if a == "--sf-dir":
+            sf_dir = next(it)
+        elif a == "--limit":
+            limit = int(next(it))
+        elif a == "--explain":
+            explain = True
+        else:
+            print(f"unknown option {a}", file=sys.stderr)
+            return 2
+    reg = load_all()
+    if name not in reg:
+        print(f"unknown query {name!r} (see list-queries)", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"query-{name}")
+    try:
+        df = reg[name].fn(spark, sf_dir)
+        if explain:
+            df.explain("formatted")
+            return 0
+        rows = df.limit(limit).collect()
+        print("\t".join(df.columns))
+        for r in rows:
+            print("\t".join(str(v) for v in r))
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
+    args = list(sys.argv[1:]) if argv is None else list(argv)
+    if args and args[0] == "list-queries":
+        return cli_list_queries()
+    if args and args[0] == "query":
+        return cli_query(args[1:])
+    return _migrate_main(argv)
+
+
+def _migrate_main(argv: list[str] | None = None) -> int:
     from .catalog import probe_sink
     from .config import resolve_config
     from .operators.migrate import migrate_full_database, migrate_single_table

@@ -277,3 +277,43 @@ def test_cli_end_to_end(tmp_path):
     # migrated data exists, partitioned on the requested key
     out_dirs = os.listdir(dest / "nation")
     assert any(d.startswith("n_regionkey=") for d in out_dirs)
+
+
+def test_cli_query_subcommands(tmp_path):
+    """CLI query surface e2e in a fresh interpreter: list-queries prints the
+    registry, query runs one and prints rows, unknown names exit 2."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    run = lambda *args: subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; from clickhousemigrators3_spark.cli import main; "
+            "sys.exit(main(sys.argv[1:]))",
+            *args,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+        env=env,
+    )
+
+    ls = run("list-queries")
+    assert ls.returncode == 0
+    lines = ls.stdout.strip().splitlines()
+    assert len(lines) > 100
+    assert any(line.startswith("tpch_q6_forecast_revenue\toracle") for line in lines)
+
+    q = run("query", "a1_total_count", "--sf-dir", "/root/testdata/sf0.001")
+    assert q.returncode == 0
+    out_lines = q.stdout.strip().splitlines()
+    assert out_lines[0] == "row_cnt"
+    assert int(out_lines[1]) > 0
+
+    bad = run("query", "no_such_query")
+    assert bad.returncode == 2
+    assert "unknown query" in bad.stderr
