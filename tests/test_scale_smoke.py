@@ -66,3 +66,95 @@ def test_validation_join_at_10m(spark, big_dir):
     assert len(v) == 6
     assert all(not r["passed"] for r in v)  # every partition lost rows
     assert dt < 60, f"validation at 10M rows took {dt:.1f}s"
+
+
+@pytest.fixture(scope="module")
+def big_docs_dir(spark, tmp_path_factory):
+    """documents ×8 with IDENTICAL text per replica — the hot-bucket worst
+    case for LSH (every doc now has ≥7 exact near-dups)."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("scale_docs")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = (
+        docs.withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(8)])))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    big.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_lsh_at_40k_docs_hot_buckets(spark, big_docs_dir):
+    """40k docs where every LSH bucket holds 8 replicas of each member:
+    candidate fan-in is the stress, and the plan must stay sub-quadratic.
+    Every cross-replica pair is an exact dup (jaccard 1.0), so the output
+    must contain >= C(8,2) * n_docs such pairs — a correctness check that
+    the banding loses nothing under maximal bucket pressure."""
+    import time
+
+    from clickhousemigrators3_spark.operators.dedup import dedup_minhash_lsh_pairs
+
+    t0 = time.perf_counter()
+    n = dedup_minhash_lsh_pairs(spark, big_docs_dir).count()
+    dt = time.perf_counter() - t0
+    assert n >= 28 * 5000  # C(8,2) replica pairs per original doc
+    assert dt < 120, f"LSH at 40k docs took {dt:.1f}s"
+
+
+def test_salted_agg_at_10m_hot_key(spark, big_dir):
+    """Two-phase salted count at 10M rows with 50% of them on one key:
+    result must equal the plain groupBy, inside the time bound."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.functions.skew import salted_agg_count
+
+    li = spark.read.parquet(f"{big_dir}/lineitem.parquet").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(-1).cast("long"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("hot_key")
+    )
+    t0 = time.perf_counter()
+    salted = salted_agg_count(li, "hot_key", n_salts=8)
+    hot = salted.filter(F.col("hot_key") == -1).collect()[0]["cnt"]
+    dt = time.perf_counter() - t0
+    plain = li.filter(F.col("hot_key") == -1).count()
+    assert hot == plain
+    assert dt < 60, f"salted agg at 10M rows took {dt:.1f}s"
+
+
+def test_sliding_funnel_at_800k_events(spark, tmp_path_factory):
+    """events ×8 with disjoint user populations per replica: per-user
+    history is unchanged, so the funnel histogram must scale EXACTLY 8× —
+    and per-user window state stays constant."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        ev_window_funnel_sliding,
+    )
+
+    d = tmp_path_factory.mktemp("scale_events")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    big = (
+        ev.withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(8)])))
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * 10_000_000)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * 100_000_000)
+        .drop("rep")
+    )
+    big.write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    base = {
+        r["step"]: r["n_users"] for r in ev_window_funnel_sliding(spark, SF_DIR).collect()
+    }
+    t0 = time.perf_counter()
+    scaled = {
+        r["step"]: r["n_users"]
+        for r in ev_window_funnel_sliding(spark, str(d)).collect()
+    }
+    dt = time.perf_counter() - t0
+    assert scaled == {k: v * 8 for k, v in base.items()}
+    assert dt < 60, f"sliding funnel at 800k events took {dt:.1f}s"
