@@ -70,11 +70,43 @@ def _manifest_path(dest_dir: str, table: str) -> str:
     return os.path.join(dest_dir, f"{table}.manifest.json")
 
 
+def _load_manifest(dest_dir: str, table: str) -> dict | None:
+    import json
+
+    path = _manifest_path(dest_dir, table)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def publish_manifest(dest_dir: str, table: str, data_path: str) -> str:
+    """Publish a new table version: the manifest carries a monotonically
+    increasing ``version`` and the full version ``history`` (Iceberg-style
+    snapshot log, one tiny JSON), so cutover stays a single small-object
+    PUT while every previous data path remains resolvable for time travel
+    until ``vacuum_versions`` prunes it."""
     import json
     import tempfile
 
-    manifest = {"table": table, "data_path": data_path, "published_at": time.time()}
+    prev = _load_manifest(dest_dir, table)
+    version = (prev["version"] + 1) if prev else 1
+    history = list(prev.get("history", [])) if prev else []
+    if prev:
+        history.append(
+            {
+                "version": prev["version"],
+                "data_path": prev["data_path"],
+                "published_at": prev["published_at"],
+            }
+        )
+    manifest = {
+        "table": table,
+        "version": version,
+        "data_path": data_path,
+        "published_at": time.time(),
+        "history": history,
+    }
     d = os.path.dirname(os.path.abspath(_manifest_path(dest_dir, table)))
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".manifest_")
@@ -84,20 +116,72 @@ def publish_manifest(dest_dir: str, table: str, data_path: str) -> str:
     return _manifest_path(dest_dir, table)
 
 
-def resolve_manifest(dest_dir: str, table: str) -> str | None:
-    import json
-
-    path = _manifest_path(dest_dir, table)
-    if not os.path.exists(path):
+def resolve_manifest(
+    dest_dir: str, table: str, version: int | None = None
+) -> str | None:
+    """Current data path, or a historical version's (time travel)."""
+    m = _load_manifest(dest_dir, table)
+    if m is None:
         return None
-    with open(path) as f:
-        return json.load(f)["data_path"]
+    if version is None or version == m["version"]:
+        return m["data_path"]
+    for h in m.get("history", []):
+        if h["version"] == version:
+            return h["data_path"]
+    raise ValueError(f"version {version} not found for {table!r} (have 1..{m['version']})")
 
 
-def read_published(spark: SparkSession, dest_dir: str, table: str) -> DataFrame:
-    """Read a manifest-published table (falls back to the plain final path
-    for rename-published tables)."""
-    data_path = resolve_manifest(dest_dir, table) or _final_path(dest_dir, table)
+def list_versions(dest_dir: str, table: str) -> list[dict]:
+    """All published versions, oldest first, current last."""
+    m = _load_manifest(dest_dir, table)
+    if m is None:
+        return []
+    return m.get("history", []) + [
+        {k: m[k] for k in ("version", "data_path", "published_at")}
+    ]
+
+
+def vacuum_versions(dest_dir: str, table: str, keep_last: int = 2) -> list[str]:
+    """Retention: drop the data directories of versions older than the last
+    ``keep_last`` and rewrite the manifest history. A data path still
+    referenced by a kept version is never deleted (validate-before-destroy
+    ordering, same posture as the partition copy)."""
+    import json
+    import shutil
+    import tempfile
+
+    m = _load_manifest(dest_dir, table)
+    if m is None:
+        return []
+    versions = m.get("history", []) + [
+        {k: m[k] for k in ("version", "data_path", "published_at")}
+    ]
+    keep = versions[-max(keep_last, 1):]
+    drop = versions[: len(versions) - len(keep)]
+    kept_paths = {v["data_path"] for v in keep}
+    removed = []
+    for v in drop:
+        p = v["data_path"]
+        if p not in kept_paths and os.path.isdir(p):
+            shutil.rmtree(p)
+            removed.append(p)
+    m["history"] = keep[:-1]
+    d = os.path.dirname(os.path.abspath(_manifest_path(dest_dir, table)))
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".manifest_")
+    with os.fdopen(fd, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, _manifest_path(dest_dir, table))
+    return removed
+
+
+def read_published(
+    spark: SparkSession, dest_dir: str, table: str, version: int | None = None
+) -> DataFrame:
+    """Read a manifest-published table, optionally at a historical version
+    (falls back to the plain final path for rename-published tables)."""
+    data_path = resolve_manifest(dest_dir, table, version) or _final_path(
+        dest_dir, table
+    )
     return spark.read.parquet(data_path)
 
 

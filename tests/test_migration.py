@@ -317,3 +317,50 @@ def test_cli_query_subcommands(tmp_path):
     bad = run("query", "no_such_query")
     assert bad.returncode == 2
     assert "unknown query" in bad.stderr
+
+
+def test_manifest_time_travel_and_vacuum(spark, tmp_path):
+    """Snapshot-log semantics on the manifest: every publish appends to the
+    version history, any historical version is readable (time travel), and
+    vacuum_versions prunes old data dirs while never touching a kept one."""
+    import pytest as _pytest
+
+    from clickhousemigrators3_spark.operators.migrate import (
+        list_versions,
+        read_published,
+        resolve_manifest,
+        vacuum_versions,
+    )
+
+    cfg = make_cfg(tmp_path, publish_mode="manifest", partition_keys=["o_orderstatus"])
+    assert migrate_single_table(spark, cfg, "orders")["status"] == "completed"
+    p1 = resolve_manifest(cfg.dest_dir, "orders")
+
+    ledger.save_progress(cfg.progress_path, {})
+    import time as _time
+
+    _time.sleep(1.1)  # distinct version prefix epoch
+    assert migrate_single_table(spark, cfg, "orders")["status"] == "completed"
+    p2 = resolve_manifest(cfg.dest_dir, "orders")
+    assert p1 != p2
+
+    vs = list_versions(cfg.dest_dir, "orders")
+    assert [v["version"] for v in vs] == [1, 2]
+    assert vs[0]["data_path"] == p1 and vs[1]["data_path"] == p2
+
+    # time travel: both versions readable, version pins the path
+    assert resolve_manifest(cfg.dest_dir, "orders", version=1) == p1
+    assert read_published(spark, cfg.dest_dir, "orders", version=1).count() == 1500
+    assert read_published(spark, cfg.dest_dir, "orders").count() == 1500
+
+    # retention: keep only the current version; v1's data dir is removed
+    removed = vacuum_versions(cfg.dest_dir, "orders", keep_last=1)
+    assert removed == [p1]
+    assert not os.path.exists(p1)
+    assert os.path.exists(p2)
+    assert read_published(spark, cfg.dest_dir, "orders").count() == 1500
+    with _pytest.raises(ValueError, match="version 1 not found"):
+        resolve_manifest(cfg.dest_dir, "orders", version=1)
+
+    # idempotent: nothing left to prune
+    assert vacuum_versions(cfg.dest_dir, "orders", keep_last=1) == []
