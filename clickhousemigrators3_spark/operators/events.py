@@ -336,3 +336,125 @@ def ev_time_bucket_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start")
     )
+
+
+PEAK_CONCURRENCY_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '{SESSION_GAP_MIN} minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged),
+iv AS (
+  SELECT user_id, session_idx, MIN(ts) AS s, MAX(ts) AS e
+  FROM sess GROUP BY 1, 2),
+bounds AS (
+  SELECT s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e AS t, -1 AS delta FROM iv),
+intra AS (
+  SELECT date_trunc('hour', t) AS hour,
+         SUM(delta) OVER (PARTITION BY date_trunc('hour', t)
+                          ORDER BY t, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS pref
+  FROM bounds),
+intra_max AS (SELECT hour, MAX(pref) AS max_pref FROM intra GROUP BY 1),
+carry AS (
+  SELECT u.hour, COUNT(*) AS c
+  FROM iv, unnest(generate_series(date_trunc('hour', s) + INTERVAL 1 HOUR,
+                                  date_trunc('hour', e),
+                                  INTERVAL 1 HOUR)) AS u(hour)
+  GROUP BY 1),
+spine AS (
+  SELECT unnest(generate_series(
+           (SELECT MIN(date_trunc('hour', s)) FROM iv),
+           (SELECT MAX(date_trunc('hour', e)) FROM iv),
+           INTERVAL 1 HOUR)) AS hour)
+SELECT spine.hour,
+       CAST(COALESCE(c.c, 0) + GREATEST(COALESCE(m.max_pref, 0), 0) AS BIGINT)
+           AS peak_concurrency
+FROM spine
+LEFT JOIN carry c USING (hour)
+LEFT JOIN intra_max m USING (hour)
+ORDER BY hour
+"""
+
+
+@register("ev_peak_concurrency_hourly", PEAK_CONCURRENCY_ORACLE)
+def ev_peak_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the interval-overlap operator
+    (ClickHouse ``runningConcurrency`` shape) WITHOUT the global sort it is
+    usually written with. Sessions come from the lag-gap-cumsum
+    sessionizer; each closed interval [start, end] emits a +1/-1 boundary
+    pair, and concurrency decomposes per hour bucket as
+
+        peak(H) = carry_in(H) + max(0, max prefix-sum of boundaries in H)
+
+    where carry_in counts sessions spanning the hour start (computed by a
+    bounded explode: one row per spanned hour, fan-out = session length in
+    hours — sessions are inactivity-bounded, so this never approaches
+    corpus scale). Prefix sums are windowed PER HOUR, so the only global
+    structure is the hour spine (metadata-sized); at 100 TB every stage
+    shuffles on (hour) or (user_id), never a single total order. Ties at
+    equal t process +1 before -1 (closed-interval semantics), identically
+    in the oracle."""
+    sess = ev_sessionization(spark, sf_dir).select(
+        F.col("session_start").alias("s"), F.col("session_end").alias("e")
+    )
+    hour_s = F.date_trunc("hour", F.col("s"))
+    hour_e = F.date_trunc("hour", F.col("e"))
+    one_h = F.expr("INTERVAL 1 HOURS")
+
+    bounds = sess.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        sess.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    wpref = (
+        Window.partitionBy(F.date_trunc("hour", F.col("t")))
+        .orderBy(F.col("t"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra_max = (
+        bounds.select(
+            F.date_trunc("hour", F.col("t")).alias("hour"),
+            F.sum("delta").over(wpref).alias("pref"),
+        )
+        .groupBy("hour")
+        .agg(F.max("pref").alias("max_pref"))
+    )
+    carry = (
+        sess.select(
+            F.explode(
+                F.when(
+                    hour_s + one_h <= hour_e,
+                    F.sequence(hour_s + one_h, hour_e, one_h),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<TIMESTAMP_NTZ>)"))
+            ).alias("hour")
+        )
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spine = (
+        sess.agg(
+            F.min(hour_s).alias("lo"), F.max(hour_e).alias("hi")
+        )
+        .select(F.explode(F.sequence(F.col("lo"), F.col("hi"), one_h)).alias("hour"))
+    )
+    return (
+        spine.join(carry, "hour", "left")
+        .join(intra_max, "hour", "left")
+        .select(
+            "hour",
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                + F.greatest(F.coalesce(F.col("max_pref"), F.lit(0)), F.lit(0))
+            )
+            .cast("long")
+            .alias("peak_concurrency"),
+        )
+        .orderBy("hour")
+    )

@@ -187,3 +187,50 @@ def test_sliding_funnel_matches_bruteforce(spark):
     expected = {3: n3, 2: n2 - n3, 1: n1 - n2, 0: n - n1}
     expected = {k: v for k, v in expected.items() if v > 0}
     assert got == expected
+
+
+def test_peak_concurrency_matches_bruteforce(spark):
+    """ev_peak_concurrency_hourly's carry-in + per-hour prefix decomposition
+    vs the literal definition: for every boundary instant t, concurrency =
+    #sessions with s <= t <= e; peak(H) = max over instants in H (or the
+    hour-start carry level for event-free hours). The oracle runs the same
+    decomposition as the Spark query, so this independent quadratic check
+    is what validates the decomposition itself."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.events import (
+        ev_peak_concurrency_hourly,
+        ev_sessionization,
+    )
+
+    got = {
+        r["hour"]: r["peak_concurrency"]
+        for r in ev_peak_concurrency_hourly(spark, SF_DIR).collect()
+    }
+
+    iv = [
+        (r["session_start"], r["session_end"])
+        for r in ev_sessionization(spark, SF_DIR).collect()
+    ]
+    # brute force in plain Python at sf0.001 (few thousand sessions)
+    import datetime
+
+    def floor_hour(t):
+        return t.replace(minute=0, second=0, microsecond=0)
+
+    expected = {}
+    # concurrency at every boundary instant, attributed to its hour
+    for t, _ in [(s, 1) for s, _e in iv] + [(e, -1) for _s, e in iv]:
+        c = sum(1 for s, e in iv if s <= t <= e)
+        h = floor_hour(t)
+        expected[h] = max(expected.get(h, 0), c)
+    # hours with no boundaries: concurrency is flat = carry level
+    lo = floor_hour(min(s for s, _ in iv))
+    hi = floor_hour(max(e for _, e in iv))
+    h = lo
+    while h <= hi:
+        if h not in expected:
+            expected[h] = sum(1 for s, e in iv if s < h <= e)
+        h += datetime.timedelta(hours=1)
+
+    assert got == expected
