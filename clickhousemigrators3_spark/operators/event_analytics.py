@@ -579,3 +579,70 @@ def ev_window_funnel_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("step")
     )
+
+
+@register(
+    "ev_cohort_weekly_activity",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_trunc('week', e.ts) AS DATE) AS act_week
+      FROM events e JOIN first_seen f USING (user_id))
+    SELECT cohort_week,
+           CAST((act_week - cohort_week) / 7 AS BIGINT) AS week_n,
+           COUNT(*) AS n_users
+    FROM act GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ev_cohort_weekly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort activity matrix: users grouped by first-seen week, counted in
+    every later week they were active — the standard retention heat-map
+    input. Two aggregations co-partitioned on user_id (first-seen min, then
+    distinct user-weeks), then a count on (cohort, offset); nothing touches
+    the driver."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    first_seen = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    act = (
+        e.join(first_seen, "user_id")
+        .select("user_id", "cohort_week", week.alias("act_week"))
+        .distinct()
+    )
+    week_n = (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("long")
+    return (
+        act.groupBy("cohort_week", week_n.alias("week_n"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+@register(
+    "ev_transition_pairs",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ev_transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-path analysis: counts of consecutive event-type transitions
+    per user (the Markov/Sankey input). One shuffle on user_id for the lag,
+    then a grouped count on the (prev, next) pair — transition cardinality
+    is |types|^2, so the second agg is map-side absorbed."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
