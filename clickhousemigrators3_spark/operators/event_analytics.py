@@ -646,3 +646,27 @@ def ev_transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@register("ev_hll_partial_merge_weekly", None)  # binary sketches → rows-only
+def ev_hll_partial_merge_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pre-aggregation — THE pattern that makes distinct
+    counts incremental at 100 TB (ClickHouse ``uniqState``/``uniqMerge``
+    parity): per-day HLL sketches (DataSketches ``hll_sketch_agg``) are the
+    stored partials; weekly uniques come from ``hll_union_agg`` over 7 tiny
+    sketches instead of re-scanning the week's raw events. A day's late
+    data re-aggregates one day, not the week. No SQL oracle (sketches are
+    binary); the estimate's error vs the exact weekly distinct is bounded
+    in tests/test_engine_units.py."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", "d").cast("date").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_uniq"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("week")
+    )

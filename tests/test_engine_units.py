@@ -652,3 +652,32 @@ def test_codecs_png_wav_roundtrip():
     idat_len = struct.unpack(">I", body[idat_off - 8 : idat_off - 4])[0]
     raw = zlib.decompress(body[idat_off : idat_off + idat_len])
     assert raw == (b"\x00" + bytes([7]) * 5) * 3
+
+
+def test_hll_partial_merge_error_bound(spark):
+    """Weekly estimates from merged daily sketches must track the exact
+    weekly distincts (HLL lgK default → ~2% rsd; generous 10% bound), and
+    merging partials must cover every week the raw data has."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        ev_hll_partial_merge_weekly,
+    )
+
+    est = {
+        r["week"]: r["approx_uniq"]
+        for r in ev_hll_partial_merge_weekly(spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["week"]: r["n"]
+        for r in e.groupBy(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week")
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for wk, ex in exact.items():
+        assert abs(est[wk] - ex) / ex < 0.1, (wk, est[wk], ex)
