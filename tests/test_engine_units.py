@@ -681,3 +681,36 @@ def test_hll_partial_merge_error_bound(spark):
     assert set(est) == set(exact)
     for wk, ex in exact.items():
         assert abs(est[wk] - ex) / ex < 0.1, (wk, est[wk], ex)
+
+
+def test_approx_percentile_error_bound(spark):
+    """The percentile sketch must land within rank-accuracy distance of the
+    exact order statistics (accuracy=10_000 → tight; assert the observed
+    values sit inside the exact [p-1%, p+1%] rank window per type)."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.analytics import (
+        approx_percentiles_value,
+    )
+
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in approx_percentiles_value(spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "events")
+    lo_hi = e.groupBy("event_type").agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"q{i}")
+            for i, q in enumerate(
+                [0.49, 0.51, 0.89, 0.91, 0.98, 1.0]
+            )
+        ]
+    )
+    for r in lo_hi.collect():
+        p50, p90, p99 = approx[r["event_type"]]
+        assert r["q0"] <= p50 <= r["q1"], ("p50", r["event_type"])
+        assert r["q2"] <= p90 <= r["q3"], ("p90", r["event_type"])
+        assert r["q4"] <= p99 <= r["q5"], ("p99", r["event_type"])
