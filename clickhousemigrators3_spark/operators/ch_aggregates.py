@@ -173,3 +173,72 @@ def moving_agg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "stats_correlation_surface",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_correlation_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (ClickHouse corr/covarSamp/covarPop parity):
+    single grouped aggregation, all moments accumulated map-side in one
+    pass. Rounded because the two engines accumulate co-moments in
+    different orders (covariance is not decimal-expressible)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_s"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_p"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "stats_regression_surface",
+    """
+    SELECT event_type,
+           ROUND(regr_slope(value, epoch(ts)) * 86400, 6) AS slope_per_day,
+           ROUND(regr_intercept(value, epoch(ts)), 4) AS intercept,
+           ROUND(regr_r2(value, epoch(ts)), 6) AS r2,
+           CAST(regr_count(value, epoch(ts)) AS BIGINT) AS n_pairs,
+           ROUND(regr_avgy(value, epoch(ts)), 6) AS avg_y
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stats_regression_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full native linear-regression aggregate family (slope,
+    intercept, r2, count, avgy) per event type — one JVM HashAggregate, the
+    same epoch convention as grouped_linear_trend_per_user. ClickHouse
+    expresses these via simpleLinearRegression; both engines here compute
+    the closed-form moments in a single pass."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts").cast("timestamp")) / 1e6
+    y = F.col("value")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope(y, x) * 86400.0, 6).alias("slope_per_day"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).cast("long").alias("n_pairs"),
+            F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+        )
+        .orderBy("event_type")
+    )
