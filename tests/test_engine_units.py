@@ -714,3 +714,47 @@ def test_approx_percentile_error_bound(spark):
         assert r["q0"] <= p50 <= r["q1"], ("p50", r["event_type"])
         assert r["q2"] <= p90 <= r["q3"], ("p90", r["event_type"])
         assert r["q4"] <= p99 <= r["q5"], ("p99", r["event_type"])
+
+
+def test_asof_join_deterministic_on_ts_ties(spark):
+    """Two source rows sharing a timestamp must resolve deterministically:
+    backward picks the max tie_break id, forward the min — repeatably, and
+    independent of partitioning (the fixtures have unique timestamps, so
+    this constructs the tie explicitly)."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, 100, 50)], "user_id long, event_id long, ts long"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+    # two clicks at the SAME earlier instant, one later pair likewise
+    source = spark.createDataFrame(
+        [(1, 10, 40, 1.0), (1, 11, 40, 2.0), (1, 20, 60, 3.0), (1, 21, 60, 4.0)],
+        "user_id long, event_id long, ts long, value double",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+
+    for n_parts in (1, 7):
+        src = source.repartition(n_parts)
+        back = asof_join(
+            probe=probe,
+            source=src,
+            by=["user_id"],
+            ts="ts",
+            payload={"v": F.col("value")},
+            probe_cols=["event_id"],
+            tie_break="event_id",
+        ).collect()
+        assert len(back) == 1 and back[0]["v"] == 2.0  # max event_id at t=40
+
+        fwd = asof_join(
+            probe=probe,
+            source=src,
+            by=["user_id"],
+            ts="ts",
+            payload={"v": F.col("value")},
+            probe_cols=["event_id"],
+            direction="forward",
+            tie_break="event_id",
+        ).collect()
+        assert len(fwd) == 1 and fwd[0]["v"] == 3.0  # min event_id at t=60
