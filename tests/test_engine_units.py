@@ -758,3 +758,61 @@ def test_asof_join_deterministic_on_ts_ties(spark):
             tie_break="event_id",
         ).collect()
         assert len(fwd) == 1 and fwd[0]["v"] == 3.0  # min event_id at t=60
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered parquet must make row-group min/max stats selective on
+    BOTH clustered columns: for a point predicate on either column, the
+    fraction of row groups whose [min, max] admits the value must be far
+    below the unsorted write's (which is ~100%). Measured from the real
+    parquet footers via pyarrow — the same stats the scan's row-group skip
+    uses."""
+    import pyarrow.parquet as pq
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.functions.zorder import write_zordered
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+
+    plain_path = str(tmp_path / "plain")
+    li.repartition(4).write.mode("overwrite").option(
+        "maxRecordsPerFile", 500
+    ).parquet(plain_path)
+    z_path = str(tmp_path / "zord")
+    write_zordered(
+        li, z_path, "l_orderkey", "l_suppkey", n_partitions=4,
+        max_records_per_file=500,
+    )
+
+    def admit_fraction(path, column, value):
+        import glob
+
+        total = admits = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(column)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min <= value <= st.max:
+                    admits += 1
+        assert total > 4, "need multiple row groups for the test to mean anything"
+        return admits / total
+
+    # mid-range probe values present in the data
+    probe_order = li.approxQuantile("l_orderkey", [0.5], 0)[0]
+    probe_supp = li.approxQuantile("l_suppkey", [0.5], 0)[0]
+
+    for col, val in (("l_orderkey", probe_order), ("l_suppkey", probe_supp)):
+        plain_frac = admit_fraction(plain_path, col, val)
+        z_frac = admit_fraction(z_path, col, val)
+        # unsorted row groups nearly all admit a mid value; z-order must
+        # prune a clear majority on each dimension
+        assert plain_frac > 0.8, (col, plain_frac)
+        assert z_frac < 0.5, (col, z_frac)
+        assert z_frac < plain_frac / 2, (col, plain_frac, z_frac)
+
+    # clustering must not lose rows
+    assert spark.read.parquet(z_path).count() == li.count()
