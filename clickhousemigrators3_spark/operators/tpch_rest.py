@@ -329,10 +329,14 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped > 90 days after order date.
 
     Scale: the EXISTS / NOT EXISTS pair is rewritten as ONE per-order
-    aggregation (distinct suppliers, distinct late suppliers) broadcast
-    back — a single lineitem shuffle instead of two fact-fact self-joins.
-    A row qualifies iff its order has >1 supplier and exactly 1 late
-    supplier (itself, since the row is late)."""
+    aggregation — a single lineitem shuffle instead of two fact-fact
+    self-joins. The fact join happens ONCE: the per-(order, supplier)
+    aggregate carries both the late flag and the late-row multiplicity, so
+    the final count is a sum over that small relation rather than a second
+    pass over the joined facts (r3 rework — the previous form rebuilt the
+    lineitem x orders join for the late-row branch). A (order, supplier)
+    pair qualifies iff the order has >1 supplier and exactly 1 late
+    supplier (itself)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -342,25 +346,29 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
     )
-    # two cascaded regular aggregations instead of two COUNT(DISTINCT)s in
-    # one: avoids Catalyst's 2x Expand of the joined fact rows — the first
+    # cascaded regular aggregations instead of COUNT(DISTINCT)s: the first
     # groupBy collapses to one row per (order, supplier) with map-side
-    # partial aggregation, the second counts those
+    # partial aggregation — keeping the late-row count so the fact rows are
+    # never revisited; the second counts suppliers per order and
+    # co-partitions with the first (AQE reuses the hash partitioning)
     per_supp = lo.groupBy(
         F.col("o_orderkey").alias("po_orderkey"), F.col("l_suppkey").alias("ps")
-    ).agg(F.max("is_late").alias("supp_late"))
+    ).agg(
+        F.max("is_late").alias("supp_late"),
+        F.sum(F.col("is_late").cast("long")).alias("n_late_rows"),
+    )
     per_order = per_supp.groupBy("po_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.sum(F.col("supp_late").cast("long")).alias("n_late_supp"),
     )
     return (
-        lo.filter(F.col("is_late"))
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        per_supp.filter(F.col("supp_late"))
+        .join(per_order, "po_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(s), F.col("ps") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
     )
 
