@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 
 
 def _hourly_rollup(events: DataFrame) -> DataFrame:
+    """Per (day, hour, type): counts, exact sums, AND a mergeable HLL
+    sketch of user_id — the AggregatingMergeTree pattern: storing the
+    sketch state (not a number) lets any later window re-aggregate
+    distinct users by merging sketches instead of re-reading raw events."""
     return (
         events.groupBy(
             F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
@@ -28,6 +32,7 @@ def _hourly_rollup(events: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.hll_sketch_agg("user_id").alias("users_sk"),
         )
     )
 
@@ -69,3 +74,18 @@ def refresh_rollup(
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     return spark.read.parquet(rollup_path)
+
+
+def rollup_daily_uniques(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Answer per-day distinct users FROM THE ROLLUP by merging the stored
+    hourly sketches (uniqMerge parity) — no raw-event scan. The merge cost
+    is |rollup rows| tiny sketches, O(history/3600) of the raw cost."""
+    return (
+        read_rollup(spark, rollup_path)
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("users_sk")).alias("approx_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("day")
+    )

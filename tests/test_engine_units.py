@@ -816,3 +816,36 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
 
     # clustering must not lose rows
     assert spark.read.parquet(z_path).count() == li.count()
+
+
+def test_rollup_sketch_uniques_track_exact(spark, tmp_path):
+    """The rollup's stored HLL sketch states must answer per-day distinct
+    users within sketch error after an incremental refresh — i.e. the
+    AggregatingMergeTree pattern survives partition-grain rebuilds."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.rollup_maintenance import (
+        build_rollup,
+        refresh_rollup,
+        rollup_daily_uniques,
+    )
+
+    e = load_table(spark, SF_DIR, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp_ntz")
+    path = str(tmp_path / "rollup_sk")
+    build_rollup(e.filter(F.col("ts") < cutoff), path)
+    refresh_rollup(spark, e, e.filter(F.col("ts") >= cutoff), path)
+
+    approx = {
+        r["day"]: r["approx_users"] for r in rollup_daily_uniques(spark, path).collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for d, ex in exact.items():
+        assert abs(approx[d] - ex) / ex < 0.1, (d, approx[d], ex)
