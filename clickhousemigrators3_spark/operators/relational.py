@@ -444,3 +444,78 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import REGISTRY
 
     return spark.sql(REGISTRY["sql_api_revenue_by_nation"].oracle)
+
+
+@register(
+    "window_ratio_to_report",
+    """
+    WITH r AS (
+      SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DECIMAL(38,2)) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name, CAST(revenue AS DOUBLE) AS revenue,
+           ROUND(CAST(revenue AS DOUBLE)
+                 / CAST(SUM(revenue) OVER () AS DOUBLE), 6) AS share
+    FROM r ORDER BY n_name
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (``ratio_to_report``): each nation's share of
+    global order revenue. The grouped sum reduces to |nations| rows BEFORE
+    the unpartitioned total window, so the single-partition window scans
+    dozens of rows, not the fact table — the safe way to use an OVER ()
+    at any scale. Division happens in double on decimal-exact inputs, so
+    both engines agree to the bit before rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue")
+        )
+    )
+    total = F.sum("revenue").over(Window.partitionBy())
+    return r.select(
+        "n_name",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double") / total.cast("double"), 6
+        ).alias("share"),
+    ).orderBy("n_name")
+
+
+@register(
+    "window_topn_with_ties",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC) AS rk
+      FROM orders)
+    WHERE rk <= 2 ORDER BY o_custkey, rk, o_orderkey
+    """,
+)
+def window_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-n WITH TIES (``RANK() <= k``, the FETCH FIRST ... WITH TIES
+    semantic): unlike row_number top-n, equal prices share a rank and are
+    all kept, so the result is deterministic WITHOUT a tie-break column.
+    Same WindowGroupLimit bounded-state plan as window_topn."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        o.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("long").alias("rk")
+        )
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    )
