@@ -33,12 +33,16 @@ DEFAULTS: dict[str, Any] = {
     "report_dir": "./reports",
     "log_dir": "./logs",
     "checksum": True,
+    # C8: max tables migrated concurrently in full-db mode (thread-per-table
+    # job submission; the Spark scheduler shares executors between jobs)
+    "parallelism": 1,
 }
 
 ENV_PREFIX = "MIGRATION_"
 
 _BOOL = {"resume", "checksum"}
 _FLOAT = {"insert_interval"}
+_INT = {"parallelism"}
 
 
 def _coerce(key: str, value: Any) -> Any:
@@ -50,6 +54,8 @@ def _coerce(key: str, value: Any) -> Any:
         return str(value).strip().lower() in ("1", "true", "yes", "on")
     if key in _FLOAT:
         return float(value)
+    if key in _INT:
+        return int(value)
     return value
 
 
@@ -92,6 +98,7 @@ class MigrationConfig:
     report_dir: str = "./reports"
     log_dir: str = "./logs"
     checksum: bool = True
+    parallelism: int = 1
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -438,7 +438,16 @@ def migrate_full_database(
     spark: SparkSession, cfg: MigrationConfig, tables: list[str] | None = None
 ) -> list[dict]:
     """EP3 (``migration.py:544-563``): enumerate tables (M5 — here: parquet
-    datasets in the source dir), migrate each, isolate failures (C9)."""
+    datasets in the source dir), migrate each, isolate failures (C9).
+
+    C8 — distributed dispatch: with ``cfg.parallelism > 1`` the tables are
+    migrated by a thread pool, each thread submitting its own Spark jobs
+    (the reference farms tables to worker processes,
+    ``migration.py:308-370``; in Spark the scheduler already shares
+    executors between concurrently submitted jobs, so dispatch is
+    thread-per-table job submission, not extra processes). Per-table flock
+    and the thread-safe ledger keep isolation; results return in the input
+    table order regardless of completion order."""
     if tables is None:
         tables = sorted(
             f[: -len(".parquet")]
@@ -446,12 +455,17 @@ def migrate_full_database(
             if f.endswith(".parquet")
         )
     progress = ledger.load_progress(cfg.progress_path)
-    results = []
-    for t in tables:
+
+    def one(t: str) -> dict:
         try:
-            results.append(migrate_single_table(spark, cfg, t, progress))
+            return migrate_single_table(spark, cfg, t, progress)
         except Exception as exc:  # noqa: BLE001 — C9 isolation
-            results.append(
-                {"database": DB, "table": t, "status": "failed", "error": str(exc)}
-            )
-    return results
+            return {"database": DB, "table": t, "status": "failed", "error": str(exc)}
+
+    par = max(int(getattr(cfg, "parallelism", 1) or 1), 1)
+    if par == 1 or len(tables) <= 1:
+        return [one(t) for t in tables]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(par, len(tables))) as pool:
+        return list(pool.map(one, tables))

@@ -16,6 +16,13 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
+
+# One ledger file per run, possibly updated from several table-migration
+# threads (C8 parallel dispatch): serialize mutation+flush so a JSON dump
+# never races a concurrent dict mutation. Atomic rename already makes each
+# individual write crash-safe.
+_LEDGER_LOCK = threading.Lock()
 
 
 def serialize_partition(values: tuple | list) -> str:
@@ -59,15 +66,17 @@ def is_table_completed(progress: dict, db: str, table: str) -> bool:
 
 def mark_partition(progress: dict, db: str, table: str, part: str, path: str) -> None:
     """Checkpoint one completed unit and flush (C3: ``resume.py:52-57``)."""
-    entry = init_table(progress, db, table)[db][table]
-    if part not in entry["completed_partitions"]:
-        entry["completed_partitions"].append(part)
-    save_progress(path, progress)
+    with _LEDGER_LOCK:
+        entry = init_table(progress, db, table)[db][table]
+        if part not in entry["completed_partitions"]:
+            entry["completed_partitions"].append(part)
+        save_progress(path, progress)
 
 
 def mark_table_completed(progress: dict, db: str, table: str, path: str) -> None:
-    init_table(progress, db, table)[db][table]["status"] = "completed"
-    save_progress(path, progress)
+    with _LEDGER_LOCK:
+        init_table(progress, db, table)[db][table]["status"] = "completed"
+        save_progress(path, progress)
 
 
 def remaining(all_parts: list[str], done: list[str]) -> list[str]:

@@ -364,3 +364,39 @@ def test_manifest_time_travel_and_vacuum(spark, tmp_path):
 
     # idempotent: nothing left to prune
     assert vacuum_versions(cfg.dest_dir, "orders", keep_last=1) == []
+
+
+def test_full_database_parallel_dispatch(spark, tmp_path):
+    """C8 upgraded from documented no-op to real concurrent dispatch:
+    thread-per-table job submission must produce the identical results (in
+    input order), a consistent ledger, and correct data for every table."""
+    cfg = make_cfg(tmp_path, partition_keys=[], parallelism=3)
+    tables = ["region", "nation", "supplier", "customer"]
+    results = migrate_full_database(spark, cfg, tables=tables)
+    assert [r["table"] for r in results] == tables
+    assert all(r["status"] == "completed" for r in results), results
+    for t in tables:
+        src = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        assert spark.read.parquet(str(tmp_path / "dest" / t)).count() == src.count()
+    progress = ledger.load_progress(cfg.progress_path)
+    assert all(
+        progress["default"][t]["status"] == "completed" for t in tables
+    )
+
+    # error isolation still holds under parallel dispatch
+    cfg2 = make_cfg(
+        tmp_path,
+        partition_keys=[],
+        parallelism=2,
+        dest_dir=str(tmp_path / "dest2"),
+        progress_path=str(tmp_path / "progress2.json"),
+    )
+    res2 = migrate_full_database(
+        spark, cfg2, tables=["region", "no_such_table", "nation"]
+    )
+    by = {r["table"]: r["status"] for r in res2}
+    assert by == {
+        "region": "completed",
+        "no_such_table": "failed",
+        "nation": "completed",
+    }
