@@ -292,3 +292,42 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@register(
+    "date_arithmetic_surface",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS plus_3m,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '1998-12-31') AS BIGINT) AS days_to_eoy
+    FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey
+    """,
+)
+def date_arithmetic_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family (ClickHouse toLastDayOfMonth / addMonths /
+    toQuarter / toDayOfWeek / toStartOfWeek / date_diff parity): pure JVM
+    expressions over the scan, no shuffle beyond the final sort. DuckDB's
+    ``dayofweek`` is 0-based Sunday-start vs Spark's 1-based, normalized in
+    the oracle; month addition clamps end-of-month identically in both
+    engines (2024-01-31 + 1 month = 2024-02-29)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("long").alias(
+            "days_to_eoy"
+        ),
+    ).orderBy("o_orderkey")
