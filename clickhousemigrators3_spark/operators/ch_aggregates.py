@@ -331,3 +331,62 @@ def date_arithmetic_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_to_eoy"
         ),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "counter_analytics_per_user",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CAST(value AS DECIMAL(18,2))
+               - lag(CAST(value AS DECIMAL(18,2)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      FROM events)
+    SELECT user_id,
+           CAST(SUM(CASE WHEN delta > 0 THEN delta
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS delta_sum,
+           ROUND((MAX(value) - MIN(value))
+                 / NULLIF(epoch(MAX(ts)) - epoch(MIN(ts)), 0) * 3600, 6)
+               AS bounding_ratio_per_hour,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def counter_analytics_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-counter semantics (ClickHouse ``deltaSum`` /
+    ``boundingRatio``): per user, the total of positive consecutive deltas
+    (a reset-tolerant counter increase — negative jumps are counter resets
+    and don't subtract) and the value-range-over-time-range rate. One lag
+    window + one grouped agg, both on the user_id partitioning. Deltas ride
+    DECIMAL(18,2) so the conditional sum is order-exact (registry rule)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").cast("decimal(18,2)").alias("v"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("v") - F.lag("v").over(w)
+    s = e.withColumn("delta", delta)
+    span_s = (
+        F.unix_micros(F.max("ts").cast("timestamp"))
+        - F.unix_micros(F.min("ts").cast("timestamp"))
+    ) / 1e6
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("delta") > 0, F.col("delta")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("delta_sum"),
+            F.round(
+                (F.max("value") - F.min("value"))
+                / F.nullif(span_s, F.lit(0.0))
+                * 3600.0,
+                6,
+            ).alias("bounding_ratio_per_hour"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
