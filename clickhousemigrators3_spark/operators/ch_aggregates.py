@@ -390,3 +390,47 @@ def counter_analytics_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "groupingsets_distinct_users",
+    """
+    WITH g AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
+             CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE)) * 2
+                  + GROUPING(event_type) AS BIGINT) AS grp
+      FROM events
+      GROUP BY GROUPING SETS ((CAST(date_trunc('day', ts) AS DATE)),
+                              (event_type),
+                              (CAST(date_trunc('day', ts) AS DATE), event_type)))
+    SELECT CAST(day AS VARCHAR) AS day, event_type, uniq_users, grp
+    FROM g ORDER BY grp, day NULLS FIRST, event_type NULLS FIRST
+    """,
+)
+def groupingsets_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users at THREE grains — per day, per type, per (day, type)
+    — in one pass via GROUPING SETS, with GROUPING() disambiguating which
+    grain each row belongs to (the ClickHouse totals/rollup-modifier
+    shape). The day key is emitted as a string because grains that do not
+    group by day yield NULL dates, which external comparators normalize
+    inconsistently (None vs NaT). Spark plans one Expand + one distinct-aggregate; no re-scan per
+    grain."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("gsd_events")
+    return spark.sql(
+        """
+        WITH g AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                 COUNT(DISTINCT user_id) AS uniq_users,
+                 CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE)) * 2
+                      + GROUPING(event_type) AS BIGINT) AS grp
+          FROM gsd_events
+          GROUP BY GROUPING SETS ((CAST(date_trunc('day', ts) AS DATE)),
+                                  (event_type),
+                                  (CAST(date_trunc('day', ts) AS DATE),
+                                   event_type)))
+        SELECT CAST(day AS STRING) AS day, event_type, uniq_users, grp
+        FROM g ORDER BY grp, day NULLS FIRST, event_type NULLS FIRST
+        """
+    )
