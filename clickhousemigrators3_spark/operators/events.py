@@ -406,6 +406,14 @@ def ev_peak_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = ev_sessionization(spark, sf_dir).select(
         F.col("session_start").alias("s"), F.col("session_end").alias("e")
     )
+    return peak_concurrency_hourly(sess)
+
+
+def peak_concurrency_hourly(sess: DataFrame) -> DataFrame:
+    """Core of ev_peak_concurrency_hourly over ANY closed-interval relation
+    with columns (s, e) — factored so property tests can feed arbitrary
+    random intervals (tests/test_properties.py compares against a Python
+    brute force)."""
     hour_s = F.date_trunc("hour", F.col("s"))
     hour_e = F.date_trunc("hour", F.col("e"))
     one_h = F.expr("INTERVAL 1 HOURS")

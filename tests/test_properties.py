@@ -109,3 +109,58 @@ def test_codec_parse_never_raises(payload):
     out = parse_header(payload)
     assert out["n_bytes"] == len(payload)
     assert isinstance(out["fmt"], str)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3 * 3600),  # start offset s
+            st.integers(min_value=0, max_value=2 * 3600),  # duration s
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_peak_concurrency_property(spark, intervals):
+    """The carry-in + per-hour-prefix decomposition must equal the literal
+    definition for ARBITRARY closed intervals (crossing hour boundaries,
+    nested, duplicated, zero-length) — the failure modes fixture data
+    can't be relied on to contain."""
+    import datetime
+
+    from clickhousemigrators3_spark.operators.events import (
+        peak_concurrency_hourly,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    iv = [
+        (
+            base + datetime.timedelta(seconds=s0),
+            base + datetime.timedelta(seconds=s0 + dur),
+        )
+        for s0, dur in intervals
+    ]
+    df = spark.createDataFrame(iv, "s timestamp_ntz, e timestamp_ntz")
+    got = {
+        r["hour"]: r["peak_concurrency"]
+        for r in peak_concurrency_hourly(df).collect()
+    }
+
+    def floor_hour(t):
+        return t.replace(minute=0, second=0, microsecond=0)
+
+    expected = {}
+    for t in [s for s, _ in iv] + [e for _, e in iv]:
+        c = sum(1 for s, e in iv if s <= t <= e)
+        h = floor_hour(t)
+        expected[h] = max(expected.get(h, 0), c)
+    lo = floor_hour(min(s for s, _ in iv))
+    hi = floor_hour(max(e for _, e in iv))
+    h = lo
+    while h <= hi:
+        if h not in expected:
+            expected[h] = sum(1 for s, e in iv if s < h <= e)
+        h += datetime.timedelta(hours=1)
+
+    assert got == expected, (iv, got, expected)
