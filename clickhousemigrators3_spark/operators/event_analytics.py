@@ -538,7 +538,15 @@ def ev_window_funnel_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    return window_funnel_sliding(e)
+
+
+def window_funnel_sliding(e: DataFrame, window_hours: int = FUNNEL_WINDOW_HOURS) -> DataFrame:
+    """Core of ev_window_funnel_sliding over any (user_id, ts, event_id,
+    event_type) relation — factored so property tests can feed arbitrary
+    random event sequences (tests/test_properties.py compares against the
+    literal exists-any-chain brute force)."""
+    win = F.expr(f"INTERVAL {window_hours} HOURS")
     prior = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -164,3 +164,62 @@ def test_peak_concurrency_property(spark, intervals):
         h += datetime.timedelta(hours=1)
 
     assert got == expected, (iv, got, expected)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),           # user
+            st.integers(min_value=0, max_value=30) | st.integers(min_value=0, max_value=60 * 3600),  # ts offset s (tie-heavy | wide)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_sliding_funnel_property(spark, events):
+    """The cascaded running-max funnel reduction must equal the literal
+    exists-any-chain triple scan for ARBITRARY event sequences — including
+    same-instant events and orderings the fixtures never produce."""
+    import datetime
+
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        window_funnel_sliding,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, base + datetime.timedelta(seconds=off), i, typ)
+        for i, (u, off, typ) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    got = {r["step"]: r["n_users"] for r in window_funnel_sliding(df).collect()}
+
+    # "before" = earlier in (ts, event_id) row order — the query's
+    # documented deterministic tie semantics (ClickHouse leaves equal
+    # timestamps undefined); the window bound itself compares times only
+    w = datetime.timedelta(hours=24)
+    expected_counts = {}
+    users = {u for u, _, _ in events}
+    for u in users:
+        evs = [(t, i, typ) for uu, t, i, typ in rows if uu == u]
+        vs = [(t, i) for t, i, typ in evs if typ == "view"]
+        cs = [(t, i) for t, i, typ in evs if typ == "click"]
+        ps = [(t, i) for t, i, typ in evs if typ == "purchase"]
+        step = 0
+        if vs:
+            step = 1
+        if any(v < c and c[0] <= v[0] + w for v in vs for c in cs):
+            step = 2
+        if any(
+            v < c < p and p[0] <= v[0] + w
+            for v in vs
+            for c in cs
+            for p in ps
+        ):
+            step = 3
+        expected_counts[step] = expected_counts.get(step, 0) + 1
+    assert got == expected_counts, (rows, got, expected_counts)
