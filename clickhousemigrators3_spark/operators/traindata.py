@@ -441,3 +441,55 @@ def dedup_embedding_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+def _quality_retained_oracle() -> str:
+    from .clusters import CLUSTERS_ORACLE
+
+    return f"""
+WITH clusters AS ({CLUSTERS_ORACLE.strip().rstrip()}),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM clusters c JOIN documents d USING (doc_id)),
+drop_list AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drop_list)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_quality_retained", _quality_retained_oracle())
+def dedup_quality_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup retention: within every duplicate CLUSTER
+    (connected components over the LSH pairs — so transitive chains
+    A≈B≈C collapse together), keep the single highest-quality member
+    (longest text, doc_id tie-break) instead of the naive lowest-id. This
+    is the retention policy real corpus curation wants: dropping the
+    shorter/truncated variants of a duplicated document, not an arbitrary
+    one.
+
+    Scale: clusters come from the pair relation (≪ corpus); ranking is a
+    window over cluster members only; the final drop is a broadcast-able
+    left-anti join against the corpus."""
+    from .clusters import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    members = dedup_clusters(spark, sf_dir).join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    drop = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return (
+        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
