@@ -249,3 +249,41 @@ def batch_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
         .orderBy("purchase_id", "click_id")
     )
+
+
+@register("stream_rollup_hourly_finalized", None)  # streaming → rows-only
+def stream_rollup_hourly_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production continuous-rollup pattern: watermarked tumbling
+    aggregation in APPEND mode to a parquet sink — only windows the
+    watermark has CLOSED are ever written, so the sink is an
+    immutable, exactly-once, incrementally-growing rollup table (the
+    streaming counterpart of rollup_maintenance's batch refresh; a real
+    deployment points this at the same partitioned layout). The
+    AvailableNow drain emits every closed window; the trailing ~2 h of
+    windows stay in state awaiting later data, which the batch-equality
+    test accounts for (emitted ⊆ batch twin, equality on closed rows)."""
+    import tempfile
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_rollup_")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("hour_start", "event_type")

@@ -154,3 +154,40 @@ def test_stream_upsert_latest_state_matches_batch_argmax(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert again == expected
+
+
+def test_stream_finalized_rollup_closed_windows_equal_batch(spark):
+    """Append-mode parquet rollup: every emitted row must equal its batch
+    twin exactly (closed windows are final), rows must cover everything
+    older than the watermark horizon, and nothing newer may be emitted."""
+    import datetime
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.events import ev_tumbling_hourly
+    from clickhousemigrators3_spark.streaming.stream_queries import (
+        stream_rollup_hourly_finalized,
+    )
+
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in stream_rollup_hourly_finalized(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ev_tumbling_hourly(spark, SF_DIR).collect()
+    }
+    assert got  # something finalized
+    for k, v in got.items():
+        assert batch[k] == v, k  # emitted rows are final and exact
+
+    max_ts = load_table(spark, SF_DIR, "events").agg(
+        {"ts": "max"}
+    ).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=2)
+    # every window fully before the horizon must have been emitted
+    for (hs, et), v in batch.items():
+        if hs + datetime.timedelta(hours=1) <= horizon:
+            assert (hs, et) in got, (hs, et)
+    # nothing at/after the horizon may be final
+    for hs, et in got:
+        assert hs < horizon
