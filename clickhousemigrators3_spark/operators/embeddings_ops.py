@@ -102,12 +102,12 @@ K_CLUSTERS = 8
 KMEANS_ITERS = 5
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled Lloyd's iterations as a DuckDB CTE chain: a fixed iteration
-    count makes the 'iterative' algorithm SQL-expressible, upgrading the
-    k-means check from rows-only to a full value oracle. assign_i uses
-    cent_{i-1}; the query returns the final iteration's assignment, exactly
-    like the driver loop."""
+def _kmeans_ctes() -> list[str]:
+    """Unrolled Lloyd's iterations as DuckDB CTE parts: a fixed iteration
+    count makes the 'iterative' algorithm SQL-expressible. assign_i uses
+    cent_{i-1}; assign{KMEANS_ITERS} is the final assignment and
+    cent{KMEANS_ITERS-1} the centroids it is the argmax of. Shared by the
+    k-means oracle and the kmeans-trained IVF oracle."""
     parts = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"cent0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {K_CLUSTERS})",
@@ -137,9 +137,13 @@ def _kmeans_oracle() -> str:
                 f"""cent{i} AS (
   SELECT cluster, list(m ORDER BY dim) AS cv FROM means{i} GROUP BY cluster)"""
             )
+    return parts
+
+
+def _kmeans_oracle() -> str:
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_kmeans_ctes())
         + f"\nSELECT vec_id, cluster FROM assign{KMEANS_ITERS} ORDER BY vec_id"
     )
 
@@ -154,6 +158,14 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled centroids. Oracle: the identical fixed-depth recurrence unrolled
     as a DuckDB CTE chain (_kmeans_oracle), so the check is full value
     parity, not rows-only."""
+    assign, _ = _lloyd(spark, sf_dir)
+    return assign.select("vec_id", "cluster").orderBy("vec_id")
+
+
+def _lloyd(spark: SparkSession, sf_dir: str):
+    """Run the fixed-iteration Lloyd loop; returns (final assignment with
+    vectors, the centroid relation that assignment is the argmax of) — the
+    trained inputs the kmeans-IVF query needs."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
@@ -162,7 +174,7 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
     )
     assign = None
-    for _ in range(KMEANS_ITERS):
+    for it in range(KMEANS_ITERS):
         w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cluster"))
         assign = (
             e.crossJoin(F.broadcast(cent))
@@ -171,6 +183,8 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("vec_id", "cluster", "v")
         )
+        if it == KMEANS_ITERS - 1:
+            break  # cent now holds the centroids this assignment used
         flat = assign.select("cluster", F.posexplode(F.col("v")).alias("dim", "val"))
         means = flat.groupBy("cluster", "dim").agg(
             (F.sum("val") / F.count(F.lit(1))).alias("m")
@@ -184,4 +198,92 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cv")
             )
         )
-    return assign.select("vec_id", "cluster").orderBy("vec_id")
+    return assign, cent
+
+
+def _ivf_kmeans_oracle() -> str:
+    from .similarity import IVF_TOP_K, N_PROBE, N_QUERIES
+    from ..functions.vectors import sql_cosine
+
+    last, cent = KMEANS_ITERS, KMEANS_ITERS - 1
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes())
+        + f""",
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.query_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {sql_cosine('q.qv', 'c.cv')} DESC,
+                                       c.cluster) AS rn
+    FROM q, cent{cent} c)
+  WHERE rn <= {N_PROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS cand_id, a.v
+  FROM probe p JOIN assign{last} a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.cand_id, {sql_cosine('q.qv', 'c.v')} AS c
+  FROM cand c JOIN q ON q.query_id = c.query_id)
+SELECT query_id, cand_id AS neighbor_id, rn AS rank, ROUND(c, 6) AS cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, cand_id) AS rn
+      FROM scored)
+WHERE rn <= {IVF_TOP_K}
+ORDER BY query_id, rank
+"""
+    )
+
+
+@register("ann_ivf_kmeans_topk", _ivf_kmeans_oracle())
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over TRAINED centroids — the production form
+    ann_ivf_topk's docstring promised: the inverted lists are the k-means
+    assignment, the probe ranks the k-means centroids, and only the
+    {N_PROBE} probed clusters' vectors are scored. The oracle composes the
+    unrolled Lloyd CTE chain with the probe SQL, so training AND search are
+    value-checked together. Scale: identical plan to the sampled-centroid
+    IVF — assignment is one linear pass (already computed by training),
+    probing reads nprobe/nlist of the corpus; writing the corpus
+    partitioned by cluster turns the probe into partition pruning."""
+    from .similarity import IVF_TOP_K, N_PROBE, N_QUERIES
+    from ..functions.vectors import cosine as _cos
+
+    assign, cent = _lloyd(spark, sf_dir)
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            to_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cluster"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("psim", _cos(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "cluster")
+    )
+    cand = (
+        probe.join(assign, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), "v")
+    )
+    scored = cand.join(F.broadcast(q), "query_id").withColumn(
+        "c", _cos(F.col("qv"), F.col("v"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("c"), 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
