@@ -287,3 +287,35 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def _centroids_oracle() -> str:
+    last_means = KMEANS_ITERS - 1
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes())
+        + f"""
+SELECT cluster, CAST(dim AS BIGINT) AS dim, ROUND(m, 6) AS val
+FROM means{last_means} ORDER BY cluster, dim
+"""
+    )
+
+
+@register("kmeans_centroids_flat", _centroids_oracle())
+def kmeans_centroids_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained k-means centroids themselves, flattened to
+    (cluster, dim, val) rows so the training OUTPUT (not just the
+    assignment) is value-checked against the unrolled-iteration oracle —
+    and so a consumer can materialize the model without array columns."""
+    _, cent = _lloyd(spark, sf_dir)
+    return (
+        cent.select(
+            "cluster", F.posexplode(F.col("cv")).alias("dim0", "val")
+        )
+        .select(
+            "cluster",
+            (F.col("dim0") + 1).cast("long").alias("dim"),  # oracle is 1-based
+            F.round(F.col("val"), 6).alias("val"),
+        )
+        .orderBy("cluster", "dim")
+    )

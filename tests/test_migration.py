@@ -318,6 +318,10 @@ def test_cli_query_subcommands(tmp_path):
     assert bad.returncode == 2
     assert "unknown query" in bad.stderr
 
+    ex = run("query", "tpch_q6_forecast_revenue", "--explain")
+    assert ex.returncode == 0
+    assert "Physical Plan" in ex.stdout and "PushedFilters" in ex.stdout
+
 
 def test_manifest_time_travel_and_vacuum(spark, tmp_path):
     """Snapshot-log semantics on the manifest: every publish appends to the
