@@ -849,3 +849,51 @@ def test_rollup_sketch_uniques_track_exact(spark, tmp_path):
     assert set(approx) == set(exact)
     for d, ex in exact.items():
         assert abs(approx[d] - ex) / ex < 0.1, (d, approx[d], ex)
+
+
+def test_vacuum_versions_edge_cases(tmp_path):
+    """Retention edges: vacuum on a missing manifest is a no-op; keep_last
+    larger than the history keeps everything; keep_last=0 is clamped to 1
+    (the current version is never deletable)."""
+    import os
+
+    from clickhousemigrators3_spark.operators.migrate import (
+        list_versions,
+        publish_manifest,
+        resolve_manifest,
+        vacuum_versions,
+    )
+
+    dest = str(tmp_path)
+    assert vacuum_versions(dest, "nope") == []
+
+    for v in (1, 2, 3):
+        p = os.path.join(dest, f"data_v{v}")
+        os.makedirs(p)
+        publish_manifest(dest, "t", p)
+
+    assert vacuum_versions(dest, "t", keep_last=10) == []
+    assert [x["version"] for x in list_versions(dest, "t")] == [1, 2, 3]
+
+    removed = vacuum_versions(dest, "t", keep_last=0)  # clamped to 1
+    assert len(removed) == 2
+    assert resolve_manifest(dest, "t") == os.path.join(dest, "data_v3")
+    assert os.path.isdir(os.path.join(dest, "data_v3"))
+
+
+def test_zorder_degenerate_columns(spark, tmp_path):
+    """Z-order must survive a constant column (zero span — scale guard) and
+    still round-trip every row."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.functions.zorder import write_zordered
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .limit(1000)
+        .withColumn("const", F.lit(7))
+    )
+    out = str(tmp_path / "zc")
+    write_zordered(li, out, "const", "l_orderkey", n_partitions=2)
+    assert spark.read.parquet(out).count() == 1000
