@@ -14,6 +14,7 @@ are metadata-only (S3/S4 parity).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,18 +35,23 @@ def table_path(sf_dir: str, name: str) -> str:
 # would leak for the process lifetime). This is ordinary catalog caching —
 # at 100 TB the file-listing round trip is the expensive part being saved.
 _TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+# C8's thread-per-table dispatch (migrate_full_database, parallelism>1) hits
+# load_table concurrently; unguarded prune-while-insert would raise
+# "dictionary changed size during iteration" under that load.
+_TABLE_CACHE_LOCK = threading.Lock()
 
 
 def _prune_table_cache() -> None:
     """Drop cache entries whose SparkSession has been stopped (its
-    SparkContext's _jsc goes None on stop)."""
+    SparkContext's _jsc goes None on stop). Caller must hold
+    ``_TABLE_CACHE_LOCK``."""
     dead = [
         k
-        for k, (sess, _) in _TABLE_CACHE.items()
+        for k, (sess, _) in list(_TABLE_CACHE.items())
         if getattr(getattr(sess, "_sc", None), "_jsc", None) is None
     ]
     for k in dead:
-        del _TABLE_CACHE[k]
+        _TABLE_CACHE.pop(k, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -55,9 +61,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     table is a parquet scan whose filters/projections Catalyst pushes into
     the file reader (check ``PushedFilters``/``ReadSchema`` in ``.explain``).
     """
-    _prune_table_cache()
     key = (id(spark._jsparkSession), sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    with _TABLE_CACHE_LOCK:
+        _prune_table_cache()
+        cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached[1]
     if name == "events":
@@ -83,7 +90,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
-    _TABLE_CACHE[key] = (spark, df)
+    with _TABLE_CACHE_LOCK:
+        _TABLE_CACHE[key] = (spark, df)
     return df
 
 

@@ -9,6 +9,7 @@ analytics tool, not only a migrator.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -25,7 +26,10 @@ def cli_list_queries() -> int:
 def cli_query(argv: list[str]) -> int:
     """``query <name> [--sf-dir D] [--limit N] [--explain]`` — run one
     registered query and print its rows (tab-separated, driver-side limit
-    applied BEFORE collect so the driver never holds a full result)."""
+    applied BEFORE collect so the driver never holds a full result).
+
+    ``--sf-dir`` defaults to ``$SPARK_GRAFT_SF_DIR`` — there is no baked-in
+    path, so outside a fixture container the flag (or env var) is required."""
     from .registry import load_all
     from .session import get_spark
 
@@ -33,7 +37,7 @@ def cli_query(argv: list[str]) -> int:
         print("usage: query <name> [--sf-dir D] [--limit N] [--explain]", file=sys.stderr)
         return 2
     name, rest = argv[0], argv[1:]
-    sf_dir, limit, explain = "/root/testdata/sf0.001", 20, False
+    sf_dir, limit, explain = os.environ.get("SPARK_GRAFT_SF_DIR", ""), 20, False
     it = iter(rest)
     for a in it:
         if a == "--sf-dir":
@@ -48,6 +52,11 @@ def cli_query(argv: list[str]) -> int:
     reg = load_all()
     if name not in reg:
         print(f"unknown query {name!r} (see list-queries)", file=sys.stderr)
+        return 2
+    if not sf_dir:
+        print(
+            "--sf-dir is required (or set SPARK_GRAFT_SF_DIR)", file=sys.stderr
+        )
         return 2
     spark = get_spark(app_name=f"query-{name}")
     try:

@@ -125,15 +125,16 @@ def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ev_retention_day0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """retention parity (ClickHouse ``retention(cond0, cond1, ...)``): of the
     users active on 2024-01-01, how many came back on day +1 / +3 / +7.
-    One semi-join to restrict to the cohort, then a single conditional
-    distinct-count pass — no per-day self-joins."""
+    One cohort join to restrict activity, then a single conditional
+    distinct-count pass — no per-day self-joins. The day-0 cohort scales
+    with DAU, so its join strategy is left to AQE (no broadcast hint)."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
     cohort = e.filter(F.col("d") == F.lit("2024-01-01").cast("date")).select(
         "user_id"
     ).distinct()
-    act = e.join(F.broadcast(cohort), "user_id").distinct()
+    act = e.join(cohort, "user_id").distinct()
 
     def came_back(day: str, alias: str):
         return F.count_distinct(

@@ -90,14 +90,19 @@ def publish_manifest(dest_dir: str, table: str, data_path: str) -> str:
     import tempfile
 
     prev = _load_manifest(dest_dir, table)
-    version = (prev["version"] + 1) if prev else 1
+    # .get defaults: a manifest written by the pre-versioning format
+    # ({table, data_path, published_at} only) is treated as version 1 so
+    # re-publishing over an upgraded dest_dir starts a history instead of
+    # raising KeyError.
+    prev_version = prev.get("version", 1) if prev else 0
+    version = prev_version + 1
     history = list(prev.get("history", [])) if prev else []
     if prev:
         history.append(
             {
-                "version": prev["version"],
-                "data_path": prev["data_path"],
-                "published_at": prev["published_at"],
+                "version": prev_version,
+                "data_path": prev.get("data_path"),
+                "published_at": prev.get("published_at"),
             }
         )
     manifest = {
@@ -123,12 +128,14 @@ def resolve_manifest(
     m = _load_manifest(dest_dir, table)
     if m is None:
         return None
-    if version is None or version == m["version"]:
+    if version is None or version == m.get("version", 1):
         return m["data_path"]
     for h in m.get("history", []):
         if h["version"] == version:
             return h["data_path"]
-    raise ValueError(f"version {version} not found for {table!r} (have 1..{m['version']})")
+    raise ValueError(
+        f"version {version} not found for {table!r} (have 1..{m.get('version', 1)})"
+    )
 
 
 def list_versions(dest_dir: str, table: str) -> list[dict]:
@@ -137,7 +144,11 @@ def list_versions(dest_dir: str, table: str) -> list[dict]:
     if m is None:
         return []
     return m.get("history", []) + [
-        {k: m[k] for k in ("version", "data_path", "published_at")}
+        {
+            "version": m.get("version", 1),
+            "data_path": m.get("data_path"),
+            "published_at": m.get("published_at"),
+        }
     ]
 
 
@@ -154,23 +165,31 @@ def vacuum_versions(dest_dir: str, table: str, keep_last: int = 2) -> list[str]:
     if m is None:
         return []
     versions = m.get("history", []) + [
-        {k: m[k] for k in ("version", "data_path", "published_at")}
+        {
+            "version": m.get("version", 1),
+            "data_path": m.get("data_path"),
+            "published_at": m.get("published_at"),
+        }
     ]
     keep = versions[-max(keep_last, 1):]
     drop = versions[: len(versions) - len(keep)]
     kept_paths = {v["data_path"] for v in keep}
-    removed = []
-    for v in drop:
-        p = v["data_path"]
-        if p not in kept_paths and os.path.isdir(p):
-            shutil.rmtree(p)
-            removed.append(p)
+    # Publish the pruned manifest FIRST, then delete the now-unreferenced
+    # data directories: a crash between the two steps leaves orphaned data
+    # (re-vacuumable) rather than a manifest whose history points at
+    # deleted paths (broken time travel).
     m["history"] = keep[:-1]
     d = os.path.dirname(os.path.abspath(_manifest_path(dest_dir, table)))
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".manifest_")
     with os.fdopen(fd, "w") as f:
         json.dump(m, f)
     os.replace(tmp, _manifest_path(dest_dir, table))
+    removed = []
+    for v in drop:
+        p = v["data_path"]
+        if p is not None and p not in kept_paths and os.path.isdir(p):
+            shutil.rmtree(p)
+            removed.append(p)
     return removed
 
 

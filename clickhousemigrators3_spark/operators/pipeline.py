@@ -92,7 +92,9 @@ def corpus_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     retained = (
         d.filter(quality >= 2)
         .join(exact_kept, "doc_id", "left_semi")
-        .join(F.broadcast(dropped), "doc_id", "left_anti")
+        # dropped-doc-id set scales with the corpus — no broadcast hint;
+        # AQE broadcasts it only while it actually fits
+        .join(dropped, "doc_id", "left_anti")
     )
     return (
         retained.groupBy("lang")

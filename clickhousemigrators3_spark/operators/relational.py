@@ -297,8 +297,8 @@ ORDER BY revenue DESC, n_name
 
 @register("tpch_q5_local_supplier_volume", Q5_ORACLE)
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join. Bounded dims (region/nation/
-    supplier) broadcast explicitly; customer/orders scale with SF so their
+    """TPC-H Q5 shape: 6-way star join. Bounded dims (region/nation)
+    broadcast explicitly; supplier/customer/orders scale with SF so their
     join strategy is left to AQE. The s_nationkey=c_nationkey condition
     makes it a cyclic join — expressed as a post-join filter so Catalyst
     keeps the star plan."""
@@ -312,7 +312,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))

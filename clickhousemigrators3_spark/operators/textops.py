@@ -185,10 +185,12 @@ _SQL_TERMS = """
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: term frequency per doc × ln(N/df), top-3 terms per document.
-    Two grouped aggregations + a broadcast df join; the per-doc top-k is a
-    WindowGroupLimit. The document-frequency table is the only shared state —
-    at corpus scale it's a small broadcast (vocabulary-sized, not
-    corpus-sized)."""
+    Two grouped aggregations + a df join on term; the per-doc top-k is a
+    WindowGroupLimit. The document-frequency relation is vocabulary-sized —
+    a 100 TB corpus's long-tail vocabulary is itself billions of terms, so
+    the tf⋈df join carries no broadcast hint (tf is already partitioned by
+    term from its own groupBy, so AQE either broadcasts a small df or reuses
+    the existing hash partitioning without an extra fact shuffle)."""
     d = load_table(spark, sf_dir, "documents")
     words = d.filter(F.trim(F.col("text")) != "").select(
         "doc_id",
@@ -200,7 +202,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             # rounded to 6dp: ln() differs by 1 ulp across engines, so both

@@ -100,7 +100,8 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14 shape: conditional revenue share with a broadcast part join."""
+    """Q14 shape: conditional revenue share over a lineitem-part join.
+    part scales with SF — join strategy left to AQE (no broadcast hint)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
@@ -111,7 +112,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").like("type0%"), rev
     ).otherwise(F.lit(0).cast("decimal(18,2)"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -219,7 +220,7 @@ def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             mins,
             (li.l_partkey == mins.pk) & (dec("l_extendedprice") == mins.min_price),
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -357,7 +358,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
@@ -468,7 +469,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-01-15").cast("timestamp_ntz"))
     )
-    li_parts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    li_parts = li.join(p, li.l_partkey == p.p_partkey, "left_semi")
     return (
         s.join(li_parts, s.s_suppkey == li_parts.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")

@@ -62,8 +62,9 @@ from ..registry import register
 )
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8: national market share — 7-table star join, conditional share
-    aggregate. All dimension sides broadcast; lineitem never shuffles for
-    the joins, only for the final tiny groupBy(o_year)."""
+    aggregate. Bounded dims (nation/region) broadcast explicitly; part and
+    supplier scale with SF, so their join strategy is left to AQE, which
+    broadcasts them only while they actually fit."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     s = load_table(spark, sf_dir, "supplier")
@@ -81,8 +82,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
@@ -132,8 +133,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(4,2)"
     ) * dec("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -196,7 +197,8 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 shape: distinct-supplier counts per part attribute with a NOT IN
-    exclusion subquery (→ broadcast anti-join). Adapted — no partsupp, so
+    exclusion subquery (→ anti-join; strategy left to AQE since supplier
+    scales with SF). Adapted — no partsupp, so
     lineitem is the part↔supplier bridge; the complaints-comment exclusion
     becomes negative account balance."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -207,8 +209,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
@@ -235,8 +237,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17: small-quantity-order revenue. The correlated AVG subquery is
-    decorrelated into one per-part aggregate joined back (broadcast — one
-    row per part, bounded by part cardinality). The threshold comparison
+    decorrelated into one per-part aggregate joined back (one row per part —
+    part scales with SF, so no broadcast hint; AQE picks). The threshold comparison
     ``qty < 0.2 * avg`` is cross-multiplied to ``qty * 5 * cnt < sum`` so
     both engines compare exact decimals, never a divided float."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -246,8 +248,8 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
         .filter(dec("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -296,7 +298,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(clause)
         .agg(sum_double(revenue_expr(), "revenue"))
     )
@@ -365,7 +367,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_supp.filter(F.col("supp_late"))
         .join(per_order, "po_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("ps") == s.s_suppkey)
+        .join(s, F.col("ps") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.sum("n_late_rows").cast("long").alias("numwait"))

@@ -306,8 +306,9 @@ def dedup_minhash_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the larger doc_id of every MinHash-LSH duplicate pair (the
     transitive-closure variant is dedup_clusters_connected_components).
 
-    Scale plan: the drop-list is the LSH pair set — tiny next to the
-    corpus — so the final step is a broadcast-able left-anti join; the
+    Scale plan: the drop-list is the LSH pair set — it scales with the
+    corpus's duplicate rate, so the left-anti join carries no broadcast
+    hint (AQE broadcasts it only while it actually fits); the
     heavy lifting is the LSH pipeline itself (linear explodes + grouped
     mins, see dedup_minhash_lsh_pairs)."""
     from .dedup import dedup_minhash_lsh_pairs
@@ -317,7 +318,7 @@ def dedup_minhash_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        d.join(drop, "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
@@ -389,9 +390,9 @@ def text_decontaminated_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition). Closes the curation loop: contamination scan → threshold
     → clean retained set.
 
-    Scale plan: the drop-list (contaminated doc_ids) is tiny — a broadcast
-    left-anti join against the corpus scan; no extra shuffle beyond the
-    contamination scan itself."""
+    Scale plan: the drop-list (contaminated doc_ids) scales with the
+    contamination rate — the left-anti join carries no broadcast hint
+    (AQE picks); no extra shuffle beyond the contamination scan itself."""
     contam = text_contamination_ngram_overlap(spark, sf_dir)
     drop = contam.filter(F.col("contamination_pct") >= DECONTAM_THRESHOLD).select(
         "doc_id"
@@ -400,7 +401,7 @@ def text_decontaminated_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % CONTAM_MOD != 0
     )
     return (
-        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        d.join(drop, "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
@@ -427,9 +428,9 @@ def dedup_embedding_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_embedding_lsh_pairs) — bucket-collision candidates + exact
     cosine verify — not the O(n²) brute-force baseline, which survives
     only as the recall gate (dedup_embedding_lsh_recall). The drop-list
-    stays tiny, so the final step is a broadcast left-anti join against
-    the corpus scan; no quadratic stage remains anywhere in the retained
-    path."""
+    scales with the duplicate rate, so the left-anti join carries no
+    broadcast hint (AQE picks); no quadratic stage remains anywhere in
+    the retained path."""
     from .dedup import dedup_embedding_lsh_pairs
 
     drop = dedup_embedding_lsh_pairs(spark, sf_dir).select(
@@ -437,7 +438,7 @@ def dedup_embedding_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     e = load_table(spark, sf_dir, "embeddings")
     return (
-        e.join(F.broadcast(drop), "vec_id", "left_anti")
+        e.join(drop, "vec_id", "left_anti")
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
@@ -472,8 +473,9 @@ def dedup_quality_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     one.
 
     Scale: clusters come from the pair relation (≪ corpus); ranking is a
-    window over cluster members only; the final drop is a broadcast-able
-    left-anti join against the corpus."""
+    window over cluster members only; the final drop is a left-anti join
+    with no broadcast hint (the drop-list scales with the duplicate
+    rate — AQE picks)."""
     from .clusters import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
@@ -489,7 +491,7 @@ def dedup_quality_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return (
-        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        d.join(drop, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )

@@ -897,3 +897,43 @@ def test_zorder_degenerate_columns(spark, tmp_path):
     out = str(tmp_path / "zc")
     write_zordered(li, out, "const", "l_orderkey", n_partitions=2)
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_equidepth_histogram_nulls_match_duckdb(spark, tmp_path):
+    """NTILE null ordering is an engine-default trap: Spark ascending is
+    NULLS FIRST, DuckDB's is NULLS LAST — on a fixture with NULL values an
+    unpinned order silently shifts every bucket. The shipped fixtures carry
+    no NULL ``value``, so this builds a variant with NULLs and heavy
+    duplicate values and cross-checks the full bucket table against the
+    registered DuckDB oracle on the same parquet."""
+    import duckdb
+
+    from clickhousemigrators3_spark.operators.analytics import (
+        histogram_equidepth_value,
+    )
+    from clickhousemigrators3_spark.registry import REGISTRY
+
+    rows = [
+        (i, i * 60, None if i % 7 == 0 else float(i % 13)) for i in range(97)
+    ]
+    df = (
+        spark.createDataFrame(rows, "event_id long, ts long, value double")
+        .withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000).cast("timestamp_ntz"))
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = [
+        (r["bucket"], r["n"], r["lo"], r["hi"])
+        for r in histogram_equidepth_value(spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(
+        REGISTRY["histogram_equidepth_value"].oracle
+    ).fetchall()]
+    assert got == want
+    # NULLs must land in the LAST bucket, never bucket 1
+    assert got[0][2] is not None and got[-1][3] is None

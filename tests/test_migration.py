@@ -318,6 +318,14 @@ def test_cli_query_subcommands(tmp_path):
     assert bad.returncode == 2
     assert "unknown query" in bad.stderr
 
+    # no --sf-dir and no $SPARK_GRAFT_SF_DIR → usage error, not a traceback
+    env.pop("SPARK_GRAFT_SF_DIR", None)
+    nodir = run("query", "a1_total_count")
+    assert nodir.returncode == 2
+    assert "--sf-dir is required" in nodir.stderr
+
+    # the env var is an accepted default for the flag
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     ex = run("query", "tpch_q6_forecast_revenue", "--explain")
     assert ex.returncode == 0
     assert "Physical Plan" in ex.stdout and "PushedFilters" in ex.stdout
@@ -368,6 +376,46 @@ def test_manifest_time_travel_and_vacuum(spark, tmp_path):
 
     # idempotent: nothing left to prune
     assert vacuum_versions(cfg.dest_dir, "orders", keep_last=1) == []
+
+
+def test_manifest_legacy_format_upgrade(tmp_path):
+    """A manifest written by the pre-versioning format ({table, data_path,
+    published_at} only — no version/history keys) must upgrade in place:
+    publish over it starts a history treating the legacy snapshot as
+    version 1, and list/resolve/vacuum never KeyError on it."""
+    import json
+
+    from clickhousemigrators3_spark.operators.migrate import (
+        list_versions,
+        publish_manifest,
+        resolve_manifest,
+        vacuum_versions,
+    )
+
+    dest = tmp_path / "dest"
+    old_data = dest / "t__v1"
+    new_data = dest / "t__v2"
+    for d in (old_data, new_data):
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x")
+    legacy = {"table": "t", "data_path": str(old_data), "published_at": 1.0}
+    (dest / "t.manifest.json").write_text(json.dumps(legacy))
+
+    # legacy manifest is readable as-is
+    assert resolve_manifest(str(dest), "t") == str(old_data)
+    assert [v["version"] for v in list_versions(str(dest), "t")] == [1]
+
+    publish_manifest(str(dest), "t", str(new_data))
+    vs = list_versions(str(dest), "t")
+    assert [v["version"] for v in vs] == [1, 2]
+    assert resolve_manifest(str(dest), "t", version=1) == str(old_data)
+    assert resolve_manifest(str(dest), "t") == str(new_data)
+
+    # vacuum prunes the legacy snapshot's dir and rewrites the manifest
+    # BEFORE deleting (crash-safe ordering): after it, history is clean
+    assert vacuum_versions(str(dest), "t", keep_last=1) == [str(old_data)]
+    assert not old_data.exists() and new_data.exists()
+    assert [v["version"] for v in list_versions(str(dest), "t")] == [2]
 
 
 def test_full_database_parallel_dispatch(spark, tmp_path):
