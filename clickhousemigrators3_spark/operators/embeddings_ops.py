@@ -152,29 +152,56 @@ def _kmeans_oracle() -> str:
 def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding column: deterministic init
     (first K vectors), argmax-cosine assignment, centroid = per-dim mean,
-    fixed {KMEANS_ITERS} iterations (driver-looped; each iteration is one
-    assignment join + one grouped mean — the distributed-iteration pattern).
+    up to {KMEANS_ITERS} iterations with an exact-fixed-point convergence
+    stop (driver-looped; each iteration is one assignment join + one
+    grouped mean — the distributed-iteration pattern; see _lloyd).
     Returns (vec_id, cluster) — the trained version of ann_ivf_topk's
     sampled centroids. Oracle: the identical fixed-depth recurrence unrolled
     as a DuckDB CTE chain (_kmeans_oracle), so the check is full value
     parity, not rows-only."""
-    assign, _ = _lloyd(spark, sf_dir)
+    assign, _, _ = _lloyd(spark, sf_dir)
     return assign.select("vec_id", "cluster").orderBy("vec_id")
 
 
-def _lloyd(spark: SparkSession, sf_dir: str):
-    """Run the fixed-iteration Lloyd loop; returns (final assignment with
-    vectors, the centroid relation that assignment is the argmax of) — the
-    trained inputs the kmeans-IVF query needs."""
+def _lloyd(spark: SparkSession, sf_dir: str, tol: float = 0.0):
+    """Run the Lloyd loop up to a deterministic KMEANS_ITERS cap with a
+    movement-threshold convergence stop; returns (final assignment with
+    vectors, the centroid relation that assignment is the argmax of,
+    iterations actually run) — the trained inputs the kmeans-IVF query
+    needs.
+
+    The K×DIM centroid relation is the ONLY thing that ever crosses the
+    driver: after each update it is collected, compared against the
+    previous centroids (max per-dimension movement), and re-injected as a
+    literal broadcast relation. That gives (a) a convergence stop — at the
+    default ``tol=0.0`` the loop exits only on an EXACT fixed point, where
+    every remaining iteration would reproduce the same assignment
+    bit-for-bit, so the unrolled fixed-depth DuckDB oracle still value-
+    matches — and (b) linear lineage: each iteration's plan joins the
+    cached corpus against a literal centroid table instead of nesting the
+    whole previous iteration's plan (the nested form's analysis cost grows
+    with depth; a real trainer on 100 TB runs tens of iterations)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
     e.persist()
-    cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
-    )
-    assign = None
+    cent_rows = {
+        int(r["cluster"]): list(r["cv"])
+        for r in e.filter(F.col("vec_id") < K_CLUSTERS)
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("cv"))
+        .collect()
+    }
+
+    def centroid_df(rows: dict[int, list[float]]):
+        return spark.createDataFrame(
+            sorted(rows.items()), "cluster long, cv array<double>"
+        )
+
+    assign = cent = None
+    iters = 0
     for it in range(KMEANS_ITERS):
+        iters = it + 1
+        cent = centroid_df(cent_rows)
         w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cluster"))
         assign = (
             e.crossJoin(F.broadcast(cent))
@@ -184,21 +211,37 @@ def _lloyd(spark: SparkSession, sf_dir: str):
             .select("vec_id", "cluster", "v")
         )
         if it == KMEANS_ITERS - 1:
-            break  # cent now holds the centroids this assignment used
+            break  # cent holds the centroids this assignment used
         flat = assign.select("cluster", F.posexplode(F.col("v")).alias("dim", "val"))
         means = flat.groupBy("cluster", "dim").agg(
             (F.sum("val") / F.count(F.lit(1))).alias("m")
         )
-        cent = (
-            means.groupBy("cluster")
+        new_rows = {
+            int(r["cluster"]): list(r["cv"])
+            for r in means.groupBy("cluster")
             .agg(
                 F.transform(
                     F.sort_array(F.collect_list(F.struct("dim", "m"))),
                     lambda s: s["m"],
                 ).alias("cv")
             )
-        )
-    return assign, cent
+            .collect()
+        }
+        if set(new_rows) == set(cent_rows):
+            moved = max(
+                (
+                    abs(a - b)
+                    for c in new_rows
+                    for a, b in zip(new_rows[c], cent_rows[c])
+                ),
+                default=0.0,
+            )
+            if moved <= tol:
+                # converged: the assignment above is already the argmax of
+                # (numerically) these centroids — stop before the cap
+                break
+        cent_rows = new_rows
+    return assign, cent, iters
 
 
 def _ivf_kmeans_oracle() -> str:
@@ -250,7 +293,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import IVF_TOP_K, N_PROBE, N_QUERIES
     from ..functions.vectors import cosine as _cos
 
-    assign, cent = _lloyd(spark, sf_dir)
+    assign, cent, _ = _lloyd(spark, sf_dir)
     q = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < N_QUERIES)
@@ -307,7 +350,7 @@ def kmeans_centroids_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster, dim, val) rows so the training OUTPUT (not just the
     assignment) is value-checked against the unrolled-iteration oracle —
     and so a consumer can materialize the model without array columns."""
-    _, cent = _lloyd(spark, sf_dir)
+    _, cent, _ = _lloyd(spark, sf_dir)
     return (
         cent.select(
             "cluster", F.posexplode(F.col("cv")).alias("dim0", "val")

@@ -28,15 +28,37 @@ from ..registry import register
     """,
 )
 def grouped_zscore_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language z-score of document length via ``applyInPandas`` — the
-    grouped-UDF shape of per-group normalization (feature scaling, outlier
-    trimming). Each language group arrives as one pandas DataFrame; output
-    rounded to 6dp because pandas and DuckDB compute variance by different
-    algorithms (ulp-level drift).
+    """Per-language z-score of document length — per-group normalization
+    (feature scaling, outlier trimming) in its pure-JVM window form: mean
+    and stddev over a ``PARTITION BY lang`` window, no Python boundary, so
+    the whole query stays inside whole-stage codegen (this is literally the
+    oracle SQL's own shape). Output rounded to 6dp because the two engines
+    compute variance by different algorithms (ulp-level drift).
+
+    The ``applyInPandas`` version survives as the unregistered
+    ``grouped_zscore_pandas_twin`` below — the grouped-Arrow plumbing demo,
+    asserted equal in tests — mirroring the trend query's discipline."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang")
+    z = F.round(
+        (F.col("n_chars") - F.avg("n_chars").over(w))
+        / F.stddev_samp("n_chars").over(w),
+        6,
+    )
+    return d.select("doc_id", z.alias("z")).orderBy("doc_id")
+
+
+def grouped_zscore_pandas_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``applyInPandas`` twin of grouped_zscore_per_lang — each language
+    group arrives as one pandas DataFrame. Kept unregistered as the
+    grouped-Arrow plumbing demo; tests assert it matches the JVM window
+    form.
 
     Scale note: group = shuffle partition, so the biggest group must fit an
-    executor's Arrow buffer — per-lang groups are fine; for heavier keys use
-    the two-pass built-in form instead (window mean/std, pure JVM)."""
+    executor's Arrow buffer — per-lang groups are fine; for heavier keys the
+    registered two-pass window form (pure JVM) is the scale path."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -371,6 +371,44 @@ def test_kmeans_converges_and_partitions(spark):
     assert assign == assign2
 
 
+def test_kmeans_convergence_early_stop(spark, tmp_path):
+    """On well-separated clusters Lloyd's reaches an exact fixed point long
+    before the iteration cap: the movement-threshold stop must exit early
+    AND produce the bit-identical assignment the full fixed-depth loop
+    (the DuckDB oracle's unrolling) would — at tol=0 stopping is only
+    allowed when further iterations provably change nothing."""
+    from clickhousemigrators3_spark.operators.embeddings_ops import (
+        DIM,
+        K_CLUSTERS,
+        KMEANS_ITERS,
+        _lloyd,
+    )
+
+    # K_CLUSTERS tight groups on orthogonal basis dims (+ a small jitter dim
+    # disjoint from every basis dim, so cross-group cosine is exactly 0).
+    # vec_id < K_CLUSTERS seeds the init, so each group contributes exactly
+    # one seed; remaining members get ids K_CLUSTERS..
+    rows = []
+    for g in range(K_CLUSTERS):
+        for j in range(4):
+            v = [0.0] * DIM
+            v[g] = 1.0
+            v[(g + K_CLUSTERS) % DIM] = 0.01 * (j + 1)
+            vec_id = g if j == 0 else K_CLUSTERS + g * 3 + (j - 1)
+            rows.append((vec_id, v, "x"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    assign, _, iters = _lloyd(spark, str(tmp_path))
+    assert iters < KMEANS_ITERS, f"expected early stop, ran {iters}"
+    got = {r["vec_id"]: r["cluster"] for r in assign.select("vec_id", "cluster").collect()}
+    # every group's members land with their seed's cluster id
+    for g in range(K_CLUSTERS):
+        members = [g] + [K_CLUSTERS + g * 3 + t for t in range(3)]
+        assert {got[m] for m in members} == {g}
+
+
 def test_udf_surface_matches_jvm_twins(spark):
     """Row UDF and pandas UDF must agree exactly with their JVM twins."""
     from pyspark.sql.types import StringType
@@ -606,6 +644,34 @@ def test_grouped_trend_pandas_twin_matches_native(spark):
         assert twin[uid][1] == n
         # both rounded to 6dp; allow a last-digit rounding-boundary flip
         assert abs(twin[uid][0] - slope) <= 2e-6, uid
+
+
+def test_grouped_zscore_pandas_twin_matches_jvm(spark):
+    """The applyInPandas z-score must agree with the registered JVM window
+    form, and the registered plan must carry NO Python boundary (the pandas
+    version is the demo twin, not the shipped query)."""
+    import math
+
+    from clickhousemigrators3_spark.operators.grouped_pandas import (
+        grouped_zscore_pandas_twin,
+        grouped_zscore_per_lang,
+    )
+
+    jvm_df = grouped_zscore_per_lang(spark, SF_DIR)
+    plan = jvm_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
+
+    jvm = {r["doc_id"]: r["z"] for r in jvm_df.collect()}
+    twin = {r["doc_id"]: r["z"] for r in grouped_zscore_pandas_twin(spark, SF_DIR).collect()}
+    assert set(jvm) == set(twin)
+    for doc_id, z in jvm.items():
+        t = twin[doc_id]
+        if z is None or (isinstance(t, float) and math.isnan(t)):
+            # single-row language: stddev_samp is NULL (JVM) / NaN (pandas)
+            assert z is None and (t is None or math.isnan(t))
+        else:
+            # both rounded to 6dp; allow a last-digit rounding-boundary flip
+            assert abs(t - z) <= 2e-6, doc_id
 
 
 def test_codecs_png_wav_roundtrip():
