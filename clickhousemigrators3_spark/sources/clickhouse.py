@@ -31,9 +31,9 @@ def jdbc_url(host: str, port: int = DEFAULT_PORT, database: str = "default") -> 
 
 
 def reader_options(
-    host: str,
-    database: str,
-    table: str,
+    host: str | None = None,
+    database: str = "default",
+    table: str = "",
     user: str = "default",
     password: str = "",
     port: int = DEFAULT_PORT,
@@ -42,33 +42,45 @@ def reader_options(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
     predicate: str | None = None,
+    url: str | None = None,
+    driver: str = DRIVER,
+    qualify: bool = True,
 ) -> dict[str, str]:
     """The full JDBC option map for one ClickHouse table read, as a pure
     function of its inputs — the contract the JVM datasource receives.
-    Contract-tested against golden values (tests/test_engine_units.py)
-    since no live server exists in this container.
+    Contract-tested against golden values (tests/test_engine_units.py), and
+    round-tripped through a real JVM JDBC dialect in
+    ``test_jdbc_roundtrip_embedded_derby`` (Spark bundles embedded Derby,
+    so the identical options path — partitioned read, predicate subquery,
+    fetchsize — is exercised end-to-end without a ClickHouse server).
+
+    ``url``/``driver``/``qualify`` default to the ClickHouse dialect;
+    passing them swaps the backing database without touching the option
+    path (that pluggability is what the Derby test rides).
 
     ``predicate`` is pushed via a dbtable subquery (the JDBC way to
     guarantee server-side filtering regardless of what Catalyst decides to
     push — the property the reference got by shipping whole SQL strings,
     ``migration.py:473-477``)."""
+    if url is None and host is None:
+        raise ValueError("either host or url is required")
     if partition_column is not None and lower_bound is not None and upper_bound is not None:
         if lower_bound >= upper_bound:
             raise ValueError(
                 f"lowerBound ({lower_bound}) must be < upperBound ({upper_bound})"
             )
-    qualified = f"{database}.{table}"
+    qualified = f"{database}.{table}" if qualify else table
     dbtable = (
         qualified
         if predicate is None
         else f"(SELECT * FROM {qualified} WHERE {predicate}) AS src"
     )
     opts = {
-        "url": jdbc_url(host, port, database),
+        "url": url if url is not None else jdbc_url(host, port, database),
         "dbtable": dbtable,
         "user": user,
         "password": password,
-        "driver": DRIVER,
+        "driver": driver,
         "pushDownPredicate": "true",
         "pushDownAggregate": "true",
         "fetchsize": "100000",
