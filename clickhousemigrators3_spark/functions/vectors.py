@@ -54,3 +54,20 @@ def sql_cosine(a: str, b: str) -> str:
         f"(CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
         f"ELSE {d} / ({na} * {nb}) END)"
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance — sequential left-to-right accumulation over
+    doubles, same determinism contract as dot()."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )

@@ -58,6 +58,7 @@ def load_all() -> dict[str, Query]:
         migrate_queries,
         multimodal,
         pipeline,
+        pq,
         relational,
         similarity,
         textops,

@@ -1050,3 +1050,41 @@ def test_equidepth_histogram_nulls_match_duckdb(spark, tmp_path):
     assert got == want
     # NULLs must land in the LAST bucket, never bucket 1
     assert got[0][2] is not None and got[-1][3] is None
+
+
+def test_pq_encode_properties(spark):
+    """PQ encode invariants: codes are 1..K_SUB per subspace; the codebook
+    vectors themselves encode to their own index (distance 0 to their own
+    sub-vector); ADC distance of a codebook vector to itself as query is
+    the table's own diagonal — ~0."""
+    from clickhousemigrators3_spark.operators.pq import (
+        K_SUB,
+        M_SUB,
+        _codebook,
+        _encode,
+        _vectors,
+        ann_pq_adc_topk,
+    )
+
+    e = _vectors(spark, SF_DIR)
+    cb = _codebook(spark, SF_DIR)
+    assert len(cb) == M_SUB and all(len(s) == K_SUB for s in cb)
+    enc = {r["vec_id"]: list(r["codes"]) for r in _encode(e, cb).collect()}
+    assert all(
+        1 <= c <= K_SUB for codes in enc.values() for c in codes
+    )
+    # vec_id v < K_SUB contributed codeword v to EVERY subspace, and its own
+    # sub-vector is at distance 0 → argmin must pick it (ties broken by
+    # first occurrence can only pre-empt with another exact-zero distance,
+    # i.e. an identical sub-vector — then both indices are correct; the
+    # fixtures have no duplicate sub-vectors)
+    for v in range(K_SUB):
+        assert enc[v] == [v + 1] * M_SUB, (v, enc[v])
+
+    # full pipeline emits exactly TOP_K ranked rows per query
+    out = ann_pq_adc_topk(spark, SF_DIR).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in per_q.items():
+        assert ranks == sorted(ranks) and ranks[0] == 1
