@@ -434,3 +434,143 @@ def groupingsets_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g ORDER BY grp, day NULLS FIRST, event_type NULLS FIRST
         """
     )
+
+
+@register(
+    "weighted_median_price_per_flag",
+    """
+    WITH per_value AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM per_value)
+    SELECT l_returnflag,
+           CAST(MIN(v) AS DOUBLE) AS weighted_median,
+           CAST(MAX(tw) AS DOUBLE) AS total_weight
+    FROM cum
+    WHERE cw * 2 >= tw
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def weighted_median_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(0.5)(price, qty)`` parity: the
+    smallest price whose cumulative quantity-weight reaches half the total,
+    per return flag.
+
+    Determinism: weights are pre-aggregated per DISTINCT value first, so
+    the cumulative sum is over value-ordered unique values — no peer-row
+    order dependence — and all weight arithmetic is DECIMAL (the threshold
+    test is cross-multiplied, never a divided float). Scale: two grouped
+    aggs + one window, all partitioned on the group key; state per group is
+    |distinct values|, the same bound the exact-weighted quantile needs
+    anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_value = li.groupBy(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = per_value.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").cast("double").alias("weighted_median"),
+            F.max("tw").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+UNIQ_UP_TO_N = 25
+
+
+@register(
+    "uniq_up_to_per_type",
+    f"""
+    SELECT event_type,
+           CAST(LEAST(COUNT(DISTINCT user_id), {UNIQ_UP_TO_N} + 1) AS BIGINT)
+               AS uniq_up_to,
+           COUNT(DISTINCT user_id) <= {UNIQ_UP_TO_N} AS is_exact
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def uniq_up_to_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)`` parity: exact distinct count while it is
+    ≤ N, the sentinel N+1 once it exceeds N — the "is this column
+    low-cardinality?" probe (partition-key discovery, dictionary-encoding
+    decisions). The ClickHouse implementation caps per-group state at N+1
+    values; here the cap is semantic (LEAST over an exact count) — the
+    honest Spark equivalent of the bounded-state contract, with the
+    exactness flag surfaced."""
+    e = load_table(spark, sf_dir, "events")
+    n = F.count_distinct("user_id")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.least(n, F.lit(UNIQ_UP_TO_N + 1)).cast("long").alias("uniq_up_to"),
+            (n <= UNIQ_UP_TO_N).alias("is_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SAMPLE_PER_GROUP = 5
+
+
+@register(
+    "group_array_sample_per_type",
+    f"""
+    SELECT event_type, event_id, rn AS sample_rank FROM (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+                        event_id) AS rn
+      FROM events)
+    WHERE rn <= {SAMPLE_PER_GROUP}
+    ORDER BY event_type, sample_rank
+    """,
+)
+def group_array_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArraySample(k)`` parity, made deterministic: k
+    representatives per group chosen by a stable hash ranking (md5-derived,
+    identical in both engines) instead of a per-run RNG — reproducible
+    pipelines need the sample to survive retries and backfills. Flattened
+    to (group, member, rank) rows: the driver's compare rejects array
+    outputs, and downstream joins want rows anyway.
+
+    Scale: hash-ranked top-k per group is a WindowGroupLimit — per-partition
+    state is k rows per group, the same reservoir bound the ClickHouse
+    aggregate keeps."""
+    from ..functions.hashing import stable_hash60
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        stable_hash60(F.col("event_id").cast("string")), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_PER_GROUP)
+        .select(
+            "event_type",
+            "event_id",
+            F.col("rn").cast("long").alias("sample_rank"),
+        )
+        .orderBy("event_type", "sample_rank")
+    )

@@ -679,3 +679,99 @@ def ev_hll_partial_merge_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "ev_window_funnel_strict_order",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type, 1) OVER w AS t1, LAG(ts, 1) OVER w AS ts1,
+             LAG(event_type, 2) OVER w AS t2, LAG(ts, 2) OVER w AS ts2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN event_type = 'click' AND t1 = 'view'
+                       AND ts <= ts1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+                      THEN 1 ELSE 0 END) AS s2,
+             MAX(CASE WHEN event_type = 'purchase' AND t1 = 'click'
+                       AND t2 = 'view'
+                       AND ts <= ts2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+                      THEN 1 ELSE 0 END) AS s3
+      FROM seq GROUP BY user_id)
+    SELECT CASE WHEN s3 = 1 THEN 3 WHEN s2 = 1 THEN 2
+                WHEN s1 = 1 THEN 1 ELSE 0 END AS step,
+           COUNT(*) AS n_users
+    FROM per_user GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_window_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(window, 'strict_order')``: the chain is
+    broken by ANY intervening event — view→click counts only when the click
+    is the event IMMEDIATELY after a view in the user's stream, and
+    view→click→purchase only as three consecutive events (all within the
+    window measured from the view).
+
+    Consecutiveness makes the per-event test purely local: each event looks
+    at its 1- and 2-back neighbors via LAG — one shuffle on user_id, one
+    sorted window scan, constant state per row (even cheaper than the
+    sliding variant's cascaded running maxes). The window bound only needs
+    checking against the chain head: consecutive events are time-ordered,
+    so purchase ≤ view+W implies click ≤ view+W."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return window_funnel_strict_order(e)
+
+
+def window_funnel_strict_order(
+    e: DataFrame, window_hours: int = FUNNEL_WINDOW_HOURS
+) -> DataFrame:
+    """Core of ev_window_funnel_strict_order over any (user_id, ts,
+    event_id, event_type) relation — factored so tests can feed constructed
+    sequences (consecutive chains, broken chains, window edges)."""
+    win = F.expr(f"INTERVAL {window_hours} HOURS")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("ts", 1).over(w).alias("ts1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("ts", 2).over(w).alias("ts2"),
+    )
+    per_user = seq.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("t1") == "view")
+                & (F.col("ts") <= F.col("ts1") + win),
+                1,
+            ).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("t1") == "click")
+                & (F.col("t2") == "view")
+                & (F.col("ts") <= F.col("ts2") + win),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    step = (
+        F.when(F.col("s3") == 1, 3)
+        .when(F.col("s2") == 1, 2)
+        .when(F.col("s1") == 1, 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(step.alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("step")
+    )

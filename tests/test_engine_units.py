@@ -1088,3 +1088,77 @@ def test_pq_encode_properties(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     for qid, ranks in per_q.items():
         assert ranks == sorted(ranks) and ranks[0] == 1
+
+
+def test_window_funnel_strict_order_cases(spark):
+    """Independent check of the strict-order funnel (the oracle shares the
+    LAG formulation, so parity alone can't catch a shared mistake):
+    constructed users covering every break mode."""
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        window_funnel_strict_order,
+    )
+
+    H = 3600
+    rows = [
+        # u1: view,click,purchase consecutive, in-window -> step 3
+        (1, 0 * H, 1, "view"), (1, 1 * H, 2, "click"), (1, 2 * H, 3, "purchase"),
+        # u2: view, OTHER, click -> chain broken at click -> step 1
+        (2, 0 * H, 4, "view"), (2, 1 * H, 5, "other"), (2, 2 * H, 6, "click"),
+        # u3: view,click then OTHER before purchase -> step 2
+        (3, 0 * H, 7, "view"), (3, 1 * H, 8, "click"),
+        (3, 2 * H, 9, "other"), (3, 3 * H, 10, "purchase"),
+        # u4: consecutive view,click but outside the 24h window -> step 1
+        (4, 0 * H, 11, "view"), (4, 25 * H, 12, "click"),
+        # u5: click with no preceding view -> step 0
+        (5, 0 * H, 13, "click"),
+        # u6: purchase exactly at view + 24h (boundary <=) -> step 3
+        (6, 0 * H, 14, "view"), (6, 12 * H, 15, "click"), (6, 24 * H, 16, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, sec long, event_id long, event_type string"
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    got = {r["step"]: r["n_users"] for r in window_funnel_strict_order(e).collect()}
+    assert got == {0: 1, 1: 2, 2: 1, 3: 2}, got
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    """Independent exact recomputation of the weighted median (oracle
+    shares the cumulative-weight formulation): python Decimal sweep over
+    the same rows."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from clickhousemigrators3_spark.operators.ch_aggregates import (
+        weighted_median_price_per_flag,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    acc = defaultdict(lambda: defaultdict(Decimal))
+    for r in rows:
+        v = Decimal(str(r["l_extendedprice"])).quantize(Decimal("0.01"))
+        acc[r["l_returnflag"]][v] += Decimal(str(r["l_quantity"])).quantize(
+            Decimal("0.01")
+        )
+    expect = {}
+    for flag, byv in acc.items():
+        total = sum(byv.values())
+        cum = Decimal(0)
+        for v in sorted(byv):
+            cum += byv[v]
+            if cum * 2 >= total:
+                expect[flag] = (float(v), float(total))
+                break
+    got = {
+        r["l_returnflag"]: (r["weighted_median"], r["total_weight"])
+        for r in weighted_median_price_per_flag(spark, SF_DIR).collect()
+    }
+    assert got == expect
