@@ -775,3 +775,117 @@ def window_funnel_strict_order(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("step")
     )
+
+
+@register(
+    "ev_ohlc_hourly_bars",
+    """
+    WITH t AS (
+      SELECT event_type, value, ts, event_id,
+             date_trunc('hour', ts) AS bar,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_o,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_c
+      FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-03')
+    SELECT event_type, CAST(bar AS VARCHAR) AS bar,
+           ROUND(MAX(CASE WHEN rn_o = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_c = 1 THEN value END), 6) AS close,
+           COUNT(*) AS n_events
+    FROM t GROUP BY 1, 2 ORDER BY event_type, bar
+    """,
+)
+def ev_ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time bars (the ClickHouse time-series staple: argMin/argMax +
+    min/max per toStartOfHour bucket): per event type and hour, the first,
+    highest, lowest and last ``value`` with a deterministic (ts, event_id)
+    tie-break on first/last. One day's slice keeps the fixture output
+    bounded; the bar column goes out as a string because NULL-free DATE
+    canonicalization differs across engines for TIMESTAMP keys.
+
+    Scale: open/close via two opposed ROW_NUMBERs inside the same
+    (type, hour) window partition — one shuffle, then a plain grouped agg;
+    at 100 TB the partition key is (type, hour) so state never exceeds a
+    bucket."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.to_date("ts") == F.lit("2024-01-03").cast("date")
+    )
+    bar = F.date_trunc("hour", F.col("ts"))
+    w_o = Window.partitionBy("event_type", bar).orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    w_c = Window.partitionBy("event_type", bar).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    t = e.select(
+        "event_type",
+        "value",
+        bar.alias("bar"),
+        F.row_number().over(w_o).alias("rn_o"),
+        F.row_number().over(w_c).alias("rn_c"),
+    )
+    return (
+        t.groupBy("event_type", F.col("bar").cast("string").alias("bar"))
+        .agg(
+            F.round(F.max(F.when(F.col("rn_o") == 1, F.col("value"))), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max(F.when(F.col("rn_c") == 1, F.col("value"))), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bar")
+    )
+
+
+@register(
+    "ev_new_vs_returning_daily",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day, f.first_day
+      FROM events e JOIN first_seen f USING (user_id))
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users,
+           CAST(SUM(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END))
+                  OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+    FROM act GROUP BY day ORDER BY day
+    """,
+)
+def ev_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning split per day plus the running total of ever-seen
+    users (ClickHouse ``runningAccumulate`` over a uniqState-by-day
+    pattern): a user counts as new on their first-seen day, returning on
+    any later active day — the growth-dashboard companion to the cohort
+    matrix.
+
+    Scale: first-seen is one grouped min co-partitioned with the distinct
+    (user, day) reduction on user_id; the daily rollup then shuffles
+    |users×active-days| rows once; the cumulative window runs over
+    calendar-sized data."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    act = e.distinct().join(first_seen, "user_id")
+    daily = act.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+        .cast("long")
+        .alias("returning_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "new_users",
+        "returning_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("day")
