@@ -889,3 +889,75 @@ def ev_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "returning_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     ).orderBy("day")
+
+
+@register(
+    "ev_sequence_count_nonoverlap",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v_cum,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c_cum
+      FROM events),
+    per_user AS (
+      SELECT user_id,
+             MAX(c_cum) AS c_total,
+             GREATEST(MAX(c_cum - v_cum), 0) AS unmatched
+      FROM seq GROUP BY user_id)
+    SELECT CAST(c_total - unmatched AS BIGINT) AS n_matches,
+           COUNT(*) AS n_users
+    FROM per_user GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_sequence_count_nonoverlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1).*(?2)')`` parity: per user, the
+    maximum number of NON-OVERLAPPING view→click chains (each view serves
+    at most one later click), rolled up into a users-per-match-count
+    histogram.
+
+    The greedy stack simulation (view pushes, click pops-if-available)
+    reduces to closed form: matched = total_clicks − max(0, max_k
+    (clicks≤k − views≤k)) — the unmatched clicks are exactly the worst
+    prefix deficit. That turns a stateful scan into two conditional
+    running sums + a grouped max: one shuffle on user_id, no iteration,
+    no Python. An independent stack-simulation test guards the closed
+    form (the oracle shares it)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return sequence_count_nonoverlap(e)
+
+
+def sequence_count_nonoverlap(e: DataFrame) -> DataFrame:
+    """Core of ev_sequence_count_nonoverlap — factored for the brute-force
+    cross-check test."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = e.select(
+        "user_id",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(w)
+        .alias("v_cum"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(w)
+        .alias("c_cum"),
+    )
+    per_user = seq.groupBy("user_id").agg(
+        F.max("c_cum").alias("c_total"),
+        F.greatest(F.max(F.col("c_cum") - F.col("v_cum")), F.lit(0)).alias(
+            "unmatched"
+        ),
+    )
+    return (
+        per_user.select(
+            (F.col("c_total") - F.col("unmatched")).cast("long").alias("n_matches")
+        )
+        .groupBy("n_matches")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("n_matches")
+    )

@@ -1162,3 +1162,53 @@ def test_weighted_median_matches_bruteforce(spark):
         for r in weighted_median_price_per_flag(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_sequence_count_matches_stack_simulation(spark):
+    """The closed-form prefix-deficit reduction must equal the literal
+    greedy stack simulation (view pushes, click pops) on random event
+    streams — the oracle shares the closed form, so parity can't catch a
+    shared mistake."""
+    import random
+
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        sequence_count_nonoverlap,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    expected_per_user = {}
+    for uid in range(40):
+        n = rng.randint(0, 12)
+        stream = [rng.choice(["view", "click", "other"]) for _ in range(n)]
+        avail = matched = 0
+        for t in stream:
+            if t == "view":
+                avail += 1
+            elif t == "click" and avail > 0:
+                avail -= 1
+                matched += 1
+        expected_per_user[uid] = matched
+        for i, t in enumerate(stream):
+            rows.append((uid, i * 60, eid, t))
+            eid += 1
+        if n == 0:
+            rows.append((uid, 0, eid, "other"))  # keep the user present
+            eid += 1
+    hist = {}
+    for m in expected_per_user.values():
+        hist[m] = hist.get(m, 0) + 1
+
+    e = spark.createDataFrame(
+        rows, "user_id long, sec long, event_id long, event_type string"
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    got = {
+        r["n_matches"]: r["n_users"] for r in sequence_count_nonoverlap(e).collect()
+    }
+    assert got == hist, (got, hist)
