@@ -255,3 +255,76 @@ def mixture_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH changes AS (
+      SELECT o_custkey AS customer_id,
+             o_orderdate AS valid_from,
+             max_by(o_totalprice, o_orderkey) AS price
+      FROM orders GROUP BY 1, 2),
+    hist AS (
+      SELECT customer_id, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY customer_id
+                                    ORDER BY valid_from) AS valid_to,
+             price
+      FROM changes)
+    SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+           h.customer_id,
+           CAST(h.price AS DOUBLE) AS pit_price
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN hist h ON h.customer_id = o.o_custkey
+      AND l.l_shipdate >= h.valid_from
+      AND (h.valid_to IS NULL OR l.l_shipdate < h.valid_to)
+    ORDER BY l.l_orderkey, l_linenumber
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) lookup against the SCD2 history — the
+    warehouse staple scd2_customer_price_history's intervals exist FOR:
+    each shipment joins the price state its customer had AT SHIP TIME
+    (ship dates before the first change drop out — no state existed yet).
+
+    Scale: equality join on customer_id carries the interval bounds along;
+    the non-overlapping [valid_from, valid_to) intervals guarantee ≤1
+    surviving match per fact row, so the pre-filter fan-out is bounded by
+    intervals-per-customer (changes, not facts). When per-key interval
+    counts are heavy, the union-sort as-of form (operators/asof.py) is the
+    same semantics with no fan-out at all."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    changes = o.groupBy(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderdate").alias("valid_from"),
+    ).agg(F.expr("max_by(o_totalprice, o_orderkey)").alias("price"))
+    w = Window.partitionBy("customer_id").orderBy("valid_from")
+    hist = changes.select(
+        "customer_id",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        "price",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    okeys = o.select("o_orderkey", "o_custkey")
+    return (
+        li.join(okeys, li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            hist,
+            (F.col("o_custkey") == hist.customer_id)
+            & (F.col("l_shipdate") >= hist.valid_from)
+            & (hist.valid_to.isNull() | (F.col("l_shipdate") < hist.valid_to)),
+        )
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "customer_id",
+            F.col("price").cast("double").alias("pit_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -295,3 +295,62 @@ def text_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     ).orderBy("doc_id")
+
+
+BIGRAM_TOP_N = 20
+
+
+@register(
+    "text_word_bigram_top20",
+    f"""
+    WITH words AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE trim(text) <> ''),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM words),
+    counts AS (
+      SELECT bigram, COUNT(*) AS cnt FROM pairs
+      WHERE bigram NOT LIKE '% ' AND bigram NOT LIKE ' %'
+      GROUP BY 1)
+    SELECT bigram, cnt, rn AS rank FROM (
+      SELECT bigram, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rn
+      FROM counts)
+    WHERE rn <= {BIGRAM_TOP_N} ORDER BY rank
+    """,
+)
+def text_word_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent word-pair (bigram) frequencies, top-{BIGRAM_TOP_N} — the
+    n-gram language-model / tokenizer-merge-step primitive (one BPE
+    training round counts exactly this over symbol pairs).
+
+    Shape: pairs are built INSIDE the row via a positional transform over
+    the token array (no self-join on position), then one explode + one
+    grouped count — identical topology to the unigram vocab build. The
+    global top-N ranks vocabulary-sized data."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs_expr = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(F.explode(pairs_expr).alias("bigram"))
+        .filter(~F.col("bigram").startswith(" ") & ~F.col("bigram").endswith(" "))
+    )
+    counts = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window as W
+
+    rw = W.orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= BIGRAM_TOP_N)
+        .select("bigram", "cnt", "rank")
+        .orderBy("rank")
+    )
