@@ -495,3 +495,36 @@ def dedup_quality_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+K_ANON = 5
+
+
+@register(
+    "privacy_k_anonymity_groups",
+    f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) < {K_ANON} AS below_k
+    FROM documents
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def privacy_k_anonymity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (lang, source):
+    group sizes with a below-k flag — groups smaller than k={K_ANON} are
+    re-identification risks a release-gate either suppresses or
+    generalizes (the privacy counterpart of the PII redaction scan).
+
+    Scale: one grouped count on the quasi-identifier key; the output is
+    |distinct quasi-identifier combinations|, metadata-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            n.cast("long").alias("group_size"),
+            (n < K_ANON).alias("below_k"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -80,3 +80,75 @@ def a3_checksum_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(*KEYS)
     )
+
+
+@register(
+    "dq_constraint_violations",
+    """
+    SELECT 'lineitem_orphan'        AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_bad
+    UNION ALL
+    SELECT 'orders_orphan_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE CAST(l_quantity AS DECIMAL(18,2)) <= 0)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE CAST(l_discount AS DECIMAL(18,2)) NOT BETWEEN 0 AND 1)
+    UNION ALL
+    SELECT 'orders_null_date',
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+    ORDER BY check_name
+    """,
+)
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over the fixture warehouse:
+    referential-integrity orphans (anti-joins), domain-range violations,
+    and null-key counts — the pre-migration guardrail a real A4-style
+    invariant check grows into (and the shape tools like dbt tests /
+    Deequ compile to).
+
+    Scale: each referential check is ONE left-anti join that shuffles only
+    join keys; range/null checks are scan-local conditional counts. The
+    union of five scalar rows is metadata-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    checks = [
+        one(
+            "lineitem_orphan",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        one(
+            "orders_orphan_customer",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+        one(
+            "lineitem_nonpositive_qty",
+            li.filter(F.col("l_quantity").cast("decimal(18,2)") <= 0),
+        ),
+        one(
+            "lineitem_discount_range",
+            li.filter(
+                ~F.col("l_discount").cast("decimal(18,2)").between(0, 1)
+            ),
+        ),
+        one("orders_null_date", o.filter(F.col("o_orderdate").isNull())),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("check_name")
