@@ -961,3 +961,97 @@ def sequence_count_nonoverlap(e: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("n_matches")
     )
+
+
+INTERVAL_MINUTES = 30
+
+
+@register(
+    "ev_interval_length_sum",
+    f"""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL {INTERVAL_MINUTES} MINUTE AS e
+      FROM events),
+    sweep AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max_e
+      FROM iv),
+    seg AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s, e) AS seg_id
+      FROM sweep),
+    merged AS (
+      SELECT user_id, seg_id, MIN(s) AS seg_start, MAX(e) AS seg_end
+      FROM seg GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(FLOOR(SUM(epoch_us(seg_end) - epoch_us(seg_start)) / 1000000.0)
+                AS BIGINT) AS covered_seconds,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ev_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``intervalLengthSum`` parity: total time covered by the
+    UNION of each user's activity intervals (event ± a {INTERVAL_MINUTES}-
+    minute attention window), counting overlaps once — time-on-site without
+    double-counting, the complement of gap-based sessionization.
+
+    The interval union is the classic sweep, made relational: per user in
+    (start, end) order, an interval opens a new segment iff its start
+    exceeds the running max of all earlier ends (prev-row window), segment
+    ids are the running count of openings, and each segment contributes
+    max(end)−min(start). One shuffle on user_id; both windows and the
+    grouped min/max reuse that partitioning. An independent brute-force
+    union test guards the sweep (the oracle shares it)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {INTERVAL_MINUTES} MINUTES")).alias("e"),
+    )
+    return interval_length_sum(e)
+
+
+def interval_length_sum(iv: DataFrame) -> DataFrame:
+    """Core of ev_interval_length_sum over any (user_id, s, e) interval
+    relation — factored for the brute-force cross-check test."""
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = iv.withColumn("prev_max_e", F.max("e").over(prev))
+    seg = sweep.withColumn(
+        "seg_id",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(run),
+    )
+    merged = seg.groupBy("user_id", "seg_id").agg(
+        F.min("s").alias("seg_start"), F.max("e").alias("seg_end")
+    )
+    dur = F.unix_micros(F.col("seg_end").cast("timestamp")) - F.unix_micros(
+        F.col("seg_start").cast("timestamp")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            # micros summed exactly as longs on both sides, ONE floor-divide
+            # at the end (epoch-seconds sums would round sub-second parts
+            # differently across engines)
+            F.floor(F.sum(dur) / 1_000_000).cast("long").alias("covered_seconds"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )

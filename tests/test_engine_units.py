@@ -1212,3 +1212,46 @@ def test_sequence_count_matches_stack_simulation(spark):
         r["n_matches"]: r["n_users"] for r in sequence_count_nonoverlap(e).collect()
     }
     assert got == hist, (got, hist)
+
+
+def test_interval_length_sum_matches_bruteforce(spark):
+    """The relational sweep must equal a literal interval-union computation
+    on random overlapping intervals (the oracle shares the sweep)."""
+    import random
+
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        interval_length_sum,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    expect = {}
+    for uid in range(25):
+        ivs = []
+        for _ in range(rng.randint(1, 10)):
+            s = rng.randint(0, 500)
+            ivs.append((s, s + rng.randint(1, 120)))
+        # brute force: mark covered integer seconds
+        covered = set()
+        for s, e in ivs:
+            covered.update(range(s, e))
+        # segments = maximal runs in the covered set
+        segs = 0
+        prev = None
+        for x in sorted(covered):
+            if prev is None or x != prev + 1:
+                segs += 1
+            prev = x
+        expect[uid] = (len(covered), segs)
+        rows.extend((uid, s, e) for s, e in ivs)
+
+    iv = spark.createDataFrame(rows, "user_id long, ss long, ee long").select(
+        "user_id",
+        F.timestamp_micros(F.col("ss") * 1_000_000).alias("s"),
+        F.timestamp_micros(F.col("ee") * 1_000_000).alias("e"),
+    )
+    got = {
+        r["user_id"]: (r["covered_seconds"], r["n_segments"])
+        for r in interval_length_sum(iv).collect()
+    }
+    assert got == expect
