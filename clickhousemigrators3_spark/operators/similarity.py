@@ -329,3 +329,97 @@ def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+TRUNC_DIM = 16  # matryoshka prefix length
+
+
+MATRYOSHKA_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}),
+full_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sql_cosine('q.v', 'e.v')} DESC,
+                                       e.vec_id) AS rn
+    FROM q JOIN e ON e.vec_id <> q.vec_id)
+  WHERE rn <= {TOP_K}),
+trunc_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {sql_cosine(f'list_slice(q.v, 1, {TRUNC_DIM})', f'list_slice(e.v, 1, {TRUNC_DIM})')} DESC,
+                      e.vec_id) AS rn
+    FROM q JOIN e ON e.vec_id <> q.vec_id)
+  WHERE rn <= {TOP_K}),
+hits AS (
+  SELECT f.query_id, COUNT(*) AS n
+  FROM full_rank f JOIN trunc_rank t
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY 1)
+SELECT q.vec_id AS query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_common,
+       ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE) / {TOP_K}, 6) AS overlap_at_k
+FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
+ORDER BY query_id
+"""
+
+
+@register("embedding_matryoshka_overlap_at_k", MATRYOSHKA_ORACLE)
+def embedding_matryoshka_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality gate: per query, the top-{TOP_K}
+    overlap between cosine rankings computed on the FULL embedding and on
+    its first {TRUNC_DIM} dimensions — the measurement behind "can we
+    serve retrieval on a prefix and re-rank on the tail?" (matryoshka
+    representation learning's deployment question; on these random
+    fixtures the prefix carries 1/4 of the signal, so overlap is the
+    honest baseline a trained MRL model would beat).
+
+    Scale: same plan as the recall gates — two broadcast-query scans over
+    the corpus (the truncated one reading {TRUNC_DIM}/{{DIM}} of the
+    vector bytes), WindowGroupLimit top-k each, intersection count on
+    (query, neighbor) keys."""
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def topk(score_col) -> DataFrame:
+        scored = (
+            F.broadcast(q)
+            .crossJoin(e)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("c", score_col)
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    full = topk(cosine(F.col("qv"), F.col("v")))
+    trunc = topk(
+        cosine(
+            F.slice(F.col("qv"), 1, TRUNC_DIM), F.slice(F.col("v"), 1, TRUNC_DIM)
+        )
+    )
+    hits = (
+        full.join(trunc, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / TOP_K, 6
+            ).alias("overlap_at_k"),
+        )
+        .orderBy("query_id")
+    )
