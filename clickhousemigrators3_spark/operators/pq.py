@@ -254,3 +254,146 @@ def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: IVF coarse probe pruning the rows × PQ codes shrinking the bytes —
+# the FAISS IVFADC / ScaNN layout both halves above exist for.
+# ---------------------------------------------------------------------------
+
+def _ivfadc_oracle() -> str:
+    from ..functions.vectors import sql_cosine
+    from .similarity import IVF_TOP_K, N_CENTROIDS, N_PROBE
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cent_id AS cluster FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'c.cv')} DESC, c.cent_id) AS rn
+    FROM e, cent c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+probe AS (
+  SELECT query_id, cent_id AS cluster FROM (
+    SELECT q.query_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {sql_cosine('q.qv', 'c.cv')} DESC, c.cent_id) AS rn
+    FROM q, cent c)
+  WHERE rn <= {N_PROBE}),
+sub AS (SELECT unnest([{PQ_SUBS}]) AS s),
+cw AS (
+  SELECT e.vec_id AS c, sub.s,
+         list_slice(e.v, sub.s * {SUBDIM} + 1, sub.s * {SUBDIM} + {SUBDIM}) AS w
+  FROM e, sub WHERE e.vec_id < {K_SUB}),
+enc AS (
+  SELECT vec_id, s, c + 1 AS code FROM (
+    SELECT e.vec_id, cw.s, cw.c,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, cw.s
+             ORDER BY {sql_l2sq(f"list_slice(e.v, cw.s * {SUBDIM} + 1, cw.s * {SUBDIM} + {SUBDIM})", "cw.w")}, cw.c
+           ) AS rn
+    FROM e, cw)
+  WHERE rn = 1),
+dt AS (
+  SELECT q.query_id, cw.s, cw.c,
+         {sql_l2sq(f"list_slice(q.qv, cw.s * {SUBDIM} + 1, cw.s * {SUBDIM} + {SUBDIM})", "cw.w")} AS d
+  FROM q, cw),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id),
+adc AS (
+  SELECT dt.query_id, c.vec_id,
+         list_sum(list(dt.d ORDER BY dt.s)) AS adist
+  FROM cand c
+  JOIN enc ON enc.vec_id = c.vec_id
+  JOIN dt ON dt.query_id = c.query_id AND dt.s = enc.s AND dt.c + 1 = enc.code
+  GROUP BY 1, 2)
+SELECT query_id, vec_id AS neighbor_id, rn AS rank, ROUND(adist, 6) AS approx_dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adist, vec_id) AS rn
+      FROM adc)
+WHERE rn <= {IVF_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_ivfadc_topk", _ivfadc_oracle())
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composition both halves exist for: the IVF coarse
+    probe restricts candidates to nprobe/nlist of the corpus (row pruning),
+    and scoring reads PQ codes instead of vectors (byte shrinking, 64×) via
+    per-query distance-table lookups. This is the FAISS IVFADC layout on
+    relational operators: at 10^9 vectors the scan cost is
+    (nprobe/nlist) × (code_bytes/vector_bytes) of brute force.
+
+    Residual refinement (encoding v − coarse_centroid instead of v, which
+    sharpens the codebooks around each cell) is the one piece deliberately
+    simplified — same plan, different training input."""
+    from ..functions.vectors import cosine
+    from .similarity import IVF_TOP_K, N_CENTROIDS, N_PROBE
+
+    e = _vectors(spark, sf_dir)
+    cb = _codebook(spark, sf_dir)
+    enc = _encode(e, cb)
+
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ac"), F.asc("cent_id"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ac", cosine(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cent_id"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("qc", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", F.col("cent_id").alias("cluster"))
+    )
+    dts = F.array(
+        *[
+            _sub_dists(F.slice(F.col("qv"), s * SUBDIM + 1, SUBDIM), cb[s])
+            for s in range(M_SUB)
+        ]
+    )
+    qdt = q.select("query_id", dts.alias("dt"))
+    cand = (
+        probe.join(assign, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(M_SUB)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(F.col("dt"), s), F.element_at(F.col("codes"), s)),
+    )
+    scored = (
+        cand.join(enc, "vec_id")
+        .join(F.broadcast(qdt), "query_id")
+        .withColumn("adist", adist)
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rn").cast("long").alias("rank"),
+            F.round(F.col("adist"), 6).alias("approx_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )
