@@ -159,3 +159,85 @@ def asof_join_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_break="event_id",
     )
     return out.select("event_id", "user_id", "ts", "next_view_value").orderBy("event_id")
+
+
+@register(
+    "asof_interpolate_value_at_purchase",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           ROUND(CASE
+             WHEN b.ts IS NOT NULL AND f.ts IS NOT NULL THEN
+               b.value + (f.value - b.value)
+                 * (epoch_us(p.ts) - epoch_us(b.ts))
+                 / (epoch_us(f.ts) - epoch_us(b.ts))
+             WHEN b.ts IS NOT NULL THEN b.value
+             WHEN f.ts IS NOT NULL THEN f.value
+             ELSE NULL END, 6) AS interp_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON p.user_id = b.user_id AND p.ts > b.ts
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
+      ON p.user_id = f.user_id AND p.ts < f.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_interpolate_value_at_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear interpolation at probe time — the upgrade of LOCF gap-filling:
+    each purchase gets the click ``value`` linearly interpolated between
+    the user's nearest strictly-earlier and strictly-later clicks
+    (falling back to the single neighbor at either edge, NULL when the
+    user never clicked). Composes the backward and forward as-of forms —
+    two union-sort window passes over the same user_id partitioning, then
+    arithmetic; the oracle is DuckDB's native ASOF chained both ways.
+
+    The time fraction is exact integer µs on both sides; one double
+    divide, rounded at 6dp."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    back = asof_join(
+        probe=purchases,
+        source=clicks,
+        by=["user_id"],
+        ts="ts",
+        payload={"prev_value": F.col("value"), "prev_ts": F.col("ts")},
+        probe_cols=["event_id"],
+        tie_break="event_id",
+    )
+    fwd = asof_join(
+        probe=purchases,
+        source=clicks,
+        by=["user_id"],
+        ts="ts",
+        payload={"next_value": F.col("value"), "next_ts": F.col("ts")},
+        probe_cols=["event_id"],
+        direction="forward",
+        tie_break="event_id",
+    ).select("event_id", "next_value", "next_ts")
+    j = back.join(fwd, "event_id")
+    pt = F.unix_micros(F.col("ts").cast("timestamp"))
+    bt = F.unix_micros(F.col("prev_ts").cast("timestamp"))
+    ft = F.unix_micros(F.col("next_ts").cast("timestamp"))
+    interp = (
+        F.when(
+            F.col("prev_ts").isNotNull() & F.col("next_ts").isNotNull(),
+            F.col("prev_value")
+            + (F.col("next_value") - F.col("prev_value"))
+            * (pt - bt)
+            / (ft - bt),
+        )
+        .when(F.col("prev_ts").isNotNull(), F.col("prev_value"))
+        .when(F.col("next_ts").isNotNull(), F.col("next_value"))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return (
+        j.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(interp, 6).alias("interp_value"),
+        )
+        .orderBy("event_id")
+    )
