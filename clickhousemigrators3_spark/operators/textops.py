@@ -354,3 +354,90 @@ def text_word_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bigram", "cnt", "rank")
         .orderBy("rank")
     )
+
+
+BPE_MERGES = 3
+BPE_JOINER = "\x00"  # merged-token separator: cannot occur in whitespace tokens
+
+
+def _bpe_pairs(tok_col):
+    """Adjacent-pair array of a token array (positional, inside the row)."""
+    return F.when(
+        F.size(tok_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_col) - 1),
+            lambda i: F.struct(
+                F.element_at(tok_col, i).alias("l"),
+                F.element_at(tok_col, i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def _bpe_merge(tok_col, left: str, right: str):
+    """Greedy left-to-right merge of every non-overlapping (left, right)
+    adjacency — the BPE apply step as ONE fold expression (no UDF): the
+    accumulator is the merged prefix; overlapping occurrences can't
+    double-merge because a merged token (joined with a separator) never
+    equals ``left``."""
+    merged = left + BPE_JOINER + right
+    return F.aggregate(
+        tok_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@register("bpe_merge_steps", None)  # driver-looped argmax → rows-only check
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {BPE_MERGES} merge rounds of byte-pair-encoding training
+    over whitespace tokens — tokenizer training as distributed relational
+    passes. Each round: (1) adjacent-pair counts built positionally inside
+    the row + one grouped count, (2) the single best pair (max count,
+    lexicographic tie-break) crosses the driver — the ONLY driver state,
+    like k-means centroids — and (3) the corpus re-tokenizes lazily via a
+    greedy fold expression (_bpe_merge), so round N+1 counts pairs of
+    merged tokens. Returns (merge_rank, left, right, pair_count).
+
+    Rows-only for the driver (the loop's argmax makes SQL unrolling
+    quadratic in vocabulary, not worth an oracle); the exact semantics are
+    pinned by tests/test_engine_units.py::test_bpe_merges_match_reference,
+    a pure-Python reference BPE on the same corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    corpus = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(F.filter(toks, lambda t: t != "").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    corpus.persist()
+    merges: list[tuple[str, str, int]] = []
+    cur = F.col("toks")
+    for _ in range(BPE_MERGES):
+        pairs = corpus.select(F.explode(_bpe_pairs(cur)).alias("p"))
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((l, r, int(cnt)))
+        cur = _bpe_merge(cur, l, r)
+    return spark.createDataFrame(
+        [
+            (i + 1, l.replace(BPE_JOINER, "+"), r.replace(BPE_JOINER, "+"), c)
+            for i, (l, r, c) in enumerate(merges)
+        ],
+        "merge_rank long, left string, right string, pair_count long",
+    ).orderBy("merge_rank")

@@ -1255,3 +1255,57 @@ def test_interval_length_sum_matches_bruteforce(spark):
         for r in interval_length_sum(iv).collect()
     }
     assert got == expect
+
+
+def test_bpe_merges_match_reference(spark):
+    """The distributed BPE rounds must learn exactly the merges a
+    pure-Python reference BPE learns on the same corpus (greedy
+    left-to-right apply, max-count + lexicographic tie-break)."""
+    from collections import Counter
+
+    from clickhousemigrators3_spark.operators.textops import (
+        BPE_MERGES,
+        bpe_merge_steps,
+    )
+
+    docs = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    corpora = [
+        [t for t in d.strip().lower().split() if t]
+        for d in docs
+        if d is not None and d.strip()
+    ]
+    corpora = [c for c in corpora if len(c) >= 2]
+
+    def apply_merge(toks, l, r, joined):
+        out = []
+        for t in toks:
+            if out and out[-1] == l and t == r:
+                out[-1] = joined
+            else:
+                out.append(t)
+        return out
+
+    expect = []
+    for _ in range(BPE_MERGES):
+        counts = Counter()
+        for toks in corpora:
+            counts.update(zip(toks, toks[1:]))
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((l.replace("\x00", "+"), r.replace("\x00", "+"), cnt))
+        joined = l + "\x00" + r
+        corpora = [apply_merge(t, l, r, joined) for t in corpora]
+
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in bpe_merge_steps(spark, SF_DIR).collect()
+    ]
+    assert got == expect, (got, expect)
