@@ -600,3 +600,45 @@ def window_percentrank_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_nth_value_lead_defaults",
+    """
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_cheapest_order,
+           LEAD(o_orderkey, 1, -1) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice, o_orderkey)
+               AS next_pricier_order,
+           LAG(o_orderkey, 2, -1) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice, o_orderkey)
+               AS two_cheaper_order
+    FROM orders
+    WHERE o_custkey < 40
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_totalprice, o_orderkey
+    """,
+)
+def window_nth_value_lead_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-surface breadth: nth_value over a running frame (NULL until
+    the frame holds n rows — both engines agree on the frame-dependent
+    semantics) and lead/lag with explicit offsets and non-NULL defaults.
+    Deterministic (o_totalprice, o_orderkey) ordering throughout."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest_order"),
+            F.lead("o_orderkey", 1, -1).over(wo).alias("next_pricier_order"),
+            F.lag("o_orderkey", 2, -1).over(wo).alias("two_cheaper_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
