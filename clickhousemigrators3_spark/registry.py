@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
         event_analytics,
         events,
         grouped_pandas,
+        mergetree,
         migrate_queries,
         multimodal,
         pipeline,

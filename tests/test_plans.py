@@ -276,3 +276,50 @@ def test_registry_no_python_boundary(spark):
         ) and name not in ARROW_SANCTIONED:
             offenders[name] = "unsanctioned Arrow stage"
     assert not offenders, offenders
+
+
+def test_dict_get_no_join_no_exchange(spark):
+    """dictGet compiles the bounded dictionary into a map literal: the plan
+    must contain NO join and NO broadcast exchange — the lookup is a pure
+    row expression over the customer scan (one sort for the ORDER BY is the
+    only exchange allowed)."""
+    from clickhousemigrators3_spark.operators.mergetree import (
+        ch_dict_get_nation_name,
+    )
+
+    plan = _plan(ch_dict_get_nation_name(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "keys:" not in plan.lower() or "HashAggregate" not in plan
+
+
+def test_limit_by_uses_window_group_limit(spark):
+    """LIMIT n BY key must ride WindowGroupLimit (bounded per-key heap in
+    the shuffle), not a full sort of each user's history."""
+    from clickhousemigrators3_spark.operators.mergetree import ch_limit_by_recent
+
+    plan = _plan(ch_limit_by_recent(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_replacing_final_single_shuffle(spark):
+    """ReplacingMergeTree FINAL = one hash exchange on the key; a second
+    fact-sized exchange would mean the window and the count stopped sharing
+    the partitioning."""
+    from clickhousemigrators3_spark.operators.mergetree import ch_replacing_final
+
+    plan = _plan(ch_replacing_final(spark, SF_DIR))
+    # one hash exchange for the window key + one range exchange for the
+    # final ORDER BY — nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sequence_next_node_shares_window(spark):
+    """Both LAGs and the ROW_NUMBER must share one user_id sort: two Window
+    operators are fine, a second hashpartitioning exchange is not."""
+    from clickhousemigrators3_spark.operators.mergetree import (
+        ch_sequence_next_node,
+    )
+
+    plan = _plan(ch_sequence_next_node(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
