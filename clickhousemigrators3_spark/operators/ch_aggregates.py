@@ -574,3 +574,54 @@ def group_array_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "sample_rank")
     )
+
+
+@register(
+    "ch_group_bitmap_weekly_users",
+    """
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def ch_group_bitmap_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupBitmap`` / ``groupBitmapState`` + ``Merge`` parity:
+    EXACT distinct users per week, computed as mergeable daily bitmap
+    partials OR-merged up to weeks — the exact-count twin of the HLL
+    sketch query (``ev_hll_partial_merge_weekly``), same
+    AggregatingMergeTree pattern, zero approximation.
+
+    Spark-first: ``bitmap_bucket_number`` / ``bitmap_bit_position`` shard
+    each user id into a fixed 32k-bit bucket; ``bitmap_construct_agg``
+    builds the daily partial per (day, bucket), ``bitmap_or_agg`` merges
+    partials to (week, bucket), and ``bitmap_count`` + SUM yields the exact
+    total. All JVM aggregates, all map-side combinable.
+
+    Scale: this is how a 100 TB event log serves exact weekly uniques
+    without re-scanning raw events — daily partials are materialized once
+    (bounded: 4 KB per bucket), weekly merges touch partials only. Late
+    data re-aggregates one day's partial, not the week. The bucket column
+    also bounds every bitmap to 32k bits regardless of the id domain, so
+    no single aggregate state can blow an executor."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.bitmap_bucket_number(F.col("user_id")).alias("bkt"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("day", "bkt")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    weekly = (
+        daily.groupBy(
+            F.date_trunc("week", F.col("day")).cast("date").alias("week"), "bkt"
+        )
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+        .select("week", F.bitmap_count(F.col("bm")).alias("n"))
+    )
+    return (
+        weekly.groupBy("week")
+        .agg(F.sum("n").cast("long").alias("exact_users"))
+        .orderBy("week")
+    )

@@ -740,3 +740,53 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "containment")
         .orderBy("a_id", "b_id")
     )
+
+
+SPAN_N = 8
+
+
+def _repeated_spans_oracle() -> str:
+    grams = sql_word_shingles("text", SPAN_N)
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, unnest({grams}) AS span FROM documents)
+SELECT span,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM grams GROUP BY span HAVING COUNT(*) > 1
+ORDER BY n_docs DESC, span
+"""
+
+
+@register("dedup_repeated_spans", _repeated_spans_oracle())
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection, the memorization-risk scan a
+    training pipeline runs before the fuzzy dedups: every word {SPAN_N}-gram
+    that appears verbatim in MORE THAN ONE document, with its document
+    frequency and id range. This is the scalable stand-in for
+    suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): fixed-length spans instead of maximal
+    repeats, which turns a global suffix sort into one explode + one
+    groupBy.
+
+    Scale plan: the shuffle key is the span (or at 100 TB its 64-bit
+    rolling hash — swap ``span`` for ``xxhash64(span)`` to keep shuffle
+    rows ~16 bytes); per-doc DISTINCT dedups locally before the exchange,
+    so the shuffled relation is bounded by distinct (doc, span) pairs.
+    Long-tail spans (df=1, the vast majority) die in the HAVING without
+    ever being wide; no doc-vs-doc comparison happens at any point."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), SPAN_N)).alias("span")
+    ).distinct()
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "span")
+    )

@@ -342,3 +342,52 @@ def ch_dict_get_nation_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("credit"))
         .alias("standing"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "ch_any_left_join_first_order",
+    """
+    WITH fo AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    SELECT c_custkey, c_name, fo.o_orderkey AS first_orderkey,
+           fo.o_orderdate AS first_orderdate
+    FROM customer c
+    LEFT JOIN (SELECT * FROM fo WHERE rn = 1) fo
+           ON c.c_custkey = fo.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def ch_any_left_join_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ANY LEFT JOIN`` parity: each left row pairs with AT MOST
+    ONE right row instead of fanning out. ClickHouse picks an arbitrary
+    match; a reproducible engine must pin one, so "any" is defined as the
+    earliest (o_orderdate, o_orderkey) — the same determinism upgrade this
+    repo applies to FINAL and asof ties.
+
+    Spark-first: reduce the right side to one row per key FIRST (window
+    rank over orders — WindowGroupLimit keeps one row per key inside the
+    shuffle), then a plain left join. At scale this is strictly better than
+    joining then deduplicating: the join input shrinks to |customers| ∪
+    |distinct custkeys| before any pairing happens, and the fan-out a
+    many-per-key right side would cause never exists."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    first = (
+        o.select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        c.join(first, c.c_custkey == first.o_custkey, "left")
+        .select("c_custkey", "c_name", "first_orderkey", "first_orderdate")
+        .orderBy("c_custkey")
+    )
