@@ -203,3 +203,144 @@ def delete_keys(
         "touched_partitions": len(touched),
         "rows_deleted": n_before - n_after,
     }
+
+
+def optimize_final_deduplicate(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    version_cols: list[str],
+    partition_cols: list[str],
+) -> dict:
+    """ClickHouse ``OPTIMIZE TABLE … FINAL DEDUPLICATE`` parity — the
+    WRITE-side compaction that makes ReplacingMergeTree's lazy dedup
+    durable: rewrite partitions so only the greatest-version row per key
+    survives. Faithful to ClickHouse scope: deduplication applies WITHIN a
+    partition (ClickHouse merges never cross partitions); cross-partition
+    duplicates remain the read-side FINAL query's job
+    (``ch_replacing_final`` in ``mergetree.py``).
+
+    Partition-grain copy-on-write: a first grouped pass finds partitions
+    that actually contain duplicate keys — partitions already clean are
+    never rewritten (idempotent; a second run is a metadata-only no-op).
+    ``version_cols`` orders versions; the LAST version column acts as the
+    deterministic tie-break, so reruns are bit-stable.
+
+    Returns ``{"rewritten_partitions": n, "rows_removed": n}``.
+    """
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(path)
+    dirty = [
+        tuple(r)
+        for r in (
+            df.groupBy(*partition_cols, *key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .select(*partition_cols)
+            .distinct()
+            .collect()
+        )
+    ]
+    if not dirty:
+        return {"rewritten_partitions": 0, "rows_removed": 0}
+
+    pred = F.lit(False)
+    for vals in dirty:
+        clause = F.lit(True)
+        for c, v in zip(partition_cols, vals):
+            clause = clause & (F.col(c) == F.lit(v))
+        pred = pred | clause
+    existing = df.filter(pred)
+    n_before = existing.count()
+    w = Window.partitionBy(*partition_cols, *key_cols).orderBy(
+        *[F.desc(c) for c in version_cols]
+    )
+    kept = (
+        existing.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    n_after = kept.count()
+    _ensure_dynamic_overwrite(spark)
+    (
+        kept.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return {
+        "rewritten_partitions": len(dirty),
+        "rows_removed": n_before - n_after,
+    }
+
+
+def apply_ttl(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    cutoff,
+    partition_cols: list[str],
+) -> dict:
+    """ClickHouse table ``TTL`` parity (``TTL ts + INTERVAL n``): expire
+    rows older than ``cutoff`` with the cheapest action each partition
+    allows —
+
+    * partitions whose max(ts) < cutoff are FULLY expired → dropped as
+      directories (metadata-only, zero data read — the Hadoop FS delete
+      works the same on s3a://), exactly how ClickHouse's
+      ``ttl_only_drop_parts`` drops whole parts;
+    * partitions straddling the cutoff are rewritten keeping live rows
+      (dynamic overwrite, bounded to the boundary partitions);
+    * fully-live partitions are untouched.
+
+    Contract: partition values must be filesystem-safe scalars (the same
+    constraint the migration writer already imposes), since fully-expired
+    partitions are located by their ``col=value`` directory names.
+
+    Returns ``{"dropped_partitions": n, "rewritten_partitions": n,
+    "rows_expired": n}``.
+    """
+    from ..catalog import _delete_path
+
+    df = spark.read.parquet(path)
+    stats = (
+        df.groupBy(*partition_cols)
+        .agg(
+            F.min(ts_col).alias("__mn"),
+            F.max(ts_col).alias("__mx"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .collect()
+    )
+    dead = [r for r in stats if r["__mx"] < cutoff]
+    boundary = [r for r in stats if r["__mn"] < cutoff <= r["__mx"]]
+
+    for r in dead:
+        segs = "/".join(f"{c}={r[c]}" for c in partition_cols)
+        _delete_path(spark, f"{path}/{segs}")
+
+    rows_expired = sum(r["__n"] for r in dead)
+    if boundary:
+        pred = F.lit(False)
+        for r in boundary:
+            clause = F.lit(True)
+            for c in partition_cols:
+                clause = clause & (F.col(c) == F.lit(r[c]))
+            pred = pred | clause
+        straddling = df.filter(pred)
+        n_before = straddling.count()
+        kept = straddling.filter(F.col(ts_col) >= F.lit(cutoff))
+        rows_expired += n_before - kept.count()
+        _ensure_dynamic_overwrite(spark)
+        (
+            kept.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    return {
+        "dropped_partitions": len(dead),
+        "rewritten_partitions": len(boundary),
+        "rows_expired": rows_expired,
+    }

@@ -1309,3 +1309,83 @@ def test_bpe_merges_match_reference(spark):
         for r in bpe_merge_steps(spark, SF_DIR).collect()
     ]
     assert got == expect, (got, expect)
+
+
+def test_optimize_final_deduplicate(spark, tmp_path):
+    """OPTIMIZE FINAL DEDUPLICATE: within-partition latest-version survival,
+    clean partitions untouched, idempotent rerun."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.maintenance import (
+        optimize_final_deduplicate,
+    )
+
+    path = str(tmp_path / "repl")
+    rows = [
+        # partition p=a: key 1 has versions 1..3, key 2 clean
+        ("a", 1, 1, 10.0), ("a", 1, 2, 20.0), ("a", 1, 3, 30.0),
+        ("a", 2, 1, 40.0),
+        # partition p=b: fully clean — must not be rewritten
+        ("b", 1, 1, 50.0), ("b", 3, 7, 60.0),
+    ]
+    df = spark.createDataFrame(rows, ["p", "k", "ver", "val"])
+    df.write.partitionBy("p").parquet(path)
+    import os
+
+    b_files_before = sorted(os.listdir(str(tmp_path / "repl" / "p=b")))
+
+    stats = optimize_final_deduplicate(
+        spark, path, key_cols=["k"], version_cols=["ver"], partition_cols=["p"]
+    )
+    assert stats == {"rewritten_partitions": 1, "rows_removed": 2}
+    assert sorted(os.listdir(str(tmp_path / "repl" / "p=b"))) == b_files_before
+
+    out = {
+        (r["p"], r["k"]): (r["ver"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert out[("a", 1)] == (3, 30.0)  # latest version won
+    assert out[("a", 2)] == (1, 40.0)
+    assert len(out) == 4
+
+    # idempotent: second run is a no-op
+    stats2 = optimize_final_deduplicate(
+        spark, path, key_cols=["k"], version_cols=["ver"], partition_cols=["p"]
+    )
+    assert stats2 == {"rewritten_partitions": 0, "rows_removed": 0}
+
+
+def test_apply_ttl_partition_grain(spark, tmp_path):
+    """TTL: fully-expired partitions dropped as directories (no rewrite),
+    straddling partitions rewritten, live partitions untouched."""
+    import os
+
+    from clickhousemigrators3_spark.operators.maintenance import apply_ttl
+
+    path = str(tmp_path / "ttl")
+    rows = [
+        ("d1", 10), ("d1", 20),          # fully expired (max 20 < 50)
+        ("d2", 30), ("d2", 60),          # straddles cutoff 50
+        ("d3", 70), ("d3", 80),          # fully live
+    ]
+    df = spark.createDataFrame(rows, ["day", "ts"])
+    df.write.partitionBy("day").parquet(path)
+    d3_before = sorted(os.listdir(str(tmp_path / "ttl" / "day=d3")))
+
+    stats = apply_ttl(spark, path, "ts", 50, ["day"])
+    assert stats == {
+        "dropped_partitions": 1,
+        "rewritten_partitions": 1,
+        "rows_expired": 3,
+    }
+    assert not os.path.exists(str(tmp_path / "ttl" / "day=d1"))
+    assert sorted(os.listdir(str(tmp_path / "ttl" / "day=d3"))) == d3_before
+    left = sorted(
+        (r["day"], r["ts"]) for r in spark.read.parquet(path).collect()
+    )
+    assert left == [("d2", 60), ("d3", 70), ("d3", 80)]
+
+    # idempotent: nothing left to expire
+    stats2 = apply_ttl(spark, path, "ts", 50, ["day"])
+    assert stats2["dropped_partitions"] == 0
+    assert stats2["rows_expired"] == 0
