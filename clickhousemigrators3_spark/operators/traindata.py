@@ -254,10 +254,14 @@ def text_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFr
     {CONTAM_N}-grams overlap the eval slice's gram set, with the overlap
     ratio per doc.
 
-    Scale plan: the eval side is a benchmark suite — tiny next to a 100 TB
-    corpus — so its distinct gram set is broadcast and the scan over
-    training docs stays a single shuffle-free map + broadcast-hash-join,
-    then one groupBy on doc_id. No corpus-vs-corpus join ever happens."""
+    Scale plan: in production the eval side is a benchmark suite — tiny
+    next to a 100 TB corpus — and AQE will broadcast it. No hint is forced,
+    because HERE the eval slice is carved out of the corpus itself
+    (doc_id % {CONTAM_MOD}), so it scales with SF; pinning a broadcast on
+    an SF-scaling relation is exactly the anti-pattern this repo bans.
+    AQE broadcasts it while it fits and falls back to a shuffle join
+    beyond that. Then one groupBy on doc_id; no corpus-vs-corpus join
+    ever happens."""
     from ..functions.text import word_shingles
 
     d = load_table(spark, sf_dir, "documents")
@@ -268,7 +272,7 @@ def text_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFr
     train = grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
     tot = train.groupBy("doc_id").agg(F.count("*").alias("total_grams"))
     ov = (
-        train.join(F.broadcast(eval_g), "g")
+        train.join(eval_g, "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("overlap_grams"))
     )
