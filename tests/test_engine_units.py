@@ -1389,3 +1389,79 @@ def test_apply_ttl_partition_grain(spark, tmp_path):
     stats2 = apply_ttl(spark, path, "ts", 50, ["day"])
     assert stats2["dropped_partitions"] == 0
     assert stats2["rows_expired"] == 0
+
+
+def test_projection_chooser_serves_and_refuses(spark, tmp_path):
+    """PROJECTION parity: a day-level query is served from the hourly
+    rollup (counts sum, sums sum, HLL states merge) and equals the raw
+    answer; a query needing an EXACT distinct is refused (summing distinct
+    counts would be wrong), falling back to raw."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.rollup_maintenance import (
+        build_rollup,
+    )
+    from clickhousemigrators3_spark.plans.projections import (
+        ProjectionSpec,
+        answer_with_projection,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    rollup_path = str(tmp_path / "rollup")
+    build_rollup(events, rollup_path)
+    spec = ProjectionSpec(
+        name="hourly_rollup",
+        path=rollup_path,
+        group_cols=["day", "hour_start", "event_type"],
+        aggs={"n_events": "count", "sum_value": "sum", "users_sk": "hll_state"},
+    )
+
+    served, source = answer_with_projection(
+        spark,
+        events,
+        [spec],
+        group_cols=["day"],
+        wanted={"n_events": "count", "sum_value": "sum"},
+    )
+    assert source == "hourly_rollup"
+    raw = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    got = {r["day"]: (r["n_events"], round(r["sum_value"], 4)) for r in served.collect()}
+    want = {r["day"]: (r["n_events"], round(r["sum_value"], 4)) for r in raw.collect()}
+    assert got == want
+
+    # grouping outside the projection key → refused, falls back to raw
+    _, source2 = answer_with_projection(
+        spark,
+        events,
+        [spec],
+        group_cols=["user_id"],
+        wanted={"n_events": "count"},
+        raw_exprs={"n_events": F.count(F.lit(1))},
+    )
+    assert source2 == "raw"
+
+    # HLL-backed approximate distinct is servable and close to exact
+    approx, source3 = answer_with_projection(
+        spark,
+        events,
+        [spec],
+        group_cols=["day"],
+        wanted={"users_sk": "approx_count_distinct"},
+    )
+    assert source3 == "hourly_rollup"
+    exact = {
+        r["day"]: r["n"]
+        for r in events.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in approx.collect():
+        assert abs(r["users_sk"] - exact[r["day"]]) <= max(2, 0.05 * exact[r["day"]])
