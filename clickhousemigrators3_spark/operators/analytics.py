@@ -982,3 +982,52 @@ def histogram_equidepth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "window_time_range_1h_per_user",
+    """
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(ROUND(SUM(value) OVER w * 100) AS BIGINT) AS sum_1h_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY date_diff('microseconds',
+                                    TIMESTAMP '2024-01-01 00:00:00', ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_time_range_1h_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based window frame (``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING``):
+    per event, the count and value sum of the same user's trailing hour —
+    the sliding-window-per-row analytic rows-based frames can't express
+    (a ROWS frame counts rows, not time). Spark's rangeBetween needs a
+    numeric sort key, so the frame runs over microseconds-since-anchor
+    (``timestampdiff`` from a fixed NTZ epoch; DuckDB ``date_diff``) —
+    integral, timezone-free, identical in both engines regardless of the
+    session TZ (``unix_micros`` would reject/shift TIMESTAMP_NTZ values,
+    and any epoch-based key silently moves with the session timezone on a
+    vanilla session). Sum emitted in integer cents
+    (float-order immunity). One shuffle on user_id, sorted once; per-row
+    state is the sliding frame bounds — O(1) memory per partition."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w) * 100).cast("long").alias("sum_1h_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -625,3 +625,35 @@ def ch_group_bitmap_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("exact_users"))
         .orderBy("week")
     )
+
+
+@register(
+    "ch_array_enumerate_uniq",
+    """
+    SELECT user_id, event_id, event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS BIGINT)
+             AS occurrence
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def ch_array_enumerate_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayEnumerateUniq(groupArray(event_type))`` parity:
+    per user, each event tagged with the occurrence index of its type so
+    far ("your 3rd click"). ClickHouse reaches this by materializing the
+    whole per-user array and enumerating it; the Spark-first form never
+    builds the array — a ROW_NUMBER over (user_id, event_type) gives the
+    same numbering with per-row constant state and one shuffle, no
+    per-user memory proportional to history."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).cast("long").alias("occurrence"),
+        )
+        .orderBy("user_id", "event_id")
+    )

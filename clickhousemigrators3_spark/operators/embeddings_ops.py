@@ -362,3 +362,78 @@ def kmeans_centroids_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster", "dim")
     )
+
+
+N_SIL_CENTROIDS = 8
+
+SILHOUETTE_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {N_SIL_CENTROIDS}),
+ranked AS (
+  SELECT e.vec_id, c.cluster,
+         1.0 - {sql_cosine('e.v', 'c.cv')} AS d,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {sql_cosine('e.v', 'c.cv')} DESC,
+                                     c.cluster) AS rn
+  FROM e, cent c),
+ab AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN cluster END) AS cluster,
+         MAX(CASE WHEN rn = 1 THEN d END) AS a,
+         MAX(CASE WHEN rn = 2 THEN d END) AS b
+  FROM ranked WHERE rn <= 2 GROUP BY vec_id)
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(AVG(ROUND((b - a) / GREATEST(a, b), 6)), 6) AS mean_silhouette
+FROM ab GROUP BY cluster ORDER BY cluster
+"""
+
+
+@register("embedding_silhouette_by_centroid", SILHOUETTE_ORACLE)
+def embedding_silhouette_by_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality diagnostic: simplified (centroid-based) silhouette
+    per cluster — a(i) = cosine distance to the assigned (nearest)
+    centroid, b(i) = distance to the runner-up centroid, s = (b-a)/max(a,b)
+    averaged per cluster. The medoid-free form is the one that scales: the
+    classic silhouette needs all pairwise member distances (quadratic);
+    against centroids it is |corpus| x k with k bounded.
+
+    Same deterministic centroid contract as the IVF queries (vec_id <
+    {N_SIL_CENTROIDS} — swap in k-means-trained centroids via
+    ``_lloyd``). One broadcast of k rows, one corpus scan, per-vector
+    top-2 via WindowGroupLimit, one grouped mean. Per-row s is rounded to
+    6dp BEFORE averaging so both engines average identical values."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < N_SIL_CENTROIDS).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("c", cosine(F.col("v"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cluster"))
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .withColumn("d", F.lit(1.0) - F.col("c"))
+    )
+    ab = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cluster"))).alias("cluster"),
+        F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("a"),
+        F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("b"),
+    )
+    s = F.round(
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")), 6
+    )
+    return (
+        ab.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg(s), 6).alias("mean_silhouette"),
+        )
+        .orderBy("cluster")
+    )
