@@ -73,12 +73,101 @@ def cli_query(argv: list[str]) -> int:
         spark.stop()
 
 
+def cli_optimize(argv: list[str]) -> int:
+    """``optimize --path P --keys k1,k2 --versions v1 --partitions p1`` —
+    OPTIMIZE FINAL DEDUPLICATE: compact a dataset keeping the latest
+    version per key within each partition (``operators/maintenance.py``)."""
+    from .operators.maintenance import optimize_final_deduplicate
+    from .session import get_spark
+
+    opts = _kv_opts(argv, {"--path", "--keys", "--versions", "--partitions"})
+    if opts is None or not all(
+        k in opts for k in ("--path", "--keys", "--versions", "--partitions")
+    ):
+        print(
+            "usage: optimize --path P --keys k1,k2 --versions v1 "
+            "--partitions p1,p2",
+            file=sys.stderr,
+        )
+        return 2
+    spark = get_spark(app_name="optimize-final")
+    try:
+        stats = optimize_final_deduplicate(
+            spark,
+            opts["--path"],
+            key_cols=opts["--keys"].split(","),
+            version_cols=opts["--versions"].split(","),
+            partition_cols=opts["--partitions"].split(","),
+        )
+        print(stats)
+        return 0
+    finally:
+        spark.stop()
+
+
+def cli_ttl(argv: list[str]) -> int:
+    """``ttl --path P --ts-col ts --cutoff '2024-01-01' --partitions p1`` —
+    expire rows older than the cutoff: fully-expired partitions drop as
+    directories, boundary partitions rewrite."""
+    from .operators.maintenance import apply_ttl
+    from .session import get_spark
+
+    opts = _kv_opts(argv, {"--path", "--ts-col", "--cutoff", "--partitions"})
+    if opts is None or not all(
+        k in opts for k in ("--path", "--ts-col", "--cutoff", "--partitions")
+    ):
+        print(
+            "usage: ttl --path P --ts-col C --cutoff V --partitions p1,p2",
+            file=sys.stderr,
+        )
+        return 2
+    cutoff: object = opts["--cutoff"]
+    for parse in (int, float, __import__("datetime").datetime.fromisoformat):
+        try:
+            cutoff = parse(opts["--cutoff"])
+            break
+        except ValueError:
+            continue
+    spark = get_spark(app_name="apply-ttl")
+    try:
+        stats = apply_ttl(
+            spark,
+            opts["--path"],
+            opts["--ts-col"],
+            cutoff,
+            opts["--partitions"].split(","),
+        )
+        print(stats)
+        return 0
+    finally:
+        spark.stop()
+
+
+def _kv_opts(argv: list[str], known: set[str]) -> dict | None:
+    opts: dict = {}
+    it = iter(argv)
+    for a in it:
+        if a in known:
+            try:
+                opts[a] = next(it)
+            except StopIteration:
+                return None
+        else:
+            print(f"unknown option {a}", file=sys.stderr)
+            return None
+    return opts
+
+
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:]) if argv is None else list(argv)
     if args and args[0] == "list-queries":
         return cli_list_queries()
     if args and args[0] == "query":
         return cli_query(args[1:])
+    if args and args[0] == "optimize":
+        return cli_optimize(args[1:])
+    if args and args[0] == "ttl":
+        return cli_ttl(args[1:])
     return _migrate_main(argv)
 
 

@@ -452,3 +452,54 @@ def test_full_database_parallel_dispatch(spark, tmp_path):
         "no_such_table": "failed",
         "nation": "completed",
     }
+
+
+def test_cli_maintenance_subcommands(spark, tmp_path):
+    """CLI optimize/ttl e2e in a fresh interpreter: dedup keeps latest
+    version, ttl drops the expired partition; bad usage exits 2."""
+    import os
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [("a", 1, 1, 10.0), ("a", 1, 2, 20.0), ("b", 2, 1, 30.0)],
+        ["p", "k", "ver", "val"],
+    )
+    df.write.partitionBy("p").parquet(path)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    run = lambda *args: subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; from clickhousemigrators3_spark.cli import main; "
+            "sys.exit(main(sys.argv[1:]))",
+            *args,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+        env=env,
+    )
+
+    proc = run(
+        "optimize", "--path", path, "--keys", "k",
+        "--versions", "ver", "--partitions", "p",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "'rewritten_partitions': 1" in proc.stdout
+    rows = {(r["p"], r["k"]): r["ver"] for r in spark.read.parquet(path).collect()}
+    assert rows == {("a", 1): 2, ("b", 2): 1}
+
+    proc = run(
+        "ttl", "--path", path, "--ts-col", "ver",
+        "--cutoff", "2", "--partitions", "p",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "'dropped_partitions': 1" in proc.stdout
+    assert not os.path.exists(os.path.join(path, "p=b"))
+
+    assert run("optimize", "--path", path).returncode == 2
+    assert run("ttl", "--bogus", "x").returncode == 2
