@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.hashing import oracle_hash_sql, stable_hash32, stable_hash60
-from ..functions.text import sql_word_shingles, word_shingles
+from ..functions.text import exploded_word_shingles, sql_word_shingles
 from ..functions.vectors import cosine, dot, sql_cosine, sql_dot, to_double
 from ..registry import register
 
@@ -105,9 +105,7 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("shingle")
-    ).distinct()
+    return exploded_word_shingles(d, "text", SHINGLE_N, "shingle").distinct()
 
 
 _SQL_SHINGLES = f"""
@@ -180,9 +178,7 @@ def _lsh_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_intersect``. Overlap is still computed over hashed shingle sets
     (4-byte elements, not strings), identically in the oracle."""
     d = load_table(spark, sf_dir, "documents")
-    raw = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), SHINGLE_N)).alias("shingle")
-    )
+    raw = exploded_word_shingles(d, "text", SHINGLE_N, "shingle")
     # single distinct over (doc_id, hash) — strings never shuffle
     hashed = raw.select(
         "doc_id", stable_hash32(F.col("shingle")).alias("h")
@@ -430,9 +426,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-linear on natural text while the verify remains exact."""
     sh3 = _shingles(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
-    sh5 = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), BLOCK_N)).alias("shingle")
-    ).distinct()
+    sh5 = exploded_word_shingles(d, "text", BLOCK_N, "shingle").distinct()
     a5 = sh5.select(F.col("doc_id").alias("a_id"), "shingle")
     b5 = sh5.select(F.col("doc_id").alias("b_id"), "shingle")
     cand = (
@@ -777,9 +771,7 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Long-tail spans (df=1, the vast majority) die in the HAVING without
     ever being wide; no doc-vs-doc comparison happens at any point."""
     d = load_table(spark, sf_dir, "documents")
-    spans = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), SPAN_N)).alias("span")
-    ).distinct()
+    spans = exploded_word_shingles(d, "text", SPAN_N, "span").distinct()
     return (
         spans.groupBy("span")
         .agg(

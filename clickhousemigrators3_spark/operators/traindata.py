@@ -262,12 +262,10 @@ def text_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFr
     AQE broadcasts it while it fits and falls back to a shuffle join
     beyond that. Then one groupBy on doc_id; no corpus-vs-corpus join
     ever happens."""
-    from ..functions.text import word_shingles
+    from ..functions.text import exploded_word_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), CONTAM_N)).alias("g")
-    ).distinct()
+    grams = exploded_word_shingles(d, "text", CONTAM_N, "g").distinct()
     eval_g = grams.filter(F.col("doc_id") % CONTAM_MOD == 0).select("g").distinct()
     train = grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
     tot = train.groupBy("doc_id").agg(F.count("*").alias("total_grams"))

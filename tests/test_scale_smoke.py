@@ -158,3 +158,39 @@ def test_sliding_funnel_at_800k_events(spark, tmp_path_factory):
     dt = time.perf_counter() - t0
     assert scaled == {k: v * 8 for k, v in base.items()}
     assert dt < 60, f"sliding funnel at 800k events took {dt:.1f}s"
+
+
+def test_repeated_spans_at_16x(spark, tmp_path_factory):
+    """Span-dedup smoke at 16× documents (~80k docs): replication turns
+    EVERY span into a cross-doc repeat, so the output must equal the
+    distinct-span count — and the runtime must stay explode+groupBy linear,
+    not pairwise."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.dedup import (
+        SPAN_N,
+        dedup_repeated_spans,
+    )
+    from clickhousemigrators3_spark.functions.text import word_shingles
+
+    d = tmp_path_factory.mktemp("scale_docs")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = (
+        docs.withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(REPL)])))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    big.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    distinct_spans = (
+        docs.select(F.explode(word_shingles(F.col("text"), SPAN_N)).alias("s"))
+        .distinct()
+        .count()
+    )
+    t0 = time.perf_counter()
+    n = dedup_repeated_spans(spark, str(d)).count()
+    dt = time.perf_counter() - t0
+    assert n == distinct_spans
+    assert dt < 90, f"repeated spans at 16x docs took {dt:.1f}s"
