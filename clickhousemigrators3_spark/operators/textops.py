@@ -331,17 +331,23 @@ def text_word_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped count — identical topology to the unigram vocab build. The
     global top-N ranks vocabulary-sized data."""
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # materialize the split once per row in its own projection — HOF
+    # lambdas defeat Catalyst CSE, so referencing the raw split expression
+    # from inside transform() would re-run the regex once per produced
+    # bigram (same fix as functions/text.py exploded_word_shingles)
+    wdf = d.filter(F.trim(F.col("text")) != "").select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    wc = F.col("w")
     pairs_expr = F.when(
-        F.size(w) >= 2,
+        F.size(wc) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+            F.sequence(F.lit(1), F.size(wc) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(wc, i), F.element_at(wc, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     pairs = (
-        d.filter(F.trim(F.col("text")) != "")
-        .select(F.explode(pairs_expr).alias("bigram"))
+        wdf.select(F.explode(pairs_expr).alias("bigram"))
         .filter(~F.col("bigram").startswith(" ") & ~F.col("bigram").endswith(" "))
     )
     counts = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
