@@ -241,3 +241,53 @@ def asof_interpolate_value_at_purchase(
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "asof_join_click_within_tolerance",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts IS NOT NULL
+                 AND p.ts - c.ts <= INTERVAL 1 HOUR
+                THEN c.value END AS click_value_1h,
+           CASE WHEN c.ts IS NOT NULL
+                 AND p.ts - c.ts <= INTERVAL 1 HOUR
+                THEN c.ts END AS click_ts_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_click_within_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with TOLERANCE (kdb ``aj`` tolerance / pandas
+    ``merge_asof(tolerance=...)``): the most recent earlier click counts
+    only if it happened within 1 hour of the purchase — stale state older
+    than the tolerance must NOT leak in, it becomes NULL. Built on the same
+    union-sort as-of core (one shuffle, no range fan-out): the source ts
+    rides along as payload and the tolerance is a post-projection, so the
+    tolerance costs nothing over the plain as-of."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    out = asof_join(
+        probe=purchases,
+        source=clicks,
+        by=["user_id"],
+        ts="ts",
+        payload={"_click_value": F.col("value"), "_click_ts": F.col("ts")},
+        probe_cols=["event_id"],
+        tie_break="event_id",
+    )
+    # exact microsecond gap (timestampdiff in SECOND would truncate and
+    # admit gaps up to 3600.999…s that the INTERVAL comparison rejects)
+    within = F.col("_click_ts").isNotNull() & (
+        F.expr("timestampdiff(MICROSECOND, _click_ts, ts)") <= 3_600_000_000
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("_click_value")).alias("click_value_1h"),
+        F.when(within, F.col("_click_ts")).alias("click_ts_1h"),
+    ).orderBy("event_id")

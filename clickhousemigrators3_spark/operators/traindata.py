@@ -530,3 +530,67 @@ def privacy_k_anonymity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "pack_sequence_boundaries",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(length(trim(text)) -
+                  length(replace(trim(text), ' ', '')) + 1 AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE trim(text) <> ''),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER w - n_tokens AS cum_before
+      FROM toks
+      WINDOW w AS (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT doc_id, lang,
+           CAST(FLOOR(cum_before / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id,
+           CAST(cum_before % {SHARD_TOKEN_BUDGET} AS BIGINT) AS start_offset,
+           CAST(cum_before % {SHARD_TOKEN_BUDGET} + n_tokens AS BIGINT)
+             AS end_offset
+    FROM packed ORDER BY lang, shard_id, doc_id
+    """,
+)
+def pack_sequence_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with document boundaries — the tokenizer-ready
+    completion of :func:`pack_token_shards`: each document gets its token
+    start/end offset WITHIN its shard's concatenated sequence, which is
+    exactly the metadata an attention-masking loader needs to keep packed
+    documents from attending across boundaries. Same deterministic
+    per-language hash order and running-token cumsum (one window, one
+    shuffle); offsets are the cumsum modulo the shard budget, so no second
+    pass over the data. A document straddling the budget line keeps
+    end_offset > budget — the loader's signal to truncate or wrap, kept
+    explicit rather than silently split."""
+    d = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.length(F.trim("text"))
+            - F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.floor(cum_before / SHARD_TOKEN_BUDGET).cast("long").alias("shard_id"),
+        (cum_before % SHARD_TOKEN_BUDGET).cast("long").alias("start_offset"),
+        (cum_before % SHARD_TOKEN_BUDGET + F.col("n_tokens"))
+        .cast("long")
+        .alias("end_offset"),
+    ).orderBy("lang", "shard_id", "doc_id")
