@@ -657,3 +657,111 @@ def ch_array_enumerate_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "ch_delta_sum_per_user",
+    """
+    WITH d AS (
+      SELECT user_id, value,
+             value - LAG(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS delta
+      FROM events)
+    SELECT user_id,
+           CAST(ROUND(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) * 100)
+                AS BIGINT) AS delta_sum_cents,
+           CAST(COUNT(delta) AS BIGINT) AS n_deltas
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ch_delta_sum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum(value)`` parity: the sum of positive
+    consecutive increments per user — the counter-reset-tolerant rate
+    primitive (a counter that resets to 0 contributes only its growth, not
+    the reset drop). One LAG window and one grouped sum sharing the
+    user_id partitioning; emitted in integer cents for float-order
+    immunity."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0.0))
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("delta_sum_cents"),
+            F.count("delta").alias("n_deltas"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ch_welch_ttest_click_vs_view",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(value) AS m,
+             var_samp(value) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type),
+    w AS (
+      SELECT MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+             MAX(CASE WHEN event_type = 'click' THEN m END) AS m1,
+             MAX(CASE WHEN event_type = 'click' THEN v END) AS v1,
+             MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+             MAX(CASE WHEN event_type = 'view' THEN m END) AS m2,
+             MAX(CASE WHEN event_type = 'view' THEN v END) AS v2
+      FROM s)
+    SELECT ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(POW(v1 / n1 + v2 / n2, 2)
+                 / (POW(v1 / n1, 2) / (n1 - 1)
+                    + POW(v2 / n2, 2) / (n2 - 1)), 6) AS welch_df,
+           CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view
+    FROM w
+    """,
+)
+def ch_welch_ttest_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``welchTTest(value, group)`` parity: Welch's unequal-
+    variance t statistic and Welch–Satterthwaite degrees of freedom between
+    click and view event values. Entirely from grouped moments (count,
+    mean, sample variance) — one aggregation pass over the filtered scan,
+    then scalar algebra on a 2-row relation; the same moment-combine shape
+    every map-side-partial aggregate uses, so it holds at any scale."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))
+    w = s.agg(
+        pick("click", "n").alias("n1"), pick("click", "m").alias("m1"),
+        pick("click", "v").alias("v1"), pick("view", "n").alias("n2"),
+        pick("view", "m").alias("m2"), pick("view", "v").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return w.select(
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_view"),
+    )
