@@ -782,3 +782,87 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy(F.desc("n_docs"), "span")
     )
+
+
+WINNOW_K = 4   # k-gram length (words)
+WINNOW_W = 4   # winnowing window (grams)
+_POS_BITS = 20  # pos packs into 20 bits below the 32-bit hash
+
+
+def _winnowing_oracle() -> str:
+    grams = sql_word_shingles("text", WINNOW_K)
+    h = oracle_hash_sql("g", 32)
+    return f"""
+WITH grams AS (
+  SELECT doc_id, unnest(l) AS g,
+         unnest(generate_series(1, len(l))) - 1 AS pos
+  FROM (SELECT doc_id, {grams} AS l FROM documents)),
+c AS (
+  SELECT doc_id, pos,
+         {h} * {1 << _POS_BITS} + ({(1 << _POS_BITS) - 1} - pos) AS comb
+  FROM grams),
+m AS (
+  SELECT doc_id, pos,
+         MIN(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                         AND CURRENT ROW) AS sel
+  FROM c),
+f AS (SELECT DISTINCT doc_id, sel FROM m WHERE pos >= {WINNOW_W - 1})
+SELECT doc_id,
+       CAST(sel // {1 << _POS_BITS} AS BIGINT) AS fp_hash,
+       CAST({(1 << _POS_BITS) - 1} - (sel % {1 << _POS_BITS}) AS BIGINT)
+         AS fp_pos
+FROM f ORDER BY doc_id, fp_pos
+"""
+
+
+@register("dedup_winnowing_fingerprints", _winnowing_oracle())
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken — the MOSS local
+    fingerprinting algorithm): per document, from each sliding window of
+    {WINNOW_W} consecutive word-{WINNOW_K}-gram hashes select the minimum
+    (rightmost on ties), then dedup selections. Guarantees every match of
+    length ≥ k+w-1 shares a fingerprint while keeping ~2/(w+1) of grams —
+    the position-aware complement to MinHash (which fingerprints whole
+    documents, not locations).
+
+    Determinism + engine parity: (hash, rightmost-pos) argmin is packed
+    into ONE bigint — hash in the high bits, bit-flipped position in the
+    low {_POS_BITS} — so the windowed MIN is a plain integer min in both
+    engines, no struct-ordering or FILTER-in-window divergence. Contract:
+    documents under 2^{_POS_BITS} grams (enforce by chunking longer docs).
+
+    Scale: one shuffle on doc_id, one sorted window with O(w) state,
+    distinct over the selected ~2/(w+1) fraction. Fingerprint→doc
+    inverted-index joins downstream reuse the (fp_hash) key."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import _shingles_of_words, _words_array
+
+    w = d.select("doc_id", _words_array(F.col("text")).alias("__w"))
+    grams = w.select(
+        "doc_id",
+        F.posexplode(_shingles_of_words(F.col("__w"), WINNOW_K)).alias("pos", "g"),
+    )
+    pos_max = (1 << _POS_BITS) - 1
+    comb = stable_hash32(F.col("g")) * (1 << _POS_BITS) + (
+        F.lit(pos_max) - F.col("pos")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = (
+        grams.select("doc_id", "pos", comb.alias("comb"))
+        .select("doc_id", "pos", F.min("comb").over(win).alias("sel"))
+        .filter(F.col("pos") >= WINNOW_W - 1)
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.col("sel") / (1 << _POS_BITS)).cast("long").alias("fp_hash"),
+        (F.lit(pos_max) - F.col("sel") % (1 << _POS_BITS))
+        .cast("long")
+        .alias("fp_pos"),
+    ).orderBy("doc_id", "fp_pos")
