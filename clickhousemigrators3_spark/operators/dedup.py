@@ -866,3 +866,59 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fp_pos"),
     ).orderBy("doc_id", "fp_pos")
+
+
+WINNOW_DF_CAP = 20      # drop boilerplate fingerprints shared by > cap docs
+WINNOW_PAIR_MIN = 10    # docs sharing >= this many fingerprints are pairs
+
+
+def _winnowing_pairs_oracle() -> str:
+    fp = _winnowing_oracle().replace("ORDER BY doc_id, fp_pos", "")
+    return f"""
+WITH fp AS ({fp}),
+u AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+keep AS (SELECT fp_hash FROM u GROUP BY fp_hash
+         HAVING COUNT(*) <= {WINNOW_DF_CAP}),
+uu AS (SELECT u.doc_id, u.fp_hash FROM u JOIN keep USING (fp_hash))
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM uu a JOIN uu b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_PAIR_MIN}
+ORDER BY a_id, b_id
+"""
+
+
+@register("dedup_winnowing_pairs", _winnowing_pairs_oracle())
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprints: inverted-index
+    self-join on fp_hash, pairs scored by shared-fingerprint count,
+    threshold {WINNOW_PAIR_MIN}. Because winnowing guarantees any shared
+    passage of length ≥ k+w-1 contributes a shared fingerprint, this
+    catches partial-overlap plagiarism/quote-farm pairs that whole-document
+    MinHash misses when the overlap is a small fraction of both docs.
+
+    Scale guards (same posture as the LSH pipeline): fingerprints shared
+    by more than {WINNOW_DF_CAP} documents are boilerplate and dropped
+    BEFORE the join (caps per-key fan-out at {WINNOW_DF_CAP}²), and the
+    join key is the 32-bit hash, never text. One extra shuffle over the
+    fingerprint relation, which is already ~2/(w+1) of the gram count."""
+    fps = dedup_winnowing_fingerprints(spark, sf_dir).select(
+        "doc_id", "fp_hash"
+    ).distinct()
+    keep = (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("fp_hash")
+    )
+    uu = fps.join(keep, "fp_hash")
+    a = uu.select(F.col("doc_id").alias("a_id"), "fp_hash")
+    b = uu.select(F.col("doc_id").alias("b_id"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_PAIR_MIN)
+        .orderBy("a_id", "b_id")
+    )
