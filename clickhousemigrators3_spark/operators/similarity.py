@@ -423,3 +423,89 @@ def embedding_matryoshka_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("query_id")
     )
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    n_centroids: int = 8,
+) -> dict:
+    """Persist an IVF index: the embedding corpus written PARTITIONED BY its
+    nearest-centroid cluster, plus the centroid table. This is the
+    materialized form of ``ann_ivf_topk``'s assignment pass — build once,
+    then every query's coarse probe becomes parquet PARTITION PRUNING: a
+    1000-executor query over 10^9 vectors opens only nprobe/nlist of the
+    files, no job-side filtering of unprobed rows ever happens.
+
+    Centroids follow the deterministic vec_id-prefix contract of the query
+    twins; swap in k-means centroids (``embeddings_ops._lloyd``) for a
+    trained build — the layout and query path are identical."""
+    e = _vectors(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ac"), F.asc("cent_id"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ac", cosine(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+    )
+    assign.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{index_path}/vectors"
+    )
+    cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    return {"n_centroids": n_centroids, "path": index_path}
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index. ``queries`` carries
+    (query_id, qv: array<double>); bounded by contract (it broadcasts).
+
+    The probed cluster ids are collected (≤ nprobe × |queries| ints) and
+    pushed into the scan as a partition filter — ``.explain`` shows
+    ``PartitionFilters: [cluster IN (...)]`` and the unprobed directories
+    are never opened. The per-query restriction to ITS OWN probed clusters
+    then happens on the pruned remainder, followed by the same
+    score + WindowGroupLimit top-k as the in-memory IVF twin."""
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qc"), F.asc("cent_id"))
+    probe = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("qc", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cluster"))
+    )
+    probed = [r["cluster"] for r in probe.select("cluster").distinct().collect()]
+    vecs = spark.read.parquet(f"{index_path}/vectors").filter(
+        F.col("cluster").isin(probed)
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(vecs, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.join(F.broadcast(queries), "query_id").withColumn(
+        "c", cosine(F.col("qv"), F.col("v"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("c"), 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1465,3 +1465,38 @@ def test_projection_chooser_serves_and_refuses(spark, tmp_path):
     }
     for r in approx.collect():
         assert abs(r["users_sk"] - exact[r["day"]]) <= max(2, 0.05 * exact[r["day"]])
+
+
+def test_persisted_ivf_index_prunes_and_matches(spark, tmp_path):
+    """The persisted IVF index must (a) answer identically to the in-memory
+    IVF twin (same centroids/nprobe/k/tie-breaks) and (b) reach the data
+    through parquet PARTITION PRUNING — the plan carries a partition filter
+    on cluster and unprobed directories are never opened."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+        IVF_TOP_K,
+        N_QUERIES,
+        _vectors,
+        ann_ivf_topk,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, SF_DIR, idx, n_centroids=N_CENTROIDS)
+
+    q = _vectors(spark, SF_DIR).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    got = query_ivf_index(spark, idx, q, k=IVF_TOP_K, nprobe=N_PROBE)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    part_filter = plan.split("PartitionFilters", 1)[1][:120]
+    assert "cluster" in part_filter, part_filter
+
+    want = [tuple(r) for r in ann_ivf_topk(spark, SF_DIR).collect()]
+    have = [tuple(r) for r in got.collect()]
+    assert have == want
