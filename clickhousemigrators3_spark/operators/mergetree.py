@@ -391,3 +391,56 @@ def ch_any_left_join_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "first_orderkey", "first_orderdate")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "ch_minmax_map_daily",
+    """
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS k,
+             CAST(ROUND(MIN(value) * 100) AS BIGINT) AS mn,
+             CAST(ROUND(MAX(value) * 100) AS BIGINT) AS mx
+      FROM events GROUP BY 1, 2)
+    SELECT day,
+           array_to_string(list(k || ':' || CAST(mn AS VARCHAR) || '..'
+                                  || CAST(mx AS VARCHAR) ORDER BY k),
+                           ',') AS minmax_map,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM c GROUP BY day ORDER BY day
+    """,
+)
+def ch_minmax_map_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minMap``/``maxMap`` parity, completing the map
+    combinator family next to :func:`ch_summap_daily`: per day, each event
+    type's value range merged across rows as a key-sorted map. Same
+    two-stage shape (groupBy (day, key) for the extremes — MIN/MAX are
+    mergeable states — then key-sorted entry assembly per day); values in
+    integer cents, serialized ``k:lo..hi``."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.col("event_type").alias("k"),
+    ).agg(
+        F.round(F.min("value") * 100).cast("long").alias("mn"),
+        F.round(F.max("value") * 100).cast("long").alias("mx"),
+    )
+    return (
+        c.groupBy("day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("k", "mn", "mx"))),
+                    lambda x: F.concat(
+                        x.k,
+                        F.lit(":"),
+                        x.mn.cast("string"),
+                        F.lit(".."),
+                        x.mx.cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("minmax_map"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .orderBy("day")
+    )
