@@ -1055,3 +1055,114 @@ def interval_length_sum(iv: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ev_lttb_downsample_daily",
+    """
+    WITH pts AS (
+      SELECT event_id, ts, value,
+             CAST(date_trunc('day', ts) AS DATE) AS bucket,
+             CAST(date_diff('microseconds',
+                            TIMESTAMP '2024-01-01 00:00:00', ts) AS DOUBLE)
+               AS x
+      FROM events),
+    bavg AS (
+      SELECT bucket, AVG(x) AS bx, AVG(value) AS by
+      FROM pts GROUP BY bucket),
+    ctx AS (
+      SELECT bucket,
+             LAG(bx)  OVER (ORDER BY bucket) AS px,
+             LAG(by)  OVER (ORDER BY bucket) AS py,
+             LEAD(bx) OVER (ORDER BY bucket) AS nx,
+             LEAD(by) OVER (ORDER BY bucket) AS ny
+      FROM bavg),
+    scored AS (
+      SELECT p.bucket, p.event_id, p.ts, p.value,
+             ABS((c.px - c.nx) * (p.value - c.py)
+                 - (c.px - p.x) * (c.ny - c.py)) AS area2,
+             c.px IS NULL AS is_first, c.nx IS NULL AS is_last
+      FROM pts p JOIN ctx c ON p.bucket = c.bucket),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket
+               ORDER BY CASE WHEN is_first THEN 0 WHEN is_last THEN 1
+                             ELSE 2 END,
+                        CASE WHEN is_first THEN ts END ASC,
+                        CASE WHEN is_last THEN ts END DESC,
+                        area2 DESC, event_id) AS rn
+      FROM scored)
+    SELECT bucket, event_id, ts, value
+    FROM ranked WHERE rn = 1 ORDER BY bucket
+    """,
+)
+def ev_lttb_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (ClickHouse
+    ``largestTriangleThreeBuckets``), fixed-anchor variant: one
+    representative event per day chosen to maximize the triangle area
+    against the NEIGHBOR BUCKETS' average points. Canonical LTTB anchors on
+    the previously SELECTED point, which is inherently sequential; the
+    bucket-average anchor (Steinarsson's thesis §4.2 "LTTB with fixed
+    anchors") differs only marginally in output quality and is fully
+    parallel — each bucket's argmax is independent, so the whole
+    downsample is one grouped aggregate + one windowed argmax. First/last
+    buckets keep the series' first/last point, as LTTB requires.
+
+    Determinism: the area is the same arithmetic expression in both
+    engines with (area DESC, event_id) ordering pinned. The area itself is
+    NOT emitted: at ~1e13 magnitude a 6dp round is a no-op and the
+    anchor AVERAGES differ by an ulp across engines' summation orders —
+    the SELECTION is stable (distinct points' areas differ by far more
+    than an ulp) but the raw score is not hash-comparable."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.expr(
+        "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        " AS DOUBLE)"
+    )
+    pts = e.select(
+        "event_id",
+        "ts",
+        "value",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("bucket"),
+        x.alias("x"),
+    )
+    bavg = pts.groupBy("bucket").agg(
+        F.avg("x").alias("bx"), F.avg("value").alias("by")
+    )
+    wb = Window.orderBy("bucket")
+    ctx = bavg.select(
+        "bucket",
+        F.lag("bx").over(wb).alias("px"),
+        F.lag("by").over(wb).alias("py"),
+        F.lead("bx").over(wb).alias("nx"),
+        F.lead("by").over(wb).alias("ny"),
+    )
+    scored = pts.join(ctx, "bucket").select(
+        "bucket",
+        "event_id",
+        "ts",
+        "value",
+        F.abs(
+            (F.col("px") - F.col("nx")) * (F.col("value") - F.col("py"))
+            - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+        ).alias("area2"),
+        F.col("px").isNull().alias("is_first"),
+        F.col("nx").isNull().alias("is_last"),
+    )
+    order_key = [
+        F.when(F.col("is_first"), F.lit(0))
+        .when(F.col("is_last"), F.lit(1))
+        .otherwise(F.lit(2)),
+        F.when(F.col("is_first"), F.col("ts")).asc(),
+        F.when(F.col("is_last"), F.col("ts")).desc(),
+        F.desc("area2"),
+        F.asc("event_id"),
+    ]
+    w = Window.partitionBy("bucket").orderBy(*order_key)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("bucket", "event_id", "ts", "value")
+        .orderBy("bucket")
+    )
