@@ -765,3 +765,205 @@ def ch_welch_ttest_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("long").alias("n_click"),
         F.col("n2").cast("long").alias("n_view"),
     )
+
+
+@register(
+    "ch_mann_whitney_click_vs_view",
+    """
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('click', 'view')),
+    rn AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (ORDER BY value, event_type) AS r
+      FROM s),
+    ar AS (SELECT value, AVG(r) AS avg_r FROM rn GROUP BY value),
+    ranked AS (
+      SELECT rn.event_type, ar.avg_r FROM rn JOIN ar ON rn.value = ar.value),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN avg_r END)
+                  AS DOUBLE) AS r1,
+             CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                  AS DOUBLE) AS n1,
+             CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS DOUBLE) AS n2
+      FROM ranked)
+    SELECT ROUND(r1 - n1 * (n1 + 1) / 2, 6) AS u1,
+           ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+                 / sqrt(n1 * n2 * (n1 + n2 + 1) / 12), 6) AS z,
+           CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view
+    FROM agg
+    """,
+)
+def ch_mann_whitney_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``mannWhitneyUTest`` parity: rank-sum U statistic between
+    click and view values with midrank tie handling (average ROW_NUMBER per
+    distinct value — exact rationals, so both engines agree bitwise), and
+    the normal-approximation z WITHOUT tie variance correction (noted; the
+    correction term is a second grouped pass over tie sizes if needed).
+
+    Scale: one global sort for the ranking — same cost class as any exact
+    rank statistic; at 100 TB use the bucketed-histogram approximation or
+    sample. The per-value midrank join shuffles distinct values only."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select("event_type", "value")
+    rn = e.withColumn(
+        "r", F.row_number().over(Window.orderBy("value", "event_type"))
+    )
+    ar = rn.groupBy("value").agg(F.avg("r").alias("avg_r"))
+    ranked = rn.join(ar, "value").select("event_type", "avg_r")
+    agg = ranked.agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("avg_r")))
+        .cast("double")
+        .alias("r1"),
+        F.count(F.when(F.col("event_type") == "click", F.lit(1)))
+        .cast("double")
+        .alias("n1"),
+        F.count(F.when(F.col("event_type") == "view", F.lit(1)))
+        .cast("double")
+        .alias("n2"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    return agg.select(
+        F.round(u1, 6).alias("u1"),
+        F.round(
+            (u1 - F.col("n1") * F.col("n2") / 2)
+            / F.sqrt(
+                F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12
+            ),
+            6,
+        ).alias("z"),
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_view"),
+    )
+
+
+@register(
+    "ch_ks_test_click_vs_view",
+    """
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('click', 'view')),
+    n AS (
+      SELECT CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE)
+               AS n1,
+             CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE)
+               AS n2
+      FROM s),
+    cum AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      FROM s GROUP BY value),
+    e AS (
+      SELECT value,
+             SUM(c1) OVER (ORDER BY value) AS a1,
+             SUM(c2) OVER (ORDER BY value) AS a2
+      FROM cum)
+    SELECT ROUND(MAX(ABS(a1 / n1 - a2 / n2)), 6) AS d_stat,
+           CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view
+    FROM e, n GROUP BY n1, n2
+    """,
+)
+def ch_ks_test_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``kolmogorovSmirnovTest`` parity: the exact two-sample KS
+    D statistic — the max ECDF gap between click and view value
+    distributions, evaluated at every distinct value (where the max is
+    always attained). Grouped counts per distinct value, one cumulative
+    window over distinct values (≪ corpus), one max. ECDF ratios are
+    count/total — identical rationals in both engines."""
+    s = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select("event_type", "value")
+    n = s.agg(
+        F.count(F.when(F.col("event_type") == "click", F.lit(1)))
+        .cast("double")
+        .alias("n1"),
+        F.count(F.when(F.col("event_type") == "view", F.lit(1)))
+        .cast("double")
+        .alias("n2"),
+    )
+    cum = s.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = cum.select(
+        F.sum("c1").over(w).alias("a1"), F.sum("c2").over(w).alias("a2")
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("a1") / F.col("n1") - F.col("a2") / F.col("n2"))),
+                6,
+            ).alias("d_stat")
+        )
+        .select(
+            "d_stat",
+            F.col("n1").cast("long").alias("n_click"),
+            F.col("n2").cast("long").alias("n_view"),
+        )
+    )
+
+
+@register(
+    "ch_cramers_v_lang_source",
+    """
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS obs
+      FROM documents GROUP BY lang, source),
+    rt AS (SELECT lang, SUM(obs) AS row_tot FROM o GROUP BY lang),
+    ct AS (SELECT source, SUM(obs) AS col_tot FROM o GROUP BY source),
+    n AS (SELECT SUM(obs) AS n FROM o),
+    chi AS (
+      SELECT SUM(POW(obs - row_tot * col_tot / n, 2)
+                 / (row_tot * col_tot / n)) AS chi2,
+             MAX(n) AS n,
+             CAST((SELECT COUNT(*) FROM rt) AS DOUBLE) AS r,
+             CAST((SELECT COUNT(*) FROM ct) AS DOUBLE) AS c
+      FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n)
+    SELECT ROUND(sqrt(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v,
+           ROUND(chi2, 6) AS chi2,
+           CAST(r AS BIGINT) AS n_langs, CAST(c AS BIGINT) AS n_sources
+    FROM chi
+    """,
+)
+def ch_cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV(lang, source)`` parity: the chi-square-based
+    association strength between two categorical columns. Everything
+    derives from ONE contingency count (cells = lang × source, dozens of
+    rows) — row/column margins and chi² are algebra over that tiny
+    relation, so the corpus is scanned exactly once regardless of scale."""
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    n = o.agg(F.sum("obs").alias("n"))
+    r = rt.agg(F.count(F.lit(1)).cast("double").alias("r"))
+    c = ct.agg(F.count(F.lit(1)).cast("double").alias("c"))
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    chi = (
+        o.join(rt, "lang")
+        .join(ct, "source")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum(F.pow(F.col("obs") - exp, 2) / exp).alias("chi2"),
+             F.max("n").alias("n"))
+        .crossJoin(F.broadcast(r))
+        .crossJoin(F.broadcast(c))
+    )
+    return chi.select(
+        F.round(
+            F.sqrt(
+                F.col("chi2") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round("chi2", 6).alias("chi2"),
+        F.col("r").cast("long").alias("n_langs"),
+        F.col("c").cast("long").alias("n_sources"),
+    )
