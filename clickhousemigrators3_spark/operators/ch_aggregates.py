@@ -967,3 +967,111 @@ def ch_cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("long").alias("n_langs"),
         F.col("c").cast("long").alias("n_sources"),
     )
+
+
+BOOT_B = 50  # number of pseudo-resamples
+
+
+def _boot_weight_sql(expr: str) -> str:
+    """Pseudo-Poisson(1) weight from a stable hash in [0,1000): thresholds
+    at the cumulative pmf (367, 735, 919, 980) give P(0)=.367, P(1)=.368,
+    P(2)=.184, P(3)=.061, P(4)=.020."""
+    h = f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT % 1000)"
+    return (
+        f"CASE WHEN {h} < 367 THEN 0 WHEN {h} < 735 THEN 1 "
+        f"WHEN {h} < 919 THEN 2 WHEN {h} < 980 THEN 3 ELSE 4 END"
+    )
+
+
+@register(
+    "stats_poisson_bootstrap_mean_ci",
+    f"""
+    WITH draws AS (
+      SELECT b, value,
+             {_boot_weight_sql("CAST(event_id AS VARCHAR) || '-' || CAST(b AS VARCHAR)")}
+               AS w
+      FROM events CROSS JOIN (SELECT unnest(generate_series(1, {BOOT_B})) AS b)),
+    means AS (
+      SELECT b, SUM(w * value) / SUM(w) AS m
+      FROM draws GROUP BY b HAVING SUM(w) > 0),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn,
+             COUNT(*) OVER () AS nb
+      FROM means)
+    SELECT ROUND((SELECT AVG(value) FROM events), 6) AS point_mean,
+           ROUND(MAX(CASE WHEN rn = 3 THEN m END), 6) AS ci_lo,
+           ROUND(MAX(CASE WHEN rn = nb - 2 THEN m END), 6) AS ci_hi,
+           CAST(MAX(nb) AS BIGINT) AS n_resamples
+    FROM ranked
+    """,
+)
+def stats_poisson_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean of event values —
+    the bootstrap that distributes: instead of drawing n rows WITH
+    replacement (which needs a global sample per resample), every row
+    independently contributes to each of {BOOT_B} resamples with a
+    Poisson(1)-distributed multiplicity. Here the multiplicity is a
+    DETERMINISTIC pseudo-Poisson from the md5 hash of (event_id,
+    resample) — reproducible across engines and retries, same contract as
+    the hash-ranked samplers. CI bounds are order statistics of the
+    resample means (ranks 3 and B-2 of {BOOT_B} ≈ 5%/95%), not
+    interpolated quantiles, so both engines agree exactly.
+
+    Scale: one map producing B weighted copies per row (B bounded, no data
+    movement per copy — the explode carries (b, value, w) scalars), one
+    groupBy b with map-side partial sums. No global resampling state ever
+    exists; this is how bootstrap CIs are actually computed on 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    draws = e.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit("-"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    w = (
+        F.when(h < 367, 0)
+        .when(h < 735, 1)
+        .when(h < 919, 2)
+        .when(h < 980, 3)
+        .otherwise(4)
+    )
+    means = (
+        draws.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    ranked = means.select(
+        "m",
+        F.row_number().over(Window.orderBy("m")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    point = e.agg(F.round(F.avg("value"), 6).alias("point_mean"))
+    ci = ranked.agg(
+        F.round(F.max(F.when(F.col("rn") == 3, F.col("m"))), 6).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("rn") == F.col("nb") - 2, F.col("m"))), 6
+        ).alias("ci_hi"),
+        F.max("nb").cast("long").alias("n_resamples"),
+    )
+    return point.crossJoin(ci)
