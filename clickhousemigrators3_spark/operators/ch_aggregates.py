@@ -1075,3 +1075,65 @@ def stats_poisson_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFra
         F.max("nb").cast("long").alias("n_resamples"),
     )
     return point.crossJoin(ci)
+
+
+@register(
+    "ch_theils_u_source_given_lang",
+    """
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM documents GROUP BY lang, source),
+    n AS (SELECT SUM(c) AS n FROM o),
+    hs AS (  -- H(source)
+      SELECT -SUM(p * ln(p)) AS h FROM (
+        SELECT SUM(c) / (SELECT n FROM n) AS p FROM o GROUP BY source)),
+    lt AS (SELECT lang, SUM(c) AS lt FROM o GROUP BY lang),
+    hl AS (  -- H(source | lang = l) and P(l)
+      SELECT o.lang, MAX(lt.lt) AS lt,
+             -SUM((c / lt.lt) * ln(c / lt.lt)) AS hl
+      FROM o JOIN lt ON o.lang = lt.lang GROUP BY o.lang),
+    hsl AS (SELECT SUM((lt / (SELECT n FROM n)) * hl) AS h FROM hl)
+    SELECT ROUND((hs.h - hsl.h) / hs.h, 6) AS theils_u,
+           ROUND(hs.h, 6) AS h_source,
+           ROUND(hsl.h, 6) AS h_source_given_lang
+    FROM hs, hsl
+    """,
+)
+def ch_theils_u_source_given_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``theilsU(source, lang)`` parity: the asymmetric
+    uncertainty coefficient U(source|lang) = (H(source) − H(source|lang)) /
+    H(source) — how much knowing the language reduces uncertainty about
+    the source. Same single contingency count as Cramér's V; conditional
+    entropy is a per-lang window over the (lang, source) cells."""
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    n = o.agg(F.sum("c").alias("n"))
+    ps = (
+        o.groupBy("source")
+        .agg(F.sum("c").alias("sc"))
+        .crossJoin(F.broadcast(n))
+        .select((F.col("sc") / F.col("n")).alias("p"))
+    )
+    hs = ps.agg((-F.sum(F.col("p") * F.log(F.col("p")))).alias("h_source"))
+    wl = Window.partitionBy("lang")
+    cond = o.withColumn("lt", F.sum("c").over(wl)).withColumn(
+        "term", (F.col("c") / F.col("lt")) * F.log(F.col("c") / F.col("lt"))
+    )
+    hsl = (
+        cond.groupBy("lang")
+        .agg(F.max("lt").alias("lt"), (-F.sum("term")).alias("hl"))
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum((F.col("lt") / F.col("n")) * F.col("hl")).alias("h_cond"))
+    )
+    return (
+        hs.crossJoin(hsl)
+        .select(
+            F.round(
+                (F.col("h_source") - F.col("h_cond")) / F.col("h_source"), 6
+            ).alias("theils_u"),
+            F.round("h_source", 6).alias("h_source"),
+            F.round("h_cond", 6).alias("h_source_given_lang"),
+        )
+    )

@@ -1166,3 +1166,88 @@ def ev_lttb_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "event_id", "ts", "value")
         .orderBy("bucket")
     )
+
+
+@register(
+    "ev_rfm_segmentation",
+    """
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    rfm AS (
+      SELECT user_id,
+             CAST(date_diff('day', MAX(ts), (SELECT mx FROM anchor))
+                  AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS monetary_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    scored AS (
+      SELECT *,
+             CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id)
+                  AS BIGINT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id)
+                  AS BIGINT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary_cents ASC, user_id)
+                  AS BIGINT) AS m_score
+      FROM rfm)
+    SELECT *,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored ORDER BY user_id
+    """,
+)
+def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last purchase,
+    anchored at the corpus max ts so the query is reproducible), frequency
+    (purchase count), monetary (cents) — scored into quintiles with
+    deterministic (metric, user_id) NTILE tie-breaks and bucketed into the
+    classic segments. One grouped aggregation over purchases + three
+    NTILE windows over the per-user relation (users ≪ events; at larger
+    scale swap exact NTILE for approx_percentile cut points, same
+    downstream CASE)."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("mx"))
+    rfm = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value") * 100).cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("mx"), F.col("last_ts"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary_cents"), F.asc("user_id")))
+        .cast("long")
+        .alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("r_score") >= 4, "recent")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select("*", seg.alias("segment")).orderBy("user_id")
