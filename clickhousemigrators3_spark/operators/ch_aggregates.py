@@ -1137,3 +1137,60 @@ def ch_theils_u_source_given_lang(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round("h_cond", 6).alias("h_source_given_lang"),
         )
     )
+
+
+@register(
+    "ch_group_array_intersect_types",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_type
+      FROM events),
+    days AS (SELECT user_id, COUNT(DISTINCT day) AS n_days FROM ud GROUP BY 1),
+    per_type AS (
+      SELECT user_id, event_type, COUNT(DISTINCT day) AS d
+      FROM ud GROUP BY 1, 2)
+    SELECT p.user_id,
+           array_to_string(list(p.event_type ORDER BY p.event_type), ',')
+             AS everyday_types,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(MAX(days.n_days) AS BIGINT) AS n_active_days
+    FROM per_type p JOIN days ON p.user_id = days.user_id
+    WHERE p.d = days.n_days
+    GROUP BY p.user_id ORDER BY p.user_id
+    """,
+)
+def ch_group_array_intersect_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayIntersect`` parity: per user, the event types
+    present on EVERY active day — the intersection of the per-day type
+    sets. ClickHouse materializes per-day arrays and intersects them;
+    the scalable re-expression never builds an array: a type is in the
+    intersection iff its distinct-day count equals the user's active-day
+    count, so two grouped counts and a filter do it. Assembled key-sorted
+    at the output boundary only."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "event_type",
+    ).distinct()
+    days = ud.groupBy("user_id").agg(
+        F.count_distinct("day").alias("n_days")
+    )
+    per_type = ud.groupBy("user_id", "event_type").agg(
+        F.count_distinct("day").alias("d")
+    )
+    hit = per_type.join(days, "user_id").filter(
+        F.col("d") == F.col("n_days")
+    )
+    return (
+        hit.groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias(
+                "everyday_types"
+            ),
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("n_days").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )

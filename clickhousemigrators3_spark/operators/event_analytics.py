@@ -1251,3 +1251,64 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.select("*", seg.alias("segment")).orderBy("user_id")
+
+
+@register(
+    "ev_funnel_time_to_convert",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id),
+    durs AS (
+      SELECT user_id,
+             CAST(date_diff('microseconds', first_view, first_purchase)
+                  AS BIGINT) AS micros
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(micros, 0.5) AS BIGINT) AS p50_micros,
+           CAST(quantile_disc(micros, 0.9) AS BIGINT) AS p90_micros,
+           CAST(MIN(micros) AS BIGINT) AS min_micros,
+           CAST(MAX(micros) AS BIGINT) AS max_micros
+    FROM durs
+    """,
+)
+def ev_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: per converting user the time from first
+    view to first purchase, summarized as exact discrete percentiles
+    (integral microseconds — no interpolation, engine-identical). One
+    grouped conditional-min pass over events (the funnel-steps shape) +
+    one tiny aggregate over converting users."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    durs = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        F.expr(
+            "timestampdiff(MICROSECOND, first_view, first_purchase)"
+        ).alias("micros")
+    )
+    return durs.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY micros)")
+        .cast("long")
+        .alias("p50_micros"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY micros)")
+        .cast("long")
+        .alias("p90_micros"),
+        F.min("micros").alias("min_micros"),
+        F.max("micros").alias("max_micros"),
+    )
