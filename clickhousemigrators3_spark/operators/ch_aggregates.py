@@ -1143,54 +1143,55 @@ def ch_theils_u_source_given_lang(spark: SparkSession, sf_dir: str) -> DataFrame
     "ch_group_array_intersect_types",
     """
     WITH ud AS (
-      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
              event_type
       FROM events),
-    days AS (SELECT user_id, COUNT(DISTINCT day) AS n_days FROM ud GROUP BY 1),
+    wks AS (SELECT user_id, COUNT(DISTINCT wk) AS n_weeks FROM ud GROUP BY 1),
     per_type AS (
-      SELECT user_id, event_type, COUNT(DISTINCT day) AS d
+      SELECT user_id, event_type, COUNT(DISTINCT wk) AS d
       FROM ud GROUP BY 1, 2)
     SELECT p.user_id,
            array_to_string(list(p.event_type ORDER BY p.event_type), ',')
-             AS everyday_types,
+             AS everyweek_types,
            CAST(COUNT(*) AS BIGINT) AS n_types,
-           CAST(MAX(days.n_days) AS BIGINT) AS n_active_days
-    FROM per_type p JOIN days ON p.user_id = days.user_id
-    WHERE p.d = days.n_days
+           CAST(MAX(wks.n_weeks) AS BIGINT) AS n_active_weeks
+    FROM per_type p JOIN wks ON p.user_id = wks.user_id
+    WHERE p.d = wks.n_weeks
     GROUP BY p.user_id ORDER BY p.user_id
     """,
 )
 def ch_group_array_intersect_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``groupArrayIntersect`` parity: per user, the event types
-    present on EVERY active day — the intersection of the per-day type
-    sets. ClickHouse materializes per-day arrays and intersects them;
-    the scalable re-expression never builds an array: a type is in the
-    intersection iff its distinct-day count equals the user's active-day
-    count, so two grouped counts and a filter do it. Assembled key-sorted
-    at the output boundary only."""
+    present in EVERY active week — the intersection of the per-week type
+    sets (week granularity keeps the intersection non-degenerate on the
+    fixture; day-level is the same plan). ClickHouse materializes per-unit
+    arrays and intersects them; the scalable re-expression never builds an
+    array: a type is in the intersection iff its distinct-week count
+    equals the user's active-week count, so two grouped counts and a
+    filter do it. Assembled key-sorted at the output boundary only."""
     e = load_table(spark, sf_dir, "events")
     ud = e.select(
         "user_id",
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
         "event_type",
     ).distinct()
-    days = ud.groupBy("user_id").agg(
-        F.count_distinct("day").alias("n_days")
+    wks = ud.groupBy("user_id").agg(
+        F.count_distinct("wk").alias("n_weeks")
     )
     per_type = ud.groupBy("user_id", "event_type").agg(
-        F.count_distinct("day").alias("d")
+        F.count_distinct("wk").alias("d")
     )
-    hit = per_type.join(days, "user_id").filter(
-        F.col("d") == F.col("n_days")
+    hit = per_type.join(wks, "user_id").filter(
+        F.col("d") == F.col("n_weeks")
     )
     return (
         hit.groupBy("user_id")
         .agg(
             F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias(
-                "everyday_types"
+                "everyweek_types"
             ),
             F.count(F.lit(1)).alias("n_types"),
-            F.max("n_days").alias("n_active_days"),
+            F.max("n_weeks").alias("n_active_weeks"),
         )
         .orderBy("user_id")
     )
