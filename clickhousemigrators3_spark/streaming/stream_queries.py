@@ -287,3 +287,35 @@ def stream_rollup_hourly_finalized(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).orderBy("hour_start", "event_type")
+
+
+@register("stream_bitmap_daily_uniques", None)  # streaming → rows-only
+def stream_bitmap_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per day, streaming: the mergeable-bitmap twin
+    of the batch ``ch_group_bitmap_weekly_users`` — per (closed day
+    window, bucket) a ``bitmap_construct_agg`` partial accumulates in
+    stream state, append mode emits only watermark-closed windows, and the
+    final projection OR-merges nothing further (day grain) so
+    ``bitmap_count`` + SUM gives the exact daily uniques. This is the
+    AggregatingMergeTree-materialized-view pattern with exactly-once
+    append semantics: late data inside the 2-day watermark re-aggregates
+    one day's bitmap, never a rescan."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withColumn("bkt", F.bitmap_bucket_number(F.col("user_id")))
+        .withColumn("pos", F.bitmap_bit_position(F.col("user_id")))
+        .withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"), "bkt")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            F.bitmap_count(F.col("bm")).alias("n"),
+        )
+    )
+    name = _drain_to_memory(agg, "append")
+    return (
+        spark.table(name)
+        .groupBy("day")
+        .agg(F.sum("n").cast("long").alias("exact_users"))
+        .orderBy("day")
+    )

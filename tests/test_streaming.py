@@ -191,3 +191,29 @@ def test_stream_finalized_rollup_closed_windows_equal_batch(spark):
     # nothing at/after the horizon may be final
     for hs, et in got:
         assert hs < horizon
+
+
+def test_stream_bitmap_uniques_closed_days_equal_batch(spark):
+    """Streaming exact-uniques via bitmap partials: every emitted (closed)
+    day must equal the batch exact distinct count for that day."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.streaming.stream_queries import (
+        stream_bitmap_daily_uniques,
+    )
+
+    got = {
+        r["day"]: r["exact_users"]
+        for r in stream_bitmap_daily_uniques(spark, SF_DIR).collect()
+    }
+    batch = {
+        r["day"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got  # at least the early days closed
+    for day, n in got.items():
+        assert batch[day] == n, day
