@@ -1195,3 +1195,63 @@ def ch_group_array_intersect_types(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ch_spearman_rank_corr",
+    """
+    WITH base AS (
+      SELECT value,
+             CAST(date_diff('microseconds',
+                            TIMESTAMP '2024-01-01 00:00:00', ts) AS DOUBLE)
+               AS x
+      FROM events WHERE event_type = 'purchase'),
+    rx AS (
+      SELECT x, value,
+             ROW_NUMBER() OVER (ORDER BY x, value) AS rx0
+      FROM base),
+    ry AS (SELECT value AS v, AVG(rn) AS ry_avg FROM (
+             SELECT value, ROW_NUMBER() OVER (ORDER BY value, x) AS rn
+             FROM base) GROUP BY value),
+    ranked AS (
+      SELECT rx.rx0 AS rx_r, ry.ry_avg AS ry_r
+      FROM rx JOIN ry ON rx.value = ry.v)
+    SELECT ROUND(corr(rx_r, ry_r), 6) AS spearman_rho,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked
+    """,
+)
+def ch_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``rankCorr(x, y)`` parity: Spearman's ρ between purchase
+    time and value — Pearson correlation over ranks, with midranks on tied
+    values (times are unique microseconds, so x keeps plain row-number
+    ranks; y midranks via per-value average). Rank computation is the same
+    global-sort cost class as the Mann-Whitney query (sample or bucket at
+    extreme scale); the corr itself is a single moment aggregate."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = e.select(
+        "value",
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '2024-01-01 00:00:00', ts) AS DOUBLE)"
+        ).alias("x"),
+    )
+    rx = base.withColumn(
+        "rx0", F.row_number().over(Window.orderBy("x", "value"))
+    )
+    ry = (
+        base.withColumn(
+            "rn", F.row_number().over(Window.orderBy("value", "x"))
+        )
+        .groupBy("value")
+        .agg(F.avg("rn").alias("ry_avg"))
+    )
+    ranked = rx.join(ry, "value").select(
+        F.col("rx0").alias("rx_r"), F.col("ry_avg").alias("ry_r")
+    )
+    return ranked.agg(
+        F.round(F.corr("rx_r", "ry_r"), 6).alias("spearman_rho"),
+        F.count(F.lit(1)).alias("n"),
+    )
