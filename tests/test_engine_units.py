@@ -1501,3 +1501,36 @@ def test_persisted_ivf_index_prunes_and_matches(spark, tmp_path):
     want = [tuple(r) for r in ann_ivf_topk(spark, SF_DIR).collect()]
     have = [tuple(r) for r in got.collect()]
     assert have == want
+
+
+def test_winnowing_shared_passage_guarantee(spark, tmp_path):
+    """Winnowing's defining property: two documents sharing a passage of at
+    least k+w-1 words MUST share at least one fingerprint hash (Schleimer
+    et al. Theorem: any window of w grams selects one fingerprint, and a
+    k+w-1-word match spans a full window of identical grams)."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        dedup_winnowing_fingerprints,
+    )
+
+    shared = " ".join(f"shared{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    rows = [
+        (1, f"alpha beta gamma {shared} delta epsilon"),
+        (2, f"one two {shared} three four five six"),
+        (3, "completely different text with no overlap at all here"),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        d + "/documents.parquet"
+    )
+    fps = dedup_winnowing_fingerprints(spark, d)
+    got = fps.groupBy("doc_id").agg(
+        F.collect_set("fp_hash").alias("h")
+    ).collect()
+    sets = {r["doc_id"]: set(r["h"]) for r in got}
+    assert sets[1] & sets[2], "shared passage must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])
