@@ -466,3 +466,67 @@ def peak_concurrency_hourly(sess: DataFrame) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "ev_session_stats",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL '{SESSION_GAP_MIN} minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, sid,
+             CAST(date_diff('microseconds', MIN(ts), MAX(ts)) AS BIGINT)
+               AS dur_micros,
+             CAST(COUNT(*) AS BIGINT) AS depth
+      FROM sessions GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(quantile_disc(dur_micros, 0.5) AS BIGINT) AS p50_dur_micros,
+           CAST(quantile_disc(dur_micros, 0.9) AS BIGINT) AS p90_dur_micros,
+           CAST(quantile_disc(depth, 0.5) AS BIGINT) AS p50_depth,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces
+    FROM per_session
+    """,
+)
+def ev_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session distribution summary over the sessionized events: duration
+    and depth percentiles (exact discrete order statistics — integral
+    micros, engine-identical), plus the bounce count (single-event
+    sessions). Reuses the lag-gap-cumsum sessionization — the extra cost
+    over ``ev_sessionization`` is one tiny aggregate over sessions."""
+    sess = ev_sessionization(spark, sf_dir)
+    per = sess.select(
+        F.expr(
+            "timestampdiff(MICROSECOND, session_start, session_end)"
+        ).alias("dur_micros"),
+        F.col("n_events").alias("depth"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dur_micros)")
+        .cast("long")
+        .alias("p50_dur_micros"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dur_micros)")
+        .cast("long")
+        .alias("p90_dur_micros"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY depth)")
+        .cast("long")
+        .alias("p50_depth"),
+        F.max("depth").alias("max_depth"),
+        F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+    )
