@@ -871,8 +871,14 @@ def ch_ks_test_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     D statistic — the max ECDF gap between click and view value
     distributions, evaluated at every distinct value (where the max is
     always attained). Grouped counts per distinct value, one cumulative
-    window over distinct values (≪ corpus), one max. ECDF ratios are
-    count/total — identical rationals in both engines."""
+    window over distinct values, one max. ECDF ratios are count/total —
+    identical rationals in both engines.
+
+    Scale note: the cumulative window is global, so its cost is the
+    DISTINCT-value cardinality. Here values are fixed-precision (cents), so
+    that is bounded (~tens of thousands) regardless of row count; for a
+    truly continuous column, quantize to an ε-grid first — D changes by at
+    most the grid's probability mass, and the window stays bounded."""
     s = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     ).select("event_type", "value")
