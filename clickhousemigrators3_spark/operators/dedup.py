@@ -922,3 +922,62 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_fps") >= WINNOW_PAIR_MIN)
         .orderBy("a_id", "b_id")
     )
+
+
+SEMANTIC_CONTAM_MOD = 97     # vec_id % MOD == 0 → "benchmark" slice
+SEMANTIC_CONTAM_COS = 0.85   # similarity at/above which a doc is contaminated
+
+SEMANTIC_CONTAM_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v AS ev_v FROM e
+       WHERE vec_id % {SEMANTIC_CONTAM_MOD} = 0),
+tr AS (SELECT vec_id, v FROM e WHERE vec_id % {SEMANTIC_CONTAM_MOD} <> 0),
+scored AS (
+  SELECT tr.vec_id, ev.eval_id, {sql_cosine('tr.v', 'ev.ev_v')} AS c
+  FROM tr, ev),
+best AS (
+  SELECT vec_id, eval_id, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, eval_id) AS rn
+  FROM scored)
+SELECT vec_id, eval_id AS nearest_eval_id, ROUND(c, 6) AS cos_sim
+FROM best WHERE rn = 1 AND c >= {SEMANTIC_CONTAM_COS}
+ORDER BY vec_id
+"""
+
+
+@register("contamination_embedding_cosine", SEMANTIC_CONTAM_ORACLE)
+def contamination_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination scan — the embedding-space complement of the
+    n-gram contamination query: training vectors whose nearest benchmark
+    (eval-slice) vector has cosine ≥ {SEMANTIC_CONTAM_COS} are flagged as
+    paraphrase-level eval leakage that exact n-gram overlap misses (the
+    motivation behind embedding-based decontamination in recent LLM data
+    work).
+
+    Scale plan: the eval side is a benchmark suite — bounded by contract —
+    so it broadcasts and the corpus is scanned ONCE with a JVM cosine; per
+    training vector only the argmax survives (WindowGroupLimit). The
+    threshold prunes output to the contaminated set. Identical topology to
+    the kNN baseline; an IVF/PQ probe drops in unchanged when the eval
+    suite grows past broadcast size."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    ev = e.filter(F.col("vec_id") % SEMANTIC_CONTAM_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("ev_v")
+    )
+    tr = e.filter(F.col("vec_id") % SEMANTIC_CONTAM_MOD != 0)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("eval_id"))
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .withColumn("c", cosine(F.col("v"), F.col("ev_v")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("c") >= SEMANTIC_CONTAM_COS))
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.round("c", 6).alias("cos_sim"),
+        )
+        .orderBy("vec_id")
+    )
