@@ -925,7 +925,9 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMANTIC_CONTAM_MOD = 97     # vec_id % MOD == 0 → "benchmark" slice
-SEMANTIC_CONTAM_COS = 0.85   # similarity at/above which a doc is contaminated
+SEMANTIC_CONTAM_COS = 0.40   # similarity at/above which a doc is flagged
+# (fixture embeddings are near-orthogonal random vectors — 0.40 is far into
+# their tail; real text embeddings would use ~0.85+)
 
 SEMANTIC_CONTAM_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -950,8 +952,8 @@ ORDER BY vec_id
 def contamination_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination scan — the embedding-space complement of the
     n-gram contamination query: training vectors whose nearest benchmark
-    (eval-slice) vector has cosine ≥ {SEMANTIC_CONTAM_COS} are flagged as
-    paraphrase-level eval leakage that exact n-gram overlap misses (the
+    (eval-slice) vector has cosine ≥ {SEMANTIC_CONTAM_COS} (fixture-calibrated — see constant
+    note) are flagged as paraphrase-level eval leakage that exact n-gram overlap misses (the
     motivation behind embedding-based decontamination in recent LLM data
     work).
 
