@@ -344,3 +344,58 @@ def apply_ttl(
         "rewritten_partitions": len(boundary),
         "rows_expired": rows_expired,
     }
+
+
+def append_with_schema_evolution(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    partition_cols: list[str],
+) -> dict:
+    """ClickHouse ``ALTER TABLE … ADD COLUMN`` mid-migration parity for the
+    parquet lake: append a batch whose schema is a SUPERSET of the
+    target's. Parquet handles added nullable columns natively — new files
+    carry the new column, old files simply lack it, and readers
+    reconstruct the union via ``mergeSchema`` (``read_evolved``). No
+    rewrite of history, which at 100 TB is the entire point: schema
+    evolution must be O(new data), never O(table).
+
+    Guarded: a batch that DROPS or retypes an existing column is rejected
+    (that needs an explicit migration, not a silent append) — additions
+    only, so every reader sees a consistent widening history.
+
+    Returns ``{"appended_rows": n, "added_columns": [...]}``.
+    """
+    existing = spark.read.parquet(target_path).schema
+    batch_fields = {f.name: f.dataType for f in batch.schema.fields}
+    missing = [f.name for f in existing.fields if f.name not in batch_fields]
+    if missing:
+        raise ValueError(
+            f"schema evolution is additive-only; batch lacks {missing}"
+        )
+    retyped = [
+        f.name
+        for f in existing.fields
+        if batch_fields[f.name].simpleString() != f.dataType.simpleString()
+    ]
+    if retyped:
+        raise ValueError(
+            f"schema evolution is additive-only; batch retypes {retyped}"
+        )
+    added = [n for n in batch_fields if n not in {f.name for f in existing.fields}]
+    n = batch.count()
+    (
+        batch.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("append")
+        .partitionBy(*partition_cols)
+        .parquet(target_path)
+    )
+    return {"appended_rows": n, "added_columns": sorted(added)}
+
+
+def read_evolved(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read a dataset whose files span schema versions: ``mergeSchema``
+    unions all file schemas; rows from pre-evolution files surface NULL in
+    later-added columns (exactly ClickHouse's ADD COLUMN default
+    behavior)."""
+    return spark.read.option("mergeSchema", "true").parquet(target_path)

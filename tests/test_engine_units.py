@@ -1534,3 +1534,56 @@ def test_winnowing_shared_passage_guarantee(spark, tmp_path):
     assert sets[1] & sets[2], "shared passage must share a fingerprint"
     assert not (sets[1] & sets[3])
     assert not (sets[2] & sets[3])
+
+
+def test_append_with_schema_evolution(spark, tmp_path):
+    """Additive schema evolution: appended batch carries a new column, old
+    rows read back NULL there, history is never rewritten; destructive
+    batches are rejected."""
+    import os
+
+    import pytest
+
+    from clickhousemigrators3_spark.operators.maintenance import (
+        append_with_schema_evolution,
+        read_evolved,
+    )
+
+    path = str(tmp_path / "evo")
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0)], ["p", "k", "val"]
+    ).write.partitionBy("p").parquet(path)
+    files_before = {
+        f for d in os.listdir(path) if d.startswith("p=")
+        for f in os.listdir(os.path.join(path, d))
+    }
+
+    batch = spark.createDataFrame(
+        [("a", 3, 30.0, "new")], ["p", "k", "val", "tag"]
+    )
+    stats = append_with_schema_evolution(spark, path, batch, ["p"])
+    assert stats == {"appended_rows": 1, "added_columns": ["tag"]}
+
+    out = read_evolved(spark, path)
+    rows = {r["k"]: r["tag"] for r in out.collect()}
+    assert rows == {1: None, 2: None, 3: "new"}
+    # old files untouched (no history rewrite)
+    files_after = {
+        f for d in os.listdir(path) if d.startswith("p=")
+        for f in os.listdir(os.path.join(path, d))
+    }
+    assert files_before <= files_after
+
+    with pytest.raises(ValueError, match="lacks"):
+        append_with_schema_evolution(
+            spark, path, spark.createDataFrame([("a", 9)], ["p", "k"]), ["p"]
+        )
+    with pytest.raises(ValueError, match="retypes"):
+        append_with_schema_evolution(
+            spark,
+            path,
+            spark.createDataFrame(
+                [("a", "9", 1.0, "x")], ["p", "k", "val", "tag"]
+            ),
+            ["p"],
+        )
