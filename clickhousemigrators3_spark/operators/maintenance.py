@@ -1,14 +1,18 @@
-"""Dataset maintenance — MERGE/upsert and small-file compaction.
-
-Two operations the reference's world delegates to ClickHouse's MergeTree
-engine (ReplacingMergeTree dedup-on-merge, background part merges) and a
-Spark-native parquet dataset must provide itself:
+"""Dataset maintenance — the operations the reference's world delegates to
+ClickHouse's MergeTree engine (dedup-on-merge, background part merges, TTL
+moves, OPTIMIZE, ALTER ADD COLUMN) and a Spark-native parquet dataset must
+provide itself:
 
 * :func:`merge_upsert` — MERGE INTO semantics (update matched keys, insert
   new ones) as copy-on-write over only the partitions the source touches.
 * :func:`compact_partitions` — rewrite fragmented partitions into few
   right-sized files (the small-files swamp is the #1 operational failure of
   100 TB parquet lakes).
+* :func:`delete_keys` — DELETE WHERE key IN (…), partition-grain.
+* :func:`optimize_final_deduplicate` — OPTIMIZE FINAL DEDUPLICATE.
+* :func:`apply_ttl` — TTL expiry (drop dead partitions, rewrite boundary).
+* :func:`append_with_schema_evolution` / :func:`read_evolved` — additive
+  ALTER ADD COLUMN with mergeSchema readers.
 
 Both use dynamic partition overwrite (session.py sets
 ``partitionOverwriteMode=dynamic``), so reruns are idempotent and untouched
