@@ -1312,3 +1312,57 @@ def ev_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("micros").alias("min_micros"),
         F.max("micros").alias("max_micros"),
     )
+
+
+DECAY_TAU_HOURS = 72.0
+
+
+@register(
+    "ev_trending_decay_score",
+    f"""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    scored AS (
+      SELECT event_type,
+             exp(-CAST(date_diff('microseconds', ts, (SELECT mx FROM anchor))
+                       AS DOUBLE) / (3600000000.0 * {DECAY_TAU_HOURS}))
+               AS w
+      FROM events)
+    SELECT event_type,
+           ROUND(SUM(w), 6) AS decay_score,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(RANK() OVER (ORDER BY ROUND(SUM(w), 6) DESC) AS BIGINT)
+             AS trend_rank
+    FROM scored GROUP BY event_type ORDER BY trend_rank, event_type
+    """,
+)
+def ev_trending_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed event counts — the trending-topics primitive
+    (each event contributes exp(-age/τ), τ = {DECAY_TAU_HOURS}h, anchored
+    at the corpus max ts for reproducibility). Unlike a sliding window the
+    decayed sum is MERGEABLE map-side (it's just a SUM of per-row weights),
+    so the same one-shuffle grouped aggregate serves it at any scale, and
+    a stored partial re-anchors by multiplying exp(-Δ/τ) — the
+    AggregatingMergeTree trick applied to decay. Ranked after rounding so
+    both engines rank identical values."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("mx"))
+    w = F.exp(
+        -F.expr("CAST(timestampdiff(MICROSECOND, ts, mx) AS DOUBLE)")
+        / (3_600_000_000.0 * DECAY_TAU_HOURS)
+    )
+    scored = e.crossJoin(F.broadcast(anchor)).select(
+        "event_type", w.alias("w")
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.round(F.sum("w"), 6).alias("decay_score"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )
+    return agg.select(
+        "event_type",
+        "decay_score",
+        "n_raw",
+        F.rank()
+        .over(Window.orderBy(F.desc("decay_score")))
+        .cast("long")
+        .alias("trend_rank"),
+    ).orderBy("trend_rank", "event_type")
