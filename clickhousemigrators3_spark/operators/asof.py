@@ -291,3 +291,78 @@ def asof_join_click_within_tolerance(spark: SparkSession, sf_dir: str) -> DataFr
         F.when(within, F.col("_click_value")).alias("click_value_1h"),
         F.when(within, F.col("_click_ts")).alias("click_ts_1h"),
     ).orderBy("event_id")
+
+
+@register(
+    "asof_join_nearest_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN b.ts IS NULL THEN f.value
+                WHEN f.ts IS NULL THEN b.value
+                WHEN date_diff('microseconds', b.ts, p.ts)
+                     <= date_diff('microseconds', p.ts, f.ts)
+                THEN b.value ELSE f.value END AS nearest_click_value,
+           CASE WHEN b.ts IS NULL THEN 'after'
+                WHEN f.ts IS NULL THEN 'before'
+                WHEN date_diff('microseconds', b.ts, p.ts)
+                     <= date_diff('microseconds', p.ts, f.ts)
+                THEN 'before' ELSE 'after' END AS nearest_side
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON p.user_id = b.user_id AND p.ts > b.ts
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') f
+      ON p.user_id = f.user_id AND p.ts < f.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of (pandas ``merge_asof(direction='nearest')``):
+    the click closest in time to each purchase, in EITHER direction —
+    backward wins ties. Composes the backward and forward as-of cores
+    (each one union-sort shuffle on user_id); the direction pick is a
+    row-local comparison of the two candidate gaps, so 'nearest' costs
+    exactly backward + forward, no range join, no fan-out. When only one
+    side exists the survivor wins; a purchase with no clicks at all yields
+    NULL."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    back = asof_join(
+        probe=purchases,
+        source=clicks,
+        by=["user_id"],
+        ts="ts",
+        payload={"_bv": F.col("value"), "_bts": F.col("ts")},
+        probe_cols=["event_id"],
+        tie_break="event_id",
+    )
+    fwd = asof_join(
+        probe=purchases,
+        source=clicks,
+        by=["user_id"],
+        ts="ts",
+        payload={"_fv": F.col("value"), "_fts": F.col("ts")},
+        probe_cols=["event_id"],
+        direction="forward",
+        tie_break="event_id",
+    ).select("event_id", "_fv", "_fts")
+    j = back.join(fwd, "event_id")
+    bgap = F.expr("timestampdiff(MICROSECOND, _bts, ts)")
+    fgap = F.expr("timestampdiff(MICROSECOND, ts, _fts)")
+    prefer_back = F.col("_fts").isNull() | (
+        F.col("_bts").isNotNull() & (bgap <= fgap)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(prefer_back, F.col("_bv"))
+        .otherwise(F.col("_fv"))
+        .alias("nearest_click_value"),
+        F.when(
+            F.col("_bts").isNull() & F.col("_fts").isNull(), F.lit(None)
+        )
+        .when(prefer_back, F.lit("before"))
+        .otherwise(F.lit("after"))
+        .alias("nearest_side"),
+    ).orderBy("event_id")
