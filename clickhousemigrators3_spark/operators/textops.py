@@ -447,3 +447,61 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "merge_rank long, left string, right string, pair_count long",
     ).orderBy("merge_rank")
+
+
+@register(
+    "text_zipf_fit",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''),
+    counts AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS freq
+      FROM words WHERE term <> '' GROUP BY term),
+    ranked AS (
+      SELECT freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS DOUBLE)
+               AS rnk
+      FROM counts)
+    SELECT ROUND(regr_slope(ln(freq), ln(rnk)), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(freq), ln(rnk)), 6) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: regress
+    log(freq) on log(rank); natural text sits near slope −1, so a corpus
+    whose slope drifts far off is a quality signal (boilerplate-heavy or
+    synthetic text — this fixture's word salad is exactly such a case,
+    which the flat slope exposes). One term count (shuffle = vocabulary),
+    one rank window over the vocabulary, one regression aggregate.
+
+    Scale note: the rank window is global over DISTINCT terms — vocabulary-
+    sized, not corpus-sized; for a web-scale long tail, fit on the top-K
+    frequency-ranked slice (the head determines the slope anyway)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = words.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("freq")
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = counts.select(
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.desc("freq"), F.asc("term")))
+        .cast("double")
+        .alias("rnk"),
+    )
+    return ranked.agg(
+        F.round(
+            F.regr_slope(F.log(F.col("freq")), F.log(F.col("rnk"))), 6
+        ).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log(F.col("freq")), F.log(F.col("rnk"))), 6).alias(
+            "r2"
+        ),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
