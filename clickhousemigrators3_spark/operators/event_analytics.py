@@ -1366,3 +1366,74 @@ def ev_trending_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("trend_rank"),
     ).orderBy("trend_rank", "event_type")
+
+
+@register(
+    "ev_cohort_ltv_cumulative",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST((CAST(date_trunc('week', e.ts) AS DATE) - f.cohort_week) / 7
+                  AS BIGINT) AS week_n,
+             SUM(e.value) AS wk_rev
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    size_ AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+              FROM first_seen GROUP BY 1)
+    SELECT r.cohort_week, r.week_n, s.cohort_users,
+           CAST(ROUND(SUM(r.wk_rev) OVER (PARTITION BY r.cohort_week
+                                          ORDER BY r.week_n) * 100)
+                AS BIGINT) AS cum_revenue_cents
+    FROM rev r JOIN size_ s ON r.cohort_week = s.cohort_week
+    ORDER BY r.cohort_week, r.week_n
+    """,
+)
+def ev_cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: cumulative purchase revenue per signup-cohort
+    week over weeks-since-signup — the growth-accounting companion to the
+    retention matrix. Per-cohort weekly revenue is one grouped aggregation
+    over purchases; the cumulative sum is a window over the TINY cohort ×
+    week matrix (not the fact table), and cohort sizes ride a separate
+    bounded relation. Cents at the output boundary for float-order
+    immunity."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+    rev = (
+        purchases.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+        )
+        .agg(F.sum("value").alias("wk_rev"))
+    )
+    size_ = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_n")
+    return (
+        rev.join(size_, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_n",
+            "cohort_users",
+            F.round(F.sum("wk_rev").over(w) * 100)
+            .cast("long")
+            .alias("cum_revenue_cents"),
+        )
+        .orderBy("cohort_week", "week_n")
+    )
