@@ -1261,3 +1261,51 @@ def ch_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("rx_r", "ry_r"), 6).alias("spearman_rho"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "stats_gini_user_activity",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY user_id),
+    r AS (
+      SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n, user_id) AS DOUBLE) AS i,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS k,
+             SUM(n) OVER () AS tot
+      FROM c)
+    SELECT ROUND(2.0 * SUM(i * n) / (MAX(k) * MAX(tot))
+                 - (MAX(k) + 1) / MAX(k), 6) AS gini,
+           CAST(MAX(k) AS BIGINT) AS n_users,
+           CAST(MAX(tot) AS BIGINT) AS n_events
+    FROM r
+    """,
+)
+def stats_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the concentration
+    metric behind every "does one hot key dominate?" question this repo's
+    skew machinery answers operationally (0 = uniform activity, →1 = one
+    user owns the corpus). Closed form over the rank-ordered counts:
+    G = 2·Σ(i·nᵢ)/(k·Σn) − (k+1)/k, with deterministic (count, user_id)
+    rank ties. The rank window is per-USER (≪ events); counts are exact
+    integers so both engines compute identical rationals."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    r = c.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy("n", "user_id"))
+        .cast("double")
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("double").alias("k"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    return r.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("n")) / (F.max("k") * F.max("tot"))
+            - (F.max("k") + 1) / F.max("k"),
+            6,
+        ).alias("gini"),
+        F.max("k").cast("long").alias("n_users"),
+        F.max("tot").cast("long").alias("n_events"),
+    )
