@@ -505,3 +505,44 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("vocab_size"),
     )
+
+
+@register(
+    "text_type_token_ratio",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''),
+    t AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types
+      FROM w WHERE term <> '' GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document — the lexical-diversity quality signal
+    (low TTR = repetitive/boilerplate text; complements the duplicate-
+    bigram fraction). One explode + one grouped count/count-distinct on
+    (doc_id, term); ratio of exact integers, engine-identical."""
+    d = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    w = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    t = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("term").alias("n_types"),
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias(
+            "ttr"
+        ),
+    ).orderBy("doc_id")
