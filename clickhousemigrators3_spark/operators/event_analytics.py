@@ -1437,3 +1437,102 @@ def ev_cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_n")
     )
+
+
+@register(
+    "ev_interarrival_stats",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(date_diff('microseconds',
+                            LAG(ts) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id),
+                            ts) AS BIGINT) AS gap_micros
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(gap_micros) AS BIGINT) AS n_gaps,
+           CAST(quantile_disc(gap_micros, 0.5) AS BIGINT) AS p50_gap_micros,
+           CAST(quantile_disc(gap_micros, 0.9) AS BIGINT) AS p90_gap_micros,
+           CAST(MIN(gap_micros) AS BIGINT) AS min_gap_micros
+    FROM gaps WHERE gap_micros IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ev_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type — the burstiness
+    profile (p50/p90 gap between a user's consecutive events of the same
+    type), the signal behind rate-limiting and bot detection thresholds.
+    One LAG window on (user, type) + exact discrete percentiles over
+    integral microsecond gaps — engine-identical order statistics."""
+    e = load_table(spark, sf_dir, "events")
+    gaps = e.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " lag(ts) OVER (PARTITION BY user_id, event_type"
+            " ORDER BY ts, event_id), ts)"
+        ).alias("gap_micros"),
+    ).filter(F.col("gap_micros").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_micros").alias("n_gaps"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_micros)")
+            .cast("long")
+            .alias("p50_gap_micros"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_micros)")
+            .cast("long")
+            .alias("p90_gap_micros"),
+            F.min("gap_micros").alias("min_gap_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ev_dau_mau_stickiness",
+    """
+    WITH dau AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1),
+    mau AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1)
+    SELECT d.day, d.dau, m.mau,
+           ROUND(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+    FROM dau d JOIN mau m ON CAST(date_trunc('month', d.day) AS DATE) = m.month
+    ORDER BY d.day
+    """,
+)
+def ev_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day (calendar-month MAU) — the standard
+    engagement ratio. Two exact distinct aggregations (day-grain and
+    month-grain) + a join on month: the month relation is ~30× smaller
+    than the day one, so AQE broadcasts it; ratios are exact-integer
+    quotients. For sliding-30d MAU swap the month groupBy for the bitmap
+    partials (``ch_group_bitmap_weekly_users`` pattern) OR-merged over a
+    30-day window."""
+    e = load_table(spark, sf_dir, "events")
+    dau = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    mau = e.groupBy(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month")
+    ).agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.join(
+            mau,
+            F.date_trunc("month", F.col("day")).cast("date") == F.col("month"),
+        )
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
