@@ -1,0 +1,238 @@
+"""ClickHouse HTTP-interface source/sink — the protocol the reference
+actually speaks (reference ``ch_client.py:10-25`` opens clickhouse-connect
+against HTTP port 8123; every ``client.query``/``client.command`` in
+``migration.py`` ultimately travels this interface).
+
+Unlike the JDBC module (``sources/clickhouse.py``, which needs a driver jar
+the sandbox lacks), this path moves real rows with nothing but the Python
+standard library + pandas, so it is round-trip tested in-process
+(tests/test_clickhouse_http.py spins up a stdlib HTTP server that speaks the
+documented ClickHouse HTTP protocol: POST body = SQL, ``FORMAT
+JSONEachRow`` responses, ``INSERT INTO … FORMAT JSONEachRow`` with inline
+data rows).
+
+Scale design — the same properties the JDBC reader encodes, restated for
+the HTTP transport:
+
+* **Executor-side fetch.** The driver materialises only a tiny
+  range-spec DataFrame (one row per partition); ``mapInPandas`` workers
+  each POST their own range-bounded ``SELECT`` and stream the response
+  into Arrow batches. No row ever passes through the driver — the
+  reference's core property (its single-node loop was the bottleneck we
+  remove).
+* **Range partitioning.** ``num_partitions`` splits ``[lower, upper)`` on a
+  numeric column into contiguous ranges, one HTTP request per partition —
+  1000 executors issue 1000 bounded scans, which MergeTree serves as
+  primary-key range reads when the partition column prefixes the sort key.
+* **Predicate pushdown by construction.** The caller predicate and the
+  range bounds are compiled into the SQL string itself, so filtering is
+  server-side regardless of what any optimizer decides — the guarantee the
+  reference got by shipping whole SQL strings (``migration.py:473-477``).
+* **Streaming writes.** The sink POSTs one ``INSERT … FORMAT JSONEachRow``
+  per input partition from inside ``mapInPandas`` (count-only output), so
+  inserts parallelise across executors and each request stays
+  bounded by the partition size.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_HTTP_PORT = 8123  # reference config.py:11
+
+_PANDAS_DTYPES = {
+    T.LongType(): "int64",
+    T.IntegerType(): "int32",
+    T.DoubleType(): "float64",
+    T.StringType(): "object",
+    T.BooleanType(): "bool",
+}
+
+
+def http_url(host: str, port: int = DEFAULT_HTTP_PORT, **params: str) -> str:
+    """Base endpoint URL; extra query params (database, user settings like
+    ``max_execution_time``) are URL-encoded the way clickhouse-connect does."""
+    qs = f"?{urllib.parse.urlencode(params)}" if params else ""
+    return f"http://{host}:{port}/{qs}"
+
+
+def build_select(
+    table: str,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+    partition_column: str | None = None,
+    lower: int | None = None,
+    upper: int | None = None,
+    fmt: str = "JSONEachRow",
+) -> str:
+    """Compile one partition's bounded SELECT. Pure function — contract
+    tested against golden strings. Half-open range ``[lower, upper)`` so
+    adjacent partitions never overlap and their union is exactly the
+    caller's span (the same contract Spark's JDBC partitioner uses,
+    minus its unbounded first/last strides)."""
+    cols = ", ".join(columns) if columns else "*"
+    clauses = []
+    if predicate:
+        clauses.append(f"({predicate})")
+    if partition_column is not None:
+        if lower is not None:
+            clauses.append(f"{partition_column} >= {lower}")
+        if upper is not None:
+            clauses.append(f"{partition_column} < {upper}")
+    where = f" WHERE {' AND '.join(clauses)}" if clauses else ""
+    return f"SELECT {cols} FROM {table}{where} FORMAT {fmt}"
+
+
+def _post(url: str, body: bytes, timeout: float) -> bytes:
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+        return resp.read()
+
+
+def _empty_pdf(schema: T.StructType) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            f.name: pd.Series(
+                dtype=_PANDAS_DTYPES.get(f.dataType, "object")
+            )
+            for f in schema.fields
+        }
+    )
+
+
+def _coerce(pdf: pd.DataFrame, schema: T.StructType) -> pd.DataFrame:
+    """Column-order + dtype normalisation so Arrow conversion is exact even
+    when a JSON batch is missing optional keys or infers int for a double."""
+    out = {}
+    for f in schema.fields:
+        if f.name not in pdf.columns:
+            out[f.name] = pd.Series([None] * len(pdf), dtype="object")
+            continue
+        s = pdf[f.name]
+        want = _PANDAS_DTYPES.get(f.dataType)
+        if want and want != "object" and s.isna().sum() == 0:
+            s = s.astype(want)
+        out[f.name] = s
+    return pd.DataFrame(out)
+
+
+def read_table_http(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    schema: T.StructType,
+    partition_column: str | None = None,
+    lower: int = 0,
+    upper: int = 1 << 31,
+    num_partitions: int = 32,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+    timeout: float = 300.0,
+) -> DataFrame:
+    """S1 over HTTP: partitioned parallel read of one ClickHouse table.
+
+    The driver builds ``num_partitions`` half-open ranges; each
+    ``mapInPandas`` task POSTs its own bounded SELECT and parses the
+    JSONEachRow response executor-side. Without ``partition_column`` the
+    read degrades to one request (still executor-side, never the driver).
+    """
+    if partition_column is None:
+        ranges = [(None, None)]
+    else:
+        if lower >= upper:
+            raise ValueError(f"lower ({lower}) must be < upper ({upper})")
+        span = upper - lower
+        step = max(1, span // num_partitions)
+        bounds = list(range(lower, upper, step))
+        # fold any remainder slice into the last range
+        ranges = [
+            (b, upper if i == len(bounds) - 1 else b + step)
+            for i, b in enumerate(bounds)
+        ]
+    spec = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(ranges)],
+        "part int, lo long, hi long",
+    ).repartition(len(ranges), "part")
+
+    col_list = columns or [f.name for f in schema.fields]
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for row in b.itertuples(index=False):
+                lo = None if pd.isna(row.lo) else int(row.lo)
+                hi = None if pd.isna(row.hi) else int(row.hi)
+                sql = build_select(
+                    table,
+                    columns=col_list,
+                    predicate=predicate,
+                    partition_column=partition_column,
+                    lower=lo,
+                    upper=hi,
+                )
+                raw = _post(url, sql.encode(), timeout)
+                if not raw.strip():
+                    yield _empty_pdf(schema)
+                    continue
+                pdf = pd.read_json(io.BytesIO(raw), lines=True)
+                yield _coerce(pdf, schema)
+
+    return spec.mapInPandas(fetch, schema)
+
+
+def write_table_http(
+    df: DataFrame,
+    url: str,
+    table: str,
+    timeout: float = 300.0,
+) -> int:
+    """Sink: one ``INSERT INTO … FORMAT JSONEachRow`` POST per input
+    partition, issued executor-side. Returns the number of rows written
+    (the count action is what drives execution)."""
+    cols = df.columns
+    count_schema = T.StructType([T.StructField("rows", T.LongType())])
+
+    def send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        total = 0
+        buf: list[str] = []
+        for b in batches:
+            if len(b) == 0:
+                continue
+            buf.append(b[cols].to_json(orient="records", lines=True))
+            total += len(b)
+        if total:
+            body = f"INSERT INTO {table} FORMAT JSONEachRow\n" + "\n".join(buf)
+            _post(url, body.encode(), timeout)
+        yield pd.DataFrame({"rows": [total]})
+
+    written = df.mapInPandas(send, count_schema).agg(F.sum("rows")).collect()[0][0]
+    return int(written or 0)
+
+
+def command_http(url: str, sql: str, timeout: float = 60.0) -> str:
+    """Driver-side DDL/command (CREATE/DROP/RENAME — reference
+    ``ch_client.py`` ``client.command``). Returns the raw response text."""
+    return _post(url, sql.encode(), timeout).decode()
+
+
+def query_scalar_http(url: str, sql: str, timeout: float = 60.0) -> Any:
+    """Driver-side scalar query (the reference's count-validation probes,
+    ``migration.py`` SELECT count() calls) — JSON format, first value."""
+    if "format" not in sql.lower():
+        sql = f"{sql} FORMAT JSON"
+    payload = json.loads(_post(url, sql.encode(), timeout) or b"{}")
+    data = payload.get("data") or []
+    if not data:
+        return None
+    first = data[0]
+    return next(iter(first.values())) if isinstance(first, dict) else first[0]
