@@ -99,6 +99,11 @@ class MigrationConfig:
     log_dir: str = "./logs"
     checksum: bool = True
     parallelism: int = 1
+    # Programmatic-only (not a CLI flag): swap the source backend without
+    # touching the state machine — e.g. the ClickHouse HTTP reader
+    # (sources/clickhouse_http.read_table_http) instead of parquet fixtures.
+    # Called as source_loader(spark, table) -> DataFrame.
+    source_loader: Any = None
 
 
 def build_parser() -> argparse.ArgumentParser:

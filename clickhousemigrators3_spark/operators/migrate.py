@@ -344,12 +344,17 @@ def migrate_single_table(
                 result["status"] = "skipped"
                 return result
 
-            src_path = table_path(cfg.source_dir, table)
-            if not table_exists(spark, src_path):
-                raise FileNotFoundError(f"source table not found: {src_path}")
-            from ..catalog import load_table
+            if cfg.source_loader is not None:
+                # pluggable backend (e.g. the ClickHouse HTTP reader) — the
+                # rest of the state machine is source-agnostic
+                src = cfg.source_loader(spark, table)
+            else:
+                src_path = table_path(cfg.source_dir, table)
+                if not table_exists(spark, src_path):
+                    raise FileNotFoundError(f"source table not found: {src_path}")
+                from ..catalog import load_table
 
-            src = load_table(spark, cfg.source_dir, table)
+                src = load_table(spark, cfg.source_dir, table)
             # derived partition columns (SURVEY §7.4 composite-partition
             # parity): e.g. a month column computed from a timestamp —
             # materialized before discovery so partitionBy sees a real column

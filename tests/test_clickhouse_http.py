@@ -216,6 +216,61 @@ def test_write_then_scalar_validation(spark, stub):
     assert len(inserts) == 4  # one INSERT per input partition, executor-side
 
 
+def test_full_migration_over_http(spark, duck, stub, tmp_path):
+    """The reference's north-star flow end-to-end with its native transport:
+    partitioned HTTP pull → staged partitioned parquet write → per-partition
+    count+checksum validation → atomic swap. Rows genuinely cross the wire."""
+    from clickhousemigrators3_spark.config import MigrationConfig
+    from clickhousemigrators3_spark.operators.migrate import migrate_single_table
+
+    schema = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_totalprice double"
+    ).schema
+    hi = int(
+        duck.execute(
+            f"SELECT max(o_orderkey) + 1 FROM '{SF_DIR}/orders.parquet'"
+        ).fetchone()[0]
+    )
+
+    def loader(s, table):
+        return read_table_http(
+            s,
+            stub.url,
+            table,
+            schema,
+            partition_column="o_orderkey",
+            lower=0,
+            upper=hi,
+            num_partitions=4,
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+
+    cfg = MigrationConfig(
+        dest_dir=str(tmp_path / "dest"),
+        table="orders",
+        partition_keys=["bucket"],
+        derived_partitions={"bucket": "pmod(o_orderkey, 4)"},
+        insert_interval=0,
+        lock_dir=str(tmp_path / "locks"),
+        progress_path=str(tmp_path / "progress.json"),
+        report_dir=str(tmp_path / "reports"),
+        checksum=True,
+        source_loader=loader,
+    )
+    res = migrate_single_table(spark, cfg, "orders")
+    assert res["status"] == "completed", res["error"]
+    assert res["total_partitions"] == 4
+    assert all(c["passed"] for c in res["check_results"])
+
+    out = spark.read.parquet(str(tmp_path / "dest" / "orders"))
+    n, total = duck.execute(
+        f"SELECT count(*), sum(o_totalprice) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchone()
+    assert out.count() == res["migrated_rows"] == n
+    got_total = out.agg({"o_totalprice": "sum"}).collect()[0][0]
+    assert abs(got_total - float(total)) < 1e-6
+
+
 def test_command_ddl_round_trip(stub):
     command_http(stub.url, "CREATE TABLE tmp_ddl (x BIGINT)")
     command_http(stub.url, "DROP TABLE tmp_ddl")
