@@ -983,3 +983,84 @@ def contamination_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-prune semantic deduplication (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"). The method behind LLM-corpus semantic pruning: k-means
+# the embedding space, then drop near-duplicates *within* each cluster, so
+# the pairwise step is bounded by cluster size instead of corpus size.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8  # deterministic "trained" centroids: vec_id < 8 (IVF pattern)
+SEMDEDUP_COS = COSINE_DUP_THRESHOLD  # prune b when cos(a, b) >= this, a < b
+
+SEMDEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {SEMDEDUP_K}),
+assign AS (
+  SELECT vec_id, v, cent_id AS cluster FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.v', 'c.cv')} DESC,
+                                       c.cent_id) AS rn
+    FROM e, cent c)
+  WHERE rn = 1)
+SELECT a.cluster AS cluster, b.vec_id AS pruned_id,
+       ROUND(MAX({sql_cosine('a.v', 'b.v')}), 6) AS max_cos_in_cluster
+FROM assign a JOIN assign b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.v', 'b.v')} >= {SEMDEDUP_COS}
+GROUP BY a.cluster, b.vec_id
+ORDER BY cluster, pruned_id
+"""
+
+
+@register("semdedup_cluster_prune", SEMDEDUP_ORACLE)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup closed form: assign every vector to its nearest of K
+    centroids (here deterministic corpus vectors so the oracle reproduces
+    them; production plugs in the k-means centroids from
+    embeddings_ops.kmeans_centroids_flat), then inside each cluster drop
+    any vector whose cosine to a lower-id cluster-mate reaches the
+    threshold — the paper's keep-one-representative rule with the lowest
+    id as the kept witness.
+
+    Scale: the assignment pass is one linear scan against K broadcast
+    centroids; the pairwise step self-joins on the cluster key, so its
+    cost is sum(|cluster|^2) not |corpus|^2 — exactly the bound the paper
+    engineered. K grows with corpus size (paper: 50k clusters for 10^9
+    docs), keeping clusters near-constant; the cluster self-join shuffles
+    the corpus relation once on an 8-byte key."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ac"), F.asc("cent_id")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ac", cosine(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+    )
+    a = assign.select(
+        "cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+    )
+    b = assign.select(
+        "cluster", F.col("vec_id").alias("b_id"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("_c", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("_c") >= SEMDEDUP_COS)
+        .groupBy("cluster", F.col("b_id").alias("pruned_id"))
+        .agg(F.round(F.max("_c"), 6).alias("max_cos_in_cluster"))
+        .orderBy("cluster", "pruned_id")
+    )
