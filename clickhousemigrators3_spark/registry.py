@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         embeddings_ops,
         event_analytics,
         events,
+        geo,
         grouped_pandas,
         mergetree,
         migrate_queries,
