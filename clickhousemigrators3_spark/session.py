@@ -58,6 +58,12 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
