@@ -546,3 +546,54 @@ def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ttr"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multiSearchAny — blocklist filtering (ClickHouse multiSearchAny /
+# multiSearchFirstIndex; the C4/FineWeb bad-term and domain-blocklist gate)
+# ---------------------------------------------------------------------------
+
+BLOCKLIST_TERMS = ["slow", "merge", "big table"]  # fixture-vocab phrases
+
+_BL_ARRAY = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+
+
+@register(
+    "text_blocklist_filter",
+    f"""
+    WITH hits AS (
+      SELECT doc_id,
+             list_filter([{_BL_ARRAY}],
+                         t -> instr(lower(text), t) > 0) AS matched
+      FROM documents)
+    SELECT doc_id, matched[1] AS first_match,
+           CAST(len(matched) AS BIGINT) AS n_matched
+    FROM hits WHERE len(matched) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate (ClickHouse ``multiSearchAny`` + the first-index
+    variant): flag documents containing any of N literal terms, report the
+    first term matched (list order) and how many matched. The term array is
+    a literal pushed into a JVM higher-order ``filter`` — no UDF, no
+    shuffle; per-row cost is N substring scans, which ClickHouse itself
+    pays (its Volnitsky multi-search amortizes — here N is small and the
+    per-term scan is whole-stage codegen'd). At corpus scale this is a
+    pure map over documents; a 10^5-term blocklist instead compiles to an
+    Aho-Corasick pandas-UDF pass, same plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in BLOCKLIST_TERMS])
+    matched = F.filter(
+        terms, lambda t: F.instr(F.lower(F.col("text")), t) > 0
+    )
+    return (
+        d.select("doc_id", matched.alias("matched"))
+        .filter(F.size("matched") > 0)
+        .select(
+            "doc_id",
+            F.element_at("matched", 1).alias("first_match"),
+            F.size("matched").cast("long").alias("n_matched"),
+        )
+        .orderBy("doc_id")
+    )
