@@ -403,3 +403,34 @@ def read_evolved(spark: SparkSession, target_path: str) -> DataFrame:
     later-added columns (exactly ClickHouse's ADD COLUMN default
     behavior)."""
     return spark.read.option("mergeSchema", "true").parquet(target_path)
+
+
+def write_with_skip_indexes(
+    df: DataFrame,
+    path: str,
+    bloom_cols: dict[str, int],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ClickHouse skip-index parity (``INDEX … TYPE bloom_filter`` /
+    ``minmax`` + ``ORDER BY`` primary key) for a parquet dataset:
+
+    * **minmax** is free — parquet row-group statistics, which Spark's
+      reader already uses for row-group pruning; sorting by ``sort_cols``
+      first (the ClickHouse ORDER BY analogue) makes those ranges disjoint
+      so point/range predicates skip most of the file.
+    * **bloom_filter** maps to parquet's native column bloom filters
+      (``parquet.bloom.filter.enabled#col``), which prune row groups on
+      point predicates over high-cardinality columns where minmax is
+      useless — the exact niche ClickHouse's bloom skip index serves.
+      ``bloom_cols`` maps column → expected NDV (sizes the filter; ~1.1
+      bytes/value at the default 1% FPP).
+
+    Pruning happens inside parquet-mr at scan time on every executor —
+    no driver involvement, effective at any file count."""
+    writer = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+    w = writer.write.mode(mode)
+    for col, ndv in bloom_cols.items():
+        w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", str(ndv))
+    w.parquet(path)

@@ -1587,3 +1587,49 @@ def test_append_with_schema_evolution(spark, tmp_path):
             ),
             ["p"],
         )
+
+
+def test_write_with_skip_indexes_bloom_and_sort(spark, tmp_path):
+    """Bloom option must take effect (file grows by the filter's bytes) and
+    the sorted write must produce disjoint row-group minmax ranges."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from clickhousemigrators3_spark.operators.maintenance import (
+        write_with_skip_indexes,
+    )
+
+    df = spark.range(200000).selectExpr(
+        "id", "concat('user_', cast(id % 50000 as string)) as user"
+    ).repartition(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    write_with_skip_indexes(df, plain, bloom_cols={}, sort_cols=["id"])
+    write_with_skip_indexes(
+        df, bloomed, bloom_cols={"user": 50000}, sort_cols=["id"]
+    )
+
+    def total_size(d):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
+        )
+
+    # ~1.1 bytes/NDV at default FPP → tens of KB; assert a conservative floor
+    assert total_size(bloomed) - total_size(plain) > 10_000
+
+    # sorted single-file write → row-group id ranges are disjoint (minmax
+    # skip-index property: a point predicate prunes all but one group)
+    f = glob.glob(f"{bloomed}/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    if md.num_row_groups > 1:
+        ranges = []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(0).statistics
+            ranges.append((st.min, st.max))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2
+
+    # read-back equivalence
+    assert spark.read.parquet(bloomed).count() == 200000
