@@ -434,3 +434,57 @@ def write_with_skip_indexes(
         w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
         w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", str(ndv))
     w.parquet(path)
+
+
+def attach_partition_from(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    partition_cols: list[str],
+    values: list,
+    move: bool = False,
+    replace: bool = False,
+) -> dict:
+    """ClickHouse ``ALTER TABLE dst ATTACH PARTITION … FROM src`` (and
+    ``MOVE PARTITION TO TABLE`` when ``move=True``, ``REPLACE PARTITION``
+    when ``replace=True``): transfer one partition between two datasets
+    with identical schema and partitioning at FILE level — a Hadoop-FS
+    copy/rename of the ``col=value`` directory, O(partition metadata +
+    bytes streamed by the filesystem), never a Spark job over the data.
+    On HDFS/local the move is an atomic rename; on S3 it is a server-side
+    copy (same as ClickHouse on S3 disks).
+
+    Refuses to clobber an existing destination partition unless
+    ``replace=True`` (ClickHouse semantics: ATTACH FROM requires absence,
+    REPLACE swaps). Returns ``{"files": n, "action": ...}``."""
+    segs = "/".join(f"{c}={v}" for c, v in zip(partition_cols, values))
+    src = f"{src_path}/{segs}"
+    dst = f"{dst_path}/{segs}"
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    src_p = jvm.org.apache.hadoop.fs.Path(src)
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = src_p.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(src_p):
+        raise FileNotFoundError(f"source partition not found: {src}")
+    if fs.exists(dst_p):
+        if not replace:
+            raise FileExistsError(
+                f"destination partition exists (use replace=True): {dst}"
+            )
+        fs.delete(dst_p, True)
+    fs.mkdirs(dst_p.getParent())
+    n_files = sum(
+        1 for st in fs.listStatus(src_p) if st.getPath().getName().endswith(".parquet")
+    )
+    if move:
+        if not fs.rename(src_p, dst_p):
+            raise OSError(f"partition rename failed: {src} -> {dst}")
+        action = "moved"
+    else:
+        util = jvm.org.apache.hadoop.fs.FileUtil
+        if not util.copy(fs, src_p, fs, dst_p, False, jsc.hadoopConfiguration()):
+            raise OSError(f"partition copy failed: {src} -> {dst}")
+        action = "replaced" if replace else "attached"
+    return {"files": n_files, "action": action}

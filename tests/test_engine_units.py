@@ -1633,3 +1633,38 @@ def test_write_with_skip_indexes_bloom_and_sort(spark, tmp_path):
 
     # read-back equivalence
     assert spark.read.parquet(bloomed).count() == 200000
+
+
+def test_attach_partition_from(spark, tmp_path):
+    from clickhousemigrators3_spark.operators.maintenance import (
+        attach_partition_from,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(1000).selectExpr("id", "id % 4 as bucket")
+    df.write.partitionBy("bucket").parquet(src)
+    df.filter("bucket < 2").write.partitionBy("bucket").parquet(dst)
+
+    # attach a partition the destination lacks
+    res = attach_partition_from(spark, src, dst, ["bucket"], [3])
+    assert res["action"] == "attached" and res["files"] >= 1
+    out = spark.read.parquet(dst)
+    assert out.filter("bucket = 3").count() == 250
+    assert out.count() == 750
+
+    # refuse to clobber without replace=True
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        attach_partition_from(spark, src, dst, ["bucket"], [3])
+
+    # replace swaps in the source copy
+    res = attach_partition_from(spark, src, dst, ["bucket"], [3], replace=True)
+    assert res["action"] == "replaced"
+    assert spark.read.parquet(dst).count() == 750
+
+    # move renames the partition out of the source
+    res = attach_partition_from(spark, src, dst, ["bucket"], [2], move=True)
+    assert res["action"] == "moved"
+    assert spark.read.parquet(dst).count() == 1000
+    assert spark.read.parquet(src).filter("bucket = 2").count() == 0
