@@ -597,3 +597,74 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ngramDistance — fuzzy string matching (ClickHouse ngramDistance /
+# ngramSearch family): character-4-gram profile distance to a probe string.
+# ---------------------------------------------------------------------------
+
+NGRAM_PROBE = "small gizmo"
+NGRAM_DIST_MAX = 0.75  # keep plausible fuzzy matches only
+
+
+@register(
+    "text_ngram_distance_probe",
+    f"""
+    WITH g AS (
+      SELECT p_partkey, p_name,
+             list_distinct(list_transform(
+               range(1, greatest(length(p_name) - 3, 1) + 1),
+               i -> substr(p_name, CAST(i AS INTEGER), 4))) AS gs,
+             list_distinct(list_transform(
+               range(1, greatest(length('{NGRAM_PROBE}') - 3, 1) + 1),
+               i -> substr('{NGRAM_PROBE}', CAST(i AS INTEGER), 4))) AS gp
+      FROM part),
+    d AS (
+      SELECT p_partkey, p_name,
+             ROUND(1.0 - CAST(len(list_intersect(gs, gp)) AS DOUBLE)
+                         / len(list_distinct(gs || gp)), 6) AS ngram_dist
+      FROM g WHERE len(gs) > 0)
+    SELECT p_partkey, p_name, ngram_dist
+    FROM d WHERE ngram_dist <= {NGRAM_DIST_MAX}
+    ORDER BY ngram_dist, p_partkey
+    """,
+)
+def text_ngram_distance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy match by character-4-gram profile distance to a constant probe
+    (ClickHouse ``ngramDistance(haystack, needle)``; set-Jaccard variant of
+    its multiset formula, documented deviation — identical ranking on these
+    fixtures). The probe's gram set is a constant folded at plan time; the
+    haystack grams are a per-row JVM higher-order transform — a pure map,
+    no shuffle, so the fuzzy scan costs one pass at any corpus size.
+    ClickHouse's ngramSearch thresholding is the WHERE clause."""
+    p = load_table(spark, sf_dir, "part")
+    gs = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(p_name) - 3, 1)),"
+            " i -> substring(p_name, i, 4))"
+        )
+    )
+    gp = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length('{NGRAM_PROBE}') - 3, 1)),"
+            f" i -> substring('{NGRAM_PROBE}', i, 4))"
+        )
+    )
+    d = (
+        p.select("p_partkey", "p_name", gs.alias("gs"), gp.alias("gp"))
+        .filter(F.size("gs") > 0)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(
+                1.0
+                - F.size(F.array_intersect("gs", "gp")).cast("double")
+                / F.size(F.array_distinct(F.concat("gs", "gp"))),
+                6,
+            ).alias("ngram_dist"),
+        )
+    )
+    return d.filter(F.col("ngram_dist") <= NGRAM_DIST_MAX).orderBy(
+        "ngram_dist", "p_partkey"
+    )
