@@ -275,3 +275,34 @@ def test_command_ddl_round_trip(stub):
     command_http(stub.url, "CREATE TABLE tmp_ddl (x BIGINT)")
     command_http(stub.url, "DROP TABLE tmp_ddl")
     assert any("CREATE TABLE tmp_ddl" in s for s in stub.received)
+
+
+def test_http_error_surfaces_clearly(spark, stub):
+    """A server-side error (HTTP 500) must fail the read loudly, not yield
+    silent empty partitions — the migration gate depends on that."""
+    schema = "x long"
+    df = read_table_http(
+        spark,
+        stub.url,
+        "no_such_table",
+        spark.createDataFrame([], schema).schema,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        df.count()
+    assert "500" in str(ei.value) or "HTTP" in str(ei.value)
+
+
+def test_http_empty_result_yields_empty_frame(spark, stub):
+    schema = "o_orderkey long, o_totalprice double"
+    df = read_table_http(
+        spark,
+        stub.url,
+        "orders",
+        spark.createDataFrame([], schema).schema,
+        columns=["o_orderkey", "o_totalprice"],
+        predicate="o_totalprice < 0",  # matches nothing
+    )
+    assert df.count() == 0
+    assert df.columns == ["o_orderkey", "o_totalprice"]
