@@ -306,3 +306,48 @@ def test_http_empty_result_yields_empty_frame(spark, stub):
     )
     assert df.count() == 0
     assert df.columns == ["o_orderkey", "o_totalprice"]
+
+
+def test_incremental_sync_cursor_and_replay(spark, stub, tmp_path):
+    """Two sync rounds over a growing table: only new rows move; replaying
+    a batch (crash between write and state update) is a no-op overwrite."""
+    from clickhousemigrators3_spark.sources.clickhouse_http import (
+        incremental_sync,
+    )
+
+    stub.execute("CREATE TABLE inc (id BIGINT, v DOUBLE)")
+    stub.execute(
+        "INSERT INTO inc FORMAT JSONEachRow\n"
+        + "\n".join(json.dumps({"id": i, "v": i / 2}) for i in range(1, 51))
+    )
+    schema = spark.createDataFrame([], "id long, v double").schema
+    dest = str(tmp_path / "inc_dest")
+    state = str(tmp_path / "inc_state.json")
+
+    r1 = incremental_sync(spark, stub.url, "inc", schema, "id", dest, state)
+    assert r1["rows"] == 50 and r1["cursor"] == 50
+
+    # second call with no new rows: nothing moves
+    r2 = incremental_sync(spark, stub.url, "inc", schema, "id", dest, state)
+    assert r2["rows"] == 0 and r2["cursor"] == 50
+
+    # source grows; only the delta syncs
+    stub.execute(
+        "INSERT INTO inc FORMAT JSONEachRow\n"
+        + "\n".join(json.dumps({"id": i, "v": i / 2}) for i in range(51, 81))
+    )
+    r3 = incremental_sync(spark, stub.url, "inc", schema, "id", dest, state)
+    assert r3["rows"] == 30 and r3["cursor"] == 80
+    total = spark.read.parquet(dest)
+    assert total.count() == 80
+    assert total.select("id").distinct().count() == 80
+
+    # crash-replay: reset state to the previous watermark and re-sync —
+    # the batch partition is overwritten in place, so still no duplicates
+    with open(state, "w") as f:
+        json.dump({"cursor": 50, "table": "inc"}, f)
+    r4 = incremental_sync(spark, stub.url, "inc", schema, "id", dest, state)
+    assert r4["rows"] == 30 and r4["cursor"] == 80
+    replayed = spark.read.parquet(dest)
+    assert replayed.count() == 80
+    assert replayed.select("id").distinct().count() == 80
