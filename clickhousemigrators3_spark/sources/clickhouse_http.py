@@ -94,8 +94,26 @@ def build_select(
     return f"SELECT {cols} FROM {table}{where} FORMAT {fmt}"
 
 
-def _post(url: str, body: bytes, timeout: float) -> bytes:
-    req = urllib.request.Request(url, data=body, method="POST")
+def _auth_headers(user: str | None, password: str | None) -> dict[str, str]:
+    """The documented HTTP-auth headers (clickhouse-connect sends the same;
+    X-ClickHouse-Key carries the password)."""
+    h: dict[str, str] = {}
+    if user is not None:
+        h["X-ClickHouse-User"] = user
+    if password is not None:
+        h["X-ClickHouse-Key"] = password
+    return h
+
+
+def _post(
+    url: str,
+    body: bytes,
+    timeout: float,
+    headers: dict[str, str] | None = None,
+) -> bytes:
+    req = urllib.request.Request(
+        url, data=body, method="POST", headers=headers or {}
+    )
     with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
         return resp.read()
 
@@ -139,6 +157,8 @@ def read_table_http(
     columns: list[str] | None = None,
     predicate: str | None = None,
     timeout: float = 300.0,
+    user: str | None = None,
+    password: str | None = None,
 ) -> DataFrame:
     """S1 over HTTP: partitioned parallel read of one ClickHouse table.
 
@@ -166,6 +186,7 @@ def read_table_http(
     ).repartition(len(ranges), "part")
 
     col_list = columns or [f.name for f in schema.fields]
+    auth = _auth_headers(user, password)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -180,7 +201,7 @@ def read_table_http(
                     lower=lo,
                     upper=hi,
                 )
-                raw = _post(url, sql.encode(), timeout)
+                raw = _post(url, sql.encode(), timeout, auth)
                 if not raw.strip():
                     yield _empty_pdf(schema)
                     continue
@@ -195,11 +216,14 @@ def write_table_http(
     url: str,
     table: str,
     timeout: float = 300.0,
+    user: str | None = None,
+    password: str | None = None,
 ) -> int:
     """Sink: one ``INSERT INTO … FORMAT JSONEachRow`` POST per input
     partition, issued executor-side. Returns the number of rows written
     (the count action is what drives execution)."""
     cols = df.columns
+    auth = _auth_headers(user, password)
     count_schema = T.StructType([T.StructField("rows", T.LongType())])
 
     def send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -212,25 +236,39 @@ def write_table_http(
             total += len(b)
         if total:
             body = f"INSERT INTO {table} FORMAT JSONEachRow\n" + "\n".join(buf)
-            _post(url, body.encode(), timeout)
+            _post(url, body.encode(), timeout, auth)
         yield pd.DataFrame({"rows": [total]})
 
     written = df.mapInPandas(send, count_schema).agg(F.sum("rows")).collect()[0][0]
     return int(written or 0)
 
 
-def command_http(url: str, sql: str, timeout: float = 60.0) -> str:
+def command_http(
+    url: str,
+    sql: str,
+    timeout: float = 60.0,
+    user: str | None = None,
+    password: str | None = None,
+) -> str:
     """Driver-side DDL/command (CREATE/DROP/RENAME — reference
     ``ch_client.py`` ``client.command``). Returns the raw response text."""
-    return _post(url, sql.encode(), timeout).decode()
+    return _post(url, sql.encode(), timeout, _auth_headers(user, password)).decode()
 
 
-def query_scalar_http(url: str, sql: str, timeout: float = 60.0) -> Any:
+def query_scalar_http(
+    url: str,
+    sql: str,
+    timeout: float = 60.0,
+    user: str | None = None,
+    password: str | None = None,
+) -> Any:
     """Driver-side scalar query (the reference's count-validation probes,
     ``migration.py`` SELECT count() calls) — JSON format, first value."""
     if "format" not in sql.lower():
         sql = f"{sql} FORMAT JSON"
-    payload = json.loads(_post(url, sql.encode(), timeout) or b"{}")
+    payload = json.loads(
+        _post(url, sql.encode(), timeout, _auth_headers(user, password)) or b"{}"
+    )
     data = payload.get("data") or []
     if not data:
         return None

@@ -38,6 +38,7 @@ class _StubClickHouse:
         self.con = duckdb.connect()
         self.lock = threading.Lock()
         self.received: list[str] = []
+        self.auth_seen: list[dict] = []
         for t in ("nation", "customer", "orders"):
             self.con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
@@ -53,6 +54,13 @@ class _StubClickHouse:
                 pass
 
             def do_POST(self) -> None:
+                stub.auth_seen.append(
+                    {
+                        k.lower(): v
+                        for k, v in self.headers.items()
+                        if k.lower().startswith("x-clickhouse")
+                    }
+                )
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n).decode()
                 try:
@@ -351,3 +359,26 @@ def test_incremental_sync_cursor_and_replay(spark, stub, tmp_path):
     replayed = spark.read.parquet(dest)
     assert replayed.count() == 80
     assert replayed.select("id").distinct().count() == 80
+
+
+def test_auth_headers_travel_with_every_request(spark, stub):
+    stub.auth_seen.clear()
+    schema = "n_nationkey long, n_name string"
+    df = read_table_http(
+        spark,
+        stub.url,
+        "nation",
+        spark.createDataFrame([], schema).schema,
+        columns=["n_nationkey", "n_name"],
+        partition_column="n_nationkey",
+        lower=0,
+        upper=25,
+        num_partitions=3,
+        user="etl_user",
+        password="s3cret",
+    )
+    assert df.count() == 25
+    assert len(stub.auth_seen) >= 3
+    for h in stub.auth_seen:
+        assert h.get("x-clickhouse-user") == "etl_user"
+        assert h.get("x-clickhouse-key") == "s3cret"
