@@ -382,3 +382,55 @@ def test_auth_headers_travel_with_every_request(spark, stub):
     for h in stub.auth_seen:
         assert h.get("x-clickhouse-user") == "etl_user"
         assert h.get("x-clickhouse-key") == "s3cret"
+
+
+def test_full_database_parallel_over_http(spark, duck, stub, tmp_path):
+    """C8 thread-per-table dispatch with the HTTP source: two tables pulled
+    concurrently, validated, swapped — the whole-DB mode on the wire."""
+    from clickhousemigrators3_spark.config import MigrationConfig
+    from clickhousemigrators3_spark.operators.migrate import (
+        migrate_full_database,
+    )
+
+    schemas = {
+        "nation": "n_nationkey long, n_name string, n_regionkey long",
+        "orders": "o_orderkey long, o_custkey long, o_totalprice double",
+    }
+    part_col = {"nation": "n_nationkey", "orders": "o_orderkey"}
+
+    def loader(s, table):
+        return read_table_http(
+            s,
+            stub.url,
+            table,
+            s.createDataFrame([], schemas[table]).schema,
+            partition_column=part_col[table],
+            lower=0,
+            upper=100000,
+            num_partitions=4,
+            columns=[f.split(" ")[0] for f in schemas[table].split(", ")],
+        )
+
+    cfg = MigrationConfig(
+        dest_dir=str(tmp_path / "dest"),
+        insert_interval=0,
+        lock_dir=str(tmp_path / "locks"),
+        progress_path=str(tmp_path / "progress.json"),
+        report_dir=str(tmp_path / "reports"),
+        checksum=True,
+        parallelism=2,
+        source_loader=loader,
+    )
+    results = migrate_full_database(spark, cfg, tables=["nation", "orders"])
+    by_table = {r["table"]: r for r in results}
+    assert by_table["nation"]["status"] == "completed", by_table["nation"]["error"]
+    assert by_table["orders"]["status"] == "completed", by_table["orders"]["error"]
+
+    n_nation = duck.execute(
+        f"SELECT count(*) FROM '{SF_DIR}/nation.parquet'"
+    ).fetchone()[0]
+    n_orders = duck.execute(
+        f"SELECT count(*) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchone()[0]
+    assert spark.read.parquet(str(tmp_path / "dest" / "nation")).count() == n_nation
+    assert spark.read.parquet(str(tmp_path / "dest" / "orders")).count() == n_orders
