@@ -1668,3 +1668,22 @@ def test_attach_partition_from(spark, tmp_path):
     assert res["action"] == "moved"
     assert spark.read.parquet(dst).count() == 1000
     assert spark.read.parquet(src).filter("bucket = 2").count() == 0
+
+
+def test_run_with_metrics_query_log_totals(spark):
+    """system.query_log parity: scan rows, shuffle volume, result rows from
+    SQLMetrics after execution."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.functions.metrics import run_with_metrics
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    n_orders = o.count()
+    agg = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    m = run_with_metrics(agg)
+    assert m["result_rows"] == agg.count()
+    assert m["scan_rows"] == n_orders  # read_rows: the full scan reached us
+    assert m["shuffle_bytes_written"] > 0  # one groupBy exchange
+    assert m["spill_bytes"] == 0  # nothing spills at fixture scale
+    assert any("Exchange" in op["operator"] for op in m["operators"])
