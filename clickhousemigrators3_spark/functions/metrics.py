@@ -101,7 +101,13 @@ def run_with_metrics(df: DataFrame) -> dict:
     }
     for op in per_op:
         name, m = op["operator"], op["metrics"]
-        if name.startswith("Scan") or name.startswith("FileScan"):
+        # InMemoryTableScan = reads served from a persisted relation (the
+        # memory-engine analogue) — still read_rows, but no file bytes
+        if (
+            name.startswith("Scan")
+            or name.startswith("FileScan")
+            or name.startswith("InMemoryTableScan")
+        ):
             totals["scan_rows"] += m.get("numOutputRows", 0)
             totals["scan_files"] += m.get("numFiles", 0)
             totals["scan_bytes"] += m.get("filesSize", 0)
