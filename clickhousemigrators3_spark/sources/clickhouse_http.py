@@ -205,7 +205,12 @@ def read_table_http(
                 if not raw.strip():
                     yield _empty_pdf(schema)
                     continue
-                pdf = pd.read_json(io.BytesIO(raw), lines=True)
+                # convert_dates=False: pandas would otherwise auto-parse
+                # date-NAMED columns (ts, *_at, ...) into datetimes, mangling
+                # string timestamp columns before the schema coercion
+                pdf = pd.read_json(
+                    io.BytesIO(raw), lines=True, convert_dates=False
+                )
                 yield _coerce(pdf, schema)
 
     return spec.mapInPandas(fetch, schema)

@@ -434,3 +434,29 @@ def test_full_database_parallel_over_http(spark, duck, stub, tmp_path):
     ).fetchone()[0]
     assert spark.read.parquet(str(tmp_path / "dest" / "nation")).count() == n_nation
     assert spark.read.parquet(str(tmp_path / "dest" / "orders")).count() == n_orders
+
+
+def test_date_named_string_columns_survive(spark, stub):
+    """pandas auto-parses date-NAMED columns (ts, *_at) to datetimes by
+    default; the reader must deliver them as the schema says — strings."""
+    stub.execute("CREATE TABLE evlog (id BIGINT, created_at VARCHAR, ts VARCHAR)")
+    stub.execute(
+        "INSERT INTO evlog FORMAT JSONEachRow\n"
+        + "\n".join(
+            json.dumps(
+                {"id": i, "created_at": f"2024-01-{i:02d}", "ts": f"2024-01-{i:02d} 10:00:00"}
+            )
+            for i in range(1, 6)
+        )
+    )
+    schema = "id long, created_at string, ts string"
+    df = read_table_http(
+        spark,
+        stub.url,
+        "evlog",
+        spark.createDataFrame([], schema).schema,
+        columns=["id", "created_at", "ts"],
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert rows[3].created_at == "2024-01-03"
+    assert rows[3].ts == "2024-01-03 10:00:00"
