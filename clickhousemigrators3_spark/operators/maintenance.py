@@ -488,3 +488,61 @@ def attach_partition_from(
             raise OSError(f"partition copy failed: {src} -> {dst}")
         action = "replaced" if replace else "attached"
     return {"files": n_files, "action": action}
+
+
+def alter_update_where(
+    spark: SparkSession,
+    target_path: str,
+    assignments: dict[str, str],
+    predicate: str,
+    partition_cols: list[str],
+) -> dict:
+    """ClickHouse mutation parity — ``ALTER TABLE … UPDATE col = expr
+    WHERE pred``: copy-on-write at partition grain, like the server's
+    mutation machinery rewrites only the parts containing matching rows.
+
+    A first metadata-cheap pass finds the partitions with any matching row
+    (predicate pushdown prunes the scan); only those partitions are read
+    back, the assignments applied to matching rows (non-matching rows pass
+    through untouched), and rewritten via dynamic partition overwrite —
+    partitions with no matches are never rewritten. Assignment expressions
+    are SQL strings evaluated per row (``{"o_totalprice":
+    "o_totalprice * 1.1"}``).
+
+    Returns ``{"touched_partitions": n, "rows_updated": n}``."""
+    target = spark.read.parquet(target_path)
+    touched = [
+        tuple(r)
+        for r in target.filter(F.expr(predicate))
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return {"touched_partitions": 0, "rows_updated": 0}
+
+    part_pred = F.lit(False)
+    for vals in touched:
+        clause = F.lit(True)
+        for c, v in zip(partition_cols, vals):
+            clause = clause & (F.col(c) == F.lit(v))
+        part_pred = part_pred | clause
+    existing = target.filter(part_pred)
+    hit = F.expr(predicate)
+    n_updated = existing.filter(hit).count()
+    updated = existing.select(
+        *[
+            F.when(hit, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in existing.columns
+        ]
+    )
+    _ensure_dynamic_overwrite(spark)
+    (
+        updated.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(target_path)
+    )
+    return {"touched_partitions": len(touched), "rows_updated": n_updated}

@@ -1687,3 +1687,50 @@ def test_run_with_metrics_query_log_totals(spark):
     assert m["shuffle_bytes_written"] > 0  # one groupBy exchange
     assert m["spill_bytes"] == 0  # nothing spills at fixture scale
     assert any("Exchange" in op["operator"] for op in m["operators"])
+
+
+def test_alter_update_where_partition_grain(spark, tmp_path):
+    """Mutation parity: only partitions containing matches are rewritten;
+    assignments hit matching rows only."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.maintenance import (
+        alter_update_where,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(400).selectExpr(
+        "id", "id % 4 as bucket", "cast(id as double) as price"
+    ).repartition(2).write.partitionBy("bucket").parquet(path)
+
+    untouched_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/bucket=1/*.parquet")
+        + glob.glob(f"{path}/bucket=2/*.parquet")
+        + glob.glob(f"{path}/bucket=3/*.parquet")
+    }
+    time.sleep(1.1)
+
+    # matches live only in bucket 0 (ids divisible by 4, under 100)
+    res = alter_update_where(
+        spark,
+        path,
+        {"price": "price * 2"},
+        "id % 4 = 0 AND id < 100",
+        ["bucket"],
+    )
+    assert res == {"touched_partitions": 1, "rows_updated": 25}
+
+    out = spark.read.parquet(path)
+    assert out.count() == 400
+    doubled = out.filter("id % 4 = 0 AND id < 100")
+    assert doubled.filter(F.expr("price != id * 2")).count() == 0
+    # a same-partition row NOT matching the predicate is untouched
+    assert out.filter("id = 100").collect()[0].price == 100.0
+    # other partitions' files were not rewritten
+    for f, mtime in untouched_files.items():
+        assert os.path.getmtime(f) == mtime, f
