@@ -223,10 +223,12 @@ def write_table_http(
     timeout: float = 300.0,
     user: str | None = None,
     password: str | None = None,
+    rows_per_request: int = 100_000,
 ) -> int:
-    """Sink: one ``INSERT INTO … FORMAT JSONEachRow`` POST per input
-    partition, issued executor-side. Returns the number of rows written
-    (the count action is what drives execution)."""
+    """Sink: ``INSERT INTO … FORMAT JSONEachRow`` POSTs issued
+    executor-side, flushed every ``rows_per_request`` rows so request
+    bodies stay bounded regardless of partition size. Returns the number
+    of rows written (the count action is what drives execution)."""
     cols = df.columns
     auth = _auth_headers(user, password)
     count_schema = T.StructType([T.StructField("rows", T.LongType())])
@@ -234,14 +236,24 @@ def write_table_http(
     def send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         total = 0
         buf: list[str] = []
+        buffered = 0
+
+        def flush() -> None:
+            nonlocal buf, buffered
+            if buffered:
+                body = f"INSERT INTO {table} FORMAT JSONEachRow\n" + "\n".join(buf)
+                _post(url, body.encode(), timeout, auth)
+                buf, buffered = [], 0
+
         for b in batches:
-            if len(b) == 0:
-                continue
-            buf.append(b[cols].to_json(orient="records", lines=True))
-            total += len(b)
-        if total:
-            body = f"INSERT INTO {table} FORMAT JSONEachRow\n" + "\n".join(buf)
-            _post(url, body.encode(), timeout, auth)
+            for start in range(0, len(b), rows_per_request):
+                chunk = b.iloc[start : start + rows_per_request]
+                buf.append(chunk[cols].to_json(orient="records", lines=True))
+                buffered += len(chunk)
+                total += len(chunk)
+                if buffered >= rows_per_request:
+                    flush()
+        flush()
         yield pd.DataFrame({"rows": [total]})
 
     written = df.mapInPandas(send, count_schema).agg(F.sum("rows")).collect()[0][0]
@@ -291,6 +303,8 @@ def incremental_sync(
     state_path: str,
     num_partitions: int = 8,
     timeout: float = 300.0,
+    user: str | None = None,
+    password: str | None = None,
 ) -> dict:
     """Incremental change capture by monotonic cursor — the sync mode the
     reference's one-shot full copy lacks: each call pulls only rows with
@@ -303,6 +317,11 @@ def incremental_sync(
     re-land the *same* batch partition (overwrite, not append) — replay is
     a no-op, never a duplicate. State is a JSON file written
     atomically (tmp + rename), same discipline as the migration ledger.
+
+    Concurrent-insert safety: the watermark ``hi`` is observed in a first
+    pass, and the batch write re-reads with the range bounded AT ``hi`` —
+    rows arriving between the two passes are excluded from this batch and
+    picked up by the next sync, so a row can never land in two batches.
 
     The cursor must be numeric and monotonically assigned at the source
     (ClickHouse: an insert-time column or a monotonic id; timestamps map
@@ -324,7 +343,7 @@ def incremental_sync(
     # correctness; this is the pruning)
     lo = int(state["cursor"]) + 1 if state["cursor"] is not None else 0
     hi_bound = 1 << 31
-    df = read_table_http(
+    probe = read_table_http(
         spark,
         url,
         table,
@@ -335,17 +354,33 @@ def incremental_sync(
         num_partitions=num_partitions,
         predicate=predicate,
         timeout=timeout,
+        user=user,
+        password=password,
     )
-    agg = df.agg(
+    agg = probe.agg(
         F.count(F.lit(1)).alias("n"), F.max(cursor_col).alias("hi")
     ).collect()[0]
     if agg["n"] == 0:
         return {"rows": 0, "cursor": state["cursor"], "batch": None}
 
     hi = int(agg["hi"])
+    batch_df = read_table_http(
+        spark,
+        url,
+        table,
+        schema,
+        partition_column=cursor_col,
+        lower=lo,
+        upper=hi + 1,  # half-open: bounds the batch AT the observed watermark
+        num_partitions=num_partitions,
+        predicate=predicate,
+        timeout=timeout,
+        user=user,
+        password=password,
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
-        df.withColumn("_sync_batch", F.lit(hi))
+        batch_df.withColumn("_sync_batch", F.lit(hi))
         .write.mode("overwrite")
         .partitionBy("_sync_batch")
         .parquet(dest_path)

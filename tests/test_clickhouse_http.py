@@ -460,3 +460,17 @@ def test_date_named_string_columns_survive(spark, stub):
     rows = {r.id: r for r in df.collect()}
     assert rows[3].created_at == "2024-01-03"
     assert rows[3].ts == "2024-01-03 10:00:00"
+
+
+def test_write_chunks_by_rows_per_request(spark, stub):
+    stub.received.clear()
+    src = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)],
+        "o_orderkey long, o_totalprice double",
+    ).coalesce(1)
+    written = write_table_http(
+        src, stub.url, "sink", rows_per_request=30
+    )
+    assert written == 100
+    inserts = [s for s in stub.received if s.startswith("INSERT INTO sink")]
+    assert len(inserts) == 4  # 30+30+30+10 from the single partition
