@@ -143,6 +143,83 @@ def cli_ttl(argv: list[str]) -> int:
         spark.stop()
 
 
+def cli_update(argv: list[str]) -> int:
+    """``update --path P --set col=expr[,col2=expr2] --where pred
+    --partitions p1`` — ALTER UPDATE mutation: partition-grain
+    copy-on-write; only partitions containing matching rows rewrite."""
+    from .operators.maintenance import alter_update_where
+    from .session import get_spark
+
+    opts = _kv_opts(argv, {"--path", "--set", "--where", "--partitions"})
+    if opts is None or not all(
+        k in opts for k in ("--path", "--set", "--where", "--partitions")
+    ):
+        print(
+            "usage: update --path P --set col=expr[,col=expr] --where pred "
+            "--partitions p1,p2",
+            file=sys.stderr,
+        )
+        return 2
+    assignments = {}
+    for item in opts["--set"].split(","):
+        col, _, expr = item.partition("=")
+        if not expr:
+            print(f"bad assignment: {item!r}", file=sys.stderr)
+            return 2
+        assignments[col.strip()] = expr.strip()
+    spark = get_spark(app_name="alter-update")
+    try:
+        stats = alter_update_where(
+            spark,
+            opts["--path"],
+            assignments,
+            opts["--where"],
+            opts["--partitions"].split(","),
+        )
+        print(stats)
+        return 0
+    finally:
+        spark.stop()
+
+
+def cli_attach_partition(argv: list[str]) -> int:
+    """``attach-partition --src S --dst D --partitions p1 --values v1
+    [--mode copy|move|replace]`` — file-level partition exchange
+    (ATTACH/MOVE/REPLACE PARTITION FROM)."""
+    from .operators.maintenance import attach_partition_from
+    from .session import get_spark
+
+    opts = _kv_opts(argv, {"--src", "--dst", "--partitions", "--values", "--mode"})
+    if opts is None or not all(
+        k in opts for k in ("--src", "--dst", "--partitions", "--values")
+    ):
+        print(
+            "usage: attach-partition --src S --dst D --partitions p1,p2 "
+            "--values v1,v2 [--mode copy|move|replace]",
+            file=sys.stderr,
+        )
+        return 2
+    mode = opts.get("--mode", "copy")
+    if mode not in ("copy", "move", "replace"):
+        print(f"bad --mode {mode!r}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="attach-partition")
+    try:
+        stats = attach_partition_from(
+            spark,
+            opts["--src"],
+            opts["--dst"],
+            opts["--partitions"].split(","),
+            opts["--values"].split(","),
+            move=mode == "move",
+            replace=mode == "replace",
+        )
+        print(stats)
+        return 0
+    finally:
+        spark.stop()
+
+
 def _kv_opts(argv: list[str], known: set[str]) -> dict | None:
     opts: dict = {}
     it = iter(argv)
@@ -168,6 +245,10 @@ def main(argv: list[str] | None = None) -> int:
         return cli_optimize(args[1:])
     if args and args[0] == "ttl":
         return cli_ttl(args[1:])
+    if args and args[0] == "update":
+        return cli_update(args[1:])
+    if args and args[0] == "attach-partition":
+        return cli_attach_partition(args[1:])
     return _migrate_main(argv)
 
 

@@ -503,3 +503,54 @@ def test_cli_maintenance_subcommands(spark, tmp_path):
 
     assert run("optimize", "--path", path).returncode == 2
     assert run("ttl", "--bogus", "x").returncode == 2
+
+
+def test_cli_update_and_attach_partition(spark, tmp_path):
+    """CLI update/attach-partition e2e in a fresh interpreter (the CLI
+    owns and stops its session, so never run it on the test session)."""
+    import os
+    import subprocess
+    import sys
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(100).selectExpr(
+        "id", "id % 2 as bucket", "cast(id as double) as price"
+    )
+    df.write.partitionBy("bucket").parquet(src)
+    df.filter("bucket = 0").write.partitionBy("bucket").parquet(dst)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    run = lambda *args: subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; from clickhousemigrators3_spark.cli import main; "
+            "sys.exit(main(sys.argv[1:]))",
+            *args,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+        env=env,
+    )
+
+    proc = run(
+        "update", "--path", src, "--set", "price=price * 10",
+        "--where", "id < 10", "--partitions", "bucket",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "'rows_updated': 10" in proc.stdout
+    assert spark.read.parquet(src).filter("id = 4").collect()[0].price == 40.0
+
+    proc = run(
+        "attach-partition", "--src", src, "--dst", dst,
+        "--partitions", "bucket", "--values", "1",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "'action': 'attached'" in proc.stdout
+    assert spark.read.parquet(dst).count() == 100
+
+    # usage errors exit 2
+    assert run("update", "--path", src).returncode == 2
+    assert run("attach-partition", "--src", src).returncode == 2
