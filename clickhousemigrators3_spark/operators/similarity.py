@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.vectors import cosine, dot, sql_cosine, sql_dot, to_double
+from ..functions.vectors import cosine, cosine_pre, dot, norm, sql_cosine, sql_dot, to_double
 from ..registry import register
 
 N_QUERIES = 5  # queries = vec_id < 5
@@ -51,15 +51,19 @@ def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, score every pair, per-query window top-k. The window's
     WindowGroupLimit keeps per-partition state at k rows. Exact — the recall
     baseline the ANN variant is judged against."""
-    e = _vectors(spark, sf_dir)
+    e = _vectors(spark, sf_dir).withColumn("nv", norm(F.col("v")))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     scored = (
         F.broadcast(q)
         .crossJoin(e)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("c", cosine(F.col("qv"), F.col("v")))
+        .withColumn(
+            "c", cosine_pre(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
     return (
@@ -260,6 +264,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"), "qv")
     )
+    # per-pair cosine on purpose (contrast knn_bruteforce_topk's
+    # precomputed norms): bucketing prunes candidates to ~Q·N/2^NBITS,
+    # so a corpus-wide norm projection (N traversals) costs MORE than
+    # per-pair norms whenever Q < 2^NBITS — the common serving regime
     scored = cand.join(e, cand.cand_id == e.vec_id).withColumn(
         "c", cosine(F.col("qv"), F.col("v"))
     )
