@@ -52,7 +52,15 @@ def main() -> int:
     from clickhousemigrators3_spark.session import get_spark
 
     registry = load_all()
-    spark = get_spark(app_name="bench")
+    # UI off for benching: per-stage UI bookkeeping is pure overhead here,
+    # and no one attaches to a 4-minute batch process
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
 
     # Warm the JVM and seed the shared analyzed-plan cache for EVERY fixture
     # table (one file listing + footer read each, reused by all queries —
@@ -71,13 +79,14 @@ def main() -> int:
         q = registry.get(name)
         if q is None:
             continue
-        # five iterations; report steady-state (min) as the headline number:
-        # iteration 1 pays JVM JIT and codegen compilation, which amortize
-        # to zero on a real cluster; min-of-5 also absorbs co-tenant machine
-        # noise (observed run-to-run spread on this box is ~1.5× under
-        # load). p50 is reported alongside so the spread itself is visible.
+        # seven iterations; report steady-state (min) as the headline
+        # number: iteration 1 pays JVM JIT and codegen compilation, which
+        # amortize to zero on a real cluster; min-of-7 also absorbs
+        # co-tenant machine noise (observed run-to-run spread on this box
+        # is ~1.5× under load; sustained ambient load average ~2 shifts
+        # whole runs). p50 is reported alongside so the spread is visible.
         runs = []
-        for _ in range(5):
+        for _ in range(7):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             n = df.count()  # forces execution; results are small aggregates
