@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -48,6 +49,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -257,6 +259,64 @@ class _CHStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _WroteRows(WriterCommitMessage):
+    rows: int
+
+
+class _CHWriter(DataSourceWriter):
+    """INSERT sink: each task POSTs its partition's rows as
+    ``INSERT … FORMAT JSONEachRow`` requests, flushed every
+    ``rows_per_request`` rows so request bodies stay bounded. ``overwrite``
+    issues a server-side TRUNCATE at commit-planning time (driver), before
+    any task runs — matching the INSERT-after-TRUNCATE the reference's
+    recreate-and-copy flow performs."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.schema = schema
+        self.options = options
+        self.auth = _auth_headers(options.get("user"), options.get("password"))
+        self.timeout = float(options.get("timeout", 300))
+        self.chunk = int(options.get("rows_per_request", 100_000))
+        if overwrite:
+            _post(
+                options["url"],
+                f"TRUNCATE TABLE {options['table']}".encode(),
+                self.timeout,
+                self.auth,
+            )
+
+    def write(self, iterator) -> _WroteRows:
+        o = self.options
+        names = [f.name for f in self.schema.fields]
+        total = 0
+        buf: list[str] = []
+
+        def flush() -> None:
+            nonlocal buf
+            if buf:
+                body = (
+                    f"INSERT INTO {o['table']} FORMAT JSONEachRow\n"
+                    + "\n".join(buf)
+                )
+                _post(o["url"], body.encode(), self.timeout, self.auth)
+                buf = []
+
+        for row in iterator:
+            buf.append(json.dumps(dict(zip(names, row)), default=str))
+            total += 1
+            if len(buf) >= self.chunk:
+                flush()
+        flush()
+        return _WroteRows(rows=total)
+
+    def commit(self, messages) -> None:
+        pass  # inserts are visible as they land (the server's semantics)
+
+    def abort(self, messages) -> None:
+        pass  # no staged state to clean: idempotence comes from the caller
+
+
 class ClickHouseHTTPDataSource(DataSource):
     """``spark.dataSource.register(ClickHouseHTTPDataSource)`` then
     ``spark.read.format("clickhouse_http")…``."""
@@ -278,4 +338,7 @@ class ClickHouseHTTPDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _CHStreamReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _CHWriter(schema, dict(self.options), overwrite)
 

@@ -558,3 +558,34 @@ def test_python_datasource_stream_cursor_tail(spark, stub, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 60  # exactly the delta arrived, no replays
     assert got.select("id").distinct().count() == 60
+
+
+def test_python_datasource_write(spark, stub):
+    """df.write.format('clickhouse_http'): per-partition INSERTs; overwrite
+    truncates first; append accumulates."""
+    from clickhousemigrators3_spark.sources.clickhouse_ds import (
+        ClickHouseHTTPDataSource,
+    )
+
+    spark.dataSource.register(ClickHouseHTTPDataSource)
+    stub.execute("CREATE TABLE ds_sink (id BIGINT, v DOUBLE)")
+    df = spark.range(50).selectExpr("id", "cast(id as double) as v").repartition(4)
+
+    (
+        df.write.format("clickhouse_http")
+        .option("url", stub.url)
+        .option("table", "ds_sink")
+        .mode("append")
+        .save()
+    )
+    assert query_scalar_http(stub.url, "SELECT count(*) FROM ds_sink") == 50
+
+    (
+        df.write.format("clickhouse_http")
+        .option("url", stub.url)
+        .option("table", "ds_sink")
+        .mode("overwrite")
+        .save()
+    )
+    assert query_scalar_http(stub.url, "SELECT count(*) FROM ds_sink") == 50
+    assert any(s.startswith("TRUNCATE TABLE ds_sink") for s in stub.received)
