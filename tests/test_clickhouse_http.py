@@ -589,3 +589,39 @@ def test_python_datasource_write(spark, stub):
     )
     assert query_scalar_http(stub.url, "SELECT count(*) FROM ds_sink") == 50
     assert any(s.startswith("TRUNCATE TABLE ds_sink") for s in stub.received)
+
+
+def test_pushdown_literal_escaping(spark, stub):
+    """String filter values with quotes must reach the server correctly
+    escaped — matching rows, not syntax errors or injected clauses."""
+    from clickhousemigrators3_spark.sources.clickhouse_ds import (
+        ClickHouseHTTPDataSource,
+        _compile_filter,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    assert (
+        _compile_filter(EqualTo(("name",), "O'Brien; DROP TABLE x"))
+        == "name = 'O''Brien; DROP TABLE x'"
+    )
+
+    spark.dataSource.register(ClickHouseHTTPDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    stub.execute("CREATE TABLE quoted (id BIGINT, name VARCHAR)")
+    stub.execute(
+        "INSERT INTO quoted FORMAT JSONEachRow\n"
+        + json.dumps({"id": 1, "name": "O'Brien"})
+        + "\n"
+        + json.dumps({"id": 2, "name": "plain"})
+    )
+    df = (
+        spark.read.format("clickhouse_http")
+        .schema("id long, name string")
+        .option("url", stub.url)
+        .option("table", "quoted")
+        .load()
+        .filter("name = \"O'Brien\"")
+    )
+    rows = df.collect()
+    assert [r.id for r in rows] == [1]
+    assert query_scalar_http(stub.url, "SELECT count(*) FROM quoted") == 2
