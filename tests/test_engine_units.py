@@ -1734,3 +1734,22 @@ def test_alter_update_where_partition_grain(spark, tmp_path):
     # other partitions' files were not rewritten
     for f, mtime in untouched_files.items():
         assert os.path.getmtime(f) == mtime, f
+
+
+def test_blocklist_ac_twin_matches_jvm_form(spark):
+    """The Aho-Corasick mapInPandas scale path must agree exactly with the
+    registered JVM higher-order form on the fixture blocklist."""
+    from clickhousemigrators3_spark.operators.textops import (
+        blocklist_filter_ac,
+        text_blocklist_filter,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    jvm = text_blocklist_filter(spark, sf).collect()
+    ac = blocklist_filter_ac(spark, sf).collect()
+    assert len(jvm) == len(ac) > 0
+    assert [tuple(r) for r in jvm] == [tuple(r) for r in ac]
+
+    # overlapping-term automaton correctness: 'he' inside 'she', 'hers'
+    rows = blocklist_filter_ac(spark, sf, terms=["he", "she", "hers"]).limit(1)
+    rows.collect()  # just exercises the automaton with nested outputs
