@@ -158,6 +158,8 @@ class _CHReader(DataSourceReader):
         n = int(self.options.get("num_partitions", 8))
         step = max(1, (upper - lower) // n)
         bounds = list(range(lower, upper, step))
+        if not bounds:  # degenerate range (lower >= upper): one empty slice
+            return [RangePartition(lower, lower)]
         return [
             RangePartition(b, upper if i == len(bounds) - 1 else b + step)
             for i, b in enumerate(bounds)

@@ -625,3 +625,23 @@ def test_pushdown_literal_escaping(spark, stub):
     rows = df.collect()
     assert [r.id for r in rows] == [1]
     assert query_scalar_http(stub.url, "SELECT count(*) FROM quoted") == 2
+
+
+def test_python_datasource_degenerate_range(spark, stub):
+    """lower == upper must yield an empty frame, not a planner error."""
+    from clickhousemigrators3_spark.sources.clickhouse_ds import (
+        ClickHouseHTTPDataSource,
+    )
+
+    spark.dataSource.register(ClickHouseHTTPDataSource)
+    df = (
+        spark.read.format("clickhouse_http")
+        .schema("o_orderkey long, o_totalprice double")
+        .option("url", stub.url)
+        .option("table", "orders")
+        .option("partition_column", "o_orderkey")
+        .option("lower", 5)
+        .option("upper", 5)
+        .load()
+    )
+    assert df.count() == 0
