@@ -68,7 +68,13 @@ def _sql_literal(v: Any) -> str | None:
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        # ClickHouse string literals are C-style: backslash is an escape
+        # character, so it must be doubled BEFORE quote-doubling — otherwise
+        # a value ending in '\' compiles to '…\'' where \' escapes the
+        # closing quote and the literal swallows the rest of the SQL
+        # (syntax error at best, clause injection from data-derived filter
+        # values at worst).
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
     return None  # dates/decimals/etc: leave to Spark
 
 

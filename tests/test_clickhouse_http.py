@@ -18,6 +18,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from clickhousemigrators3_spark.sources.clickhouse_http import (
     build_select,
@@ -29,6 +30,35 @@ from clickhousemigrators3_spark.sources.clickhouse_http import (
 )
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+# ClickHouse string literals are C-style: '\\' escapes, '' quote-doubling.
+# The stub parses them faithfully and re-emits DuckDB-semantics literals
+# (backslash NOT special), so escaping bugs in compiled SQL surface as
+# wrong rows / syntax errors here exactly as they would on a live server.
+_CH_LITERAL = re.compile(r"'(?:\\.|''|[^'\\])*'")
+_CH_UNESCAPE = {
+    "\\": "\\", "'": "'", "n": "\n", "t": "\t", "r": "\r",
+    "0": "\0", "b": "\b", "f": "\f", "a": "\a", "v": "\v",
+}
+
+
+def _ch_literal_to_duckdb(m: re.Match) -> str:
+    body = m.group(0)[1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            out.append(_CH_UNESCAPE.get(body[i + 1], body[i + 1]))
+            i += 2
+        elif c == "'" and i + 1 < len(body) and body[i + 1] == "'":
+            out.append("'")
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "'" + "".join(out).replace("'", "''") + "'"
 
 
 class _StubClickHouse:
@@ -97,6 +127,7 @@ class _StubClickHouse:
             if fm:
                 fmt = fm.group(1)
                 sql = sql[: fm.start()]
+            sql = _CH_LITERAL.sub(_ch_literal_to_duckdb, sql)
             if not sql.lstrip().upper().startswith(("SELECT", "WITH")):
                 self.con.execute(sql)  # DDL / command path
                 return b""
@@ -604,6 +635,17 @@ def test_pushdown_literal_escaping(spark, stub):
         _compile_filter(EqualTo(("name",), "O'Brien; DROP TABLE x"))
         == "name = 'O''Brien; DROP TABLE x'"
     )
+    # ClickHouse literals are C-style: a backslash must be doubled BEFORE
+    # quote-doubling, or a value ending in '\' escapes the closing quote.
+    assert _compile_filter(EqualTo(("name",), "tail\\")) == "name = 'tail\\\\'"
+    assert (
+        _compile_filter(EqualTo(("name",), "x\\' OR 1=1 --"))
+        == "name = 'x\\\\'' OR 1=1 --'"
+    )
+    assert (
+        _compile_filter(EqualTo(("path",), "C:\\dir\\file"))
+        == "path = 'C:\\\\dir\\\\file'"
+    )
 
     spark.dataSource.register(ClickHouseHTTPDataSource)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
@@ -625,6 +667,47 @@ def test_pushdown_literal_escaping(spark, stub):
     rows = df.collect()
     assert [r.id for r in rows] == [1]
     assert query_scalar_http(stub.url, "SELECT count(*) FROM quoted") == 2
+
+
+def test_pushdown_backslash_literal_round_trip(spark, stub):
+    """Backslash-bearing filter values must select exactly the matching
+    rows through the server's C-style literal parser — no syntax error, no
+    swallowed clause, no wrong-row match."""
+    from clickhousemigrators3_spark.sources.clickhouse_ds import (
+        ClickHouseHTTPDataSource,
+    )
+
+    spark.dataSource.register(ClickHouseHTTPDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    stub.execute("CREATE TABLE slashed (id BIGINT, name VARCHAR)")
+    stub.con.executemany(
+        "INSERT INTO slashed VALUES (?, ?)",
+        [
+            (1, "tail\\"),
+            (2, "tail"),
+            (3, "C:\\dir\\file"),
+            (4, "x\\' OR 1=1 --"),
+        ],
+    )
+
+    def probe(value):
+        stub.received.clear()
+        df = (
+            spark.read.format("clickhouse_http")
+            .schema("id long, name string")
+            .option("url", stub.url)
+            .option("table", "slashed")
+            .load()
+            .filter(F.col("name") == value)
+        )
+        ids = sorted(r.id for r in df.collect())
+        # the filter really was pushed (server saw it), not Spark-side
+        assert any("name = " in s for s in stub.received)
+        return ids
+
+    assert probe("tail\\") == [1]
+    assert probe("C:\\dir\\file") == [3]
+    assert probe("x\\' OR 1=1 --") == [4]
 
 
 def test_python_datasource_degenerate_range(spark, stub):
