@@ -24,9 +24,11 @@ engine-integrated form:
   from the sink's checkpointed batch ids, e.g. foreachBatch upsert).
 
 Options: url (required), table (required), partition_column, lower, upper,
-num_partitions, predicate (extra server-side WHERE), user, password,
-schema (DDL string, used when ``.schema()`` is not given), cursor_column
-(streaming; defaults to partition_column).
+num_partitions, strict_bounds (default false: lower/upper size the strides
+with unbounded edge slices, JDBC-partitioner parity; true compiles both
+edges as hard filters), predicate (extra server-side WHERE), user,
+password, schema (DDL string, used when ``.schema()`` is not given),
+cursor_column (streaming; defaults to partition_column).
 """
 
 from __future__ import annotations
@@ -162,14 +164,31 @@ class _CHReader(DataSourceReader):
         lower = int(self.options.get("lower", 0))
         upper = int(self.options.get("upper", 1 << 31))
         n = int(self.options.get("num_partitions", 8))
+        strict = str(self.options.get("strict_bounds", "false")).lower() in (
+            "true",
+            "1",
+        )
+        if lower >= upper:
+            # degenerate range: strict mode = the empty half-open interval;
+            # default (JDBC parity) = bounds never filter, so one full scan
+            return (
+                [RangePartition(lower, lower)]
+                if strict
+                else [RangePartition(None, None)]
+            )
         step = max(1, (upper - lower) // n)
         bounds = list(range(lower, upper, step))
-        if not bounds:  # degenerate range (lower >= upper): one empty slice
-            return [RangePartition(lower, lower)]
-        return [
+        parts = [
             RangePartition(b, upper if i == len(bounds) - 1 else b + step)
             for i, b in enumerate(bounds)
         ]
+        if not strict:
+            # JDBC-partitioner parity: lower/upper size the strides but the
+            # edge slices stay unbounded, so rows outside [lower, upper)
+            # are read, never silently dropped.
+            parts[0] = RangePartition(None, parts[0].hi)
+            parts[-1] = RangePartition(parts[-1].lo, None)
+        return parts
 
     def read(self, partition: RangePartition) -> Iterator[Tuple]:
         o = self.options

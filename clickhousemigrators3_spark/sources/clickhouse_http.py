@@ -79,8 +79,9 @@ def build_select(
     """Compile one partition's bounded SELECT. Pure function — contract
     tested against golden strings. Half-open range ``[lower, upper)`` so
     adjacent partitions never overlap and their union is exactly the
-    caller's span (the same contract Spark's JDBC partitioner uses,
-    minus its unbounded first/last strides)."""
+    caller's span; a ``None`` edge is left out of the WHERE entirely, which
+    is how callers express the JDBC partitioner's unbounded first/last
+    strides."""
     cols = ", ".join(columns) if columns else "*"
     clauses = []
     if predicate:
@@ -159,6 +160,7 @@ def read_table_http(
     timeout: float = 300.0,
     user: str | None = None,
     password: str | None = None,
+    strict_bounds: bool = False,
 ) -> DataFrame:
     """S1 over HTTP: partitioned parallel read of one ClickHouse table.
 
@@ -166,6 +168,14 @@ def read_table_http(
     ``mapInPandas`` task POSTs its own bounded SELECT and parses the
     JSONEachRow response executor-side. Without ``partition_column`` the
     read degrades to one request (still executor-side, never the driver).
+
+    Range semantics match Spark's JDBC partitioner: by default
+    ``lower``/``upper`` only size the interior strides — the first slice is
+    lower-unbounded and the last upper-unbounded, so rows outside
+    ``[lower, upper)`` (snowflake-style ids past 2**31, negative keys) are
+    still read, never silently dropped. ``strict_bounds=True`` opts into
+    compiling both edges as hard filters — what CDC batch closing needs,
+    where the half-open range IS the batch membership contract.
     """
     if partition_column is None:
         ranges = [(None, None)]
@@ -180,6 +190,9 @@ def read_table_http(
             (b, upper if i == len(bounds) - 1 else b + step)
             for i, b in enumerate(bounds)
         ]
+        if not strict_bounds:
+            ranges[0] = (None, ranges[0][1])
+            ranges[-1] = (ranges[-1][0], None)
     spec = spark.createDataFrame(
         [(i, lo, hi) for i, (lo, hi) in enumerate(ranges)],
         "part int, lo long, hi long",
@@ -377,6 +390,7 @@ def incremental_sync(
         timeout=timeout,
         user=user,
         password=password,
+        strict_bounds=True,  # the batch range IS membership — hard edges
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (

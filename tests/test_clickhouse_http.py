@@ -219,11 +219,14 @@ def test_predicate_is_pushed_to_server(spark, stub):
     )
     rows = df.collect()
     assert rows and all(r.o_totalprice > 150000 for r in rows)
-    # every request the server saw carried the predicate AND its range bounds
+    # every request the server saw carried the predicate; interior slices
+    # carry both range bounds, the edge slices are unbounded on their outer
+    # side (JDBC-partitioner parity: bounds slice, they don't filter)
     selects = [s for s in stub.received if s.startswith("SELECT")]
-    assert selects
+    assert len(selects) == 4
     assert all("(o_totalprice > 150000)" in s for s in selects)
-    assert all("o_orderkey >=" in s and "o_orderkey <" in s for s in selects)
+    assert sum("o_orderkey >=" in s for s in selects) == 3  # all but first
+    assert sum("o_orderkey <" in s for s in selects) == 3  # all but last
 
 
 def test_unpartitioned_read_single_request(spark, stub):
@@ -711,20 +714,85 @@ def test_pushdown_backslash_literal_round_trip(spark, stub):
 
 
 def test_python_datasource_degenerate_range(spark, stub):
-    """lower == upper must yield an empty frame, not a planner error."""
+    """lower == upper must not be a planner error: under the default JDBC
+    parity the bounds never filter (full scan, one partition); under
+    strict_bounds the empty half-open interval yields an empty frame."""
     from clickhousemigrators3_spark.sources.clickhouse_ds import (
         ClickHouseHTTPDataSource,
     )
 
     spark.dataSource.register(ClickHouseHTTPDataSource)
-    df = (
+
+    def degenerate(**extra):
+        r = (
+            spark.read.format("clickhouse_http")
+            .schema("o_orderkey long, o_totalprice double")
+            .option("url", stub.url)
+            .option("table", "orders")
+            .option("partition_column", "o_orderkey")
+            .option("lower", 5)
+            .option("upper", 5)
+        )
+        for k, v in extra.items():
+            r = r.option(k, v)
+        return r.load()
+
+    total = query_scalar_http(stub.url, "SELECT count(*) FROM orders")
+    assert degenerate().count() == total
+    assert degenerate(strict_bounds="true").count() == 0
+
+
+def test_rows_outside_range_are_not_dropped(spark, stub):
+    """JDBC-partitioner parity: lower/upper size the strides, they never
+    decide membership — ids past 2**31 (snowflake-style) and negative ids
+    must arrive through the default read path of BOTH the raw transport and
+    the data source; strict_bounds opts back into hard edges."""
+    from clickhousemigrators3_spark.sources.clickhouse_ds import (
+        ClickHouseHTTPDataSource,
+    )
+
+    stub.execute("CREATE TABLE bigid (id BIGINT, v DOUBLE)")
+    ids = [-7, 1, 2, 3, (1 << 31) + 5, (1 << 33)]
+    stub.execute(
+        "INSERT INTO bigid FORMAT JSONEachRow\n"
+        + "\n".join(json.dumps({"id": i, "v": float(i)}) for i in ids)
+    )
+    schema = spark.createDataFrame([], "id long, v double").schema
+
+    # raw transport, defaults (lower=0, upper=2**31): all rows survive
+    df = read_table_http(
+        spark,
+        stub.url,
+        "bigid",
+        schema,
+        partition_column="id",
+        num_partitions=4,
+    )
+    assert sorted(r.id for r in df.collect()) == sorted(ids)
+
+    # strict bounds: exactly the half-open range, for CDC batch closing
+    df_strict = read_table_http(
+        spark,
+        stub.url,
+        "bigid",
+        schema,
+        partition_column="id",
+        lower=1,
+        upper=4,
+        num_partitions=4,
+        strict_bounds=True,
+    )
+    assert sorted(r.id for r in df_strict.collect()) == [1, 2, 3]
+
+    # data source, defaults: all rows survive too
+    spark.dataSource.register(ClickHouseHTTPDataSource)
+    ds = (
         spark.read.format("clickhouse_http")
-        .schema("o_orderkey long, o_totalprice double")
+        .schema("id long, v double")
         .option("url", stub.url)
-        .option("table", "orders")
-        .option("partition_column", "o_orderkey")
-        .option("lower", 5)
-        .option("upper", 5)
+        .option("table", "bigid")
+        .option("partition_column", "id")
+        .option("num_partitions", 3)
         .load()
     )
-    assert df.count() == 0
+    assert sorted(r.id for r in ds.collect()) == sorted(ids)
