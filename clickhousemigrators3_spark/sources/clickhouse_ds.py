@@ -176,7 +176,7 @@ class _CHReader(DataSourceReader):
                 if strict
                 else [RangePartition(None, None)]
             )
-        step = max(1, (upper - lower) // n)
+        step = max(1, -(-(upper - lower) // n))  # ceil: exactly n slices
         bounds = list(range(lower, upper, step))
         parts = [
             RangePartition(b, upper if i == len(bounds) - 1 else b + step)
@@ -253,7 +253,7 @@ class _CHStreamReader(DataSourceStreamReader):
             return []
         n = int(self.options.get("num_partitions", 4))
         span = hi - lo
-        step = max(1, span // n)
+        step = max(1, -(-span // n))  # ceil: exactly n slices
         bounds = list(range(lo + 1, hi + 1, step))
         return [
             RangePartition(b, hi + 1 if i == len(bounds) - 1 else b + step)

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import io
 import json
+import re
 import urllib.parse
 import urllib.request
 from collections.abc import Iterator
@@ -183,7 +184,7 @@ def read_table_http(
         if lower >= upper:
             raise ValueError(f"lower ({lower}) must be < upper ({upper})")
         span = upper - lower
-        step = max(1, span // num_partitions)
+        step = max(1, -(-span // num_partitions))  # ceil: exactly n slices
         bounds = list(range(lower, upper, step))
         # fold any remainder slice into the last range
         ranges = [
@@ -294,7 +295,11 @@ def query_scalar_http(
 ) -> Any:
     """Driver-side scalar query (the reference's count-validation probes,
     ``migration.py`` SELECT count() calls) — JSON format, first value."""
-    if "format" not in sql.lower():
+    # append FORMAT JSON unless the query already ends in a FORMAT clause —
+    # a mere mention of "format" in an identifier or string literal
+    # (WHERE kind = 'format') must not suppress the append, or the server
+    # answers TabSeparated and the JSON parse below blows up
+    if not re.search(r"\bFORMAT\s+\w+\s*$", sql, re.IGNORECASE):
         sql = f"{sql} FORMAT JSON"
     payload = json.loads(
         _post(url, sql.encode(), timeout, _auth_headers(user, password)) or b"{}"
@@ -324,17 +329,24 @@ def incremental_sync(
     ``cursor_col`` beyond the last synced watermark and lands them as one
     idempotent batch partition.
 
-    Exactly-once posture: the batch is written under a ``_sync_batch=<hi>``
-    partition via dynamic partition overwrite BEFORE the watermark state is
-    persisted, so a crash between write and state update makes the retry
-    re-land the *same* batch partition (overwrite, not append) — replay is
-    a no-op, never a duplicate. State is a JSON file written
-    atomically (tmp + rename), same discipline as the migration ledger.
+    Single data pass per cycle: the batch watermark ``hi`` comes from a
+    driver-side scalar ``max(cursor)`` probe (one tiny request, not a data
+    read), and the unsynced tail ``(watermark, hi]`` is then read exactly
+    once, executor-side, with strict range edges — the half-open batch
+    range IS the membership contract, so rows arriving after the probe are
+    excluded here and picked up by the next cycle. A row can never land in
+    two batches.
 
-    Concurrent-insert safety: the watermark ``hi`` is observed in a first
-    pass, and the batch write re-reads with the range bounded AT ``hi`` —
-    rows arriving between the two passes are excluded from this batch and
-    picked up by the next sync, so a row can never land in two batches.
+    Exactly-once posture: the observed ``hi`` is persisted as an *intent*
+    record (tmp + atomic rename) BEFORE the batch write, and a retry reuses
+    a pending intent instead of re-probing. So a crash anywhere between
+    intent and the final watermark update makes the retry re-land the
+    *same* ``_sync_batch=<hi>`` partition via dynamic partition overwrite —
+    replay is a no-op even when new rows arrived in between (they are
+    beyond ``hi`` and excluded by the strict upper edge). Without the
+    intent, a crash-then-insert retry would observe a larger ``hi'`` and
+    land the overlapping range under a NEW partition, duplicating rows
+    across the two.
 
     The cursor must be numeric and monotonically assigned at the source
     (ClickHouse: an insert-time column or a monotonic id; timestamps map
@@ -343,54 +355,51 @@ def incremental_sync(
     import json as _json
     import os as _os
 
-    state = {"cursor": None}
+    state: dict = {"cursor": None}
     if _os.path.exists(state_path):
         with open(state_path) as f:
             state = _json.load(f)
+    watermark = state.get("cursor")
 
-    predicate = (
-        f"{cursor_col} > {state['cursor']}" if state["cursor"] is not None else None
-    )
-    # tighten the partition span to the unsynced tail so range slices are
-    # not wasted below the watermark (the predicate already guarantees
-    # correctness; this is the pruning)
-    lo = int(state["cursor"]) + 1 if state["cursor"] is not None else 0
-    hi_bound = 1 << 31
-    probe = read_table_http(
-        spark,
-        url,
-        table,
-        schema,
-        partition_column=cursor_col,
-        lower=lo,
-        upper=hi_bound,
-        num_partitions=num_partitions,
-        predicate=predicate,
-        timeout=timeout,
-        user=user,
-        password=password,
-    )
-    agg = probe.agg(
-        F.count(F.lit(1)).alias("n"), F.max(cursor_col).alias("hi")
-    ).collect()[0]
-    if agg["n"] == 0:
-        return {"rows": 0, "cursor": state["cursor"], "batch": None}
+    def _persist(payload: dict) -> None:
+        tmp = f"{state_path}.tmp"
+        with open(tmp, "w") as f:
+            _json.dump(payload, f)
+        _os.replace(tmp, state_path)
 
-    hi = int(agg["hi"])
+    intent = state.get("intent_hi")
+    if intent is not None and (watermark is None or int(intent) > int(watermark)):
+        hi = int(intent)  # crash replay: re-land the batch already promised
+    else:
+        probed = query_scalar_http(
+            url,
+            f"SELECT max({cursor_col}) AS hi FROM {table}",
+            timeout=timeout,
+            user=user,
+            password=password,
+        )
+        if probed is None or (
+            watermark is not None and int(probed) <= int(watermark)
+        ):
+            return {"rows": 0, "cursor": watermark, "batch": None}
+        hi = int(probed)
+        _persist({"cursor": watermark, "intent_hi": hi, "table": table})
+
+    lo = int(watermark) + 1 if watermark is not None else None
     batch_df = read_table_http(
         spark,
         url,
         table,
         schema,
         partition_column=cursor_col,
-        lower=lo,
-        upper=hi + 1,  # half-open: bounds the batch AT the observed watermark
+        lower=lo if lo is not None else 0,
+        upper=hi + 1,  # half-open: bounds the batch AT the promised watermark
         num_partitions=num_partitions,
-        predicate=predicate,
         timeout=timeout,
         user=user,
         password=password,
-        strict_bounds=True,  # the batch range IS membership — hard edges
+        strict_bounds=lo is not None,  # batch edges are membership, not hints
+        predicate=None if lo is not None else f"{cursor_col} <= {hi}",
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
@@ -399,8 +408,8 @@ def incremental_sync(
         .partitionBy("_sync_batch")
         .parquet(dest_path)
     )
-    tmp = f"{state_path}.tmp"
-    with open(tmp, "w") as f:
-        _json.dump({"cursor": hi, "table": table}, f)
-    _os.replace(tmp, state_path)
-    return {"rows": int(agg["n"]), "cursor": hi, "batch": f"{dest_path}/_sync_batch={hi}"}
+    batch_dir = f"{dest_path}/_sync_batch={hi}"
+    # count from the landed parquet — the source is never read twice
+    n = spark.read.parquet(batch_dir).count() if _os.path.exists(batch_dir) else 0
+    _persist({"cursor": hi, "table": table})
+    return {"rows": int(n), "cursor": hi, "batch": batch_dir if n else None}

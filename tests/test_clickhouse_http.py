@@ -395,6 +395,104 @@ def test_incremental_sync_cursor_and_replay(spark, stub, tmp_path):
     assert replayed.select("id").distinct().count() == 80
 
 
+def test_incremental_sync_single_read_pass(spark, stub, tmp_path):
+    """Each sync cycle must read the unsynced tail exactly once: one tiny
+    scalar max(cursor) probe plus num_partitions bounded data SELECTs — not
+    the old probe-then-reread double pass."""
+    from clickhousemigrators3_spark.sources.clickhouse_http import (
+        incremental_sync,
+    )
+
+    stub.execute("CREATE TABLE inc1p (id BIGINT, v DOUBLE)")
+    stub.execute(
+        "INSERT INTO inc1p FORMAT JSONEachRow\n"
+        + "\n".join(json.dumps({"id": i, "v": i / 2}) for i in range(1, 31))
+    )
+    schema = spark.createDataFrame([], "id long, v double").schema
+    stub.received.clear()
+    r = incremental_sync(
+        spark,
+        stub.url,
+        "inc1p",
+        schema,
+        "id",
+        str(tmp_path / "dest"),
+        str(tmp_path / "state.json"),
+        num_partitions=4,
+    )
+    assert r["rows"] == 30
+    reads = [s for s in stub.received if s.startswith("SELECT") and "FROM inc1p" in s]
+    probes = [s for s in reads if "max(id)" in s]
+    data_reads = [s for s in reads if "max(id)" not in s]
+    assert len(probes) == 1
+    assert len(data_reads) == 4  # one bounded SELECT per partition, one pass
+
+
+def test_incremental_sync_crash_with_concurrent_inserts(spark, stub, tmp_path):
+    """The intent record makes replay safe even when rows arrive between a
+    crashed batch write and its retry: the retry re-lands the SAME
+    _sync_batch partition (the promised hi), never a wider range under a
+    new partition — no duplicated rows across batches."""
+    from clickhousemigrators3_spark.sources.clickhouse_http import (
+        incremental_sync,
+    )
+
+    stub.execute("CREATE TABLE incc (id BIGINT, v DOUBLE)")
+    stub.execute(
+        "INSERT INTO incc FORMAT JSONEachRow\n"
+        + "\n".join(json.dumps({"id": i, "v": i / 2}) for i in range(1, 51))
+    )
+    schema = spark.createDataFrame([], "id long, v double").schema
+    dest = str(tmp_path / "dest")
+    state = str(tmp_path / "state.json")
+
+    r1 = incremental_sync(spark, stub.url, "incc", schema, "id", dest, state)
+    assert r1["rows"] == 50 and r1["cursor"] == 50
+
+    # grow the source, sync the delta — then simulate a crash AFTER the
+    # batch write but BEFORE the watermark persisted, with yet more rows
+    # arriving before the retry
+    stub.execute(
+        "INSERT INTO incc FORMAT JSONEachRow\n"
+        + "\n".join(json.dumps({"id": i, "v": i / 2}) for i in range(51, 81))
+    )
+    r2 = incremental_sync(spark, stub.url, "incc", schema, "id", dest, state)
+    assert r2["rows"] == 30 and r2["cursor"] == 80
+    with open(state, "w") as f:  # rewind to the crashed intermediate state
+        json.dump({"cursor": 50, "intent_hi": 80, "table": "incc"}, f)
+    stub.execute(
+        "INSERT INTO incc FORMAT JSONEachRow\n"
+        + "\n".join(json.dumps({"id": i, "v": i / 2}) for i in range(81, 91))
+    )
+
+    r3 = incremental_sync(spark, stub.url, "incc", schema, "id", dest, state)
+    # the retry honoured the intent: same batch 80, rows 51..80 only
+    assert r3["rows"] == 30 and r3["cursor"] == 80
+    landed = spark.read.parquet(dest)
+    assert landed.count() == 80
+    assert landed.select("id").distinct().count() == 80
+
+    # the next cycle picks up exactly the rows that arrived during the chaos
+    r4 = incremental_sync(spark, stub.url, "incc", schema, "id", dest, state)
+    assert r4["rows"] == 10 and r4["cursor"] == 90
+    final = spark.read.parquet(dest)
+    assert final.count() == 90
+    assert final.select("id").distinct().count() == 90
+
+
+def test_query_scalar_format_detection(stub):
+    """A query that merely mentions 'format' in a literal must still get
+    FORMAT JSON appended (only a real trailing FORMAT clause suppresses it)."""
+    stub.execute("CREATE TABLE fmt_tbl (id BIGINT, kind VARCHAR)")
+    stub.con.executemany(
+        "INSERT INTO fmt_tbl VALUES (?, ?)", [(1, "format"), (2, "other")]
+    )
+    n = query_scalar_http(
+        stub.url, "SELECT count(*) FROM fmt_tbl WHERE kind = 'format'"
+    )
+    assert n == 1
+
+
 def test_auth_headers_travel_with_every_request(spark, stub):
     stub.auth_seen.clear()
     schema = "n_nationkey long, n_name string"
