@@ -161,7 +161,7 @@ def cli_update(argv: list[str]) -> int:
         )
         return 2
     assignments = {}
-    for item in opts["--set"].split(","):
+    for item in _split_top_level(opts["--set"]):
         col, _, expr = item.partition("=")
         if not expr:
             print(f"bad assignment: {item!r}", file=sys.stderr)
@@ -218,6 +218,38 @@ def cli_attach_partition(argv: list[str]) -> int:
         return 0
     finally:
         spark.stop()
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` only at paren depth 0 and outside string literals,
+    so ``--set "price=round(price, 2),note='a,b'"`` stays two assignments —
+    a naive split(',') would shear SQL expressions apart."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote: str | None = None
+    for ch in s:
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p for p in parts if p.strip()]
 
 
 def _kv_opts(argv: list[str], known: set[str]) -> dict | None:

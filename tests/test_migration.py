@@ -551,6 +551,30 @@ def test_cli_update_and_attach_partition(spark, tmp_path):
     assert "'action': 'attached'" in proc.stdout
     assert spark.read.parquet(dst).count() == 100
 
+    # an assignment whose SQL expression itself contains commas must not be
+    # sheared into bogus extra assignments (naive split(',') did)
+    proc = run(
+        "update", "--path", src,
+        "--set", "price=round(price / 3, 2),bucket=greatest(bucket, 0)",
+        "--where", "id = 4", "--partitions", "bucket",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "'rows_updated': 1" in proc.stdout
+    assert spark.read.parquet(src).filter("id = 4").collect()[0].price == 13.33
+
     # usage errors exit 2
     assert run("update", "--path", src).returncode == 2
     assert run("attach-partition", "--src", src).returncode == 2
+
+
+def test_split_top_level_assignments():
+    from clickhousemigrators3_spark.cli import _split_top_level
+
+    assert _split_top_level("a=1,b=2") == ["a=1", "b=2"]
+    assert _split_top_level("price=round(price, 2)") == ["price=round(price, 2)"]
+    assert _split_top_level("x=greatest(a, b),y=concat(c, ',', d)") == [
+        "x=greatest(a, b)",
+        "y=concat(c, ',', d)",
+    ]
+    assert _split_top_level("s='a,b',t=\"c,d\"") == ["s='a,b'", 't="c,d"']
+    assert _split_top_level("arr=array(1, 2)[1],z=3") == ["arr=array(1, 2)[1]", "z=3"]
