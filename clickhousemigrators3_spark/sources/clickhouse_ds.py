@@ -28,6 +28,9 @@ num_partitions, strict_bounds (default false: lower/upper size the strides
 with unbounded edge slices, JDBC-partitioner parity; true compiles both
 edges as hard filters), predicate (extra server-side WHERE), user,
 password, schema (DDL string, used when ``.schema()`` is not given),
+wire_format (JSONEachRow default; Parquet asks the server for ``FORMAT
+Parquet`` and decodes columnar bytes — far less CPU at scale),
+arrow (default true: yield RecordBatches; false reverts to row tuples),
 cursor_column (streaming; defaults to partition_column).
 """
 
@@ -132,6 +135,7 @@ def _fetch_record_batches(
     schema: StructType,
     auth: dict,
     timeout: float,
+    wire_format: str = "JSONEachRow",
 ):
     """Arrow path: one HTTP response → one (or few) ``pyarrow.RecordBatch``.
 
@@ -155,6 +159,12 @@ def _fetch_record_batches(
     if not raw.strip():
         return
     arrow_schema = to_arrow_schema(schema)
+    if wire_format.lower() == "parquet":
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(io.BytesIO(raw))
+        yield from tbl.select(arrow_schema.names).cast(arrow_schema).to_batches()
+        return
     try:
         tbl = pa_json.read_json(
             io.BytesIO(raw),
@@ -243,6 +253,7 @@ class _CHReader(DataSourceReader):
         clauses = list(self.pushed)
         if o.get("predicate"):
             clauses.append(f"({o['predicate']})")
+        wire_format = o.get("wire_format", "JSONEachRow")
         sql = build_select(
             o["table"],
             columns=[f.name for f in self.schema.fields],
@@ -250,12 +261,16 @@ class _CHReader(DataSourceReader):
             partition_column=o.get("partition_column"),
             lower=partition.lo,
             upper=partition.hi,
+            fmt=wire_format,
         )
         auth = _auth_headers(o.get("user"), o.get("password"))
         timeout = float(o.get("timeout", 300))
-        if str(o.get("arrow", "true")).lower() not in ("false", "0"):
+        # parquet wire bytes are columnar — only the batch path decodes them
+        if wire_format.lower() == "parquet" or str(
+            o.get("arrow", "true")
+        ).lower() not in ("false", "0"):
             yield from _fetch_record_batches(
-                o["url"], sql, self.schema, auth, timeout
+                o["url"], sql, self.schema, auth, timeout, wire_format
             )
             return
         yield from _fetch_rows(

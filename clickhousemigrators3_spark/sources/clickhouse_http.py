@@ -162,6 +162,7 @@ def read_table_http(
     user: str | None = None,
     password: str | None = None,
     strict_bounds: bool = False,
+    wire_format: str = "JSONEachRow",
 ) -> DataFrame:
     """S1 over HTTP: partitioned parallel read of one ClickHouse table.
 
@@ -169,6 +170,13 @@ def read_table_http(
     ``mapInPandas`` task POSTs its own bounded SELECT and parses the
     JSONEachRow response executor-side. Without ``partition_column`` the
     read degrades to one request (still executor-side, never the driver).
+
+    ``wire_format`` picks the response encoding: the default JSONEachRow
+    works against any server and the in-process stub; ``Parquet`` asks the
+    server for ``FORMAT Parquet`` (ClickHouse serves it natively) and
+    decodes columnar bytes executor-side — roughly an order of magnitude
+    less decode CPU than JSON text at scale, the right choice for bulk
+    migration pulls.
 
     Range semantics match Spark's JDBC partitioner: by default
     ``lower``/``upper`` only size the interior strides — the first slice is
@@ -214,10 +222,17 @@ def read_table_http(
                     partition_column=partition_column,
                     lower=lo,
                     upper=hi,
+                    fmt=wire_format,
                 )
                 raw = _post(url, sql.encode(), timeout, auth)
                 if not raw.strip():
                     yield _empty_pdf(schema)
+                    continue
+                if wire_format.lower() == "parquet":
+                    import pyarrow.parquet as pq
+
+                    pdf = pq.read_table(io.BytesIO(raw)).to_pandas()
+                    yield _coerce(pdf, schema)
                     continue
                 # convert_dates=False: pandas would otherwise auto-parse
                 # date-NAMED columns (ts, *_at, ...) into datetimes, mangling

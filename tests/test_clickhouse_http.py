@@ -132,6 +132,14 @@ class _StubClickHouse:
                 self.con.execute(sql)  # DDL / command path
                 return b""
             rel = self.con.execute(sql)
+            if fmt == "Parquet":
+                import io
+
+                import pyarrow.parquet as pq
+
+                buf = io.BytesIO()
+                pq.write_table(rel.arrow(), buf)
+                return buf.getvalue()
             cols = [d[0] for d in rel.description]
             rows = rel.fetchall()
             if fmt == "JSONEachRow":
@@ -570,6 +578,63 @@ def test_arrow_batch_decode_beats_tuple_decode(monkeypatch):
     assert rows == n
     assert batches[0].schema.names == names
     assert t_arrow * 5 <= t_tuple, (t_arrow, t_tuple)
+
+
+def test_parquet_wire_format_round_trip(spark, duck, stub):
+    """wire_format='Parquet' negotiates FORMAT Parquet on every partition's
+    SELECT and decodes columnar bytes — same rows as the JSON wire, through
+    both the raw transport and the data source."""
+    from clickhousemigrators3_spark.sources.clickhouse_ds import (
+        ClickHouseHTTPDataSource,
+    )
+
+    want = [
+        tuple(r)
+        for r in duck.execute(
+            "SELECT o_orderkey, o_custkey, o_totalprice "
+            f"FROM '{SF_DIR}/orders.parquet' ORDER BY o_orderkey"
+        ).fetchall()
+    ]
+
+    schema = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_totalprice double"
+    ).schema
+    stub.received.clear()
+    df = read_table_http(
+        spark,
+        stub.url,
+        "orders",
+        schema,
+        partition_column="o_orderkey",
+        lower=0,
+        upper=100000,
+        num_partitions=4,
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        wire_format="Parquet",
+    )
+    assert [tuple(r) for r in df.orderBy("o_orderkey").collect()] == want
+    selects = [s for s in stub.received if s.startswith("SELECT")]
+    assert selects and all(s.endswith("FORMAT Parquet") for s in selects)
+
+    spark.dataSource.register(ClickHouseHTTPDataSource)
+    stub.received.clear()
+    ds = (
+        spark.read.format("clickhouse_http")
+        .schema("o_orderkey long, o_custkey long, o_totalprice double")
+        .option("url", stub.url)
+        .option("table", "orders")
+        .option("partition_column", "o_orderkey")
+        .option("lower", 0)
+        .option("upper", 100000)
+        .option("num_partitions", 4)
+        .option("wire_format", "Parquet")
+        .load()
+    )
+    assert [
+        tuple(r) for r in ds.orderBy("o_orderkey").collect()
+    ] == want
+    selects = [s for s in stub.received if s.startswith("SELECT")]
+    assert selects and all(s.endswith("FORMAT Parquet") for s in selects)
 
 
 def test_query_scalar_format_detection(stub):
