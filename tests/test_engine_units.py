@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -1736,9 +1737,23 @@ def test_alter_update_where_partition_grain(spark, tmp_path):
         assert os.path.getmtime(f) == mtime, f
 
 
-def test_blocklist_ac_twin_matches_jvm_form(spark):
+def _ac_engines():
+    engines = ["python"]
+    try:
+        import ahocorasick  # noqa: F401
+
+        engines.append("c")
+    except ImportError:
+        pass
+    return engines
+
+
+@pytest.mark.parametrize("engine", _ac_engines())
+def test_blocklist_ac_twin_matches_jvm_form(spark, engine):
     """The Aho-Corasick mapInPandas scale path must agree exactly with the
-    registered JVM higher-order form on the fixture blocklist."""
+    registered JVM higher-order form on the fixture blocklist — for every
+    available engine (pure-Python always; the pyahocorasick C automaton
+    when the package is importable)."""
     from clickhousemigrators3_spark.operators.textops import (
         blocklist_filter_ac,
         text_blocklist_filter,
@@ -1746,10 +1761,26 @@ def test_blocklist_ac_twin_matches_jvm_form(spark):
 
     sf = "/root/testdata/sf0.01"
     jvm = text_blocklist_filter(spark, sf).collect()
-    ac = blocklist_filter_ac(spark, sf).collect()
+    ac = blocklist_filter_ac(spark, sf, engine=engine).collect()
     assert len(jvm) == len(ac) > 0
     assert [tuple(r) for r in jvm] == [tuple(r) for r in ac]
 
     # overlapping-term automaton correctness: 'he' inside 'she', 'hers'
-    rows = blocklist_filter_ac(spark, sf, terms=["he", "she", "hers"]).limit(1)
+    rows = blocklist_filter_ac(
+        spark, sf, terms=["he", "she", "hers"], engine=engine
+    ).limit(1)
     rows.collect()  # just exercises the automaton with nested outputs
+
+
+def test_blocklist_ac_engine_validation(spark):
+    from clickhousemigrators3_spark.operators.textops import blocklist_filter_ac
+
+    with pytest.raises(ValueError):
+        blocklist_filter_ac(spark, "/root/testdata/sf0.001", engine="bogus")
+    try:
+        import ahocorasick  # noqa: F401
+    except ImportError:
+        # engine='c' must fail loudly when the package is absent, never
+        # silently fall back to the slow path the caller opted out of
+        with pytest.raises(ImportError):
+            blocklist_filter_ac(spark, "/root/testdata/sf0.001", engine="c")
