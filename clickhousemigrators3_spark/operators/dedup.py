@@ -1037,18 +1037,32 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
     cent = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("ac"), F.asc("cent_id")
-    )
-    assign = (
+    return _semdedup_prune_assigned(_semdedup_assign(e, cent))
+
+
+def _semdedup_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: one linear corpus scan against a
+    broadcast (cluster, cv) relation (bounded: K rows at any corpus size),
+    argmax cosine with the lowest cluster id as the deterministic
+    tie-break. Returns (vec_id, v, cluster)."""
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ac"), F.asc("cluster"))
+    return (
         e.crossJoin(F.broadcast(cent))
         .withColumn("ac", cosine(F.col("v"), F.col("cv")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+        .select("vec_id", "v", "cluster")
     )
+
+
+def _semdedup_prune_assigned(
+    assign: DataFrame, threshold: float = SEMDEDUP_COS
+) -> DataFrame:
+    """The paper's within-cluster prune: self-join on the cluster key
+    (cost sum(|cluster|^2), never |corpus|^2), drop any vector whose
+    cosine to a lower-id cluster-mate reaches the threshold."""
     a = assign.select(
         "cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("va")
     )
@@ -1059,8 +1073,62 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "cluster")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("_c", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("_c") >= SEMDEDUP_COS)
+        .filter(F.col("_c") >= threshold)
         .groupBy("cluster", F.col("b_id").alias("pruned_id"))
         .agg(F.round(F.max("_c"), 6).alias("max_cos_in_cluster"))
         .orderBy("cluster", "pruned_id")
     )
+
+
+def semdedup_prune_with_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: DataFrame,
+    threshold: float = SEMDEDUP_COS,
+) -> DataFrame:
+    """Production SemDeDup entry: prune against ANY trained centroid
+    relation ``(cluster long, cv array<double>)`` — K is whatever the
+    caller trained (the paper scales K with the corpus: 50k clusters at
+    10^9 docs, keeping clusters near-constant so the within-cluster
+    self-join stays bounded). Feed it ``embeddings_ops._lloyd``'s centroid
+    output, a model trained elsewhere, or re-shape
+    ``kmeans_centroids_flat`` rows back into arrays."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    cent = centroids.select("cluster", "cv")
+    return _semdedup_prune_assigned(_semdedup_assign(e, cent), threshold)
+
+
+def _semdedup_trained_oracle() -> str:
+    from .embeddings_ops import KMEANS_ITERS, _kmeans_ctes
+
+    n = KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes())
+        + f"""
+SELECT a.cluster AS cluster, b.vec_id AS pruned_id,
+       ROUND(MAX({sql_cosine('a.v', 'b.v')}), 6) AS max_cos_in_cluster
+FROM assign{n} a JOIN assign{n} b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.v', 'b.v')} >= {SEMDEDUP_COS}
+GROUP BY a.cluster, b.vec_id
+ORDER BY cluster, pruned_id
+"""
+    )
+
+
+@register("semdedup_prune_trained", _semdedup_trained_oracle())
+def semdedup_prune_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with TRAINED centroids — the production wiring the
+    closed-form query stubs out: Lloyd k-means (convergence-stopped,
+    ``embeddings_ops._lloyd``) trains the K-centroid model, and the prune
+    runs on ITS final assignment. Fully oracle-backed: the DuckDB twin
+    unrolls the same fixed-depth Lloyd recurrence (exact-fixed-point stop
+    keeps the assignments bit-identical) and applies the identical
+    within-cluster prune."""
+    from .embeddings_ops import _lloyd
+
+    assign, _, _ = _lloyd(spark, sf_dir)
+    return _semdedup_prune_assigned(assign)

@@ -1737,6 +1737,45 @@ def test_alter_update_where_partition_grain(spark, tmp_path):
         assert os.path.getmtime(f) == mtime, f
 
 
+def test_semdedup_trained_centroid_paths_agree(spark):
+    """Prune-set parity across the three SemDeDup entries: (1) the
+    closed-form registered query, (2) the generic production entry fed the
+    SAME fixture centroids, (3) the trained path fed Lloyd's converged
+    centroids vs the registered trained query — proving the production
+    wiring is the closed form with the model swapped, nothing else."""
+    from clickhousemigrators3_spark.functions.vectors import to_double
+    from clickhousemigrators3_spark.operators.dedup import (
+        SEMDEDUP_K,
+        semdedup_cluster_prune,
+        semdedup_prune_trained,
+        semdedup_prune_with_centroids,
+    )
+    from clickhousemigrators3_spark.operators.embeddings_ops import _lloyd
+
+    sf = "/root/testdata/sf0.001"
+
+    # (1) vs (2): matched centroids → identical prune set
+    closed = semdedup_cluster_prune(spark, sf).collect()
+    fixture_cent = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") < SEMDEDUP_K)
+        .select(
+            F.col("vec_id").alias("cluster"),
+            to_double(F.col("embedding")).alias("cv"),
+        )
+    )
+    generic = semdedup_prune_with_centroids(spark, sf, fixture_cent).collect()
+    assert [tuple(r) for r in generic] == [tuple(r) for r in closed]
+
+    # (3): trained centroids through the generic entry == the registered
+    # trained query (which prunes on Lloyd's own final assignment)
+    _, cent, _ = _lloyd(spark, sf)
+    via_generic = semdedup_prune_with_centroids(spark, sf, cent).collect()
+    registered = semdedup_prune_trained(spark, sf).collect()
+    assert len(registered) > 0
+    assert [tuple(r) for r in via_generic] == [tuple(r) for r in registered]
+
+
 def _ac_engines():
     engines = ["python"]
     try:
