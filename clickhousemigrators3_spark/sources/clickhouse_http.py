@@ -133,16 +133,36 @@ def _empty_pdf(schema: T.StructType) -> pd.DataFrame:
 
 def _coerce(pdf: pd.DataFrame, schema: T.StructType) -> pd.DataFrame:
     """Column-order + dtype normalisation so Arrow conversion is exact even
-    when a JSON batch is missing optional keys or infers int for a double."""
+    when a JSON batch is missing optional keys or infers int for a double.
+
+    Type edges the JSON wire renders as text get parsed here per the
+    SCHEMA, never by name-guessing: DateTime/DateTime64 arrive as
+    ``YYYY-MM-DD hh:mm:ss[.ffffff]`` strings, Date as ``YYYY-MM-DD``,
+    Decimal as exact decimal text — the documented JSONEachRow renderings.
+    A column the schema declares as *string* stays raw text whatever it
+    looks like."""
+    from decimal import Decimal as _Dec
+
     out = {}
     for f in schema.fields:
         if f.name not in pdf.columns:
             out[f.name] = pd.Series([None] * len(pdf), dtype="object")
             continue
         s = pdf[f.name]
-        want = _PANDAS_DTYPES.get(f.dataType)
-        if want and want != "object" and s.isna().sum() == 0:
-            s = s.astype(want)
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            s = pd.to_datetime(s, format="mixed")
+        elif isinstance(f.dataType, T.DateType):
+            s = pd.to_datetime(s, format="mixed").dt.date
+        elif isinstance(f.dataType, T.DecimalType):
+            s = s.map(
+                lambda v: None
+                if v is None or (isinstance(v, float) and pd.isna(v))
+                else _Dec(str(v))
+            )
+        else:
+            want = _PANDAS_DTYPES.get(f.dataType)
+            if want and want != "object" and s.isna().sum() == 0:
+                s = s.astype(want)
         out[f.name] = s
     return pd.DataFrame(out)
 
