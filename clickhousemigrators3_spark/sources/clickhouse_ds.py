@@ -387,20 +387,45 @@ class _CHWriter(DataSourceWriter):
         o = self.options
         names = [f.name for f in self.schema.fields]
         total = 0
-        buf: list[str] = []
+        buf: list = []
+        parquet = str(o.get("wire_format", "JSONEachRow")).lower() == "parquet"
 
         def flush() -> None:
             nonlocal buf
-            if buf:
+            if not buf:
+                return
+            if parquet:
+                import io
+
+                import pandas as pd
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                out = io.BytesIO()
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        pd.DataFrame(buf, columns=names), preserve_index=False
+                    ),
+                    out,
+                )
+                body = (
+                    f"INSERT INTO {o['table']} FORMAT Parquet\n".encode()
+                    + out.getvalue()
+                )
+            else:
                 body = (
                     f"INSERT INTO {o['table']} FORMAT JSONEachRow\n"
                     + "\n".join(buf)
-                )
-                _post(o["url"], body.encode(), self.timeout, self.auth)
-                buf = []
+                ).encode()
+            _post(o["url"], body, self.timeout, self.auth)
+            buf = []
 
         for row in iterator:
-            buf.append(json.dumps(dict(zip(names, row)), default=str))
+            buf.append(
+                tuple(row)
+                if parquet
+                else json.dumps(dict(zip(names, row)), default=str)
+            )
             total += 1
             if len(buf) >= self.chunk:
                 flush()

@@ -273,31 +273,61 @@ def write_table_http(
     user: str | None = None,
     password: str | None = None,
     rows_per_request: int = 100_000,
+    wire_format: str = "JSONEachRow",
 ) -> int:
-    """Sink: ``INSERT INTO … FORMAT JSONEachRow`` POSTs issued
+    """Sink: ``INSERT INTO … FORMAT <wire_format>`` POSTs issued
     executor-side, flushed every ``rows_per_request`` rows so request
     bodies stay bounded regardless of partition size. Returns the number
-    of rows written (the count action is what drives execution)."""
+    of rows written (the count action is what drives execution).
+
+    ``wire_format='Parquet'`` sends binary parquet bodies (ClickHouse
+    ingests ``INSERT … FORMAT Parquet`` natively) — the bulk-load path:
+    columnar encode beats row-wise JSON text by roughly an order of
+    magnitude of CPU, and preserves Decimal/DateTime64 exactly."""
     cols = df.columns
     auth = _auth_headers(user, password)
     count_schema = T.StructType([T.StructField("rows", T.LongType())])
+    parquet = wire_format.lower() == "parquet"
 
     def send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         total = 0
-        buf: list[str] = []
+        buf: list[pd.DataFrame] = []
         buffered = 0
 
         def flush() -> None:
             nonlocal buf, buffered
-            if buffered:
-                body = f"INSERT INTO {table} FORMAT JSONEachRow\n" + "\n".join(buf)
-                _post(url, body.encode(), timeout, auth)
-                buf, buffered = [], 0
+            if not buffered:
+                return
+            if parquet:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                out = io.BytesIO()
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        pd.concat(buf)[cols], preserve_index=False
+                    ),
+                    out,
+                )
+                body = (
+                    f"INSERT INTO {table} FORMAT Parquet\n".encode()
+                    + out.getvalue()
+                )
+            else:
+                body = (
+                    f"INSERT INTO {table} FORMAT JSONEachRow\n"
+                    + "\n".join(
+                        c[cols].to_json(orient="records", lines=True)
+                        for c in buf
+                    )
+                ).encode()
+            _post(url, body, timeout, auth)
+            buf, buffered = [], 0
 
         for b in batches:
             for start in range(0, len(b), rows_per_request):
                 chunk = b.iloc[start : start + rows_per_request]
-                buf.append(chunk[cols].to_json(orient="records", lines=True))
+                buf.append(chunk)
                 buffered += len(chunk)
                 total += len(chunk)
                 if buffered >= rows_per_request:

@@ -92,7 +92,7 @@ class _StubClickHouse:
                     }
                 )
                 n = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(n).decode()
+                body = self.rfile.read(n)
                 try:
                     out = stub.execute(body)
                 except Exception as exc:  # noqa: BLE001 — stub surfaces as 500
@@ -109,8 +109,27 @@ class _StubClickHouse:
         self.thread.start()
         self.url = http_url("127.0.0.1", self.server.server_address[1])
 
-    def execute(self, sql: str) -> bytes:
+    def execute(self, sql: str | bytes) -> bytes:
         with self.lock:
+            if isinstance(sql, bytes):
+                pm = re.match(rb"INSERT INTO (\w+) FORMAT Parquet\n(.*)", sql, re.S)
+                if pm:
+                    import io
+
+                    import pyarrow.parquet as pq
+
+                    table = pm.group(1).decode()
+                    self.received.append(
+                        f"INSERT INTO {table} FORMAT Parquet <binary>"
+                    )
+                    tbl = pq.read_table(io.BytesIO(pm.group(2)))
+                    self.con.register("_parquet_ins", tbl)
+                    self.con.execute(
+                        f"INSERT INTO {table} SELECT * FROM _parquet_ins"
+                    )
+                    self.con.unregister("_parquet_ins")
+                    return b""
+                sql = sql.decode()
             self.received.append(sql)
             m = re.match(r"INSERT INTO (\w+) FORMAT JSONEachRow\n(.*)", sql, re.S)
             if m:
@@ -635,6 +654,41 @@ def test_parquet_wire_format_round_trip(spark, duck, stub):
     ] == want
     selects = [s for s in stub.received if s.startswith("SELECT")]
     assert selects and all(s.endswith("FORMAT Parquet") for s in selects)
+
+
+def test_parquet_wire_write_round_trip(spark, stub):
+    """wire_format='Parquet' on the WRITE side: binary parquet INSERT
+    bodies per flush (the bulk-load path), same rows landed as JSON — via
+    both the raw sink and the data source writer."""
+    stub.execute("CREATE TABLE pq_sink (id BIGINT, v DOUBLE)")
+    src = spark.range(100).selectExpr("id", "cast(id as double) * 0.5 as v")
+
+    stub.received.clear()
+    written = write_table_http(
+        src.repartition(4), stub.url, "pq_sink", wire_format="Parquet"
+    )
+    assert written == 100
+    assert query_scalar_http(stub.url, "SELECT count(*) FROM pq_sink") == 100
+    total = query_scalar_http(stub.url, "SELECT sum(v) FROM pq_sink")
+    assert abs(float(total) - sum(i * 0.5 for i in range(100))) < 1e-9
+    inserts = [s for s in stub.received if s.startswith("INSERT INTO pq_sink")]
+    assert len(inserts) == 4
+    assert all("FORMAT Parquet" in s for s in inserts)
+
+    from clickhousemigrators3_spark.sources.clickhouse_ds import (
+        ClickHouseHTTPDataSource,
+    )
+
+    spark.dataSource.register(ClickHouseHTTPDataSource)
+    (
+        src.write.format("clickhouse_http")
+        .option("url", stub.url)
+        .option("table", "pq_sink")
+        .option("wire_format", "Parquet")
+        .mode("overwrite")
+        .save()
+    )
+    assert query_scalar_http(stub.url, "SELECT count(*) FROM pq_sink") == 100
 
 
 def test_type_edges_datetime64_decimal_nullable(spark, stub):
