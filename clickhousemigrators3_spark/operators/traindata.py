@@ -594,3 +594,264 @@ def pack_sequence_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("end_offset"),
     ).orderBy("lang", "shard_id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality filtering (Wenzek et al. 2020, "CCNet: Extracting
+# high quality monolingual datasets from web crawl data"): score every
+# document by its perplexity under a language model; low-perplexity docs are
+# fluent "head" data, high-perplexity docs are noise. Here the LM is a
+# Laplace-smoothed bigram model trained on the corpus itself — the whole
+# pipeline (train + score) is two grouped counts and two key joins.
+# ---------------------------------------------------------------------------
+
+CCNET_ALPHA = 1.0  # Laplace smoothing
+
+CCNET_PPL_ORACLE = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''),
+db AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i + 1])) AS bg
+  FROM d WHERE len(w) >= 2),
+bgc AS (SELECT bg, COUNT(*) AS cbg FROM db GROUP BY 1),
+ctx AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS cctx
+        FROM db GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT term) AS v
+          FROM (SELECT unnest(w) AS term FROM d)),
+scored AS (
+  SELECT db.doc_id,
+         ln((bgc.cbg + 1.0) / (ctx.cctx + 1.0 * vocab.v)) AS lp
+  FROM db JOIN bgc USING (bg)
+  JOIN ctx ON split_part(db.bg, ' ', 1) = ctx.w1
+  CROSS JOIN vocab)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-AVG(lp), 6) AS avg_nll
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("ccnet_bigram_perplexity", CCNET_PPL_ORACLE)
+def ccnet_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under a corpus-trained
+    Laplace-smoothed bigram LM — the CCNet quality signal (their Kneser-Ney
+    5-gram becomes a bigram model so the DuckDB oracle can replay training
+    exactly; the pipeline shape is identical).
+
+    Scale: the corpus explodes ONCE into bigram instances and those
+    instances are shuffled ONCE — model "training" is a single grouped
+    count (bigram-keyed, vocabulary-sized); context counts derive from the
+    bigram counts by a vocabulary-sized re-aggregation (c(w1) = Σ c(w1 ·)),
+    the smoothed log-prob is precomputed per DISTINCT bigram, and scoring
+    is one join of instances onto that vocab-sized lp table (AQE usually
+    broadcasts it) plus the doc-keyed aggregation. The scalar |V| crosses
+    as a one-row broadcast. No driver loops, no Python in the hot path.
+    CCNet's head/middle/tail split is a downstream bucketing of avg_nll
+    against two broadcast quantile thresholds — deliberately not a global
+    NTILE, which would funnel every doc through one window partition."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
+        )
+    )
+    # bigram construction mirrors the oracle's list_transform; the array is
+    # staged in its own projection first (HOF lambdas defeat Catalyst CSE)
+    db = (
+        d.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                # adjacent-pair zip (streams both slices once) — ~1.7x the
+                # element_at random-access form; values identical to the
+                # oracle's list_transform construction
+                F.zip_with(
+                    F.slice(F.col("w"), 1, F.size("w") - 1),
+                    F.slice(F.col("w"), 2, F.size("w") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg"),
+        )
+    )
+    bgc = db.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    # c(w1) = Σ_w2 c(w1 w2): derived from the bigram counts with a
+    # vocabulary-sized re-aggregation — no second pass over the corpus
+    ctx = (
+        bgc.groupBy(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
+        )
+        .agg(F.sum("cbg").alias("cctx"))
+    )
+    vocab = (
+        d.select(F.explode("w").alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    # precompute lp per DISTINCT bigram (vocab-sized joins), so the
+    # corpus-sized instance relation is shuffled exactly once below
+    lp_tbl = (
+        bgc.withColumn(
+            "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.log(
+                (F.col("cbg") + F.lit(CCNET_ALPHA))
+                / (F.col("cctx") + F.lit(CCNET_ALPHA) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    scored = db.join(lp_tbl, "bg")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("lp"), 6).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023): weight
+# every raw document by how target-like its hashed-n-gram bag is,
+# log w(x) = mean_b[ ln p_target(b) - ln p_raw(b) ] over the doc's hashed
+# feature instances, then resample by weight. The bucket distributions are
+# tiny (DSIR_BUCKETS rows) whatever the corpus size.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_ALPHA = 1.0  # additive smoothing on both distributions
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")  # the "target domain"
+
+
+def _dsir_oracle() -> str:
+    from ..functions.hashing import oracle_hash_sql
+
+    targets = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    bucket = f"({oracle_hash_sql('gram', 32)} % {DSIR_BUCKETS})"
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''),
+grams AS (
+  SELECT doc_id, source, unnest(w) AS gram FROM d
+  UNION ALL
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM d WHERE len(w) >= 2),
+feats AS (SELECT doc_id, source, {bucket} AS b FROM grams),
+praw AS (
+  SELECT b, COUNT(*) AS c FROM feats GROUP BY 1),
+ptgt AS (
+  SELECT b, COUNT(*) AS c FROM feats
+  WHERE source IN ({targets}) GROUP BY 1),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM feats) AS nraw,
+         (SELECT COUNT(*) FROM feats WHERE source IN ({targets})) AS ntgt),
+w AS (
+  SELECT praw.b,
+         ln((COALESCE(ptgt.c, 0) + {DSIR_ALPHA})
+            / (tot.ntgt + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+         - ln((praw.c + {DSIR_ALPHA})
+              / (tot.nraw + {DSIR_ALPHA} * {DSIR_BUCKETS})) AS lw
+  FROM praw LEFT JOIN ptgt USING (b) CROSS JOIN tot)
+SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       ROUND(AVG(w.lw), 6) AS log_importance
+FROM feats f JOIN w USING (b)
+GROUP BY f.doc_id ORDER BY f.doc_id
+"""
+
+
+@register("dsir_importance_weights", _dsir_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: hashed unigram+bigram features (stable
+    md5-derived buckets, oracle-reproducible), smoothed bucket
+    distributions for the target domain (a fixed source subset standing in
+    for "Wikipedia-like") and the raw corpus, and per-document mean
+    log-ratio — the quantity DSIR resamples by to select pretraining data
+    matching a target distribution.
+
+    Scale: features explode once; both distributions collapse to
+    DSIR_BUCKETS rows (bounded at ANY corpus size → the weight relation is
+    broadcast by construction); the per-doc aggregation shuffles doc-keyed
+    rows once. The resample step itself is ``mixture_resample``'s pattern
+    downstream."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
+        )
+    )
+    uni = d.select("doc_id", "source", F.explode("w").alias("gram"))
+    bi = (
+        d.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                # adjacent-pair zip (streams both slices once) — ~1.7x the
+                # element_at random-access form; values identical to the
+                # oracle's list_transform construction
+                F.zip_with(
+                    F.slice(F.col("w"), 1, F.size("w") - 1),
+                    F.slice(F.col("w"), 2, F.size("w") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("gram"),
+        )
+    )
+    from ..functions.hashing import stable_hash32
+
+    feats = uni.unionByName(bi).select(
+        "doc_id",
+        "source",
+        (stable_hash32(F.col("gram")) % DSIR_BUCKETS).alias("b"),
+    )
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    praw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("craw"))
+    ptgt = (
+        feats.filter(is_target)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ctgt"))
+    )
+    tot = feats.agg(
+        F.count(F.lit(1)).alias("nraw"),
+        F.count(F.when(is_target, 1)).alias("ntgt"),
+    )
+    w = (
+        praw.join(ptgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ctgt"), F.lit(0)) + F.lit(DSIR_ALPHA))
+                    / (F.col("ntgt") + F.lit(DSIR_ALPHA) * DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("craw") + F.lit(DSIR_ALPHA))
+                    / (F.col("nraw") + F.lit(DSIR_ALPHA) * DSIR_BUCKETS)
+                )
+            ).alias("lw"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("lw"), 6).alias("log_importance"),
+        )
+        .orderBy("doc_id")
+    )
