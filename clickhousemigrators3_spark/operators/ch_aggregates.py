@@ -1309,3 +1309,121 @@ def stats_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("n_users"),
         F.max("tot").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "ch_skew_kurt_pop",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             AVG(l_quantity) AS m1,
+             AVG(l_quantity * l_quantity) AS m2r,
+             AVG(l_quantity * l_quantity * l_quantity) AS m3r,
+             AVG(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+           ROUND((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+                 / POW(m2r - m1 * m1, 1.5), 6) AS skew_pop,
+           ROUND((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r
+                  - 3 * m1 * m1 * m1 * m1)
+                 / POW(m2r - m1 * m1, 2.0), 6) AS kurt_pop
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def ch_skew_kurt_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``skewPop``/``kurtPop`` (population third/fourth
+    standardized moments) per return flag, computed from raw power sums in
+    one grouped pass — the single-shuffle moment-sketch form that
+    composes with any other aggregate in the same groupBy. (Spark's
+    built-in ``skewness``/``kurtosis`` use the sample/excess conventions;
+    the raw-moment algebra reproduces ClickHouse's population definitions
+    exactly in both engines.)"""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("x")
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.avg("x").alias("m1"),
+        F.avg(F.col("x") * F.col("x")).alias("m2r"),
+        F.avg(F.col("x") * F.col("x") * F.col("x")).alias("m3r"),
+        F.avg(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("m4r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    var = F.col("m2r") - F.col("m1") * F.col("m1")
+    m3 = (
+        F.col("m3r")
+        - 3 * F.col("m1") * F.col("m2r")
+        + 2 * F.col("m1") * F.col("m1") * F.col("m1")
+    )
+    m4 = (
+        F.col("m4r")
+        - 4 * F.col("m1") * F.col("m3r")
+        + 6 * F.col("m1") * F.col("m1") * F.col("m2r")
+        - 3 * F.col("m1") * F.col("m1") * F.col("m1") * F.col("m1")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(m3 / F.pow(var, 1.5), 6).alias("skew_pop"),
+        F.round(m4 / F.pow(var, 2.0), 6).alias("kurt_pop"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "ch_bounding_ratio",
+    """
+    WITH ranked AS (
+      SELECT event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rl,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts ASC, event_id ASC) AS rf
+      FROM events)
+    SELECT event_type,
+           ROUND((MAX(CASE WHEN rl = 1 THEN value END)
+                  - MAX(CASE WHEN rf = 1 THEN value END))
+                 / (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                 * 86400000000.0, 6)
+             AS rate_per_day
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def ch_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``boundingRatio``: the slope between a group's first and
+    last (x, y) points — (y_last - y_first)/(x_last - x_first), here per
+    event type with x = time, scaled to per-day. Ties on the timestamp are
+    broken by event_id via struct-ordered max_by/min_by so both engines
+    pick the identical endpoint. One grouped aggregation, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max_by("value", ordk).alias("y_last"),
+            F.min_by("value", ordk).alias("y_first"),
+            F.max("ts").alias("t_max"),
+            F.min("ts").alias("t_min"),
+        )
+        .select(
+            "event_type",
+            # microsecond-exact time axis: DuckDB's epoch() keeps the
+            # fractional second while Spark's unix_timestamp truncates it —
+            # unix_micros/epoch_us agree exactly in both engines
+            F.round(
+                (F.col("y_last") - F.col("y_first"))
+                / (
+                    # cast NTZ→timestamp for unix_micros (session TZ is
+                    # pinned UTC, so the instant is unchanged)
+                    F.unix_micros(F.col("t_max").cast("timestamp")).cast(
+                        "double"
+                    )
+                    - F.unix_micros(F.col("t_min").cast("timestamp")).cast(
+                        "double"
+                    )
+                )
+                * 86400000000.0,
+                6,
+            ).alias("rate_per_day"),
+        )
+        .orderBy("event_type")
+    )

@@ -855,3 +855,97 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ...
+# Gopher", Appendix A1.1): the widely-reused doc-level heuristic gate
+# (word-count bounds, mean-word-length bounds, symbol ratio, alphabetic-word
+# fraction). Each signal is exposed so downstream filters can re-threshold.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+
+GOPHER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE trim(text) <> ''),
+sig AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(length(t) - (len(ws) - 1) AS DOUBLE) / len(ws) AS mean_word_len,
+         CAST(length(t) - length(replace(replace(t, '#', ''), '@', ''))
+              AS DOUBLE) / len(ws) AS symbol_ratio,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+              AS DOUBLE) / len(ws) AS alpha_word_frac
+  FROM d)
+SELECT doc_id, n_words, ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(symbol_ratio, 6) AS symbol_ratio,
+       ROUND(alpha_word_frac, 6) AS alpha_word_frac,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+        AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+        AND alpha_word_frac > {GOPHER_MIN_ALPHA_FRAC}) AS passes
+FROM sig ORDER BY doc_id
+"""
+
+
+@register("gopher_quality_gate", GOPHER_ORACLE)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's doc-level quality gate: word-count bounds, mean word
+    length, symbol-to-word ratio ('#'/'@' here; the fixtures carry no
+    ellipses), and the fraction of words containing an alphabetic
+    character — with the pass/fail verdict AND each raw signal, since
+    real pipelines re-tune the thresholds per corpus.
+
+    Scale: a narrow per-row map over the scan — no shuffle at all except
+    the final presentation sort; every signal is a JVM expression on the
+    normalized text / token array staged in one projection."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").alias("t"),
+            F.split(F.trim(F.lower("text")), r"\s+").alias("ws"),
+        )
+    )
+    n_words = F.size("ws").cast("long")
+    mean_word_len = (
+        F.length("t") - (F.size("ws") - 1)
+    ).cast("double") / F.size("ws")
+    symbol_ratio = (
+        F.length("t")
+        - F.length(F.replace(F.replace(F.col("t"), F.lit("#")), F.lit("@")))
+    ).cast("double") / F.size("ws")
+    alpha_frac = (
+        F.size(F.filter(F.col("ws"), lambda w: w.rlike("[a-z]"))).cast(
+            "double"
+        )
+        / F.size("ws")
+    )
+    sig = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        (
+            F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & F.col("mean_word_len").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+            & (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+            & (F.col("alpha_word_frac") > GOPHER_MIN_ALPHA_FRAC)
+        ).alias("passes"),
+    ).orderBy("doc_id")
