@@ -330,8 +330,9 @@ class _CHStreamReader(DataSourceStreamReader):
             for i, b in enumerate(bounds)
         ]
 
-    def read(self, partition: RangePartition) -> Iterator[Tuple]:
+    def read(self, partition: RangePartition) -> Iterator:
         o = self.options
+        wire_format = o.get("wire_format", "JSONEachRow")
         sql = build_select(
             o["table"],
             columns=[f.name for f in self.schema.fields],
@@ -339,7 +340,18 @@ class _CHStreamReader(DataSourceStreamReader):
             partition_column=self.cursor_col,
             lower=partition.lo,
             upper=partition.hi,
+            fmt=wire_format,
         )
+        # the stream partition runner feeds the same Arrow-batch-capable
+        # worker as batch reads, so micro-batch deltas take the vectorized
+        # decode path too (arrow=false reverts to row tuples)
+        if wire_format.lower() == "parquet" or str(
+            o.get("arrow", "true")
+        ).lower() not in ("false", "0"):
+            yield from _fetch_record_batches(
+                o["url"], sql, self.schema, self.auth, self.timeout, wire_format
+            )
+            return
         yield from _fetch_rows(
             o["url"],
             sql,

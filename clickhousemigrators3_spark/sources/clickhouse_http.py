@@ -474,7 +474,11 @@ def incremental_sync(
         .parquet(dest_path)
     )
     batch_dir = f"{dest_path}/_sync_batch={hi}"
-    # count from the landed parquet — the source is never read twice
-    n = spark.read.parquet(batch_dir).count() if _os.path.exists(batch_dir) else 0
+    # count from the landed parquet — the source is never read twice;
+    # existence via the Hadoop FS API so s3a://, hdfs://, and file:// dests
+    # all behave (os.path.exists would silently report 0 off local disk)
+    from ..catalog import table_exists
+
+    n = spark.read.parquet(batch_dir).count() if table_exists(spark, batch_dir) else 0
     _persist({"cursor": hi, "table": table})
     return {"rows": int(n), "cursor": hi, "batch": batch_dir if n else None}
