@@ -117,8 +117,9 @@ def _fetch_rows(
     casts: list,
     auth: dict,
     timeout: float,
+    retries: int = 2,
 ) -> Iterator[Tuple]:
-    raw = _post(url, sql.encode(), timeout, auth)
+    raw = _post(url, sql.encode(), timeout, auth, retries=retries)
     for line in raw.splitlines():
         if not line.strip():
             continue
@@ -136,6 +137,7 @@ def _fetch_record_batches(
     auth: dict,
     timeout: float,
     wire_format: str = "JSONEachRow",
+    retries: int = 2,
 ):
     """Arrow path: one HTTP response → one (or few) ``pyarrow.RecordBatch``.
 
@@ -155,7 +157,7 @@ def _fetch_record_batches(
     from pyarrow import json as pa_json
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    raw = _post(url, sql.encode(), timeout, auth)
+    raw = _post(url, sql.encode(), timeout, auth, retries=retries)
     if not raw.strip():
         return
     arrow_schema = to_arrow_schema(schema)

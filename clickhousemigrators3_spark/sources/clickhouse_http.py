@@ -39,6 +39,7 @@ from __future__ import annotations
 import io
 import json
 import re
+import urllib.error
 import urllib.parse
 import urllib.request
 from collections.abc import Iterator
@@ -107,17 +108,48 @@ def _auth_headers(user: str | None, password: str | None) -> dict[str, str]:
     return h
 
 
+_RETRYABLE_HTTP = {429, 500, 502, 503, 504}
+
+
 def _post(
     url: str,
     body: bytes,
     timeout: float,
     headers: dict[str, str] | None = None,
+    retries: int = 0,
+    retry_backoff: float = 0.5,
 ) -> bytes:
-    req = urllib.request.Request(
-        url, data=body, method="POST", headers=headers or {}
-    )
-    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
-        return resp.read()
+    """One HTTP POST. Accepts (and transparently inflates) gzip response
+    bodies — ClickHouse compresses when ``enable_http_compression=1`` is in
+    the URL params and the client advertises it, which cuts wire bytes
+    ~5-10× on JSON text. ``retries`` bounds re-attempts on transient
+    failures (connection resets, 429/5xx) with linear backoff; callers only
+    pass it for idempotent requests (SELECT probes and range reads — a
+    retried INSERT could double-apply, so writes keep retries=0 and rely on
+    the caller's idempotence contract)."""
+    h = dict(headers or {})
+    h.setdefault("Accept-Encoding", "gzip")
+    attempt = 0
+    while True:
+        req = urllib.request.Request(url, data=body, method="POST", headers=h)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+                raw = resp.read()
+                if resp.headers.get("Content-Encoding", "") == "gzip":
+                    import gzip
+
+                    raw = gzip.decompress(raw)
+                return raw
+        except urllib.error.HTTPError as exc:
+            if attempt >= retries or exc.code not in _RETRYABLE_HTTP:
+                raise
+        except (urllib.error.URLError, ConnectionError, TimeoutError):
+            if attempt >= retries:
+                raise
+        attempt += 1
+        import time
+
+        time.sleep(retry_backoff * attempt)
 
 
 def _empty_pdf(schema: T.StructType) -> pd.DataFrame:
@@ -183,6 +215,7 @@ def read_table_http(
     password: str | None = None,
     strict_bounds: bool = False,
     wire_format: str = "JSONEachRow",
+    retries: int = 2,
 ) -> DataFrame:
     """S1 over HTTP: partitioned parallel read of one ClickHouse table.
 
@@ -244,7 +277,7 @@ def read_table_http(
                     upper=hi,
                     fmt=wire_format,
                 )
-                raw = _post(url, sql.encode(), timeout, auth)
+                raw = _post(url, sql.encode(), timeout, auth, retries=retries)
                 if not raw.strip():
                     yield _empty_pdf(schema)
                     continue

@@ -69,6 +69,7 @@ class _StubClickHouse:
         self.lock = threading.Lock()
         self.received: list[str] = []
         self.auth_seen: list[dict] = []
+        self.fail_next = 0  # make the next N requests 503 (retry testing)
         for t in ("nation", "customer", "orders"):
             self.con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
@@ -93,6 +94,12 @@ class _StubClickHouse:
                 )
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
+                if stub.fail_next > 0:
+                    stub.fail_next -= 1
+                    self.send_response(503)
+                    self.end_headers()
+                    self.wfile.write(b"simulated transient failure")
+                    return
                 try:
                     out = stub.execute(body)
                 except Exception as exc:  # noqa: BLE001 — stub surfaces as 500
@@ -101,6 +108,14 @@ class _StubClickHouse:
                     self.wfile.write(str(exc).encode())
                     return
                 self.send_response(200)
+                # compress whenever the client advertises gzip, as a real
+                # server with enable_http_compression does — every test then
+                # exercises the transport's transparent inflate path
+                if out and "gzip" in self.headers.get("Accept-Encoding", ""):
+                    import gzip
+
+                    out = gzip.compress(out)
+                    self.send_header("Content-Encoding", "gzip")
                 self.end_headers()
                 self.wfile.write(out)
 
@@ -737,6 +752,37 @@ def test_type_edges_datetime64_decimal_nullable(spark, stub):
         .load()
     )
     assert [tuple(r) for r in ds.orderBy("id").collect()] == want
+
+
+def test_transient_failures_retried_on_reads_not_writes(spark, stub):
+    """Reads survive bounded transient 5xx (idempotent re-issue with
+    backoff); writes never auto-retry — a re-POSTed INSERT could
+    double-apply, so write idempotence stays the caller's contract."""
+    schema = spark.createDataFrame([], "n_nationkey long, n_name string").schema
+
+    stub.fail_next = 2  # two 503s, then healthy: within the default budget
+    df = read_table_http(
+        spark,
+        stub.url,
+        "nation",
+        schema,
+        columns=["n_nationkey", "n_name"],
+    )
+    assert df.count() == 25
+    assert stub.fail_next == 0
+
+    stub.fail_next = 1  # a single failure must fail a write immediately
+    src = spark.createDataFrame([(1, 1.0)], "o_orderkey long, o_totalprice double")
+    with pytest.raises(Exception):
+        write_table_http(src.coalesce(1), stub.url, "sink")
+    stub.fail_next = 0
+
+
+def test_gzip_response_decoded(stub):
+    """The stub compresses every response the client accepts gzip for, so
+    this just pins the contract explicitly: a scalar probe round-trips
+    through Content-Encoding: gzip."""
+    assert query_scalar_http(stub.url, "SELECT count(*) FROM nation") == 25
 
 
 def test_query_scalar_format_detection(stub):
