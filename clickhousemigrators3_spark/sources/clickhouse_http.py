@@ -307,6 +307,7 @@ def write_table_http(
     password: str | None = None,
     rows_per_request: int = 100_000,
     wire_format: str = "JSONEachRow",
+    compress: bool = False,
 ) -> int:
     """Sink: ``INSERT INTO … FORMAT <wire_format>`` POSTs issued
     executor-side, flushed every ``rows_per_request`` rows so request
@@ -316,7 +317,10 @@ def write_table_http(
     ``wire_format='Parquet'`` sends binary parquet bodies (ClickHouse
     ingests ``INSERT … FORMAT Parquet`` natively) — the bulk-load path:
     columnar encode beats row-wise JSON text by roughly an order of
-    magnitude of CPU, and preserves Decimal/DateTime64 exactly."""
+    magnitude of CPU, and preserves Decimal/DateTime64 exactly.
+    ``compress=True`` gzips each request body with ``Content-Encoding:
+    gzip`` (the server inflates it) — worth it for JSON text uploads over
+    a real network; parquet bodies are already compact."""
     cols = df.columns
     auth = _auth_headers(user, password)
     count_schema = T.StructType([T.StructField("rows", T.LongType())])
@@ -354,7 +358,17 @@ def write_table_http(
                         for c in buf
                     )
                 ).encode()
-            _post(url, body, timeout, auth)
+            if compress:
+                import gzip
+
+                _post(
+                    url,
+                    gzip.compress(body),
+                    timeout,
+                    {**auth, "Content-Encoding": "gzip"},
+                )
+            else:
+                _post(url, body, timeout, auth)
             buf, buffered = [], 0
 
         for b in batches:

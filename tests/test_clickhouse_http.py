@@ -94,6 +94,10 @@ class _StubClickHouse:
                 )
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
+                if self.headers.get("Content-Encoding", "") == "gzip":
+                    import gzip
+
+                    body = gzip.decompress(body)
                 if stub.fail_next > 0:
                     stub.fail_next -= 1
                     self.send_response(503)
@@ -776,6 +780,21 @@ def test_transient_failures_retried_on_reads_not_writes(spark, stub):
     with pytest.raises(Exception):
         write_table_http(src.coalesce(1), stub.url, "sink")
     stub.fail_next = 0
+
+
+def test_compressed_insert_bodies(spark, stub):
+    """compress=True gzips each INSERT request body (Content-Encoding:
+    gzip, server-side inflate) — same rows land."""
+    stub.execute("CREATE TABLE gz_sink (id BIGINT, v DOUBLE)")
+    src = spark.range(60).selectExpr("id", "cast(id as double) as v")
+    written = write_table_http(
+        src.repartition(3), stub.url, "gz_sink", compress=True
+    )
+    assert written == 60
+    assert query_scalar_http(stub.url, "SELECT count(*) FROM gz_sink") == 60
+    assert query_scalar_http(
+        stub.url, "SELECT count(DISTINCT id) FROM gz_sink"
+    ) == 60
 
 
 def test_gzip_response_decoded(stub):
