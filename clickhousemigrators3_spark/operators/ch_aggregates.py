@@ -1427,3 +1427,59 @@ def ch_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ch_quantiles_exact_weighted",
+    """
+    WITH dw AS (
+      SELECT l_returnflag, l_extendedprice AS x,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, x, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY x) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM dw)
+    SELECT l_returnflag,
+           MIN(CASE WHEN cw * 4 >= tot * 1 THEN x END) AS wq25,
+           MIN(CASE WHEN cw * 2 >= tot * 1 THEN x END) AS wq50,
+           MIN(CASE WHEN cw * 10 >= tot * 9 THEN x END) AS wq90
+    FROM cum GROUP BY 1 ORDER BY 1
+    """,
+)
+def ch_quantiles_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted`` shape: exact weighted quantiles
+    of price with quantity as the repeat weight — the smallest value whose
+    cumulative weight reaches q·totalW, no interpolation. The rational
+    thresholds (1/4, 1/2, 9/10) are compared in INTEGER cross-multiplied
+    form (cw·denom ≥ num·tot), so both engines decide every boundary
+    identically — no float-threshold edge cases.
+
+    Scale: weights collapse per DISTINCT value first (the weighted
+    histogram — |distinct values| rows, not |rows|), then one per-group
+    cumulative window and a grouped min. One shuffle on the group key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    dw = li.groupBy("l_returnflag", "x").agg(F.sum("w").alias("w"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("x")
+    wtot = Window.partitionBy("l_returnflag")
+    cum = dw.select(
+        "l_returnflag",
+        "x",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    def pick(num: int, den: int, name: str):
+        return F.min(
+            F.when(F.col("cw") * den >= F.col("tot") * num, F.col("x"))
+        ).alias(name)
+
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(pick(1, 4, "wq25"), pick(1, 2, "wq50"), pick(9, 10, "wq90"))
+        .orderBy("l_returnflag")
+    )
