@@ -48,6 +48,7 @@ def load_all() -> dict[str, Query]:
         analytics,
         asof,
         ch_aggregates,
+        ch_stats2,
         clusters,
         curation,
         dedup,
