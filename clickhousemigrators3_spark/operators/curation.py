@@ -328,3 +328,42 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+SOURCE_CAP = 10  # max docs retained per source (domain capping)
+
+
+@register(
+    "curation_source_cap",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents)
+    SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {SOURCE_CAP}
+    ORDER BY source, rank
+    """,
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping (the CommonCrawl-pipeline staple: cap how many
+    documents any one domain/source may contribute, so a single boilerplate
+    mill can't dominate the mixture): keep the top {SOURCE_CAP} docs per
+    source by quality (n_chars, doc_id tie-break).
+
+    Scale: one window partitioned BY SOURCE — the same key any downstream
+    per-domain stage shuffles on — and Spark's WindowGroupLimit pushes the
+    rank<=cap limit into the sort, so per-partition state is cap rows, not
+    the domain's full posting. A skewed mega-domain is exactly the case the
+    rank-pushdown handles (heap of {SOURCE_CAP}, one pass)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= SOURCE_CAP)
+        .orderBy("source", "rank")
+    )

@@ -517,3 +517,74 @@ def query_ivf_index(
         )
         .orderBy("query_id", "rank")
     )
+
+
+HARDNEG_K = 5
+
+HARDNEG_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id, label, v FROM e WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         {sql_cosine('q.v', 'e.v')} AS c
+  FROM q JOIN e ON e.vec_id <> q.vec_id AND e.label <> q.label)
+SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+       neighbor_id, CAST(neighbor_label AS BIGINT) AS neighbor_label,
+       rn AS rank, ROUND(c, 6) AS cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rn
+      FROM s)
+WHERE rn <= {HARDNEG_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("embedding_hard_negatives", HARDNEG_ORACLE)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the retrieval-training
+    counterpart of knn_bruteforce_topk): for each query vector, the top-k
+    most similar vectors whose LABEL DIFFERS — the near-misses a contrastive
+    loss learns the most from (Karpukhin et al. 2020, DPR §4.2's "hard
+    negatives from the retriever").
+
+    Scale: identical topology to the kNN baseline — bounded query set
+    broadcast, corpus scanned once, the label inequality folds into the join
+    condition so non-candidates never reach the scorer, per-query
+    WindowGroupLimit keeps k rows of state. Swap the scan for the IVF probe
+    (ann_ivf_topk) when the corpus outgrows brute force."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            e,
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("query_label")),
+        )
+        .withColumn(
+            "c", cosine_pre(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HARDNEG_K)
+        .select(
+            "query_id",
+            F.col("query_label").cast("long").alias("query_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").cast("long").alias("neighbor_label"),
+            F.col("rn").cast("long").alias("rank"),
+            F.round(F.col("c"), 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -949,3 +949,72 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("alpha_word_frac") > GOPHER_MIN_ALPHA_FRAC)
         ).alias("passes"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail split: bucket every document into perplexity
+# tertiles per language — the published pipeline keeps "head" (fluent) data
+# and drops or down-weights "tail" (noisy) data.
+# ---------------------------------------------------------------------------
+
+CCNET_BUCKETS_ORACLE = f"""
+WITH ppl AS ({CCNET_PPL_ORACLE.strip().rstrip()}),
+j AS (
+  SELECT p.doc_id, d.lang, p.avg_nll,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY p.avg_nll, p.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM ppl p JOIN documents d USING (doc_id)),
+b AS (
+  SELECT lang, avg_nll,
+         CASE WHEN rn * 3 <= n THEN 'head'
+              WHEN rn * 3 <= 2 * n THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM j)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(MIN(avg_nll), 6) AS min_nll,
+       ROUND(MAX(avg_nll), 6) AS max_nll
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+@register("ccnet_perplexity_buckets", CCNET_BUCKETS_ORACLE)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): per
+    language, rank documents by LM perplexity (ccnet_bigram_perplexity's
+    avg_nll) and cut into tertiles by INTEGER rank arithmetic
+    (rn*3 <= n / <= 2n) — exact across engines, no float thresholds. Output
+    is the per-(lang, bucket) census with the nll range of each bucket.
+
+    Scale: ranking partitions by lang, so no global sort; the published
+    pipeline's alternative — bucketing against two precomputed quantile
+    thresholds — is the broadcast-threshold variant when even a per-lang
+    sort is too much, at the cost of exact tertile boundaries."""
+    from pyspark.sql.window import Window
+
+    ppl = ccnet_bigram_perplexity(spark, sf_dir).select("doc_id", "avg_nll")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = ppl.join(d, "doc_id")
+    wl = Window.partitionBy("lang")
+    j = j.select(
+        "lang",
+        "avg_nll",
+        F.row_number().over(wl.orderBy("avg_nll", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wl).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        j.select("lang", "avg_nll", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("avg_nll"), 6).alias("min_nll"),
+            F.round(F.max("avg_nll"), 6).alias("max_nll"),
+        )
+        .orderBy("lang", "bucket")
+    )
