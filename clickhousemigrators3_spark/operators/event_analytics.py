@@ -1536,3 +1536,125 @@ def ev_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_WFD_WIN_US = FUNNEL_WINDOW_HOURS * 3_600_000_000  # window in integer micros
+_WFD_NEXT_SQL = "CASE r.lvl WHEN 0 THEN 'view' WHEN 1 THEN 'click' WHEN 2 THEN 'purchase' END"
+_WFD_ADV_SQL = (
+    f"e.et = {_WFD_NEXT_SQL} AND (r.lvl = 0 OR e.t <= r.t0 + {_WFD_WIN_US})"
+)
+
+
+@register(
+    "ev_window_funnel_strict_dedup",
+    f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type AS et,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    mx AS (SELECT user_id, MAX(rn) AS mx FROM ev GROUP BY user_id),
+    fin AS (
+      WITH RECURSIVE r(user_id, rn, lvl, t0, dead) AS (
+        SELECT user_id, 0, 0, CAST(0 AS BIGINT), FALSE FROM mx
+        UNION ALL
+        SELECT r.user_id, r.rn + 1,
+          CASE WHEN NOT r.dead AND r.lvl < 3 AND {_WFD_ADV_SQL}
+               THEN r.lvl + 1 ELSE r.lvl END,
+          CASE WHEN NOT r.dead AND r.lvl = 0 AND e.et = 'view'
+               THEN e.t ELSE r.t0 END,
+          r.dead OR (NOT r.dead AND r.lvl < 3 AND NOT ({_WFD_ADV_SQL})
+                     AND ((r.lvl >= 1 AND e.et = 'view')
+                          OR (r.lvl >= 2 AND e.et = 'click')))
+        FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      SELECT r.user_id, r.lvl
+      FROM r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.mx)
+    SELECT lvl AS step, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM fin GROUP BY 1 ORDER BY 1
+    """,
+)
+def ev_window_funnel_strict_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(window, 'strict_dedup')`` parity — the
+    remaining funnel mode next to the sliding and strict_order variants: a
+    repeat of an ALREADY-MATCHED step interrupts the chain. Exact
+    first-anchor semantics (documented, both engines fold the identical
+    state machine): events scanned in (ts, event_id) order; the chain
+    anchors at the user's first view; the next step must land within
+    {FUNNEL_WINDOW_HOURS}h of the anchor; unrelated event types are ignored
+    (unlike strict_order); but a second view while at level >= 1, or a
+    second click while at level >= 2, freezes the chain at its current
+    level. Output = user count per final level.
+
+    Spark side: one shuffle on user_id, per-user sorted struct array, then
+    a JVM higher-order AGGREGATE fold carrying (lvl, anchor, dead) — no
+    Python, state O(1) per user, per-user arrays bounded by per-user event
+    counts (the same bound every collect_list sessionizer in this repo
+    rides). Oracle: a recursive-CTE state machine stepping rn+1 per user —
+    the same fold, integer-microsecond comparisons, so the engines agree
+    exactly."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+        "event_type",
+    )
+    return window_funnel_strict_dedup(e)
+
+
+def window_funnel_strict_dedup(e: DataFrame) -> DataFrame:
+    """Core of ev_window_funnel_strict_dedup over any (user_id, t[micros],
+    event_id, event_type) relation — factored so tests can feed constructed
+    sequences (dedup kills, window edges, ignored bystander events)."""
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("t").alias("t"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            )
+        )
+    )
+    per_user = e.groupBy("user_id").agg(arr.alias("evs"))
+
+    init = F.struct(
+        F.lit(0).alias("lvl"),
+        F.lit(0).cast("long").alias("t0"),
+        F.lit(False).alias("dead"),
+    )
+
+    def fold(acc, x):
+        nxt = (
+            F.when(acc["lvl"] == 0, F.lit("view"))
+            .when(acc["lvl"] == 1, F.lit("click"))
+            .when(acc["lvl"] == 2, F.lit("purchase"))
+        )
+        advance = (
+            (~acc["dead"])
+            & (acc["lvl"] < 3)
+            & (x["et"] == nxt)
+            & ((acc["lvl"] == 0) | (x["t"] <= acc["t0"] + F.lit(_WFD_WIN_US)))
+        )
+        repeat = (
+            (~acc["dead"])
+            & (acc["lvl"] < 3)
+            & (~advance)
+            & (
+                ((acc["lvl"] >= 1) & (x["et"] == F.lit("view")))
+                | ((acc["lvl"] >= 2) & (x["et"] == F.lit("click")))
+            )
+        )
+        return F.struct(
+            F.when(advance, acc["lvl"] + 1).otherwise(acc["lvl"]).alias("lvl"),
+            F.when(advance & (acc["lvl"] == 0), x["t"])
+            .otherwise(acc["t0"])
+            .alias("t0"),
+            (acc["dead"] | repeat).alias("dead"),
+        )
+
+    lvl = F.aggregate(F.col("evs"), init, fold)["lvl"]
+    return (
+        per_user.select(lvl.alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("step")
+    )

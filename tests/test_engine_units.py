@@ -1823,3 +1823,52 @@ def test_blocklist_ac_engine_validation(spark):
         # silently fall back to the slow path the caller opted out of
         with pytest.raises(ImportError):
             blocklist_filter_ac(spark, "/root/testdata/sf0.001", engine="c")
+
+
+def test_window_funnel_strict_dedup_cases(spark):
+    """Independent check of the strict_dedup funnel fold (the oracle is a
+    recursive CTE implementing the same machine, so parity alone can't
+    catch a shared semantic mistake): constructed users covering every
+    dedup-kill and ignore mode."""
+    from clickhousemigrators3_spark.operators.event_analytics import (
+        window_funnel_strict_dedup,
+    )
+
+    H = 3600
+    rows = [
+        # u1: clean view,click,purchase in-window -> step 3
+        (1, 0 * H, 1, "view"), (1, 1 * H, 2, "click"), (1, 2 * H, 3, "purchase"),
+        # u2: view, VIEW AGAIN (repeat of matched step) -> frozen at 1
+        (2, 0 * H, 4, "view"), (2, 1 * H, 5, "view"), (2, 2 * H, 6, "click"),
+        # u3: view, click, CLICK AGAIN before purchase -> frozen at 2
+        (3, 0 * H, 7, "view"), (3, 1 * H, 8, "click"),
+        (3, 2 * H, 9, "click"), (3, 3 * H, 10, "purchase"),
+        # u4: unrelated events between steps are IGNORED (unlike
+        # strict_order) -> step 3
+        (4, 0 * H, 11, "view"), (4, 1 * H, 12, "other"),
+        (4, 2 * H, 13, "click"), (4, 3 * H, 14, "error"),
+        (4, 4 * H, 15, "purchase"),
+        # u5: click before any view -> never anchors on it -> still step 3
+        # (a not-yet-matched later step does NOT interrupt)
+        (5, 0 * H, 16, "click"), (5, 1 * H, 17, "view"),
+        (5, 2 * H, 18, "click"), (5, 3 * H, 19, "purchase"),
+        # u6: purchase outside 24h of the anchor view -> step 2
+        (6, 0 * H, 20, "view"), (6, 1 * H, 21, "click"),
+        (6, 26 * H, 22, "purchase"),
+        # u7: no funnel events at all -> step 0
+        (7, 0 * H, 23, "error"),
+        # u8: view, click then a second VIEW -> frozen at 2 even though a
+        # purchase follows in-window
+        (8, 0 * H, 24, "view"), (8, 1 * H, 25, "click"),
+        (8, 2 * H, 26, "view"), (8, 3 * H, 27, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, sec long, event_id long, event_type string"
+    ).select(
+        "user_id",
+        (F.col("sec") * 1_000_000).alias("t"),
+        "event_id",
+        "event_type",
+    )
+    got = {r["step"]: r["n_users"] for r in window_funnel_strict_dedup(e).collect()}
+    assert got == {0: 1, 1: 1, 2: 3, 3: 3}, got
