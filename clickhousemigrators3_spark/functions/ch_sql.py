@@ -1,0 +1,587 @@
+"""ClickHouse-SQL → Spark-SQL dialect translation.
+
+The reference's users write ClickHouse SQL (its CLI/config embed raw query
+strings, e.g. reference ``migration.py``'s ``client.query(...)`` call
+sites); this module lets those query texts run on this engine unchanged:
+``run_ch_sql(spark, sql, sf_dir)`` = translate + ``spark.sql``.
+
+Scope (deliberate): the translator is a TOKEN-AWARE REWRITER, not a full
+parser — it renames/reshapes ClickHouse's function spellings and strips or
+converts its clause-level quirks, and it REFUSES (with a pointer to the
+equivalent operator in this repo) constructs whose semantics need an
+operator-level rewrite (FINAL, LIMIT BY, SAMPLE, WITH TOTALS). Refusing
+loudly beats translating wrongly: a migration tool must never silently
+change query meaning.
+
+Covered surface (the high-frequency ClickHouse idioms):
+
+* conditional aggregates: countIf / sumIf / avgIf / minIf / maxIf / anyIf
+* uniq family: uniq, uniqExact → COUNT(DISTINCT); uniqCombined / uniqHLL12
+  → approx_count_distinct
+* multiIf → CASE WHEN; if() passes through (Spark SQL has it)
+* argMax/argMin → max_by/min_by; any/anyLast → first/last;
+  groupArray/groupUniqArray → collect_list/collect_set
+* date/time: toDate, toDateTime, toUnixTimestamp, toYear..toSecond,
+  toDayOfWeek (Monday=1 parity), toStartOf{Minute,Hour,Day,Week,Month,
+  Quarter,Year}, toYYYYMM, formatDateTime (%-format mapping)
+* type casts: toString/toInt*/toUInt*/toFloat*, CAST(x, 'TypeName')
+  two-argument form with ClickHouse type-name mapping
+* strings: position (arg swap), splitByChar (arg swap + regex quoting),
+  match → RLIKE, extract → regexp_extract, empty/notEmpty,
+  lengthUTF8/lowerUTF8/upperUTF8
+* arrays: has → array_contains, arrayJoin → explode,
+  ARRAY JOIN clause → LATERAL VIEW explode
+* JSON: JSONExtractString/Int/Float, visitParamExtractString
+  → get_json_object (literal keys)
+* arithmetic spellings: plus/minus/multiply/divide/intDiv/modulo,
+  greater/less/equals/… comparison spellings
+* parametric aggregates: quantile(p)(x), quantileExact(p)(x),
+  quantiles(..)(x), quantilesExact(..)(x)
+* clause level: PREWHERE → WHERE (merged with an existing WHERE),
+  trailing SETTINGS/FORMAT stripped, GLOBAL dropped
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+__all__ = ["UnsupportedCHSQL", "translate_ch_sql", "run_ch_sql"]
+
+
+class UnsupportedCHSQL(ValueError):
+    """A ClickHouse construct whose semantics need an operator-level
+    rewrite this translator refuses to fake. The message points at the
+    equivalent implementation in this repo."""
+
+
+_TOKEN = re.compile(
+    r"""
+    '(?:\\.|''|[^'\\])*'              # string literal (C-style escapes, '')
+  | `[^`]*`                           # backtick identifier
+  | "[^"]*"                           # double-quoted identifier
+  | \d+(?:\.\d+)?(?:[eE][+-]?\d+)?    # number
+  | [A-Za-z_][A-Za-z0-9_]*            # identifier / keyword
+  | <= | >= | != | <> | \|\| | ->     # multi-char operators
+  | \s+                               # whitespace (kept, re-emitted)
+  | .                                 # any single char (punctuation)
+""",
+    re.X | re.S,
+)
+
+
+def _tokenize(sql: str) -> list[str]:
+    return [m.group(0) for m in _TOKEN.finditer(sql)]
+
+
+def _is_ws(tok: str) -> bool:
+    return tok.isspace()
+
+
+def _next_code(tokens: Sequence[str], i: int) -> int:
+    """Index of the next non-whitespace token at or after i (len() if none)."""
+    while i < len(tokens) and _is_ws(tokens[i]):
+        i += 1
+    return i
+
+
+def _string_value(tok: str) -> str:
+    """Literal value of a single-quoted SQL string token."""
+    body = tok[1:-1]
+    return body.replace("''", "'").replace("\\'", "'").replace("\\\\", "\\")
+
+
+def _quote(value: str) -> str:
+    return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# --- function mappings -----------------------------------------------------
+
+# plain renames: same argument list, new name
+_RENAME = {
+    "todate": "to_date",
+    "todatetime": "to_timestamp",
+    "tounixtimestamp": "unix_timestamp",
+    "toyear": "year",
+    "tomonth": "month",
+    "todayofmonth": "dayofmonth",
+    "tohour": "hour",
+    "tominute": "minute",
+    "tosecond": "second",
+    "countif": "count_if",
+    "argmax": "max_by",
+    "argmin": "min_by",
+    "any": "first",
+    "anylast": "last",
+    "grouparray": "collect_list",
+    "groupuniqarray": "collect_set",
+    "has": "array_contains",
+    "lengthutf8": "char_length",
+    "lowerutf8": "lower",
+    "upperutf8": "upper",
+    "uniqcombined": "approx_count_distinct",
+    "uniqhll12": "approx_count_distinct",
+    "now": "current_timestamp",
+    "today": "current_date",
+    "arrayjoin": "explode",
+    "ifnull": "coalesce",
+    "arraysort": "array_sort",
+    "arrayuniq": "array_distinct",
+    "arrayconcat": "concat",
+    "indexof": "array_position",
+}
+
+# templates: {0}, {1}… = translated args; {args} = all args comma-joined
+_TEMPLATE = {
+    "uniq": "count(DISTINCT {args})",
+    "uniqexact": "count(DISTINCT {args})",
+    "tostring": "CAST({0} AS STRING)",
+    "toint8": "CAST({0} AS TINYINT)",
+    "toint16": "CAST({0} AS SMALLINT)",
+    "toint32": "CAST({0} AS INT)",
+    "toint64": "CAST({0} AS BIGINT)",
+    "touint8": "CAST({0} AS SMALLINT)",
+    "touint16": "CAST({0} AS INT)",
+    "touint32": "CAST({0} AS BIGINT)",
+    "touint64": "CAST({0} AS BIGINT)",
+    "tofloat32": "CAST({0} AS FLOAT)",
+    "tofloat64": "CAST({0} AS DOUBLE)",
+    "tostartofminute": "date_trunc('minute', {0})",
+    "tostartofhour": "date_trunc('hour', {0})",
+    "tostartofday": "date_trunc('day', {0})",
+    "tostartofmonth": "CAST(date_trunc('month', {0}) AS DATE)",
+    "tostartofquarter": "CAST(date_trunc('quarter', {0}) AS DATE)",
+    "tostartofyear": "CAST(date_trunc('year', {0}) AS DATE)",
+    "toyyyymm": "CAST(date_format({0}, 'yyyyMM') AS INT)",
+    "toyyyymmdd": "CAST(date_format({0}, 'yyyyMMdd') AS INT)",
+    "todayofweek": "(weekday({0}) + 1)",
+    "position": "locate({1}, {0})",
+    "positioncaseinsensitive": "locate(lower({1}), lower({0}))",
+    "splitbychar": "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
+    "splitbystring": "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
+    "sumif": "sum(CASE WHEN {1} THEN {0} END)",
+    "avgif": "avg(CASE WHEN {1} THEN {0} END)",
+    "minif": "min(CASE WHEN {1} THEN {0} END)",
+    "maxif": "max(CASE WHEN {1} THEN {0} END)",
+    "anyif": "first(CASE WHEN {1} THEN {0} END)",
+    "empty": "(length({0}) = 0)",
+    "notempty": "(length({0}) > 0)",
+    "match": "({0} RLIKE {1})",
+    "extract": "regexp_extract({0}, {1}, 1)",
+    "intdiv": "(CAST({0} AS BIGINT) DIV CAST({1} AS BIGINT))",
+    "modulo": "({0} % {1})",
+    "plus": "({0} + {1})",
+    "minus": "({0} - {1})",
+    "multiply": "({0} * {1})",
+    "divide": "({0} / {1})",
+    "negate": "(- {0})",
+    "greater": "({0} > {1})",
+    "less": "({0} < {1})",
+    "greaterorequals": "({0} >= {1})",
+    "lessorequals": "({0} <= {1})",
+    "equals": "({0} = {1})",
+    "notequals": "({0} <> {1})",
+    "assumenotnull": "{0}",
+    "tointervalsecond": "(INTERVAL {0} SECOND)",
+    "tointervalminute": "(INTERVAL {0} MINUTE)",
+    "tointervalhour": "(INTERVAL {0} HOUR)",
+    "tointervalday": "(INTERVAL {0} DAY)",
+}
+
+# parametric aggregates — ClickHouse name(params)(args) syntax
+_PARAMETRIC = {
+    "quantile": "percentile_approx({a0}, {p0})",
+    "quantileexact": "percentile({a0}, {p0})",
+    "quantiles": "percentile_approx({a0}, array({params}))",
+    "quantilesexact": "percentile({a0}, array({params}))",
+}
+
+# constructs refused with a pointer to the operator that implements them
+_UNSUPPORTED_FUNCS = {
+    "topk": "operators/event_analytics.py ev_topk_types_per_day (window top-k)",
+    "topkweighted": "operators/ch_aggregates.py topk_weighted_sources",
+    "windowfunnel": "operators/event_analytics.py ev_window_funnel_*",
+    "retention": "operators/event_analytics.py ev_retention_day0",
+    "sequencematch": "operators/event_analytics.py ev_sequence_match",
+    "sequencecount": "operators/event_analytics.py ev_sequence_count",
+    "uniqupto": "operators/ch_aggregates.py uniq_up_to_per_type",
+    "dictget": "operators/mergetree.py ch_dict_get_nation_name (broadcast join)",
+}
+
+# ClickHouse type names → Spark SQL type names (two-arg CAST + toDecimal)
+_CH_TYPES = {
+    "int8": "TINYINT",
+    "int16": "SMALLINT",
+    "int32": "INT",
+    "int64": "BIGINT",
+    "uint8": "SMALLINT",
+    "uint16": "INT",
+    "uint32": "BIGINT",
+    "uint64": "BIGINT",
+    "float32": "FLOAT",
+    "float64": "DOUBLE",
+    "string": "STRING",
+    "date": "DATE",
+    "datetime": "TIMESTAMP",
+    "bool": "BOOLEAN",
+}
+
+# formatDateTime %-codes → Spark date_format pattern letters
+_FMT = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%M": "mm", "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss",
+    "%e": "d", "%j": "DDD", "%a": "EEE", "%b": "MMM", "%%": "%",
+}
+
+
+def _find_close(tokens: list[str], i_open: int) -> int:
+    """Index of the ')' matching tokens[i_open] == '('."""
+    depth = 0
+    for j in range(i_open, len(tokens)):
+        if tokens[j] == "(":
+            depth += 1
+        elif tokens[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise UnsupportedCHSQL("unbalanced parentheses in ClickHouse SQL")
+
+
+def _split_args(tokens: list[str]) -> list[list[str]]:
+    """Split a parenthesis-free-at-depth-0 token run at top-level commas."""
+    args: list[list[str]] = []
+    cur: list[str] = []
+    depth = 0
+    for t in tokens:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if t == "," and depth == 0:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur or args:
+        args.append(cur)
+    return args
+
+
+def _fmt_datetime(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            code = fmt[i : i + 2]
+            if code not in _FMT:
+                raise UnsupportedCHSQL(f"formatDateTime code {code!r} not mapped")
+            out.append(_FMT[code])
+            i += 2
+        else:
+            if fmt[i].isalpha():
+                out.append("'" + fmt[i] + "'")  # literal letters need quoting
+            else:
+                out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+def _json_path(key_tok: str) -> str:
+    if not (key_tok.startswith("'") and key_tok.endswith("'")):
+        raise UnsupportedCHSQL("JSONExtract* needs a literal key")
+    return _quote("$." + _string_value(key_tok))
+
+
+def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
+    """Render one translated function call from already-translated args."""
+    if low in _UNSUPPORTED_FUNCS:
+        raise UnsupportedCHSQL(
+            f"ClickHouse {low}() needs an operator-level rewrite — see "
+            f"{_UNSUPPORTED_FUNCS[low]}"
+        )
+    if params is None and low in ("quantile", "quantileexact"):
+        params = ["0.5"]  # ClickHouse's default level is the median
+    if params is not None:
+        tpl = _PARAMETRIC.get(low)
+        if tpl is None:
+            raise UnsupportedCHSQL(f"parametric aggregate {low}(..)(..) not mapped")
+        return tpl.format(
+            a0=args[0] if args else "",
+            p0=params[0] if params else "",
+            params=", ".join(params),
+        )
+    if low == "multiif":
+        if len(args) < 3 or len(args) % 2 == 0:
+            raise UnsupportedCHSQL("multiIf needs cond/value pairs + else")
+        parts = ["CASE"]
+        for k in range(0, len(args) - 1, 2):
+            parts.append(f"WHEN {args[k]} THEN {args[k + 1]}")
+        parts.append(f"ELSE {args[-1]} END")
+        return " ".join(parts)
+    if low == "cast":
+        if len(args) == 2:
+            a1 = args[1].strip()
+            if a1.startswith("'") and a1.endswith("'"):
+                ch_t = _string_value(a1)
+                base = ch_t.split("(")[0].strip().lower()
+                if base in _CH_TYPES:
+                    return f"CAST({args[0]} AS {_CH_TYPES[base]})"
+                if base == "decimal64":
+                    scale = ch_t.split("(")[1].rstrip(") ").strip()
+                    return f"CAST({args[0]} AS DECIMAL(18, {scale}))"
+                raise UnsupportedCHSQL(
+                    f"CAST to ClickHouse type {ch_t!r} not mapped"
+                )
+        # standard CAST(x AS T) — pass through untouched
+        return f"CAST({', '.join(args)})"
+    if low == "extract" and len(args) == 1 and re.search(
+        r"\bFROM\b", args[0], re.I
+    ):
+        return f"EXTRACT({args[0]})"  # standard SQL EXTRACT, not CH extract
+    if low == "position" and len(args) == 1 and re.search(
+        r"\bIN\b", args[0], re.I
+    ):
+        return f"POSITION({args[0]})"  # standard POSITION(sub IN str)
+    if low == "todecimal64" and len(args) == 2:
+        return f"CAST({args[0]} AS DECIMAL(18, {args[1].strip()}))"
+    if low == "formatdatetime" and len(args) == 2:
+        a1 = args[1].strip()
+        if not (a1.startswith("'") and a1.endswith("'")):
+            raise UnsupportedCHSQL("formatDateTime needs a literal format")
+        return f"date_format({args[0]}, {_quote(_fmt_datetime(_string_value(a1)))})"
+    if low in ("jsonextractstring", "visitparamextractstring") and len(args) == 2:
+        return f"get_json_object({args[0]}, {_json_path(args[1].strip())})"
+    if low == "jsonextractint" and len(args) == 2:
+        return f"CAST(get_json_object({args[0]}, {_json_path(args[1].strip())}) AS BIGINT)"
+    if low == "jsonextractfloat" and len(args) == 2:
+        return f"CAST(get_json_object({args[0]}, {_json_path(args[1].strip())}) AS DOUBLE)"
+    if low == "tostartofweek":
+        if len(args) > 1 and args[1].strip() not in ("1", "3"):
+            raise UnsupportedCHSQL(
+                "toStartOfWeek Sunday modes (0/2) not mapped — Spark weeks "
+                "start Monday; pass mode 1/3 or use date_trunc directly"
+            )
+        return f"CAST(date_trunc('week', {args[0]}) AS DATE)"
+    tpl = _TEMPLATE.get(low)
+    if tpl is not None:
+        try:
+            return tpl.format(*[a.strip() for a in args], args=", ".join(args))
+        except IndexError as exc:
+            raise UnsupportedCHSQL(f"{low}() arity mismatch") from exc
+    new = _RENAME.get(low)
+    if new is not None:
+        return f"{new}({', '.join(args)})"
+    raise UnsupportedCHSQL(f"no mapping for {low}()")  # unreachable by _KNOWN
+
+
+_KNOWN = (
+    set(_RENAME) | set(_TEMPLATE) | set(_PARAMETRIC) | set(_UNSUPPORTED_FUNCS)
+    | {"multiif", "cast", "todecimal64", "formatdatetime", "jsonextractstring",
+       "visitparamextractstring", "jsonextractint", "jsonextractfloat",
+       "tostartofweek"}
+)
+
+
+def _translate_tokens(tokens: list[str]) -> str:
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
+
+        # clause-level: trailing SETTINGS / FORMAT → strip to end (depth 0
+        # here by construction: _translate_tokens recurses on arg slices)
+        if low in ("settings", "format") and _looks_clause(tokens, i):
+            break
+        if low == "global":  # GLOBAL JOIN / GLOBAL IN → plain
+            i = _next_code(tokens, i + 1)
+            continue
+        if low == "prewhere":
+            raise _PrewhereMarker(i)  # handled by caller on the full list
+        if low in ("final",):
+            raise UnsupportedCHSQL(
+                "FINAL needs MergeTree collapse semantics — see "
+                "operators/mergetree.py (ch_replacing_final etc.)"
+            )
+        if low == "sample":
+            raise UnsupportedCHSQL(
+                "SAMPLE needs deterministic hash sampling — see "
+                "operators/curation.py sample_hash_5pct"
+            )
+        if low == "array" and _next_word_is(tokens, i, "join"):
+            j, rendered = _array_join(tokens, i)
+            out.append(rendered)
+            i = j
+            continue
+        if low == "limit" and _limit_by_ahead(tokens, i):
+            raise UnsupportedCHSQL(
+                "LIMIT n BY needs a window rewrite — see "
+                "operators/mergetree.py ch_limit_by_recent"
+            )
+        if low == "totals":
+            raise UnsupportedCHSQL(
+                "WITH TOTALS needs a rollup — see operators/tpch_more.py "
+                "rollup_revenue / groupingsets_*"
+            )
+
+        if low is not None and low in _KNOWN:
+            j = _next_code(tokens, i + 1)
+            if j < n and tokens[j] == "(":
+                close = _find_close(tokens, j)
+                raw_args = _split_args(tokens[j + 1 : close])
+                args = [_translate_tokens(a) for a in raw_args if a]
+                params: list[str] | None = None
+                k = _next_code(tokens, close + 1)
+                if (
+                    low in _PARAMETRIC or low in _UNSUPPORTED_FUNCS
+                ) and k < n and tokens[k] == "(":
+                    close2 = _find_close(tokens, k)
+                    params = args
+                    args = [
+                        _translate_tokens(a)
+                        for a in _split_args(tokens[k + 1 : close2])
+                        if a
+                    ]
+                    close = close2
+                out.append(_emit_call(low, args, params))
+                i = close + 1
+                continue
+        out.append(t)
+        i += 1
+    return "".join(out)
+
+
+def _looks_clause(tokens: list[str], i: int) -> bool:
+    """True when SETTINGS/FORMAT at i is the trailing clause, not a column
+    reference: FORMAT <name> must be followed only by whitespace/';';
+    SETTINGS must start a k=v list."""
+    if not (i == 0 or _is_ws(tokens[i - 1])):
+        return False
+    j = _next_code(tokens, i + 1)
+    if j >= len(tokens):
+        return False
+    nxt = tokens[j]
+    if not (nxt[0].isalpha() or nxt[0] == "_"):
+        return False
+    k = _next_code(tokens, j + 1)
+    if tokens[i].lower() == "format":
+        return k >= len(tokens) or tokens[k] == ";"
+    return k < len(tokens) and tokens[k] == "="  # SETTINGS key = value …
+
+
+def _next_word_is(tokens: list[str], i: int, word: str) -> bool:
+    j = _next_code(tokens, i + 1)
+    return j < len(tokens) and tokens[j].lower() == word
+
+
+def _limit_by_ahead(tokens: list[str], i: int) -> bool:
+    """LIMIT <n> BY …? (LIMIT n, m and plain LIMIT n are fine)."""
+    j = _next_code(tokens, i + 1)
+    if j >= len(tokens) or not tokens[j][0].isdigit():
+        return False
+    k = _next_code(tokens, j + 1)
+    return k < len(tokens) and tokens[k].lower() == "by"
+
+
+def _array_join(tokens: list[str], i: int) -> tuple[int, str]:
+    """ARRAY JOIN <expr> AS <alias> → LATERAL VIEW explode(<expr>) _aj AS
+    <alias>. Single-array form only; the multi-array zip form is refused."""
+    j = _next_code(tokens, i + 1)  # 'join'
+    k = _next_code(tokens, j + 1)
+    expr: list[str] = []
+    depth = 0
+    alias = None
+    while k < len(tokens):
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0:
+            lw = t.lower()
+            if lw == "as":
+                k = _next_code(tokens, k + 1)
+                alias = tokens[k]
+                k += 1
+                break
+            if lw in ("where", "prewhere", "group", "order", "limit",
+                      "having", "settings", "left", "inner", "join"):
+                break
+            if t == ",":
+                raise UnsupportedCHSQL(
+                    "multi-array ARRAY JOIN not mapped — zip with "
+                    "arrays_zip + one explode instead"
+                )
+        expr.append(t)
+        k += 1
+    if alias is None:
+        raise UnsupportedCHSQL("ARRAY JOIN without AS alias not mapped")
+    body = _translate_tokens(expr).strip()
+    return k, f"LATERAL VIEW explode({body}) _aj AS {alias} "
+
+
+class _PrewhereMarker(Exception):
+    def __init__(self, idx: int):
+        self.idx = idx
+
+
+def translate_ch_sql(sql: str) -> str:
+    """Translate a ClickHouse SQL string to Spark SQL. Raises
+    UnsupportedCHSQL (with a pointer to this repo's equivalent operator)
+    on constructs that need more than a dialect rewrite."""
+    tokens = _tokenize(sql)
+    # PREWHERE: ClickHouse's early-filter hint. Spark's optimizer pushes
+    # predicates itself, so PREWHERE → WHERE; when both clauses appear the
+    # conditions conjoin.
+    for _ in range(4):  # at most a few prewhere clauses
+        try:
+            return _translate_tokens(tokens).strip()
+        except _PrewhereMarker as m:
+            tokens = _merge_prewhere(tokens, m.idx)
+    raise UnsupportedCHSQL("too many PREWHERE clauses")
+
+
+def _merge_prewhere(tokens: list[str], idx: int) -> list[str]:
+    """Rewrite tokens so the PREWHERE at idx becomes/merges into WHERE."""
+    # find a depth-0 WHERE after it (same SELECT block heuristic)
+    depth = 0
+    where_idx = None
+    for j in range(idx + 1, len(tokens)):
+        t = tokens[j]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.lower() == "where":
+            where_idx = j
+            break
+        elif depth == 0 and t.lower() in ("group", "order", "limit", "having"):
+            break
+    if where_idx is None:
+        return tokens[:idx] + ["WHERE"] + tokens[idx + 1 :]
+    # PREWHERE cond1 ... WHERE cond2 → WHERE ( cond1 ) AND ( cond2 )
+    cond1 = tokens[idx + 1 : where_idx]
+    rest = tokens[where_idx + 1 :]
+    return (
+        tokens[:idx]
+        + ["WHERE", " ", "("]
+        + cond1
+        + [")", " ", "AND", " ", "("]
+        + rest
+        + [")"]
+    )
+
+
+def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
+    """Translate ClickHouse SQL and run it on Spark. When ``sf_dir`` is
+    given, the fixture tables (all of them, or the ``tables`` subset) are
+    registered as temp views first, so reference-style queries run as-is."""
+    if sf_dir is not None:
+        from ..catalog import register_tables
+
+        if tables is None:
+            from .. import TABLES
+
+            tables = TABLES
+        register_tables(spark, sf_dir, tuple(tables))
+    return spark.sql(translate_ch_sql(sql))
