@@ -111,8 +111,6 @@ _RENAME = {
     "countif": "count_if",
     "argmax": "max_by",
     "argmin": "min_by",
-    "any": "first",
-    "anylast": "last",
     "grouparray": "collect_list",
     "groupuniqarray": "collect_set",
     "has": "array_contains",
@@ -163,11 +161,15 @@ _TEMPLATE = {
     "avgif": "avg(CASE WHEN {1} THEN {0} END)",
     "minif": "min(CASE WHEN {1} THEN {0} END)",
     "maxif": "max(CASE WHEN {1} THEN {0} END)",
-    "anyif": "first(CASE WHEN {1} THEN {0} END)",
+    # ClickHouse aggregates skip NULLs: any/anyLast/anyIf must map to
+    # first/last WITH ignoreNulls=true, or a group whose first row is NULL
+    # (or fails the If condition) would silently yield NULL.
+    "any": "first({0}, true)",
+    "anylast": "last({0}, true)",
+    "anyif": "first(CASE WHEN {1} THEN {0} END, true)",
     "empty": "(length({0}) = 0)",
     "notempty": "(length({0}) > 0)",
     "match": "({0} RLIKE {1})",
-    "extract": "regexp_extract({0}, {1}, 1)",
     "intdiv": "(CAST({0} AS BIGINT) DIV CAST({1} AS BIGINT))",
     "modulo": "({0} % {1})",
     "plus": "({0} + {1})",
@@ -337,6 +339,24 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         r"\bFROM\b", args[0], re.I
     ):
         return f"EXTRACT({args[0]})"  # standard SQL EXTRACT, not CH extract
+    if low == "extract" and len(args) == 2:
+        # ClickHouse extract(haystack, pattern): first capture group when the
+        # pattern has one, else the WHOLE match — Spark regexp_extract with
+        # group 1 throws on a group-less pattern, so pick the group index
+        # from the literal pattern's group count.
+        a1 = args[1].strip()
+        if not (a1.startswith("'") and a1.endswith("'")):
+            raise UnsupportedCHSQL(
+                "extract() with a non-literal pattern not mapped — the group "
+                "index depends on the pattern's capture-group count"
+            )
+        try:
+            ngroups = re.compile(_string_value(a1)).groups
+        except re.error as exc:
+            raise UnsupportedCHSQL(
+                f"extract() pattern does not compile: {exc}"
+            ) from exc
+        return f"regexp_extract({args[0]}, {a1}, {1 if ngroups else 0})"
     if low == "position" and len(args) == 1 and re.search(
         r"\bIN\b", args[0], re.I
     ):
@@ -377,14 +397,29 @@ _KNOWN = (
     set(_RENAME) | set(_TEMPLATE) | set(_PARAMETRIC) | set(_UNSUPPORTED_FUNCS)
     | {"multiif", "cast", "todecimal64", "formatdatetime", "jsonextractstring",
        "visitparamextractstring", "jsonextractint", "jsonextractfloat",
-       "tostartofweek"}
+       "tostartofweek", "extract"}
 )
+
+
+# previous-code-token values that put an identifier in *table-name position*
+# inside a FROM clause (so a bare `final`/`sample` there is a name, not the
+# ClickHouse modifier, which only follows a completed table reference)
+_TABLE_INTRO = {None, "from", "join", ",", "(", ".", "as"}
+
+# JOIN strictness/kind words that mark `ANY`/`ASOF` as join modifiers
+_JOIN_WORDS = {"left", "right", "inner", "full", "join", "outer"}
 
 
 def _translate_tokens(tokens: list[str]) -> str:
     out: list[str] = []
     i = 0
     n = len(tokens)
+    # clause context per open-paren depth: None/'select'/'from'/'where'/
+    # 'group'/'order'/'limit'/'having'/'window'. Lets the FINAL/SAMPLE/TOTALS
+    # refusals fire only where ClickHouse's grammar allows the construct —
+    # `SELECT sample FROM t` is a column reference, not a SAMPLE clause.
+    clause: list[str | None] = [None]
+    prev_code: str | None = None  # last non-ws source token, lowercased word
     while i < n:
         t = tokens[i]
         low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
@@ -398,27 +433,59 @@ def _translate_tokens(tokens: list[str]) -> str:
             continue
         if low == "prewhere":
             raise _PrewhereMarker(i)  # handled by caller on the full list
-        if low in ("final",):
+        if (
+            low == "final"
+            and clause[-1] == "from"
+            and prev_code not in _TABLE_INTRO
+        ):
             raise UnsupportedCHSQL(
                 "FINAL needs MergeTree collapse semantics — see "
                 "operators/mergetree.py (ch_replacing_final etc.)"
             )
-        if low == "sample":
+        if (
+            low == "sample"
+            and clause[-1] == "from"
+            and prev_code not in _TABLE_INTRO
+        ):
             raise UnsupportedCHSQL(
                 "SAMPLE needs deterministic hash sampling — see "
                 "operators/curation.py sample_hash_5pct"
             )
+        if low in ("any", "asof") and _next_code_word(tokens, i) in _JOIN_WORDS:
+            if low == "asof":
+                raise UnsupportedCHSQL(
+                    "ASOF JOIN needs the as-of operator — see "
+                    "operators/asof.py asof_join_orders_events"
+                )
+            raise UnsupportedCHSQL(
+                "ANY JOIN strictness needs a first-match rewrite — see "
+                "operators/mergetree.py ch_any_left_join"
+            )
+        if low == "left":
+            j = _next_code(tokens, i + 1)
+            if (
+                j < n
+                and tokens[j].lower() == "array"
+                and _next_word_is(tokens, j, "join")
+            ):
+                # LEFT ARRAY JOIN keeps empty-array rows → LATERAL VIEW OUTER
+                j2, rendered = _array_join(tokens, j, outer=True)
+                out.append(rendered)
+                i = j2
+                prev_code = "join"
+                continue
         if low == "array" and _next_word_is(tokens, i, "join"):
             j, rendered = _array_join(tokens, i)
             out.append(rendered)
             i = j
+            prev_code = "join"
             continue
         if low == "limit" and _limit_by_ahead(tokens, i):
             raise UnsupportedCHSQL(
                 "LIMIT n BY needs a window rewrite — see "
                 "operators/mergetree.py ch_limit_by_recent"
             )
-        if low == "totals":
+        if low == "totals" and prev_code == "with" and clause[-1] == "group":
             raise UnsupportedCHSQL(
                 "WITH TOTALS needs a rollup — see operators/tpch_more.py "
                 "rollup_revenue / groupingsets_*"
@@ -426,7 +493,11 @@ def _translate_tokens(tokens: list[str]) -> str:
 
         if low is not None and low in _KNOWN:
             j = _next_code(tokens, i + 1)
-            if j < n and tokens[j] == "(":
+            if j < n and tokens[j] == "(" and not (
+                # `= ANY (SELECT …)` quantified comparison, not CH any()
+                low == "any"
+                and _next_code_word(tokens, j) == "select"
+            ):
                 close = _find_close(tokens, j)
                 raw_args = _split_args(tokens[j + 1 : close])
                 args = [_translate_tokens(a) for a in raw_args if a]
@@ -445,10 +516,34 @@ def _translate_tokens(tokens: list[str]) -> str:
                     close = close2
                 out.append(_emit_call(low, args, params))
                 i = close + 1
+                prev_code = ")"
                 continue
+
+        # clause-context bookkeeping (after the refusals so e.g. a refused
+        # FINAL never updates state)
+        if t == "(":
+            clause.append(None)
+        elif t == ")":
+            if len(clause) > 1:
+                clause.pop()
+        elif low in ("select", "from", "where", "having", "limit", "window"):
+            clause[-1] = low
+        elif low in ("group", "order") and _next_word_is(tokens, i, "by"):
+            clause[-1] = low
+        elif low == "union":
+            clause[-1] = None
+
         out.append(t)
+        if not _is_ws(t):
+            prev_code = low if low is not None else t
         i += 1
     return "".join(out)
+
+
+def _next_code_word(tokens: list[str], i: int) -> str | None:
+    """Lowercased next non-whitespace token after i (None at end)."""
+    j = _next_code(tokens, i + 1)
+    return tokens[j].lower() if j < len(tokens) else None
 
 
 def _looks_clause(tokens: list[str], i: int) -> bool:
@@ -483,9 +578,15 @@ def _limit_by_ahead(tokens: list[str], i: int) -> bool:
     return k < len(tokens) and tokens[k].lower() == "by"
 
 
-def _array_join(tokens: list[str], i: int) -> tuple[int, str]:
+def _array_join(tokens: list[str], i: int, outer: bool = False) -> tuple[int, str]:
     """ARRAY JOIN <expr> AS <alias> → LATERAL VIEW explode(<expr>) _aj AS
-    <alias>. Single-array form only; the multi-array zip form is refused."""
+    <alias>. Single-array form only; the multi-array zip form is refused.
+
+    ``outer=True`` renders LEFT ARRAY JOIN as LATERAL VIEW OUTER — rows with
+    empty/NULL arrays are kept. Nuance (documented, deliberate): ClickHouse
+    fills the element with the type's DEFAULT (0, '') on those rows; Spark
+    yields NULL — NULL is the honest representation of "no element" and the
+    two agree on every row that has elements."""
     j = _next_code(tokens, i + 1)  # 'join'
     k = _next_code(tokens, j + 1)
     expr: list[str] = []
@@ -516,8 +617,15 @@ def _array_join(tokens: list[str], i: int) -> tuple[int, str]:
         k += 1
     if alias is None:
         raise UnsupportedCHSQL("ARRAY JOIN without AS alias not mapped")
+    nxt = _next_code(tokens, k)
+    if nxt < len(tokens) and tokens[nxt] == ",":  # `… AS x, arr2 AS y`
+        raise UnsupportedCHSQL(
+            "multi-array ARRAY JOIN not mapped — zip with arrays_zip + one "
+            "explode instead"
+        )
     body = _translate_tokens(expr).strip()
-    return k, f"LATERAL VIEW explode({body}) _aj AS {alias} "
+    view = "LATERAL VIEW OUTER" if outer else "LATERAL VIEW"
+    return k, f"{view} explode({body}) _aj AS {alias} "
 
 
 class _PrewhereMarker(Exception):
@@ -542,33 +650,56 @@ def translate_ch_sql(sql: str) -> str:
 
 
 def _merge_prewhere(tokens: list[str], idx: int) -> list[str]:
-    """Rewrite tokens so the PREWHERE at idx becomes/merges into WHERE."""
-    # find a depth-0 WHERE after it (same SELECT block heuristic)
+    """Rewrite tokens so the PREWHERE at idx becomes/merges into WHERE.
+
+    The merged WHERE predicate ends at the next depth-0 clause keyword
+    (GROUP BY / ORDER BY / LIMIT / HAVING / WINDOW / UNION / SETTINGS /
+    FORMAT) — trailing clauses are re-emitted AFTER the closing paren, never
+    swallowed into the conjunct (``PREWHERE a=1 WHERE b=2 ORDER BY x`` →
+    ``WHERE ( a=1 ) AND ( b=2 ) ORDER BY x``)."""
     depth = 0
     where_idx = None
+    stop = len(tokens)
     for j in range(idx + 1, len(tokens)):
         t = tokens[j]
         if t == "(":
             depth += 1
         elif t == ")":
             depth -= 1
-        elif depth == 0 and t.lower() == "where":
-            where_idx = j
-            break
-        elif depth == 0 and t.lower() in ("group", "order", "limit", "having"):
-            break
+            if depth < 0:  # closing paren of an enclosing subquery ends it
+                stop = j
+                break
+        elif depth == 0:
+            lw = t.lower()
+            if lw == "prewhere":
+                raise UnsupportedCHSQL(
+                    "multiple PREWHERE clauses in one SELECT are not valid "
+                    "ClickHouse SQL"
+                )
+            if lw == "where" and where_idx is None:
+                where_idx = j
+            elif lw in ("limit", "having", "window", "qualify", "union") or (
+                lw in ("group", "order") and _next_word_is(tokens, j, "by")
+            ) or (
+                lw in ("settings", "format") and _looks_clause(tokens, j)
+            ):
+                stop = j
+                break
     if where_idx is None:
+        # PREWHERE cond [GROUP BY …] → WHERE cond [GROUP BY …]
         return tokens[:idx] + ["WHERE"] + tokens[idx + 1 :]
-    # PREWHERE cond1 ... WHERE cond2 → WHERE ( cond1 ) AND ( cond2 )
+    # PREWHERE cond1 … WHERE cond2 <tail> → WHERE (cond1) AND (cond2) <tail>
     cond1 = tokens[idx + 1 : where_idx]
-    rest = tokens[where_idx + 1 :]
+    cond2 = tokens[where_idx + 1 : stop]
+    tail = tokens[stop:]
     return (
         tokens[:idx]
         + ["WHERE", " ", "("]
         + cond1
         + [")", " ", "AND", " ", "("]
-        + rest
-        + [")"]
+        + cond2
+        + [")", " "]
+        + tail
     )
 
 

@@ -1,0 +1,329 @@
+"""ClickHouse-SQL surface — reference query texts run VERBATIM through the
+dialect translator (``functions/ch_sql.py``) and checked against DuckDB.
+
+This is SURVEY §0's "users write ClickHouse SQL" story made first-class:
+every query below is a genuine ClickHouse SQL string — the reference's own
+shapes (``partition.py:107-114`` DISTINCT partition discovery,
+``validator.py:24-31`` count validation, ``migration.py:475`` filtered
+SELECT) plus the high-frequency ClickHouse idioms its users write (countIf /
+sumIf, uniqExact, argMax, any/anyIf, quantileExact(p)(x), multiIf, PREWHERE,
+ARRAY JOIN, GLOBAL IN, SETTINGS, toYYYYMM/toStartOf*/formatDateTime) — fed
+to ``run_ch_sql`` (translate → ``spark.sql``), never hand-rewritten.
+
+Scale notes: the translator only renames/reshapes — the emitted Spark SQL is
+declarative, so Catalyst still gets pushdown/pruning/AQE on every query.
+PREWHERE folds into WHERE (Spark pushes predicates itself); GLOBAL IN drops
+to a plain IN (Spark broadcasts small subquery sides under AQE).
+
+Cross-engine discipline (same as every module): aliases identical on both
+sides; money sums pass through toDecimal64 → exact; floats rounded in the
+query text itself so both engines round the same value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.ch_sql import run_ch_sql
+from ..registry import register
+
+
+def _ch(name: str, ch_sql: str, oracle: str, tables: tuple[str, ...]):
+    """Register one ClickHouse-SQL query: Spark side = translated text."""
+
+    @register(name, oracle)
+    def _run(
+        spark: SparkSession, sf_dir: str, _sql: str = ch_sql, _t=tables
+    ) -> DataFrame:
+        return run_ch_sql(spark, _sql, sf_dir, tables=_t)
+
+    _run.__name__ = name
+    _run.__doc__ = f"ClickHouse SQL via translate_ch_sql:\n{ch_sql}"
+    return _run
+
+
+# --- reference shapes ------------------------------------------------------
+
+# partition.py:107-114 — ordered DISTINCT partition discovery
+_ch(
+    "chsql_partition_discovery",
+    """
+    SELECT DISTINCT toYYYYMM(o_orderdate) AS partition
+    FROM orders
+    ORDER BY partition
+    """,
+    """
+    SELECT DISTINCT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS partition
+    FROM orders
+    ORDER BY partition
+    """,
+    ("orders",),
+)
+
+# validator.py:24-31 — count validation, full table + partition predicate
+_ch(
+    "chsql_count_validation",
+    """
+    SELECT count(*) AS cnt
+    FROM orders
+    WHERE toYYYYMM(o_orderdate) = 199506
+    """,
+    """
+    SELECT count(*) AS cnt
+    FROM orders
+    WHERE CAST(strftime(o_orderdate, '%Y%m') AS INT) = 199506
+    """,
+    ("orders",),
+)
+
+# migration.py:475 filtered-SELECT shape + PREWHERE merged with WHERE,
+# trailing GROUP BY / ORDER BY intact (the r5-verdict smoke case)
+_ch(
+    "chsql_prewhere_rollup",
+    """
+    SELECT o_orderstatus,
+           count(*) AS cnt,
+           toFloat64(sumIf(toDecimal64(o_totalprice, 2),
+                           o_orderpriority != '1-URGENT')) AS nonurgent_total
+    FROM orders
+    PREWHERE o_totalprice > 1000
+    WHERE o_orderstatus != 'X'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    """
+    SELECT o_orderstatus,
+           count(*) AS cnt,
+           CAST(SUM(CASE WHEN o_orderpriority != '1-URGENT'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS nonurgent_total
+    FROM orders
+    WHERE o_totalprice > 1000 AND o_orderstatus != 'X'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    ("orders",),
+)
+
+# --- conditional / distinct aggregates ------------------------------------
+
+_ch(
+    "chsql_conditional_aggs",
+    """
+    SELECT l_returnflag,
+           countIf(l_quantity > 25) AS big_cnt,
+           toFloat64(sumIf(toDecimal64(l_extendedprice, 2),
+                           l_discount > 0.05)) AS disc_rev,
+           uniqExact(l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS big_cnt,
+           CAST(SUM(CASE WHEN l_discount > 0.05
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS disc_rev,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    ("lineitem",),
+)
+
+_ch(
+    "chsql_argmax_any",
+    """
+    SELECT c_nationkey,
+           argMax(c_name, c_custkey) AS newest_customer,
+           argMin(c_name, c_custkey) AS oldest_customer,
+           count(*) AS cnt
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    """
+    SELECT c_nationkey,
+           arg_max(c_name, c_custkey) AS newest_customer,
+           arg_min(c_name, c_custkey) AS oldest_customer,
+           count(*) AS cnt
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    ("customer",),
+)
+
+# any(x) on a group of size 1 — deterministic end-to-end check of the
+# first(x, ignoreNulls=true) mapping (NULL-skip semantics are unit-tested on
+# constructed frames in tests/test_ch_sql.py)
+_ch(
+    "chsql_any_per_key",
+    """
+    SELECT n_regionkey,
+           any(r1) AS first_nation
+    FROM (
+        SELECT n_regionkey, min(n_name) AS r1
+        FROM nation
+        GROUP BY n_regionkey
+    )
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    """
+    SELECT n_regionkey, first(r1) AS first_nation
+    FROM (
+        SELECT n_regionkey, min(n_name) AS r1
+        FROM nation
+        GROUP BY n_regionkey
+    ) s
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    ("nation",),
+)
+
+# --- parametric quantiles --------------------------------------------------
+
+_ch(
+    "chsql_quantiles_monthly",
+    """
+    SELECT toStartOfMonth(o_orderdate) AS p_month,
+           round(quantileExact(0.5)(o_totalprice), 4) AS med_price,
+           round(quantileExact(0.9)(o_totalprice), 4) AS p90_price,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY p_month
+    ORDER BY p_month
+    """,
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS p_month,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS med_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY p_month
+    ORDER BY p_month
+    """,
+    ("orders",),
+)
+
+# --- multiIf + date buckets ------------------------------------------------
+
+_ch(
+    "chsql_multiif_buckets",
+    """
+    SELECT toInt64(toYear(o_orderdate)) AS yr,
+           multiIf(o_totalprice > 300000, 'high',
+                   o_totalprice > 150000, 'mid',
+                   'low') AS bucket,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY yr, bucket
+    ORDER BY yr, bucket
+    """,
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY yr, bucket
+    ORDER BY yr, bucket
+    """,
+    ("orders",),
+)
+
+_ch(
+    "chsql_formatdatetime",
+    """
+    SELECT formatDateTime(o_orderdate, '%Y-%m') AS ym,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY ym
+    ORDER BY ym
+    """,
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS cnt
+    FROM orders
+    GROUP BY ym
+    ORDER BY ym
+    """,
+    ("orders",),
+)
+
+# --- strings ---------------------------------------------------------------
+
+_ch(
+    "chsql_string_probe",
+    """
+    SELECT countIf(match(text, 'data')) AS n_match,
+           countIf(position(text, 'the') > 0) AS n_pos,
+           uniqExact(extract(lang, '^[a-z]+')) AS n_lang_prefix,
+           countIf(notEmpty(source)) AS n_nonempty_src
+    FROM documents
+    """,
+    """
+    SELECT CAST(SUM(CASE WHEN regexp_matches(text, 'data') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
+           CAST(SUM(CASE WHEN strpos(text, 'the') > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos,
+           count(DISTINCT regexp_extract(lang, '^[a-z]+', 0))
+               AS n_lang_prefix,
+           CAST(SUM(CASE WHEN length(source) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonempty_src
+    FROM documents
+    """,
+    ("documents",),
+)
+
+# --- ARRAY JOIN ------------------------------------------------------------
+
+_ch(
+    "chsql_array_join_tokens",
+    """
+    SELECT lang,
+           count(*) AS n_tokens,
+           uniqExact(tok) AS uniq_tokens
+    FROM documents
+    ARRAY JOIN splitByChar(' ', text) AS tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    """
+    SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS uniq_tokens
+    FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ) s
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    ("documents",),
+)
+
+# --- GLOBAL IN + SETTINGS strip -------------------------------------------
+
+_ch(
+    "chsql_global_in",
+    """
+    SELECT count(*) AS cnt
+    FROM lineitem
+    WHERE l_orderkey GLOBAL IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SETTINGS max_threads = 4
+    """,
+    """
+    SELECT count(*) AS cnt
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+    ("lineitem", "orders"),
+)

@@ -49,6 +49,7 @@ def load_all() -> dict[str, Query]:
         asof,
         ch_aggregates,
         ch_stats2,
+        chsql_queries,
         clusters,
         curation,
         dedup,
