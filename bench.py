@@ -41,6 +41,10 @@ HEADLINE = [
     "ev_wau_sliding_7d",
     "doc_chunk_overlap",
     "embedding_quantize_int8",
+    # round-5 heavy training-data operators (tracked since r6)
+    "ccnet_bigram_perplexity",
+    "semdedup_prune_trained",
+    "embedding_hard_negatives",
 ]
 
 

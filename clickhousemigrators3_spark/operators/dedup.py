@@ -27,7 +27,15 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..functions.hashing import oracle_hash_sql, stable_hash32, stable_hash60
 from ..functions.text import exploded_word_shingles, sql_word_shingles
-from ..functions.vectors import cosine, dot, sql_cosine, sql_dot, to_double
+from ..functions.vectors import (
+    cosine,
+    cosine_pre,
+    dot,
+    norm,
+    sql_cosine,
+    sql_dot,
+    to_double,
+)
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -1036,24 +1044,37 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
-    cent = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
-    )
-    return _semdedup_prune_assigned(_semdedup_assign(e, cent))
+    # K is bounded (8) → collect the centroids once and assign map-side
+    # against LITERAL centroids: zero-shuffle assignment (see
+    # embeddings_ops.assign_to_literal_centroids for the scale argument)
+    from .embeddings_ops import assign_to_literal_centroids
+
+    cent_rows = {
+        int(r["vec_id"]): list(r["v"])
+        for r in e.filter(F.col("vec_id") < SEMDEDUP_K).collect()
+    }
+    return _semdedup_prune_assigned(assign_to_literal_centroids(e, cent_rows))
 
 
 def _semdedup_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: one linear corpus scan against a
-    broadcast (cluster, cv) relation (bounded: K rows at any corpus size),
-    argmax cosine with the lowest cluster id as the deterministic
-    tie-break. Returns (vec_id, v, cluster)."""
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ac"), F.asc("cluster"))
+    """Nearest-centroid assignment for a DataFrame centroid relation (the
+    large-K path — literal inlining stops scaling past a few hundred
+    centroids): one linear corpus scan against a broadcast (cluster, cv)
+    relation, argmax cosine via ``max_by`` with the lowest cluster id as
+    the deterministic tie-break. Partial (map-side) aggregation collapses
+    the corpus×K scored rows to ONE row per vector before the shuffle —
+    the old per-vector window sort shuffled all K scored copies of every
+    embedding. Returns (vec_id, v, cluster)."""
+    best = F.max_by(
+        F.struct(F.col("cluster"), F.col("v")),
+        F.struct(F.col("ac"), (-F.col("cluster")).alias("negc")),
+    )
     return (
         e.crossJoin(F.broadcast(cent))
         .withColumn("ac", cosine(F.col("v"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cluster")
+        .groupBy("vec_id")
+        .agg(best.alias("_b"))
+        .select("vec_id", F.col("_b.v").alias("v"), F.col("_b.cluster").alias("cluster"))
     )
 
 
@@ -1062,17 +1083,31 @@ def _semdedup_prune_assigned(
 ) -> DataFrame:
     """The paper's within-cluster prune: self-join on the cluster key
     (cost sum(|cluster|^2), never |corpus|^2), drop any vector whose
-    cosine to a lower-id cluster-mate reaches the threshold."""
-    a = assign.select(
-        "cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+    cosine to a lower-id cluster-mate reaches the threshold. Norms are
+    projected ONCE per row before the join (``cosine_pre`` — bit-identical
+    to inline cosine), so the per-pair work is a single dot product.
+    (A fully-unrolled flat dot was tried and REJECTED: the 64-term
+    expression tree blows up codegen and measures ~2x slower than the HOF
+    fold at sf0.1.)"""
+    pre = assign.withColumn("_n", norm(F.col("v")))
+    a = pre.select(
+        "cluster",
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("_n").alias("na"),
     )
-    b = assign.select(
-        "cluster", F.col("vec_id").alias("b_id"), F.col("v").alias("vb")
+    b = pre.select(
+        "cluster",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("_n").alias("nb"),
     )
     return (
         a.join(b, "cluster")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("_c", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "_c", cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+        )
         .filter(F.col("_c") >= threshold)
         .groupBy("cluster", F.col("b_id").alias("pruned_id"))
         .agg(F.round(F.max("_c"), 6).alias("max_cos_in_cluster"))
@@ -1128,7 +1163,11 @@ def semdedup_prune_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the same fixed-depth Lloyd recurrence (exact-fixed-point stop
     keeps the assignments bit-identical) and applies the identical
     within-cluster prune."""
-    from .embeddings_ops import _lloyd
+    from .embeddings_ops import _lloyd_unrolled
 
-    assign, _, _ = _lloyd(spark, sf_dir)
+    assign, _, _ = _lloyd_unrolled(spark, sf_dir)
+    # the prune self-joins the assignment — persist it so the a/b branches
+    # share ONE materialization instead of re-running the trained
+    # assignment lineage twice (at scale: checkpoint the trained model)
+    assign.persist()
     return _semdedup_prune_assigned(assign)

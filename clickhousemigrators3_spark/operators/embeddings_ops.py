@@ -152,15 +152,166 @@ def _kmeans_oracle() -> str:
 def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding column: deterministic init
     (first K vectors), argmax-cosine assignment, centroid = per-dim mean,
-    up to {KMEANS_ITERS} iterations with an exact-fixed-point convergence
-    stop (driver-looped; each iteration is one assignment join + one
-    grouped mean — the distributed-iteration pattern; see _lloyd).
+    {KMEANS_ITERS} fixed-depth iterations chained in ONE lazy plan
+    (``_lloyd_unrolled`` — the corpus never shuffles; only K×DIM mean rows
+    do; the convergence-stopped driver-loop twin ``_lloyd`` covers the
+    open-ended-training shape and provably lands on the same assignment).
     Returns (vec_id, cluster) — the trained version of ann_ivf_topk's
     sampled centroids. Oracle: the identical fixed-depth recurrence unrolled
     as a DuckDB CTE chain (_kmeans_oracle), so the check is full value
     parity, not rows-only."""
-    assign, _, _ = _lloyd(spark, sf_dir)
+    assign, _, _ = _lloyd_unrolled(spark, sf_dir)
     return assign.select("vec_id", "cluster").orderBy("vec_id")
+
+
+def assign_to_literal_centroids(
+    e: DataFrame, cent_rows: dict[int, list[float]]
+) -> DataFrame:
+    """Nearest-centroid assignment with the centroid MODEL broadcast as a
+    one-row array-of-structs relation: the argmax runs entirely map-side —
+    no per-vector window sort, zero shuffle (the crossJoin against a
+    broadcast single row is narrow). At 100 TB this is the difference
+    between a narrow scan and shuffling corpus×K rows (each carrying a
+    full embedding copy) per Lloyd iteration. Bounded-K path (the whole
+    model must fit a broadcast row — fine to thousands of centroids; the
+    DataFrame-centroid path in dedup._semdedup_assign covers larger K).
+
+    Tie-break parity with the window/oracle form: argmax cosine, lowest
+    cluster id on exact ties — struct(sim, -cluster) under array_max
+    compares sim first, then -cluster (max of -cluster = lowest id)."""
+    # the centroids travel as DATA (a one-row relation holding the whole
+    # model as array<struct>), not as expression literals: a K×DIM literal
+    # tree costs ~1 s of analysis/codegen PER PLAN, paid again every Lloyd
+    # iteration — as a broadcast one-row crossJoin the plan stays
+    # constant-size and the join is narrow (no shuffle either way)
+    spark = e.sparkSession
+    cents_one = spark.createDataFrame(
+        [([(int(c), [float(x) for x in cv]) for c, cv in sorted(cent_rows.items())],)],
+        "cents array<struct<cluster: long, cv: array<double>>>",
+    )
+    return _assign_via_model_row(e, cents_one)
+
+
+def _assign_via_model_row(e: DataFrame, cents_one: DataFrame) -> DataFrame:
+    """Map-side argmax-cosine assignment against a broadcast one-row model
+    relation. Tie-break = lowest cluster id on exact ties (struct(sim,
+    -cluster) under array_max). Zero shuffle of the corpus."""
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            cosine(F.col("v"), c["cv"]).alias("sim"),
+            (-c["cluster"]).alias("negc"),
+        ),
+    )
+    return (
+        e.crossJoin(F.broadcast(cents_one))
+        .select("vec_id", "v", F.array_max(scored).alias("_best"))
+        .select(
+            "vec_id",
+            (-F.col("_best.negc")).cast("long").alias("cluster"),
+            "v",
+        )
+    )
+
+
+def _spark_dot_sql(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _spark_cosine_sql(a: str, b: str) -> str:
+    """Spark-SQL string twin of functions.vectors.cosine — same guard, same
+    operation order, so values are bit-identical to the Column form."""
+    d = _spark_dot_sql(a, b)
+    na = f"sqrt({_spark_dot_sql(a, a)})"
+    nb = f"sqrt({_spark_dot_sql(b, b)})"
+    return (
+        f"(CASE WHEN {na} = 0D OR {nb} = 0D THEN 0.0D "
+        f"ELSE {d} / ({na} * {nb}) END)"
+    )
+
+
+def _training_sql(view: str) -> str:
+    """The fixed-depth Lloyd training chain as ONE Spark-SQL text — the
+    Spark twin of the DuckDB ``_kmeans_ctes`` oracle. A generated SQL
+    string parses in a single call; the equivalent DataFrame construction
+    pays ~1 s of Py4J round-trips re-building the nested HOF lambdas on
+    every run. Per iteration: broadcast the 1-row model (CROSS JOIN against
+    a single-row aggregate), map-side argmax reassign (corpus never
+    shuffles), grouped (cluster, dim) means, and an expression-side regroup
+    of the flat means into the next 1-row model."""
+    cos = _spark_cosine_sql("v", "c.cv")
+    parts = [
+        f"e AS (SELECT vec_id, v FROM {view})",
+        f"cent0 AS (SELECT CAST(vec_id AS LONG) AS cluster, v AS cv FROM e WHERE vec_id < {K_CLUSTERS})",
+        "model0 AS (SELECT sort_array(collect_list(struct(cluster, cv))) AS cents FROM cent0)",
+    ]
+    for i in range(1, KMEANS_ITERS):
+        parts.append(
+            f"""assign{i} AS (
+  SELECT vec_id, v,
+         CAST(-array_max(transform(cents,
+              c -> struct({cos} AS sim, -c.cluster AS negc))).negc AS LONG)
+           AS cluster
+  FROM e CROSS JOIN model{i - 1})"""
+        )
+        parts.append(
+            f"flat{i} AS (SELECT cluster, posexplode(v) AS (dim, val) FROM assign{i})"
+        )
+        parts.append(
+            f"means{i} AS (SELECT cluster, dim, SUM(val) / COUNT(1) AS m "
+            f"FROM flat{i} GROUP BY cluster, dim)"
+        )
+        # _allm is sorted by (cluster, dim) → distinct clusters come out
+        # ordered and each filtered slice is already dim-ordered; clusters
+        # that lose all members vanish, same as a grouped form / the oracle
+        parts.append(
+            f"""model{i} AS (
+  SELECT transform(
+           array_distinct(transform(_allm, s -> s.cluster)),
+           c -> struct(c AS cluster,
+                       transform(filter(_allm, s -> s.cluster = c),
+                                 s -> s.m) AS cv)) AS cents
+  FROM (SELECT sort_array(collect_list(struct(cluster, dim, m))) AS _allm
+        FROM means{i}))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT cents FROM model{KMEANS_ITERS - 1}"
+    )
+
+
+def _lloyd_unrolled(spark: SparkSession, sf_dir: str):
+    """Fixed-depth Lloyd training as ONE lazy plan — the benched twin of
+    :func:`_lloyd`, shaped exactly like the unrolled DuckDB oracle CTEs.
+
+    All ``KMEANS_ITERS−1`` centroid updates chain inside a single job
+    (per iteration: broadcast the 1-row model, map-side reassign, grouped
+    mean — the corpus NEVER shuffles, only K×DIM mean rows do), so the
+    driver pays ONE analysis/codegen/scheduling round instead of one per
+    iteration. The trained K×DIM model is then collected (the only data
+    that ever crosses the driver) and the final assignment is a narrow
+    map against it.
+
+    Equivalence to the convergence-stopped `_lloyd` (tol=0.0): an exact
+    fixed point at iteration j makes every later centroid update a no-op,
+    so the fixed-depth chain lands on the identical final assignment —
+    which is why both the driver-looped and the unrolled form value-match
+    the same fixed-depth oracle. Returns (assign, cent, cent_rows)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    e.persist()
+    e.createOrReplaceTempView("_lloyd_e")  # SQL chain reads the cached rows
+    cent_rows = {
+        int(c["cluster"]): list(c["cv"])
+        for c in spark.sql(_training_sql("_lloyd_e")).collect()[0]["cents"]
+    }  # ← the single training job
+    assign = assign_to_literal_centroids(e, cent_rows)
+    cent_df = spark.createDataFrame(
+        sorted(cent_rows.items()), "cluster long, cv array<double>"
+    )
+    return assign, cent_df, cent_rows
 
 
 def _lloyd(spark: SparkSession, sf_dir: str, tol: float = 0.0):
@@ -202,31 +353,20 @@ def _lloyd(spark: SparkSession, sf_dir: str, tol: float = 0.0):
     for it in range(KMEANS_ITERS):
         iters = it + 1
         cent = centroid_df(cent_rows)
-        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cluster"))
-        assign = (
-            e.crossJoin(F.broadcast(cent))
-            .withColumn("sim", cosine(F.col("v"), F.col("cv")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster", "v")
-        )
+        assign = assign_to_literal_centroids(e, cent_rows)
         if it == KMEANS_ITERS - 1:
             break  # cent holds the centroids this assignment used
+        # one job, two stages: narrow assign+posexplode, then the grouped
+        # mean whose map-side combine bounds the shuffle at K×DIM rows per
+        # task; the K×DIM result is collected and re-assembled into arrays
+        # driver-side (it IS the model — the only thing that may cross)
         flat = assign.select("cluster", F.posexplode(F.col("v")).alias("dim", "val"))
         means = flat.groupBy("cluster", "dim").agg(
             (F.sum("val") / F.count(F.lit(1))).alias("m")
         )
-        new_rows = {
-            int(r["cluster"]): list(r["cv"])
-            for r in means.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
-            .collect()
-        }
+        new_rows: dict[int, list[float]] = {}
+        for r in sorted(means.collect(), key=lambda r: (r["cluster"], r["dim"])):
+            new_rows.setdefault(int(r["cluster"]), []).append(float(r["m"]))
         if set(new_rows) == set(cent_rows):
             moved = max(
                 (
@@ -293,7 +433,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import IVF_TOP_K, N_PROBE, N_QUERIES
     from ..functions.vectors import cosine as _cos
 
-    assign, cent, _ = _lloyd(spark, sf_dir)
+    assign, cent, _ = _lloyd_unrolled(spark, sf_dir)
     q = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < N_QUERIES)
@@ -350,7 +490,7 @@ def kmeans_centroids_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster, dim, val) rows so the training OUTPUT (not just the
     assignment) is value-checked against the unrolled-iteration oracle —
     and so a consumer can materialize the model without array columns."""
-    _, cent, _ = _lloyd(spark, sf_dir)
+    _, cent, _ = _lloyd_unrolled(spark, sf_dir)
     return (
         cent.select(
             "cluster", F.posexplode(F.col("cv")).alias("dim0", "val")

@@ -28,8 +28,10 @@ num_partitions, strict_bounds (default false: lower/upper size the strides
 with unbounded edge slices, JDBC-partitioner parity; true compiles both
 edges as hard filters), predicate (extra server-side WHERE), user,
 password, schema (DDL string, used when ``.schema()`` is not given),
-wire_format (JSONEachRow default; Parquet asks the server for ``FORMAT
-Parquet`` and decodes columnar bytes — far less CPU at scale),
+wire_format (default ``auto``: the driver probes the endpoint once and
+upgrades to the cheapest wire it speaks — ArrowStream over Parquet over
+JSONEachRow; explicit JSONEachRow / Parquet / Arrow / ArrowStream force
+that encoding),
 arrow (default true: yield RecordBatches; false reverts to row tuples),
 cursor_column (streaming; defaults to partition_column).
 """
@@ -161,10 +163,21 @@ def _fetch_record_batches(
     if not raw.strip():
         return
     arrow_schema = to_arrow_schema(schema)
-    if wire_format.lower() == "parquet":
+    wf = wire_format.lower()
+    if wf == "parquet":
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(io.BytesIO(raw))
+        yield from tbl.select(arrow_schema.names).cast(arrow_schema).to_batches()
+        return
+    if wf in ("arrow", "arrowstream"):
+        # native Arrow IPC off the wire: the server skips the parquet
+        # encode and the reader is zero-copy into Arrow buffers — the
+        # cheapest wire ClickHouse serves (FORMAT Arrow / ArrowStream)
+        rd = pa.BufferReader(raw)
+        tbl = (
+            pa.ipc.open_stream(rd) if wf == "arrowstream" else pa.ipc.open_file(rd)
+        ).read_all()
         yield from tbl.select(arrow_schema.names).cast(arrow_schema).to_batches()
         return
     try:
@@ -201,10 +214,30 @@ def _casts_for(schema: StructType) -> list:
     return out
 
 
+def _resolve_wire(options: dict) -> str:
+    """Resolve the ``wire_format`` option ON THE DRIVER (readers are built
+    driver-side and pickled to executors, so the probe runs once and its
+    result ships with the reader): default ``auto`` negotiates
+    ArrowStream → Parquet → JSONEachRow against the endpoint; explicit
+    values pass through."""
+    from .clickhouse_http import negotiate_wire_format
+
+    wf = str(options.get("wire_format", "auto"))
+    if wf.lower() != "auto":
+        return wf
+    return negotiate_wire_format(
+        options["url"],
+        timeout=min(float(options.get("timeout", 300)), 30.0),
+        user=options.get("user"),
+        password=options.get("password"),
+    )
+
+
 class _CHReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self.schema = schema
-        self.options = options
+        self.options = dict(options)
+        self.options["wire_format"] = _resolve_wire(self.options)
         self.pushed: list[str] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
@@ -267,8 +300,9 @@ class _CHReader(DataSourceReader):
         )
         auth = _auth_headers(o.get("user"), o.get("password"))
         timeout = float(o.get("timeout", 300))
-        # parquet wire bytes are columnar — only the batch path decodes them
-        if wire_format.lower() == "parquet" or str(
+        # columnar wire bytes (parquet / arrow) — only the batch path
+        # decodes them
+        if wire_format.lower() in ("parquet", "arrow", "arrowstream") or str(
             o.get("arrow", "true")
         ).lower() not in ("false", "0"):
             yield from _fetch_record_batches(
@@ -292,7 +326,9 @@ class _CHStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: StructType, options: dict) -> None:
         self.schema = schema
-        self.options = options
+        self.options = dict(options)
+        self.options["wire_format"] = _resolve_wire(self.options)
+        options = self.options
         self.cursor_col = options.get("cursor_column") or options.get(
             "partition_column"
         )
@@ -347,7 +383,7 @@ class _CHStreamReader(DataSourceStreamReader):
         # the stream partition runner feeds the same Arrow-batch-capable
         # worker as batch reads, so micro-batch deltas take the vectorized
         # decode path too (arrow=false reverts to row tuples)
-        if wire_format.lower() == "parquet" or str(
+        if wire_format.lower() in ("parquet", "arrow", "arrowstream") or str(
             o.get("arrow", "true")
         ).lower() not in ("false", "0"):
             yield from _fetch_record_batches(

@@ -110,6 +110,70 @@ def _auth_headers(user: str | None, password: str | None) -> dict[str, str]:
 
 _RETRYABLE_HTTP = {429, 500, 502, 503, 504}
 
+# one negotiation per endpoint per process — the probe result cannot change
+# mid-run and re-probing would add a request to every read call site
+_WIRE_CACHE: dict[str, str] = {}
+
+
+def negotiate_wire_format(
+    url: str,
+    timeout: float = 30.0,
+    user: str | None = None,
+    password: str | None = None,
+) -> str:
+    """Probe the server once and pick the cheapest read wire it supports:
+    ``ArrowStream`` (native Arrow IPC — zero re-encode server-side, fed
+    straight to pyarrow) over ``Parquet`` (columnar, ~10× less decode CPU
+    than JSON text) over the universal ``JSONEachRow`` fallback. The probe
+    is one trivial ``SELECT 1 AS _wire_probe FORMAT <fmt>`` per candidate;
+    a refusal (HTTP error or a body that doesn't parse as the format)
+    falls through to the next. Results are cached per endpoint, so a
+    process negotiates at most once per URL."""
+    cached = _WIRE_CACHE.get(url)
+    if cached is not None:
+        return cached
+    auth = _auth_headers(user, password)
+    result = "JSONEachRow"
+    for fmt, parses in (
+        ("ArrowStream", _parses_as_arrow_stream),
+        ("Parquet", _parses_as_parquet),
+    ):
+        try:
+            raw = _post(
+                url,
+                f"SELECT 1 AS _wire_probe FORMAT {fmt}".encode(),
+                timeout,
+                auth,
+            )
+            if parses(raw):
+                result = fmt
+                break
+        except Exception:  # noqa: BLE001 — any refusal means "next format"
+            continue
+    _WIRE_CACHE[url] = result
+    return result
+
+
+def _parses_as_arrow_stream(raw: bytes) -> bool:
+    try:
+        import pyarrow as pa
+
+        tbl = pa.ipc.open_stream(pa.BufferReader(raw)).read_all()
+        return tbl.num_rows == 1
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _parses_as_parquet(raw: bytes) -> bool:
+    try:
+        import io
+
+        import pyarrow.parquet as pq
+
+        return pq.read_table(io.BytesIO(raw)).num_rows == 1
+    except Exception:  # noqa: BLE001
+        return False
+
 
 def _post(
     url: str,
@@ -214,7 +278,7 @@ def read_table_http(
     user: str | None = None,
     password: str | None = None,
     strict_bounds: bool = False,
-    wire_format: str = "JSONEachRow",
+    wire_format: str = "auto",
     retries: int = 2,
 ) -> DataFrame:
     """S1 over HTTP: partitioned parallel read of one ClickHouse table.
@@ -224,12 +288,15 @@ def read_table_http(
     JSONEachRow response executor-side. Without ``partition_column`` the
     read degrades to one request (still executor-side, never the driver).
 
-    ``wire_format`` picks the response encoding: the default JSONEachRow
-    works against any server and the in-process stub; ``Parquet`` asks the
-    server for ``FORMAT Parquet`` (ClickHouse serves it natively) and
-    decodes columnar bytes executor-side — roughly an order of magnitude
-    less decode CPU than JSON text at scale, the right choice for bulk
-    migration pulls.
+    ``wire_format`` picks the response encoding. The default ``'auto'``
+    probes the endpoint ONCE on the driver (cached per URL) and upgrades
+    to the cheapest wire the server speaks — ``ArrowStream`` (native Arrow
+    IPC, zero-copy into pyarrow) over ``Parquet`` (columnar; ~10× less
+    decode CPU than JSON at scale) over the universal ``JSONEachRow``
+    fallback — so a user on defaults gets the bulk-pull wire against a
+    capable server and still works against one that only speaks JSON.
+    Explicit values (``JSONEachRow`` / ``Parquet`` / ``Arrow`` /
+    ``ArrowStream``) skip the probe and force that encoding.
 
     Range semantics match Spark's JDBC partitioner: by default
     ``lower``/``upper`` only size the interior strides — the first slice is
@@ -239,6 +306,10 @@ def read_table_http(
     compiling both edges as hard filters — what CDC batch closing needs,
     where the half-open range IS the batch membership contract.
     """
+    if wire_format.lower() == "auto":
+        wire_format = negotiate_wire_format(
+            url, timeout=min(timeout, 30.0), user=user, password=password
+        )
     if partition_column is None:
         ranges = [(None, None)]
     else:
@@ -281,11 +352,23 @@ def read_table_http(
                 if not raw.strip():
                     yield _empty_pdf(schema)
                     continue
-                if wire_format.lower() == "parquet":
+                wf = wire_format.lower()
+                if wf == "parquet":
                     import pyarrow.parquet as pq
 
                     pdf = pq.read_table(io.BytesIO(raw)).to_pandas()
                     yield _coerce(pdf, schema)
+                    continue
+                if wf in ("arrow", "arrowstream"):
+                    import pyarrow as pa
+
+                    rd = pa.BufferReader(raw)
+                    tbl = (
+                        pa.ipc.open_stream(rd)
+                        if wf == "arrowstream"
+                        else pa.ipc.open_file(rd)
+                    ).read_all()
+                    yield _coerce(tbl.to_pandas(), schema)
                     continue
                 # convert_dates=False: pandas would otherwise auto-parse
                 # date-NAMED columns (ts, *_at, ...) into datetimes, mangling

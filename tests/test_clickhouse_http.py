@@ -70,6 +70,7 @@ class _StubClickHouse:
         self.received: list[str] = []
         self.auth_seen: list[dict] = []
         self.fail_next = 0  # make the next N requests 503 (retry testing)
+        self.formats: set[str] | None = None  # None = every FORMAT supported
         for t in ("nation", "customer", "orders"):
             self.con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
@@ -165,6 +166,10 @@ class _StubClickHouse:
             if fm:
                 fmt = fm.group(1)
                 sql = sql[: fm.start()]
+            if self.formats is not None and fmt not in self.formats:
+                # real ClickHouse responds with an error page for a FORMAT
+                # it can't serve — negotiation must treat that as refusal
+                raise ValueError(f"Unknown output format {fmt}")
             sql = _CH_LITERAL.sub(_ch_literal_to_duckdb, sql)
             if not sql.lstrip().upper().startswith(("SELECT", "WITH")):
                 self.con.execute(sql)  # DDL / command path
@@ -177,6 +182,17 @@ class _StubClickHouse:
 
                 buf = io.BytesIO()
                 pq.write_table(rel.arrow(), buf)
+                return buf.getvalue()
+            if fmt in ("Arrow", "ArrowStream"):
+                import io
+
+                import pyarrow as pa
+
+                tbl = rel.arrow()
+                buf = io.BytesIO()
+                new = pa.ipc.new_file if fmt == "Arrow" else pa.ipc.new_stream
+                with new(buf, tbl.schema) as w:
+                    w.write_table(tbl)
                 return buf.getvalue()
             cols = [d[0] for d in rel.description]
             rows = rel.fetchall()
@@ -268,7 +284,11 @@ def test_predicate_is_pushed_to_server(spark, stub):
     # every request the server saw carried the predicate; interior slices
     # carry both range bounds, the edge slices are unbounded on their outer
     # side (JDBC-partitioner parity: bounds slice, they don't filter)
-    selects = [s for s in stub.received if s.startswith("SELECT")]
+    selects = [
+        s
+        for s in stub.received
+        if s.startswith("SELECT") and "_wire_probe" not in s
+    ]
     assert len(selects) == 4
     assert all("(o_totalprice > 150000)" in s for s in selects)
     assert sum("o_orderkey >=" in s for s in selects) == 3  # all but first
@@ -651,7 +671,11 @@ def test_parquet_wire_format_round_trip(spark, duck, stub):
         wire_format="Parquet",
     )
     assert [tuple(r) for r in df.orderBy("o_orderkey").collect()] == want
-    selects = [s for s in stub.received if s.startswith("SELECT")]
+    selects = [
+        s
+        for s in stub.received
+        if s.startswith("SELECT") and "_wire_probe" not in s
+    ]
     assert selects and all(s.endswith("FORMAT Parquet") for s in selects)
 
     spark.dataSource.register(ClickHouseHTTPDataSource)
@@ -671,7 +695,11 @@ def test_parquet_wire_format_round_trip(spark, duck, stub):
     assert [
         tuple(r) for r in ds.orderBy("o_orderkey").collect()
     ] == want
-    selects = [s for s in stub.received if s.startswith("SELECT")]
+    selects = [
+        s
+        for s in stub.received
+        if s.startswith("SELECT") and "_wire_probe" not in s
+    ]
     assert selects and all(s.endswith("FORMAT Parquet") for s in selects)
 
 
@@ -736,7 +764,7 @@ def test_type_edges_datetime64_decimal_nullable(spark, stub):
         (1, datetime(2024, 3, 1, 10, 30, 0, 123456), Decimal("123.45"), None, "x"),
         (2, datetime(1999, 12, 31, 23, 59, 59), Decimal("-0.01"), 7, None),
     ]
-    for fmt in ("Parquet", "JSONEachRow"):
+    for fmt in ("Parquet", "Arrow", "ArrowStream", "JSONEachRow"):
         df = read_table_http(spark, stub.url, "edges", schema, wire_format=fmt)
         got = [tuple(r) for r in df.orderBy("id").collect()]
         assert got == want, (fmt, got)
@@ -963,7 +991,11 @@ def test_python_datasource_batch_pushdown(spark, duck, stub):
         ).fetchall()
     ]
     assert got == want and len(got) > 0
-    selects = [s for s in stub.received if s.startswith("SELECT")]
+    selects = [
+        s
+        for s in stub.received
+        if s.startswith("SELECT") and "_wire_probe" not in s
+    ]
     assert selects
     # the optimizer-derived predicates were compiled into EVERY request
     assert all("o_totalprice > 200000" in s for s in selects)
@@ -1218,3 +1250,82 @@ def test_rows_outside_range_are_not_dropped(spark, stub):
         .load()
     )
     assert sorted(r.id for r in ds.collect()) == sorted(ids)
+
+
+def test_wire_format_negotiation_ladder(stub):
+    """The probe prefers ArrowStream, then Parquet, then falls back to
+    JSONEachRow as the server's FORMAT support shrinks — and the outcome
+    is cached per endpoint (one probe set per process per URL)."""
+    from clickhousemigrators3_spark.sources import clickhouse_http as ch
+
+    try:
+        ch._WIRE_CACHE.clear()
+        assert ch.negotiate_wire_format(stub.url) == "ArrowStream"
+
+        ch._WIRE_CACHE.clear()
+        stub.formats = {"Parquet", "JSONEachRow", "JSON", "TabSeparated"}
+        assert ch.negotiate_wire_format(stub.url) == "Parquet"
+
+        ch._WIRE_CACHE.clear()
+        stub.formats = {"JSONEachRow", "JSON", "TabSeparated"}
+        assert ch.negotiate_wire_format(stub.url) == "JSONEachRow"
+
+        # cached: repeated calls issue no further probes
+        before = len([s for s in stub.received if "_wire_probe" in s])
+        ch.negotiate_wire_format(stub.url)
+        ch.negotiate_wire_format(stub.url)
+        after = len([s for s in stub.received if "_wire_probe" in s])
+        assert after == before
+    finally:
+        stub.formats = None
+        ch._WIRE_CACHE.clear()
+
+
+def test_default_read_negotiates_columnar_wire(spark, stub):
+    """A user on DEFAULTS gets the columnar wire against a capable server
+    (verdict r5 #4): read_table_http and the Data Source both resolve
+    wire_format='auto' to ArrowStream here, and still work (JSONEachRow)
+    against a server that refuses every columnar FORMAT."""
+    from clickhousemigrators3_spark.sources import clickhouse_http as ch
+    from clickhousemigrators3_spark.sources.clickhouse_ds import (
+        ClickHouseHTTPDataSource,
+    )
+
+    schema = spark.createDataFrame([], "n_nationkey long, n_name string").schema
+    try:
+        ch._WIRE_CACHE.clear()
+        stub.received.clear()
+        df = read_table_http(
+            spark, stub.url, "nation", schema, columns=["n_nationkey", "n_name"]
+        )
+        assert df.count() == 25
+        reads = [s for s in stub.received if "FROM nation" in s]
+        assert reads and all(s.endswith("FORMAT ArrowStream") for s in reads)
+
+        # Data Source on defaults: same negotiated wire
+        spark.dataSource.register(ClickHouseHTTPDataSource)
+        stub.received.clear()
+        ds = (
+            spark.read.format("clickhouse_http")
+            .schema("n_nationkey long, n_name string")
+            .option("url", stub.url)
+            .option("table", "nation")
+            .load()
+        )
+        assert ds.count() == 25
+        reads = [s for s in stub.received if "FROM nation" in s]
+        assert reads and all(s.endswith("FORMAT ArrowStream") for s in reads)
+
+        # columnar-refusing server: defaults fall back and still read
+        ch._WIRE_CACHE.clear()
+        stub.formats = {"JSONEachRow", "JSON", "TabSeparated"}
+        stub.received.clear()
+        df = read_table_http(
+            spark, stub.url, "nation", schema, columns=["n_nationkey", "n_name"]
+        )
+        assert df.count() == 25
+        reads = [s for s in stub.received if "FROM nation" in s]
+        assert reads and all(s.endswith("FORMAT JSONEachRow") for s in reads)
+    finally:
+        stub.formats = None
+        ch._WIRE_CACHE.clear()
