@@ -181,7 +181,10 @@ def test_approx_distinct_error_bound(spark):
         for r in approx_distinct_sketch(spark, SF_DIR).collect()
     }
     for flag, ex in exact.items():
-        assert abs(approx[flag] - ex) / ex < 0.1  # rsd=0.02, generous bound
+        # documented error: rsd=0.02 is the 1-sigma relative std deviation
+        # of the HLL++ sketch — assert the 3-sigma envelope (observed max
+        # deviation on the fixtures is <1%)
+        assert abs(approx[flag] - ex) / ex < 3 * 0.02, (flag, approx[flag], ex)
 
 
 def test_hash_sample_stability(spark):
@@ -770,8 +773,10 @@ def test_codecs_png_wav_roundtrip():
 
 def test_hll_partial_merge_error_bound(spark):
     """Weekly estimates from merged daily sketches must track the exact
-    weekly distincts (HLL lgK default → ~2% rsd; generous 10% bound), and
-    merging partials must cover every week the raw data has."""
+    weekly distincts within the sketch's documented error (DataSketches
+    HLL lgK=12 default → rsd ≈ 1.04/sqrt(2^12) ≈ 1.6%; assert the 3-sigma
+    envelope ≈ 5% — observed deviation on the fixtures is 0), and merging
+    partials must cover every week the raw data has."""
     from pyspark.sql import functions as F
 
     from clickhousemigrators3_spark.catalog import load_table
@@ -794,7 +799,7 @@ def test_hll_partial_merge_error_bound(spark):
     }
     assert set(est) == set(exact)
     for wk, ex in exact.items():
-        assert abs(est[wk] - ex) / ex < 0.1, (wk, est[wk], ex)
+        assert abs(est[wk] - ex) / ex < 3 * 0.0163, (wk, est[wk], ex)
 
 
 def test_approx_percentile_error_bound(spark):
