@@ -34,11 +34,34 @@ Covered surface (the high-frequency ClickHouse idioms):
 * JSON: JSONExtractString/Int/Float, visitParamExtractString
   → get_json_object (literal keys)
 * arithmetic spellings: plus/minus/multiply/divide/intDiv/modulo,
-  greater/less/equals/… comparison spellings
+  greater/less/equals/… comparison spellings; bitAnd/bitOr/bitXor/
+  bitNot/bitShiftLeft/bitShiftRight
+* array HOFs: arrayMap/arrayFilter/arrayExists/arrayAll (lambda-first →
+  array-first arg swap), arraySum, arrayStringConcat, hasAny/hasAll,
+  countEqual, arrayEnumerate, arraySlice/arrayElement/arrayReverse/
+  arrayFlatten
+* date/interval arithmetic: addDays/addHours/… via make_interval,
+  dateDiff('unit', a, b) → timestampdiff, yesterday, toMonday, toQuarter,
+  toDayOfYear, toISOWeek, fromUnixTimestamp
+* statistics: stddevPop/stddevSamp/varPop/varSamp/covarPop/covarSamp
+  camelCase → snake_case, median/medianExact, sumDistinct,
+  groupBitAnd/Or/Xor, roundBankers → bround
 * parametric aggregates: quantile(p)(x), quantileExact(p)(x),
-  quantiles(..)(x), quantilesExact(..)(x)
-* clause level: PREWHERE → WHERE (merged with an existing WHERE),
-  trailing SETTINGS/FORMAT stripped, GLOBAL dropped
+  quantileTDigest/Timing/Deterministic(p)(x), quantiles*(..)(x); the
+  params group is optional (ClickHouse median default)
+* predicates: like/notLike/ilike/notILike functions, isNull/isNotNull,
+  startsWith/endsWith
+* clause level: PREWHERE → WHERE (merged with an existing WHERE, conjunct
+  bounded at the next clause keyword), trailing SETTINGS/FORMAT stripped,
+  GLOBAL dropped, ARRAY JOIN / LEFT ARRAY JOIN → LATERAL VIEW [OUTER]
+
+Refused loudly (pointer to the operator that implements the semantics):
+FINAL, SAMPLE, WITH TOTALS, LIMIT n BY, ANY/ASOF join strictness, topK /
+windowFunnel / retention / sequenceMatch / uniqUpTo / dictGet / sumMap /
+groupBitmap / anyHeavy, runningDifference / neighbor (block-order
+dependent), engine-specific hash families (cityHash64/sipHash64/…/MD5 —
+same name, different values or types), multi-array ARRAY JOIN and
+multi-array lambdas, non-literal extract()/dateDiff units.
 """
 
 from __future__ import annotations
@@ -118,7 +141,9 @@ _RENAME = {
     "lowerutf8": "lower",
     "upperutf8": "upper",
     "uniqcombined": "approx_count_distinct",
+    "uniqcombined64": "approx_count_distinct",
     "uniqhll12": "approx_count_distinct",
+    "uniqtheta": "approx_count_distinct",
     "now": "current_timestamp",
     "today": "current_date",
     "arrayjoin": "explode",
@@ -127,6 +152,32 @@ _RENAME = {
     "arrayuniq": "array_distinct",
     "arrayconcat": "concat",
     "indexof": "array_position",
+    "arrayreverse": "reverse",
+    "arrayflatten": "flatten",
+    "arrayslice": "slice",
+    "arrayelement": "element_at",
+    "arraydistinct": "array_distinct",
+    "trimleft": "ltrim",
+    "trimright": "rtrim",
+    "trimboth": "trim",
+    "leftpad": "lpad",
+    "rightpad": "rpad",
+    "substringutf8": "substring",
+    "toquarter": "quarter",
+    "todayofyear": "dayofyear",
+    "toisoweek": "weekofyear",
+    "fromunixtimestamp": "timestamp_seconds",
+    "roundbankers": "bround",
+    "stddevpop": "stddev_pop",
+    "stddevsamp": "stddev_samp",
+    "varpop": "var_pop",
+    "varsamp": "var_samp",
+    "covarpop": "covar_pop",
+    "covarsamp": "covar_samp",
+    "groupbitand": "bit_and",
+    "groupbitor": "bit_or",
+    "groupbitxor": "bit_xor",
+    "concatassumeinjective": "concat",
 }
 
 # templates: {0}, {1}… = translated args; {args} = all args comma-joined
@@ -184,18 +235,75 @@ _TEMPLATE = {
     "equals": "({0} = {1})",
     "notequals": "({0} <> {1})",
     "assumenotnull": "{0}",
+    "tonullable": "{0}",
     "tointervalsecond": "(INTERVAL {0} SECOND)",
     "tointervalminute": "(INTERVAL {0} MINUTE)",
     "tointervalhour": "(INTERVAL {0} HOUR)",
     "tointervalday": "(INTERVAL {0} DAY)",
+    "tointervalweek": "(INTERVAL {0} WEEK)",
+    "isnull": "({0} IS NULL)",
+    "isnotnull": "({0} IS NOT NULL)",
+    "like": "({0} LIKE {1})",
+    "notlike": "({0} NOT LIKE {1})",
+    "ilike": "({0} ILIKE {1})",
+    "notilike": "({0} NOT ILIKE {1})",
+    "positionutf8": "locate({1}, {0})",
+    "splitbywhitespace": "split({0}, '\\\\s+')",
+    "startswith": "startswith({0}, {1})",
+    "endswith": "endswith({0}, {1})",
+    "median": "percentile_approx({0}, 0.5)",
+    "medianexact": "percentile({0}, 0.5)",
+    "sumdistinct": "sum(DISTINCT {0})",
+    "avgdistinct": "avg(DISTINCT {0})",
+    "bitand": "({0} & {1})",
+    "bitor": "({0} | {1})",
+    "bitxor": "({0} ^ {1})",
+    "bitnot": "(~ {0})",
+    "bitshiftleft": "({0} << {1})",
+    "bitshiftright": "({0} >> {1})",
+    "hasany": "arrays_overlap({0}, {1})",
+    "hasall": "(size(array_except({1}, {0})) = 0)",
+    "countequal": "size(filter({0}, _ce -> _ce = {1}))",
+    "arrayenumerate": "sequence(1, size({0}))",
+    "arraystringconcat": "array_join({0}, {1})",
+    "arraysum": "aggregate({0}, 0.0D, (_acc, _x) -> _acc + CAST(_x AS DOUBLE))",
+    "arraymap": "transform({1}, {0})",
+    "arrayfilter": "filter({1}, {0})",
+    "arrayexists": "exists({1}, {0})",
+    "arrayall": "forall({1}, {0})",
+    "adddays": "({0} + make_interval(0, 0, 0, {1}))",
+    "subtractdays": "({0} - make_interval(0, 0, 0, {1}))",
+    "addhours": "({0} + make_interval(0, 0, 0, 0, {1}))",
+    "subtracthours": "({0} - make_interval(0, 0, 0, 0, {1}))",
+    "addminutes": "({0} + make_interval(0, 0, 0, 0, 0, {1}))",
+    "addseconds": "({0} + make_interval(0, 0, 0, 0, 0, 0, {1}))",
+    "addmonths": "({0} + make_interval(0, {1}))",
+    "addyears": "({0} + make_interval({1}))",
+    "yesterday": "(current_date() - 1)",
+    "tomonday": "CAST(date_trunc('week', {0}) AS DATE)",
+    "todatetime64": "CAST({0} AS TIMESTAMP)",
 }
 
 # parametric aggregates — ClickHouse name(params)(args) syntax
 _PARAMETRIC = {
     "quantile": "percentile_approx({a0}, {p0})",
     "quantileexact": "percentile({a0}, {p0})",
+    "quantiletdigest": "percentile_approx({a0}, {p0})",
+    "quantiletiming": "percentile_approx({a0}, {p0})",
+    "quantiledeterministic": "percentile_approx({a0}, {p0})",
     "quantiles": "percentile_approx({a0}, array({params}))",
     "quantilesexact": "percentile({a0}, array({params}))",
+    "quantilestdigest": "percentile_approx({a0}, array({params}))",
+}
+
+# parametric names that default to the median when the (params) group is
+# omitted — ClickHouse's documented default level is 0.5
+_MEDIAN_DEFAULT = {
+    "quantile",
+    "quantileexact",
+    "quantiletdigest",
+    "quantiletiming",
+    "quantiledeterministic",
 }
 
 # constructs refused with a pointer to the operator that implements them
@@ -208,6 +316,27 @@ _UNSUPPORTED_FUNCS = {
     "sequencecount": "operators/event_analytics.py ev_sequence_count",
     "uniqupto": "operators/ch_aggregates.py uniq_up_to_per_type",
     "dictget": "operators/mergetree.py ch_dict_get_nation_name (broadcast join)",
+    "summap": "operators/mergetree.py ch_summing_map",
+    "groupbitmap": "operators/ch_aggregates.py ch_group_bitmap_weekly_users",
+    "anyheavy": "operators/ch_aggregates.py topk_weighted_sources",
+    "runningdifference": (
+        "window lag — operators/event_analytics.py (LAG OVER an ordered "
+        "window; runningDifference depends on block order, which Spark "
+        "does not define)"
+    ),
+    "neighbor": (
+        "window lag/lead — operators/event_analytics.py (neighbor depends "
+        "on block order, which Spark does not define)"
+    ),
+}
+
+# engine-specific hash families: the same NAME either does not exist in
+# Spark or (md5/sha*) returns a different TYPE (ClickHouse: binary
+# FixedString; Spark: hex text). Translating would silently change values —
+# the exact failure mode this module's contract forbids.
+_ENGINE_HASHES = {
+    "cityhash64", "siphash64", "siphash128", "halfmd5", "inthash32",
+    "inthash64", "farmhash64", "farmfingerprint64", "md5", "sha1", "sha256",
 }
 
 # ClickHouse type names → Spark SQL type names (two-arg CAST + toDecimal)
@@ -300,8 +429,24 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             f"ClickHouse {low}() needs an operator-level rewrite — see "
             f"{_UNSUPPORTED_FUNCS[low]}"
         )
-    if params is None and low in ("quantile", "quantileexact"):
+    if low in _ENGINE_HASHES:
+        raise UnsupportedCHSQL(
+            f"ClickHouse {low}() is engine-specific: Spark's equivalent "
+            "produces different values/types (see functions/hashing.py for "
+            "the cross-engine stable hashes) — rewrite the hash explicitly "
+            "instead of letting a translation silently change results"
+        )
+    if params is None and low in _MEDIAN_DEFAULT:
         params = ["0.5"]  # ClickHouse's default level is the median
+    if low in ("arraymap", "arrayfilter", "arrayexists", "arrayall") and (
+        len(args) != 2
+    ):
+        raise UnsupportedCHSQL(
+            f"multi-array {low} not mapped — arrays_zip the inputs and use "
+            "one single-array lambda instead"
+        )
+    if low == "arraystringconcat" and len(args) == 1:
+        return f"array_join({args[0]}, '')"  # ClickHouse default separator
     if params is not None:
         tpl = _PARAMETRIC.get(low)
         if tpl is None:
@@ -363,6 +508,22 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         return f"POSITION({args[0]})"  # standard POSITION(sub IN str)
     if low == "todecimal64" and len(args) == 2:
         return f"CAST({args[0]} AS DECIMAL(18, {args[1].strip()}))"
+    if low == "datediff":
+        if len(args) < 3:
+            raise UnsupportedCHSQL(
+                "dateDiff needs ClickHouse's 3-arg form: "
+                "dateDiff('unit', start, end)"
+            )
+        u = args[0].strip()
+        if not (u.startswith("'") and u.endswith("'")):
+            raise UnsupportedCHSQL("dateDiff needs a literal unit")
+        unit = _string_value(u).upper()
+        if unit not in (
+            "SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH", "QUARTER",
+            "YEAR",
+        ):
+            raise UnsupportedCHSQL(f"dateDiff unit {unit!r} not mapped")
+        return f"timestampdiff({unit}, {args[1]}, {args[2]})"
     if low == "formatdatetime" and len(args) == 2:
         a1 = args[1].strip()
         if not (a1.startswith("'") and a1.endswith("'")):
@@ -395,9 +556,10 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
 
 _KNOWN = (
     set(_RENAME) | set(_TEMPLATE) | set(_PARAMETRIC) | set(_UNSUPPORTED_FUNCS)
+    | _ENGINE_HASHES
     | {"multiif", "cast", "todecimal64", "formatdatetime", "jsonextractstring",
        "visitparamextractstring", "jsonextractint", "jsonextractfloat",
-       "tostartofweek", "extract"}
+       "tostartofweek", "extract", "datediff"}
 )
 
 

@@ -306,6 +306,61 @@ _ch(
     ("documents",),
 )
 
+# --- array higher-order functions -----------------------------------------
+
+_ch(
+    "chsql_array_hof",
+    """
+    SELECT doc_id,
+           toFloat64(arraySum(arrayMap(w -> lengthUTF8(w),
+                                       splitByChar(' ', text)))) AS char_sum,
+           arrayStringConcat(arrayFilter(w -> lengthUTF8(w) > 6,
+                                         splitByChar(' ', text)), '-')
+               AS long_words
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    """
+    SELECT doc_id,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        w -> length(w))) AS DOUBLE)
+               AS char_sum,
+           COALESCE(array_to_string(list_filter(string_split(text, ' '),
+                                                w -> length(w) > 6), '-'),
+                    '') AS long_words
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    ("documents",),
+)
+
+# --- dateDiff + camelCase statistical aggregates ---------------------------
+
+_ch(
+    "chsql_datediff_stats",
+    """
+    SELECT toInt64(toYear(o_orderdate)) AS yr,
+           round(stddevPop(o_totalprice), 4) AS sd_price,
+           max(dateDiff('day', toStartOfYear(o_orderdate), o_orderdate))
+               AS max_day_offset
+    FROM orders
+    GROUP BY yr
+    ORDER BY yr
+    """,
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           round(stddev_pop(o_totalprice), 4) AS sd_price,
+           max(date_diff('day', CAST(date_trunc('year', o_orderdate) AS DATE),
+                         o_orderdate)) AS max_day_offset
+    FROM orders
+    GROUP BY yr
+    ORDER BY yr
+    """,
+    ("orders",),
+)
+
 # --- GLOBAL IN + SETTINGS strip -------------------------------------------
 
 _ch(

@@ -113,6 +113,41 @@ SF01 = "/root/testdata/sf0.01"
             "SELECT quantileExact(0.5)(x) AS med FROM t",
             "SELECT percentile(x, 0.5) AS med FROM t",
         ),
+        (
+            "SELECT quantileTDigest(x) AS med FROM t",
+            "SELECT percentile_approx(x, 0.5) AS med FROM t",
+        ),
+        # array HOFs: ClickHouse is lambda-first, Spark is array-first
+        (
+            "SELECT arrayMap(x -> x * 2, arr) FROM t",
+            "SELECT transform(arr, x -> x * 2) FROM t",
+        ),
+        (
+            "SELECT arrayFilter(x -> x > 0, arr) FROM t",
+            "SELECT filter(arr, x -> x > 0) FROM t",
+        ),
+        (
+            "SELECT arrayStringConcat(arr) FROM t",
+            "SELECT array_join(arr, '') FROM t",
+        ),
+        (
+            "SELECT hasAll(a, b) FROM t",
+            "SELECT (size(array_except(b, a)) = 0) FROM t",
+        ),
+        # date arithmetic keeps timestamp type (make_interval, not date_add)
+        (
+            "SELECT addDays(ts, 3) FROM t",
+            "SELECT (ts + make_interval(0, 0, 0, 3)) FROM t",
+        ),
+        (
+            "SELECT dateDiff('day', a, b) FROM t",
+            "SELECT timestampdiff(DAY, a, b) FROM t",
+        ),
+        # camelCase stats → snake_case; banker's rounding → bround
+        (
+            "SELECT stddevPop(x), roundBankers(y, 2) FROM t",
+            "SELECT stddev_pop(x), bround(y, 2) FROM t",
+        ),
     ],
 )
 def test_golden_translation(ch: str, expected: str):
@@ -137,6 +172,12 @@ def test_golden_translation(ch: str, expected: str):
         ("SELECT extract(s, col) FROM t", "non-literal"),
         ("SELECT * FROM t PREWHERE a=1 PREWHERE b=2", "multiple PREWHERE"),
         ("SELECT x, y FROM t ARRAY JOIN a AS x, b AS y", "multi-array"),
+        ("SELECT cityHash64(x) FROM t", "engine-specific"),
+        ("SELECT MD5(x) FROM t", "engine-specific"),
+        ("SELECT runningDifference(x) FROM t", "block order"),
+        ("SELECT sumMap(k, v) FROM t", "ch_summing_map"),
+        ("SELECT arrayMap((x, y) -> x + y, a, b) FROM t", "multi-array"),
+        ("SELECT dateDiff(u, a, b) FROM t", "literal unit"),
     ],
 )
 def test_refusals(ch: str, needle: str):
