@@ -73,6 +73,67 @@ def cli_query(argv: list[str]) -> int:
         spark.stop()
 
 
+def cli_chsql(argv: list[str]) -> int:
+    """``chsql "<ClickHouse SQL>" [--sf-dir D] [--limit N] [--explain]
+    [--translate-only]`` — run a ClickHouse SQL string as-is: translate
+    (``functions/ch_sql.py``) → register fixture views → ``spark.sql``.
+    The SURVEY §0 story made drivable: reference users paste their query
+    text unchanged. ``--translate-only`` prints the emitted Spark SQL
+    without starting a session; unsupported constructs refuse with a
+    pointer to the operator that implements them (exit 3)."""
+    from .functions.ch_sql import UnsupportedCHSQL, run_ch_sql, translate_ch_sql
+
+    if not argv or argv[0].startswith("-"):
+        print(
+            'usage: chsql "<ClickHouse SQL>" [--sf-dir D] [--limit N] '
+            "[--explain] [--translate-only]",
+            file=sys.stderr,
+        )
+        return 2
+    sql, rest = argv[0], argv[1:]
+    sf_dir, limit = os.environ.get("SPARK_GRAFT_SF_DIR", ""), 20
+    explain = translate_only = False
+    it = iter(rest)
+    for a in it:
+        if a == "--sf-dir":
+            sf_dir = next(it)
+        elif a == "--limit":
+            limit = int(next(it))
+        elif a == "--explain":
+            explain = True
+        elif a == "--translate-only":
+            translate_only = True
+        else:
+            print(f"unknown option {a}", file=sys.stderr)
+            return 2
+    try:
+        translated = translate_ch_sql(sql)
+    except UnsupportedCHSQL as exc:
+        print(f"unsupported ClickHouse SQL: {exc}", file=sys.stderr)
+        return 3
+    if translate_only:
+        print(translated)
+        return 0
+    if not sf_dir:
+        print("--sf-dir is required (or set SPARK_GRAFT_SF_DIR)", file=sys.stderr)
+        return 2
+    from .session import get_spark
+
+    spark = get_spark(app_name="chsql")
+    try:
+        df = run_ch_sql(spark, sql, sf_dir)
+        if explain:
+            df.explain("formatted")
+            return 0
+        rows = df.limit(limit).collect()
+        print("\t".join(df.columns))
+        for r in rows:
+            print("\t".join(str(v) for v in r))
+        return 0
+    finally:
+        spark.stop()
+
+
 def cli_optimize(argv: list[str]) -> int:
     """``optimize --path P --keys k1,k2 --versions v1 --partitions p1`` —
     OPTIMIZE FINAL DEDUPLICATE: compact a dataset keeping the latest
@@ -273,6 +334,8 @@ def main(argv: list[str] | None = None) -> int:
         return cli_list_queries()
     if args and args[0] == "query":
         return cli_query(args[1:])
+    if args and args[0] == "chsql":
+        return cli_chsql(args[1:])
     if args and args[0] == "optimize":
         return cli_optimize(args[1:])
     if args and args[0] == "ttl":

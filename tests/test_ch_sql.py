@@ -307,3 +307,28 @@ def test_run_ch_sql_reference_shapes(spark):
         tables=("orders",),
     ).collect()
     assert len(parts) >= 2
+
+
+def test_cli_chsql_translate_only_and_refusal_exit_code(capsys):
+    """The chsql CLI surface: --translate-only prints the emitted Spark SQL
+    (no session), and a refused construct exits 3 with the pointer on
+    stderr."""
+    from clickhousemigrators3_spark.cli import main
+
+    rc = main(
+        [
+            "chsql",
+            "SELECT countIf(a > 1) AS c FROM t PREWHERE b = 2 SETTINGS x = 1",
+            "--translate-only",
+        ]
+    )
+    out = capsys.readouterr()
+    assert rc == 0
+    assert " ".join(out.out.split()) == (
+        "SELECT count_if(a > 1) AS c FROM t WHERE b = 2"
+    )
+
+    rc = main(["chsql", "SELECT topK(3)(x) FROM t", "--translate-only"])
+    out = capsys.readouterr()
+    assert rc == 3
+    assert "ev_topk" in out.err
