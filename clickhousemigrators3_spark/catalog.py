@@ -17,6 +17,7 @@ import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import TABLES
 
@@ -106,6 +107,78 @@ def register_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+# --- ClickHouse system-table emulation -------------------------------------
+
+# Canonical partition keys for the partitioned fixture tables — what a
+# MergeTree deployment of this schema would declare. system.parts derives
+# its partition values from these expressions on the data itself.
+SYSTEM_PARTITION_KEYS: dict[str, str] = {
+    "orders": "toYYYYMM(o_orderdate)",
+    "lineitem": "toYYYYMM(l_shipdate)",
+    "events": "toDate(ts)",
+}
+
+_SYSTEM_PART_COLS = {
+    "orders": lambda: F.date_format("o_orderdate", "yyyyMM"),
+    "lineitem": lambda: F.date_format("l_shipdate", "yyyyMM"),
+    "events": lambda: F.to_date("ts").cast("string"),
+}
+
+STORAGE_POLICIES = ("default", "s3_main")
+
+
+def register_system_views(spark: SparkSession, sf_dir: str) -> None:
+    """Emulate the ClickHouse system tables the reference's orchestration
+    SQL reads (``partition.py:12-16,107-114``, ``migration.py:139,549``,
+    ``ch_client.py:34``): ``system.tables`` (database/name/engine/
+    engine_full/partition_key), ``system.parts`` (one row per active
+    partition with its row count — derived lazily from the data itself, so
+    it is always consistent with what a scan would see), and
+    ``system.storage_policies``. ``functions/ch_sql.py`` rewrites the
+    qualified ``system.X`` names to these ``system_X`` views, so reference
+    query texts run VERBATIM.
+
+    Scale: system_tables/storage_policies are static local relations;
+    system_parts is a lazy union of per-table grouped counts — a
+    column-pruned scan + partial-aggregate shuffle of #partitions rows per
+    table, the same cost as M4 partition discovery."""
+    rows = []
+    for name in TABLES:
+        pk = SYSTEM_PARTITION_KEYS.get(name, "")
+        full = (
+            f"MergeTree PARTITION BY {pk} ORDER BY tuple()"
+            if pk
+            else "MergeTree ORDER BY tuple()"
+        )
+        rows.append(("default", name, "MergeTree", full, pk))
+    spark.createDataFrame(
+        rows,
+        "database string, name string, engine string, engine_full string, "
+        "partition_key string",
+    ).createOrReplaceTempView("system_tables")
+
+    parts = None
+    for name, col in _SYSTEM_PART_COLS.items():
+        df = (
+            load_table(spark, sf_dir, name)
+            .groupBy(col().alias("partition"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .select(
+                F.lit("default").alias("database"),
+                F.lit(name).alias("table"),
+                "partition",
+                F.lit(1).alias("active"),
+                "rows",
+            )
+        )
+        parts = df if parts is None else parts.unionByName(df)
+    parts.createOrReplaceTempView("system_parts")
+
+    spark.createDataFrame(
+        [(p,) for p in STORAGE_POLICIES], "policy_name string"
+    ).createOrReplaceTempView("system_storage_policies")
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:

@@ -571,6 +571,9 @@ _TABLE_INTRO = {None, "from", "join", ",", "(", ".", "as"}
 # JOIN strictness/kind words that mark `ANY`/`ASOF` as join modifiers
 _JOIN_WORDS = {"left", "right", "inner", "full", "join", "outer"}
 
+# ClickHouse system tables the catalog emulates as system_<name> views
+_SYSTEM_VIEWS = {"tables", "parts", "storage_policies"}
+
 
 def _translate_tokens(tokens: list[str]) -> str:
     out: list[str] = []
@@ -593,6 +596,23 @@ def _translate_tokens(tokens: list[str]) -> str:
         if low == "global":  # GLOBAL JOIN / GLOBAL IN → plain
             i = _next_code(tokens, i + 1)
             continue
+        if low == "system":
+            j = _next_code(tokens, i + 1)
+            if j < n and tokens[j] == ".":
+                k = _next_code(tokens, j + 1)
+                sysname = tokens[k].lower() if k < n else ""
+                if sysname in _SYSTEM_VIEWS:
+                    # the catalog emulates these (register_system_views);
+                    # qualified names become flat view names
+                    out.append(f"system_{sysname}")
+                    prev_code = sysname
+                    i = k + 1
+                    continue
+                raise UnsupportedCHSQL(
+                    f"system.{sysname} is not emulated — see "
+                    "catalog.register_system_views (tables / parts / "
+                    "storage_policies are)"
+                )
         if low == "prewhere":
             raise _PrewhereMarker(i)  # handled by caller on the full list
         if (
@@ -868,13 +888,19 @@ def _merge_prewhere(tokens: list[str], idx: int) -> list[str]:
 def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
     """Translate ClickHouse SQL and run it on Spark. When ``sf_dir`` is
     given, the fixture tables (all of them, or the ``tables`` subset) are
-    registered as temp views first, so reference-style queries run as-is."""
+    registered as temp views first, so reference-style queries run as-is;
+    queries over ``system.tables`` / ``system.parts`` /
+    ``system.storage_policies`` trigger the catalog's system-view
+    emulation, so the reference's orchestration SQL runs verbatim too."""
+    translated = translate_ch_sql(sql)
     if sf_dir is not None:
-        from ..catalog import register_tables
+        from ..catalog import register_system_views, register_tables
 
         if tables is None:
             from .. import TABLES
 
             tables = TABLES
         register_tables(spark, sf_dir, tuple(tables))
-    return spark.sql(translate_ch_sql(sql))
+        if re.search(r"\bsystem_(?:tables|parts|storage_policies)\b", translated):
+            register_system_views(spark, sf_dir)
+    return spark.sql(translated)

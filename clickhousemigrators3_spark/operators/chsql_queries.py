@@ -42,6 +42,90 @@ def _ch(name: str, ch_sql: str, oracle: str, tables: tuple[str, ...]):
     return _run
 
 
+# --- reference orchestration SQL, VERBATIM ---------------------------------
+# The reference reads ClickHouse system tables to drive the migration; the
+# catalog emulates them (catalog.register_system_views) and the translator
+# rewrites the qualified names — so these query TEXTS are character-for-
+# character the reference's f-strings with db='default' interpolated.
+
+# partition.py:12-16 — get_table_partition_key
+_ch(
+    "chsql_sys_partition_key",
+    """
+                SELECT partition_key
+                FROM system.tables
+                WHERE database = 'default' AND name = 'orders'
+            """,
+    "SELECT 'toYYYYMM(o_orderdate)' AS partition_key",
+    (),
+)
+
+# partition.py:107-114 — get_table_partitions
+_ch(
+    "chsql_sys_partition_list",
+    """
+                SELECT DISTINCT partition
+                FROM system.parts
+                WHERE database = 'default' AND table = 'orders' AND active = 1
+                ORDER BY partition
+                """,
+    """
+    SELECT DISTINCT strftime(o_orderdate, '%Y%m') AS partition
+    FROM orders ORDER BY partition
+    """,
+    (),
+)
+
+# migration.py:139 / :425 — table-existence probe
+_ch(
+    "chsql_sys_table_exists",
+    "SELECT name FROM system.tables WHERE database = 'default' AND name = 'lineitem'",
+    "SELECT 'lineitem' AS name",
+    (),
+)
+
+# migration.py:549 — enumerate migratable tables (views excluded)
+_ch(
+    "chsql_sys_tables_nonview",
+    "SELECT name FROM system.tables WHERE database = 'default' AND engine NOT IN ('View', 'MaterializedView') ORDER BY name",
+    """
+    SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'),
+                          ('events'), ('lineitem'), ('nation'), ('orders'),
+                          ('part'), ('region'), ('supplier')) t(name)
+    ORDER BY name
+    """,
+    (),
+)
+
+# ch_client.py:34 — storage-policy probe
+_ch(
+    "chsql_sys_storage_policy",
+    "SELECT policy_name FROM system.storage_policies WHERE policy_name = 's3_main'",
+    "SELECT 's3_main' AS policy_name",
+    (),
+)
+
+# system.parts as a stats source: per-table row counts from partition
+# metadata (the A1 count without touching the fact rows on a real server)
+_ch(
+    "chsql_sys_parts_rows",
+    """
+    SELECT table, toInt64(sum(rows)) AS total_rows
+    FROM system.parts
+    WHERE database = 'default' AND active = 1
+    GROUP BY table
+    ORDER BY table
+    """,
+    """
+    SELECT * FROM (
+      SELECT 'events' AS "table", count(*) AS total_rows FROM events
+      UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+      UNION ALL SELECT 'orders', count(*) FROM orders
+    ) t ORDER BY "table"
+    """,
+    ("orders", "lineitem", "events"),
+)
+
 # --- reference shapes ------------------------------------------------------
 
 # partition.py:107-114 — ordered DISTINCT partition discovery

@@ -332,3 +332,59 @@ def test_cli_chsql_translate_only_and_refusal_exit_code(capsys):
     out = capsys.readouterr()
     assert rc == 3
     assert "ev_topk" in out.err
+
+
+def test_system_table_emulation(spark):
+    """The reference's orchestration SQL (partition.py:12-16,107-114,
+    migration.py:139,549, ch_client.py:34) runs VERBATIM: system.tables /
+    system.parts / system.storage_policies are emulated and the qualified
+    names rewritten; partition values in system.parts agree with the data
+    itself; an un-emulated system table refuses with a pointer."""
+    # translator rewrite
+    assert "system_tables" in translate_ch_sql("SELECT name FROM system.tables")
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql("SELECT * FROM system.query_log")
+    assert "not emulated" in str(exc.value)
+
+    # partition key probe, then the partition list for that key, must both
+    # answer — and the list must equal M4 discovery on the raw data
+    pk = run_ch_sql(
+        spark,
+        "SELECT partition_key FROM system.tables "
+        "WHERE database = 'default' AND name = 'orders'",
+        SF01,
+        tables=(),
+    ).collect()
+    assert pk == [("toYYYYMM(o_orderdate)",)]
+
+    parts = run_ch_sql(
+        spark,
+        "SELECT DISTINCT partition FROM system.parts "
+        "WHERE database = 'default' AND table = 'orders' AND active = 1 "
+        "ORDER BY partition",
+        SF01,
+        tables=(),
+    ).collect()
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+
+    want = [
+        r[0]
+        for r in load_table(spark, SF01, "orders")
+        .select(F.date_format("o_orderdate", "yyyyMM").alias("p"))
+        .distinct()
+        .orderBy("p")
+        .collect()
+    ]
+    assert [r[0] for r in parts] == want and len(want) > 10
+
+    # row counts from partition metadata == a real count
+    rows = run_ch_sql(
+        spark,
+        "SELECT toInt64(sum(rows)) AS n FROM system.parts "
+        "WHERE table = 'orders' AND active = 1",
+        SF01,
+        tables=(),
+    ).collect()[0][0]
+    assert rows == load_table(spark, SF01, "orders").count()
