@@ -815,11 +815,36 @@ class _PrewhereMarker(Exception):
         self.idx = idx
 
 
+# DML/DDL statements route to the engine's operator surface, not spark.sql
+# over temp views (which are not writable) — refuse with the implementation
+_STATEMENT_POINTERS = {
+    "insert": "operators/migrate.py (S10 bulk copy) / "
+              "sources/clickhouse_http.py write_table_http",
+    "alter": "operators/maintenance.py (mutations, schema evolution, TTL, "
+             "DROP/ATTACH/MOVE PARTITION)",
+    "create": "operators/migrate.py:214-251 (CREATE sink = first staged "
+              "write) / catalog.py",
+    "drop": "catalog.py drop_table / operators/maintenance.py",
+    "truncate": "catalog.py drop_table",
+    "optimize": "operators/maintenance.py optimize_final_deduplicate",
+    "rename": "operators/migrate.py (S8 atomic staging rename)",
+    "exchange": "operators/migrate.py (S8 atomic swap)",
+}
+
+
 def translate_ch_sql(sql: str) -> str:
-    """Translate a ClickHouse SQL string to Spark SQL. Raises
+    """Translate a ClickHouse SELECT/WITH query to Spark SQL. Raises
     UnsupportedCHSQL (with a pointer to this repo's equivalent operator)
-    on constructs that need more than a dialect rewrite."""
+    on constructs that need more than a dialect rewrite — including DML/
+    DDL statements, which route to the operator surface instead."""
     tokens = _tokenize(sql)
+    first = _next_code(tokens, 0)
+    lead = tokens[first].lower() if first < len(tokens) else ""
+    if lead in _STATEMENT_POINTERS:
+        raise UnsupportedCHSQL(
+            f"{lead.upper()} statements are not translated — temp views are "
+            f"not writable through spark.sql; use {_STATEMENT_POINTERS[lead]}"
+        )
     # PREWHERE: ClickHouse's early-filter hint. Spark's optimizer pushes
     # predicates itself, so PREWHERE → WHERE; when both clauses appear the
     # conditions conjoin.

@@ -388,3 +388,22 @@ def test_system_table_emulation(spark):
         tables=(),
     ).collect()[0][0]
     assert rows == load_table(spark, SF01, "orders").count()
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        ("INSERT INTO t SELECT * FROM u WHERE a = 1", "migrate"),
+        ("ALTER TABLE t DELETE WHERE a = 1", "maintenance"),
+        ("OPTIMIZE TABLE t FINAL", "optimize_final_deduplicate"),
+        ("DROP TABLE t", "drop_table"),
+        ("TRUNCATE TABLE t", "drop_table"),
+    ],
+)
+def test_dml_statements_route_to_operators(ch: str, needle: str):
+    """DML/DDL texts (the reference's migration.py:189/475 INSERT…SELECT
+    shape included) refuse with a pointer to the operator surface — temp
+    views are not writable through spark.sql."""
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql(ch)
+    assert needle in str(exc.value)

@@ -194,3 +194,39 @@ def test_repeated_spans_at_16x(spark, tmp_path_factory):
     dt = time.perf_counter() - t0
     assert n == distinct_spans
     assert dt < 90, f"repeated spans at 16x docs took {dt:.1f}s"
+
+
+@pytest.fixture(scope="module")
+def big_emb_dir(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("scale_emb")
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    big = (
+        e.withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(REPL)])))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 1_000_000)
+        .drop("rep")
+    )
+    big.write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_kmeans_training_at_32k_vectors(spark, big_emb_dir):
+    """Topology guard for the single-plan Lloyd trainer (_lloyd_unrolled):
+    16x the corpus must train in ~O(n) wall clock — the corpus never
+    shuffles (only KxDIM mean rows do), so a blow-up here would mean a
+    corpus-wide exchange or a quadratic step crept back in."""
+    import time
+
+    from clickhousemigrators3_spark.operators.embeddings_ops import (
+        K_CLUSTERS,
+        _lloyd_unrolled,
+    )
+
+    t0 = time.time()
+    assign, cent, _ = _lloyd_unrolled(spark, big_emb_dir)
+    n = assign.count()
+    dt = time.time() - t0
+    assert n == 2000 * REPL
+    assert cent.count() == K_CLUSTERS
+    assert dt < 60, f"16x training took {dt:.1f}s — corpus-shuffle regression?"
