@@ -317,6 +317,10 @@ _UNSUPPORTED_FUNCS = {
     "uniqupto": "operators/ch_aggregates.py uniq_up_to_per_type",
     "dictget": "operators/mergetree.py ch_dict_get_nation_name (broadcast join)",
     "summap": "operators/mergetree.py ch_summing_map",
+    "quantileexactweighted": (
+        "operators/ch_aggregates.py quantile_exact_weighted (Spark has no "
+        "weighted percentile builtin)"
+    ),
     "groupbitmap": "operators/ch_aggregates.py ch_group_bitmap_weekly_users",
     "anyheavy": "operators/ch_aggregates.py topk_weighted_sources",
     "runningdifference": (
@@ -353,8 +357,52 @@ _CH_TYPES = {
     "float64": "DOUBLE",
     "string": "STRING",
     "date": "DATE",
+    "date32": "DATE",
     "datetime": "TIMESTAMP",
     "bool": "BOOLEAN",
+    "uuid": "STRING",
+}
+
+
+def _map_ch_type(ch_t: str) -> str:
+    """ClickHouse type NAME → Spark SQL type, structurally: Nullable /
+    LowCardinality wrappers drop (Spark columns are nullable and
+    dictionary encoding is a storage concern), Array(T) recurses,
+    Decimal/DateTime64/FixedString parametrize."""
+    t = ch_t.strip()
+    m = re.match(r"(?is)^(nullable|lowcardinality)\s*\((.*)\)$", t)
+    if m:
+        return _map_ch_type(m.group(2))
+    m = re.match(r"(?is)^array\s*\((.*)\)$", t)
+    if m:
+        return f"ARRAY<{_map_ch_type(m.group(1))}>"
+    base = t.split("(")[0].strip().lower()
+    if base in _CH_TYPES:
+        return _CH_TYPES[base]
+    args = (
+        [a.strip() for a in t[t.index("(") + 1 : t.rindex(")")].split(",")]
+        if "(" in t
+        else []
+    )
+    if base == "decimal" and len(args) == 2:
+        return f"DECIMAL({args[0]}, {args[1]})"
+    if base == "decimal32" and args:
+        return f"DECIMAL(9, {args[0]})"
+    if base == "decimal64" and args:
+        return f"DECIMAL(18, {args[0]})"
+    if base == "decimal128" and args:
+        return f"DECIMAL(38, {args[0]})"
+    if base == "datetime64":
+        return "TIMESTAMP"  # Spark is µs; a scale of 9 loses sub-µs digits
+    if base == "fixedstring":
+        return "STRING"
+    raise UnsupportedCHSQL(f"CAST to ClickHouse type {ch_t!r} not mapped")
+
+# toStartOfFiveMinutes-style fixed buckets → epoch-aligned flooring
+_FIXED_INTERVALS = {
+    "tostartoffiveminutes": 300,
+    "tostartoftenminutes": 600,
+    "tostartoffifteenminutes": 900,
 }
 
 # formatDateTime %-codes → Spark date_format pattern letters
@@ -468,16 +516,7 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         if len(args) == 2:
             a1 = args[1].strip()
             if a1.startswith("'") and a1.endswith("'"):
-                ch_t = _string_value(a1)
-                base = ch_t.split("(")[0].strip().lower()
-                if base in _CH_TYPES:
-                    return f"CAST({args[0]} AS {_CH_TYPES[base]})"
-                if base == "decimal64":
-                    scale = ch_t.split("(")[1].rstrip(") ").strip()
-                    return f"CAST({args[0]} AS DECIMAL(18, {scale}))"
-                raise UnsupportedCHSQL(
-                    f"CAST to ClickHouse type {ch_t!r} not mapped"
-                )
+                return f"CAST({args[0]} AS {_map_ch_type(_string_value(a1))})"
         # standard CAST(x AS T) — pass through untouched
         return f"CAST({', '.join(args)})"
     if low == "extract" and len(args) == 1 and re.search(
@@ -535,6 +574,38 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         return f"CAST(get_json_object({args[0]}, {_json_path(args[1].strip())}) AS BIGINT)"
     if low == "jsonextractfloat" and len(args) == 2:
         return f"CAST(get_json_object({args[0]}, {_json_path(args[1].strip())}) AS DOUBLE)"
+    if low == "tostartofinterval" and len(args) >= 2:
+        m = re.match(
+            r"(?is)^\(?\s*INTERVAL\s+(\d+)\s+(\w+?)s?\s*\)?\s*$",
+            args[1].strip(),
+        )
+        if not m:
+            raise UnsupportedCHSQL(
+                "toStartOfInterval needs a literal INTERVAL n unit"
+            )
+        n_, unit = int(m.group(1)), m.group(2).lower()
+        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}.get(unit)
+        if secs is not None:
+            # ClickHouse aligns sub-week intervals to the epoch; identical
+            # arithmetic (session TZ is pinned UTC)
+            step = n_ * secs
+            return (
+                f"timestamp_seconds(CAST(floor(unix_timestamp({args[0]}) / "
+                f"{step}) * {step} AS BIGINT))"
+            )
+        if n_ == 1 and unit in ("week", "month", "quarter", "year"):
+            return f"date_trunc('{unit}', {args[0]})"
+        raise UnsupportedCHSQL(
+            f"toStartOfInterval({n_} {unit}) not mapped — multi-{unit} "
+            "buckets have ClickHouse-specific epoch alignment; bucket "
+            "explicitly with date_trunc + arithmetic"
+        )
+    if low in _FIXED_INTERVALS:
+        step = _FIXED_INTERVALS[low]
+        return (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({args[0]}) / "
+            f"{step}) * {step} AS BIGINT))"
+        )
     if low == "tostartofweek":
         if len(args) > 1 and args[1].strip() not in ("1", "3"):
             raise UnsupportedCHSQL(
@@ -559,7 +630,8 @@ _KNOWN = (
     | _ENGINE_HASHES
     | {"multiif", "cast", "todecimal64", "formatdatetime", "jsonextractstring",
        "visitparamextractstring", "jsonextractint", "jsonextractfloat",
-       "tostartofweek", "extract", "datediff"}
+       "tostartofweek", "extract", "datediff", "tostartofinterval"}
+    | set(_FIXED_INTERVALS)
 )
 
 

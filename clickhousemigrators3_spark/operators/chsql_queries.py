@@ -445,6 +445,30 @@ _ch(
     ("orders",),
 )
 
+# --- toStartOfInterval bucketing ------------------------------------------
+
+_ch(
+    "chsql_interval_buckets",
+    """
+    SELECT toStartOfInterval(ts, INTERVAL 6 hour) AS bucket,
+           count(*) AS cnt,
+           uniqExact(user_id) AS users
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    """
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                          * 1000000) AS bucket,
+           count(*) AS cnt,
+           count(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    ("events",),
+)
+
 # --- GLOBAL IN + SETTINGS strip -------------------------------------------
 
 _ch(

@@ -407,3 +407,52 @@ def test_dml_statements_route_to_operators(ch: str, needle: str):
     with pytest.raises(UnsupportedCHSQL) as exc:
         translate_ch_sql(ch)
     assert needle in str(exc.value)
+
+
+@pytest.mark.parametrize(
+    "ch, expected",
+    [
+        (
+            "SELECT toStartOfInterval(ts, INTERVAL 15 minute) FROM t",
+            "SELECT timestamp_seconds(CAST(floor(unix_timestamp(ts) / 900) "
+            "* 900 AS BIGINT)) FROM t",
+        ),
+        (
+            "SELECT toStartOfFiveMinutes(ts) FROM t",
+            "SELECT timestamp_seconds(CAST(floor(unix_timestamp(ts) / 300) "
+            "* 300 AS BIGINT)) FROM t",
+        ),
+        (
+            "SELECT CAST(x, 'Nullable(Decimal(12, 4))') FROM t",
+            "SELECT CAST(x AS DECIMAL(12, 4)) FROM t",
+        ),
+        (
+            "SELECT CAST(x, 'Array(Nullable(UInt32))') FROM t",
+            "SELECT CAST(x AS ARRAY<BIGINT>) FROM t",
+        ),
+        (
+            "SELECT CAST(x, 'LowCardinality(FixedString(8))') FROM t",
+            "SELECT CAST(x AS STRING) FROM t",
+        ),
+        (
+            "SELECT CAST(x, 'DateTime64(6)') FROM t",
+            "SELECT CAST(x AS TIMESTAMP) FROM t",
+        ),
+    ],
+)
+def test_type_and_interval_mapping(ch: str, expected: str):
+    assert " ".join(translate_ch_sql(ch).split()) == " ".join(expected.split())
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        ("SELECT toStartOfInterval(ts, INTERVAL 2 month) FROM t", "alignment"),
+        ("SELECT CAST(x, 'AggregateFunction(uniq, UInt64)') FROM t", "not mapped"),
+        ("SELECT quantileExactWeighted(0.5)(x, w) FROM t", "quantile_exact_weighted"),
+    ],
+)
+def test_type_and_interval_refusals(ch: str, needle: str):
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql(ch)
+    assert needle in str(exc.value)
