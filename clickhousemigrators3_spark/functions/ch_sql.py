@@ -904,6 +904,116 @@ _STATEMENT_POINTERS = {
 }
 
 
+def _expand_with_macros(tokens: list[str]) -> list[str]:
+    """ClickHouse's scalar WITH form — ``WITH <expr> AS <name>, … SELECT …``
+    — is a MACRO: the name stands for the expression everywhere in the
+    query (unlike a standard CTE, which Spark has and which passes through
+    untouched). Expand it textually: each alias becomes ``( expr )`` at
+    every identifier use site, matching ClickHouse's substitution
+    semantics (``WITH sum(x) AS s SELECT s`` ≡ ``SELECT sum(x)``).
+    Mixed CTE + scalar items in one WITH are refused."""
+    i = _next_code(tokens, 0)
+    if i >= len(tokens) or tokens[i].lower() != "with":
+        return tokens
+    # collect items up to the depth-0 SELECT that starts the body
+    j = i + 1
+    depth = 0
+    items: list[list[str]] = []
+    cur: list[str] = []
+    body_start = None
+    while j < len(tokens):
+        t = tokens[j]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            lw = t.lower()
+            if lw == "select":
+                body_start = j
+                break
+            if t == ",":
+                items.append(cur)
+                cur = []
+                j += 1
+                continue
+        cur.append(t)
+        j += 1
+    if body_start is None:
+        return tokens  # not a WITH…SELECT shape; leave for spark.sql
+    items.append(cur)
+
+    def _is_cte(item: list[str]) -> bool:
+        # name AS ( SELECT … )
+        a = _next_code(item, 0)
+        if a >= len(item) or not (item[a][0].isalpha() or item[a][0] in "_`\""):
+            return False
+        b = _next_code(item, a + 1)
+        if b >= len(item) or item[b].lower() != "as":
+            return False
+        c = _next_code(item, b + 1)
+        return c < len(item) and item[c] == "("
+
+    cte_flags = [_is_cte(it) for it in items]
+    if all(cte_flags):
+        return tokens  # standard CTEs — Spark handles them natively
+    if any(cte_flags):
+        raise UnsupportedCHSQL(
+            "WITH mixing subquery CTEs and scalar expression aliases is "
+            "not mapped — split the scalar aliases into the SELECT"
+        )
+
+    # scalar form: every item must END with a depth-0 `AS <name>`
+    macros: list[tuple[str, list[str]]] = []  # (name, expr_tokens)
+    for item in items:
+        code_idx = [k for k, t in enumerate(item) if not _is_ws(t)]
+        if (
+            len(code_idx) < 3
+            or item[code_idx[-2]].lower() != "as"
+            or not (
+                item[code_idx[-1]][0].isalpha()
+                or item[code_idx[-1]][0] == "_"
+            )
+        ):
+            raise UnsupportedCHSQL(
+                "WITH item is neither a CTE nor `expr AS name` — not mapped"
+            )
+        name = item[code_idx[-1]]
+        expr = item[: code_idx[-2]]
+        # earlier aliases may appear inside later expressions (ClickHouse
+        # allows chaining) — expand them first
+        for prev_name, prev_expr in macros:
+            expr = _substitute_ident(expr, prev_name, prev_expr)
+        macros.append((name, expr))
+
+    body = tokens[body_start:]
+    for name, expr in macros:
+        body = _substitute_ident(body, name, expr)
+    return body
+
+
+def _substitute_ident(
+    tokens: list[str], name: str, expr: list[str]
+) -> list[str]:
+    """Replace bare identifier uses of ``name`` with ``( expr )`` — not
+    qualified uses (``t.name``) and not where the identifier is a new
+    alias being DEFINED (directly after AS)."""
+    out: list[str] = []
+    prev_code: str | None = None
+    for t in tokens:
+        if (
+            t == name
+            and prev_code != "."
+            and (prev_code or "").lower() != "as"
+        ):
+            out.extend(["("] + list(expr) + [")"])
+        else:
+            out.append(t)
+        if not _is_ws(t):
+            prev_code = t
+    return out
+
+
 def translate_ch_sql(sql: str) -> str:
     """Translate a ClickHouse SELECT/WITH query to Spark SQL. Raises
     UnsupportedCHSQL (with a pointer to this repo's equivalent operator)
@@ -917,6 +1027,7 @@ def translate_ch_sql(sql: str) -> str:
             f"{lead.upper()} statements are not translated — temp views are "
             f"not writable through spark.sql; use {_STATEMENT_POINTERS[lead]}"
         )
+    tokens = _expand_with_macros(tokens)
     # PREWHERE: ClickHouse's early-filter hint. Spark's optimizer pushes
     # predicates itself, so PREWHERE → WHERE; when both clauses appear the
     # conditions conjoin.

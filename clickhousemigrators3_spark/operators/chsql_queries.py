@@ -445,6 +445,33 @@ _ch(
     ("orders",),
 )
 
+# --- scalar WITH macro -----------------------------------------------------
+
+_ch(
+    "chsql_with_macro",
+    """
+    WITH toFloat64(sumIf(toDecimal64(l_extendedprice, 2),
+                         l_discount > 0.05)) AS disc_rev
+    SELECT l_returnflag,
+           disc_rev AS discounted_revenue,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_discount > 0.05
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS discounted_revenue,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    ("lineitem",),
+)
+
 # --- toStartOfInterval bucketing ------------------------------------------
 
 _ch(

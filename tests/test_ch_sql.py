@@ -18,6 +18,8 @@ Three layers:
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from clickhousemigrators3_spark.functions.ch_sql import (
@@ -456,3 +458,131 @@ def test_type_and_interval_refusals(ch: str, needle: str):
     with pytest.raises(UnsupportedCHSQL) as exc:
         translate_ch_sql(ch)
     assert needle in str(exc.value)
+
+
+@pytest.mark.parametrize(
+    "ch, expected",
+    [
+        # ClickHouse scalar WITH is a macro: name → ( expr ) at use sites
+        (
+            "WITH 5 AS k SELECT k, k * 2 FROM t",
+            "SELECT ( 5 ), ( 5 ) * 2 FROM t",
+        ),
+        # chained aliases expand left-to-right
+        (
+            "WITH x + 1 AS a, a * 2 AS b SELECT b FROM t",
+            "SELECT ( ( x + 1 ) * 2 ) FROM t",
+        ),
+        # scalar-subquery alias
+        (
+            "WITH (SELECT max(x) FROM u) AS mx SELECT count(*) FROM t WHERE x = mx",
+            "SELECT count(*) FROM t WHERE x = ( (SELECT max(x) FROM u) )",
+        ),
+        # qualified uses are NOT the macro
+        (
+            "WITH 0.1 AS rate SELECT t.rate, rate FROM t",
+            "SELECT t.rate, ( 0.1 ) FROM t",
+        ),
+        # standard CTEs pass through untouched
+        (
+            "WITH c AS (SELECT 1 AS x) SELECT x FROM c",
+            "WITH c AS (SELECT 1 AS x) SELECT x FROM c",
+        ),
+    ],
+)
+def test_with_macro_expansion(ch: str, expected: str):
+    assert " ".join(translate_ch_sql(ch).split()) == " ".join(expected.split())
+
+
+def test_with_macro_mixed_refuses():
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql("WITH c AS (SELECT 1), 5 AS k SELECT k FROM c")
+    assert "mixing" in str(exc.value)
+
+
+# --- property-based safety net ---------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402
+
+_ATOMS = hst.sampled_from(["x", "y", "1", "2.5", "'lit'", "t.c", "arr"])
+_F1 = hst.sampled_from(
+    ["toDate", "lengthUTF8", "empty", "toString", "any", "median",
+     "uniqExact", "arraySum", "isNull", "toYear", "yesterday"]
+)
+_F2 = hst.sampled_from(
+    ["position", "splitByChar", "has", "plus", "sumIf", "like",
+     "argMax", "hasAny", "countEqual", "addDays", "intDiv"]
+)
+
+
+def _expr(depth: int):
+    if depth <= 0:
+        return _ATOMS
+    sub = _expr(depth - 1)
+    return hst.one_of(
+        _ATOMS,
+        hst.builds(lambda f, a: f"{f}({a})", _F1, sub),
+        hst.builds(lambda f, a, b: f"{f}({a}, {b})", _F2, sub, sub),
+        hst.builds(lambda a, b: f"({a} + {b})", sub, sub),
+        hst.builds(lambda a: f"arrayMap(v -> v, {a})", sub),
+        hst.builds(lambda a: f"quantile(0.5)({a})", sub),
+        hst.builds(lambda a: f"extract({a}, '^a(b)')", sub),
+    )
+
+
+_QUERY = hst.builds(
+    lambda e1, e2, pre, whr, grp, srt, tail: (
+        f"SELECT {e1} AS a, {e2} AS b FROM t"
+        + (f" PREWHERE {pre}" if pre else "")
+        + (f" WHERE {whr}" if whr else "")
+        + (f" GROUP BY {grp}" if grp else "")
+        + (f" ORDER BY {srt}" if srt else "")
+        + tail
+    ),
+    _expr(2),
+    _expr(2),
+    hst.one_of(hst.none(), _expr(1)),
+    hst.one_of(hst.none(), _expr(1)),
+    hst.one_of(hst.none(), _expr(1)),
+    hst.one_of(hst.none(), _expr(1)),
+    hst.sampled_from(["", " SETTINGS max_threads = 4", " FORMAT JSONEachRow"]),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_QUERY)
+def test_translator_never_corrupts(ch: str):
+    """Totality/safety net: over random compositions of the mapped idioms,
+    the translator either refuses (UnsupportedCHSQL) or emits output with
+    balanced parentheses and NO residue of the clauses it claims to strip
+    or merge (PREWHERE / trailing SETTINGS / FORMAT) — the r5 unbalanced-
+    paren bug class, fuzzed."""
+    try:
+        out = translate_ch_sql(ch)
+    except UnsupportedCHSQL:
+        return
+    depth = 0
+    in_str = False
+    i = 0
+    while i < len(out):
+        c = out[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            assert depth >= 0, (ch, out)
+        i += 1
+    assert depth == 0 and not in_str, (ch, out)
+    low = out.lower()
+    assert "prewhere" not in low, (ch, out)
+    assert not low.rstrip().endswith("jsoneachrow"), (ch, out)
+    assert not re.search(r"settings\s+max_threads\s*=", low), (ch, out)
