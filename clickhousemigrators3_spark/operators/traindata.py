@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.hashing import oracle_hash_sql
 from ..registry import register
 
 # fixtures carry no real PII (synthetic word salad), so the operator injects
@@ -1018,3 +1019,83 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned-classifier quality filtering (FineWeb-Edu / DCLM style): score
+# every document with a logistic model over hashed bag-of-words features.
+# The rule-based (Gopher), perplexity (CCNet), and importance (DSIR) gates
+# above cover the heuristic stages; this is the "apply a trained classifier
+# to the whole corpus" stage.
+# ---------------------------------------------------------------------------
+
+CLS_BUCKETS = 64
+CLS_BIAS = -0.2
+
+# deterministic fixture weights — a stand-in for trained coefficients with
+# the same shape (production swaps in the trained vector as a broadcast
+# literal array; the plan is identical). w_b = ((37 b + 11) mod 21 − 10)/10
+# spreads weights over [−1, 1] so both engines reproduce them exactly.
+_CLS_W = "(((bucket * 37 + 11) % 21 - 10) / 10.0)"
+
+CLASSIFIER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id, {oracle_hash_sql('tok', bits=32)} % {CLS_BUCKETS} AS bucket
+  FROM toks WHERE tok <> ''),
+per AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+doc AS (
+  SELECT doc_id, SUM(c * {_CLS_W}) / SUM(c) AS dot
+  FROM per GROUP BY doc_id)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-({CLS_BIAS} + dot))), 6) AS quality_prob,
+       ROUND(1.0 / (1.0 + exp(-({CLS_BIAS} + dot))), 6) >= 0.5 AS keep
+FROM doc ORDER BY doc_id
+"""
+
+
+@register("classifier_quality_score", CLASSIFIER_ORACLE)
+def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression quality scoring over hashed bag-of-words
+    features — the classifier-filtering stage of a modern training-data
+    pipeline (FineWeb-Edu's educational-value model, DCLM's fastText
+    filter): tokens hash into {CLS_BUCKETS} buckets, per-doc term
+    frequencies dot a weight vector, sigmoid → keep/drop.
+
+    Scale design: the model is a closed-form expression here (a trained
+    model ships as a broadcast literal array — same plan either way, the
+    weights are never a join side). Two shuffles, both bounded: (doc,
+    bucket) counts (map-side combine caps the first at docs×{CLS_BUCKETS}
+    rows) and the per-doc reduce. Everything is JVM expressions — no UDF
+    in the scoring path, so a 100 TB corpus scores in one pass at scan
+    speed."""
+    from ..functions.hashing import stable_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per = (
+        toks.select(
+            "doc_id",
+            (stable_hash32(F.col("tok")) % CLS_BUCKETS).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = ((F.col("bucket") * 37 + 11) % 21 - 10) / 10.0
+    doc = per.groupBy("doc_id").agg(
+        (F.sum(F.col("c") * w) / F.sum("c")).alias("dot")
+    )
+    prob = F.round(
+        1.0 / (1.0 + F.exp(-(F.lit(CLS_BIAS) + F.col("dot")))), 6
+    )
+    return doc.select(
+        "doc_id",
+        prob.alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
