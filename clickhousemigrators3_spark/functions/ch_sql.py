@@ -1027,6 +1027,14 @@ def translate_ch_sql(sql: str) -> str:
             f"{lead.upper()} statements are not translated — temp views are "
             f"not writable through spark.sql; use {_STATEMENT_POINTERS[lead]}"
         )
+    if lead == "show" and _next_code_word(tokens, first) == "create":
+        # reference migration.py:24 — DDL text is regex-parsed there; the
+        # structured equivalents obsolete the text round-trip
+        raise UnsupportedCHSQL(
+            "SHOW CREATE TABLE is not translated — schema reflection is "
+            "structured here: catalog.get_schema (StructType) and the "
+            "engine/partition-key columns of the emulated system.tables"
+        )
     tokens = _expand_with_macros(tokens)
     # PREWHERE: ClickHouse's early-filter hint. Spark's optimizer pushes
     # predicates itself, so PREWHERE → WHERE; when both clauses appear the

@@ -97,6 +97,30 @@ _ch(
     (),
 )
 
+# migration.py:266-270 — is_distributed_table engine probe (and :281's
+# engine_full variant, which :287 parses for Distributed local tables)
+_ch(
+    "chsql_sys_engine_probe",
+    """
+                SELECT engine
+                FROM system.tables
+                WHERE database = 'default' AND name = 'orders'
+            """,
+    "SELECT 'MergeTree' AS engine",
+    (),
+)
+
+_ch(
+    "chsql_sys_engine_full",
+    """
+                SELECT engine_full
+                FROM system.tables
+                WHERE database = 'default' AND name = 'lineitem'
+            """,
+    "SELECT 'MergeTree PARTITION BY toYYYYMM(l_shipdate) ORDER BY tuple()' AS engine_full",
+    (),
+)
+
 # ch_client.py:34 — storage-policy probe
 _ch(
     "chsql_sys_storage_policy",

@@ -586,3 +586,9 @@ def test_translator_never_corrupts(ch: str):
     assert "prewhere" not in low, (ch, out)
     assert not low.rstrip().endswith("jsoneachrow"), (ch, out)
     assert not re.search(r"settings\s+max_threads\s*=", low), (ch, out)
+
+
+def test_show_create_table_refuses_with_pointer():
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql("SHOW CREATE TABLE default.orders")
+    assert "get_schema" in str(exc.value)
