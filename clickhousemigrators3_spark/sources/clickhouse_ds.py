@@ -121,7 +121,9 @@ def _fetch_rows(
     timeout: float,
     retries: int = 2,
 ) -> Iterator[Tuple]:
-    raw = _post(url, sql.encode(), timeout, auth, retries=retries)
+    from .clickhouse_http import _json_read_url
+
+    raw = _post(_json_read_url(url), sql.encode(), timeout, auth, retries=retries)
     for line in raw.splitlines():
         if not line.strip():
             continue
@@ -159,7 +161,11 @@ def _fetch_record_batches(
     from pyarrow import json as pa_json
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    raw = _post(url, sql.encode(), timeout, auth, retries=retries)
+    from .clickhouse_http import _json_read_url
+
+    wf0 = wire_format.lower()
+    req_url = url if wf0 in ("parquet", "arrow", "arrowstream") else _json_read_url(url)
+    raw = _post(req_url, sql.encode(), timeout, auth, retries=retries)
     if not raw.strip():
         return
     arrow_schema = to_arrow_schema(schema)
@@ -191,7 +197,11 @@ def _fetch_record_batches(
     except pa.ArrowInvalid:
         import pandas as pd
 
-        pdf = pd.read_json(io.BytesIO(raw), lines=True, convert_dates=False)
+        # dtype=False: keep quoted decimals as text for the schema-driven
+        # parse (float inference would truncate Decimal128 precision)
+        pdf = pd.read_json(
+            io.BytesIO(raw), lines=True, convert_dates=False, dtype=False
+        )
         pdf = _coerce(pdf, schema)
         tbl = pa.Table.from_pandas(
             pdf, schema=arrow_schema, preserve_index=False

@@ -97,6 +97,25 @@ def build_select(
     return f"SELECT {cols} FROM {table}{where} FORMAT {fmt}"
 
 
+def _with_params(url: str, **params: str) -> str:
+    """Append URL query params (server settings) to an endpoint URL."""
+    if not params:
+        return url
+    sep = "&" if "?" in url else "?"
+    return url + sep + urllib.parse.urlencode(params)
+
+
+def _json_read_url(url: str) -> str:
+    """The JSON-wire read endpoint: ask the server to QUOTE decimals
+    (``output_format_json_quote_decimals=1``). ClickHouse renders decimals
+    as bare JSON numbers by default, and a bare number is parsed as
+    float64 by every JSON reader — Decimal128 precision would be lost
+    before the schema-driven coercion could see the digits. Quoted, the
+    text reaches ``_coerce`` intact. (Int64 quoting is already the
+    server default; the columnar wires carry decimals natively.)"""
+    return _with_params(url, output_format_json_quote_decimals="1")
+
+
 def _auth_headers(user: str | None, password: str | None) -> dict[str, str]:
     """The documented HTTP-auth headers (clickhouse-connect sends the same;
     X-ClickHouse-Key carries the password)."""
@@ -348,7 +367,14 @@ def read_table_http(
                     upper=hi,
                     fmt=wire_format,
                 )
-                raw = _post(url, sql.encode(), timeout, auth, retries=retries)
+                req_url = (
+                    _json_read_url(url)
+                    if wire_format.lower() == "jsoneachrow"
+                    else url
+                )
+                raw = _post(
+                    req_url, sql.encode(), timeout, auth, retries=retries
+                )
                 if not raw.strip():
                     yield _empty_pdf(schema)
                     continue
@@ -372,9 +398,14 @@ def read_table_http(
                     continue
                 # convert_dates=False: pandas would otherwise auto-parse
                 # date-NAMED columns (ts, *_at, ...) into datetimes, mangling
-                # string timestamp columns before the schema coercion
+                # string timestamp columns before the schema coercion.
+                # dtype=False: pandas would otherwise coerce numeric-LOOKING
+                # strings to float64 — a quoted Decimal128 loses ~20 digits
+                # before _coerce ever sees it; the schema-driven coercion
+                # owns ALL typing.
                 pdf = pd.read_json(
-                    io.BytesIO(raw), lines=True, convert_dates=False
+                    io.BytesIO(raw), lines=True, convert_dates=False,
+                    dtype=False,
                 )
                 yield _coerce(pdf, schema)
 

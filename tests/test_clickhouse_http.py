@@ -1329,3 +1329,43 @@ def test_default_read_negotiates_columnar_wire(spark, stub):
     finally:
         stub.formats = None
         ch._WIRE_CACHE.clear()
+
+
+def test_decimal128_survives_all_wires(spark, stub):
+    """Decimal128-class values (38-digit precision — far beyond double)
+    must round-trip EXACTLY over every wire: JSON renders decimal text and
+    the schema-driven coercion parses it as Decimal (never float); the
+    columnar wires carry decimal128 natively."""
+    from decimal import Decimal
+
+    stub.execute(
+        "CREATE TABLE bigdec (id BIGINT, v DECIMAL(38, 10))"
+    )
+    big = "1234567890123456789012345678.1234567890"
+    stub.con.execute(
+        f"INSERT INTO bigdec VALUES (1, {big}), (2, -0.0000000001)"
+    )
+    schema = spark.createDataFrame([], "id long, v decimal(38,10)").schema
+    want = [(1, Decimal(big)), (2, Decimal("-0.0000000001"))]
+    for fmt in ("JSONEachRow", "Parquet", "ArrowStream"):
+        df = read_table_http(spark, stub.url, "bigdec", schema, wire_format=fmt)
+        got = [tuple(r) for r in df.orderBy("id").collect()]
+        assert got == want, (fmt, got)
+
+
+def test_datetime64_9_truncates_to_micros(spark):
+    """DateTime64(9) renders nanosecond text on the JSON wire; Spark
+    timestamps are microsecond — the schema-driven parse keeps the first
+    six fractional digits and TRUNCATES the rest (documented edge; a
+    server that needs ns fidelity should expose an Int64 epoch-nanos
+    column instead)."""
+    import pandas as pd
+
+    from clickhousemigrators3_spark.sources.clickhouse_http import _coerce
+
+    schema = spark.createDataFrame([], "ts timestamp_ntz").schema
+    pdf = _coerce(
+        pd.DataFrame({"ts": ["2024-03-01 10:30:00.123456789"]}), schema
+    )
+    row = spark.createDataFrame(pdf, schema).collect()[0]
+    assert row.ts.microsecond == 123456
