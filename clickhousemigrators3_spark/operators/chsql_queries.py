@@ -469,6 +469,29 @@ _ch(
     ("orders",),
 )
 
+# --- JSON extraction -------------------------------------------------------
+
+_ch(
+    "chsql_json_extract",
+    """
+    SELECT event_type,
+           toInt64(sum(JSONExtractInt(props, 'k'))) AS sum_k,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    ("events",),
+)
+
 # --- scalar WITH macro -----------------------------------------------------
 
 _ch(
