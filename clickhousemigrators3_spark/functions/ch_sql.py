@@ -218,6 +218,18 @@ _TEMPLATE = {
     "any": "first({0}, true)",
     "anylast": "last({0}, true)",
     "anyif": "first(CASE WHEN {1} THEN {0} END, true)",
+    "uniqif": "approx_count_distinct(CASE WHEN {1} THEN {0} END)",
+    "uniqexactif": "count(DISTINCT CASE WHEN {1} THEN {0} END)",
+    # max_by/min_by skip NULL orderings, so failing rows can never win
+    "argmaxif": "max_by({0}, CASE WHEN {2} THEN {1} END)",
+    "argminif": "min_by({0}, CASE WHEN {2} THEN {1} END)",
+    "avgweighted": "(sum(CAST({0} AS DOUBLE) * {1}) / sum({1}))",
+    "arraymin": "array_min({0})",
+    "arraymax": "array_max({0})",
+    "arrayavg": (
+        "(aggregate({0}, 0.0D, (_aa, _ax) -> _aa + CAST(_ax AS DOUBLE))"
+        " / size({0}))"
+    ),
     "empty": "(length({0}) = 0)",
     "notempty": "(length({0}) > 0)",
     "match": "({0} RLIKE {1})",

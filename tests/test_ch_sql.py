@@ -592,3 +592,42 @@ def test_show_create_table_refuses_with_pointer():
     with pytest.raises(UnsupportedCHSQL) as exc:
         translate_ch_sql("SHOW CREATE TABLE default.orders")
     assert "get_schema" in str(exc.value)
+
+
+@pytest.mark.parametrize(
+    "ch, expected",
+    [
+        (
+            "SELECT uniqExactIf(u, f = 1) FROM t",
+            "SELECT count(DISTINCT CASE WHEN f = 1 THEN u END) FROM t",
+        ),
+        (
+            "SELECT argMaxIf(x, v, f = 1) FROM t",
+            "SELECT max_by(x, CASE WHEN f = 1 THEN v END) FROM t",
+        ),
+        (
+            "SELECT avgWeighted(x, w) FROM t",
+            "SELECT (sum(CAST(x AS DOUBLE) * w) / sum(w)) FROM t",
+        ),
+        (
+            "SELECT arrayMin(a), arrayMax(a) FROM t",
+            "SELECT array_min(a), array_max(a) FROM t",
+        ),
+    ],
+)
+def test_if_combinators_and_weighted(ch: str, expected: str):
+    assert " ".join(translate_ch_sql(ch).split()) == " ".join(expected.split())
+
+
+def test_argmaxif_executes_correctly(spark):
+    """argMaxIf must ignore rows failing the condition even when they hold
+    the global maximum ordering value (NULL ordering is skipped by
+    max_by)."""
+    df = spark.createDataFrame(
+        [("a", 100, 0), ("b", 5, 1), ("c", 3, 1)], "x string, v int, f int"
+    )
+    df.createOrReplaceTempView("ami_t")
+    row = spark.sql(
+        translate_ch_sql("SELECT argMaxIf(x, v, f = 1) AS got FROM ami_t")
+    ).collect()[0]
+    assert row.got == "b"
