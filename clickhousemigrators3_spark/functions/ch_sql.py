@@ -226,6 +226,18 @@ _TEMPLATE = {
     "avgweighted": "(sum(CAST({0} AS DOUBLE) * {1}) / sum({1}))",
     "arraymin": "array_min({0})",
     "arraymax": "array_max({0})",
+    # URL functions (the web-corpus idioms): Spark parse_url covers them
+    "domain": "parse_url({0}, 'HOST')",
+    "domainwithoutwww": "regexp_replace(parse_url({0}, 'HOST'), '^www\\\\.', '')",
+    "path": "parse_url({0}, 'PATH')",
+    "querystring": "parse_url({0}, 'QUERY')",
+    "protocol": "parse_url({0}, 'PROTOCOL')",
+    # non-overlapping substring count via length delta
+    "countsubstrings": (
+        "CAST((length({0}) - length(replace({0}, {1}, ''))) "
+        "/ length({1}) AS BIGINT)"
+    ),
+    "splitbyregexp": "split({1}, {0})",
     "arrayavg": (
         "(aggregate({0}, 0.0D, (_aa, _ax) -> _aa + CAST(_ax AS DOUBLE))"
         " / size({0}))"
@@ -535,7 +547,7 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         r"\bFROM\b", args[0], re.I
     ):
         return f"EXTRACT({args[0]})"  # standard SQL EXTRACT, not CH extract
-    if low == "extract" and len(args) == 2:
+    if low in ("extract", "extractall") and len(args) == 2:
         # ClickHouse extract(haystack, pattern): first capture group when the
         # pattern has one, else the WHOLE match — Spark regexp_extract with
         # group 1 throws on a group-less pattern, so pick the group index
@@ -552,7 +564,8 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             raise UnsupportedCHSQL(
                 f"extract() pattern does not compile: {exc}"
             ) from exc
-        return f"regexp_extract({args[0]}, {a1}, {1 if ngroups else 0})"
+        fn = "regexp_extract_all" if low == "extractall" else "regexp_extract"
+        return f"{fn}({args[0]}, {a1}, {1 if ngroups else 0})"
     if low == "position" and len(args) == 1 and re.search(
         r"\bIN\b", args[0], re.I
     ):
@@ -642,7 +655,8 @@ _KNOWN = (
     | _ENGINE_HASHES
     | {"multiif", "cast", "todecimal64", "formatdatetime", "jsonextractstring",
        "visitparamextractstring", "jsonextractint", "jsonextractfloat",
-       "tostartofweek", "extract", "datediff", "tostartofinterval"}
+       "tostartofweek", "extract", "extractall", "datediff",
+       "tostartofinterval"}
     | set(_FIXED_INTERVALS)
 )
 

@@ -631,3 +631,28 @@ def test_argmaxif_executes_correctly(spark):
         translate_ch_sql("SELECT argMaxIf(x, v, f = 1) AS got FROM ami_t")
     ).collect()[0]
     assert row.got == "b"
+
+
+def test_url_and_substring_functions(spark):
+    """URL parsing (domain/path/protocol — the web-corpus idioms),
+    countSubstrings, splitByRegexp, extractAll: translated AND executed."""
+    df = spark.createDataFrame(
+        [("https://www.example.com/a/b?q=1", "abcabcab")], "u string, s string"
+    )
+    df.createOrReplaceTempView("url_t")
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT domain(u) AS host, domainWithoutWWW(u) AS host2, "
+            "path(u) AS p, protocol(u) AS proto, "
+            "countSubstrings(s, 'abc') AS n_abc, "
+            "extractAll(s, 'a(b)') AS bs, "
+            "splitByRegexp('[bc]+', s) AS parts FROM url_t"
+        )
+    ).collect()[0]
+    assert row.host == "www.example.com"
+    assert row.host2 == "example.com"
+    assert row.p == "/a/b"
+    assert row.proto == "https"
+    assert row.n_abc == 2
+    assert row.bs == ["b", "b", "b"]
+    assert row.parts == ["a", "a", "a", ""]
