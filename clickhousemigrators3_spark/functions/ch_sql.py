@@ -9,7 +9,7 @@ Scope (deliberate): the translator is a TOKEN-AWARE REWRITER, not a full
 parser — it renames/reshapes ClickHouse's function spellings and strips or
 converts its clause-level quirks, and it REFUSES (with a pointer to the
 equivalent operator in this repo) constructs whose semantics need an
-operator-level rewrite (FINAL, LIMIT BY, SAMPLE, WITH TOTALS). Refusing
+operator-level rewrite (FINAL, SAMPLE, WITH TOTALS). Refusing
 loudly beats translating wrongly: a migration tool must never silently
 change query meaning.
 
@@ -53,10 +53,16 @@ Covered surface (the high-frequency ClickHouse idioms):
   startsWith/endsWith
 * clause level: PREWHERE → WHERE (merged with an existing WHERE, conjunct
   bounded at the next clause keyword), trailing SETTINGS/FORMAT stripped,
-  GLOBAL dropped, ARRAY JOIN / LEFT ARRAY JOIN → LATERAL VIEW [OUTER]
+  GLOBAL dropped, ARRAY JOIN / LEFT ARRAY JOIN → LATERAL VIEW [OUTER],
+  LIMIT n BY → row_number window rewrite (ORDER BY required — see
+  _rewrite_limit_by for the exact determinism contract)
+* window functions: OVER/PARTITION BY pass through (shared grammar);
+  lagInFrame/leadInFrame → lag/lead; any/anyLast over a window keep the
+  NULL-skipping first/last(ignoreNulls) mapping
 
 Refused loudly (pointer to the operator that implements the semantics):
-FINAL, SAMPLE, WITH TOTALS, LIMIT n BY, ANY/ASOF join strictness, topK /
+FINAL, SAMPLE, WITH TOTALS, LIMIT offset, n BY and LIMIT n BY without
+ORDER BY (nondeterministic), ANY/ASOF join strictness, topK /
 windowFunnel / retention / sequenceMatch / uniqUpTo / dictGet / sumMap /
 groupBitmap / anyHeavy, runningDifference / neighbor (block-order
 dependent), engine-specific hash families (cityHash64/sipHash64/…/MD5 —
@@ -178,6 +184,14 @@ _RENAME = {
     "groupbitor": "bit_or",
     "groupbitxor": "bit_xor",
     "concatassumeinjective": "concat",
+    # ClickHouse's window lag/lead are frame-respecting variants; with the
+    # default frame (the only shape the reference's users write) they agree
+    # with standard lag/lead row-for-row. An explicit ROWS BETWEEN frame
+    # would diverge — Spark's lag/lead ignore frames — but Spark refuses
+    # such frames on lag/lead at analysis time, so a divergence cannot pass
+    # silently.
+    "laginframe": "lag",
+    "leadinframe": "lead",
 }
 
 # templates: {0}, {1}… = translated args; {args} = all args comma-joined
@@ -496,6 +510,9 @@ def _json_path(key_tok: str) -> str:
 
 def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
     """Render one translated function call from already-translated args."""
+    if low == "count":
+        # ClickHouse count() is zero-arg count(*); Spark requires the star
+        return f"count({', '.join(a.strip() for a in args) or '*'})"
     if low in _UNSUPPORTED_FUNCS:
         raise UnsupportedCHSQL(
             f"ClickHouse {low}() needs an operator-level rewrite — see "
@@ -653,7 +670,8 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
 _KNOWN = (
     set(_RENAME) | set(_TEMPLATE) | set(_PARAMETRIC) | set(_UNSUPPORTED_FUNCS)
     | _ENGINE_HASHES
-    | {"multiif", "cast", "todecimal64", "formatdatetime", "jsonextractstring",
+    | {"count", "multiif", "cast", "todecimal64", "formatdatetime",
+       "jsonextractstring",
        "visitparamextractstring", "jsonextractint", "jsonextractfloat",
        "tostartofweek", "extract", "extractall", "datediff",
        "tostartofinterval"}
@@ -761,10 +779,7 @@ def _translate_tokens(tokens: list[str]) -> str:
             prev_code = "join"
             continue
         if low == "limit" and _limit_by_ahead(tokens, i):
-            raise UnsupportedCHSQL(
-                "LIMIT n BY needs a window rewrite — see "
-                "operators/mergetree.py ch_limit_by_recent"
-            )
+            raise _LimitByMarker(i)  # handled by caller on the full list
         if low == "totals" and prev_code == "with" and clause[-1] == "group":
             raise UnsupportedCHSQL(
                 "WITH TOTALS needs a rollup — see operators/tpch_more.py "
@@ -850,11 +865,18 @@ def _next_word_is(tokens: list[str], i: int, word: str) -> bool:
 
 
 def _limit_by_ahead(tokens: list[str], i: int) -> bool:
-    """LIMIT <n> BY …? (LIMIT n, m and plain LIMIT n are fine)."""
+    """LIMIT <n> BY …? or LIMIT <o>, <n> BY …? (plain LIMIT n / LIMIT n, m
+    without BY are ordinary row limits and stream through untouched)."""
     j = _next_code(tokens, i + 1)
     if j >= len(tokens) or not tokens[j][0].isdigit():
         return False
     k = _next_code(tokens, j + 1)
+    if k < len(tokens) and tokens[k] == ",":  # LIMIT o, n [BY …]
+        j2 = _next_code(tokens, k + 1)
+        if j2 >= len(tokens) or not tokens[j2][0].isdigit():
+            return False
+        k2 = _next_code(tokens, j2 + 1)
+        return k2 < len(tokens) and tokens[k2].lower() == "by"
     return k < len(tokens) and tokens[k].lower() == "by"
 
 
@@ -911,6 +933,157 @@ def _array_join(tokens: list[str], i: int, outer: bool = False) -> tuple[int, st
 class _PrewhereMarker(Exception):
     def __init__(self, idx: int):
         self.idx = idx
+
+
+class _LimitByMarker(Exception):
+    """Raised at a depth-0 ``LIMIT n BY``; translate_ch_sql rewrites the
+    owning SELECT through ``_rewrite_limit_by`` and retries."""
+
+    def __init__(self, idx: int):
+        self.idx = idx
+
+
+def _rewrite_limit_by(tokens: list[str], idx: int) -> list[str]:
+    """Rewrite ClickHouse's ``LIMIT n BY`` sugar into the window form it
+    stands for::
+
+        SELECT … ORDER BY o LIMIT n BY e1, e2 [LIMIT m]
+        →
+        SELECT * EXCEPT (__ch_limit_by_rn) FROM (
+            SELECT *, row_number() OVER (PARTITION BY e1, e2 ORDER BY o)
+                   AS __ch_limit_by_rn
+            FROM ( <query without ORDER BY / LIMIT BY> ) AS __ch_lb
+        ) WHERE __ch_limit_by_rn <= n ORDER BY o [LIMIT m]
+
+    Semantics notes (each divergence refuses rather than silently drifting):
+
+    * Deterministic only under ORDER BY — without one ClickHouse keeps n
+      *arbitrary* rows per group, which no rewrite can reproduce → refused
+      (pointer: operators/mergetree.py ch_limit_by_recent picks an explicit
+      order).
+    * The offset form ``LIMIT o, n BY`` (skip o, keep n per group) →
+      refused; it has no single-window equivalent worth faking.
+    * ORDER BY / BY expressions must name output columns of the SELECT
+      (alias your aggregates) — they move into a scope where only the
+      select list is visible. A bare source column that is not selected
+      fails loudly at Spark analysis, never silently.
+    * In ClickHouse a trailing ``LIMIT m`` after LIMIT BY caps the total
+      row count *after* the per-group cut — the rewrite preserves that
+      ordering of operations.
+
+    Reference parity: the reference's query_builder emits LIMIT BY for
+    "latest row per key" reads (reference query shapes, SURVEY §2 M-group);
+    ch_limit_by_recent in operators/mergetree.py is the DataFrame twin.
+    """
+    n = len(tokens)
+    if idx >= n or tokens[idx].lower() != "limit" or not _limit_by_ahead(
+        tokens, idx
+    ):
+        # marker escaped a recursive arg-slice translation: its index is
+        # relative to the slice, not this list — refuse rather than guess
+        raise UnsupportedCHSQL(
+            "LIMIT n BY inside function arguments is not supported"
+        )
+    j = _next_code(tokens, idx + 1)  # n (or offset in the offset form)
+    k = _next_code(tokens, j + 1)
+    if tokens[k] == ",":
+        raise UnsupportedCHSQL(
+            "LIMIT offset, n BY is not mapped (per-group offset) — use a "
+            "row_number window directly, see operators/mergetree.py "
+            "ch_limit_by_recent"
+        )
+    n_sql = tokens[j]
+    # k is the BY keyword; the expr list starts after it
+    # --- owning SELECT: nearest depth-0 `select` scanning backward --------
+    sel_idx = None
+    depth = 0
+    for p in range(idx - 1, -1, -1):
+        t = tokens[p]
+        if t == ")":
+            depth += 1
+        elif t == "(":
+            if depth == 0:
+                break  # left the subquery that owns this LIMIT — malformed
+            depth -= 1
+        elif depth == 0 and t.lower() == "select":
+            sel_idx = p
+            break
+    if sel_idx is None:
+        raise UnsupportedCHSQL("LIMIT n BY without an owning SELECT")
+    # --- ORDER BY inside [sel_idx, idx): required for determinism ---------
+    order_idx = None
+    depth = 0
+    for p in range(sel_idx + 1, idx):
+        t = tokens[p]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and t.lower() == "order"
+            and _next_word_is(tokens, p, "by")
+        ):
+            order_idx = p
+    if order_idx is None:
+        raise UnsupportedCHSQL(
+            "LIMIT n BY without ORDER BY keeps arbitrary rows per group — "
+            "add an ORDER BY, or see operators/mergetree.py "
+            "ch_limit_by_recent"
+        )
+    ord_start = _next_code(tokens, order_idx + 1) + 1  # past the BY word
+    # --- BY expr list end + optional trailing LIMIT m ---------------------
+    def _clause_end(start: int) -> int:
+        d = 0
+        for p in range(start, n):
+            t = tokens[p]
+            if t == "(":
+                d += 1
+            elif t == ")":
+                if d == 0:
+                    return p
+                d -= 1
+            elif d == 0:
+                lw = t.lower()
+                if lw in ("limit", "union") or (
+                    lw in ("settings", "format") and _looks_clause(tokens, p)
+                ):
+                    return p
+        return n
+
+    by_start = k + 1
+    by_end = _clause_end(by_start)
+    if by_end < n and tokens[by_end].lower() == "union":
+        # ClickHouse binds a trailing LIMIT BY to the LAST branch of an
+        # unparenthesized UNION; the rewrite's outer ORDER BY cannot sit
+        # before UNION in Spark's grammar — parenthesize the branch instead
+        raise UnsupportedCHSQL(
+            "LIMIT n BY directly before UNION is not mapped — wrap the "
+            "branch in parentheses: (SELECT … LIMIT n BY …) UNION ALL …"
+        )
+    if by_end < n and tokens[by_end].lower() == "limit":
+        tail_start = _clause_end(by_end + 1)
+        trailing_sql = "".join(tokens[by_end:tail_start]).strip()
+    else:
+        tail_start = by_end
+        trailing_sql = ""
+    inner_sql = "".join(tokens[sel_idx:order_idx]).strip()
+    ord_sql = "".join(tokens[ord_start:idx]).strip()
+    by_sql = "".join(tokens[by_start:by_end]).strip()
+    if not by_sql:
+        raise UnsupportedCHSQL("LIMIT n BY with an empty expression list")
+    new_sql = (
+        f"SELECT * EXCEPT (__ch_limit_by_rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {by_sql} "
+        f"ORDER BY {ord_sql}) AS __ch_limit_by_rn "
+        f"FROM ({inner_sql}) AS __ch_lb"
+        f") WHERE __ch_limit_by_rn <= {n_sql} ORDER BY {ord_sql}"
+    )
+    if trailing_sql:
+        new_sql += f" {trailing_sql}"
+    # explicit separator: tail_start points AT the next clause keyword, so
+    # the whitespace token before it was consumed with the BY-expr slice
+    return tokens[:sel_idx] + _tokenize(new_sql) + [" "] + tokens[tail_start:]
 
 
 # DML/DDL statements route to the engine's operator surface, not spark.sql
@@ -1065,12 +1238,14 @@ def translate_ch_sql(sql: str) -> str:
     # PREWHERE: ClickHouse's early-filter hint. Spark's optimizer pushes
     # predicates itself, so PREWHERE → WHERE; when both clauses appear the
     # conditions conjoin.
-    for _ in range(4):  # at most a few prewhere clauses
+    for _ in range(8):  # at most a few prewhere / limit-by rewrites
         try:
             return _translate_tokens(tokens).strip()
         except _PrewhereMarker as m:
             tokens = _merge_prewhere(tokens, m.idx)
-    raise UnsupportedCHSQL("too many PREWHERE clauses")
+        except _LimitByMarker as m:
+            tokens = _rewrite_limit_by(tokens, m.idx)
+    raise UnsupportedCHSQL("too many PREWHERE / LIMIT BY rewrites")
 
 
 def _merge_prewhere(tokens: list[str], idx: int) -> list[str]:

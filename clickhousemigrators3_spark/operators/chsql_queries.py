@@ -564,3 +564,57 @@ _ch(
     """,
     ("lineitem", "orders"),
 )
+
+# --- LIMIT n BY: ClickHouse's per-group top-n sugar ------------------------
+# Translated to the row_number window form (functions/ch_sql.py
+# _rewrite_limit_by); deterministic because the ORDER BY tie-breaks on
+# o_orderkey. Reference query shape: "latest/top rows per key" reads.
+
+_ch(
+    "chsql_limit_by_top_orders",
+    """
+    SELECT o_orderstatus, o_orderkey, toFloat64(o_totalprice) AS price
+    FROM orders
+    ORDER BY price DESC, o_orderkey
+    LIMIT 2 BY o_orderstatus
+    """,
+    """
+    SELECT o_orderstatus, o_orderkey, price FROM (
+        SELECT o_orderstatus, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY CAST(o_totalprice AS DOUBLE) DESC,
+                                           o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 2
+    ORDER BY price DESC, o_orderkey
+    """,
+    ("orders",),
+)
+
+# LIMIT BY over an aggregate + trailing LIMIT: top line-status per return
+# flag by line count, global cap applied AFTER the per-group cut
+_ch(
+    "chsql_limit_by_agg",
+    """
+    SELECT l_returnflag, l_linestatus, count() AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY cnt DESC, l_returnflag, l_linestatus
+    LIMIT 1 BY l_returnflag
+    LIMIT 2
+    """,
+    """
+    SELECT l_returnflag, l_linestatus, cnt FROM (
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY count(*) DESC, l_returnflag,
+                                           l_linestatus) AS rn
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    ) WHERE rn <= 1
+    ORDER BY cnt DESC, l_returnflag, l_linestatus
+    LIMIT 2
+    """,
+    ("lineitem",),
+)

@@ -101,6 +101,11 @@ SF01 = "/root/testdata/sf0.01"
             "SELECT extract(s, '^([0-9]+)-') FROM t",
             "SELECT regexp_extract(s, '^([0-9]+)-', 1) FROM t",
         ),
+        # zero-arg count() is ClickHouse's count(*) spelling
+        (
+            "SELECT count() AS c, count(x) AS cx, count(DISTINCT x) AS cd FROM t",
+            "SELECT count(*) AS c, count(x) AS cx, count(DISTINCT x) AS cd FROM t",
+        ),
         # quantified comparison is NOT ClickHouse any()
         (
             "SELECT * FROM t WHERE x = any(SELECT y FROM u)",
@@ -166,7 +171,14 @@ def test_golden_translation(ch: str, expected: str):
         ("SELECT * FROM t FINAL WHERE a=1", "mergetree"),
         ("SELECT * FROM t SAMPLE 0.1", "sample_hash"),
         ("SELECT x, count(*) FROM t GROUP BY x WITH TOTALS", "rollup"),
-        ("SELECT * FROM t ORDER BY ts LIMIT 2 BY x", "limit_by"),
+        # LIMIT n BY translates now (window rewrite) — only the shapes no
+        # honest rewrite can reproduce still refuse
+        ("SELECT * FROM t LIMIT 2 BY x", "limit_by"),  # no ORDER BY
+        ("SELECT * FROM t ORDER BY ts LIMIT 1, 2 BY x", "offset"),
+        (
+            "SELECT a FROM t ORDER BY a LIMIT 1 BY a UNION ALL SELECT b FROM u",
+            "parenthes",
+        ),
         ("SELECT * FROM t ANY LEFT JOIN u ON t.x = u.x", "ch_any_left_join"),
         ("SELECT * FROM t ASOF JOIN u ON t.k = u.k", "asof"),
         ("SELECT topK(5)(x) FROM t", "topk"),
@@ -258,6 +270,77 @@ def test_left_array_join_keeps_empty(spark):
     assert sorted(((r.id, r.x) for r in outer), key=str) == sorted(
         [(1, "a"), (1, "b"), (2, None)], key=str
     )
+
+
+def test_limit_by_window_rewrite(spark):
+    """LIMIT n BY keeps the first n rows per group in ORDER BY order, then
+    a trailing LIMIT caps the total — ClickHouse's documented semantics."""
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8), ("c", 5)],
+        "k string, v int",
+    )
+    df.createOrReplaceTempView("lb_t")
+    out = spark.sql(
+        translate_ch_sql(
+            "SELECT k, v FROM lb_t ORDER BY v DESC LIMIT 2 BY k"
+        )
+    ).collect()
+    assert [(r.k, r.v) for r in out] == [
+        ("b", 9), ("b", 8), ("c", 5), ("a", 3), ("a", 2),
+    ]
+    # schema must NOT leak the helper row_number column
+    assert [f.name for f in spark.sql(
+        translate_ch_sql("SELECT k, v FROM lb_t ORDER BY v LIMIT 1 BY k")
+    ).schema] == ["k", "v"]
+    # trailing LIMIT applies after the per-group cut
+    capped = spark.sql(
+        translate_ch_sql(
+            "SELECT k, v FROM lb_t ORDER BY v DESC LIMIT 2 BY k LIMIT 3"
+        )
+    ).collect()
+    assert [(r.k, r.v) for r in capped] == [("b", 9), ("b", 8), ("c", 5)]
+    # works over aggregates when ORDER BY names the alias
+    agg = spark.sql(
+        translate_ch_sql(
+            "SELECT k, count() AS c FROM lb_t GROUP BY k "
+            "ORDER BY c DESC, k LIMIT 1 BY k"
+        )
+    ).collect()
+    assert [(r.k, r.c) for r in agg] == [("a", 3), ("b", 2), ("c", 1)]
+
+
+def test_limit_by_golden_translation():
+    got = " ".join(
+        translate_ch_sql(
+            "SELECT k, v FROM t ORDER BY v DESC LIMIT 2 BY k"
+        ).split()
+    )
+    assert got == (
+        "SELECT * EXCEPT (__ch_limit_by_rn) FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY k ORDER BY v DESC) AS __ch_limit_by_rn FROM "
+        "(SELECT k, v FROM t) AS __ch_lb) WHERE __ch_limit_by_rn <= 2 "
+        "ORDER BY v DESC"
+    )
+    # SETTINGS after the BY list is still stripped on the retry pass
+    assert "SETTINGS" not in translate_ch_sql(
+        "SELECT k FROM t ORDER BY k LIMIT 2 BY k SETTINGS max_threads = 4"
+    )
+
+
+def test_laginframe_maps_to_lag(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 7)], "k string, v int")
+    df.createOrReplaceTempView("lif_t")
+    out = spark.sql(
+        translate_ch_sql(
+            "SELECT k, v, lagInFrame(v) OVER "
+            "(PARTITION BY k ORDER BY v) AS prev, "
+            "leadInFrame(v) OVER (PARTITION BY k ORDER BY v) AS nxt "
+            "FROM lif_t ORDER BY k, v"
+        )
+    ).collect()
+    assert [(r.k, r.v, r.prev, r.nxt) for r in out] == [
+        ("a", 1, None, 2), ("a", 2, 1, None), ("b", 7, None, None),
+    ]
 
 
 def test_translated_equals_dataframe_twin(spark):
