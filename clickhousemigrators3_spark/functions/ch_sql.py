@@ -780,6 +780,12 @@ def _translate_tokens(tokens: list[str]) -> str:
             continue
         if low == "limit" and _limit_by_ahead(tokens, i):
             raise _LimitByMarker(i)  # handled by caller on the full list
+        if low == "fill" and prev_code == "with" and clause[-1] == "order":
+            raise UnsupportedCHSQL(
+                "ORDER BY … WITH FILL is not mapped — generate the dense "
+                "axis with sequence()+explode and left-join it, see "
+                "operators/event_analytics.py ev_wau_sliding_7d"
+            )
         if low == "totals" and prev_code == "with" and clause[-1] == "group":
             raise UnsupportedCHSQL(
                 "WITH TOTALS needs a rollup — see operators/tpch_more.py "

@@ -192,6 +192,8 @@ def test_golden_translation(ch: str, expected: str):
         ("SELECT sumMap(k, v) FROM t", "ch_summing_map"),
         ("SELECT arrayMap((x, y) -> x + y, a, b) FROM t", "multi-array"),
         ("SELECT dateDiff(u, a, b) FROM t", "literal unit"),
+        ("SELECT x FROM t ORDER BY x WITH FILL", "dense axis"),
+        ("SELECT x FROM t ORDER BY x WITH FILL FROM 1 TO 10", "dense axis"),
     ],
 )
 def test_refusals(ch: str, needle: str):
@@ -629,7 +631,14 @@ _QUERY = hst.builds(
     hst.one_of(hst.none(), _expr(1)),
     hst.one_of(hst.none(), _expr(1)),
     hst.one_of(hst.none(), _expr(1)),
-    hst.sampled_from(["", " SETTINGS max_threads = 4", " FORMAT JSONEachRow"]),
+    hst.sampled_from([
+        "",
+        " SETTINGS max_threads = 4",
+        " FORMAT JSONEachRow",
+        " LIMIT 2 BY a",
+        " LIMIT 2 BY a LIMIT 3",
+        " LIMIT 2 BY a SETTINGS max_threads = 4",
+    ]),
 )
 
 
