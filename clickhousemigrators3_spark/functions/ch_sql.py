@@ -59,6 +59,9 @@ Covered surface (the high-frequency ClickHouse idioms):
 * window functions: OVER/PARTITION BY pass through (shared grammar);
   lagInFrame/leadInFrame → lag/lead; any/anyLast over a window keep the
   NULL-skipping first/last(ignoreNulls) mapping
+* ORDER BY … WITH FILL [FROM/TO/STEP] — run_ch_sql only (the dense-axis
+  rewrite needs the result schema for ClickHouse-default fill values);
+  see _expand_with_fill for the exact FillingTransform cursor semantics
 
 Refused loudly (pointer to the operator that implements the semantics):
 FINAL, SAMPLE, WITH TOTALS, LIMIT offset, n BY and LIMIT n BY without
@@ -782,8 +785,9 @@ def _translate_tokens(tokens: list[str]) -> str:
             raise _LimitByMarker(i)  # handled by caller on the full list
         if low == "fill" and prev_code == "with" and clause[-1] == "order":
             raise UnsupportedCHSQL(
-                "ORDER BY … WITH FILL is not mapped — generate the dense "
-                "axis with sequence()+explode and left-join it, see "
+                "ORDER BY … WITH FILL needs the result schema for the "
+                "dense-axis rewrite — run it through run_ch_sql (supported "
+                "there), or build the axis with sequence()+explode, see "
                 "operators/event_analytics.py ev_wau_sliding_7d"
             )
         if low == "totals" and prev_code == "with" and clause[-1] == "group":
@@ -1308,14 +1312,336 @@ def _merge_prewhere(tokens: list[str], idx: int) -> list[str]:
     )
 
 
+# --- ORDER BY … WITH FILL ---------------------------------------------------
+# ClickHouse's result-set densification (reference users write it for time
+# axes; the DataFrame equivalent is ev_wau_sliding_7d's sequence()+explode
+# pattern). Semantics implemented — matching the FillingTransform cursor:
+#   * original rows are always kept;
+#   * between consecutive original key values v, v' the generated values are
+#     v+STEP, v+2·STEP, … while < v' (the cursor RE-ANCHORS at every original
+#     row — this is NOT a static grid when originals are off-grid);
+#   * FROM seeds a head segment FROM, FROM+STEP, … while < min(key);
+#   * TO seeds a tail segment last+STEP, … while < TO (TO is exclusive);
+#   * generated rows carry ClickHouse column DEFAULTS (0 / '' / epoch), not
+#     NULLs.
+# FROM above the minimum or TO below the maximum would change which gaps the
+# ClickHouse cursor fills — those runs fail loudly (assert_true guard) rather
+# than silently diverge. Scale note: the fill runs on the RESULT relation
+# (post-aggregation axis, usually small); the one window is a global sort of
+# that result — same cost class as the ORDER BY the query already asked for.
+
+
+class _FillSpec:
+    __slots__ = ("key", "from_lit", "to_lit", "step_lit", "step_interval")
+
+    def __init__(self, key, from_lit=None, to_lit=None, step_lit=None,
+                 step_interval=None):
+        self.key = key
+        self.from_lit = from_lit
+        self.to_lit = to_lit
+        self.step_lit = step_lit
+        self.step_interval = step_interval
+
+
+def _scan_top_fill(tokens: list[str]) -> int | None:
+    """Index of a depth-0 ORDER BY … WITH FILL's ``fill`` token, using the
+    same clause state machine as _translate_tokens (a CTE or column named
+    ``fill`` never matches)."""
+    clause: list[str | None] = [None]
+    prev_code: str | None = None
+    for i, t in enumerate(tokens):
+        if _is_ws(t):
+            continue
+        low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
+        if (
+            low == "fill"
+            and prev_code == "with"
+            and clause[-1] == "order"
+            and len(clause) == 1
+        ):
+            return i
+        if t == "(":
+            clause.append(None)
+        elif t == ")":
+            if len(clause) > 1:
+                clause.pop()
+        elif low in ("select", "from", "where", "having", "limit", "window"):
+            clause[-1] = low
+        elif low in ("group", "order") and _next_word_is(tokens, i, "by"):
+            clause[-1] = low
+        elif low == "union":
+            clause[-1] = None
+        prev_code = low if low is not None else t
+    return None
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _fill_ident(name: str) -> str:
+    return name if _IDENT_RE.match(name) else "`" + name.replace("`", "``") + "`"
+
+
+def _is_literal_tok(tok: str) -> bool:
+    return bool(tok) and (tok[0].isdigit() or tok[0] == "'")
+
+
+def _extract_with_fill(sql: str) -> tuple[str, _FillSpec] | None:
+    """Split ``… ORDER BY key WITH FILL [FROM a] [TO b] [STEP s]`` into the
+    query without the fill tail plus the parsed spec. None when the query
+    has no top-level WITH FILL. Refuses the forms whose semantics a dense
+    rewrite cannot keep (INTERPOLATE, STALENESS, DESC, multi-key, expression
+    keys, LIMIT after the fill)."""
+    tokens = _tokenize(sql)
+    fi = _scan_top_fill(tokens)
+    if fi is None:
+        return None
+    n = len(tokens)
+    # the WITH introducing this FILL
+    wi = fi - 1
+    while wi >= 0 and _is_ws(tokens[wi]):
+        wi -= 1
+    # locate the ORDER BY backwards from WITH (balanced-paren walk)
+    rdepth = 0
+    order_i = None
+    for p in range(wi - 1, -1, -1):
+        t = tokens[p]
+        if t == ")":
+            rdepth += 1
+        elif t == "(":
+            rdepth -= 1
+        elif rdepth == 0 and t.lower() == "order" and _next_word_is(tokens, p, "by"):
+            order_i = p
+            break
+    if order_i is None:  # pragma: no cover - _scan_top_fill guarantees one
+        return None
+    by_i = _next_code(tokens, order_i + 1)
+    key_toks = [t for t in tokens[by_i + 1 : wi] if not _is_ws(t)]
+    if key_toks and key_toks[-1].lower() == "asc":
+        key_toks = key_toks[:-1]
+    if key_toks and key_toks[-1].lower() == "desc":
+        raise UnsupportedCHSQL(
+            "ORDER BY … DESC WITH FILL (negative fill cursor) is not "
+            "mapped — fill ascending and re-sort, or build the axis with "
+            "sequence()+explode (operators/event_analytics.py "
+            "ev_wau_sliding_7d)"
+        )
+    if len(key_toks) != 1 or not _IDENT_RE.match(key_toks[0]):
+        raise UnsupportedCHSQL(
+            "WITH FILL needs a single bare output-column key (got "
+            f"{''.join(key_toks)!r}) — alias the expression in SELECT and "
+            "fill on the alias"
+        )
+    spec = _FillSpec(key_toks[0])
+    # parse the spec tail after FILL
+    j = _next_code(tokens, fi + 1)
+    while j < n:
+        low = tokens[j].lower()
+        if low in ("from", "to"):
+            v = _next_code(tokens, j + 1)
+            if v >= n or not _is_literal_tok(tokens[v]):
+                raise UnsupportedCHSQL(
+                    f"WITH FILL {low.upper()} needs a plain numeric/string "
+                    "literal bound (expressions are not evaluated at "
+                    "translation time)"
+                )
+            setattr(spec, f"{low}_lit", tokens[v])
+            j = _next_code(tokens, v + 1)
+        elif low == "step":
+            v = _next_code(tokens, j + 1)
+            if v < n and tokens[v].lower() == "interval":
+                num = _next_code(tokens, v + 1)
+                unit = _next_code(tokens, num + 1)
+                if unit >= n or not tokens[num][0].isdigit():
+                    raise UnsupportedCHSQL(
+                        "WITH FILL STEP INTERVAL needs `INTERVAL <n> <unit>`"
+                    )
+                spec.step_interval = f"INTERVAL {tokens[num]} {tokens[unit]}"
+                j = _next_code(tokens, unit + 1)
+            elif v < n and tokens[v][0].isdigit():
+                spec.step_lit = tokens[v]
+                j = _next_code(tokens, v + 1)
+            else:
+                raise UnsupportedCHSQL(
+                    "WITH FILL STEP needs a numeric literal or "
+                    "INTERVAL <n> <unit>"
+                )
+        elif low in ("interpolate", "staleness"):
+            raise UnsupportedCHSQL(
+                f"WITH FILL {low.upper()} is not mapped — compute the "
+                "carried value with last_value(… , true) OVER the filled "
+                "axis instead"
+            )
+        elif low == ",":
+            raise UnsupportedCHSQL(
+                "WITH FILL on more than one ORDER BY key is not mapped — "
+                "fill the outer key with sequence()+explode and cross join"
+            )
+        elif low == "limit":
+            raise UnsupportedCHSQL(
+                "LIMIT after WITH FILL is not mapped (ClickHouse limits the "
+                "FILLED result; a pushed-down limit would truncate before "
+                "filling) — wrap the filled query and limit outside"
+            )
+        elif low in ("settings", "format") and _looks_clause(tokens, j):
+            break  # stays in the inner query; the translator strips it
+        else:
+            raise UnsupportedCHSQL(
+                f"unexpected token {tokens[j]!r} after WITH FILL spec"
+            )
+    sql_nofill = "".join(tokens[:wi]) + " " + "".join(tokens[j:])
+    return sql_nofill, spec
+
+
+_FILL_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _fill_default(name: str, t: str) -> str:
+    """ClickHouse non-Nullable column DEFAULT as a Spark literal of type
+    ``t`` (simpleString): 0 for numbers, '' for strings, epoch for dates."""
+    if t in _FILL_NUMERIC or t.startswith("decimal"):
+        return f"CAST(0 AS {t})"
+    if t == "string":
+        return "''"
+    if t == "boolean":
+        return "false"
+    if t == "date":
+        return "DATE'1970-01-01'"
+    if t in ("timestamp", "timestamp_ntz"):
+        return f"CAST('1970-01-01 00:00:00' AS {t})"
+    raise UnsupportedCHSQL(
+        f"WITH FILL cannot synthesize a default for column {name!r} of "
+        f"type {t} — project it out or fill via sequence()+explode"
+    )
+
+
+def _expand_with_fill(spark, inner_sql: str, spec: _FillSpec) -> str:
+    """Wrap translated ``inner_sql`` in the dense-axis rewrite for ``spec``.
+
+    Needs a SparkSession: the fill defaults and axis type come from the
+    analyzed schema of the inner query (analysis only — nothing executes
+    until the returned SQL runs)."""
+    schema = spark.sql(inner_sql).schema
+    field = next(
+        (f for f in schema.fields if f.name.lower() == spec.key.lower()), None
+    )
+    if field is None:
+        raise UnsupportedCHSQL(
+            f"WITH FILL key {spec.key!r} is not an output column of the "
+            f"query (columns: {', '.join(f.name for f in schema.fields)})"
+        )
+    kt = field.dataType.simpleString()
+    integral = kt in ("tinyint", "smallint", "int", "bigint")
+    is_date = kt == "date"
+    is_ts = kt in ("timestamp", "timestamp_ntz")
+    if not (integral or is_date or is_ts):
+        raise UnsupportedCHSQL(
+            f"WITH FILL on a {kt} key is not mapped (float/decimal axes "
+            "need exact step alignment) — cast the key to an integer grid "
+            "or fill via sequence()+explode"
+        )
+    if spec.step_interval is not None:
+        if integral:
+            raise UnsupportedCHSQL(
+                "WITH FILL STEP INTERVAL on a numeric key — use a plain "
+                "numeric STEP"
+            )
+        step = spec.step_interval
+    elif spec.step_lit is not None:
+        if integral:
+            if "." in spec.step_lit:
+                raise UnsupportedCHSQL(
+                    "fractional STEP on an integer fill key"
+                )
+            step = spec.step_lit
+        elif is_date:
+            step = f"INTERVAL {spec.step_lit} DAY"  # CH Date steps in days
+        else:
+            step = f"INTERVAL {spec.step_lit} SECOND"  # DateTime: seconds
+    else:
+        step = "1" if integral else (
+            "INTERVAL 1 DAY" if is_date else "INTERVAL 1 SECOND"
+        )
+    qk = _fill_ident(field.name)
+    from_sql = f"CAST({spec.from_lit} AS {kt})" if spec.from_lit else None
+    to_sql = f"CAST({spec.to_lit} AS {kt})" if spec.to_lit else None
+    # divergence guards (see module comment): FROM > min / TO < max would
+    # change which gaps ClickHouse's cursor fills — fail, don't fake
+    checks = []
+    if from_sql:
+        checks.append(f"(__first IS NULL OR {from_sql} <= __first)")
+    if to_sql:
+        checks.append(f"(__last IS NULL OR {to_sql} >= __last)")
+    guard_join = ""
+    guard_where = ""
+    ctes = [
+        f"__fill_src AS ({inner_sql})",
+        f"__fill_seq AS (SELECT {qk} AS __k, "
+        f"LEAD({qk}) OVER (ORDER BY {qk}) AS __next FROM __fill_src)",
+        f"__fill_bounds AS (SELECT MIN({qk}) AS __first, MAX({qk}) AS "
+        f"__last FROM __fill_src)",
+    ]
+    if checks:
+        ctes.append(
+            "__fill_guard AS (SELECT assert_true(" + " AND ".join(checks)
+            + ", 'WITH FILL FROM/TO inside the data range diverges from "
+            "the ClickHouse fill cursor — this rewrite refuses') AS __ok "
+            "FROM __fill_bounds)"
+        )
+        guard_join = " CROSS JOIN __fill_guard"
+        guard_where = "__ok IS NULL AND "
+    to_or_null = to_sql if to_sql else f"CAST(NULL AS {kt})"
+    segs = (
+        f"SELECT CAST(__k + {step} AS {kt}) AS __lo, "
+        f"COALESCE(__next, {to_or_null}) AS __hi "
+        f"FROM __fill_seq{guard_join}"
+        + (f" WHERE {guard_where}TRUE" if guard_where else "")
+    )
+    if from_sql:
+        segs += (
+            f" UNION ALL SELECT {from_sql} AS __lo, __first AS __hi "
+            f"FROM __fill_bounds{guard_join} WHERE {guard_where}"
+            "__first IS NOT NULL"
+        )
+    ctes.append(f"__fill_segs AS ({segs})")
+    ctes.append(
+        "__fill_gen AS (SELECT __v FROM ("
+        f"SELECT __hi, explode(sequence(__lo, __hi, {step})) AS __v "
+        "FROM __fill_segs WHERE __hi IS NOT NULL AND __lo <= __hi"
+        ") WHERE __v < __hi)"
+    )
+    cols = ", ".join(_fill_ident(f.name) for f in schema.fields)
+    gen_cols = ", ".join(
+        f"CAST(__v AS {kt}) AS {qk}"
+        if f.name == field.name
+        else f"{_fill_default(f.name, f.dataType.simpleString())} AS "
+        f"{_fill_ident(f.name)}"
+        for f in schema.fields
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT * FROM ("
+        f"SELECT {cols} FROM __fill_src UNION ALL "
+        f"SELECT {gen_cols} FROM __fill_gen"
+        f") ORDER BY {qk}"
+    )
+
+
 def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
     """Translate ClickHouse SQL and run it on Spark. When ``sf_dir`` is
     given, the fixture tables (all of them, or the ``tables`` subset) are
     registered as temp views first, so reference-style queries run as-is;
     queries over ``system.tables`` / ``system.parts`` /
     ``system.storage_policies`` trigger the catalog's system-view
-    emulation, so the reference's orchestration SQL runs verbatim too."""
-    translated = translate_ch_sql(sql)
+    emulation, so the reference's orchestration SQL runs verbatim too.
+
+    ``ORDER BY <col> WITH FILL [FROM …] [TO …] [STEP …]`` is supported here
+    (not in the string-only :func:`translate_ch_sql` path) because the dense
+    axis needs the result schema: other columns are filled with ClickHouse
+    type defaults (0 / '' / epoch), which requires knowing their Spark
+    types. See :func:`_expand_with_fill`."""
+    fill = _extract_with_fill(sql)
+    base_sql = sql if fill is None else fill[0]
+    translated = translate_ch_sql(base_sql)
     if sf_dir is not None:
         from ..catalog import register_system_views, register_tables
 
@@ -1326,4 +1652,6 @@ def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
         register_tables(spark, sf_dir, tuple(tables))
         if re.search(r"\bsystem_(?:tables|parts|storage_policies)\b", translated):
             register_system_views(spark, sf_dir)
+    if fill is not None:
+        translated = _expand_with_fill(spark, translated, fill[1])
     return spark.sql(translated)

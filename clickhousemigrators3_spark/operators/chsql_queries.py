@@ -618,3 +618,69 @@ _ch(
     """,
     ("lineitem",),
 )
+
+# --- ORDER BY … WITH FILL: result-set densification ------------------------
+# run_ch_sql expands the fill via the schema-aware dense-axis rewrite
+# (functions/ch_sql.py _expand_with_fill): LEAD window over the result,
+# sequence()+explode per gap, ClickHouse type defaults (0/'') on generated
+# rows. The fixture filter (user_id % 503) leaves real day gaps at every SF,
+# so the fill path is exercised, not vacuous.
+
+# Date axis, bounds inferred from the data (FROM/TO omitted): sparse daily
+# purchase counts densified to every day between the first and last active
+# day. ClickHouse shape: time-series dashboards over event tables.
+_ch(
+    "chsql_with_fill_days",
+    """
+    SELECT toDate(ts) AS d, count() AS n
+    FROM events
+    WHERE event_type = 'purchase' AND user_id % 503 = 0
+    GROUP BY d
+    ORDER BY d WITH FILL
+    """,
+    """
+    WITH src AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 503 = 0
+        GROUP BY 1
+    ), axis AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM (SELECT CAST(min(d) AS TIMESTAMP) AS lo,
+                     CAST(max(d) AS TIMESTAMP) AS hi FROM src)
+        WHERE lo IS NOT NULL
+    )
+    SELECT a.d AS d, COALESCE(s.n, 0) AS n
+    FROM axis a LEFT JOIN src s ON a.d = s.d
+    ORDER BY d
+    """,
+    ("events",),
+)
+
+# Integer axis with explicit FROM/TO (TO exclusive) and a string column
+# carrying the ClickHouse '' default on generated rows: line numbers 1..7
+# exist in the data, the fill pads 8 and 9.
+_ch(
+    "chsql_with_fill_int_range",
+    """
+    SELECT l_linenumber AS ln, count() AS n, min(l_returnflag) AS flag
+    FROM lineitem
+    WHERE l_quantity <= 2
+    GROUP BY ln
+    ORDER BY ln WITH FILL FROM 1 TO 10
+    """,
+    """
+    WITH src AS (
+        SELECT l_linenumber AS ln, count(*) AS n, min(l_returnflag) AS flag
+        FROM lineitem
+        WHERE l_quantity <= 2
+        GROUP BY 1
+    ), axis AS (
+        SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) AS ln
+    )
+    SELECT a.ln AS ln, COALESCE(s.n, 0) AS n, COALESCE(s.flag, '') AS flag
+    FROM axis a LEFT JOIN src s ON a.ln = s.ln
+    ORDER BY ln
+    """,
+    ("lineitem",),
+)

@@ -192,8 +192,10 @@ def test_golden_translation(ch: str, expected: str):
         ("SELECT sumMap(k, v) FROM t", "ch_summing_map"),
         ("SELECT arrayMap((x, y) -> x + y, a, b) FROM t", "multi-array"),
         ("SELECT dateDiff(u, a, b) FROM t", "literal unit"),
-        ("SELECT x FROM t ORDER BY x WITH FILL", "dense axis"),
-        ("SELECT x FROM t ORDER BY x WITH FILL FROM 1 TO 10", "dense axis"),
+        # WITH FILL runs through run_ch_sql (schema-aware); the string-only
+        # translate path refuses with a pointer at it
+        ("SELECT x FROM t ORDER BY x WITH FILL", "run_ch_sql"),
+        ("SELECT x FROM t ORDER BY x WITH FILL FROM 1 TO 10", "run_ch_sql"),
     ],
 )
 def test_refusals(ch: str, needle: str):
@@ -748,3 +750,158 @@ def test_url_and_substring_functions(spark):
     assert row.n_abc == 2
     assert row.bs == ["b", "b", "b"]
     assert row.parts == ["a", "a", "a", ""]
+
+
+# --- ORDER BY … WITH FILL (run_ch_sql dense-axis rewrite) ------------------
+# ClickHouse FillingTransform semantics: the cursor RE-ANCHORS at every
+# original row (not a static grid), FROM seeds a head segment, TO is
+# exclusive, generated rows carry type DEFAULTS (0/'') — each asserted
+# against a hand-computed cursor trace on constructed frames.
+
+
+@pytest.fixture()
+def fill_view(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW fill_t AS "
+        "SELECT * FROM VALUES (1,'a'),(4,'b'),(8,'c') AS t(k, s)"
+    )
+
+
+def test_with_fill_cursor_reanchors_off_grid(spark, fill_view):
+    # originals 1,4,8 / FROM 0 TO 11 STEP 2. Cursor: head 0 (<1); gap 1→4
+    # yields 3 (1+2, re-anchored at the off-grid 1 — a static 0,2,4… grid
+    # would wrongly emit 2); gap 4→8 yields 6 (8 collides, dropped);
+    # tail 10 (<11, TO exclusive). Generated rows: n=0, s=''.
+    df = run_ch_sql(
+        spark,
+        "SELECT k, count() AS n, min(s) AS s FROM fill_t "
+        "GROUP BY k ORDER BY k WITH FILL FROM 0 TO 11 STEP 2",
+    )
+    rows = [(r.k, r.n, r.s) for r in df.collect()]
+    assert rows == [
+        (0, 0, ""), (1, 1, "a"), (3, 0, ""), (4, 1, "b"),
+        (6, 0, ""), (8, 1, "c"), (10, 0, ""),
+    ]
+
+
+def test_with_fill_plain_fills_min_to_max(spark, fill_view):
+    df = run_ch_sql(
+        spark,
+        "SELECT k, count() AS n FROM fill_t GROUP BY k ORDER BY k WITH FILL",
+    )
+    rows = [(r.k, r.n) for r in df.collect()]
+    assert [k for k, _ in rows] == [1, 2, 3, 4, 5, 6, 7, 8]
+    assert [n for _, n in rows] == [1, 0, 0, 1, 0, 0, 0, 1]
+
+
+def test_with_fill_date_axis_default_day_step(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW fill_d AS SELECT * FROM VALUES "
+        "(DATE'2024-01-01'),(DATE'2024-01-04') AS d(dt)"
+    )
+    df = run_ch_sql(
+        spark,
+        "SELECT dt, count() AS n FROM fill_d GROUP BY dt "
+        "ORDER BY dt WITH FILL",
+    )
+    rows = [(str(r.dt), r.n) for r in df.collect()]
+    assert rows == [
+        ("2024-01-01", 1), ("2024-01-02", 0),
+        ("2024-01-03", 0), ("2024-01-04", 1),
+    ]
+
+
+def test_with_fill_interval_step_on_dates(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW fill_d2 AS SELECT * FROM VALUES "
+        "(DATE'2024-01-01'),(DATE'2024-01-07') AS d(dt)"
+    )
+    df = run_ch_sql(
+        spark,
+        "SELECT dt, count() AS n FROM fill_d2 GROUP BY dt "
+        "ORDER BY dt WITH FILL STEP INTERVAL 2 DAY",
+    )
+    assert [str(r.dt) for r in df.collect()] == [
+        "2024-01-01", "2024-01-03", "2024-01-05", "2024-01-07",
+    ]
+
+
+def test_with_fill_empty_source_yields_empty(spark, fill_view):
+    df = run_ch_sql(
+        spark,
+        "SELECT k, count() AS n FROM fill_t WHERE s = 'zz' GROUP BY k "
+        "ORDER BY k WITH FILL FROM 0 TO 5",
+    )
+    assert df.collect() == []
+
+
+def test_with_fill_from_inside_range_fails_loudly(spark, fill_view):
+    # FROM above min(k) would change which gaps the CH cursor fills —
+    # the rewrite must fail (assert_true guard), never silently diverge
+    df = run_ch_sql(
+        spark,
+        "SELECT k, count() AS n FROM fill_t GROUP BY k "
+        "ORDER BY k WITH FILL FROM 3 TO 11",
+    )
+    with pytest.raises(Exception, match="fill cursor|ASSERT"):
+        df.collect()
+
+
+def test_with_fill_to_below_max_fails_loudly(spark, fill_view):
+    df = run_ch_sql(
+        spark,
+        "SELECT k, count() AS n FROM fill_t GROUP BY k "
+        "ORDER BY k WITH FILL FROM 0 TO 5",
+    )
+    with pytest.raises(Exception, match="fill cursor|ASSERT"):
+        df.collect()
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        ("SELECT k FROM fill_t ORDER BY k DESC WITH FILL", "negative fill"),
+        (
+            "SELECT k, s FROM fill_t ORDER BY k WITH FILL INTERPOLATE (s)",
+            "interpolate",
+        ),
+        ("SELECT k FROM fill_t ORDER BY k WITH FILL STALENESS 3", "staleness"),
+        (
+            "SELECT k, s FROM fill_t ORDER BY k WITH FILL, s WITH FILL",
+            "more than one",
+        ),
+        ("SELECT k FROM fill_t ORDER BY k WITH FILL LIMIT 3", "limit"),
+        ("SELECT k FROM fill_t ORDER BY k + 1 WITH FILL", "bare"),
+        ("SELECT k FROM fill_t ORDER BY k WITH FILL FROM x", "literal"),
+    ],
+)
+def test_with_fill_refusals(spark, fill_view, ch: str, needle: str):
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        run_ch_sql(spark, ch)
+    assert needle.lower() in str(exc.value).lower()
+
+
+def test_with_fill_key_must_be_output_column(spark, fill_view):
+    # k resolves for ordering (Spark allows ordering on non-projected
+    # columns) but is not in the output — the fill cannot densify it
+    with pytest.raises(UnsupportedCHSQL, match="not an output column"):
+        run_ch_sql(spark, "SELECT s FROM fill_t ORDER BY k WITH FILL")
+
+
+def test_with_fill_float_key_refused(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW fill_f AS "
+        "SELECT * FROM VALUES (1.5),(3.0) AS t(x)"
+    )
+    with pytest.raises(UnsupportedCHSQL, match="integer grid"):
+        run_ch_sql(spark, "SELECT x FROM fill_f ORDER BY x WITH FILL")
+
+
+def test_cte_or_column_named_fill_not_mistaken(spark):
+    # `fill` after WITH is a CTE name here, not a fill clause — the clause
+    # state machine must not trip on it
+    df = run_ch_sql(
+        spark,
+        "WITH fill AS (SELECT 1 AS k) SELECT k FROM fill ORDER BY k",
+    )
+    assert [r.k for r in df.collect()] == [1]
