@@ -79,3 +79,113 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+_CLUSTERS_CORE = CLUSTERS_ORACLE.rsplit("ORDER BY", 1)[0]
+
+REPRESENTATIVES_ORACLE = f"""
+WITH clusters AS ({_CLUSTERS_CORE}),
+j AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+SELECT cluster_id, rep_doc_id, cluster_size FROM (
+  SELECT cluster_id, doc_id AS rep_doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM j
+) WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+@register("dedup_cluster_representatives", REPRESENTATIVES_ORACLE)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection: keep the BEST document of each duplicate
+    cluster instead of an arbitrary one (production dedup keeps the
+    highest-quality member — here the longest, ties broken on doc_id so
+    both engines pick the same row).
+
+    Scale: one shuffle on cluster_id; both window functions share the same
+    partitioning so Spark evaluates them in a single Window node. Cluster
+    sizes are bounded by near-dup group sizes (small), so per-partition
+    window state is O(cluster), never O(corpus)."""
+    from ..catalog import load_table
+    from pyspark.sql import Window
+
+    cl = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = cl.join(docs, "doc_id")
+    w_ord = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    w_all = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "cluster_size",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+SPLIT_ORACLE = f"""
+WITH clusters AS ({_CLUSTERS_CORE}),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS label
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+b AS (
+  SELECT doc_id, label,
+         (('0x' || substr(md5(CAST(label AS VARCHAR)), 1, 8))::BIGINT) % 100
+           AS bucket
+  FROM lab)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       count(DISTINCT label) AS n_groups
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("split_by_cluster", SPLIT_ORACLE)
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the duplicate
+    CLUSTER, not the document — near-duplicate documents always land in the
+    same split, so the eval set can never contain a near-copy of a training
+    document (the train/test contamination failure mode of naive row-hash
+    splits). Singletons split on their own doc_id.
+
+    Deterministic across engines/runs/partitionings via the md5 bucket
+    (functions/hashing.py stable_hash32), 80/10/10.
+
+    Scale: the cluster map is bounded by the near-dup population — the
+    corpus-sized relation is scanned once and left-joined (AQE broadcasts
+    the small cluster side); one aggregation, no window."""
+    from ..catalog import load_table
+    from ..functions.hashing import stable_hash32
+
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    lab = docs.join(cl, "doc_id", "left").withColumn(
+        "label", F.coalesce("cluster_id", "doc_id")
+    )
+    bucket = stable_hash32(F.col("label").cast("string")) % 100
+    return (
+        lab.withColumn(
+            "split",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise(
+                "test"
+            ),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("label").alias("n_groups"),
+        )
+        .orderBy("split")
+    )

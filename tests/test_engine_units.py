@@ -1880,3 +1880,67 @@ def test_window_funnel_strict_dedup_cases(spark):
     )
     got = {r["step"]: r["n_users"] for r in window_funnel_strict_dedup(e).collect()}
     assert got == {0: 1, 1: 1, 2: 3, 3: 3}, got
+
+
+def test_split_by_cluster_never_splits_a_cluster(spark):
+    """The leakage invariant, asserted directly (the registry query only
+    exposes the per-split summary): every document of a duplicate cluster
+    lands in the same train/val/test split."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.functions.hashing import stable_hash32
+    from clickhousemigrators3_spark.operators.clusters import dedup_clusters
+
+    cl = dedup_clusters(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    lab = docs.join(cl, "doc_id", "left").withColumn(
+        "label", F.coalesce("cluster_id", "doc_id")
+    )
+    bucket = stable_hash32(F.col("label").cast("string")) % 100
+    per_doc = lab.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+    spanning = (
+        per_doc.groupBy("label")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spanning == 0
+    # and the summary row-counts add up to the corpus
+    from clickhousemigrators3_spark.operators.clusters import split_by_cluster
+
+    total = sum(r.n_docs for r in split_by_cluster(spark, SF_DIR).collect())
+    assert total == docs.count()
+
+
+def test_cluster_representative_is_best_member(spark):
+    """The representative of every cluster is its longest document (ties on
+    doc_id) and cluster_size matches the member count."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.clusters import (
+        dedup_cluster_representatives,
+        dedup_clusters,
+    )
+
+    reps = {
+        r.cluster_id: (r.rep_doc_id, r.cluster_size)
+        for r in dedup_cluster_representatives(spark, SF_DIR).collect()
+    }
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    members: dict = {}
+    for r in dedup_clusters(spark, SF_DIR).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert set(reps) == set(members)
+    for cid, docs in members.items():
+        best = max(docs, key=lambda d: (chars[d], -d))
+        assert reps[cid] == (best, len(docs))
