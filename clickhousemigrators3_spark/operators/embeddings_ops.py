@@ -152,15 +152,15 @@ def _kmeans_oracle() -> str:
 def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding column: deterministic init
     (first K vectors), argmax-cosine assignment, centroid = per-dim mean,
-    {KMEANS_ITERS} fixed-depth iterations chained in ONE lazy plan
-    (``_lloyd_unrolled`` — the corpus never shuffles; only K×DIM mean rows
-    do; the convergence-stopped driver-loop twin ``_lloyd`` covers the
-    open-ended-training shape and provably lands on the same assignment).
-    Returns (vec_id, cluster) — the trained version of ann_ivf_topk's
-    sampled centroids. Oracle: the identical fixed-depth recurrence unrolled
-    as a DuckDB CTE chain (_kmeans_oracle), so the check is full value
-    parity, not rows-only."""
-    assign, _, _ = _lloyd_unrolled(spark, sf_dir)
+    {KMEANS_ITERS} fixed-depth iterations chained in ONE fused job
+    (``_lloyd_assign_unrolled`` — the corpus never shuffles; only K×DIM
+    mean rows do; the convergence-stopped driver-loop twin ``_lloyd``
+    covers the open-ended-training shape and provably lands on the same
+    assignment). Returns (vec_id, cluster) — the trained version of
+    ann_ivf_topk's sampled centroids. Oracle: the identical fixed-depth
+    recurrence unrolled as a DuckDB CTE chain (_kmeans_oracle), so the
+    check is full value parity, not rows-only."""
+    assign = _lloyd_assign_unrolled(spark, sf_dir)
     return assign.select("vec_id", "cluster").orderBy("vec_id")
 
 
@@ -230,15 +230,9 @@ def _spark_cosine_sql(a: str, b: str) -> str:
     )
 
 
-def _training_sql(view: str) -> str:
-    """The fixed-depth Lloyd training chain as ONE Spark-SQL text — the
-    Spark twin of the DuckDB ``_kmeans_ctes`` oracle. A generated SQL
-    string parses in a single call; the equivalent DataFrame construction
-    pays ~1 s of Py4J round-trips re-building the nested HOF lambdas on
-    every run. Per iteration: broadcast the 1-row model (CROSS JOIN against
-    a single-row aggregate), map-side argmax reassign (corpus never
-    shuffles), grouped (cluster, dim) means, and an expression-side regroup
-    of the flat means into the next 1-row model."""
+def _training_parts(view: str) -> list[str]:
+    """Shared CTE list for the fixed-depth Lloyd chain (see _training_sql
+    / _assign_training_sql)."""
     cos = _spark_cosine_sql("v", "c.cv")
     parts = [
         f"e AS (SELECT vec_id, v FROM {view})",
@@ -274,11 +268,78 @@ def _training_sql(view: str) -> str:
   FROM (SELECT sort_array(collect_list(struct(cluster, dim, m))) AS _allm
         FROM means{i}))"""
         )
+    return parts
+
+
+def _training_sql(view: str) -> str:
+    """The fixed-depth Lloyd training chain as ONE Spark-SQL text — the
+    Spark twin of the DuckDB ``_kmeans_ctes`` oracle. A generated SQL
+    string parses in a single call; the equivalent DataFrame construction
+    pays ~1 s of Py4J round-trips re-building the nested HOF lambdas on
+    every run. Per iteration: broadcast the 1-row model (CROSS JOIN against
+    a single-row aggregate), map-side argmax reassign (corpus never
+    shuffles), grouped (cluster, dim) means, and an expression-side regroup
+    of the flat means into the next 1-row model."""
+    return (
+        "WITH "
+        + ",\n".join(_training_parts(view))
+        + f"\nSELECT cents FROM model{KMEANS_ITERS - 1}"
+    )
+
+
+def _assign_training_sql(view: str) -> str:
+    """Training chain PLUS the final assignment in the same SQL text —
+    for callers that only need the trained assignment (kmeans clusters,
+    SemDeDup prune). Fusing the final argmax into the training query
+    drops the model's driver round-trip (collect → createDataFrame →
+    re-broadcast) and one whole job submission; the assignment lineage is
+    referenced ONCE here, so nothing is recomputed (the known dead end —
+    whole-semdedup-in-one-SQL — came from the prune referencing the
+    assignment twice through inlined CTEs). Bit-identical to assigning
+    against the collected model: same expression over the same doubles."""
+    parts = _training_parts(view)
+    cos = _spark_cosine_sql("v", "c.cv")
+    parts.append(
+        f"""assign{KMEANS_ITERS} AS (
+  SELECT vec_id, v,
+         CAST(-array_max(transform(cents,
+              c -> struct({cos} AS sim, -c.cluster AS negc))).negc AS LONG)
+           AS cluster
+  FROM e CROSS JOIN model{KMEANS_ITERS - 1})"""
+    )
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT cents FROM model{KMEANS_ITERS - 1}"
+        + f"\nSELECT vec_id, v, cluster FROM assign{KMEANS_ITERS}"
     )
+
+
+def _lloyd_assign_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained final assignment (vec_id, v, cluster) as ONE fused job —
+    persisted and MATERIALIZED inside the narrow-shuffle conf window (the
+    model-update shuffles carry K×DIM partial rows; the corpus side is
+    map-only, so one reducer is the scale-right width — see
+    _lloyd_unrolled). Downstream consumers read the persisted rows, so
+    later queries plan under the session's normal AQE/width settings."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    e.createOrReplaceTempView("_lloyd_e")
+    _confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "1",
+    }
+    _saved = {k: spark.conf.get(k) for k in _confs}
+    try:
+        for k, v in _confs.items():
+            spark.conf.set(k, v)
+        assign = spark.sql(_assign_training_sql("_lloyd_e"))
+        assign.persist()
+        assign.count()  # materialize under the training-window confs
+    finally:
+        for k, v in _saved.items():
+            spark.conf.set(k, v)
+    return assign
 
 
 def _lloyd_unrolled(spark: SparkSession, sf_dir: str):
@@ -303,10 +364,26 @@ def _lloyd_unrolled(spark: SparkSession, sf_dir: str):
     )
     e.persist()
     e.createOrReplaceTempView("_lloyd_e")  # SQL chain reads the cached rows
-    cent_rows = {
-        int(c["cluster"]): list(c["cv"])
-        for c in spark.sql(_training_sql("_lloyd_e")).collect()[0]["cents"]
-    }  # ← the single training job
+    # Model-update shuffles carry K×DIM partial rows (the corpus side is
+    # map-only), so one reducer IS the scale-right width — and AQE's
+    # per-stage re-planning only adds driver latency to the 2·ITERS tiny
+    # stages of the chain. Narrow both for the training window only
+    # (measured at sf0.1: 2.9 s → 2.1 s), restore unconditionally.
+    _confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "1",
+    }
+    _saved = {k: spark.conf.get(k) for k in _confs}
+    try:
+        for k, v in _confs.items():
+            spark.conf.set(k, v)
+        cent_rows = {
+            int(c["cluster"]): list(c["cv"])
+            for c in spark.sql(_training_sql("_lloyd_e")).collect()[0]["cents"]
+        }  # ← the single training job
+    finally:
+        for k, v in _saved.items():
+            spark.conf.set(k, v)
     assign = assign_to_literal_centroids(e, cent_rows)
     cent_df = spark.createDataFrame(
         sorted(cent_rows.items()), "cluster long, cv array<double>"

@@ -1944,3 +1944,35 @@ def test_cluster_representative_is_best_member(spark):
     for cid, docs in members.items():
         best = max(docs, key=lambda d: (chars[d], -d))
         assert reps[cid] == (best, len(docs))
+
+
+def test_semdedup_gram_prune_equals_jvm_twin(spark):
+    """The Arrow/BLAS gram-matrix prune must reproduce the pure-JVM
+    self-join prune row-for-row (6-decimal rounded cosines) — same
+    clusters, same pruned set, same witnesses."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.functions.vectors import to_double
+    from clickhousemigrators3_spark.operators.dedup import (
+        SEMDEDUP_K,
+        _semdedup_prune_assigned,
+        _semdedup_prune_assigned_jvm,
+    )
+    from clickhousemigrators3_spark.operators.embeddings_ops import (
+        assign_to_literal_centroids,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    cent_rows = {
+        int(r["vec_id"]): list(r["v"])
+        for r in e.filter(F.col("vec_id") < SEMDEDUP_K).collect()
+    }
+    assign = assign_to_literal_centroids(e, cent_rows)
+    assign.persist()
+    gram = [tuple(r) for r in _semdedup_prune_assigned(assign).collect()]
+    jvm = [tuple(r) for r in _semdedup_prune_assigned_jvm(assign).collect()]
+    assert len(gram) > 0
+    assert gram == jvm
