@@ -1332,15 +1332,17 @@ def _merge_prewhere(tokens: list[str], idx: int) -> list[str]:
 
 
 class _FillSpec:
-    __slots__ = ("key", "from_lit", "to_lit", "step_lit", "step_interval")
+    __slots__ = ("key", "from_lit", "to_lit", "step_lit", "step_interval",
+                 "interpolate")
 
     def __init__(self, key, from_lit=None, to_lit=None, step_lit=None,
-                 step_interval=None):
+                 step_interval=None, interpolate=None):
         self.key = key
         self.from_lit = from_lit
         self.to_lit = to_lit
         self.step_lit = step_lit
         self.step_interval = step_interval
+        self.interpolate = interpolate or []
 
 
 def _scan_top_fill(tokens: list[str]) -> int | None:
@@ -1466,11 +1468,33 @@ def _extract_with_fill(sql: str) -> tuple[str, _FillSpec] | None:
                     "WITH FILL STEP needs a numeric literal or "
                     "INTERVAL <n> <unit>"
                 )
-        elif low in ("interpolate", "staleness"):
+        elif low == "interpolate":
+            # bare-column form only: INTERPOLATE (c1, c2) = carry the last
+            # original value (LOCF). The `AS expr` form evaluates on the
+            # PREVIOUS (possibly generated) row — a recurrence a window
+            # cannot honestly replay — so it refuses below.
+            v = _next_code(tokens, j + 1)
+            if v >= n or tokens[v] != "(":
+                raise UnsupportedCHSQL(
+                    "WITH FILL INTERPOLATE needs a parenthesized column "
+                    "list"
+                )
+            close = _find_close(tokens, v)
+            for grp in _split_args(tokens[v + 1 : close]):
+                code = [t for t in grp if not _is_ws(t)]
+                if len(code) != 1 or not _IDENT_RE.match(code[0]):
+                    raise UnsupportedCHSQL(
+                        "WITH FILL INTERPOLATE (col AS expr) is not "
+                        "mapped — the expression recurrence runs on "
+                        "generated rows; bare INTERPOLATE (col) carries "
+                        "the last value and IS supported"
+                    )
+                spec.interpolate.append(code[0])
+            j = _next_code(tokens, close + 1)
+        elif low == "staleness":
             raise UnsupportedCHSQL(
-                f"WITH FILL {low.upper()} is not mapped — compute the "
-                "carried value with last_value(… , true) OVER the filled "
-                "axis instead"
+                "WITH FILL STALENESS is not mapped — bound the carried "
+                "distance with a windowed gap check instead"
             )
         elif low == ",":
             raise UnsupportedCHSQL(
@@ -1610,18 +1634,65 @@ def _expand_with_fill(spark, inner_sql: str, spec: _FillSpec) -> str:
         "FROM __fill_segs WHERE __hi IS NOT NULL AND __lo <= __hi"
         ") WHERE __v < __hi)"
     )
+    interp = {c.lower() for c in spec.interpolate}
+    out_names = {f.name.lower() for f in schema.fields}
+    missing = interp - out_names
+    if missing:
+        raise UnsupportedCHSQL(
+            f"INTERPOLATE column(s) {sorted(missing)} are not output "
+            "columns of the query"
+        )
+    if field.name.lower() in interp:
+        raise UnsupportedCHSQL("cannot INTERPOLATE the fill key itself")
     cols = ", ".join(_fill_ident(f.name) for f in schema.fields)
-    gen_cols = ", ".join(
-        f"CAST(__v AS {kt}) AS {qk}"
-        if f.name == field.name
-        else f"{_fill_default(f.name, f.dataType.simpleString())} AS "
-        f"{_fill_ident(f.name)}"
-        for f in schema.fields
-    )
+
+    def _gen_col(f) -> str:
+        t = f.dataType.simpleString()
+        if f.name == field.name:
+            return f"CAST(__v AS {kt}) AS {qk}"
+        if f.name.lower() in interp:
+            # generated rows carry NULL here; the outer LOCF window fills
+            # it from the last ORIGINAL row (struct-wrapped so an original
+            # NULL still counts as "present" and is carried as NULL,
+            # matching ClickHouse's carry-the-previous-value)
+            return f"CAST(NULL AS {t}) AS {_fill_ident(f.name)}"
+        return f"{_fill_default(f.name, t)} AS {_fill_ident(f.name)}"
+
+    gen_cols = ", ".join(_gen_col(f) for f in schema.fields)
+    if not interp:
+        return (
+            "WITH " + ", ".join(ctes) + " SELECT * FROM ("
+            f"SELECT {cols} FROM __fill_src UNION ALL "
+            f"SELECT {gen_cols} FROM __fill_gen"
+            f") ORDER BY {qk}"
+        )
+
+    # INTERPOLATE: one window over the RESULT axis (same cost class as the
+    # ORDER BY the query asked for). Head-segment rows before any original
+    # row fall back to the ClickHouse column default.
+    def _final_col(f) -> str:
+        qn = _fill_ident(f.name)
+        if f.name.lower() not in interp:
+            return qn
+        locf = (
+            f"last_value(CASE WHEN NOT __gen THEN struct({qn}) END, true) "
+            f"OVER (ORDER BY {qk} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            f"CURRENT ROW)"
+        )
+        dflt = _fill_default(f.name, f.dataType.simpleString())
+        # coalesce at the STRUCT level: only a missing predecessor falls
+        # back to the default — a carried ORIGINAL NULL stays NULL
+        return (
+            f"CASE WHEN __gen THEN "
+            f"COALESCE({locf}, struct({dflt} AS {qn})).{qn} "
+            f"ELSE {qn} END AS {qn}"
+        )
+
+    final_cols = ", ".join(_final_col(f) for f in schema.fields)
     return (
-        "WITH " + ", ".join(ctes) + " SELECT * FROM ("
-        f"SELECT {cols} FROM __fill_src UNION ALL "
-        f"SELECT {gen_cols} FROM __fill_gen"
+        "WITH " + ", ".join(ctes) + f" SELECT {final_cols} FROM ("
+        f"SELECT {cols}, false AS __gen FROM __fill_src UNION ALL "
+        f"SELECT {gen_cols}, true AS __gen FROM __fill_gen"
         f") ORDER BY {qk}"
     )
 

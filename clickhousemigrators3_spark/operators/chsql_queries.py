@@ -684,3 +684,38 @@ _ch(
     """,
     ("lineitem",),
 )
+
+# INTERPOLATE (bare-column form): carried last-observation on generated
+# rows — the dashboard LOCF shape. Gap days get n=0 (type default) but
+# carry the previous active day's rounded max purchase value.
+_ch(
+    "chsql_with_fill_interpolate",
+    """
+    SELECT toDate(ts) AS d, count() AS n, round(max(value), 2) AS mx
+    FROM events
+    WHERE event_type = 'purchase' AND user_id % 503 = 0
+    GROUP BY d
+    ORDER BY d WITH FILL INTERPOLATE (mx)
+    """,
+    """
+    WITH src AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+               round(max(value), 2) AS mx
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 503 = 0
+        GROUP BY 1
+    ), axis AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM (SELECT CAST(min(d) AS TIMESTAMP) AS lo,
+                     CAST(max(d) AS TIMESTAMP) AS hi FROM src)
+        WHERE lo IS NOT NULL
+    )
+    SELECT a.d AS d, COALESCE(s.n, 0) AS n,
+           last_value(s.mx IGNORE NULLS)
+             OVER (ORDER BY a.d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS mx
+    FROM axis a LEFT JOIN src s ON a.d = s.d
+    ORDER BY d
+    """,
+    ("events",),
+)

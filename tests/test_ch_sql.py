@@ -862,8 +862,9 @@ def test_with_fill_to_below_max_fails_loudly(spark, fill_view):
     [
         ("SELECT k FROM fill_t ORDER BY k DESC WITH FILL", "negative fill"),
         (
-            "SELECT k, s FROM fill_t ORDER BY k WITH FILL INTERPOLATE (s)",
-            "interpolate",
+            "SELECT k, s FROM fill_t ORDER BY k "
+            "WITH FILL INTERPOLATE (s AS concat(s, 'x'))",
+            "expression recurrence",
         ),
         ("SELECT k FROM fill_t ORDER BY k WITH FILL STALENESS 3", "staleness"),
         (
@@ -905,3 +906,46 @@ def test_cte_or_column_named_fill_not_mistaken(spark):
         "WITH fill AS (SELECT 1 AS k) SELECT k FROM fill ORDER BY k",
     )
     assert [r.k for r in df.collect()] == [1]
+
+
+def test_with_fill_interpolate_locf(spark, fill_view):
+    # bare INTERPOLATE (col) carries the last original value across
+    # generated rows; non-interpolated columns keep the type default
+    df = run_ch_sql(
+        spark,
+        "SELECT k, count() AS n, min(s) AS s FROM fill_t GROUP BY k "
+        "ORDER BY k WITH FILL FROM 0 TO 11 STEP 2 INTERPOLATE (s)",
+    )
+    rows = [(r.k, r.n, r.s) for r in df.collect()]
+    # head row 0 precedes any original → column default ''; gaps carry
+    # the previous original's s; counts (not interpolated) stay 0
+    assert rows == [
+        (0, 0, ""), (1, 1, "a"), (3, 0, "a"), (4, 1, "b"),
+        (6, 0, "b"), (8, 1, "c"), (10, 0, "c"),
+    ]
+
+
+def test_with_fill_interpolate_carries_original_null(spark):
+    # an ORIGINAL NULL counts as "present" and is carried as NULL (the
+    # struct wrap) — it must NOT be skipped in favor of an earlier value
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW fill_n AS SELECT * FROM VALUES "
+        "(1, 'a'), (3, CAST(NULL AS STRING)), (6, 'c') AS t(k, s)"
+    )
+    df = run_ch_sql(
+        spark,
+        "SELECT k, min(s) AS s, count() AS n FROM fill_n GROUP BY k "
+        "ORDER BY k WITH FILL INTERPOLATE (s)",
+    )
+    rows = [(r.k, r.s) for r in df.collect()]
+    assert rows == [
+        (1, "a"), (2, "a"), (3, None), (4, None), (5, None), (6, "c"),
+    ]
+
+
+def test_with_fill_interpolate_key_refused(spark, fill_view):
+    with pytest.raises(UnsupportedCHSQL, match="fill key itself"):
+        run_ch_sql(
+            spark,
+            "SELECT k, s FROM fill_t ORDER BY k WITH FILL INTERPOLATE (k)",
+        )
