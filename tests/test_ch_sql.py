@@ -949,3 +949,60 @@ def test_with_fill_interpolate_key_refused(spark, fill_view):
             spark,
             "SELECT k, s FROM fill_t ORDER BY k WITH FILL INTERPOLATE (k)",
         )
+
+
+# --- WITH FILL cursor fuzz: Spark rewrite vs an independent Python
+# simulation of the ClickHouse FillingTransform cursor -----------------------
+
+
+def _cursor_fill(vals: list[int], frm, to, step: int) -> list[int]:
+    """Reference simulation of the CH fill cursor over sorted distinct
+    ints: head from FROM (< first original), re-anchored gap fill between
+    originals, tail to exclusive TO."""
+    out: list[int] = []
+    if not vals:
+        return out
+    if frm is not None:
+        x = frm
+        while x < vals[0]:
+            out.append(x)
+            x += step
+    for i, v in enumerate(vals):
+        out.append(v)
+        nxt = vals[i + 1] if i + 1 < len(vals) else to
+        if nxt is not None:
+            x = v + step
+            while x < nxt:
+                out.append(x)
+                x += step
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=hst.lists(
+        hst.integers(min_value=0, max_value=25), min_size=1, max_size=8,
+        unique=True,
+    ),
+    step=hst.integers(min_value=1, max_value=4),
+    use_from=hst.booleans(),
+    to_pad=hst.one_of(hst.none(), hst.integers(min_value=1, max_value=6)),
+)
+def test_with_fill_matches_cursor_simulation(spark, vals, step, use_from,
+                                             to_pad):
+    vals = sorted(vals)
+    frm = 0 if use_from else None  # FROM must be <= min (guard contract)
+    to = (vals[-1] + to_pad) if to_pad is not None else None  # TO >= max
+    rows = ", ".join(f"({v})" for v in vals)
+    spark.sql(
+        f"CREATE OR REPLACE TEMP VIEW fill_fuzz AS "
+        f"SELECT * FROM VALUES {rows} AS t(k)"
+    )
+    ch = "SELECT k, count() AS n FROM fill_fuzz GROUP BY k ORDER BY k WITH FILL"
+    if frm is not None:
+        ch += f" FROM {frm}"
+    if to is not None:
+        ch += f" TO {to}"
+    ch += f" STEP {step}"
+    got = [r.k for r in run_ch_sql(spark, ch).collect()]
+    assert got == _cursor_fill(vals, frm, to, step)
