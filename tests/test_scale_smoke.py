@@ -230,3 +230,30 @@ def test_kmeans_training_at_32k_vectors(spark, big_emb_dir):
     assert n == 2000 * REPL
     assert cent.count() == K_CLUSTERS
     assert dt < 60, f"16x training took {dt:.1f}s — corpus-shuffle regression?"
+
+
+def test_fused_assign_training_at_32k_vectors(spark, big_emb_dir):
+    """Same topology guard for the FUSED trainer (_lloyd_assign_unrolled —
+    the production path behind kmeans_lloyd_clusters and
+    semdedup_prune_trained): one job, corpus never shuffles, and its
+    assignment matches the collect-then-assign twin exactly."""
+    import time
+
+    from clickhousemigrators3_spark.operators.embeddings_ops import (
+        _lloyd_assign_unrolled,
+        _lloyd_unrolled,
+    )
+
+    t0 = time.time()
+    fused = _lloyd_assign_unrolled(spark, big_emb_dir)
+    n = fused.count()
+    dt = time.time() - t0
+    assert n == 2000 * REPL
+    assert dt < 60, f"16x fused training took {dt:.1f}s"
+    twin, _, _ = _lloyd_unrolled(spark, big_emb_dir)
+    diff = (
+        fused.select("vec_id", "cluster")
+        .exceptAll(twin.select("vec_id", "cluster"))
+        .count()
+    )
+    assert diff == 0
