@@ -1509,6 +1509,8 @@ def _extract_with_fill(sql: str) -> tuple[str, _FillSpec] | None:
             )
         elif low in ("settings", "format") and _looks_clause(tokens, j):
             break  # stays in the inner query; the translator strips it
+        elif tokens[j] == ";" and _next_code(tokens, j + 1) >= n:
+            j = _next_code(tokens, j + 1)  # trailing statement terminator
         else:
             raise UnsupportedCHSQL(
                 f"unexpected token {tokens[j]!r} after WITH FILL spec"

@@ -785,9 +785,10 @@ def test_with_fill_cursor_reanchors_off_grid(spark, fill_view):
 
 
 def test_with_fill_plain_fills_min_to_max(spark, fill_view):
+    # trailing statement terminator must not trip the spec parser
     df = run_ch_sql(
         spark,
-        "SELECT k, count() AS n FROM fill_t GROUP BY k ORDER BY k WITH FILL",
+        "SELECT k, count() AS n FROM fill_t GROUP BY k ORDER BY k WITH FILL;",
     )
     rows = [(r.k, r.n) for r in df.collect()]
     assert [k for k, _ in rows] == [1, 2, 3, 4, 5, 6, 7, 8]
