@@ -263,6 +263,12 @@ def test_registry_no_python_boundary(spark):
         "mm_feature_extract",
         "mm_frame_sample",
         "mm_resize",
+        # SemDeDup prune = per-cluster normalized gram matrix (the paper's
+        # own computation): deliberately Arrow+BLAS — measured 3.5x the
+        # interpreted-HOF self-join, equality-tested against it
+        # (test_semdedup_gram_prune_equals_jvm_twin)
+        "semdedup_cluster_prune",
+        "semdedup_prune_trained",
     }
     offenders = {}
     for name, q in sorted(load_all().items()):
