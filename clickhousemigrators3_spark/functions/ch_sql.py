@@ -323,7 +323,41 @@ _TEMPLATE = {
     "yesterday": "(current_date() - 1)",
     "tomonday": "CAST(date_trunc('week', {0}) AS DATE)",
     "todatetime64": "CAST({0} AS TIMESTAMP)",
+    # array surface, wave 2. Numeric-returning forms accumulate in DOUBLE
+    # (the arraySum precedent — values match, the element type does not
+    # survive; documented nuance in docs/CHSQL.md). Templates repeating
+    # {0} rely on Catalyst CSE for expensive args.
+    "arraydistinct": "array_distinct({0})",
+    "arrayuniq": "size(array_distinct({0}))",
+    # NULLs last in both directions (ClickHouse contract): array_sort asc
+    # and sort_array desc both park NULLs at the end
+    "arraysort": "array_sort({0})",
+    "arrayreversesort": "sort_array({0}, false)",
+    "arraypushback": "concat({0}, array({1}))",
+    "arraypushfront": "concat(array({1}), {0})",
+    "arraypopback": "slice({0}, 1, greatest(size({0}) - 1, 0))",
+    "arraypopfront": "slice({0}, 2, greatest(size({0}) - 1, 0))",
+    "indexof": "array_position({0}, {1})",  # both 1-based, 0 when absent
+    "arraycount": "size(filter({1}, {0}))",  # lambda-first like arrayFilter
+    "arrayfirst": "try_element_at(filter({1}, {0}), 1)",
+    "arraylast": "try_element_at(filter({1}, {0}), -1)",
+    "arraydifference": (
+        "transform({0}, (_x, _i) -> CASE WHEN _i = 0 THEN 0.0D "
+        "ELSE CAST(_x AS DOUBLE) - CAST({0}[_i - 1] AS DOUBLE) END)"
+    ),
+    "arraycumsum": (
+        "transform({0}, (_x, _i) -> aggregate(slice({0}, 1, _i + 1), "
+        "0.0D, (_a, _y) -> _a + CAST(_y AS DOUBLE)))"
+    ),
+    "arraycompact": (
+        "transform(filter(transform({0}, (_x, _i) -> "
+        "struct(_x AS x, _i AS i)), _s -> _s.i = 0 OR "
+        "NOT ({0}[_s.i - 1] <=> _s.x)), _s -> _s.x)"
+    ),
 }
+
+# variadic array functions — rendered in _emit_call, not by template
+_VARIADIC_ARRAY = {"arrayzip", "arrayconcat", "arrayintersect"}
 
 # parametric aggregates — ClickHouse name(params)(args) syntax
 _PARAMETRIC = {
@@ -530,13 +564,33 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         )
     if params is None and low in _MEDIAN_DEFAULT:
         params = ["0.5"]  # ClickHouse's default level is the median
-    if low in ("arraymap", "arrayfilter", "arrayexists", "arrayall") and (
-        len(args) != 2
-    ):
+    if low in ("arraymap", "arrayfilter", "arrayexists", "arrayall",
+               "arrayfirst", "arraylast", "arraycount") and len(args) != 2:
         raise UnsupportedCHSQL(
             f"multi-array {low} not mapped — arrays_zip the inputs and use "
             "one single-array lambda instead"
         )
+    if low in ("arraysort", "arrayreversesort") and len(args) != 1:
+        raise UnsupportedCHSQL(
+            f"keyed {low}(lambda, arr) is not mapped (Spark's array_sort "
+            "comparator is 3-way, not key-extracting) — precompute the key "
+            "with arrayMap and sort structs"
+        )
+    if low in _VARIADIC_ARRAY:
+        if not args:
+            raise UnsupportedCHSQL(f"{low} needs at least one array")
+        if low == "arrayintersect" and len(args) == 1:
+            return f"array_distinct({args[0]})"  # CH single-arg = distinct
+        if low == "arrayzip":
+            # ClickHouse tuples become Spark structs (fields `0`,`1`,… →
+            # named positionally) — same shape under element access
+            return f"arrays_zip({', '.join(args)})"
+        if low == "arrayconcat":
+            return f"concat({', '.join(args)})"
+        out = args[0]
+        for a in args[1:]:  # fold pairwise: intersect is associative
+            out = f"array_intersect({out}, {a})"
+        return out
     if low == "arraystringconcat" and len(args) == 1:
         return f"array_join({args[0]}, '')"  # ClickHouse default separator
     if params is not None:
@@ -672,7 +726,7 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
 
 _KNOWN = (
     set(_RENAME) | set(_TEMPLATE) | set(_PARAMETRIC) | set(_UNSUPPORTED_FUNCS)
-    | _ENGINE_HASHES
+    | _ENGINE_HASHES | _VARIADIC_ARRAY
     | {"count", "multiif", "cast", "todecimal64", "formatdatetime",
        "jsonextractstring",
        "visitparamextractstring", "jsonextractint", "jsonextractfloat",

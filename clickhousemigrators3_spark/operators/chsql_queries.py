@@ -719,3 +719,30 @@ _ch(
     """,
     ("events",),
 )
+
+# Array wave-2 surface under oracle: sort/distinct shape the nondeterministic
+# groupArray into a canonical list; arraySum(arrayDifference(sorted)) = the
+# telescoping max-min spread, which the oracle states directly.
+_ch(
+    "chsql_array_wave2",
+    """
+    SELECT l_returnflag AS flag,
+           arraySort(arrayDistinct(groupArray(l_linenumber))) AS lns,
+           arraySum(arrayDifference(
+               arraySort(arrayDistinct(groupArray(l_linenumber))))) AS spread
+    FROM lineitem
+    WHERE l_orderkey < 100
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """,
+    """
+    SELECT l_returnflag AS flag,
+           list_sort(list_distinct(list(l_linenumber))) AS lns,
+           CAST(max(l_linenumber) - min(l_linenumber) AS DOUBLE) AS spread
+    FROM lineitem
+    WHERE l_orderkey < 100
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """,
+    ("lineitem",),
+)

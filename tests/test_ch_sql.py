@@ -1007,3 +1007,78 @@ def test_with_fill_matches_cursor_simulation(spark, vals, step, use_from,
     ch += f" STEP {step}"
     got = [r.k for r in run_ch_sql(spark, ch).collect()]
     assert got == _cursor_fill(vals, frm, to, step)
+
+
+# --- array surface wave 2: executed semantics ------------------------------
+
+
+def test_array_wave2_functions(spark):
+    row = run_ch_sql(
+        spark,
+        "SELECT arrayDistinct(array(3, 1, 3, 2)) AS dis,"
+        "       arrayUniq(array(3, 1, 3, 2)) AS uni,"
+        "       arraySort(array(3, 1, 2)) AS srt,"
+        "       arrayReverseSort(array(3, 1, 2)) AS rsrt,"
+        "       arrayPushBack(array(1, 2), 9) AS pb,"
+        "       arrayPushFront(array(1, 2), 9) AS pf,"
+        "       arrayPopBack(array(1, 2, 3)) AS popb,"
+        "       arrayPopFront(array(1, 2, 3)) AS popf,"
+        "       arrayPopBack(array(1)) AS popb1,"
+        "       indexOf(array(10, 20, 30), 20) AS idx,"
+        "       indexOf(array(10, 20, 30), 99) AS idx0,"
+        "       arrayCount(x -> x > 1, array(1, 2, 3)) AS cnt,"
+        "       arrayFirst(x -> x > 1, array(1, 2, 3)) AS fst,"
+        "       arrayLast(x -> x > 1, array(1, 2, 3)) AS lst,"
+        "       arrayFirst(x -> x > 9, array(1, 2, 3)) AS fst0,"
+        "       arrayDifference(array(1, 4, 9)) AS dif,"
+        "       arrayCumSum(array(1, 2, 3)) AS cum,"
+        "       arrayCompact(array(1, 1, 2, 2, 1)) AS cpt,"
+        "       arrayConcat(array(1), array(2), array(3)) AS cc,"
+        "       arrayIntersect(array(1, 2, 3), array(2, 3, 4), array(3))"
+        "         AS ix",
+    ).collect()[0]
+    assert sorted(row.dis) == [1, 2, 3] and row.uni == 3
+    assert row.srt == [1, 2, 3] and row.rsrt == [3, 2, 1]
+    assert row.pb == [1, 2, 9] and row.pf == [9, 1, 2]
+    assert row.popb == [1, 2] and row.popf == [2, 3] and row.popb1 == []
+    assert row.idx == 2 and row.idx0 == 0
+    assert row.cnt == 2 and row.fst == 2 and row.lst == 3 and row.fst0 is None
+    assert row.dif == [0.0, 3.0, 5.0]
+    assert row.cum == [1.0, 3.0, 6.0]
+    assert row.cpt == [1, 2, 1]
+    assert row.cc == [1, 2, 3]
+    assert row.ix == [3]
+
+
+def test_array_zip_structs(spark):
+    row = run_ch_sql(
+        spark,
+        "SELECT arrayZip(array(1, 2), array('a', 'b')) AS z,"
+        "       arrayZip(array(1, 2)) AS z1,"
+        "       arrayIntersect(array(1, 1, 2)) AS i1",
+    ).collect()[0]
+    assert [tuple(s) for s in row.z] == [(1, "a"), (2, "b")]
+    assert [tuple(s) for s in row.z1] == [(1,), (2,)]
+    assert sorted(row.i1) == [1, 2]
+
+
+def test_array_sort_nulls_last_both_directions(spark):
+    row = run_ch_sql(
+        spark,
+        "SELECT arraySort(array(3, NULL, 1)) AS a,"
+        "       arrayReverseSort(array(3, NULL, 1)) AS d",
+    ).collect()[0]
+    assert row.a == [1, 3, None] and row.d == [3, 1, None]
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        ("SELECT arraySort(x -> -x, a) FROM t", "key-extracting"),
+        ("SELECT arrayFirst((x, y) -> x > y, a, b) FROM t", "multi-array"),
+    ],
+)
+def test_array_wave2_refusals(ch: str, needle: str):
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql(ch)
+    assert needle.lower() in str(exc.value).lower()
