@@ -158,8 +158,6 @@ _RENAME = {
     "arrayjoin": "explode",
     "ifnull": "coalesce",
     "arraysort": "array_sort",
-    "arrayuniq": "array_distinct",
-    "arrayconcat": "concat",
     "indexof": "array_position",
     "arrayreverse": "reverse",
     "arrayflatten": "flatten",
@@ -195,6 +193,14 @@ _RENAME = {
     # silently.
     "laginframe": "lag",
     "leadinframe": "lead",
+    # string wave 2
+    "tolower": "lower",
+    "toupper": "upper",
+    "levenshteindistance": "levenshtein",
+    "editdistance": "levenshtein",
+    "isvalidutf8": "is_valid_utf8",
+    "tovalidutf8": "make_valid_utf8",
+    "base64encode": "base64",
 }
 
 # templates: {0}, {1}… = translated args; {args} = all args comma-joined
@@ -327,17 +333,14 @@ _TEMPLATE = {
     # (the arraySum precedent — values match, the element type does not
     # survive; documented nuance in docs/CHSQL.md). Templates repeating
     # {0} rely on Catalyst CSE for expensive args.
-    "arraydistinct": "array_distinct({0})",
     "arrayuniq": "size(array_distinct({0}))",
     # NULLs last in both directions (ClickHouse contract): array_sort asc
-    # and sort_array desc both park NULLs at the end
-    "arraysort": "array_sort({0})",
+    # (the arraysort RENAME) and sort_array desc both park NULLs at the end
     "arrayreversesort": "sort_array({0}, false)",
     "arraypushback": "concat({0}, array({1}))",
     "arraypushfront": "concat(array({1}), {0})",
     "arraypopback": "slice({0}, 1, greatest(size({0}) - 1, 0))",
     "arraypopfront": "slice({0}, 2, greatest(size({0}) - 1, 0))",
-    "indexof": "array_position({0}, {1})",  # both 1-based, 0 when absent
     "arraycount": "size(filter({1}, {0}))",  # lambda-first like arrayFilter
     "arrayfirst": "try_element_at(filter({1}, {0}), 1)",
     "arraylast": "try_element_at(filter({1}, {0}), -1)",
@@ -353,6 +356,19 @@ _TEMPLATE = {
         "transform(filter(transform({0}, (_x, _i) -> "
         "struct(_x AS x, _i AS i)), _s -> _s.i = 0 OR "
         "NOT ({0}[_s.i - 1] <=> _s.x)), _s -> _s.x)"
+    ),
+    # string wave 2. replaceAll → replace (3-arg); decode forms cast the
+    # Spark BINARY back to STRING (the ClickHouse return type);
+    # multiSearchAny = any-needle containment entirely in JVM HOFs.
+    "replaceall": "replace({0}, {1}, {2})",
+    "base64decode": "CAST(unbase64({0}) AS STRING)",
+    "unhex": "CAST(unhex({0}) AS STRING)",
+    "positioncaseinsensitive": "locate(lower({1}), lower({0}))",
+    "multisearchany": "exists({1}, _n -> contains({0}, _n))",
+    "replaceone": (
+        "CASE WHEN locate({1}, {0}) > 0 THEN concat("
+        "substring({0}, 1, locate({1}, {0}) - 1), {2}, "
+        "substring({0}, locate({1}, {0}) + length({1}))) ELSE {0} END"
     ),
 }
 
@@ -384,6 +400,21 @@ _MEDIAN_DEFAULT = {
 # constructs refused with a pointer to the operator that implements them
 _UNSUPPORTED_FUNCS = {
     "topk": "operators/event_analytics.py ev_topk_types_per_day (window top-k)",
+    "replaceregexpone": (
+        "Spark regexp_replace replaces ALL matches; splice the first "
+        "match with locate/regexp_extract instead (replaceRegexpAll with "
+        "a backreference-free literal replacement IS mapped)"
+    ),
+    "ngramdistance": "operators/textops.py text_ngram_distance_probe",
+    "hex": (
+        "fixed-width big-endian numeric rendering differs from Spark hex "
+        "(identical only for strings, and the translator cannot see the "
+        "type) — use format_string/conv explicitly"
+    ),
+    "bin": (
+        "fixed-width bit rendering differs from Spark bin — use "
+        "format_string/conv explicitly"
+    ),
     "topkweighted": "operators/ch_aggregates.py topk_weighted_sources",
     "windowfunnel": "operators/event_analytics.py ev_window_funnel_*",
     "retention": "operators/event_analytics.py ev_retention_day0",
@@ -621,6 +652,39 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         r"\bFROM\b", args[0], re.I
     ):
         return f"EXTRACT({args[0]})"  # standard SQL EXTRACT, not CH extract
+    if low == "replaceregexpall" and len(args) == 3:
+        # replacement dialects differ (CH \1 vs Spark $1): mapped only for
+        # a literal replacement free of backreferences and dollar signs
+        a2 = args[2].strip()
+        if not (
+            a2.startswith("'")
+            and a2.endswith("'")
+            and "\\" not in a2
+            and "$" not in a2
+        ):
+            raise UnsupportedCHSQL(
+                "replaceRegexpAll with backreferences or a non-literal "
+                "replacement is not mapped — ClickHouse uses \\1 where "
+                "Spark regexp_replace uses $1; rewrite the replacement "
+                "explicitly"
+            )
+        return f"regexp_replace({args[0]}, {args[1]}, {a2})"
+    if low == "format":
+        # ClickHouse format('{} and {}', a, b) → format_string('%s and %s')
+        # for literal patterns with positional {} holes only
+        a0 = args[0].strip() if args else ""
+        if not (a0.startswith("'") and a0.endswith("'")):
+            raise UnsupportedCHSQL(
+                "format() with a non-literal pattern not mapped"
+            )
+        pat = _string_value(a0)
+        if re.search(r"\{\d", pat):
+            raise UnsupportedCHSQL(
+                "format() with indexed {n} placeholders not mapped — "
+                "reorder the arguments and use positional {}"
+            )
+        spark_pat = pat.replace("%", "%%").replace("{}", "%s")
+        return f"format_string({_quote(spark_pat)}, {', '.join(args[1:])})"
     if low in ("extract", "extractall") and len(args) == 2:
         # ClickHouse extract(haystack, pattern): first capture group when the
         # pattern has one, else the WHOLE match — Spark regexp_extract with
@@ -731,7 +795,7 @@ _KNOWN = (
        "jsonextractstring",
        "visitparamextractstring", "jsonextractint", "jsonextractfloat",
        "tostartofweek", "extract", "extractall", "datediff",
-       "tostartofinterval"}
+       "tostartofinterval", "replaceregexpall", "format"}
     | set(_FIXED_INTERVALS)
 )
 

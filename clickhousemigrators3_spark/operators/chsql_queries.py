@@ -746,3 +746,28 @@ _ch(
     """,
     ("lineitem",),
 )
+
+# String wave-2 surface under oracle: case-insensitive position, any-needle
+# containment, and whitespace squeeze over the documents corpus.
+_ch(
+    "chsql_string_wave2",
+    """
+    SELECT doc_id,
+           positionCaseInsensitive(text, 'TABLE') AS pos,
+           multiSearchAny(text, array('vector', 'window')) AS hit,
+           length(replaceAll(text, ' ', '')) AS squeezed
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    """
+    SELECT doc_id,
+           strpos(lower(text), 'table') AS pos,
+           (text LIKE '%vector%' OR text LIKE '%window%') AS hit,
+           length(replace(text, ' ', '')) AS squeezed
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    ("documents",),
+)

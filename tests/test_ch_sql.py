@@ -1082,3 +1082,57 @@ def test_array_wave2_refusals(ch: str, needle: str):
     with pytest.raises(UnsupportedCHSQL) as exc:
         translate_ch_sql(ch)
     assert needle.lower() in str(exc.value).lower()
+
+
+# --- string surface wave 2: executed semantics -----------------------------
+
+
+def test_string_wave2_functions(spark):
+    row = run_ch_sql(
+        spark,
+        "SELECT toLower('AbC') AS lo, toUpper('aBc') AS up,"
+        "       levenshteinDistance('kitten', 'sitting') AS lev,"
+        "       editDistance('abc', 'abd') AS ed,"
+        "       replaceAll('a-b-c', '-', '+') AS ra,"
+        "       replaceOne('a-b-c', '-', '+') AS ro,"
+        "       replaceOne('abc', 'x', '+') AS ro0,"
+        "       replaceRegexpAll('a1b22c', '[0-9]+', '#') AS rr,"
+        "       base64Decode(base64Encode('hello')) AS b64,"
+        "       unhex('616263') AS uh,"
+        "       positionCaseInsensitive('Hello World', 'WORLD') AS pci,"
+        "       multiSearchAny('haystack', array('xyz', 'stack')) AS msa,"
+        "       multiSearchAny('haystack', array('xyz')) AS msa0,"
+        "       format('{} has {} parts', 'x', 3) AS fmt,"
+        "       isValidUTF8('ok') AS valid",
+    ).collect()[0]
+    assert row.lo == "abc" and row.up == "ABC"
+    assert row.lev == 3 and row.ed == 1
+    assert row.ra == "a+b+c" and row.ro == "a+b-c" and row.ro0 == "abc"
+    assert row.rr == "a#b#c"
+    assert row.b64 == "hello" and row.uh == "abc"
+    assert row.pci == 7
+    assert row.msa is True and row.msa0 is False
+    assert row.fmt == "x has 3 parts"
+    assert row.valid is True
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        ("SELECT replaceRegexpOne(s, 'x', 'y') FROM t", "ALL matches"),
+        (
+            "SELECT replaceRegexpAll(s, '(a)(b)', '\\\\2\\\\1') FROM t",
+            "backreference",
+        ),
+        ("SELECT replaceRegexpAll(s, 'x', r) FROM t", "backreference"),
+        ("SELECT ngramDistance(a, b) FROM t", "ngram_distance_probe"),
+        ("SELECT hex(x) FROM t", "fixed-width"),
+        ("SELECT bin(x) FROM t", "fixed-width"),
+        ("SELECT format('{1} {0}', a, b) FROM t", "indexed"),
+        ("SELECT format(p, a) FROM t", "non-literal"),
+    ],
+)
+def test_string_wave2_refusals(ch: str, needle: str):
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql(ch)
+    assert needle.lower() in str(exc.value).lower()
