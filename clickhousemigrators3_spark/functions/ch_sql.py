@@ -193,6 +193,13 @@ _RENAME = {
     # silently.
     "laginframe": "lag",
     "leadinframe": "lead",
+    # date/time wave 2
+    "tolastdayofmonth": "last_day",
+    "makedate": "make_date",
+    "makedatetime": "make_timestamp",
+    "now64": "current_timestamp",
+    "tounixtimestamp64milli": "unix_millis",
+    "fromunixtimestamp64milli": "timestamp_millis",
     # string wave 2
     "tolower": "lower",
     "toupper": "upper",
@@ -357,6 +364,27 @@ _TEMPLATE = {
         "struct(_x AS x, _i AS i)), _s -> _s.i = 0 OR "
         "NOT ({0}[_s.i - 1] <=> _s.x)), _s -> _s.x)"
     ),
+    # date/time wave 2
+    "addweeks": "({0} + make_interval(0, 0, {1}))",
+    "subtractweeks": "({0} - make_interval(0, 0, {1}))",
+    "addquarters": "({0} + make_interval(0, ({1}) * 3))",
+    "subtractquarters": "({0} - make_interval(0, ({1}) * 3))",
+    "subtractmonths": "({0} - make_interval(0, {1}))",
+    "subtractminutes": "({0} - make_interval(0, 0, 0, 0, 0, {1}))",
+    "subtractseconds": "({0} - make_interval(0, 0, 0, 0, 0, 0, {1}))",
+    "subtractyears": "({0} - make_interval({1}))",
+    "toyyyymmddhhmmss": "CAST(date_format({0}, 'yyyyMMddHHmmss') AS BIGINT)",
+    "monthname": "date_format({0}, 'MMMM')",
+    "dayname": "date_format({0}, 'EEEE')",
+    # ClickHouse timeSlot: floor to the half-hour (epoch-aligned)
+    "timeslot": (
+        "timestamp_seconds(CAST(floor(unix_timestamp({0}) / 1800) "
+        "AS BIGINT) * 1800)"
+    ),
+    "torelativedaynum": "datediff({0}, DATE'1970-01-01')",
+    "torelativehournum": (
+        "CAST(floor(unix_timestamp({0}) / 3600) AS BIGINT)"
+    ),
     # string wave 2. replaceAll → replace (3-arg); decode forms cast the
     # Spark BINARY back to STRING (the ClickHouse return type);
     # multiSearchAny = any-needle containment entirely in JVM HOFs.
@@ -398,8 +426,30 @@ _MEDIAN_DEFAULT = {
 }
 
 # constructs refused with a pointer to the operator that implements them
+_MAKE_INTERVAL_SLOT = {
+    "year": 0, "month": 1, "week": 2, "day": 3,
+    "hour": 4, "minute": 5, "second": 6,
+}
+
+
+def _interval_expr(unit: str, count: str) -> str:
+    """make_interval(...) with ``count`` in the right slot (quarter folds
+    to 3 months) — the only interval form that takes a non-literal count."""
+    if unit == "quarter":
+        unit, count = "month", f"(({count}) * 3)"
+    slots = ["0"] * 7
+    slots[_MAKE_INTERVAL_SLOT[unit]] = count
+    while len(slots) > 1 and slots[-1] == "0":
+        slots.pop()
+    return f"make_interval({', '.join(slots)})"
+
+
 _UNSUPPORTED_FUNCS = {
     "topk": "operators/event_analytics.py ev_topk_types_per_day (window top-k)",
+    "parsedatetimebesteffort": (
+        "best-effort multi-format parsing has no Spark twin — "
+        "to_timestamp with an explicit format (parseDateTime IS mapped)"
+    ),
     "replaceregexpone": (
         "Spark regexp_replace replaces ALL matches; splice the first "
         "match with locate/regexp_extract instead (replaceRegexpAll with "
@@ -516,6 +566,10 @@ _FMT = {
     "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
     "%M": "mm", "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss",
     "%e": "d", "%j": "DDD", "%a": "EEE", "%b": "MMM", "%%": "%",
+    # MySQL-compatible codes (ClickHouse ≥ 23.x: %i = minute, %M became
+    # month name there — this table keeps the historical %M = minute and
+    # adds the modern spellings alongside)
+    "%i": "mm", "%s": "ss", "%p": "a", "%h": "hh", "%W": "EEEE",
 }
 
 
@@ -652,6 +706,29 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         r"\bFROM\b", args[0], re.I
     ):
         return f"EXTRACT({args[0]})"  # standard SQL EXTRACT, not CH extract
+    if low in ("dateadd", "date_add", "datesub", "date_sub"):
+        # ClickHouse dateAdd('unit', n, date) / dateAdd(date, INTERVAL …);
+        # n may be any expression, so the interval travels as make_interval
+        # (INTERVAL literals cannot carry a non-literal count)
+        op = "+" if low in ("dateadd", "date_add") else "-"
+        if len(args) == 2 and "interval" in args[1].lower():
+            return f"({args[0]} {op} {args[1]})"
+        if len(args) == 3:
+            u = args[0].strip().strip("'").lower()
+            if u in _MAKE_INTERVAL_SLOT or u == "quarter":
+                return f"({args[2]} {op} {_interval_expr(u, args[1])})"
+        raise UnsupportedCHSQL(
+            f"{low} needs ('unit', count, date) with a literal unit, or "
+            "(date, INTERVAL …)"
+        )
+    if low == "parsedatetime" and len(args) == 2:
+        a1 = args[1].strip()
+        if not (a1.startswith("'") and a1.endswith("'")):
+            raise UnsupportedCHSQL(
+                "parseDateTime with a non-literal format not mapped"
+            )
+        fmt = _fmt_datetime(_string_value(a1))
+        return f"to_timestamp({args[0]}, {_quote(fmt)})"
     if low == "replaceregexpall" and len(args) == 3:
         # replacement dialects differ (CH \1 vs Spark $1): mapped only for
         # a literal replacement free of backreferences and dollar signs
@@ -795,7 +872,8 @@ _KNOWN = (
        "jsonextractstring",
        "visitparamextractstring", "jsonextractint", "jsonextractfloat",
        "tostartofweek", "extract", "extractall", "datediff",
-       "tostartofinterval", "replaceregexpall", "format"}
+       "tostartofinterval", "replaceregexpall", "format",
+       "dateadd", "date_add", "datesub", "date_sub", "parsedatetime"}
     | set(_FIXED_INTERVALS)
 )
 

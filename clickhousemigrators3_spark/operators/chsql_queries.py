@@ -771,3 +771,23 @@ _ch(
     """,
     ("documents",),
 )
+
+# Date wave-2 surface under oracle: month-end rollup bounded by dateAdd.
+_ch(
+    "chsql_datetime_wave2",
+    """
+    SELECT toLastDayOfMonth(o_orderdate) AS eom, count() AS n
+    FROM orders
+    WHERE o_orderdate < dateAdd('month', 3, toDate('1995-01-01'))
+    GROUP BY eom
+    ORDER BY eom
+    """,
+    """
+    SELECT CAST(last_day(o_orderdate) AS DATE) AS eom, count(*) AS n
+    FROM orders
+    WHERE o_orderdate < DATE '1995-01-01' + INTERVAL 3 MONTH
+    GROUP BY 1
+    ORDER BY eom
+    """,
+    ("orders",),
+)

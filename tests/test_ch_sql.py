@@ -1136,3 +1136,54 @@ def test_string_wave2_refusals(ch: str, needle: str):
     with pytest.raises(UnsupportedCHSQL) as exc:
         translate_ch_sql(ch)
     assert needle.lower() in str(exc.value).lower()
+
+
+# --- date/time surface wave 2: executed semantics --------------------------
+
+
+def test_datetime_wave2_functions(spark):
+    row = run_ch_sql(
+        spark,
+        "SELECT toLastDayOfMonth(DATE'2024-02-10') AS ld,"
+        "       makeDate(2024, 2, 29) AS md,"
+        "       addWeeks(DATE'2024-01-01', 2) AS aw,"
+        "       subtractMonths(TIMESTAMP'2024-03-31 12:00:00', 1) AS sm,"
+        "       addQuarters(DATE'2024-01-15', 1) AS aq,"
+        "       toYYYYMMDDhhmmss(TIMESTAMP'2024-02-03 04:05:06') AS stamp,"
+        "       monthName(DATE'2024-02-10') AS mn,"
+        "       dayName(DATE'2024-02-10') AS dn,"
+        "       timeSlot(TIMESTAMP'2024-01-01 10:44:59') AS slot,"
+        "       toRelativeDayNum(DATE'1970-01-11') AS rd,"
+        "       dateAdd('day', 3, DATE'2024-01-01') AS da,"
+        "       dateSub('hour', 2, TIMESTAMP'2024-01-01 03:00:00') AS ds,"
+        "       dateAdd(DATE'2024-01-01', INTERVAL 1 MONTH) AS dai,"
+        "       parseDateTime('2024-02-03 04:05:06',"
+        "                     '%Y-%m-%d %H:%i:%S') AS pd",
+    ).collect()[0]
+    assert str(row.ld) == "2024-02-29" and str(row.md) == "2024-02-29"
+    assert str(row.aw) == "2024-01-15"
+    assert str(row.sm) == "2024-02-29 12:00:00"
+    assert str(row.aq) == "2024-04-15"
+    assert row.stamp == 20240203040506
+    assert row.mn == "February" and row.dn == "Saturday"
+    assert str(row.slot) == "2024-01-01 10:30:00"
+    assert row.rd == 10
+    assert str(row.da) == "2024-01-04"
+    assert str(row.ds) == "2024-01-01 01:00:00"
+    assert str(row.dai) == "2024-02-01"
+    assert str(row.pd) == "2024-02-03 04:05:06"
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        ("SELECT dateAdd('fortnight', 1, d) FROM t", "literal unit"),
+        ("SELECT dateAdd(d, 3) FROM t", "literal unit"),
+        ("SELECT parseDateTime(s, f) FROM t", "non-literal"),
+        ("SELECT parseDateTimeBestEffort(s) FROM t", "best-effort"),
+    ],
+)
+def test_datetime_wave2_refusals(ch: str, needle: str):
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql(ch)
+    assert needle.lower() in str(exc.value).lower()
