@@ -364,6 +364,25 @@ _TEMPLATE = {
         "struct(_x AS x, _i AS i)), _s -> _s.i = 0 OR "
         "NOT ({0}[_s.i - 1] <=> _s.x)), _s -> _s.x)"
     ),
+    # math / conditional wave 2
+    "intdivorzero": (
+        "CASE WHEN {1} = 0 THEN 0 "
+        "ELSE (CAST({0} AS BIGINT) DIV CAST({1} AS BIGINT)) END"
+    ),
+    "moduloorzero": "CASE WHEN {1} = 0 THEN 0 ELSE ({0} % {1}) END",
+    # NaN compares greater than any number in Spark, so abs(x) < inf is
+    # false for NaN — exactly ClickHouse's isFinite
+    "isfinite": "(abs(CAST({0} AS DOUBLE)) < double('infinity'))",
+    "isinfinite": "(abs(CAST({0} AS DOUBLE)) = double('infinity'))",
+    "ifnotfinite": (
+        "CASE WHEN abs(CAST({0} AS DOUBLE)) < double('infinity') "
+        "THEN {0} ELSE {1} END"
+    ),
+    "exp2": "power(2.0D, {0})",
+    "exp10": "power(10.0D, {0})",
+    "sigmoid": "(1.0D / (1.0D + exp(-({0}))))",
+    "tointervalyear": "(INTERVAL {0} YEAR)",
+    "tointervalmonth": "(INTERVAL {0} MONTH)",
     # date/time wave 2
     "addweeks": "({0} + make_interval(0, 0, {1}))",
     "subtractweeks": "({0} - make_interval(0, 0, {1}))",
@@ -456,6 +475,11 @@ _UNSUPPORTED_FUNCS = {
         "a backreference-free literal replacement IS mapped)"
     ),
     "ngramdistance": "operators/textops.py text_ngram_distance_probe",
+    "greatcircledistance": (
+        "operators/geo.py _haversine_sql (identical haversine text on "
+        "both engines)"
+    ),
+    "pointinpolygon": "no Spark twin — operators/geo.py shapes",
     "hex": (
         "fixed-width big-endian numeric rendering differs from Spark hex "
         "(identical only for strings, and the translator cannot see the "
@@ -655,6 +679,15 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             f"multi-array {low} not mapped — arrays_zip the inputs and use "
             "one single-array lambda instead"
         )
+    if low in ("trunc", "truncate"):
+        # ClickHouse trunc(x) = numeric truncation toward zero; Spark's
+        # trunc() is DATE truncation — never pass through
+        if len(args) != 1:
+            raise UnsupportedCHSQL(
+                "trunc with a scale argument is not mapped — use "
+                "floor/ceil with a scale, or multiply-cast-divide"
+            )
+        return f"CAST(CAST({args[0]} AS BIGINT) AS DOUBLE)"
     if low in ("arraysort", "arrayreversesort") and len(args) != 1:
         raise UnsupportedCHSQL(
             f"keyed {low}(lambda, arr) is not mapped (Spark's array_sort "
@@ -873,7 +906,8 @@ _KNOWN = (
        "visitparamextractstring", "jsonextractint", "jsonextractfloat",
        "tostartofweek", "extract", "extractall", "datediff",
        "tostartofinterval", "replaceregexpall", "format",
-       "dateadd", "date_add", "datesub", "date_sub", "parsedatetime"}
+       "dateadd", "date_add", "datesub", "date_sub", "parsedatetime",
+       "trunc", "truncate"}
     | set(_FIXED_INTERVALS)
 )
 

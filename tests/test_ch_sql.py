@@ -1187,3 +1187,42 @@ def test_datetime_wave2_refusals(ch: str, needle: str):
     with pytest.raises(UnsupportedCHSQL) as exc:
         translate_ch_sql(ch)
     assert needle.lower() in str(exc.value).lower()
+
+
+# --- math / conditional surface wave 2 --------------------------------------
+
+
+def test_math_wave2_functions(spark):
+    row = run_ch_sql(
+        spark,
+        "SELECT intDivOrZero(7, 2) AS a, intDivOrZero(7, 0) AS a0,"
+        "       moduloOrZero(7, 3) AS m, moduloOrZero(7, 0) AS m0,"
+        "       isFinite(1.5) AS f1, isFinite(exp10(400)) AS f2,"
+        "       isFinite(sqrt(-1.0)) AS f3,"
+        "       isInfinite(exp10(400)) AS i1,"
+        "       ifNotFinite(exp10(400), -1.0) AS nf,"
+        "       exp2(10) AS e2, exp10(3) AS e10,"
+        "       round(sigmoid(0.0), 6) AS sg,"
+        "       trunc(-2.7) AS tr,"
+        "       toIntervalMonth(2) + DATE'2024-01-31' AS im",
+    ).collect()[0]
+    assert (row.a, row.a0, row.m, row.m0) == (3, 0, 1, 0)
+    # NaN/inf: isFinite false for both, isInfinite true only for inf
+    assert (row.f1, row.f2, row.f3, row.i1) == (True, False, False, True)
+    assert row.nf == -1.0 and row.e2 == 1024.0 and row.e10 == 1000.0
+    assert row.sg == 0.5 and row.tr == -2.0
+    assert str(row.im) == "2024-03-31"
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        ("SELECT trunc(x, 2) FROM t", "scale"),
+        ("SELECT greatCircleDistance(a, b, c, d) FROM t", "haversine"),
+        ("SELECT pointInPolygon(a, b) FROM t", "geo"),
+    ],
+)
+def test_math_wave2_refusals(ch: str, needle: str):
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql(ch)
+    assert needle.lower() in str(exc.value).lower()
