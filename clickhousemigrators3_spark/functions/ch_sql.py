@@ -26,11 +26,21 @@ Covered surface (the high-frequency ClickHouse idioms):
   Quarter,Year}, toYYYYMM, formatDateTime (%-format mapping)
 * type casts: toString/toInt*/toUInt*/toFloat*, CAST(x, 'TypeName')
   two-argument form with ClickHouse type-name mapping
-* strings: position (arg swap), splitByChar (arg swap + regex quoting),
-  match → RLIKE, extract → regexp_extract, empty/notEmpty,
-  lengthUTF8/lowerUTF8/upperUTF8
+* strings: position (arg swap), positionCaseInsensitive, splitByChar
+  (arg swap + regex quoting), match → RLIKE, extract → regexp_extract,
+  empty/notEmpty, lengthUTF8/lowerUTF8/upperUTF8, toLower/toUpper,
+  replaceAll/replaceOne, replaceRegexpAll (literal backref-free
+  replacement), multiSearchAny (HOF containment), levenshteinDistance,
+  base64Encode/Decode, unhex, format('{}…') → format_string,
+  isValidUTF8/toValidUTF8
 * arrays: has → array_contains, arrayJoin → explode,
-  ARRAY JOIN clause → LATERAL VIEW explode
+  ARRAY JOIN clause → LATERAL VIEW explode, arrayDistinct/arrayUniq
+  (count), arraySort/arrayReverseSort (NULLs last), push/pop front/back,
+  indexOf, arrayFirst/Last/Count, arrayDifference/arrayCumSum (DOUBLE),
+  arrayCompact, arrayZip/arrayConcat/arrayIntersect (variadic)
+* math/conditional: intDivOrZero/moduloOrZero, isFinite/isInfinite/
+  ifNotFinite, exp2/exp10, sigmoid, trunc (toward-zero numeric — never
+  Spark's date trunc), toIntervalYear…Second constructors
 * JSON: JSONExtractString/Int/Float, visitParamExtractString
   → get_json_object (literal keys)
 * arithmetic spellings: plus/minus/multiply/divide/intDiv/modulo,
@@ -40,9 +50,13 @@ Covered surface (the high-frequency ClickHouse idioms):
   array-first arg swap), arraySum, arrayStringConcat, hasAny/hasAll,
   countEqual, arrayEnumerate, arraySlice/arrayElement/arrayReverse/
   arrayFlatten
-* date/interval arithmetic: addDays/addHours/… via make_interval,
-  dateDiff('unit', a, b) → timestampdiff, yesterday, toMonday, toQuarter,
-  toDayOfYear, toISOWeek, fromUnixTimestamp
+* date/interval arithmetic: addDays/addHours/addWeeks/addQuarters/… and
+  the subtract* twins via make_interval, dateAdd/dateSub ('unit', n,
+  date) and (date, INTERVAL …) forms, dateDiff('unit', a, b) →
+  timestampdiff, parseDateTime (%-codes), toLastDayOfMonth, makeDate/
+  makeDateTime, toYYYYMMDDhhmmss, monthName/dayName, timeSlot,
+  toRelativeDay/HourNum, yesterday, toMonday, toQuarter, toDayOfYear,
+  toISOWeek, fromUnixTimestamp, unix_millis round-trips
 * statistics: stddevPop/stddevSamp/varPop/varSamp/covarPop/covarSamp
   camelCase → snake_case, median/medianExact, sumDistinct,
   groupBitAnd/Or/Xor, roundBankers → bround
