@@ -727,7 +727,9 @@ _ch(
     "chsql_array_wave2",
     """
     SELECT l_returnflag AS flag,
-           arraySort(arrayDistinct(groupArray(l_linenumber))) AS lns,
+           arrayStringConcat(arrayMap(x -> toString(x),
+               arraySort(arrayDistinct(groupArray(l_linenumber)))), ',')
+             AS lns,
            arraySum(arrayDifference(
                arraySort(arrayDistinct(groupArray(l_linenumber))))) AS spread
     FROM lineitem
@@ -737,7 +739,8 @@ _ch(
     """,
     """
     SELECT l_returnflag AS flag,
-           list_sort(list_distinct(list(l_linenumber))) AS lns,
+           array_to_string(list_sort(list_distinct(list(l_linenumber))), ',')
+             AS lns,
            CAST(max(l_linenumber) - min(l_linenumber) AS DOUBLE) AS spread
     FROM lineitem
     WHERE l_orderkey < 100
