@@ -651,71 +651,48 @@ def ccnet_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a one-row broadcast. No driver loops, no Python in the hot path.
     CCNet's head/middle/tail split is a downstream bucketing of avg_nll
     against two broadcast quantile thresholds — deliberately not a global
-    NTILE, which would funnel every doc through one window partition."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.trim("text") != "")
-        .select(
-            "doc_id",
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
-        )
+    NTILE, which would funnel every doc through one window partition.
+
+    The plan travels as ONE generated SQL text: the DataFrame-API
+    construction of the nested zip_with/slice lambdas measured ~0.35 s of
+    Py4J round-trips PER CALL (40% of this query's bench-min) — the same
+    finding that shaped the Lloyd trainer. Expressions are character-
+    identical to the previous Column form, so values are bit-equal."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_ccnet_docs"
     )
-    # bigram construction mirrors the oracle's list_transform; the array is
-    # staged in its own projection first (HOF lambdas defeat Catalyst CSE)
-    db = (
-        d.filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                # adjacent-pair zip (streams both slices once) — ~1.7x the
-                # element_at random-access form; values identical to the
-                # oracle's list_transform construction
-                F.zip_with(
-                    F.slice(F.col("w"), 1, F.size("w") - 1),
-                    F.slice(F.col("w"), 2, F.size("w") - 1),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                )
-            ).alias("bg"),
-        )
-    )
-    bgc = db.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
-    # c(w1) = Σ_w2 c(w1 w2): derived from the bigram counts with a
-    # vocabulary-sized re-aggregation — no second pass over the corpus
-    ctx = (
-        bgc.groupBy(
-            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
-        )
-        .agg(F.sum("cbg").alias("cctx"))
-    )
-    vocab = (
-        d.select(F.explode("w").alias("term"))
-        .agg(F.countDistinct("term").alias("v"))
-    )
-    # precompute lp per DISTINCT bigram (vocab-sized joins), so the
-    # corpus-sized instance relation is shuffled exactly once below
-    lp_tbl = (
-        bgc.withColumn(
-            "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
-        )
-        .join(ctx, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "bg",
-            F.log(
-                (F.col("cbg") + F.lit(CCNET_ALPHA))
-                / (F.col("cctx") + F.lit(CCNET_ALPHA) * F.col("v"))
-            ).alias("lp"),
-        )
-    )
-    scored = db.join(lp_tbl, "bg")
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(-F.avg("lp"), 6).alias("avg_nll"),
-        )
-        .orderBy("doc_id")
-    )
+    # bigram construction mirrors the oracle's list_transform; adjacent-
+    # pair zip streams both slices once (~1.7x the element_at form).
+    # c(w1) = Σ_w2 c(w1 w2) derives from the bigram counts (no second
+    # corpus pass); lp is precomputed per DISTINCT bigram so the corpus-
+    # sized instance relation is shuffled exactly once; |V| is a one-row
+    # broadcast.
+    return spark.sql(f"""
+WITH d AS (
+  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS w
+  FROM _ccnet_docs WHERE trim(text) != ''),
+db AS (
+  SELECT doc_id,
+         explode(zip_with(slice(w, 1, size(w) - 1),
+                          slice(w, 2, size(w) - 1),
+                          (a, b) -> concat(a, ' ', b))) AS bg
+  FROM d WHERE size(w) >= 2),
+bgc AS (SELECT bg, count(1) AS cbg FROM db GROUP BY bg),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(cbg) AS cctx
+  FROM bgc GROUP BY split_part(bg, ' ', 1)),
+vocab AS (
+  SELECT count(DISTINCT term) AS v
+  FROM (SELECT explode(w) AS term FROM d)),
+lp_tbl AS (
+  SELECT /*+ BROADCAST(vocab) */ bg,
+         log((cbg + {CCNET_ALPHA}) / (cctx + {CCNET_ALPHA} * v)) AS lp
+  FROM (SELECT bg, cbg, split_part(bg, ' ', 1) AS w1 FROM bgc) b
+  JOIN ctx USING (w1) CROSS JOIN vocab)
+SELECT doc_id, count(1) AS n_bigrams, round(-avg(lp), 6) AS avg_nll
+FROM db JOIN lp_tbl USING (bg)
+GROUP BY doc_id ORDER BY doc_id
+""")
 
 
 # ---------------------------------------------------------------------------
