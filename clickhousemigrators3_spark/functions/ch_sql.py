@@ -378,6 +378,11 @@ _TEMPLATE = {
         "struct(_x AS x, _i AS i)), _s -> _s.i = 0 OR "
         "NOT ({0}[_s.i - 1] <=> _s.x)), _s -> _s.x)"
     ),
+    # ClickHouse length() counts BYTES on String (chars is lengthUTF8) and
+    # elements on Array — octet_length gives the byte semantics and fails
+    # LOUD on arrays (use size there) instead of silently returning chars
+    "length": "octet_length({0})",
+    "randcanonical": "rand()",
     # math / conditional wave 2
     "intdivorzero": (
         "CASE WHEN {1} = 0 THEN 0 "
@@ -489,6 +494,21 @@ _UNSUPPORTED_FUNCS = {
         "a backreference-free literal replacement IS mapped)"
     ),
     "ngramdistance": "operators/textops.py text_ngram_distance_probe",
+    "deltasum": "block-order dependent — window lag() difference instead",
+    "entropy": (
+        "operators/event_analytics.py entropy_event_type_daily "
+        "(Shannon entropy via grouped counts)"
+    ),
+    "grouparraymovingsum": (
+        "operators/ch_aggregates.py (moving-sum window form)"
+    ),
+    "grouparraymovingavg": (
+        "operators/ch_aggregates.py (moving-agg window form)"
+    ),
+    "rand64": (
+        "UInt64 range exceeds BIGINT — use rand() (UInt32-faithful) or an "
+        "explicit double draw"
+    ),
     "greatcircledistance": (
         "operators/geo.py _haversine_sql (identical haversine text on "
         "both engines)"
@@ -693,6 +713,17 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             f"multi-array {low} not mapped — arrays_zip the inputs and use "
             "one single-array lambda instead"
         )
+    if low in ("greatest", "least") and len(args) >= 2:
+        # ClickHouse returns NULL when ANY argument is NULL; Spark skips
+        # NULLs — wrap to propagate
+        nulls = " OR ".join(f"({a}) IS NULL" for a in args)
+        return (
+            f"CASE WHEN {nulls} THEN NULL "
+            f"ELSE {low}({', '.join(args)}) END"
+        )
+    if low == "rand":
+        # ClickHouse rand() is a uniform UInt32, not Spark's [0,1) double
+        return "CAST(floor(rand() * 4294967296.0D) AS BIGINT)"
     if low in ("trunc", "truncate"):
         # ClickHouse trunc(x) = numeric truncation toward zero; Spark's
         # trunc() is DATE truncation — never pass through
@@ -921,7 +952,7 @@ _KNOWN = (
        "tostartofweek", "extract", "extractall", "datediff",
        "tostartofinterval", "replaceregexpall", "format",
        "dateadd", "date_add", "datesub", "date_sub", "parsedatetime",
-       "trunc", "truncate"}
+       "trunc", "truncate", "greatest", "least", "rand"}
     | set(_FIXED_INTERVALS)
 )
 

@@ -1226,3 +1226,45 @@ def test_math_wave2_refusals(ch: str, needle: str):
     with pytest.raises(UnsupportedCHSQL) as exc:
         translate_ch_sql(ch)
     assert needle.lower() in str(exc.value).lower()
+
+
+# --- same-name/different-semantics audit fixes ------------------------------
+
+
+def test_length_is_bytes_and_null_propagating_extrema(spark):
+    # ClickHouse length() counts BYTES (chars is lengthUTF8); greatest/
+    # least return NULL when ANY argument is NULL (Spark's skip NULLs)
+    row = run_ch_sql(
+        spark,
+        "SELECT length('héllo') AS lb, lengthUTF8('héllo') AS lc,"
+        "       greatest(1, 2, 3) AS g, greatest(1, NULL) AS gn,"
+        "       least(3, NULL, 2) AS ln2",
+    ).collect()[0]
+    assert row.lb == 6 and row.lc == 5
+    assert row.g == 3 and row.gn is None and row.ln2 is None
+
+
+def test_rand_is_uint32_faithful(spark):
+    vals = [
+        r.x for r in run_ch_sql(
+            spark,
+            "SELECT CAST(rand() AS BIGINT) AS x FROM VALUES "
+            "(1),(2),(3),(4),(5) AS t(k)",
+        ).collect()
+    ]
+    assert all(0 <= v < 2**32 for v in vals)
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        ("SELECT deltaSum(x) FROM t", "block-order"),
+        ("SELECT entropy(x) FROM t", "entropy_event_type_daily"),
+        ("SELECT groupArrayMovingSum(x) FROM t", "window form"),
+        ("SELECT rand64() FROM t", "UInt64"),
+    ],
+)
+def test_divergent_name_refusals(ch: str, needle: str):
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql(ch)
+    assert needle.lower() in str(exc.value).lower()
