@@ -794,3 +794,28 @@ _ch(
     """,
     ("orders",),
 )
+
+# Math wave-2 under oracle: zero-safe integer division bucketing plus the
+# NULL-propagating greatest contract exercised through an aggregate.
+_ch(
+    "chsql_math_wave2",
+    """
+    SELECT intDivOrZero(o_orderkey, 32) AS bucket,
+           count() AS n,
+           greatest(max(o_totalprice), 0.0) AS top_price
+    FROM orders
+    WHERE o_orderkey < 1000
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    """
+    SELECT CAST(o_orderkey // 32 AS BIGINT) AS bucket,
+           count(*) AS n,
+           greatest(max(o_totalprice), 0.0) AS top_price
+    FROM orders
+    WHERE o_orderkey < 1000
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    ("orders",),
+)
