@@ -60,6 +60,7 @@ def load_all() -> dict[str, Query]:
         grouped_pandas,
         mergetree,
         migrate_queries,
+        mleval,
         multimodal,
         pipeline,
         pq,

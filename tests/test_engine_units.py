@@ -1976,3 +1976,25 @@ def test_semdedup_gram_prune_equals_jvm_twin(spark):
     jvm = [tuple(r) for r in _semdedup_prune_assigned_jvm(assign).collect()]
     assert len(gram) > 0
     assert gram == jvm
+
+
+def test_segment_overlap_hll_error_bound(spark):
+    """Sketch-based segment set algebra must track the exact twin within
+    HLL error: lgK=12 → rsd ≈ 1.6%, so |A|/|B|/|A∪B| get the 3-sigma ≈ 5%
+    envelope; the inclusion-exclusion-derived |A∩B| and |A∖B| compound
+    three estimates, so their absolute error is bounded by the sum of the
+    operands' envelopes (observed deviation on the fixtures is 0)."""
+    from clickhousemigrators3_spark.operators.mleval import (
+        ev_segment_overlap_exact,
+        ev_segment_overlap_hll,
+    )
+
+    exact = ev_segment_overlap_exact(spark, SF_DIR).collect()[0].asDict()
+    est = ev_segment_overlap_hll(spark, SF_DIR).collect()[0].asDict()
+    rel = 3 * 0.0163
+    for k in ("n_a", "n_b", "n_or"):
+        assert abs(est[k] - exact[k]) <= rel * exact[k], (k, est[k], exact[k])
+    # derived counts: error ≤ sum of the operand envelopes
+    budget = rel * (exact["n_a"] + exact["n_b"] + exact["n_or"])
+    for k in ("n_and", "n_a_not_b"):
+        assert abs(est[k] - exact[k]) <= budget, (k, est[k], exact[k])
