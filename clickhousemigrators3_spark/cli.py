@@ -81,17 +81,24 @@ def cli_chsql(argv: list[str]) -> int:
     text unchanged. ``--translate-only`` prints the emitted Spark SQL
     without starting a session; unsupported constructs refuse with a
     pointer to the operator that implements them (exit 3)."""
-    from .functions.ch_sql import UnsupportedCHSQL, run_ch_sql, translate_ch_sql
+    from .functions.ch_sql import (
+        UnsupportedCHSQL,
+        run_ch_insert,
+        run_ch_sql,
+        split_ch_insert,
+        translate_ch_sql,
+    )
 
     if not argv or argv[0].startswith("-"):
         print(
             'usage: chsql "<ClickHouse SQL>" [--sf-dir D] [--limit N] '
-            "[--explain] [--translate-only]",
+            "[--explain] [--translate-only] [--dest-root R]",
             file=sys.stderr,
         )
         return 2
     sql, rest = argv[0], argv[1:]
     sf_dir, limit = os.environ.get("SPARK_GRAFT_SF_DIR", ""), 20
+    dest_root = ""
     explain = translate_only = False
     it = iter(rest)
     for a in it:
@@ -99,6 +106,8 @@ def cli_chsql(argv: list[str]) -> int:
             sf_dir = next(it)
         elif a == "--limit":
             limit = int(next(it))
+        elif a == "--dest-root":
+            dest_root = next(it)
         elif a == "--explain":
             explain = True
         elif a == "--translate-only":
@@ -107,10 +116,29 @@ def cli_chsql(argv: list[str]) -> int:
             print(f"unknown option {a}", file=sys.stderr)
             return 2
     try:
-        translated = translate_ch_sql(sql)
+        insert = split_ch_insert(sql)
+        translated = translate_ch_sql(insert[2] if insert else sql)
     except UnsupportedCHSQL as exc:
         print(f"unsupported ClickHouse SQL: {exc}", file=sys.stderr)
         return 3
+    if insert and not translate_only:
+        if not dest_root:
+            print("INSERT needs --dest-root", file=sys.stderr)
+            return 2
+        from .session import get_spark
+
+        spark = get_spark(app_name="chsql")
+        try:
+            row = run_ch_insert(
+                spark, sql, dest_root, sf_dir or None
+            ).collect()[0]
+            print(
+                f"{row.target}\t{row.path}\t{row.rows_inserted} rows\t"
+                f"{row.files_added} files"
+            )
+            return 0
+        finally:
+            spark.stop()
     if translate_only:
         print(translated)
         return 0

@@ -53,7 +53,9 @@ Covered surface (the high-frequency ClickHouse idioms):
 * date/interval arithmetic: addDays/addHours/addWeeks/addQuarters/… and
   the subtract* twins via make_interval, dateAdd/dateSub ('unit', n,
   date) and (date, INTERVAL …) forms, dateDiff('unit', a, b) →
-  timestampdiff, parseDateTime (%-codes), toLastDayOfMonth, makeDate/
+  timestampdiff over unit-truncated operands (ClickHouse counts crossed
+  boundaries, not complete units), age('unit', a, b) → plain
+  timestampdiff (complete units — the contrast), parseDateTime (%-codes), toLastDayOfMonth, makeDate/
   makeDateTime, toYYYYMMDDhhmmss, monthName/dayName, timeSlot,
   toRelativeDay/HourNum, yesterday, toMonday, toQuarter, toDayOfYear,
   toISOWeek, fromUnixTimestamp, unix_millis round-trips
@@ -73,6 +75,12 @@ Covered surface (the high-frequency ClickHouse idioms):
 * window functions: OVER/PARTITION BY pass through (shared grammar);
   lagInFrame/leadInFrame → lag/lead; any/anyLast over a window keep the
   NULL-skipping first/last(ignoreNulls) mapping
+* wave 3: arrayReduce('sum/min/max/avg/count/uniq[Exact]/any[Last]',
+  arr), arrayProduct, transform(x, from, to[, default]) value remapping,
+  multiMatchAny, bitTest, mapKeys/mapValues/mapContains/mapFromArrays
+* INSERT INTO … SELECT/VALUES — run_ch_insert (translated source query +
+  catalog parquet append; inserted-row count from the new files' parquet
+  footers, one source pass)
 * ORDER BY … WITH FILL [FROM/TO/STEP] — run_ch_sql only (the dense-axis
   rewrite needs the result schema for ClickHouse-default fill values);
   see _expand_with_fill for the exact FillingTransform cursor semantics
@@ -92,7 +100,13 @@ from __future__ import annotations
 import re
 from collections.abc import Sequence
 
-__all__ = ["UnsupportedCHSQL", "translate_ch_sql", "run_ch_sql"]
+__all__ = [
+    "UnsupportedCHSQL",
+    "run_ch_insert",
+    "run_ch_sql",
+    "split_ch_insert",
+    "translate_ch_sql",
+]
 
 
 class UnsupportedCHSQL(ValueError):
@@ -222,6 +236,11 @@ _RENAME = {
     "isvalidutf8": "is_valid_utf8",
     "tovalidutf8": "make_valid_utf8",
     "base64encode": "base64",
+    # wave 3: Map(K, V) accessors share Spark's map layout exactly
+    "mapkeys": "map_keys",
+    "mapvalues": "map_values",
+    "mapcontains": "map_contains_key",
+    "mapfromarrays": "map_from_arrays",
 }
 
 # templates: {0}, {1}… = translated args; {args} = all args comma-joined
@@ -288,6 +307,13 @@ _TEMPLATE = {
     ),
     "empty": "(length({0}) = 0)",
     "notempty": "(length({0}) > 0)",
+    # wave 3: regex-list probe, array product fold (DOUBLE accumulation,
+    # same nuance as arraySum), bit probe (BIGINT 0/1, ClickHouse: UInt8)
+    "multimatchany": "exists({1}, _mp -> {0} RLIKE _mp)",
+    "arrayproduct": (
+        "aggregate({0}, 1.0D, (_pa, _px) -> _pa * CAST(_px AS DOUBLE))"
+    ),
+    "bittest": "(shiftright(CAST({0} AS BIGINT), CAST({1} AS INT)) & 1)",
     "match": "({0} RLIKE {1})",
     "intdiv": "(CAST({0} AS BIGINT) DIV CAST({1} AS BIGINT))",
     "modulo": "({0} % {1})",
@@ -545,6 +571,35 @@ _UNSUPPORTED_FUNCS = {
     "neighbor": (
         "window lag/lead — operators/event_analytics.py (neighbor depends "
         "on block order, which Spark does not define)"
+    ),
+    "arrayauc": (
+        "operators/mleval.py ml_roc_auc_daily (tie-corrected rank-statistic "
+        "AUC — the grouped relational form scales; per-row arrays don't)"
+    ),
+    "sparkbar": (
+        "renders text art — operators/analytics.py histogram_value_buckets "
+        "for the underlying buckets"
+    ),
+    "summapfiltered": "operators/mergetree.py ch_summing_map (filter first)",
+    "deltasumtimestamp": (
+        "operators/ch_aggregates.py ch_delta_sum_per_user (ordered window "
+        "form; deltaSumTimestamp depends on block merge order)"
+    ),
+    "toweek": (
+        "default mode 0 weeks start Sunday and renumber at Jan 1 — Spark "
+        "weekofyear is ISO; use toISOWeek (mapped) or spell the bucket"
+    ),
+    "toyearweek": (
+        "default mode 0 weeks start Sunday and renumber at Jan 1 — Spark "
+        "weekofyear is ISO; use toISOWeek (mapped) or spell the bucket"
+    ),
+    "tuple": (
+        "tuple fields are positional; Spark struct() names fields after "
+        "source expressions — use named_struct(...) and dot access"
+    ),
+    "tupleelement": (
+        "tuple fields are positional; Spark struct() names fields after "
+        "source expressions — use named_struct(...) and dot access"
     ),
 }
 
@@ -880,7 +935,83 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             "YEAR",
         ):
             raise UnsupportedCHSQL(f"dateDiff unit {unit!r} not mapped")
+        if len(args) > 3:
+            raise UnsupportedCHSQL(
+                "dateDiff timezone argument not supported — convert inputs "
+                "with from_utc_timestamp first"
+            )
+        # ClickHouse dateDiff counts crossed unit BOUNDARIES (like DuckDB
+        # date_diff); Spark timestampdiff counts complete elapsed units
+        # (dateDiff('day', 23:00, next 01:00) is 1 in ClickHouse, 0 via bare
+        # timestampdiff). Truncating both operands to the unit first makes
+        # complete-unit counting equal boundary counting for every unit
+        # (week truncation is Monday-based on both engines).
+        lu = unit.lower()
+        return (
+            f"timestampdiff({unit}, date_trunc('{lu}', {args[1]}), "
+            f"date_trunc('{lu}', {args[2]}))"
+        )
+    if low == "age":
+        # ClickHouse age('unit', a, b) counts COMPLETE elapsed units — which
+        # is exactly Spark's timestampdiff (contrast dateDiff above, which
+        # counts crossed boundaries and needs the truncation).
+        if len(args) != 3:
+            raise UnsupportedCHSQL("age needs ('unit', start, end)")
+        u = args[0].strip()
+        if not (u.startswith("'") and u.endswith("'")):
+            raise UnsupportedCHSQL("age needs a literal unit")
+        unit = _string_value(u).upper()
+        if unit not in (
+            "SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH", "QUARTER",
+            "YEAR",
+        ):
+            raise UnsupportedCHSQL(f"age unit {unit!r} not mapped")
         return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+    if low == "arrayreduce":
+        if len(args) < 2:
+            raise UnsupportedCHSQL("arrayReduce needs ('agg', array)")
+        a0 = args[0].strip()
+        if not (a0.startswith("'") and a0.endswith("'")):
+            raise UnsupportedCHSQL("arrayReduce needs a literal aggregate name")
+        if len(args) > 2:
+            raise UnsupportedCHSQL(
+                "multi-array arrayReduce not mapped — arrays_zip first"
+            )
+        agg = _string_value(a0).lower()
+        arr = args[1].strip()
+        reducers = {
+            "sum": _TEMPLATE["arraysum"].format(arr),
+            "min": f"array_min({arr})",
+            "max": f"array_max({arr})",
+            "avg": _TEMPLATE["arrayavg"].format(arr),
+            "count": f"size({arr})",
+            "uniq": f"size(array_distinct({arr}))",
+            "uniqexact": f"size(array_distinct({arr}))",
+            "any": f"element_at({arr}, 1)",
+            "anylast": f"element_at({arr}, -1)",
+        }
+        if agg not in reducers:
+            raise UnsupportedCHSQL(
+                f"arrayReduce({a0}, …) not mapped — supported: "
+                f"{', '.join(sorted(reducers))}; others need the matching "
+                "operators/ query on the exploded form"
+            )
+        return reducers[agg]
+    if low == "transform":
+        # ClickHouse transform(x, [from…], [to…][, default]) — value
+        # remapping, NOT Spark's transform() HOF (arrayMap covers that).
+        if len(args) not in (3, 4):
+            raise UnsupportedCHSQL(
+                "transform needs ClickHouse's (x, from_array, to_array"
+                "[, default]) form — for the array lambda use arrayMap"
+            )
+        x, src, dst = (a.strip() for a in args[:3])
+        pos = f"array_position({src}, {x})"
+        fallback = args[3].strip() if len(args) == 4 else x
+        return (
+            f"(CASE WHEN {pos} > 0 THEN element_at({dst}, "
+            f"CAST({pos} AS INT)) ELSE {fallback} END)"
+        )
     if low == "formatdatetime" and len(args) == 2:
         a1 = args[1].strip()
         if not (a1.startswith("'") and a1.endswith("'")):
@@ -952,7 +1083,8 @@ _KNOWN = (
        "tostartofweek", "extract", "extractall", "datediff",
        "tostartofinterval", "replaceregexpall", "format",
        "dateadd", "date_add", "datesub", "date_sub", "parsedatetime",
-       "trunc", "truncate", "greatest", "least", "rand"}
+       "trunc", "truncate", "greatest", "least", "rand",
+       "age", "arrayreduce", "transform"}
     | set(_FIXED_INTERVALS)
 )
 
@@ -1374,7 +1506,9 @@ def _rewrite_limit_by(tokens: list[str], idx: int) -> list[str]:
 # DML/DDL statements route to the engine's operator surface, not spark.sql
 # over temp views (which are not writable) — refuse with the implementation
 _STATEMENT_POINTERS = {
-    "insert": "operators/migrate.py (S10 bulk copy) / "
+    "insert": "run_ch_insert in this module (INSERT INTO … SELECT/VALUES "
+              "→ translated query + catalog parquet append) / "
+              "operators/migrate.py (S10 bulk copy) / "
               "sources/clickhouse_http.py write_table_http",
     "alter": "operators/maintenance.py (mutations, schema evolution, TTL, "
              "DROP/ATTACH/MOVE PARTITION)",
@@ -2003,3 +2137,144 @@ def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
     if fill is not None:
         translated = _expand_with_fill(spark, translated, fill[1])
     return spark.sql(translated)
+
+
+# --- INSERT statement surface ----------------------------------------------
+# The reference's migration loop is INSERT INTO dst SELECT … (SURVEY §2.1
+# S10; reference migration.py builds exactly this text). Temp views are not
+# writable through spark.sql, so the statement routes through the catalog
+# writer instead — same translation for the source query, then a parquet
+# append under a destination root.
+
+
+def split_ch_insert(sql: str) -> tuple[str, list[str] | None, str] | None:
+    """Parse ``INSERT INTO [db.]table [(col, …)] <SELECT…|WITH…|VALUES…>``.
+
+    Returns ``(target, cols, source_sql)`` with ``source_sql`` a ClickHouse
+    SELECT text (a VALUES tail is wrapped as ``SELECT * FROM VALUES …``),
+    or None when the statement is not an INSERT. ``INSERT … FORMAT <fmt>``
+    (data shipped out-of-band on the native wire) refuses with a pointer at
+    the HTTP sink, which IS that wire."""
+    tokens = _tokenize(sql)
+    i = _next_code(tokens, 0)
+    if i >= len(tokens) or tokens[i].lower() != "insert":
+        return None
+    i = _next_code(tokens, i + 1)
+    if i >= len(tokens) or tokens[i].lower() != "into":
+        raise UnsupportedCHSQL("INSERT needs INTO")
+    i = _next_code(tokens, i + 1)
+    if i < len(tokens) and tokens[i].lower() == "table":
+        i = _next_code(tokens, i + 1)
+    parts: list[str] = []
+    while i < len(tokens):
+        t = tokens[i]
+        if t.startswith("`") or t.startswith('"'):
+            parts.append(t[1:-1])
+        elif re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", t):
+            parts.append(t)
+        else:
+            break
+        j = _next_code(tokens, i + 1)
+        if j < len(tokens) and tokens[j] == ".":
+            i = _next_code(tokens, j + 1)
+        else:
+            i = j
+            break
+    if not parts:
+        raise UnsupportedCHSQL("INSERT INTO needs a target table name")
+    target = ".".join(parts)
+    cols: list[str] | None = None
+    if i < len(tokens) and tokens[i] == "(":
+        close = _find_close(tokens, i)
+        cols = [
+            t.strip('`"')
+            for t in tokens[i + 1 : close]
+            if not _is_ws(t) and t != ","
+        ]
+        i = _next_code(tokens, close + 1)
+    if i >= len(tokens):
+        raise UnsupportedCHSQL("INSERT INTO needs a SELECT, WITH, or VALUES source")
+    lead = tokens[i].lower()
+    rest = "".join(tokens[i:])
+    if lead in ("select", "with"):
+        return target, cols, rest
+    if lead == "values":
+        tail = "".join(tokens[_next_code(tokens, i + 1):])
+        alias = f" AS _ins({', '.join(cols)})" if cols else ""
+        return target, cols, f"SELECT * FROM VALUES {tail}{alias}"
+    if lead == "format":
+        raise UnsupportedCHSQL(
+            "INSERT … FORMAT ships data out-of-band — use "
+            "sources/clickhouse_http.py write_table_http (the same wire, "
+            "JSONEachRow/Parquet both directions)"
+        )
+    raise UnsupportedCHSQL(f"INSERT source {lead!r} not supported")
+
+
+def _list_data_files(spark, path: str) -> set[str]:
+    """Recursive data-file listing via Hadoop FS (scheme-agnostic — local,
+    s3a, hdfs alike). Driver-side metadata op, same cost class as any
+    commit protocol's file manifest."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hp):
+        return set()
+    out: set[str] = set()
+    it = fs.listFiles(hp, True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if not p.endswith("_SUCCESS"):
+            out.add(p)
+    return out
+
+
+def run_ch_insert(spark, sql: str, dest_root: str, sf_dir: str | None = None):
+    """Execute a ClickHouse ``INSERT INTO … SELECT/VALUES`` statement:
+    translate the source query (same path as :func:`run_ch_sql`), then
+    parquet-APPEND the result under ``{dest_root}/{db}/{table}``.
+
+    One source pass: the inserted-row count comes from the parquet footers
+    of the files the write just added (before/after manifest diff), not
+    from a second scan of the source. Returns a 1-row summary DataFrame
+    ``(target, path, rows_inserted, files_added)``.
+
+    Scale notes: the write is executor-side and partition-parallel like
+    every catalog write; the footer count reads file metadata only. For
+    atomic-publish semantics layer operators/migrate.py's staging rename /
+    manifest commit on top — this statement surface mirrors the
+    reference's plain INSERT (reference migration.py bulk copy), which is
+    append-only."""
+    parsed = split_ch_insert(sql)
+    if parsed is None:
+        raise UnsupportedCHSQL("not an INSERT statement — use run_ch_sql")
+    target, cols, source_sql = parsed
+    translated = translate_ch_sql(source_sql)
+    if sf_dir is not None:
+        from ..catalog import register_system_views, register_tables
+
+        from .. import TABLES
+
+        register_tables(spark, sf_dir, tuple(TABLES))
+        if re.search(r"\bsystem_(?:tables|parts|storage_policies)\b", translated):
+            register_system_views(spark, sf_dir)
+    df = spark.sql(translated)
+    if cols:
+        if len(cols) != len(df.columns):
+            raise UnsupportedCHSQL(
+                f"INSERT column list has {len(cols)} names but the source "
+                f"produces {len(df.columns)} columns"
+            )
+        df = df.toDF(*cols)
+    path = "/".join([dest_root.rstrip("/")] + target.split("."))
+    before = _list_data_files(spark, path)
+    df.write.mode("append").format("parquet").save(path)
+    new_files = sorted(_list_data_files(spark, path) - before)
+    rows = (
+        spark.read.parquet(*new_files).count() if new_files else 0
+    )  # parquet footer count — no data scan
+    return spark.createDataFrame(
+        [(target, path, rows, len(new_files))],
+        "target string, path string, rows_inserted bigint, files_added int",
+    )

@@ -146,9 +146,17 @@ SF01 = "/root/testdata/sf0.01"
             "SELECT addDays(ts, 3) FROM t",
             "SELECT (ts + make_interval(0, 0, 0, 3)) FROM t",
         ),
+        # dateDiff counts crossed boundaries (ClickHouse/DuckDB semantics),
+        # not complete units — hence the truncation of both operands
         (
             "SELECT dateDiff('day', a, b) FROM t",
-            "SELECT timestampdiff(DAY, a, b) FROM t",
+            "SELECT timestampdiff(DAY, date_trunc('day', a), "
+            "date_trunc('day', b)) FROM t",
+        ),
+        (
+            "SELECT dateDiff('month', a, b) FROM t",
+            "SELECT timestampdiff(MONTH, date_trunc('month', a), "
+            "date_trunc('month', b)) FROM t",
         ),
         # camelCase stats → snake_case; banker's rounding → bround
         (
@@ -1268,3 +1276,143 @@ def test_divergent_name_refusals(ch: str, needle: str):
     with pytest.raises(UnsupportedCHSQL) as exc:
         translate_ch_sql(ch)
     assert needle.lower() in str(exc.value).lower()
+
+
+def test_datediff_counts_boundary_crossings(spark):
+    """ClickHouse dateDiff counts crossed unit boundaries, not complete
+    elapsed units — 23:00 → next-day 01:00 is 1 day, Jan 31 → Feb 1 is
+    1 month. DuckDB's date_diff shares the boundary semantics, so the
+    assertion doubles as the oracle the chsql_* queries compare under."""
+    import duckdb
+
+    cases = [
+        ("day", "TIMESTAMP'2024-01-01 23:00:00'", "TIMESTAMP'2024-01-02 01:00:00'", 1),
+        ("day", "TIMESTAMP'2024-01-01 01:00:00'", "TIMESTAMP'2024-01-01 23:59:59'", 0),
+        ("month", "DATE'2024-01-31'", "DATE'2024-02-01'", 1),
+        ("year", "DATE'2023-12-31'", "DATE'2024-01-01'", 1),
+        ("hour", "TIMESTAMP'2024-01-01 10:59:00'", "TIMESTAMP'2024-01-01 11:01:00'", 1),
+        ("week", "DATE'2024-01-07'", "DATE'2024-01-08'", 1),  # Sun → Mon
+        ("quarter", "DATE'2024-03-31'", "DATE'2024-04-01'", 1),
+        ("month", "DATE'2024-02-01'", "DATE'2024-01-31'", -1),
+    ]
+    con = duckdb.connect()
+    for unit, a, b, expected in cases:
+        got = run_ch_sql(
+            spark, f"SELECT dateDiff('{unit}', {a}, {b}) AS d"
+        ).collect()[0].d
+        oracle = con.execute(f"SELECT date_diff('{unit}', {a}, {b})").fetchone()[0]
+        assert got == expected == oracle, (unit, a, b, got, oracle)
+
+
+def test_datediff_timezone_arg_refused():
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql("SELECT dateDiff('day', a, b, 'UTC') FROM t")
+    assert "timezone" in str(exc.value)
+
+
+def test_wave3_functions(spark):
+    row = run_ch_sql(
+        spark,
+        "SELECT arrayReduce('sum', array(1, 2, 3)) AS rsum,"
+        "       arrayReduce('uniqExact', array(1, 2, 2, 3)) AS runiq,"
+        "       arrayReduce('anyLast', array(7, 8, 9)) AS rlast,"
+        "       arrayProduct(array(2, 3, 4)) AS prod,"
+        "       transform(2, array(1, 2, 3), array(10, 20, 30)) AS tr_hit,"
+        "       transform(9, array(1, 2, 3), array(10, 20, 30)) AS tr_miss,"
+        "       transform(9, array(1, 2), array(10, 20), -1) AS tr_def,"
+        "       multiMatchAny('abc-42', array('^z', '[0-9]+$')) AS mm_hit,"
+        "       multiMatchAny('abc', array('^z', 'q')) AS mm_miss,"
+        "       bitTest(5, 0) AS b0, bitTest(5, 1) AS b1,"
+        "       mapKeys(map('a', 1, 'b', 2)) AS mk,"
+        "       mapValues(map('a', 1, 'b', 2)) AS mv,"
+        "       mapContains(map('a', 1), 'a') AS mc,"
+        "       age('month', DATE'2024-01-31', DATE'2024-02-29') AS age_m,"
+        "       age('day', TIMESTAMP'2024-01-01 23:00:00',"
+        "           TIMESTAMP'2024-01-02 01:00:00') AS age_d",
+    ).collect()[0]
+    assert row.rsum == 6.0 and row.runiq == 3 and row.rlast == 9
+    assert row.prod == 24.0
+    assert row.tr_hit == 20 and row.tr_miss == 9 and row.tr_def == -1
+    assert row.mm_hit is True and row.mm_miss is False
+    assert row.b0 == 1 and row.b1 == 0
+    assert row.mk == ["a", "b"] and row.mv == [1, 2] and row.mc is True
+    # age counts COMPLETE units (Jan 31 → Feb 29 is 0 full months;
+    # 23:00 → next 01:00 is 0 full days) — the dateDiff contrast
+    assert row.age_m == 0 and row.age_d == 0
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        ("SELECT arrayAUC(s, l) FROM t", "ml_roc_auc"),
+        ("SELECT sparkbar(9)(x, y) FROM t", "histogram"),
+        ("SELECT sumMapFiltered([1])(k, v) FROM t", "ch_summing_map"),
+        ("SELECT deltaSumTimestamp(v, ts) FROM t", "delta_sum"),
+        ("SELECT toWeek(d) FROM t", "toISOWeek"),
+        ("SELECT tuple(a, b) FROM t", "named_struct"),
+        ("SELECT tupleElement(tp, 1) FROM t", "named_struct"),
+        ("SELECT arrayReduce('quantile', arr) FROM t", "not mapped"),
+        ("SELECT arrayReduce(name, arr) FROM t", "literal"),
+        ("SELECT transform(arr, x -> x * 2) FROM t", "arrayMap"),
+        ("SELECT age(u, a, b) FROM t", "literal unit"),
+    ],
+)
+def test_wave3_refusals(ch: str, needle: str):
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql(ch)
+    assert needle.lower() in str(exc.value).lower()
+
+
+# --- INSERT statement surface ----------------------------------------------
+
+
+def test_insert_select_appends_and_counts(spark, tmp_path):
+    from clickhousemigrators3_spark.functions.ch_sql import run_ch_insert
+
+    dest = str(tmp_path / "sink")
+    sql = (
+        "INSERT INTO default.orders_small "
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' SETTINGS max_threads = 4"
+    )
+    s1 = run_ch_insert(spark, sql, dest, sf_dir=SF01).collect()[0]
+    assert s1.target == "default.orders_small"
+    assert s1.rows_inserted > 0 and s1.files_added > 0
+    # second run APPENDS (ClickHouse INSERT semantics), counting only new rows
+    s2 = run_ch_insert(spark, sql, dest, sf_dir=SF01).collect()[0]
+    assert s2.rows_inserted == s1.rows_inserted
+    total = spark.read.parquet(s1.path).count()
+    assert total == s1.rows_inserted + s2.rows_inserted
+    # the written rows match the translated SELECT
+    expected = spark.sql(
+        "SELECT count(*) c FROM parquet.`" + SF01 + "/orders.parquet` "
+        "WHERE o_orderstatus = 'F'"
+    ).collect()[0].c
+    assert s1.rows_inserted == expected
+
+
+def test_insert_values_with_columns(spark, tmp_path):
+    from clickhousemigrators3_spark.functions.ch_sql import run_ch_insert
+
+    dest = str(tmp_path / "sink")
+    s = run_ch_insert(
+        spark,
+        "INSERT INTO t1 (id, name) VALUES (1, upper('a')), (2, 'b')",
+        dest,
+    ).collect()[0]
+    assert s.rows_inserted == 2
+    rows = {
+        (r.id, r.name) for r in spark.read.parquet(dest + "/t1").collect()
+    }
+    assert rows == {(1, "A"), (2, "b")}
+
+
+def test_insert_refusals(spark):
+    from clickhousemigrators3_spark.functions.ch_sql import split_ch_insert
+
+    assert split_ch_insert("SELECT 1") is None
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        split_ch_insert("INSERT INTO t FORMAT JSONEachRow")
+    assert "write_table_http" in str(exc.value)
+    with pytest.raises(UnsupportedCHSQL):
+        split_ch_insert("INSERT INTO t")
