@@ -51,6 +51,75 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def roc_auc_by_group(df: DataFrame, group: str = "day") -> DataFrame:
+    """Core grouped ROC AUC over (group, score, y∈{0,1}) rows — the
+    tie-corrected Mann-Whitney rank-sum form (see ml_roc_auc_daily for the
+    derivation and plan shape). Groups without both classes are dropped
+    (AUC undefined)."""
+    w = Window.partitionBy(group).orderBy("score")
+    peers = w.rangeBetween(Window.currentRow, Window.currentRow)
+    r = df.select(
+        group,
+        "y",
+        F.rank().over(w).alias("mn_rank"),
+        F.count(F.lit(1)).over(peers).alias("ties"),
+    )
+    g = r.groupBy(group).agg(
+        F.sum("y").cast("double").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("double").alias("n_neg"),
+        F.sum(
+            F.when(F.col("y") == 1, F.col("mn_rank") + (F.col("ties") - 1) / 2.0)
+        ).alias("r_pos"),
+    )
+    return (
+        g.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            group,
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            F.round(
+                (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2)
+                / (F.col("n_pos") * F.col("n_neg")),
+                6,
+            ).alias("roc_auc"),
+        )
+        .orderBy(group)
+    )
+
+
+def avg_precision_by_group(
+    df: DataFrame, group: str = "day", tiebreak: str = "event_id"
+) -> DataFrame:
+    """Core grouped average precision over (group, score, y, tiebreak)
+    rows — AP over the (score DESC, tiebreak ASC) ranking; see
+    ml_avg_precision_daily."""
+    w = Window.partitionBy(group).orderBy(F.desc("score"), tiebreak)
+    r = df.select(
+        group,
+        "y",
+        F.row_number().over(w).alias("k"),
+        F.sum("y").over(w).alias("cum_pos"),
+    )
+    return (
+        r.groupBy(group)
+        .agg(
+            F.sum("y").cast("long").alias("n_pos"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("y") == 1,
+                        F.col("cum_pos").cast("double") / F.col("k"),
+                    )
+                )
+                / F.sum("y"),
+                6,
+            ).alias("avg_precision"),
+        )
+        .filter(F.col("n_pos") > 0)
+        .orderBy(group)
+    )
+
+
 @register(
     "ml_roc_auc_daily",
     f"""
@@ -89,36 +158,7 @@ def ml_roc_auc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day, ORDER BY score) sort the rank uses, so Catalyst plans one
     Exchange + one Sort; the follow-up groupBy(day) aggregation is
     map-side-combinable on already-day-clustered data."""
-    s = _scored(spark, sf_dir)
-    w = Window.partitionBy("day").orderBy("score")
-    peers = w.rangeBetween(Window.currentRow, Window.currentRow)
-    r = s.select(
-        "day",
-        "y",
-        F.rank().over(w).alias("mn_rank"),
-        F.count(F.lit(1)).over(peers).alias("ties"),
-    )
-    g = r.groupBy("day").agg(
-        F.sum("y").cast("double").alias("n_pos"),
-        (F.count(F.lit(1)) - F.sum("y")).cast("double").alias("n_neg"),
-        F.sum(
-            F.when(F.col("y") == 1, F.col("mn_rank") + (F.col("ties") - 1) / 2.0)
-        ).alias("r_pos"),
-    )
-    return (
-        g.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
-        .select(
-            "day",
-            F.col("n_pos").cast("long").alias("n_pos"),
-            F.col("n_neg").cast("long").alias("n_neg"),
-            F.round(
-                (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2)
-                / (F.col("n_pos") * F.col("n_neg")),
-                6,
-            ).alias("roc_auc"),
-        )
-        .orderBy("day")
-    )
+    return roc_auc_by_group(_scored(spark, sf_dir))
 
 
 @register(
@@ -151,32 +191,7 @@ def ml_avg_precision_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one window exchange on ``day``; row_number and the running
     positive count share the same (day, score DESC, event_id) sort."""
-    s = _scored(spark, sf_dir)
-    w = Window.partitionBy("day").orderBy(F.desc("score"), "event_id")
-    r = s.select(
-        "day",
-        "y",
-        F.row_number().over(w).alias("k"),
-        F.sum("y").over(w).alias("cum_pos"),
-    )
-    return (
-        r.groupBy("day")
-        .agg(
-            F.sum("y").cast("long").alias("n_pos"),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("y") == 1,
-                        F.col("cum_pos").cast("double") / F.col("k"),
-                    )
-                )
-                / F.sum("y"),
-                6,
-            ).alias("avg_precision"),
-        )
-        .filter(F.col("n_pos") > 0)
-        .orderBy("day")
-    )
+    return avg_precision_by_group(_scored(spark, sf_dir))
 
 
 @register(
@@ -483,4 +498,91 @@ def ev_segment_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_a") + F.col("n_b") - F.col("n_or")).alias("n_and"),
         "n_or",
         (F.col("n_or") - F.col("n_b")).alias("n_a_not_b"),
+    )
+
+
+_NDCG_K = 50
+_GRADES = "CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2 WHEN 'click' THEN 1 ELSE 0 END"
+
+
+@register(
+    "ml_ndcg_at_k_daily",
+    f"""
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS day, event_id, value AS score,
+             {_GRADES} AS rel
+      FROM events),
+    r AS (
+      SELECT day, rel,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY score DESC, event_id) AS k,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY rel DESC, event_id) AS ik
+      FROM s),
+    g AS (
+      SELECT day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CASE WHEN k <= {_NDCG_K}
+                 THEN (POW(2, rel) - 1) / (LN(k + 1) / LN(2)) END) AS dcg,
+             SUM(CASE WHEN ik <= {_NDCG_K}
+                 THEN (POW(2, rel) - 1) / (LN(ik + 1) / LN(2)) END) AS idcg
+      FROM r GROUP BY day)
+    SELECT day, n_events, ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+           ROUND(dcg / idcg, 6) AS ndcg
+    FROM g WHERE idcg > 0 ORDER BY day
+    """,
+)
+def ml_ndcg_at_k_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day NDCG@{k}: how well the ``value`` score ranks events against
+    graded relevance (purchase=3 > signup=2 > click=1 > rest=0) — the
+    ranking-quality check a retrieval/reranker eval runs per slice.
+    DCG@k over the score-descending ranking, normalized by the ideal
+    (relevance-descending) DCG@k; ties broken by event_id so both engines
+    walk identical rankings.
+
+    Scale: ONE exchange on ``day`` feeding both window sorts (actual vs
+    ideal ranking); the per-day reduce is map-side-combinable. No per-query
+    fan-out — k caps the contributing rows per group inside the
+    aggregation, not via a LIMIT join."""
+    e = load_table(spark, sf_dir, "events")
+    rel = (
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+    )
+    s = e.select(
+        F.to_date("ts").alias("day"),
+        "event_id",
+        F.col("value").alias("score"),
+        rel.alias("rel"),
+    )
+    wk = Window.partitionBy("day").orderBy(F.desc("score"), "event_id")
+    wi = Window.partitionBy("day").orderBy(F.desc("rel"), "event_id")
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    r = s.select(
+        "day",
+        "rel",
+        F.row_number().over(wk).alias("k"),
+        F.row_number().over(wi).alias("ik"),
+    )
+    g = r.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("k") <= _NDCG_K, gain / (F.log2(F.col("k") + 1)))
+        ).alias("dcg"),
+        F.sum(
+            F.when(F.col("ik") <= _NDCG_K, gain / (F.log2(F.col("ik") + 1)))
+        ).alias("idcg"),
+    )
+    return (
+        g.filter(F.col("idcg") > 0)
+        .select(
+            "day",
+            "n_events",
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+        .orderBy("day")
     )

@@ -223,3 +223,72 @@ def test_sliding_funnel_property(spark, events):
             step = 3
         expected_counts[step] = expected_counts.get(step, 0) + 1
     assert got == expected_counts, (rows, got, expected_counts)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # score (tie-heavy)
+            st.integers(min_value=0, max_value=1),  # label
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_roc_auc_matches_pairwise_definition(spark, rows):
+    """The rank-sum AUC must equal the literal pairwise probability
+    P(score⁺ > score⁻) + ½P(tie) for ARBITRARY score/label data, including
+    heavy ties, all-one-class groups (dropped), and n=2 edges."""
+    from clickhousemigrators3_spark.operators.mleval import roc_auc_by_group
+
+    df = spark.createDataFrame(
+        [(1, float(s), y) for s, y in rows], "g int, score double, y int"
+    )
+    out = roc_auc_by_group(df, group="g").collect()
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    if not pos or not neg:
+        assert out == []
+        return
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    expected = wins / (len(pos) * len(neg))
+    assert len(out) == 1
+    assert abs(out[0].roc_auc - expected) < 1e-6, (rows, out[0].roc_auc, expected)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # score (tie-heavy)
+            st.integers(min_value=0, max_value=1),  # label
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_avg_precision_matches_literal_definition(spark, rows):
+    """Window-form AP must equal the literal Σ Precision@k / n⁺ walk over
+    the same deterministic (score DESC, id ASC) ranking."""
+    from clickhousemigrators3_spark.operators.mleval import (
+        avg_precision_by_group,
+    )
+
+    data = [(1, i, float(s), y) for i, (s, y) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, event_id int, score double, y int")
+    out = avg_precision_by_group(df, group="g").collect()
+    ranked = sorted(data, key=lambda r: (-r[2], r[1]))
+    n_pos = sum(y for *_, y in ranked)
+    if n_pos == 0:
+        assert out == []
+        return
+    cum = 0
+    ap = 0.0
+    for k, (_, _, _, y) in enumerate(ranked, start=1):
+        cum += y
+        if y:
+            ap += cum / k
+    expected = ap / n_pos
+    assert len(out) == 1
+    assert abs(out[0].avg_precision - expected) < 1e-6, (rows, out[0].avg_precision, expected)

@@ -257,3 +257,36 @@ def test_fused_assign_training_at_32k_vectors(spark, big_emb_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_roc_auc_at_800k_events(spark, tmp_path_factory):
+    """events ×8 (every row duplicated 8 times within its day): the
+    rank-sum AUC is invariant under whole-sample replication — pairwise
+    win probability is unchanged while n_pos/n_neg scale 8× — so per-day
+    AUC must match the base run exactly while the window carries 8× the
+    rows. Guards the one-exchange window plan at scale."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.mleval import ml_roc_auc_daily
+
+    d = tmp_path_factory.mktemp("scale_auc")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    big = (
+        ev.withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(8)])))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * 100_000_000)
+        .drop("rep")
+    )
+    big.write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    base = {r["day"]: r for r in ml_roc_auc_daily(spark, SF_DIR).collect()}
+    t0 = time.perf_counter()
+    scaled = {r["day"]: r for r in ml_roc_auc_daily(spark, str(d)).collect()}
+    dt = time.perf_counter() - t0
+    assert set(scaled) == set(base)
+    for day, b in base.items():
+        s = scaled[day]
+        assert s.n_pos == b.n_pos * 8 and s.n_neg == b.n_neg * 8
+        assert abs(s.roc_auc - b.roc_auc) < 2e-6, (day, s.roc_auc, b.roc_auc)
+    assert dt < 60, f"roc_auc at 800k events took {dt:.1f}s"
