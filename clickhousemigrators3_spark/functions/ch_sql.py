@@ -190,7 +190,7 @@ _RENAME = {
     "arrayreverse": "reverse",
     "arrayflatten": "flatten",
     "arrayslice": "slice",
-    "arrayelement": "element_at",
+    "arrayelement": "try_element_at",  # ANSI element_at THROWS out of bounds; CH returns the type default — NULL stand-in, same nuance as arrayFirst
     "arraydistinct": "array_distinct",
     "trimleft": "ltrim",
     "trimright": "rtrim",
@@ -286,7 +286,11 @@ _TEMPLATE = {
     # max_by/min_by skip NULL orderings, so failing rows can never win
     "argmaxif": "max_by({0}, CASE WHEN {2} THEN {1} END)",
     "argminif": "min_by({0}, CASE WHEN {2} THEN {1} END)",
-    "avgweighted": "(sum(CAST({0} AS DOUBLE) * {1}) / sum({1}))",
+    # zero total weight: ClickHouse yields NaN; ANSI division would throw
+    "avgweighted": (
+        "(CASE WHEN sum(CAST({1} AS DOUBLE)) = 0.0D THEN CAST('NaN' AS DOUBLE) "
+        "ELSE sum(CAST({0} AS DOUBLE) * {1}) / sum(CAST({1} AS DOUBLE)) END)"
+    ),
     "arraymin": "array_min({0})",
     "arraymax": "array_max({0})",
     # URL functions (the web-corpus idioms): Spark parse_url covers them
@@ -297,13 +301,17 @@ _TEMPLATE = {
     "protocol": "parse_url({0}, 'PROTOCOL')",
     # non-overlapping substring count via length delta
     "countsubstrings": (
+        "(CASE WHEN length({1}) = 0 THEN CAST(0 AS BIGINT) ELSE "
         "CAST((length({0}) - length(replace({0}, {1}, ''))) "
-        "/ length({1}) AS BIGINT)"
+        "/ length({1}) AS BIGINT) END)"
     ),
     "splitbyregexp": "split({1}, {0})",
+    # empty array: ClickHouse arrayAvg is 0/0 in Float64 = NaN; ANSI
+    # division would throw
     "arrayavg": (
-        "(aggregate({0}, 0.0D, (_aa, _ax) -> _aa + CAST(_ax AS DOUBLE))"
-        " / size({0}))"
+        "(CASE WHEN size({0}) = 0 THEN CAST('NaN' AS DOUBLE) ELSE "
+        "aggregate({0}, 0.0D, (_aa, _ax) -> _aa + CAST(_ax AS DOUBLE))"
+        " / size({0}) END)"
     ),
     "empty": "(length({0}) = 0)",
     "notempty": "(length({0}) > 0)",
@@ -320,7 +328,14 @@ _TEMPLATE = {
     "plus": "({0} + {1})",
     "minus": "({0} - {1})",
     "multiply": "({0} * {1})",
-    "divide": "({0} / {1})",
+    # ClickHouse divide() is IEEE Float64 division (x/0 = ±inf, 0/0 = NaN);
+    # ANSI '/' throws on a zero divisor. x * Infinity reproduces the IEEE
+    # triple exactly (+inf / -inf / NaN) on the zero-divisor branch.
+    "divide": (
+        "(CASE WHEN CAST({1} AS DOUBLE) = 0.0D "
+        "THEN CAST({0} AS DOUBLE) * CAST('Infinity' AS DOUBLE) "
+        "ELSE CAST({0} AS DOUBLE) / CAST({1} AS DOUBLE) END)"
+    ),
     "negate": "(- {0})",
     "greater": "({0} > {1})",
     "less": "({0} < {1})",
@@ -987,8 +1002,8 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             "count": f"size({arr})",
             "uniq": f"size(array_distinct({arr}))",
             "uniqexact": f"size(array_distinct({arr}))",
-            "any": f"element_at({arr}, 1)",
-            "anylast": f"element_at({arr}, -1)",
+            "any": f"try_element_at({arr}, 1)",
+            "anylast": f"try_element_at({arr}, -1)",
         }
         if agg not in reducers:
             raise UnsupportedCHSQL(
@@ -1009,7 +1024,7 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         pos = f"array_position({src}, {x})"
         fallback = args[3].strip() if len(args) == 4 else x
         return (
-            f"(CASE WHEN {pos} > 0 THEN element_at({dst}, "
+            f"(CASE WHEN {pos} > 0 THEN try_element_at({dst}, "
             f"CAST({pos} AS INT)) ELSE {fallback} END)"
         )
     if low == "formatdatetime" and len(args) == 2:

@@ -709,7 +709,10 @@ def test_show_create_table_refuses_with_pointer():
         ),
         (
             "SELECT avgWeighted(x, w) FROM t",
-            "SELECT (sum(CAST(x AS DOUBLE) * w) / sum(w)) FROM t",
+            "SELECT (CASE WHEN sum(CAST(w AS DOUBLE)) = 0.0D "
+            "THEN CAST('NaN' AS DOUBLE) "
+            "ELSE sum(CAST(x AS DOUBLE) * w) / sum(CAST(w AS DOUBLE)) END) "
+            "FROM t",
         ),
         (
             "SELECT arrayMin(a), arrayMax(a) FROM t",
@@ -1416,3 +1419,44 @@ def test_insert_refusals(spark):
     assert "write_table_http" in str(exc.value)
     with pytest.raises(UnsupportedCHSQL):
         split_ch_insert("INSERT INTO t")
+
+
+def test_array_access_out_of_bounds_is_null_not_error(spark):
+    """Spark 4 runs ANSI mode: bare element_at THROWS on out-of-bounds.
+    ClickHouse arrayElement / arrayReduce('any') return the type default
+    there — the translator emits try_element_at, so a valid ClickHouse
+    query can never crash on an empty array (NULL stands in for the CH
+    default, same documented nuance as arrayFirst/arrayLast)."""
+    row = run_ch_sql(
+        spark,
+        "SELECT arrayElement(array(7), 5) AS oob,"
+        "       arrayElement(array(7), -1) AS neg,"
+        "       arrayReduce('any', array()) AS empty_any,"
+        "       arrayReduce('anyLast', array()) AS empty_last",
+    ).collect()[0]
+    assert row.oob is None and row.neg == 7
+    assert row.empty_any is None and row.empty_last is None
+
+
+def test_zero_divisor_ieee_parity(spark):
+    """ClickHouse divide()/arrayAvg/avgWeighted are IEEE Float64 — zero
+    divisors yield ±inf/NaN, never an error. Spark ANSI division throws,
+    so the translator emits the zero-guarded forms; a valid ClickHouse
+    query must not crash."""
+    import math
+
+    row = run_ch_sql(
+        spark,
+        "SELECT divide(4, 2) AS ok, divide(1, 0) AS pinf,"
+        "       divide(-1, 0) AS ninf, divide(0, 0) AS nan_,"
+        "       arrayAvg(array()) AS empty_avg,"
+        "       countSubstrings('abc', '') AS empty_needle",
+    ).collect()[0]
+    assert row.ok == 2.0
+    assert row.pinf == math.inf and row.ninf == -math.inf
+    assert math.isnan(row.nan_) and math.isnan(row.empty_avg)
+    assert row.empty_needle == 0
+    df = spark.createDataFrame([(1.0, 0.0), (3.0, 0.0)], "v double, w double")
+    df.createOrReplaceTempView("zw")
+    r2 = run_ch_sql(spark, "SELECT avgWeighted(v, w) AS aw FROM zw").collect()[0]
+    assert math.isnan(r2.aw)
