@@ -258,6 +258,7 @@ _TEMPLATE = {
     "touint64": "CAST({0} AS BIGINT)",
     "tofloat32": "CAST({0} AS FLOAT)",
     "tofloat64": "CAST({0} AS DOUBLE)",
+    "tostartofsecond": "date_trunc('second', {0})",
     "tostartofminute": "date_trunc('minute', {0})",
     "tostartofhour": "date_trunc('hour', {0})",
     "tostartofday": "date_trunc('day', {0})",
@@ -586,6 +587,14 @@ _UNSUPPORTED_FUNCS = {
     "neighbor": (
         "window lag/lead — operators/event_analytics.py (neighbor depends "
         "on block order, which Spark does not define)"
+    ),
+    "nonnegativederivative": (
+        "block-order dependent — ordered-window lag difference over the "
+        "time delta (operators/event_analytics.py ch_delta_sum_per_user)"
+    ),
+    "runningaccumulate": (
+        "block-order dependent — SUM OVER an ordered window "
+        "(operators/event_analytics.py counter running totals)"
     ),
     "arrayauc": (
         "operators/mleval.py ml_roc_auc_daily (tie-corrected rank-statistic "
