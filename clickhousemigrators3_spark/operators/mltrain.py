@@ -1,0 +1,205 @@
+"""In-engine classifier TRAINING — the quality-filter model a curation
+pipeline fits over its own corpus (fastText/logreg-class filters in
+CCNet/Gopher-style stacks; this engine already ships the SCORING side in
+traindata.classifier_quality_score and the EVAL side in operators/mleval).
+
+Logistic regression by full-batch gradient descent, expressed the
+Spark-first way: each iteration is ONE aggregation pass over the corpus
+producing a 1-row weight relation, which broadcast-cross-joins back into
+the next pass — {ITERS} fixed iterations chained into a single DAG (no
+driver-side collect between steps, same fusion pattern as
+embeddings_ops._lloyd_assign_unrolled). At 100 TB each iteration is a
+narrow map + map-side-combined mean; the only data that ever moves is the
+4-scalar weight row.
+
+Oracle: the IDENTICAL fixed-depth recurrence unrolled as a DuckDB CTE
+chain — full value parity on the trained weights, train accuracy, and
+train AUC, not rows-only.
+
+Reference parity: ClickHouse ships stochasticLogisticRegression as a
+native aggregate; an analyst migrating a quality-gate training job
+expects a drivable equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+ITERS = 3
+LR = 1.0
+
+# features: doc length, word count, chars/word — scaled to O(1) so plain
+# GD converges without per-feature learning rates; label: is-English
+_X_SQL = {
+    "x1": "(n_chars / 300.0)",
+    "x2": "(nw / 60.0)",
+    "x3": "((n_chars / CAST(nw AS DOUBLE)) / 6.0)",
+}
+_Y_SQL = "CAST(lang = 'en' AS INT)"
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nw = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        (F.col("n_chars") / 300.0).alias("x1"),
+        (nw / 60.0).alias("x2"),
+        ((F.col("n_chars") / nw.cast("double")) / 6.0).alias("x3"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+
+
+def _feature_cte(tbl: str = "documents") -> str:
+    return (
+        f"SELECT {_X_SQL['x1']} AS x1, {_X_SQL['x2']} AS x2, "
+        f"{_X_SQL['x3']} AS x3, {_Y_SQL} AS y FROM "
+        f"(SELECT n_chars, lang, len(string_split(text, ' ')) AS nw "
+        f"FROM {tbl})"
+    )
+
+
+def _z(prefix: str = "") -> str:
+    return (
+        f"({prefix}b + {prefix}a1 * x1 + {prefix}a2 * x2 + {prefix}a3 * x3)"
+    )
+
+
+def _oracle_weight_ctes() -> str:
+    """w0 (zeros) then ITERS mean-gradient updates, each one CTE reading
+    the previous weight row — textually the same recurrence the Spark
+    side fuses."""
+    ctes = ["w0 AS (SELECT 0.0 AS b, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3)"]
+    for i in range(1, ITERS + 1):
+        p = f"(1.0 / (1.0 + exp(-{_z()})))"
+        ctes.append(
+            f"w{i} AS (SELECT "
+            f"MIN(b) + {LR} * AVG(y - {p}) AS b, "
+            f"MIN(a1) + {LR} * AVG((y - {p}) * x1) AS a1, "
+            f"MIN(a2) + {LR} * AVG((y - {p}) * x2) AS a2, "
+            f"MIN(a3) + {LR} * AVG((y - {p}) * x3) AS a3 "
+            f"FROM f CROSS JOIN w{i - 1})"
+        )
+    return ",\n".join(ctes)
+
+
+def train_logreg(f: DataFrame) -> DataFrame:
+    """Fused {ITERS}-iteration trainer over a (x1, x2, x3, y) relation:
+    returns the 1-row final weight relation. Each step: broadcast the
+    1-row weights into the corpus, one map-side-combined AVG per gradient
+    component, carry the old weight through MIN (it is constant on every
+    row). No collect, no loop state outside the plan."""
+    spark = f.sparkSession
+    w = spark.createDataFrame([(0.0, 0.0, 0.0, 0.0)], "b double, a1 double, a2 double, a3 double")
+    for _ in range(ITERS):
+        j = f.crossJoin(F.broadcast(w))
+        z = (
+            F.col("b")
+            + F.col("a1") * F.col("x1")
+            + F.col("a2") * F.col("x2")
+            + F.col("a3") * F.col("x3")
+        )
+        p = 1.0 / (1.0 + F.exp(-z))
+        r = F.col("y") - p
+        w = j.agg(
+            (F.min("b") + LR * F.avg(r)).alias("b"),
+            (F.min("a1") + LR * F.avg(r * F.col("x1"))).alias("a1"),
+            (F.min("a2") + LR * F.avg(r * F.col("x2"))).alias("a2"),
+            (F.min("a3") + LR * F.avg(r * F.col("x3"))).alias("a3"),
+        )
+    return w
+
+
+@register(
+    "logreg_train_weights",
+    f"""
+    WITH f AS ({_feature_cte()}),
+    {_oracle_weight_ctes()},
+    acc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             AVG(CAST((CASE WHEN 1.0 / (1.0 + exp(-{_z()})) >= 0.5
+                       THEN 1 ELSE 0 END) = y AS INT)) AS accuracy
+      FROM f CROSS JOIN w{ITERS})
+    SELECT n_docs,
+           ROUND(b, 6) AS w_bias, ROUND(a1, 6) AS w1,
+           ROUND(a2, 6) AS w2, ROUND(a3, 6) AS w3,
+           ROUND(accuracy, 6) AS accuracy
+    FROM w{ITERS} CROSS JOIN acc
+    """,
+)
+def logreg_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the is-English quality gate: {ITERS} full-batch GD iterations
+    over (length, word-count, chars-per-word) features; returns the final
+    weights plus train accuracy at the 0.5 threshold. See module docstring
+    for the fused-iteration scale shape."""
+    f = _features(spark, sf_dir)
+    w = train_logreg(f)
+    j = f.crossJoin(F.broadcast(w))
+    z = (
+        F.col("b")
+        + F.col("a1") * F.col("x1")
+        + F.col("a2") * F.col("x2")
+        + F.col("a3") * F.col("x3")
+    )
+    pred = (1.0 / (1.0 + F.exp(-z)) >= 0.5).cast("int")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.min("b"), 6).alias("w_bias"),
+        F.round(F.min("a1"), 6).alias("w1"),
+        F.round(F.min("a2"), 6).alias("w2"),
+        F.round(F.min("a3"), 6).alias("w3"),
+        F.round(F.avg((pred == F.col("y")).cast("int")), 6).alias("accuracy"),
+    )
+
+
+@register(
+    "logreg_train_auc",
+    f"""
+    WITH f AS ({_feature_cte()}),
+    {_oracle_weight_ctes()},
+    s AS (
+      SELECT y, 1.0 / (1.0 + exp(-{_z()})) AS score
+      FROM f CROSS JOIN w{ITERS}),
+    r AS (
+      SELECT y,
+             rank() OVER (ORDER BY score) AS mn_rank,
+             COUNT(*) OVER (PARTITION BY score) AS ties
+      FROM s),
+    g AS (
+      SELECT CAST(SUM(y) AS DOUBLE) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS DOUBLE) AS n_neg,
+             SUM(CASE WHEN y = 1 THEN mn_rank + (ties - 1) / 2.0 END) AS r_pos
+      FROM r)
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND((r_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg), 6)
+             AS roc_auc
+    FROM g
+    """,
+)
+def logreg_train_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the train→score→evaluate loop in one plan: AUC of the freshly
+    trained classifier on its training corpus, via the same tie-corrected
+    rank-sum form as operators/mleval.roc_auc_by_group (single global
+    ordering — the one-group case; n is the corpus, so the window is one
+    exchange, same as any global sort)."""
+    from .mleval import roc_auc_by_group
+
+    f = _features(spark, sf_dir)
+    w = train_logreg(f)
+    j = f.crossJoin(F.broadcast(w))
+    z = (
+        F.col("b")
+        + F.col("a1") * F.col("x1")
+        + F.col("a2") * F.col("x2")
+        + F.col("a3") * F.col("x3")
+    )
+    s = j.select(
+        F.lit(1).alias("g"),
+        (1.0 / (1.0 + F.exp(-z))).alias("score"),
+        F.col("y"),
+    )
+    return roc_auc_by_group(s, group="g").select("n_pos", "n_neg", "roc_auc")

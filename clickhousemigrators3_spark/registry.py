@@ -61,6 +61,7 @@ def load_all() -> dict[str, Query]:
         mergetree,
         migrate_queries,
         mleval,
+        mltrain,
         multimodal,
         pipeline,
         pq,
