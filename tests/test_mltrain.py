@@ -1,0 +1,168 @@
+"""Dedicated property/unit tests for operators/mltrain (the in-engine
+logistic-regression trainer) — hand-computed gradient step, monotone
+train loss, row-order invariance, and an opt-in 8x replication smoke
+exploiting the replication-invariance of the mean gradient.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _mk_features(spark, rows):
+    return spark.createDataFrame(
+        rows, "x1 double, x2 double, x3 double, y int"
+    )
+
+
+def test_one_gd_step_hand_computed(spark, monkeypatch):
+    """With w0 = 0 every sigmoid is exactly 0.5, so the first step is
+    b = LR*mean(y-0.5), a_k = LR*mean((y-0.5)*x_k) — hand-computable
+    fractions on a 3-row fixture."""
+    import clickhousemigrators3_spark.operators.mltrain as mt
+
+    monkeypatch.setattr(mt, "ITERS", 1)
+    f = _mk_features(
+        spark,
+        [(1.0, 2.0, 3.0, 1), (0.5, 1.0, 2.0, 0), (2.0, 0.0, 1.0, 1)],
+    )
+    w = mt.train_logreg(f).collect()[0]
+    # residuals y-p = (+0.5, -0.5, +0.5)
+    assert w["b"] == pytest.approx(1.0 / 6.0, abs=1e-12)
+    assert w["a1"] == pytest.approx((0.5 - 0.25 + 1.0) / 3.0, abs=1e-12)
+    assert w["a2"] == pytest.approx((1.0 - 0.5 + 0.0) / 3.0, abs=1e-12)
+    assert w["a3"] == pytest.approx((1.5 - 1.0 + 0.5) / 3.0, abs=1e-12)
+
+
+def _numpy_recurrence(X, y, iters, lr):
+    """Independent reimplementation of the full-batch GD recurrence."""
+    import numpy as np
+
+    w = np.zeros(4)  # b, a1, a2, a3
+    Xb = np.hstack([np.ones((len(y), 1)), X])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Xb @ w)))
+        w = w + lr * ((y - p) @ Xb) / len(y)
+    return w
+
+
+def test_matches_numpy_recurrence_on_real_corpus(spark):
+    """train_logreg on sf0.001 documents agrees with an independent numpy
+    run of the same recurrence to float precision."""
+    import numpy as np
+
+    import clickhousemigrators3_spark.operators.mltrain as mt
+
+    f = mt._features(spark, SF_DIR)
+    pdf = f.toPandas()
+    expect = _numpy_recurrence(
+        pdf[["x1", "x2", "x3"]].to_numpy(), pdf["y"].to_numpy(), mt.ITERS, mt.LR
+    )
+    got = mt.train_logreg(f).collect()[0]
+    np.testing.assert_allclose(
+        [got["b"], got["a1"], got["a2"], got["a3"]], expect, rtol=1e-9
+    )
+
+
+def test_train_loss_monotone_over_iterations(spark, monkeypatch):
+    """Full-batch GD with this LR on the scaled sf0.001 features must
+    strictly decrease log-loss at each of the 3 iterations (w0 included:
+    loss(w0)=log 2)."""
+    import numpy as np
+
+    import clickhousemigrators3_spark.operators.mltrain as mt
+
+    f = mt._features(spark, SF_DIR).cache()
+    try:
+        pdf = f.toPandas()
+        Xb = np.hstack(
+            [np.ones((len(pdf), 1)), pdf[["x1", "x2", "x3"]].to_numpy()]
+        )
+        yv = pdf["y"].to_numpy()
+
+        def loss(w):
+            z = Xb @ np.asarray(w)
+            # stable log(1+exp(-yz)) with y in {0,1} -> s = 2y-1
+            s = 2 * yv - 1
+            return float(np.mean(np.log1p(np.exp(-s * z))))
+
+        losses = [loss([0.0, 0.0, 0.0, 0.0])]
+        for it in (1, 2, 3):
+            monkeypatch.setattr(mt, "ITERS", it)
+            w = mt.train_logreg(f).collect()[0]
+            losses.append(loss([w["b"], w["a1"], w["a2"], w["a3"]]))
+        assert losses[0] == pytest.approx(math.log(2.0), abs=1e-12)
+        for a, b in zip(losses, losses[1:]):
+            assert b < a, f"loss not monotone: {losses}"
+    finally:
+        f.unpersist()
+
+
+def test_weights_invariant_to_row_order(spark):
+    """Mean gradients are symmetric in the rows: shuffling + repartitioning
+    the corpus must reproduce the weights (fp summation order may differ
+    at machine epsilon, nothing more)."""
+    from pyspark.sql import functions as F
+
+    import clickhousemigrators3_spark.operators.mltrain as mt
+
+    f = mt._features(spark, SF_DIR)
+    shuffled = f.withColumn("r", F.rand(seed=7)).orderBy("r").drop("r").repartition(7)
+    w1 = mt.train_logreg(f).collect()[0]
+    w2 = mt.train_logreg(shuffled).collect()[0]
+    for k in ("b", "a1", "a2", "a3"):
+        assert w2[k] == pytest.approx(w1[k], rel=1e-9, abs=1e-12)
+
+
+def test_registered_queries_shapes(spark):
+    """Both registered queries return exactly one row with the documented
+    columns, accuracy/AUC in [0,1], finite weights."""
+    from clickhousemigrators3_spark.operators.mltrain import (
+        logreg_train_auc,
+        logreg_train_weights,
+    )
+
+    r = logreg_train_weights(spark, SF_DIR).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_docs"] > 0
+    assert 0.0 <= row["accuracy"] <= 1.0
+    for k in ("w_bias", "w1", "w2", "w3"):
+        assert math.isfinite(row[k])
+
+    a = logreg_train_auc(spark, SF_DIR).collect()
+    assert len(a) == 1
+    assert a[0]["n_pos"] > 0 and a[0]["n_neg"] > 0
+    assert 0.0 <= a[0]["roc_auc"] <= 1.0
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_TEST") != "1",
+    reason="set SPARK_GRAFT_SCALE_TEST=1 to run the 8x replication smoke",
+)
+def test_scale_8x_replication_invariance(spark):
+    """Replicating the corpus 8x leaves every mean gradient — hence the
+    trained weights — unchanged, while exercising the fused plan at 8x
+    the rows. Mirrors the mleval scale smoke."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    import clickhousemigrators3_spark.operators.mltrain as mt
+
+    f = mt._features(spark, "/root/testdata/sf0.1")
+    big = f.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(8)]))
+    ).drop("rep")
+    w1 = mt.train_logreg(f).collect()[0]
+    t0 = time.perf_counter()
+    w8 = mt.train_logreg(big).collect()[0]
+    dt = time.perf_counter() - t0
+    for k in ("b", "a1", "a2", "a3"):
+        assert w8[k] == pytest.approx(w1[k], rel=1e-9, abs=1e-12)
+    assert dt < 120, f"8x train took {dt:.1f}s"
