@@ -122,6 +122,23 @@ def cli_chsql(argv: list[str]) -> int:
         print(f"unsupported ClickHouse SQL: {exc}", file=sys.stderr)
         return 3
     if insert and not translate_only:
+        if explain:
+            # Dry-run: explain the translated source SELECT instead of
+            # executing the side-effecting write.
+            if not sf_dir:
+                print(
+                    "--sf-dir is required (or set SPARK_GRAFT_SF_DIR)",
+                    file=sys.stderr,
+                )
+                return 2
+            from .session import get_spark
+
+            spark = get_spark(app_name="chsql")
+            try:
+                run_ch_sql(spark, insert[2], sf_dir).explain("formatted")
+                return 0
+            finally:
+                spark.stop()
         if not dest_root:
             print("INSERT needs --dest-root", file=sys.stderr)
             return 2

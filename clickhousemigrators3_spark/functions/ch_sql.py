@@ -300,9 +300,11 @@ _TEMPLATE = {
     "path": "parse_url({0}, 'PATH')",
     "querystring": "parse_url({0}, 'QUERY')",
     "protocol": "parse_url({0}, 'PROTOCOL')",
-    # non-overlapping substring count via length delta
+    # non-overlapping substring count via length delta; empty needle:
+    # ClickHouse's CountSubstringsImpl matches at every position, i.e.
+    # length(haystack) + 1, not 0
     "countsubstrings": (
-        "(CASE WHEN length({1}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "(CASE WHEN length({1}) = 0 THEN CAST(length({0}) + 1 AS BIGINT) ELSE "
         "CAST((length({0}) - length(replace({0}, {1}, ''))) "
         "/ length({1}) AS BIGINT) END)"
     ),
@@ -331,11 +333,16 @@ _TEMPLATE = {
     "multiply": "({0} * {1})",
     # ClickHouse divide() is IEEE Float64 division (x/0 = ±inf, 0/0 = NaN);
     # ANSI '/' throws on a zero divisor. x * Infinity reproduces the IEEE
-    # triple exactly (+inf / -inf / NaN) on the zero-divisor branch.
+    # triple exactly (+inf / -inf / NaN) on the zero-divisor branch. Both
+    # operands are bound ONCE via a single-element transform() so a
+    # non-deterministic divisor can't disagree between the zero test and
+    # the division itself.
     "divide": (
-        "(CASE WHEN CAST({1} AS DOUBLE) = 0.0D "
-        "THEN CAST({0} AS DOUBLE) * CAST('Infinity' AS DOUBLE) "
-        "ELSE CAST({0} AS DOUBLE) / CAST({1} AS DOUBLE) END)"
+        "try_element_at(transform(array(named_struct("
+        "'n', CAST({0} AS DOUBLE), 'd', CAST({1} AS DOUBLE))), "
+        "_dv -> CASE WHEN _dv.d = 0.0D "
+        "THEN _dv.n * CAST('Infinity' AS DOUBLE) "
+        "ELSE _dv.n / _dv.d END), 1)"
     ),
     "negate": "(- {0})",
     "greater": "({0} > {1})",
@@ -1030,11 +1037,16 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
                 "[, default]) form — for the array lambda use arrayMap"
             )
         x, src, dst = (a.strip() for a in args[:3])
-        pos = f"array_position({src}, {x})"
-        fallback = args[3].strip() if len(args) == 4 else x
+        # Bind x and the computed position ONCE each (nested single-element
+        # transform lambdas) so a non-deterministic x / array_position can't
+        # be evaluated twice with different values between the branch test
+        # and the branch body.
+        fallback = args[3].strip() if len(args) == 4 else "_tx"
         return (
-            f"(CASE WHEN {pos} > 0 THEN try_element_at({dst}, "
-            f"CAST({pos} AS INT)) ELSE {fallback} END)"
+            f"try_element_at(transform(array({x}), _tx -> "
+            f"try_element_at(transform(array(CAST(array_position({src}, _tx)"
+            f" AS INT)), _tp -> CASE WHEN _tp > 0 THEN "
+            f"try_element_at({dst}, _tp) ELSE {fallback} END), 1)), 1)"
         )
     if low == "formatdatetime" and len(args) == 2:
         a1 = args[1].strip()
@@ -2269,7 +2281,14 @@ def run_ch_insert(spark, sql: str, dest_root: str, sf_dir: str | None = None):
     atomic-publish semantics layer operators/migrate.py's staging rename /
     manifest commit on top — this statement surface mirrors the
     reference's plain INSERT (reference migration.py bulk copy), which is
-    append-only."""
+    append-only.
+
+    Single-writer assumption: ``rows_inserted``/``files_added`` come from
+    a before/after directory-listing diff of the target path, so two
+    concurrent INSERTs into the SAME target can misattribute each other's
+    files (wrong or double-counted totals). Serialize writers per target
+    (operators/migrate.py's per-table flock + staging/atomic publish is
+    the concurrent-safe path)."""
     parsed = split_ch_insert(sql)
     if parsed is None:
         raise UnsupportedCHSQL("not an INSERT statement — use run_ch_sql")

@@ -369,7 +369,7 @@ def ml_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(agree / total, 6) AS po,
            ROUND(chance_prod / (total * total), 6) AS pe,
            ROUND((agree / total - chance_prod / (total * total))
-                 / (1 - chance_prod / (total * total)), 6) AS kappa
+                 / NULLIF(1 - chance_prod / (total * total), 0), 6) AS kappa
     FROM n CROSS JOIN pe
     """,
 )
@@ -386,6 +386,14 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = d.select(
         F.col("lang").alias("a"), langid_expr(F.col("text")).alias("b")
     )
+    return kappa_from_pairs(p)
+
+
+def kappa_from_pairs(p: DataFrame) -> DataFrame:
+    """κ over a ``(a, b)`` label-pair relation — the agreement algebra
+    behind :func:`ml_cohens_kappa`, exposed for direct use on any two
+    label columns. Degenerate pe = 1 (full agreement, single-class
+    marginals) yields kappa = NULL rather than an ANSI DIVIDE_BY_ZERO."""
     n = p.agg(
         F.count(F.lit(1)).cast("double").alias("total"),
         F.sum((F.col("a") == F.col("b")).cast("int")).alias("agree"),
@@ -402,7 +410,12 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("long").alias("n_items"),
         F.round(po, 6).alias("po"),
         F.round(pe_v, 6).alias("pe"),
-        F.round((po - pe_v) / (1 - pe_v), 6).alias("kappa"),
+        # nullif guard: a degenerate corpus where both labelers fully agree
+        # with single-class marginals gives pe = 1 — ANSI division would
+        # throw DIVIDE_BY_ZERO; both engines yield NULL instead.
+        F.round((po - pe_v) / F.nullif(F.lit(1) - pe_v, F.lit(0)), 6).alias(
+            "kappa"
+        ),
     )
 
 

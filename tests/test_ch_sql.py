@@ -1455,7 +1455,9 @@ def test_zero_divisor_ieee_parity(spark):
     assert row.ok == 2.0
     assert row.pinf == math.inf and row.ninf == -math.inf
     assert math.isnan(row.nan_) and math.isnan(row.empty_avg)
-    assert row.empty_needle == 0
+    # ClickHouse CountSubstringsImpl: empty needle matches at every
+    # position → length(haystack) + 1
+    assert row.empty_needle == 4
     df = spark.createDataFrame([(1.0, 0.0), (3.0, 0.0)], "v double, w double")
     df.createOrReplaceTempView("zw")
     r2 = run_ch_sql(spark, "SELECT avgWeighted(v, w) AS aw FROM zw").collect()[0]

@@ -1998,3 +1998,26 @@ def test_segment_overlap_hll_error_bound(spark):
     budget = rel * (exact["n_a"] + exact["n_b"] + exact["n_or"])
     for k in ("n_and", "n_a_not_b"):
         assert abs(est[k] - exact[k]) <= budget, (k, est[k], exact[k])
+
+
+def test_cohens_kappa_degenerate_pe_is_null(spark):
+    """pe = 1 (both labelers fully agree with single-class marginals) must
+    yield kappa = NULL on the nullif-guarded form, not an ANSI
+    DIVIDE_BY_ZERO throw; a normal two-class fixture must match the
+    hand-computed kappa."""
+    from clickhousemigrators3_spark.operators.mleval import kappa_from_pairs
+
+    degenerate = spark.createDataFrame(
+        [("en", "en")] * 5, "a string, b string"
+    )
+    row = kappa_from_pairs(degenerate).collect()[0]
+    assert row.po == 1.0 and row.pe == 1.0 and row.kappa is None
+
+    # hand-computed: 4 items, agree on 3; marginals a: {x:2, y:2},
+    # b: {x:3, y:1} -> pe = (2*3 + 2*1)/16 = 0.5, kappa = (0.75-0.5)/0.5
+    pairs = spark.createDataFrame(
+        [("x", "x"), ("x", "x"), ("y", "y"), ("y", "x")],
+        "a string, b string",
+    )
+    r2 = kappa_from_pairs(pairs).collect()[0]
+    assert r2.po == 0.75 and r2.pe == 0.5 and abs(r2.kappa - 0.5) < 1e-9
