@@ -85,14 +85,20 @@ Covered surface (the high-frequency ClickHouse idioms):
   rewrite needs the result schema for ClickHouse-default fill values);
   see _expand_with_fill for the exact FillingTransform cursor semantics
 
+* runningDifference / neighbor / nonNegativeDerivative /
+  runningAccumulate — block-order functions, translated to lag/lead/sum
+  windows when the SELECT carries a top-level ORDER BY that pins the
+  order (_rewrite_running_funcs); refused loudly otherwise
+
 Refused loudly (pointer to the operator that implements the semantics):
 FINAL, SAMPLE, WITH TOTALS, LIMIT offset, n BY and LIMIT n BY without
 ORDER BY (nondeterministic), ANY/ASOF join strictness, topK /
 windowFunnel / retention / sequenceMatch / uniqUpTo / dictGet / sumMap /
-groupBitmap / anyHeavy, runningDifference / neighbor (block-order
-dependent), engine-specific hash families (cityHash64/sipHash64/…/MD5 —
-same name, different values or types), multi-array ARRAY JOIN and
-multi-array lambdas, non-literal extract()/dateDiff units.
+groupBitmap / anyHeavy, running functions without a pinning ORDER BY
+(block-order dependent), engine-specific hash families
+(cityHash64/sipHash64/…/MD5 — same name, different values or types),
+multi-array ARRAY JOIN and multi-array lambdas, non-literal
+extract()/dateDiff units.
 """
 
 from __future__ import annotations
@@ -587,21 +593,26 @@ _UNSUPPORTED_FUNCS = {
     "groupbitmap": "operators/ch_aggregates.py ch_group_bitmap_weekly_users",
     "anyheavy": "operators/ch_aggregates.py topk_weighted_sources",
     "runningdifference": (
-        "window lag — operators/event_analytics.py (LAG OVER an ordered "
-        "window; runningDifference depends on block order, which Spark "
-        "does not define)"
+        "block-order dependent without an ORDER BY — add a top-level "
+        "ORDER BY to this SELECT (the translator then rewrites it to "
+        "lag() OVER that ordering), or see operators/event_analytics.py"
     ),
     "neighbor": (
-        "window lag/lead — operators/event_analytics.py (neighbor depends "
-        "on block order, which Spark does not define)"
+        "block-order dependent without an ORDER BY — add a top-level "
+        "ORDER BY to this SELECT (the translator then rewrites it to "
+        "lead() OVER that ordering), or see operators/event_analytics.py"
     ),
     "nonnegativederivative": (
-        "block-order dependent — ordered-window lag difference over the "
-        "time delta (operators/event_analytics.py ch_delta_sum_per_user)"
+        "block-order dependent without an ORDER BY — add a top-level "
+        "ORDER BY to this SELECT (the translator then rewrites it to a "
+        "clamped lag-delta ratio OVER that ordering), or see "
+        "operators/event_analytics.py ch_delta_sum_per_user"
     ),
     "runningaccumulate": (
-        "block-order dependent — SUM OVER an ordered window "
-        "(operators/event_analytics.py counter running totals)"
+        "block-order dependent without an ORDER BY — add a top-level "
+        "ORDER BY to this SELECT (the translator then rewrites "
+        "runningAccumulate(sumState(x)) to SUM OVER that ordering), or "
+        "see operators/event_analytics.py counter running totals"
     ),
     "arrayauc": (
         "operators/mleval.py ml_roc_auc_daily (tie-corrected rank-statistic "
@@ -1690,6 +1701,7 @@ def translate_ch_sql(sql: str) -> str:
             "engine/partition-key columns of the emulated system.tables"
         )
     tokens = _expand_with_macros(tokens)
+    tokens = _rewrite_running_funcs(tokens)
     # PREWHERE: ClickHouse's early-filter hint. Spark's optimizer pushes
     # predicates itself, so PREWHERE → WHERE; when both clauses appear the
     # conditions conjoin.
@@ -1754,6 +1766,279 @@ def _merge_prewhere(tokens: list[str], idx: int) -> list[str]:
         + cond2
         + [")", " "]
         + tail
+    )
+
+
+# --- block-order ("running") functions → ordered-window rewrites ------------
+#
+# ClickHouse's runningDifference / neighbor / nonNegativeDerivative /
+# runningAccumulate read the in-block row order, which Spark does not define.
+# When the SELECT carries a top-level ORDER BY, that ordering pins the
+# semantics and each has an exact window translation (reference users'
+# monitoring queries lean on these constantly — reference README.md usage
+# examples). Without an ORDER BY the refusal in _UNSUPPORTED_FUNCS stands.
+
+_RUNNING_FUNCS = {
+    "runningdifference",
+    "neighbor",
+    "nonnegativederivative",
+    "runningaccumulate",
+}
+
+# runningAccumulate inner -State combinators with direct window twins
+_RUNNING_STATE_AGGS = {"sum", "min", "max", "count", "avg"}
+
+_INTERVAL_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+_ORDER_STOPS = {"limit", "settings", "format", "union", "having", "window"}
+
+
+def _rewrite_running_funcs(tokens: list[str]) -> list[str]:
+    """Rewrite every running-function call whose SELECT has a top-level
+    ORDER BY into the equivalent window expression (tokens are re-tokenized
+    so inner ClickHouse functions still translate downstream). Calls with
+    no pinning ORDER BY are left for the loud refusal."""
+    for _ in range(32):  # each pass rewrites one call; bounded for safety
+        hit = None
+        for i, t in enumerate(tokens):
+            low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
+            if low in _RUNNING_FUNCS:
+                j = _next_code(tokens, i + 1)
+                if j < len(tokens) and tokens[j] == "(":
+                    hit = (i, j, low)
+                    break
+        if hit is None:
+            return tokens
+        i, j, low = hit
+        close = _find_close(tokens, j)
+        ord_sql = _running_order_by(tokens, i)
+        if ord_sql is None:
+            return tokens  # no ORDER BY → existing refusal fires
+        raw_args = [a for a in _split_args(tokens[j + 1 : close]) if a]
+        args = ["".join(a).strip() for a in raw_args]
+        repl = _running_window_expr(low, args, raw_args, ord_sql)
+        tokens = tokens[:i] + _tokenize(repl) + tokens[close + 1 :]
+    raise UnsupportedCHSQL("too many running-function rewrites")
+
+
+def _owning_select(tokens: list[str], at: int) -> int | None:
+    """Index of the SELECT keyword owning position ``at``. Scans backward;
+    balanced paren groups are skipped, an unmatched '(' is transparent (it
+    can only be a function/expression paren — a subquery paren is followed
+    by SELECT, which the scan reaches first)."""
+    depth = 0
+    for k in range(at, -1, -1):
+        t = tokens[k]
+        if t == ")":
+            depth += 1
+        elif t == "(":
+            if depth > 0:
+                depth -= 1
+        elif depth == 0 and t.lower() == "select":
+            return k
+    return None
+
+
+def _running_order_by(tokens: list[str], call_idx: int) -> str | None:
+    """ORDER BY key list (SQL text, select-list aliases substituted) of the
+    SELECT that owns the call at ``call_idx`` — None when that SELECT has
+    no top-level ORDER BY. Scans from the owning SELECT at statement level,
+    stopping at the subquery's ')' and at depth-0 UNION (an outer ORDER BY
+    orders the union result, not the block)."""
+    sel = _owning_select(tokens, call_idx)
+    if sel is None:
+        return None
+    depth = 0
+    by = None
+    for k in range(sel + 1, len(tokens)):
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        elif depth == 0:
+            lw = t.lower()
+            if lw == "union":
+                return None
+            if lw == "order" and _next_word_is(tokens, k, "by"):
+                by = _next_code(tokens, k + 1)  # index of BY
+                break
+    if by is None:
+        return None
+    # key list: from after BY to the next depth-0 clause stop / WITH FILL
+    depth = 0
+    end = len(tokens)
+    for k in range(by + 1, len(tokens)):
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                end = k
+                break
+        elif depth == 0:
+            lw = t.lower()
+            if lw in _ORDER_STOPS or lw == "with":
+                end = k
+                break
+    keys = [k for k in _split_args(tokens[by + 1 : end]) if k]
+    aliases = _select_list_aliases(tokens, sel)
+    rendered = []
+    for key in keys:
+        code = [t for t in key if not _is_ws(t)]
+        # strip trailing direction / nulls-placement modifiers
+        expr_toks, tail = list(code), []
+        while expr_toks and expr_toks[-1].lower() in (
+            "asc", "desc", "nulls", "first", "last"
+        ):
+            tail.insert(0, expr_toks.pop())
+        if len(expr_toks) == 1 and expr_toks[0].lower() in aliases:
+            sub = aliases[expr_toks[0].lower()]
+            if any(
+                t.lower() in _RUNNING_FUNCS
+                for t in _tokenize(sub)
+                if t and (t[0].isalpha() or t[0] == "_")
+            ):
+                raise UnsupportedCHSQL(
+                    "ORDER BY references the running-function column "
+                    "itself — order by the underlying sort key instead"
+                )
+            expr = f"({sub})"
+        else:
+            expr = " ".join(expr_toks)
+        rendered.append((expr + " " + " ".join(tail)).strip())
+    return ", ".join(rendered)
+
+
+def _select_list_aliases(tokens: list[str], sel: int) -> dict[str, str]:
+    """``alias.lower() -> expression SQL text`` for the explicit ``AS``
+    aliases of the SELECT list starting at keyword index ``sel``
+    (ClickHouse resolves ORDER BY against select aliases; Spark window
+    ORDER BY cannot)."""
+    depth = 0
+    end = len(tokens)
+    for k in range(sel + 1, len(tokens)):
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                end = k
+                break
+        elif depth == 0:
+            lw = t.lower()
+            if lw in ("from", "where", "having", "limit", "window") or (
+                lw in ("group", "order") and _next_word_is(tokens, k, "by")
+            ):
+                end = k
+                break
+    out: dict[str, str] = {}
+    for item in _split_args(tokens[sel + 1 : end]):
+        code_idx = [ix for ix, t in enumerate(item) if not _is_ws(t)]
+        if len(code_idx) >= 3 and item[code_idx[-2]].lower() == "as":
+            alias = item[code_idx[-1]]
+            if alias and (alias[0].isalpha() or alias[0] == "_"):
+                expr = "".join(item[: code_idx[-2]]).strip()
+                out[alias.lower()] = expr
+    return out
+
+
+def _running_window_expr(
+    low: str, args: list[str], raw_args: list[list[str]], ord_sql: str
+) -> str:
+    """The Spark window expression for one running-function call (the
+    pinning ORDER BY already extracted). Nuances documented in
+    docs/CHSQL.md: ties in the ORDER BY are as nondeterministic as
+    ClickHouse's own block order; NULL inputs propagate per window rules."""
+    over = f"OVER (ORDER BY {ord_sql})"
+    if low == "runningdifference":
+        if len(args) != 1:
+            raise UnsupportedCHSQL("runningDifference takes exactly 1 argument")
+        a = f"({args[0]})"
+        # lag default = the value itself → first row yields 0 of the arg
+        # type, exactly ClickHouse's contract
+        return f"({a} - lag({a}, 1, {a}) {over})"
+    if low == "neighbor":
+        if len(args) == 2:
+            raise UnsupportedCHSQL(
+                "neighbor(x, offset) out of range fills the TYPE's default "
+                "value (0 / '' / epoch), which needs the column type — pass "
+                "an explicit default: neighbor(x, offset, default)"
+            )
+        if len(args) != 3:
+            raise UnsupportedCHSQL("neighbor takes (x, offset, default)")
+        try:
+            off = int(args[1].replace(" ", ""))
+        except ValueError:
+            raise UnsupportedCHSQL(
+                "neighbor offset must be an integer literal (Spark "
+                "lead/lag offsets are compile-time)"
+            ) from None
+        return f"(lead(({args[0]}), {off}, ({args[2]})) {over})"
+    if low == "nonnegativederivative":
+        if len(args) not in (2, 3):
+            raise UnsupportedCHSQL(
+                "nonNegativeDerivative takes (metric, timestamp[, INTERVAL])"
+            )
+        secs = 1
+        if len(args) == 3:
+            m = re.match(
+                r"(?is)^\(?\s*INTERVAL\s+(\d+)\s+(\w+?)s?\s*\)?\s*$", args[2]
+            )
+            if not m or m.group(2).lower() not in _INTERVAL_SECONDS:
+                raise UnsupportedCHSQL(
+                    "nonNegativeDerivative interval must be a literal "
+                    "INTERVAL n SECOND/MINUTE/HOUR/DAY/WEEK"
+                )
+            secs = int(m.group(1)) * _INTERVAL_SECONDS[m.group(2).lower()]
+        v = f"CAST(({args[0]}) AS DOUBLE)"
+        # inner CAST: fixtures carry TIMESTAMP_NTZ, which unix_micros
+        # rejects; the session-TZ offset cancels in the lag difference
+        ts = f"unix_micros(CAST(({args[1]}) AS TIMESTAMP))"
+        # coalesce pins first-row / zero-time-delta NULLs to 0.0 BEFORE the
+        # greatest clamp (the emitted greatest re-translates to ClickHouse's
+        # null-propagating form); negative rates clamp to 0 — the
+        # function's namesake contract
+        return (
+            f"greatest(0.0D, coalesce(({v} - lag({v}) {over}) * {secs}.0D / "
+            f"nullif(({ts} - lag({ts}) {over}) / 1000000.0D, 0.0D), 0.0D))"
+        )
+    # runningAccumulate(aggState(x)[, grouping])
+    if len(raw_args) not in (1, 2):
+        raise UnsupportedCHSQL(
+            "runningAccumulate takes (aggState(x)[, grouping])"
+        )
+    state = raw_args[0]
+    si = _next_code(state, 0)
+    name = state[si].lower() if si < len(state) else ""
+    sj = _next_code(state, si + 1)
+    if not name.endswith("state") or sj >= len(state) or state[sj] != "(":
+        raise UnsupportedCHSQL(
+            "runningAccumulate needs an -State aggregate argument, e.g. "
+            "runningAccumulate(sumState(x))"
+        )
+    base = name[: -len("state")]
+    if base not in _RUNNING_STATE_AGGS:
+        raise UnsupportedCHSQL(
+            f"runningAccumulate({base}State) has no window twin — "
+            f"supported: {', '.join(sorted(_RUNNING_STATE_AGGS))}State"
+        )
+    sclose = _find_close(state, sj)
+    inner = "".join(state[sj + 1 : sclose]).strip() or "1"
+    if base == "count" and inner == "1":
+        call = "count(1)"
+    else:
+        call = f"{base}(({inner}))"
+    part = f"PARTITION BY ({args[1]}) " if len(raw_args) == 2 else ""
+    return (
+        f"({call} OVER ({part}ORDER BY {ord_sql} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
     )
 
 

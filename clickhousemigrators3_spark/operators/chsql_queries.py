@@ -819,3 +819,100 @@ _ch(
     """,
     ("orders",),
 )
+
+# --- block-order ("running") functions, pinned by an explicit ORDER BY ------
+# The monitoring-dashboard idioms: runningDifference / neighbor /
+# nonNegativeDerivative / runningAccumulate depend on ClickHouse block order,
+# so the translator refuses them UNLESS the SELECT carries a top-level
+# ORDER BY — then they rewrite to lag/lead/sum windows over that ordering
+# (functions/ch_sql.py _rewrite_running_funcs). Both engines evaluate the
+# identical IEEE expression sequence, so doubles hash-match unrounded.
+
+_ch(
+    "chsql_running_difference",
+    """
+    SELECT event_id, runningDifference(value) AS dv
+    FROM events
+    WHERE user_id < 20
+    ORDER BY ts, event_id
+    """,
+    """
+    SELECT event_id,
+           coalesce(value - lag(value) OVER (ORDER BY ts, event_id), 0.0) AS dv
+    FROM events
+    WHERE user_id < 20
+    ORDER BY ts, event_id
+    """,
+    ("events",),
+)
+
+_ch(
+    "chsql_neighbor",
+    """
+    SELECT event_id,
+           neighbor(value, -1, 0.0) AS prev_v,
+           neighbor(value, 2, -1.0) AS next2_v
+    FROM events
+    WHERE user_id < 20
+    ORDER BY ts, event_id
+    """,
+    """
+    SELECT event_id,
+           lag(value, 1, 0.0) OVER (ORDER BY ts, event_id) AS prev_v,
+           lead(value, 2, -1.0) OVER (ORDER BY ts, event_id) AS next2_v
+    FROM events
+    WHERE user_id < 20
+    ORDER BY ts, event_id
+    """,
+    ("events",),
+)
+
+_ch(
+    "chsql_nonnegative_derivative",
+    """
+    SELECT event_id, nonNegativeDerivative(value, ts) AS rate
+    FROM events
+    WHERE user_id < 20
+    ORDER BY ts, event_id
+    """,
+    """
+    SELECT event_id,
+           greatest(0.0, coalesce(
+               (value - lag(value) OVER (ORDER BY ts, event_id)) * 1.0
+               / nullif((epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (ORDER BY ts, event_id)) / 1000000.0, 0.0),
+               0.0)) AS rate
+    FROM events
+    WHERE user_id < 20
+    ORDER BY ts, event_id
+    """,
+    ("events",),
+)
+
+# toDecimal64 inside the state: a DOUBLE running sum is FP-order-sensitive
+# (DuckDB windows aggregate via segment tree, Spark sequentially) — decimal
+# accumulation is exact and order-free on both engines.
+_ch(
+    "chsql_running_accumulate",
+    """
+    SELECT event_id,
+           toFloat64(
+               runningAccumulate(sumState(toDecimal64(value, 2)), user_id)
+           ) AS cum
+    FROM events
+    WHERE user_id < 20
+    ORDER BY user_id, ts, event_id
+    """,
+    """
+    SELECT event_id,
+           CAST(sum(CAST(value AS DECIMAL(18, 2)))
+               OVER (PARTITION BY user_id
+                     ORDER BY user_id, ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS cum
+    FROM events
+    WHERE user_id < 20
+    ORDER BY user_id, ts, event_id
+    """,
+    ("events",),
+)

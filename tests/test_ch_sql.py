@@ -196,7 +196,7 @@ def test_golden_translation(ch: str, expected: str):
         ("SELECT x, y FROM t ARRAY JOIN a AS x, b AS y", "multi-array"),
         ("SELECT cityHash64(x) FROM t", "engine-specific"),
         ("SELECT MD5(x) FROM t", "engine-specific"),
-        ("SELECT runningDifference(x) FROM t", "block order"),
+        ("SELECT runningDifference(x) FROM t", "block-order"),
         ("SELECT sumMap(k, v) FROM t", "ch_summing_map"),
         ("SELECT arrayMap((x, y) -> x + y, a, b) FROM t", "multi-array"),
         ("SELECT dateDiff(u, a, b) FROM t", "literal unit"),
@@ -1462,3 +1462,124 @@ def test_zero_divisor_ieee_parity(spark):
     df.createOrReplaceTempView("zw")
     r2 = run_ch_sql(spark, "SELECT avgWeighted(v, w) AS aw FROM zw").collect()[0]
     assert math.isnan(r2.aw)
+
+
+# --- running (block-order) functions: ordered-window rewrites ----------------
+
+
+def test_running_funcs_translate_with_order_by():
+    """Each running function rewrites to its window twin when the SELECT
+    carries a pinning top-level ORDER BY."""
+    t = translate_ch_sql(
+        "SELECT ts, runningDifference(value) AS d FROM events ORDER BY ts"
+    )
+    assert "lag((value), 1, (value)) OVER (ORDER BY ts)" in t
+    t = translate_ch_sql(
+        "SELECT ts, neighbor(value, -1, 0.0) AS p FROM events ORDER BY ts"
+    )
+    assert "lead((value), -1, ((0.0))) OVER (ORDER BY ts)" in t.replace(
+        "(0.0)", "((0.0))"
+    )
+    t = translate_ch_sql(
+        "SELECT ts, runningAccumulate(sumState(value)) AS c "
+        "FROM events ORDER BY ts"
+    )
+    assert (
+        "sum((value)) OVER (ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" in t
+    )
+    # grouping arg → PARTITION BY
+    t = translate_ch_sql(
+        "SELECT ts, runningAccumulate(sumState(value), user_id) AS c "
+        "FROM events ORDER BY user_id, ts"
+    )
+    assert "PARTITION BY (user_id)" in t
+    # nonNegativeDerivative: clamped lag-delta ratio, interval scaling
+    t = translate_ch_sql(
+        "SELECT ts, nonNegativeDerivative(value, ts, INTERVAL 5 MINUTE) "
+        "AS r FROM events ORDER BY ts"
+    )
+    assert "300.0D" in t and "unix_micros" in t and "nullif" in t
+
+
+def test_running_funcs_alias_substitution_and_nesting():
+    """ORDER BY on a select-list alias substitutes the aliased expression
+    (Spark window ORDER BY cannot see select aliases); a call nested inside
+    another function still finds its SELECT's ORDER BY."""
+    t = translate_ch_sql(
+        "SELECT toStartOfHour(ts) AS h, runningDifference(value) AS d "
+        "FROM events ORDER BY h"
+    )
+    assert "OVER (ORDER BY (date_trunc('hour', ts)))" in t
+    t = translate_ch_sql(
+        "SELECT toFloat64(runningAccumulate(sumState(value))) AS c "
+        "FROM events ORDER BY ts"
+    )
+    assert "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" in t
+
+
+def test_running_funcs_refuse_without_order_by():
+    """No pinning ORDER BY → the block-order refusal stands; subquery
+    SELECTs do not inherit the outer query's ORDER BY."""
+    for sql in (
+        "SELECT runningDifference(value) FROM events",
+        "SELECT neighbor(value, -1, 0.0) FROM events",
+        "SELECT nonNegativeDerivative(value, ts) FROM events",
+        "SELECT runningAccumulate(sumState(value)) FROM events",
+        # the inner SELECT has no ORDER BY — outer one does not pin it
+        "SELECT d FROM (SELECT runningDifference(value) AS d FROM events) "
+        "ORDER BY d",
+    ):
+        with pytest.raises(UnsupportedCHSQL, match="block-order|ORDER BY"):
+            translate_ch_sql(sql)
+    # ORDER BY referencing the running column itself cannot pin it
+    with pytest.raises(UnsupportedCHSQL, match="running-function column"):
+        translate_ch_sql(
+            "SELECT runningDifference(value) AS d FROM events ORDER BY d"
+        )
+    # 2-arg neighbor fills the TYPE default, which needs the column type
+    with pytest.raises(UnsupportedCHSQL, match="explicit default"):
+        translate_ch_sql(
+            "SELECT neighbor(value, -1) FROM events ORDER BY ts"
+        )
+    # non-literal offset cannot compile to a Spark window
+    with pytest.raises(UnsupportedCHSQL, match="integer literal"):
+        translate_ch_sql(
+            "SELECT neighbor(value, user_id, 0.0) FROM events ORDER BY ts"
+        )
+    # unsupported -State aggregate
+    with pytest.raises(UnsupportedCHSQL, match="no window twin"):
+        translate_ch_sql(
+            "SELECT runningAccumulate(uniqState(value)) FROM events "
+            "ORDER BY ts"
+        )
+
+
+def test_running_funcs_execute(spark):
+    """Executed end-to-end: values match hand-computed windows on a tiny
+    ordered fixture (first-row-0 contract, negative-rate clamp, per-group
+    accumulate reset)."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0, 1),
+            (2, "2024-01-01 00:00:10", 13.0, 1),
+            (3, "2024-01-01 00:00:20", 11.0, 1),
+            (4, "2024-01-01 00:00:30", 5.0, 2),
+        ],
+        "id int, ts_s string, v double, g int",
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts", "v", "g")
+    df.createOrReplaceTempView("rf")
+    rows = run_ch_sql(
+        spark,
+        "SELECT id, runningDifference(v) AS rd,"
+        "       neighbor(v, -1, -1.0) AS nb,"
+        "       nonNegativeDerivative(v, ts) AS nnd,"
+        "       runningAccumulate(sumState(v), g) AS acc"
+        " FROM rf ORDER BY id",
+    ).collect()
+    assert [r.rd for r in rows] == [0.0, 3.0, -2.0, -6.0]
+    assert [r.nb for r in rows] == [-1.0, 10.0, 13.0, 11.0]
+    # Δv/Δt: first row 0; +3/10s; −2/10s clamps to 0; group change −6/10s → 0
+    assert [r.nnd for r in rows] == [0.0, 0.3, 0.0, 0.0]
+    # accumulate resets per g: [10, 23, 34, 5]
+    assert [r.acc for r in rows] == [10.0, 23.0, 34.0, 5.0]
