@@ -45,6 +45,10 @@ HEADLINE = [
     "ccnet_bigram_perplexity",
     "semdedup_prune_trained",
     "embedding_hard_negatives",
+    # round-8: the translator (re-tokenizes per call — a regression there
+    # would otherwise be invisible) and the in-engine GD trainer
+    "chsql_prewhere_rollup",
+    "logreg_train_weights",
 ]
 
 

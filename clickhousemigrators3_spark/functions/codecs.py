@@ -7,16 +7,21 @@ PNG/WAV files (a PNG written here opens in any viewer), and the parser reads
 actual header bytes — so the multimodal queries test a true binary
 encode → Arrow transfer → decode round trip, not a byte-stat fake.
 
-Everything here is driver/executor-agnostic pure Python: multimodal.py calls
-it inside Arrow-batched ``mapInPandas`` stages. A real PIL/libvips/ffmpeg
-swap-in would replace only the pixel/sample payload math; the container
-parsing below is already what those libs do for the header path.
+Everything here is driver/executor-agnostic pure Python + numpy:
+multimodal.py calls it inside Arrow-batched ``mapInPandas`` stages. The
+pixel path is real too — ``decode_png_gray`` inverts all five PNG scanline
+filters to a numpy array, ``resize_nearest`` is the standard pixel-center
+nearest-neighbor kernel, and ``encode_png_gray`` re-emits a valid PNG — so
+``mm_resize`` does genuine decode → resample → re-encode work, the same
+dataflow a PIL/libvips swap-in would run.
 """
 
 from __future__ import annotations
 
 import struct
 import zlib
+
+import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -46,6 +51,97 @@ def make_png(width: int, height: int, gray: int = 0) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(raw, 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png_gray(pixels) -> bytes:
+    """A complete, valid 8-bit grayscale PNG from a 2-D uint8 pixel array
+    (filter byte 0 per scanline, zlib IDAT)."""
+    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if arr.ndim != 2 or arr.shape[0] < 1 or arr.shape[1] < 1:
+        raise ValueError("pixels must be a non-empty 2-D array")
+    h, w = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale PNG to a (h, w) uint8 array: concatenate
+    IDAT chunks, inflate, and invert the per-scanline filters — all five
+    standard types (None/Sub/Up/Average/Paeth, PNG spec §9), not just the
+    filter-0 lines our own encoder writes."""
+    hdr = parse_header(payload)
+    if (
+        hdr.get("fmt") != "png"
+        or hdr.get("channels") != 1
+        or hdr.get("bit_depth") != 8
+    ):
+        raise ValueError("decode_png_gray supports 8-bit grayscale PNG only")
+    w, h = hdr["width"], hdr["height"]
+    i, idat = 8, []
+    while i + 8 <= len(payload):
+        clen = struct.unpack(">I", payload[i : i + 4])[0]
+        typ = payload[i + 4 : i + 8]
+        if typ == b"IDAT":
+            idat.append(payload[i + 8 : i + 8 + clen])
+        elif typ == b"IEND":
+            break
+        i += 12 + clen
+    raw = zlib.decompress(b"".join(idat))
+    stride = w + 1
+    if len(raw) < h * stride:
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        f = line[0]
+        cur = np.frombuffer(line, dtype=np.uint8, count=w, offset=1).astype(
+            np.int32
+        )
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up — vectorizable (no left-neighbor dependency)
+            rec = (cur + prev) % 256
+        elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential in the left px
+            rec = np.empty(w, dtype=np.int32)
+            a = 0
+            for c in range(w):
+                b = int(prev[c])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    cc = int(prev[c - 1]) if c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                a = (int(cur[c]) + pred) % 256
+                rec[c] = a
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def resize_nearest(pixels, dst_h: int, dst_w: int) -> np.ndarray:
+    """Nearest-neighbor resample of a 2-D array: source index =
+    floor((dst_index + 0.5) * src / dst), the standard pixel-center mapping
+    (PIL's NEAREST)."""
+    if dst_h < 1 or dst_w < 1:
+        raise ValueError("target dimensions must be >= 1")
+    arr = np.asarray(pixels)
+    h, w = arr.shape
+    rows = np.minimum(((np.arange(dst_h) + 0.5) * h / dst_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(dst_w) + 0.5) * w / dst_w).astype(np.int64), w - 1)
+    return arr[rows][:, cols]
 
 
 def make_wav(

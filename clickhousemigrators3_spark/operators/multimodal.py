@@ -228,27 +228,43 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(16 + (doc_id * 7) % 80 AS BIGINT) AS src_h,
              CAST(16 + doc_id % 80 AS BIGINT) AS src_w
-      FROM documents)
-    SELECT doc_id, src_h, src_w,
-           CAST(GREATEST(FLOOR(src_h * LEAST(64.0 / src_h, 64.0 / src_w, 1.0)),
-                         1) AS BIGINT) AS dst_h,
-           CAST(GREATEST(FLOOR(src_w * LEAST(64.0 / src_h, 64.0 / src_w, 1.0)),
-                         1) AS BIGINT) AS dst_w
-    FROM p ORDER BY doc_id
+      FROM documents),
+    d AS (
+      SELECT doc_id, src_h, src_w,
+             CAST(GREATEST(FLOOR(src_h * LEAST(64.0 / src_h, 64.0 / src_w,
+                                               1.0)), 1) AS BIGINT) AS dst_h,
+             CAST(GREATEST(FLOOR(src_w * LEAST(64.0 / src_h, 64.0 / src_w,
+                                               1.0)), 1) AS BIGINT) AS dst_w
+      FROM p)
+    SELECT doc_id, src_h, src_w, dst_h, dst_w,
+           (CAST(FLOOR(0.5 * src_h / dst_h) AS BIGINT) * 31
+            + CAST(FLOOR(0.5 * src_w / dst_w) AS BIGINT) * 7
+            + doc_id) % 256 AS corner_px
+    FROM d ORDER BY doc_id
     """,
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize with a REAL codec round trip: synthesize a valid PNG per
-    doc (dims = doc_id formulas), parse its IHDR for (h, w), downscale to
-    fit a 64×64 box (aspect preserved), re-encode a genuine PNG at the new
-    dimensions, and emit the dst dims by re-parsing the re-encoded bytes —
-    encoder and parser must agree twice for the oracle to hold. The pixel
-    resample itself is the only simplification (solid-gray fill); a real
-    PIL/libvips stage changes nothing outside the inner loop.
+    """Image resize with a REAL codec + pixel round trip: synthesize a valid
+    PNG per doc with a deterministic gradient pattern
+    ``px(r, c) = (31r + 7c + doc_id) % 256``, decode the pixel grid
+    (all-filter PNG unfilter → numpy), nearest-neighbor resample into a
+    64×64 box (aspect preserved, pixel-center mapping), re-encode a genuine
+    PNG at the new dimensions, and emit dims by re-parsing the re-encoded
+    bytes. ``corner_px`` is the resampled (0,0) pixel read back from the
+    DECODED re-encoded image — the oracle recomputes it from the pattern
+    formula at the mapped source coordinate, so encoder, decoder, and
+    resample kernel must all agree for the hash to hold.
 
     Scale: pure map, no shuffle; batch size bounded by
     arrow.maxRecordsPerBatch so executor memory holds ~batch x payload."""
-    from ..functions.codecs import make_png, parse_header
+    import numpy as np
+
+    from ..functions.codecs import (
+        decode_png_gray,
+        encode_png_gray,
+        parse_header,
+        resize_nearest,
+    )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     box = 64
@@ -258,18 +274,32 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                src = make_png(16 + i % 80, 16 + (i * 7) % 80, gray=i % 256)
+                h, w = 16 + (i * 7) % 80, 16 + i % 80
+                r_ix, c_ix = np.meshgrid(
+                    np.arange(h), np.arange(w), indexing="ij"
+                )
+                src_px = ((31 * r_ix + 7 * c_ix + i) % 256).astype(np.uint8)
+                src = encode_png_gray(src_px)
                 hdr = parse_header(src)
                 h, w = hdr["height"], hdr["width"]
                 scale = min(box / h, box / w, 1.0)
                 nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
-                out = parse_header(make_png(nw, nh, gray=i % 256))
-                rows.append((i, h, w, out["height"], out["width"]))
+                resized = resize_nearest(decode_png_gray(src), nh, nw)
+                out_bytes = encode_png_gray(resized)
+                out = parse_header(out_bytes)
+                corner = int(decode_png_gray(out_bytes)[0, 0])
+                rows.append((i, h, w, out["height"], out["width"], corner))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "src_h", "src_w", "dst_h", "dst_w"]
+                rows,
+                columns=[
+                    "doc_id", "src_h", "src_w", "dst_h", "dst_w", "corner_px",
+                ],
             )
 
     return d.mapInPandas(
         resize,
-        schema="doc_id long, src_h long, src_w long, dst_h long, dst_w long",
+        schema=(
+            "doc_id long, src_h long, src_w long, dst_h long, dst_w long, "
+            "corner_px long"
+        ),
     ).orderBy("doc_id")

@@ -2021,3 +2021,105 @@ def test_cohens_kappa_degenerate_pe_is_null(spark):
     )
     r2 = kappa_from_pairs(pairs).collect()[0]
     assert r2.po == 0.75 and r2.pe == 0.5 and abs(r2.kappa - 0.5) < 1e-9
+
+
+def test_png_pixel_decode_all_filters():
+    """decode_png_gray inverts all five PNG scanline filters: a test-side
+    FORWARD filterer builds each filtered stream independently, the decoder
+    must recover the identical pixel grid."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from clickhousemigrators3_spark.functions.codecs import (
+        PNG_SIG,
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+
+    def forward_filter(arr, ftype):
+        h, w = arr.shape
+        a = arr.astype(int)
+        out = b""
+        for r in range(h):
+            prev = a[r - 1] if r else np.zeros(w, dtype=int)
+            line = bytearray([ftype])
+            for c in range(w):
+                left = a[r][c - 1] if c else 0
+                up = prev[c]
+                ul = prev[c - 1] if c else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = left
+                elif ftype == 2:
+                    pred = up
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc
+                        else (up if pb <= pc else ul)
+                    )
+                line.append((a[r][c] - pred) % 256)
+            out += bytes(line)
+        return out
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    h, w = px.shape
+    for ftype in range(5):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        body = (
+            PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(forward_filter(px, ftype)))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png_gray(body)
+        assert (got == px).all(), f"filter {ftype}"
+
+    # encoder round trip
+    assert (decode_png_gray(encode_png_gray(px)) == px).all()
+
+
+def test_resize_nearest_exact():
+    """Exact nearest-neighbor contract on a constructed 4×4→2×2 pattern
+    (pixel-center mapping: dst (i,j) reads src (2i+1, 2j+1)), plus an
+    upscale and identity case."""
+    import numpy as np
+
+    from clickhousemigrators3_spark.functions.codecs import resize_nearest
+
+    m = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert resize_nearest(m, 2, 2).tolist() == [[5, 7], [13, 15]]
+    assert (resize_nearest(m, 4, 4) == m).all()
+    # 2×2 → 4×4 upscale: each source pixel replicates into a 2×2 block
+    s = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    assert resize_nearest(s, 4, 4).tolist() == [
+        [1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4],
+    ]
+
+
+def test_mm_resize_corner_pixel_is_real_resample(spark):
+    """mm_resize's corner_px must equal the gradient pattern evaluated at
+    the pixel-center-mapped source coordinate — i.e. the decode → resample
+    → re-encode → re-decode chain is doing real pixel work."""
+    from clickhousemigrators3_spark.operators.multimodal import mm_resize
+
+    rows = mm_resize(spark, SF_DIR).limit(50).collect()
+    assert rows
+    for r in rows:
+        sr = int(0.5 * r.src_h / r.dst_h)
+        sc = int(0.5 * r.src_w / r.dst_w)
+        assert r.corner_px == (31 * sr + 7 * sc + r.doc_id) % 256, r
