@@ -1,0 +1,61 @@
+"""Evidence-freshness gate: fail when the registry has more queries than the
+latest DRIVER_SIM evidence transcript covers.
+
+Round-7 post-mortem: operators/mltrain.py landed in the end-of-round
+snapshot while docs/DRIVER_SIM_r7.txt still said "ALL PASS (294 queries)"
+against a 297-query registry — the same stale-evidence habit that caused the
+round-5 ch_sql incident. This check makes the drift mechanical: run it at
+snapshot time (after regenerating evidence with
+``python scripts/driver_sim.py 2>&1 | tee docs/DRIVER_SIM_r<N>.txt``).
+
+Exit 0 when the newest transcript's final "ALL PASS (N queries)" count
+equals ``load_all()``'s registry size; exit 1 with both numbers otherwise.
+"""
+
+import glob
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from clickhousemigrators3_spark.registry import load_all
+
+    registered = len(load_all())
+    docs = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs"
+    )
+    transcripts = sorted(
+        glob.glob(os.path.join(docs, "DRIVER_SIM_r*.txt")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not transcripts:
+        print("no docs/DRIVER_SIM_r*.txt evidence transcript found")
+        return 1
+    latest = transcripts[-1]
+    with open(latest, encoding="utf-8", errors="replace") as f:
+        text = f.read()
+    m = None
+    for m in re.finditer(r"ALL PASS \((\d+) queries\)", text):
+        pass
+    if m is None:
+        print(f"{latest}: no 'ALL PASS (N queries)' line — evidence is red "
+              "or truncated")
+        return 1
+    covered = int(m.group(1))
+    if covered != registered:
+        print(
+            f"STALE EVIDENCE: registry has {registered} queries but "
+            f"{os.path.basename(latest)} covers {covered} — regenerate with "
+            "python scripts/driver_sim.py 2>&1 | tee docs/DRIVER_SIM_r<N>.txt"
+        )
+        return 1
+    print(f"evidence fresh: {registered} queries, "
+          f"{os.path.basename(latest)} matches")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
