@@ -144,6 +144,27 @@ def resize_nearest(pixels, dst_h: int, dst_w: int) -> np.ndarray:
     return arr[rows][:, cols]
 
 
+def resize_bilinear(pixels, dst_h: int, dst_w: int) -> np.ndarray:
+    """Bilinear resample of a 2-D array (align_corners=False convention:
+    source coordinate = (dst + 0.5) * src/dst - 0.5, edge-clamped) —
+    returns float64; round/cast at the call site."""
+    if dst_h < 1 or dst_w < 1:
+        raise ValueError("target dimensions must be >= 1")
+    arr = np.asarray(pixels, dtype=np.float64)
+    h, w = arr.shape
+    ry = np.clip((np.arange(dst_h) + 0.5) * h / dst_h - 0.5, 0, h - 1)
+    rx = np.clip((np.arange(dst_w) + 0.5) * w / dst_w - 0.5, 0, w - 1)
+    y0 = np.floor(ry).astype(np.int64)
+    x0 = np.floor(rx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ry - y0)[:, None]
+    fx = (rx - x0)[None, :]
+    top = arr[y0][:, x0] * (1 - fx) + arr[y0][:, x1] * fx
+    bot = arr[y1][:, x0] * (1 - fx) + arr[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
 def make_wav(
     n_samples: int, sample_rate: int = 8000, channels: int = 1, bits: int = 16
 ) -> bytes:

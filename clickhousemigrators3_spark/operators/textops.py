@@ -793,3 +793,104 @@ def blocklist_filter_ac(
     return d.mapInPandas(
         run, "doc_id long, first_match string, n_matched long"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ("hash", "join", "filter")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x <> '')) AS dl
+      FROM documents WHERE trim(text) <> ''),
+    stats AS (
+      SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+    w AS ({_SQL_TERMS}),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM w
+      WHERE term IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * d.dl / stats.avgdl))) AS score
+      FROM tf JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN stats
+      GROUP BY 1)
+    SELECT doc_id, ROUND(score, 6) AS bm25, rn AS rank FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rn
+      FROM scored)
+    WHERE rn <= 10 ORDER BY rank
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed keyword query — the lexical half of
+    a retrieval/RAG stack (Robertson-Spärck Jones idf with the standard
+    +1 smoothing, k1=1.2, b=0.75).
+
+    Scale: document length is a narrow per-row map (no explode needed); the
+    explode is immediately filtered to the query's terms, so the (doc, term)
+    shuffle carries only matching postings — corpus-size-independent width
+    per term. The df and corpus-stats relations are query-sized / one row →
+    broadcast. The final top-k is a single WindowGroupLimit over the scored
+    docs. Rounded to 6dp before ranking: ln() differs by 1 ulp across
+    engines, so the ranking key itself must be rounded for a deterministic
+    cross-engine order."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    dl = d.select("doc_id", F.size(toks).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    ).filter(F.col("term").isin(*_BM25_QUERY))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (
+        F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_norm).alias("score"))
+    )
+    w = W.orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.col("rank").cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", F.round("score", 6).alias("bm25"), "rank")
+        .orderBy("rank")
+    )

@@ -2123,3 +2123,26 @@ def test_mm_resize_corner_pixel_is_real_resample(spark):
         sr = int(0.5 * r.src_h / r.dst_h)
         sc = int(0.5 * r.src_w / r.dst_w)
         assert r.corner_px == (31 * sr + 7 * sc + r.doc_id) % 256, r
+
+
+def test_resize_bilinear_exact():
+    """Hand-computed bilinear contract: 2×2 → 4×4 with align_corners=False
+    gives edge-clamped quarter-blends; constant images stay constant; the
+    identity size is exact."""
+    import numpy as np
+
+    from clickhousemigrators3_spark.functions.codecs import resize_bilinear
+
+    s = np.array([[0.0, 4.0], [8.0, 12.0]])
+    got = resize_bilinear(s, 4, 4)
+    # src coords for dst idx 0..3: clip((i+0.5)*0.5-0.5) = 0, .25, .75, 1
+    exp_row0 = [0.0, 1.0, 3.0, 4.0]
+    assert np.allclose(got[0], exp_row0)
+    assert np.allclose(got[:, 0], [0.0, 2.0, 6.0, 8.0])
+    # (0.25, 0.25): top = 0·0.75 + 4·0.25 = 1, bot = 8·0.75 + 12·0.25 = 9,
+    # blend = 1·0.75 + 9·0.25 = 3
+    assert np.allclose(got[1, 1], 3.0)
+    const = np.full((5, 7), 9.0)
+    assert np.allclose(resize_bilinear(const, 3, 11), 9.0)
+    m = np.arange(12, dtype=np.float64).reshape(3, 4)
+    assert np.allclose(resize_bilinear(m, 3, 4), m)
