@@ -588,3 +588,128 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and embedding cosine
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_CAND = 50  # per-ranker candidate depth before fusion
+RRF_TOP = 10
+_RRF_TERMS = ("hash", "join", "filter")  # textops._BM25_QUERY
+_RRF_QVEC = 0  # the vector query: embedding of vec_id 0
+
+HYBRID_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS dl
+  FROM documents WHERE trim(text) <> ''),
+stats AS (SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM w
+  WHERE term IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+bm25 AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / stats.avgdl))) AS score
+  FROM tf JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN stats
+  WHERE tf.doc_id <> {_RRF_QVEC}
+  GROUP BY 1),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)
+         AS lex_rank
+  FROM bm25 QUALIFY lex_rank <= {RRF_CAND}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_RRF_QVEC}),
+vec AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY {sql_cosine('q.qv', 'e.v')} DESC,
+                            vec_id) AS vec_rank
+  FROM e CROSS JOIN q WHERE vec_id <> {_RRF_QVEC}
+  QUALIFY vec_rank <= {RRF_CAND})
+SELECT doc_id, ROUND(rrf, 6) AS rrf, rn AS rank, lex_rank, vec_rank FROM (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         COALESCE(1.0 / ({RRF_K} + lex.lex_rank), 0)
+         + COALESCE(1.0 / ({RRF_K} + vec.vec_rank), 0) AS rrf,
+         lex.lex_rank, vec.vec_rank,
+         ROW_NUMBER() OVER (
+           ORDER BY COALESCE(1.0 / ({RRF_K} + lex.lex_rank), 0)
+                    + COALESCE(1.0 / ({RRF_K} + vec.vec_rank), 0) DESC,
+                    COALESCE(lex.doc_id, vec.doc_id)) AS rn
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+WHERE rn <= {RRF_TOP} ORDER BY rank
+"""
+
+
+@register("hybrid_rrf_topk", HYBRID_ORACLE)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (rrf = Σ 1/(60 + rank),
+    Cormack et al.) of a BM25 keyword ranking and an embedding-cosine
+    ranking for the same information need — the standard RAG first-stage
+    retriever. Each ranker contributes its top-{RRF_CAND}; documents
+    missing from one list contribute 0 from it.
+
+    Scale: the lexical side is the BM25 topology (postings filtered to the
+    query's terms before the shuffle); the vector side is one corpus scan
+    against a broadcast single query vector; fusion is a full outer join of
+    two candidate-depth-bounded (≤50-row) relations — driver never sees
+    data. RRF scores are sums of exact dyadic-free reciprocals of small
+    integers: bit-identical across engines, so only the output is rounded."""
+    from .textops import bm25_scores
+
+    bm = bm25_scores(spark, sf_dir, _RRF_TERMS).filter(
+        F.col("doc_id") != _RRF_QVEC
+    )
+    w_lex = Window.orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("doc_id")
+    )
+    lex = (
+        bm.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= RRF_CAND)
+        .select("doc_id", "lex_rank")
+    )
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("v").alias("qv")
+    )
+    w_vec = Window.orderBy(F.desc("c"), F.asc("doc_id"))
+    vec = (
+        e.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qv"), F.col("v")).alias("c"),
+        )
+        .withColumn("vec_rank", F.row_number().over(w_vec))
+        .filter(F.col("vec_rank") <= RRF_CAND)
+        .select("doc_id", "vec_rank")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf"),
+        "lex_rank",
+        "vec_rank",
+    )
+    w_f = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= RRF_TOP)
+        .select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+        )
+        .orderBy("rank")
+    )

@@ -848,6 +848,23 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine order."""
     from pyspark.sql.window import Window as W
 
+    scored = bm25_scores(spark, sf_dir, _BM25_QUERY)
+    w = W.orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.col("rank").cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", F.round("score", 6).alias("bm25"), "rank")
+        .orderBy("rank")
+    )
+
+
+def bm25_scores(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """``(doc_id, score)`` BM25 relation for a literal term set — the
+    scoring core shared by ``text_bm25_topk`` and the hybrid RRF fusion
+    (operators/similarity.py). Topology per the text_bm25_topk docstring."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.trim(F.col("text")) != ""
     )
@@ -864,7 +881,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
             "term"
         ),
-    ).filter(F.col("term").isin(*_BM25_QUERY))
+    ).filter(F.col("term").isin(*terms))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -879,18 +896,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(idf * tf_norm).alias("score"))
-    )
-    w = W.orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .withColumn("rank", F.col("rank").cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("doc_id", F.round("score", 6).alias("bm25"), "rank")
-        .orderBy("rank")
     )
