@@ -255,8 +255,11 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula at the mapped source coordinate, so encoder, decoder, and
     resample kernel must all agree for the hash to hold.
 
-    Scale: pure map, no shuffle; batch size bounded by
-    arrow.maxRecordsPerBatch so executor memory holds ~batch x payload."""
+    Scale: embarrassingly parallel Python codec work — worth one narrow
+    round-robin repartition so a single input split (one small parquet
+    file) doesn't serialize the whole CPU-bound loop onto one core; batch
+    size bounded by arrow.maxRecordsPerBatch so executor memory holds
+    ~batch x payload."""
     import numpy as np
 
     from ..functions.codecs import (
@@ -267,6 +270,9 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     box = 64
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
