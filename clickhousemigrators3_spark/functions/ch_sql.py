@@ -439,18 +439,26 @@ _TEMPLATE = {
     "length": "octet_length({0})",
     "randcanonical": "rand()",
     # math / conditional wave 2
+    # operands bound once via transform() so a non-deterministic divisor
+    # can't disagree between the zero test and the division (same
+    # single-evaluation discipline as divide())
     "intdivorzero": (
-        "CASE WHEN {1} = 0 THEN 0 "
-        "ELSE (CAST({0} AS BIGINT) DIV CAST({1} AS BIGINT)) END"
+        "try_element_at(transform(array(named_struct('n', {0}, 'd', {1})), "
+        "_dz -> CASE WHEN _dz.d = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE (CAST(_dz.n AS BIGINT) DIV CAST(_dz.d AS BIGINT)) END), 1)"
     ),
-    "moduloorzero": "CASE WHEN {1} = 0 THEN 0 ELSE ({0} % {1}) END",
+    "moduloorzero": (
+        "try_element_at(transform(array(named_struct('n', {0}, 'd', {1})), "
+        "_mz -> CASE WHEN _mz.d = 0 THEN 0 ELSE (_mz.n % _mz.d) END), 1)"
+    ),
     # NaN compares greater than any number in Spark, so abs(x) < inf is
     # false for NaN — exactly ClickHouse's isFinite
     "isfinite": "(abs(CAST({0} AS DOUBLE)) < double('infinity'))",
     "isinfinite": "(abs(CAST({0} AS DOUBLE)) = double('infinity'))",
     "ifnotfinite": (
-        "CASE WHEN abs(CAST({0} AS DOUBLE)) < double('infinity') "
-        "THEN {0} ELSE {1} END"
+        "try_element_at(transform(array({0}), _nf -> "
+        "CASE WHEN abs(CAST(_nf AS DOUBLE)) < double('infinity') "
+        "THEN _nf ELSE {1} END), 1)"
     ),
     "exp2": "power(2.0D, {0})",
     "exp10": "power(10.0D, {0})",
