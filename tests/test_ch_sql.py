@@ -1583,3 +1583,19 @@ def test_running_funcs_execute(spark):
     assert [r.nnd for r in rows] == [0.0, 0.3, 0.0, 0.0]
     # accumulate resets per g: [10, 23, 34, 5]
     assert [r.acc for r in rows] == [10.0, 23.0, 34.0, 5.0]
+
+
+def test_running_funcs_prewhere_and_cte_interactions():
+    """The running-function rewrite composes with the PREWHERE merge and
+    with CTE bodies (each CTE's own ORDER BY pins its block order)."""
+    t = translate_ch_sql(
+        "SELECT runningDifference(value) AS d FROM events "
+        "PREWHERE user_id < 5 ORDER BY ts"
+    )
+    assert "lag((value), 1, (value)) OVER (ORDER BY ts)" in t
+    assert "WHERE user_id < 5" in t and "prewhere" not in t.lower()
+    t = translate_ch_sql(
+        "WITH c AS (SELECT ts, runningAccumulate(sumState(value)) AS cum "
+        "FROM events ORDER BY ts) SELECT max(cum) AS m FROM c"
+    )
+    assert "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" in t
