@@ -1117,6 +1117,19 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
                 "start Monday; pass mode 1/3 or use date_trunc directly"
             )
         return f"CAST(date_trunc('week', {args[0]}) AS DATE)"
+    if low == "numbers":
+        # ClickHouse's numbers(N) / numbers(offset, N) table function →
+        # Spark's range() table function, column renamed to match. Args are
+        # foldable literals by both engines' contracts, so the repeated
+        # offset reference cannot diverge.
+        if len(args) == 1:
+            return f"(SELECT id AS number FROM range({args[0]}))"
+        if len(args) == 2:
+            return (
+                f"(SELECT id AS number FROM range(({args[0]}), "
+                f"({args[0]}) + ({args[1]})))"
+            )
+        raise UnsupportedCHSQL("numbers takes (N) or (offset, N)")
     tpl = _TEMPLATE.get(low)
     if tpl is not None:
         try:
@@ -1139,7 +1152,7 @@ _KNOWN = (
        "tostartofinterval", "replaceregexpall", "format",
        "dateadd", "date_add", "datesub", "date_sub", "parsedatetime",
        "trunc", "truncate", "greatest", "least", "rand",
-       "age", "arrayreduce", "transform"}
+       "age", "arrayreduce", "transform", "numbers"}
     | set(_FIXED_INTERVALS)
 )
 

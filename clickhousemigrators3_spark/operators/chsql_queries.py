@@ -916,3 +916,26 @@ _ch(
     """,
     ("events",),
 )
+
+# numbers() table function → Spark range(): the synthetic-axis idiom
+# (date spines for gap-free reporting). number is UInt64 in ClickHouse →
+# BIGINT here; Spark date arithmetic needs INT, so the idiomatic text
+# carries toInt32 — ClickHouse accepts the same cast.
+_ch(
+    "chsql_numbers_date_spine",
+    """
+    SELECT number AS n,
+           toDate('1995-01-01') + toInt32(number) AS day,
+           toDayOfWeek(toDate('1995-01-01') + toInt32(number)) AS dow
+    FROM numbers(14)
+    ORDER BY n
+    """,
+    """
+    SELECT range AS n,
+           DATE '1995-01-01' + CAST(range AS INT) AS day,
+           isodow(DATE '1995-01-01' + CAST(range AS INT)) AS dow
+    FROM range(14)
+    ORDER BY n
+    """,
+    (),
+)

@@ -1599,3 +1599,20 @@ def test_running_funcs_prewhere_and_cte_interactions():
         "FROM events ORDER BY ts) SELECT max(cum) AS m FROM c"
     )
     assert "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" in t
+
+
+def test_numbers_table_function(spark):
+    """ClickHouse numbers(N) / numbers(offset, N) → Spark range() with the
+    column renamed; executes end-to-end."""
+    t = translate_ch_sql("SELECT number FROM numbers(10)")
+    assert "FROM (SELECT id AS number FROM range(10))" in t
+    rows = run_ch_sql(
+        spark, "SELECT sum(number) AS s FROM numbers(100)"
+    ).collect()
+    assert rows[0].s == 4950
+    rows = run_ch_sql(
+        spark, "SELECT number AS n FROM numbers(5, 3) ORDER BY n"
+    ).collect()
+    assert [r.n for r in rows] == [5, 6, 7]
+    with pytest.raises(UnsupportedCHSQL, match="numbers"):
+        translate_ch_sql("SELECT number FROM numbers(1, 2, 3)")
