@@ -290,3 +290,46 @@ def test_roc_auc_at_800k_events(spark, tmp_path_factory):
         assert s.n_pos == b.n_pos * 8 and s.n_neg == b.n_neg * 8
         assert abs(s.roc_auc - b.roc_auc) < 2e-6, (day, s.roc_auc, b.roc_auc)
     assert dt < 60, f"roc_auc at 800k events took {dt:.1f}s"
+
+
+def test_bm25_at_40k_docs(spark, big_docs_dir):
+    """BM25 at 8× corpus: the postings shuffle is term-filtered, so wall
+    time must stay linear-ish; replicated docs tie on score and the
+    doc_id tiebreak keeps the top-10 deterministic."""
+    import time
+
+    from clickhousemigrators3_spark.operators.textops import text_bm25_topk
+
+    t0 = time.perf_counter()
+    rows = text_bm25_topk(spark, big_docs_dir).collect()
+    dt = time.perf_counter() - t0
+    assert len(rows) == 10
+    assert all(rows[i].bm25 >= rows[i + 1].bm25 for i in range(9))
+    assert dt < 60, f"bm25 at 40k docs took {dt:.1f}s"
+
+
+def test_hybrid_rrf_at_8x(spark, big_docs_dir, tmp_path_factory):
+    """Hybrid RRF at 8× (documents replicated, embeddings replicated with
+    distinct ids): fusion stays a bounded-candidate join; output is the
+    fixed top-10 with both rank columns populated or null, never both
+    null."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.similarity import hybrid_rrf_topk
+
+    d = big_docs_dir
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    big_e = (
+        emb.withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(8)])))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    big_e.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    t0 = time.perf_counter()
+    rows = hybrid_rrf_topk(spark, d).collect()
+    dt = time.perf_counter() - t0
+    assert len(rows) == 10
+    assert all(r.lex_rank is not None or r.vec_rank is not None for r in rows)
+    assert dt < 90, f"hybrid rrf at 8x took {dt:.1f}s"
