@@ -377,6 +377,9 @@ _TEMPLATE = {
     "median": "percentile_approx({0}, 0.5)",
     "medianexact": "percentile({0}, 0.5)",
     "sumdistinct": "sum(DISTINCT {0})",
+    # ClickHouse sumCount returns tuple (sum, count); fields named per the
+    # tuple → named_struct policy (dot access: .sum / .count)
+    "sumcount": "named_struct('sum', sum({0}), 'count', count({0}))",
     "avgdistinct": "avg(DISTINCT {0})",
     "bitand": "({0} & {1})",
     "bitor": "({0} | {1})",

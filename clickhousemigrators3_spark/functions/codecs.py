@@ -188,6 +188,62 @@ def make_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """A complete, valid mono 16-bit PCM WAV from a 1-D int16 sample
+    array."""
+    arr = np.ascontiguousarray(np.asarray(samples, dtype="<i2"))
+    if arr.ndim != 1 or sample_rate < 1:
+        raise ValueError("samples must be 1-D; sample_rate >= 1")
+    data = arr.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a mono 16-bit PCM WAV to ``(sample_rate, int16 array)`` by
+    walking the RIFF chunks (same walk as parse_header, plus the payload)."""
+    hdr = parse_header(payload)
+    if (
+        hdr.get("fmt") != "wav"
+        or hdr.get("bit_depth") != 16
+        or hdr.get("channels") != 1
+    ):
+        raise ValueError("decode_wav_pcm16 supports mono 16-bit PCM only")
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"data":
+            raw = payload[i + 8 : i + 8 + clen]
+            return hdr["sample_rate"], np.frombuffer(raw, dtype="<i2")
+        i += 8 + clen + (clen & 1)
+    raise ValueError("WAV has no data chunk")
+
+
+def resample_linear(samples, n_out: int) -> np.ndarray:
+    """Linear-interpolation resample of a 1-D signal to ``n_out`` samples
+    (same pixel-center/align_corners=False mapping as resize_bilinear,
+    edge-clamped). Returns float64; round/cast at the call site."""
+    if n_out < 1:
+        raise ValueError("n_out must be >= 1")
+    arr = np.asarray(samples, dtype=np.float64)
+    n = arr.shape[0]
+    pos = np.clip((np.arange(n_out) + 0.5) * n / n_out - 0.5, 0, n - 1)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = pos - i0
+    return arr[i0] * (1 - frac) + arr[i1] * frac
+
+
 def parse_header(payload: bytes) -> dict:
     """Parse a media container header into typed metadata. Supported: PNG,
     GIF87a/89a, JPEG (SOF dims), WAV. Unknown payloads fall back to byte

@@ -309,3 +309,92 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corner_px long"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "mm_audio_resample",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS src_rate,
+             CAST(256 + doc_id % 512 AS BIGINT) AS n_in
+      FROM documents),
+    d AS (
+      SELECT doc_id, src_rate, n_in,
+             CAST(n_in * 16000 // src_rate AS BIGINT) AS n_out
+      FROM p),
+    m AS (
+      SELECT doc_id, src_rate, n_in, n_out,
+             GREATEST(LEAST((CAST(n_out // 2 AS DOUBLE) + 0.5) * n_in / n_out
+                            - 0.5, CAST(n_in - 1 AS DOUBLE)), 0.0) AS pos
+      FROM d)
+    SELECT doc_id, src_rate, n_in, n_out,
+           ROUND((CAST(((CAST(FLOOR(pos) AS BIGINT) * 37 + doc_id) % 2000)
+                       - 1000 AS DOUBLE)) * (1.0 - (pos - FLOOR(pos)))
+                 + (CAST(((LEAST(CAST(FLOOR(pos) AS BIGINT) + 1, n_in - 1)
+                           * 37 + doc_id) % 2000) - 1000 AS DOUBLE))
+                   * (pos - FLOOR(pos)), 6) AS mid_sample
+    FROM m ORDER BY doc_id
+    """,
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resample with a REAL codec + sample round trip: synthesize a
+    mono 16-bit PCM WAV per doc with a deterministic sawtooth waveform
+    ``s(i) = ((37i + doc_id) % 2000) - 1000`` at ``8000 + (doc_id%8)*1000``
+    Hz, decode the PCM, linear-interpolate to 16 kHz (pixel-center mapping,
+    the resize_bilinear twin in 1-D), re-encode a genuine WAV at 16 kHz, and
+    emit the output length by re-parsing the re-encoded bytes.
+    ``mid_sample`` is the resampled midpoint value read from the DECODED
+    samples — the oracle recomputes the interpolation from the waveform
+    formula, so encoder, RIFF walk, and resample kernel must all agree.
+
+    Scale: embarrassingly parallel; same round-robin spread as mm_resize."""
+    import numpy as np
+
+    from ..functions.codecs import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        parse_header,
+        resample_linear,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    dst_rate = 16000
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = 8000 + (i % 8) * 1000
+                n_in = 256 + i % 512
+                saw = ((np.arange(n_in, dtype=np.int64) * 37 + i) % 2000
+                       - 1000).astype(np.int16)
+                src = encode_wav_pcm16(saw, rate)
+                in_rate, pcm = decode_wav_pcm16(src)
+                n_out = len(pcm) * dst_rate // in_rate
+                out = resample_linear(pcm, n_out)
+                wav2 = encode_wav_pcm16(
+                    np.clip(np.rint(out), -32768, 32767).astype(np.int16),
+                    dst_rate,
+                )
+                hdr2 = parse_header(wav2)
+                mid = round(float(out[len(out) // 2]), 6)
+                rows.append(
+                    (i, in_rate, len(pcm), hdr2["n_samples"], mid)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "src_rate", "n_in", "n_out", "mid_sample"],
+            )
+
+    return d.mapInPandas(
+        resample,
+        schema=(
+            "doc_id long, src_rate long, n_in long, n_out long, "
+            "mid_sample double"
+        ),
+    ).orderBy("doc_id")

@@ -2146,3 +2146,25 @@ def test_resize_bilinear_exact():
     assert np.allclose(resize_bilinear(const, 3, 11), 9.0)
     m = np.arange(12, dtype=np.float64).reshape(3, 4)
     assert np.allclose(resize_bilinear(m, 3, 4), m)
+
+
+def test_wav_pcm16_roundtrip_and_resample():
+    """encode_wav_pcm16 → decode_wav_pcm16 is exact; resample_linear at 2×
+    interleaves edge-clamped half-blends (hand-computed)."""
+    import numpy as np
+
+    from clickhousemigrators3_spark.functions.codecs import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        resample_linear,
+    )
+
+    s = np.array([0, 100, -200, 32767, -32768], dtype=np.int16)
+    rate, got = decode_wav_pcm16(encode_wav_pcm16(s, 8000))
+    assert rate == 8000 and (got == s).all()
+    # 2-sample [0, 100] → 4: positions clip to [0, 0.25, 0.75, 1]
+    out = resample_linear(np.array([0.0, 100.0]), 4)
+    assert np.allclose(out, [0.0, 25.0, 75.0, 100.0])
+    # identity length is exact
+    x = np.array([3.0, -7.0, 11.0])
+    assert np.allclose(resample_linear(x, 3), x)
