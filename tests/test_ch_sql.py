@@ -431,6 +431,33 @@ def test_cli_chsql_translate_only_and_refusal_exit_code(capsys):
     assert "ev_topk" in out.err
 
 
+def test_cli_chsql_explain_insert_is_dry_run(capsys, tmp_path):
+    """--explain on an INSERT must NOT execute the write: it explains the
+    translated source SELECT and leaves dest-root untouched (advisor r7:
+    the old branch order ran the side-effecting append first)."""
+    import os
+
+    from clickhousemigrators3_spark.cli import main
+
+    dest = tmp_path / "dest"
+    rc = main(
+        [
+            "chsql",
+            "INSERT INTO default.t1 SELECT o_orderkey FROM orders "
+            "WHERE o_orderkey < 5",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--dest-root",
+            str(dest),
+            "--explain",
+        ]
+    )
+    out = capsys.readouterr()
+    assert rc == 0
+    assert "Physical Plan" in out.out
+    assert not os.path.exists(dest)  # nothing was written
+
+
 def test_system_table_emulation(spark):
     """The reference's orchestration SQL (partition.py:12-16,107-114,
     migration.py:139,549, ch_client.py:34) runs VERBATIM: system.tables /
