@@ -1643,3 +1643,49 @@ def test_numbers_table_function(spark):
     assert [r.n for r in rows] == [5, 6, 7]
     with pytest.raises(UnsupportedCHSQL, match="numbers"):
         translate_ch_sql("SELECT number FROM numbers(1, 2, 3)")
+
+
+@pytest.mark.parametrize(
+    "call",
+    [
+        "runningDifference(v)",
+        "neighbor(v, 1, -1.0)",
+        "neighbor(v, -2, 0.0)",
+        "nonNegativeDerivative(v, ts)",
+        "runningAccumulate(sumState(v))",
+        "runningAccumulate(maxState(v), g)",
+        "runningAccumulate(countState())",
+        "toFloat64(runningDifference(v))",
+    ],
+)
+@pytest.mark.parametrize(
+    "order_by",
+    [
+        "ORDER BY ts",
+        "ORDER BY ts DESC",
+        "ORDER BY g, ts",
+        "ORDER BY ts ASC NULLS LAST",
+        "ORDER BY h",  # select-list alias of an expression
+        "ORDER BY g DESC, ts",
+    ],
+)
+def test_running_funcs_shape_sweep(spark, call, order_by):
+    """Cartesian sweep: every running call × ORDER BY shape must translate
+    AND execute (row count preserved, no analysis error)."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.5, 1),
+            (2, "2024-01-01 00:00:10", 2.5, 2),
+            (3, "2024-01-01 00:00:20", -1.0, 1),
+        ],
+        "id int, ts_s string, v double, g int",
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts", "v", "g")
+    df.createOrReplaceTempView("rsweep")
+    sql = (
+        f"SELECT id, toStartOfMinute(ts) AS h, {call} AS r "
+        f"FROM rsweep {order_by}"
+    )
+    translated = translate_ch_sql(sql)
+    assert "OVER (" in translated
+    rows = run_ch_sql(spark, sql).collect()
+    assert len(rows) == 3
