@@ -1911,7 +1911,7 @@ def _running_order_by(tokens: list[str], call_idx: int) -> str | None:
                 end = k
                 break
     keys = [k for k in _split_args(tokens[by + 1 : end]) if k]
-    aliases = _select_list_aliases(tokens, sel)
+    items, aliases = _select_list_items(tokens, sel)
     rendered = []
     for key in keys:
         code = [t for t in key if not _is_ws(t)]
@@ -1921,8 +1921,20 @@ def _running_order_by(tokens: list[str], call_idx: int) -> str | None:
             "asc", "desc", "nulls", "first", "last"
         ):
             tail.insert(0, expr_toks.pop())
+        sub = None
         if len(expr_toks) == 1 and expr_toks[0].lower() in aliases:
             sub = aliases[expr_toks[0].lower()]
+        elif len(expr_toks) == 1 and expr_toks[0].isdigit():
+            # ClickHouse ORDER BY <n> is positional; emitted verbatim into
+            # a window spec it would be a CONSTANT (nondeterministic order)
+            pos = int(expr_toks[0])
+            if not 1 <= pos <= len(items):
+                raise UnsupportedCHSQL(
+                    f"ORDER BY position {pos} is out of range for the "
+                    f"{len(items)}-item SELECT list"
+                )
+            sub = items[pos - 1]
+        if sub is not None:
             if any(
                 t.lower() in _RUNNING_FUNCS
                 for t in _tokenize(sub)
@@ -1939,11 +1951,14 @@ def _running_order_by(tokens: list[str], call_idx: int) -> str | None:
     return ", ".join(rendered)
 
 
-def _select_list_aliases(tokens: list[str], sel: int) -> dict[str, str]:
-    """``alias.lower() -> expression SQL text`` for the explicit ``AS``
-    aliases of the SELECT list starting at keyword index ``sel``
-    (ClickHouse resolves ORDER BY against select aliases; Spark window
-    ORDER BY cannot)."""
+def _select_list_items(
+    tokens: list[str], sel: int
+) -> tuple[list[str], dict[str, str]]:
+    """``(items, aliases)`` of the SELECT list starting at keyword index
+    ``sel``: items are expression texts with any trailing ``AS alias``
+    stripped (for ClickHouse positional ORDER BY), aliases map
+    ``alias.lower() -> expression text`` (ClickHouse resolves ORDER BY
+    against select aliases; Spark window ORDER BY cannot)."""
     depth = 0
     end = len(tokens)
     for k in range(sel + 1, len(tokens)):
@@ -1962,15 +1977,20 @@ def _select_list_aliases(tokens: list[str], sel: int) -> dict[str, str]:
             ):
                 end = k
                 break
-    out: dict[str, str] = {}
+    items: list[str] = []
+    aliases: dict[str, str] = {}
     for item in _split_args(tokens[sel + 1 : end]):
         code_idx = [ix for ix, t in enumerate(item) if not _is_ws(t)]
+        if not code_idx:
+            continue
+        expr = "".join(item).strip()
         if len(code_idx) >= 3 and item[code_idx[-2]].lower() == "as":
             alias = item[code_idx[-1]]
             if alias and (alias[0].isalpha() or alias[0] == "_"):
                 expr = "".join(item[: code_idx[-2]]).strip()
-                out[alias.lower()] = expr
-    return out
+                aliases[alias.lower()] = expr
+        items.append(expr)
+    return items, aliases
 
 
 def _running_window_expr(

@@ -1689,3 +1689,30 @@ def test_running_funcs_shape_sweep(spark, call, order_by):
     assert "OVER (" in translated
     rows = run_ch_sql(spark, sql).collect()
     assert len(rows) == 3
+
+
+def test_running_funcs_positional_order_by(spark):
+    """ClickHouse ORDER BY <n> is positional — the rewrite resolves it
+    against the select list instead of emitting a constant (which would be
+    a nondeterministic window order); out-of-range and self-referential
+    positions refuse."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 13.0), (3, 11.0)], "id int, v double"
+    )
+    df.createOrReplaceTempView("rpos")
+    t = translate_ch_sql(
+        "SELECT id, runningDifference(v) AS d FROM rpos ORDER BY 1"
+    )
+    assert "OVER (ORDER BY (id))" in t
+    rows = run_ch_sql(
+        spark, "SELECT id, runningDifference(v) AS d FROM rpos ORDER BY 1"
+    ).collect()
+    assert [r.d for r in rows] == [0.0, 3.0, -2.0]
+    with pytest.raises(UnsupportedCHSQL, match="out of range"):
+        translate_ch_sql(
+            "SELECT id, runningDifference(v) AS d FROM rpos ORDER BY 7"
+        )
+    with pytest.raises(UnsupportedCHSQL, match="running-function column"):
+        translate_ch_sql(
+            "SELECT id, runningDifference(v) AS d FROM rpos ORDER BY 2"
+        )
