@@ -1556,7 +1556,9 @@ def _rewrite_limit_by(tokens: list[str], idx: int) -> list[str]:
         tail_start = by_end
         trailing_sql = ""
     inner_sql = "".join(tokens[sel_idx:order_idx]).strip()
-    ord_sql = "".join(tokens[ord_start:idx]).strip()
+    ord_sql = _resolve_ordinal_keys(
+        "".join(tokens[ord_start:idx]).strip(), tokens, sel_idx
+    )
     by_sql = "".join(tokens[by_start:by_end]).strip()
     if not by_sql:
         raise UnsupportedCHSQL("LIMIT n BY with an empty expression list")
@@ -1572,6 +1574,50 @@ def _rewrite_limit_by(tokens: list[str], idx: int) -> list[str]:
     # explicit separator: tail_start points AT the next clause keyword, so
     # the whitespace token before it was consumed with the BY-expr slice
     return tokens[:sel_idx] + _tokenize(new_sql) + [" "] + tokens[tail_start:]
+
+
+def _resolve_ordinal_keys(ord_sql: str, tokens: list[str], sel: int) -> str:
+    """Replace ClickHouse positional ORDER BY keys (``ORDER BY 2``) in a
+    key list that is about to be spliced into a WINDOW spec: a bare integer
+    there is a CONSTANT in Spark (nondeterministic order), not a position.
+    Resolves against the owning SELECT list's output column names; an
+    unaliased-expression position refuses (the subquery output has no
+    stable name to reference)."""
+    keys = [k for k in _split_args(_tokenize(ord_sql)) if k]
+    if not any(
+        len([t for t in k if not _is_ws(t)]) >= 1
+        and [t for t in k if not _is_ws(t)][0].isdigit()
+        for k in keys
+    ):
+        return ord_sql
+    _, _, names = _select_list_items(tokens, sel)
+    out = []
+    for key in keys:
+        code = [t for t in key if not _is_ws(t)]
+        expr_toks, tail = list(code), []
+        while expr_toks and expr_toks[-1].lower() in (
+            "asc", "desc", "nulls", "first", "last"
+        ):
+            tail.insert(0, expr_toks.pop())
+        if len(expr_toks) == 1 and expr_toks[0].isdigit():
+            pos = int(expr_toks[0])
+            if not 1 <= pos <= len(names):
+                raise UnsupportedCHSQL(
+                    f"ORDER BY position {pos} is out of range for the "
+                    f"{len(names)}-item SELECT list"
+                )
+            name = names[pos - 1]
+            if name is None:
+                raise UnsupportedCHSQL(
+                    f"ORDER BY position {pos} points at an unaliased "
+                    "expression — alias it (… AS name) so the LIMIT BY "
+                    "window can order by the output column"
+                )
+            expr = name
+        else:
+            expr = " ".join(expr_toks)
+        out.append((expr + " " + " ".join(tail)).strip())
+    return ", ".join(out)
 
 
 # DML/DDL statements route to the engine's operator surface, not spark.sql
@@ -1911,7 +1957,7 @@ def _running_order_by(tokens: list[str], call_idx: int) -> str | None:
                 end = k
                 break
     keys = [k for k in _split_args(tokens[by + 1 : end]) if k]
-    items, aliases = _select_list_items(tokens, sel)
+    items, aliases, _names = _select_list_items(tokens, sel)
     rendered = []
     for key in keys:
         code = [t for t in key if not _is_ws(t)]
@@ -1953,12 +1999,14 @@ def _running_order_by(tokens: list[str], call_idx: int) -> str | None:
 
 def _select_list_items(
     tokens: list[str], sel: int
-) -> tuple[list[str], dict[str, str]]:
-    """``(items, aliases)`` of the SELECT list starting at keyword index
-    ``sel``: items are expression texts with any trailing ``AS alias``
-    stripped (for ClickHouse positional ORDER BY), aliases map
+) -> tuple[list[str], dict[str, str], list[str | None]]:
+    """``(items, aliases, names)`` of the SELECT list starting at keyword
+    index ``sel``: items are expression texts with any trailing ``AS
+    alias`` stripped (for ClickHouse positional ORDER BY), aliases map
     ``alias.lower() -> expression text`` (ClickHouse resolves ORDER BY
-    against select aliases; Spark window ORDER BY cannot)."""
+    against select aliases; Spark window ORDER BY cannot), names are the
+    per-item OUTPUT column names — the alias, a bare identifier, or None
+    for an unaliased expression."""
     depth = 0
     end = len(tokens)
     for k in range(sel + 1, len(tokens)):
@@ -1979,18 +2027,26 @@ def _select_list_items(
                 break
     items: list[str] = []
     aliases: dict[str, str] = {}
+    names: list[str | None] = []
     for item in _split_args(tokens[sel + 1 : end]):
         code_idx = [ix for ix, t in enumerate(item) if not _is_ws(t)]
         if not code_idx:
             continue
         expr = "".join(item).strip()
+        name = None
         if len(code_idx) >= 3 and item[code_idx[-2]].lower() == "as":
             alias = item[code_idx[-1]]
             if alias and (alias[0].isalpha() or alias[0] == "_"):
                 expr = "".join(item[: code_idx[-2]]).strip()
                 aliases[alias.lower()] = expr
+                name = alias
+        elif len(code_idx) == 1:
+            tok = item[code_idx[0]]
+            if tok and (tok[0].isalpha() or tok[0] == "_"):
+                name = tok
         items.append(expr)
-    return items, aliases
+        names.append(name)
+    return items, aliases, names
 
 
 def _running_window_expr(

@@ -431,13 +431,19 @@ def test_cli_chsql_translate_only_and_refusal_exit_code(capsys):
     assert "ev_topk" in out.err
 
 
-def test_cli_chsql_explain_insert_is_dry_run(capsys, tmp_path):
+def test_cli_chsql_explain_insert_is_dry_run(capsys, tmp_path, monkeypatch):
     """--explain on an INSERT must NOT execute the write: it explains the
     translated source SELECT and leaves dest-root untouched (advisor r7:
     the old branch order ran the side-effecting append first)."""
     import os
 
+    import pyspark.sql
+
     from clickhousemigrators3_spark.cli import main
+
+    # the CLI stops its session on exit; keep the suite's shared session
+    # alive (getOrCreate hands the CLI the same JVM singleton)
+    monkeypatch.setattr(pyspark.sql.SparkSession, "stop", lambda self: None)
 
     dest = tmp_path / "dest"
     rc = main(
