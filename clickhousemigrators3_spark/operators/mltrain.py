@@ -203,3 +203,141 @@ def logreg_train_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y"),
     )
     return roc_auc_by_group(s, group="g").select("n_pos", "n_neg", "roc_auc")
+
+
+# ---------------------------------------------------------------------------
+# Hashed bag-of-words trainer — the fastText-style quality filter, with the
+# REAL feature map (hashed unigram counts), same fused-GD scale shape
+# ---------------------------------------------------------------------------
+
+NB = 8  # hash buckets — architecture is bucket-count-agnostic; 8 keeps the
+#         unrolled DuckDB oracle text and fixture runtimes small
+BOW_ITERS = 2
+BOW_LR = 0.5
+
+# cross-engine-stable bucket: md5-derived 32-bit int % NB (Spark hash() and
+# DuckDB hash() are different algorithms — functions/hashing.py)
+_BUCKET_SQL = "((('0x' || substr(md5({t}), 1, 8))::BIGINT) % " + str(NB) + ")"
+
+
+def _bow_feature_cte() -> str:
+    xs = ", ".join(
+        f"len(list_filter(toks, t -> {_BUCKET_SQL.format(t='t')} = {b}))"
+        f" / 10.0 AS x{b}"
+        for b in range(NB)
+    )
+    return (
+        f"SELECT CAST(lang = 'en' AS INT) AS y, {xs} FROM "
+        "(SELECT lang, list_filter(regexp_split_to_array(trim(lower(text)),"
+        " '\\s+'), t -> t <> '') AS toks FROM documents)"
+    )
+
+
+def _bow_z(prefix: str = "") -> str:
+    terms = " + ".join(f"{prefix}a{b} * x{b}" for b in range(NB))
+    return f"({prefix}b + {terms})"
+
+
+def _bow_weight_ctes() -> str:
+    zero = ", ".join(["0.0 AS b"] + [f"0.0 AS a{b}" for b in range(NB)])
+    ctes = [f"w0 AS (SELECT {zero})"]
+    for i in range(1, BOW_ITERS + 1):
+        p = f"(1.0 / (1.0 + exp(-{_bow_z()})))"
+        cols = [f"MIN(b) + {BOW_LR} * AVG(y - {p}) AS b"] + [
+            f"MIN(a{b}) + {BOW_LR} * AVG((y - {p}) * x{b}) AS a{b}"
+            for b in range(NB)
+        ]
+        ctes.append(
+            f"w{i} AS (SELECT {', '.join(cols)} FROM f CROSS JOIN w{i - 1})"
+        )
+    return ",\n".join(ctes)
+
+
+def _bow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import stable_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+
+    def bucket_count(b: int):
+        # NOTE: the lambda must stay single-parameter — a second parameter
+        # makes F.filter pass the array INDEX there, silently
+        return F.size(F.filter(toks, lambda t: stable_hash32(t) % NB == b))
+
+    cols = [(F.col("lang") == "en").cast("int").alias("y")]
+    for b in range(NB):
+        cols.append((bucket_count(b) / 10.0).alias(f"x{b}"))
+    return d.select(*cols)
+
+
+def train_logreg_bow(f: DataFrame) -> DataFrame:
+    """Fused {BOW_ITERS}-iteration hashed-BoW trainer over a
+    (y, x0..x{NB-1}) relation — identical topology to train_logreg, NB+1
+    weight scalars instead of 4: each iteration is one map-side-combined
+    AVG pass, only the 1-row weight relation moves."""
+    spark = f.sparkSession
+    schema = ", ".join(["b double"] + [f"a{b} double" for b in range(NB)])
+    w = spark.createDataFrame([tuple([0.0] * (NB + 1))], schema)
+    for _ in range(BOW_ITERS):
+        j = f.crossJoin(F.broadcast(w))
+        z = F.col("b")
+        for b in range(NB):
+            z = z + F.col(f"a{b}") * F.col(f"x{b}")
+        r = F.col("y") - 1.0 / (1.0 + F.exp(-z))
+        aggs = [(F.min("b") + BOW_LR * F.avg(r)).alias("b")]
+        for b in range(NB):
+            aggs.append(
+                (F.min(f"a{b}") + BOW_LR * F.avg(r * F.col(f"x{b}"))).alias(
+                    f"a{b}"
+                )
+            )
+        w = j.agg(*aggs)
+    return w
+
+
+@register(
+    "logreg_train_bow",
+    f"""
+    WITH f AS ({_bow_feature_cte()}),
+    {_bow_weight_ctes()},
+    acc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             AVG(CAST((CASE WHEN 1.0 / (1.0 + exp(-{_bow_z()})) >= 0.5
+                       THEN 1 ELSE 0 END) = y AS INT)) AS accuracy
+      FROM f CROSS JOIN w{BOW_ITERS})
+    SELECT n_docs, ROUND(b, 6) AS w_bias,
+           {', '.join(f'ROUND(a{b}, 6) AS w{b}' for b in range(NB))},
+           ROUND(accuracy, 6) AS accuracy
+    FROM w{BOW_ITERS} CROSS JOIN acc
+    """,
+)
+def logreg_train_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the is-English gate on REAL text features: hashed unigram
+    counts ({NB} md5-stable buckets — the fastText/CCNet quality-filter
+    architecture at toy width), {BOW_ITERS} fused full-batch GD iterations.
+    Returns final weights + train accuracy; the oracle is the identical
+    unrolled recurrence with the identical md5 bucket hash.
+
+    Scale: the feature map is a narrow per-doc fold over its own tokens
+    (corpus-size-independent per-row cost); each GD pass moves only the
+    (NB+1)-scalar weight row. Widening NB to fastText's 2^20 changes the
+    weight relation to a broadcast array, not the topology."""
+    f = _bow_features(spark, sf_dir)
+    w = train_logreg_bow(f)
+    j = f.crossJoin(F.broadcast(w))
+    z = F.col("b")
+    for b in range(NB):
+        z = z + F.col(f"a{b}") * F.col(f"x{b}")
+    pred = (1.0 / (1.0 + F.exp(-z)) >= 0.5).cast("int")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.min("b"), 6).alias("w_bias"),
+    ]
+    for b in range(NB):
+        aggs.append(F.round(F.min(f"a{b}"), 6).alias(f"w{b}"))
+    aggs.append(
+        F.round(F.avg((pred == F.col("y")).cast("int")), 6).alias("accuracy")
+    )
+    return j.agg(*aggs)

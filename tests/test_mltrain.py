@@ -166,3 +166,81 @@ def test_scale_8x_replication_invariance(spark):
     for k in ("b", "a1", "a2", "a3"):
         assert w8[k] == pytest.approx(w1[k], rel=1e-9, abs=1e-12)
     assert dt < 120, f"8x train took {dt:.1f}s"
+
+
+# --- hashed bag-of-words trainer ---------------------------------------------
+
+
+def _mk_bow(spark, rows, nb=8):
+    schema = ", ".join(["y int"] + [f"x{b} double" for b in range(nb)])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_bow_one_step_hand_computed(spark, monkeypatch):
+    """First BoW step from zero weights: residuals are exactly ±0.5, so
+    every weight is BOW_LR * mean((y−0.5)·x_b) — hand-computable on a
+    2-row fixture with one-hot bucket counts."""
+    import clickhousemigrators3_spark.operators.mltrain as mt
+
+    monkeypatch.setattr(mt, "BOW_ITERS", 1)
+    rows = [
+        tuple([1] + [1.0 if b == 0 else 0.0 for b in range(mt.NB)]),
+        tuple([0] + [1.0 if b == 1 else 0.0 for b in range(mt.NB)]),
+    ]
+    w = mt.train_logreg_bow(_mk_bow(spark, rows, mt.NB)).collect()[0]
+    assert w["b"] == pytest.approx(0.0, abs=1e-12)  # +0.5 and −0.5 cancel
+    assert w["a0"] == pytest.approx(mt.BOW_LR * 0.25, abs=1e-12)
+    assert w["a1"] == pytest.approx(mt.BOW_LR * -0.25, abs=1e-12)
+    for b in range(2, mt.NB):
+        assert w[f"a{b}"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_bow_matches_numpy_recurrence(spark):
+    """train_logreg_bow on sf0.001 documents agrees with an independent
+    numpy run of the same recurrence over the SAME feature matrix (pulled
+    once from the Spark feature map) to float precision."""
+    import numpy as np
+
+    import clickhousemigrators3_spark.operators.mltrain as mt
+
+    f = mt._bow_features(spark, SF_DIR)
+    pdf = f.toPandas()
+    X = pdf[[f"x{b}" for b in range(mt.NB)]].to_numpy()
+    y = pdf["y"].to_numpy()
+    w = np.zeros(mt.NB + 1)
+    Xb = np.hstack([np.ones((len(y), 1)), X])
+    for _ in range(mt.BOW_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(Xb @ w)))
+        w = w + mt.BOW_LR * ((y - p) @ Xb) / len(y)
+    got = mt.train_logreg_bow(f).collect()[0]
+    assert got["b"] == pytest.approx(w[0], rel=1e-9)
+    for b in range(mt.NB):
+        assert got[f"a{b}"] == pytest.approx(w[b + 1], rel=1e-9)
+
+
+def test_bow_buckets_partition_the_tokens(spark):
+    """The hashed feature map is a PARTITION of each doc's tokens: bucket
+    counts sum to the token count (catches the F.filter two-parameter
+    index-lambda pitfall, which collapses every bucket to the same set)."""
+    from pyspark.sql import functions as F
+
+    import clickhousemigrators3_spark.operators.mltrain as mt
+
+    f = mt._bow_features(spark, SF_DIR)
+    total = sum(F.col(f"x{b}") for b in range(mt.NB))
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("n_toks")
+    )
+    lhs = [r[0] for r in f.select((total * 10.0).alias("s")).collect()]
+    rhs = [r[0] for r in d.collect()]
+    assert [round(v) for v in lhs] == rhs
+    # and the buckets are genuinely distinct relations
+    distinct_cols = {
+        tuple(r) for r in f.select(*[f"x{b}" for b in range(mt.NB)]).limit(20).collect()
+    }
+    assert any(len(set(row)) > 1 for row in distinct_cols)
