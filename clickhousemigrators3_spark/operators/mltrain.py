@@ -341,3 +341,65 @@ def logreg_train_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg((pred == F.col("y")).cast("int")), 6).alias("accuracy")
     )
     return j.agg(*aggs)
+
+
+@register(
+    "bow_quality_retained",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, lang, list_filter(regexp_split_to_array(
+               trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+             {', '.join(
+                 f"len(list_filter(toks, t -> {_BUCKET_SQL.format(t='t')}"
+                 f" = {b})) / 10.0 AS x{b}"
+                 for b in range(NB)
+             )}
+      FROM raw),
+    {_bow_weight_ctes()}
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-{_bow_z()})), 6) AS score
+    FROM f CROSS JOIN w{BOW_ITERS}
+    WHERE 1.0 / (1.0 + exp(-{_bow_z()})) >= 0.5
+    ORDER BY doc_id
+    """,
+)
+def bow_quality_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full in-engine curation loop in ONE plan: train the hashed-BoW
+    gate (fused GD), broadcast the learned weights, score every document,
+    and emit the retained set (score ≥ 0.5) — no model file, no driver
+    round trip between train and apply.
+
+    Scale: training per train_logreg_bow; scoring is a narrow map with the
+    (NB+1)-scalar weight row broadcast — the retained relation streams
+    straight into whatever writes the curated corpus."""
+    from ..functions.hashing import stable_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+
+    def bucket_count(b: int):
+        return F.size(F.filter(toks, lambda t: stable_hash32(t) % NB == b))
+
+    cols = [
+        F.col("doc_id"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ]
+    for b in range(NB):
+        cols.append((bucket_count(b) / 10.0).alias(f"x{b}"))
+    f = d.select(*cols)
+    w = train_logreg_bow(f.drop("doc_id"))
+    j = f.crossJoin(F.broadcast(w))
+    z = F.col("b")
+    for b in range(NB):
+        z = z + F.col(f"a{b}") * F.col(f"x{b}")
+    p = 1.0 / (1.0 + F.exp(-z))
+    return (
+        j.filter(p >= 0.5)
+        .select("doc_id", F.round(p, 6).alias("score"))
+        .orderBy("doc_id")
+    )
