@@ -244,3 +244,33 @@ def test_bow_buckets_partition_the_tokens(spark):
         tuple(r) for r in f.select(*[f"x{b}" for b in range(mt.NB)]).limit(20).collect()
     }
     assert any(len(set(row)) > 1 for row in distinct_cols)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_TEST") != "1",
+    reason="set SPARK_GRAFT_SCALE_TEST=1 to run the 8x replication smoke",
+)
+def test_bow_scale_8x_replication_invariance(spark):
+    """Replicating the corpus 8x leaves the BoW mean gradients — hence the
+    trained weights — unchanged, while exercising the hashed feature map
+    and the fused (NB+1)-weight plan at 8x the rows."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    import clickhousemigrators3_spark.operators.mltrain as mt
+
+    f = mt._bow_features(spark, "/root/testdata/sf0.1")
+    big = f.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(8)]))
+    ).drop("rep")
+    w1 = mt.train_logreg_bow(f).collect()[0]
+    t0 = time.perf_counter()
+    w8 = mt.train_logreg_bow(big).collect()[0]
+    dt = time.perf_counter() - t0
+    assert w8["b"] == pytest.approx(w1["b"], rel=1e-9, abs=1e-12)
+    for b in range(mt.NB):
+        assert w8[f"a{b}"] == pytest.approx(
+            w1[f"a{b}"], rel=1e-9, abs=1e-12
+        )
+    assert dt < 180, f"8x BoW train took {dt:.1f}s"
