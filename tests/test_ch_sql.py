@@ -1722,3 +1722,32 @@ def test_running_funcs_positional_order_by(spark):
         translate_ch_sql(
             "SELECT id, runningDifference(v) AS d FROM rpos ORDER BY 2"
         )
+
+
+def test_running_funcs_formatting_fuzz():
+    """Tokenizer robustness for the running-function rewrite: random case,
+    whitespace, newlines, and redundant argument parens must not change
+    what the rewrite emits (modulo the argument parens themselves)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        fn=st.sampled_from(
+            ["runningDifference", "RUNNINGDIFFERENCE", "runningdifference"]
+        ),
+        ws=st.sampled_from([" ", "  ", "\n", "\t "]),
+        parens=st.booleans(),
+        desc=st.sampled_from(["", " DESC", " ASC"]),
+    )
+    def check(fn, ws, parens, desc):
+        arg = "(value)" if parens else "value"
+        sql = (
+            f"SELECT{ws}ts,{ws}{fn}{ws}({arg}){ws}AS d{ws}"
+            f"FROM events{ws}ORDER BY{ws}ts{desc}"
+        )
+        t = translate_ch_sql(sql)
+        assert "lag(" in t and f"OVER (ORDER BY ts{desc})" in t
+        assert "runningdifference" not in t.lower()
+
+    check()
