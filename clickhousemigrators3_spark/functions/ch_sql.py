@@ -646,6 +646,23 @@ _UNSUPPORTED_FUNCS = {
         "default mode 0 weeks start Sunday and renumber at Jan 1 — Spark "
         "weekofyear is ISO; use toISOWeek (mapped) or spell the bucket"
     ),
+    "totypename": (
+        "introspects the ClickHouse type system (names like 'UInt64' have "
+        "no Spark equivalent) — use catalog.get_schema / DataFrame.schema, "
+        "or Spark's typeof() accepting Spark type names"
+    ),
+    "formatreadablesize": (
+        "display helper with ClickHouse-specific KiB/MiB rendering — "
+        "format_string('%.2f MiB', x / 1048576.0) spells the intent"
+    ),
+    "formatreadablequantity": (
+        "display helper with ClickHouse-specific thousand/million "
+        "rendering — format_number(x, 2) or format_string"
+    ),
+    "normalizequery": (
+        "normalizes ClickHouse SQL text (literal masking) — no Spark twin; "
+        "regexp_replace the literals explicitly if needed"
+    ),
     "tuple": (
         "tuple fields are positional; Spark struct() names fields after "
         "source expressions — use named_struct(...) and dot access"

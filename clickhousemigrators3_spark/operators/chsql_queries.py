@@ -939,3 +939,31 @@ _ch(
     """,
     (),
 )
+
+# Single-evaluation guarded forms + tuple-returning sumCount under oracle:
+# moduloOrZero with a genuinely zero divisor, ifNotFinite over an IEEE inf
+# from divide(), sumCount dot-accessed per the named_struct tuple policy.
+_ch(
+    "chsql_guarded_math_probe",
+    """
+    SELECT user_id % 7 AS grp,
+           toFloat64(sumCount(toDecimal64(value, 2)).sum) AS v_sum,
+           sumCount(value).count AS v_cnt,
+           moduloOrZero(max(event_id), count() - count()) AS mz,
+           ifNotFinite(divide(1.0, 0.0), -1.0) AS nf
+    FROM events
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    """
+    SELECT user_id % 7 AS grp,
+           CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS v_sum,
+           COUNT(value) AS v_cnt,
+           CAST(0 AS BIGINT) AS mz,
+           -1.0 AS nf
+    FROM events
+    GROUP BY 1
+    ORDER BY grp
+    """,
+    ("events",),
+)

@@ -382,7 +382,7 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dst_rate,
                 )
                 hdr2 = parse_header(wav2)
-                mid = round(float(out[len(out) // 2]), 6)
+                mid = float(out[len(out) // 2])
                 rows.append(
                     (i, in_rate, len(pcm), hdr2["n_samples"], mid)
                 )
@@ -391,10 +391,118 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "src_rate", "n_in", "n_out", "mid_sample"],
             )
 
-    return d.mapInPandas(
+    out_df = d.mapInPandas(
         resample,
         schema=(
             "doc_id long, src_rate long, n_in long, n_out long, "
             "mid_sample double"
         ),
-    ).orderBy("doc_id")
+    )
+    # round JVM-side: Python round() is banker's, SQL ROUND is half-up —
+    # interpolated values can land on exact .5 boundaries
+    return out_df.withColumn("mid_sample", F.round("mid_sample", 6)).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "mm_resize_bilinear",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(16 + (doc_id * 7) % 80 AS BIGINT) AS src_h,
+             CAST(16 + doc_id % 80 AS BIGINT) AS src_w
+      FROM documents),
+    d AS (
+      SELECT doc_id, src_h, src_w,
+             CAST(GREATEST(FLOOR(src_h * LEAST(64.0 / src_h, 64.0 / src_w,
+                                               1.0)), 1) AS BIGINT) AS dst_h,
+             CAST(GREATEST(FLOOR(src_w * LEAST(64.0 / src_h, 64.0 / src_w,
+                                               1.0)), 1) AS BIGINT) AS dst_w
+      FROM p),
+    m AS (
+      SELECT doc_id, src_h, src_w, dst_h, dst_w,
+             GREATEST(LEAST(0.5 * src_h / dst_h - 0.5,
+                            CAST(src_h - 1 AS DOUBLE)), 0.0) AS ry,
+             GREATEST(LEAST(0.5 * src_w / dst_w - 0.5,
+                            CAST(src_w - 1 AS DOUBLE)), 0.0) AS rx
+      FROM d),
+    g AS (
+      SELECT doc_id, src_h, src_w, dst_h, dst_w, ry, rx,
+             CAST(FLOOR(ry) AS BIGINT) AS y0,
+             LEAST(CAST(FLOOR(ry) AS BIGINT) + 1, src_h - 1) AS y1,
+             CAST(FLOOR(rx) AS BIGINT) AS x0,
+             LEAST(CAST(FLOOR(rx) AS BIGINT) + 1, src_w - 1) AS x1
+      FROM m)
+    SELECT doc_id, src_h, src_w, dst_h, dst_w,
+           ROUND(
+             (1 - (ry - y0)) * ((1 - (rx - x0))
+                 * CAST((31 * y0 + 7 * x0 + doc_id) % 256 AS DOUBLE)
+               + (rx - x0)
+                 * CAST((31 * y0 + 7 * x1 + doc_id) % 256 AS DOUBLE))
+             + (ry - y0) * ((1 - (rx - x0))
+                 * CAST((31 * y1 + 7 * x0 + doc_id) % 256 AS DOUBLE)
+               + (rx - x0)
+                 * CAST((31 * y1 + 7 * x1 + doc_id) % 256 AS DOUBLE)),
+             6) AS corner_px
+    FROM g ORDER BY doc_id
+    """,
+)
+def mm_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear twin of mm_resize: same gradient-pattern PNG decode, but
+    the resample kernel is edge-clamped bilinear (resize_bilinear —
+    align_corners=False). ``corner_px`` is the float blend of the four
+    pattern pixels around the mapped (0,0) source coordinate; the oracle
+    recomputes the identical blend from the pattern formula, so the wrap
+    boundaries of the %256 pattern exercise the kernel's true weighting.
+
+    Scale: identical posture to mm_resize (map-only, round-robin spread)."""
+    import numpy as np
+
+    from ..functions.codecs import (
+        decode_png_gray,
+        encode_png_gray,
+        resize_bilinear,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    box = 64
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                h, w = 16 + (i * 7) % 80, 16 + i % 80
+                r_ix, c_ix = np.meshgrid(
+                    np.arange(h), np.arange(w), indexing="ij"
+                )
+                src_px = ((31 * r_ix + 7 * c_ix + i) % 256).astype(np.uint8)
+                scale = min(box / h, box / w, 1.0)
+                nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+                out = resize_bilinear(
+                    decode_png_gray(encode_png_gray(src_px)), nh, nw
+                )
+                rows.append((i, h, w, nh, nw, float(out[0, 0])))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_h", "src_w", "dst_h", "dst_w", "corner_px",
+                ],
+            )
+
+    out = d.mapInPandas(
+        resize,
+        schema=(
+            "doc_id long, src_h long, src_w long, dst_h long, dst_w long, "
+            "corner_px double"
+        ),
+    )
+    # round JVM-side: Python round() is banker's, SQL ROUND is half-up —
+    # the blends land on exact .5 boundaries often enough to diverge
+    return out.withColumn("corner_px", F.round("corner_px", 6)).orderBy(
+        "doc_id"
+    )
