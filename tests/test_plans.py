@@ -263,6 +263,7 @@ def test_registry_no_python_boundary(spark):
         "mm_feature_extract",
         "mm_frame_sample",
         "mm_resize",
+        "mm_resize_bilinear",
         "mm_audio_resample",
         # SemDeDup prune = per-cluster normalized gram matrix (the paper's
         # own computation): deliberately Arrow+BLAS — measured 3.5x the
