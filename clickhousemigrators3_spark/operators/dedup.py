@@ -1243,3 +1243,68 @@ def semdedup_prune_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # model)
     assign = _lloyd_assign_unrolled(spark, sf_dir)
     return _semdedup_prune_assigned(assign)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup — new arrivals vs the existing corpus
+# ---------------------------------------------------------------------------
+
+INC_MOD = 4  # "new arrivals" = doc_id % 4 = 0 (deterministic at any SF)
+
+_INC_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+INCREMENTAL_ORACLE = f"""
+WITH pairs AS ({{minhash}}),
+fp AS (SELECT doc_id, {oracle_hash_sql(_INC_NORM)} AS f FROM documents),
+old_fp AS (SELECT DISTINCT f FROM fp WHERE doc_id % {INC_MOD} <> 0),
+near_flagged AS (
+  SELECT DISTINCT CASE WHEN a_id % {INC_MOD} = 0 THEN a_id ELSE b_id END
+         AS doc_id
+  FROM pairs
+  WHERE (a_id % {INC_MOD} = 0) <> (b_id % {INC_MOD} = 0))
+SELECT doc_id FROM fp
+WHERE doc_id % {INC_MOD} = 0
+  AND f NOT IN (SELECT f FROM old_fp)
+  AND doc_id NOT IN (SELECT doc_id FROM near_flagged)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_incremental_retained",
+    INCREMENTAL_ORACLE.format(minhash=MINHASH_ORACLE.strip()),
+)
+def dedup_incremental_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: which NEW documents (here doc_id %
+    {INC_MOD} = 0 plays the new snapshot) survive against the EXISTING
+    corpus — dropped on an exact normalized-fingerprint match with any old
+    doc, or on a MinHash-LSH near-dup link to an old doc. The shape every
+    growing training corpus runs on each crawl drop: dedup the delta
+    against the accumulated index, never re-pair the old corpus with
+    itself.
+
+    Scale: the exact gate is an anti-join on 8-byte fingerprints (old side
+    is the accumulated fingerprint index — at 100 TB a bucketed table, so
+    the join is exchange-free on ingest); the near-dup gate reuses the
+    banded LSH pipeline and keeps only cross-snapshot collisions — in
+    production the old corpus's band signatures are precomputed once, so
+    per-delta cost is delta-sized, not corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fp = d.select("doc_id", stable_hash60(norm).alias("f"))
+    is_new = F.col("doc_id") % INC_MOD == 0
+    old_fp = fp.filter(~is_new).select("f").distinct()
+    exact_clean = fp.filter(is_new).join(old_fp, "f", "left_anti")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    a_new = F.col("a_id") % INC_MOD == 0
+    b_new = F.col("b_id") % INC_MOD == 0
+    flagged = (
+        pairs.filter(a_new != b_new)
+        .select(F.when(a_new, F.col("a_id")).otherwise(F.col("b_id")).alias("doc_id"))
+        .distinct()
+    )
+    return (
+        exact_clean.join(flagged, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
