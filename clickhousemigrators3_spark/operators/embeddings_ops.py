@@ -654,3 +654,64 @@ def embedding_silhouette_by_centroid(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("cluster")
     )
+
+
+_DRIFT_MOD = 4  # "new snapshot" = vec_id % 4 = 0 (the incremental split)
+
+
+@register(
+    "embedding_snapshot_drift",
+    f"""
+    WITH flat AS (
+      SELECT label, CAST(vec_id % {_DRIFT_MOD} = 0 AS INT) AS is_new,
+             unnest(CAST(embedding AS DOUBLE[])) AS val,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings),
+    m AS (
+      SELECT label, dim,
+             CAST(SUM(CASE WHEN is_new = 0 THEN val END) AS DOUBLE)
+               / SUM(1 - is_new) AS m_old,
+             CAST(SUM(CASE WHEN is_new = 1 THEN val END) AS DOUBLE)
+               / SUM(is_new) AS m_new
+      FROM flat GROUP BY 1, 2)
+    SELECT label,
+           ROUND(SUM((m_new - m_old) * (m_new - m_old)), 6) AS drift_sq,
+           COUNT(*) AS n_dims
+    FROM m GROUP BY label ORDER BY label
+    """,
+)
+def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between snapshots: squared L2
+    displacement of each label's centroid from the old snapshot
+    (vec_id % {_DRIFT_MOD} ≠ 0) to the new one — the cheap first-line
+    monitor for an embedding model or corpus shift before re-triggering
+    SemDeDup/IVF retraining.
+
+    Scale: same topology as embedding_label_centroids — posexplode, one
+    shuffle on (label, dim), per-dim conditional means, label-sized
+    output."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label",
+        (F.col("vec_id") % _DRIFT_MOD == 0).cast("int").alias("is_new"),
+        F.posexplode(to_double(F.col("embedding"))).alias("dim", "val"),
+    )
+    m = flat.groupBy("label", "dim").agg(
+        (
+            F.sum(F.when(F.col("is_new") == 0, F.col("val")))
+            / F.sum(1 - F.col("is_new"))
+        ).alias("m_old"),
+        (
+            F.sum(F.when(F.col("is_new") == 1, F.col("val")))
+            / F.sum("is_new")
+        ).alias("m_new"),
+    )
+    diff = F.col("m_new") - F.col("m_old")
+    return (
+        m.groupBy("label")
+        .agg(
+            F.round(F.sum(diff * diff), 6).alias("drift_sq"),
+            F.count(F.lit(1)).alias("n_dims"),
+        )
+        .orderBy("label")
+    )

@@ -599,3 +599,79 @@ def ml_ndcg_at_k_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-drift monitoring: PSI between corpus snapshots
+# ---------------------------------------------------------------------------
+
+_PSI_MOD = 4  # "new snapshot" = doc_id % 4 = 0, same split as the
+#               incremental-dedup operator
+_PSI_BUCKETS = 10
+_PSI_WIDTH = 100  # n_chars bucket width; last bucket absorbs the tail
+
+
+@register(
+    "ml_psi_length_drift",
+    f"""
+    WITH b AS (
+      SELECT LEAST(n_chars // {_PSI_WIDTH}, {_PSI_BUCKETS - 1}) AS bucket,
+             CAST(doc_id % {_PSI_MOD} = 0 AS INT) AS is_new
+      FROM documents),
+    g AS (
+      SELECT bucket,
+             SUM(1 - is_new) AS c_old,
+             SUM(is_new) AS c_new
+      FROM b GROUP BY bucket),
+    t AS (SELECT SUM(c_old) AS t_old, SUM(c_new) AS t_new FROM g),
+    p AS (
+      SELECT bucket,
+             (c_old + 0.5) / (t_old + 0.5 * {_PSI_BUCKETS}) AS p_old,
+             (c_new + 0.5) / (t_new + 0.5 * {_PSI_BUCKETS}) AS p_new
+      FROM g CROSS JOIN t)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           ROUND(p_old, 6) AS p_old,
+           ROUND(p_new, 6) AS p_new,
+           ROUND((p_new - p_old) * ln(p_new / p_old), 6) AS psi_contrib
+    FROM p ORDER BY bucket
+    """,
+)
+def ml_psi_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between corpus snapshots (new arrivals =
+    doc_id % {_PSI_MOD} = 0, the incremental-dedup split) over document
+    length — the standard drift gate an ingestion pipeline runs per crawl
+    drop (PSI > 0.25 = investigate). Per-bucket Laplace-smoothed shares and
+    contributions; total PSI = SUM(psi_contrib).
+
+    Scale: one corpus scan → {_PSI_BUCKETS}-row grouped counts; the totals
+    relation is one broadcast row. Drift math is per-bucket scalar algebra
+    on a metadata-sized relation."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        F.least(
+            (F.col("n_chars") / _PSI_WIDTH).cast("long"),
+            F.lit(_PSI_BUCKETS - 1),
+        ).alias("bucket"),
+        (F.col("doc_id") % _PSI_MOD == 0).cast("int").alias("is_new"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.sum(1 - F.col("is_new")).alias("c_old"),
+        F.sum("is_new").alias("c_new"),
+    )
+    t = g.agg(
+        F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")
+    )
+    p_old = (F.col("c_old") + 0.5) / (F.col("t_old") + 0.5 * _PSI_BUCKETS)
+    p_new = (F.col("c_new") + 0.5) / (F.col("t_new") + 0.5 * _PSI_BUCKETS)
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(p_old, 6).alias("p_old"),
+            F.round(p_new, 6).alias("p_new"),
+            F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias(
+                "psi_contrib"
+            ),
+        )
+        .orderBy("bucket")
+    )
