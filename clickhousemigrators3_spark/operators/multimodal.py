@@ -329,11 +329,13 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - 0.5, CAST(n_in - 1 AS DOUBLE)), 0.0) AS pos
       FROM d)
     SELECT doc_id, src_rate, n_in, n_out,
-           ROUND((CAST(((CAST(FLOOR(pos) AS BIGINT) * 37 + doc_id) % 2000)
-                       - 1000 AS DOUBLE)) * (1.0 - (pos - FLOOR(pos)))
+           CAST(ROUND(((CAST(((CAST(FLOOR(pos) AS BIGINT) * 37 + doc_id)
+                              % 2000) - 1000 AS DOUBLE))
+                         * (1.0 - (pos - FLOOR(pos)))
                  + (CAST(((LEAST(CAST(FLOOR(pos) AS BIGINT) + 1, n_in - 1)
                            * 37 + doc_id) % 2000) - 1000 AS DOUBLE))
-                   * (pos - FLOOR(pos)), 6) AS mid_sample
+                   * (pos - FLOOR(pos))) * 2 * n_out, 0) AS BIGINT)
+             AS mid_q
     FROM m ORDER BY doc_id
     """,
 )
@@ -344,9 +346,13 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hz, decode the PCM, linear-interpolate to 16 kHz (pixel-center mapping,
     the resize_bilinear twin in 1-D), re-encode a genuine WAV at 16 kHz, and
     emit the output length by re-parsing the re-encoded bytes.
-    ``mid_sample`` is the resampled midpoint value read from the DECODED
-    samples — the oracle recomputes the interpolation from the waveform
-    formula, so encoder, RIFF walk, and resample kernel must all agree.
+    ``mid_q`` is the resampled midpoint value read from the DECODED
+    samples, rescaled by 2·n_out (the interpolation fraction's denominator)
+    to a mathematically-integral value — nearest-integer rounding is
+    engine-robust where fixed-decimal ROUND of exact .5 boundaries is not
+    (see mm_resize_bilinear). The oracle recomputes the interpolation from
+    the waveform formula, so encoder, RIFF walk, and resample kernel must
+    all agree.
 
     Scale: embarrassingly parallel; same round-robin spread as mm_resize."""
     import numpy as np
@@ -398,10 +404,15 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mid_sample double"
         ),
     )
-    # round JVM-side: Python round() is banker's, SQL ROUND is half-up —
-    # interpolated values can land on exact .5 boundaries
-    return out_df.withColumn("mid_sample", F.round("mid_sample", 6)).orderBy(
-        "doc_id"
+    # rescale to the mathematically-integral grid before rounding (see
+    # docstring) — engine-robust where fixed-decimal rounding is not
+    return (
+        out_df.withColumn(
+            "mid_q",
+            F.round(F.col("mid_sample") * 2 * F.col("n_out"), 0).cast("long"),
+        )
+        .drop("mid_sample")
+        .orderBy("doc_id")
     )
 
 
@@ -435,7 +446,7 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAST(CAST(FLOOR(rx) AS BIGINT) + 1, src_w - 1) AS x1
       FROM m)
     SELECT doc_id, src_h, src_w, dst_h, dst_w,
-           ROUND(
+           CAST(ROUND((
              (1 - (ry - y0)) * ((1 - (rx - x0))
                  * CAST((31 * y0 + 7 * x0 + doc_id) % 256 AS DOUBLE)
                + (rx - x0)
@@ -443,18 +454,22 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
              + (ry - y0) * ((1 - (rx - x0))
                  * CAST((31 * y1 + 7 * x0 + doc_id) % 256 AS DOUBLE)
                + (rx - x0)
-                 * CAST((31 * y1 + 7 * x1 + doc_id) % 256 AS DOUBLE)),
-             6) AS corner_px
+                 * CAST((31 * y1 + 7 * x1 + doc_id) % 256 AS DOUBLE))
+           ) * 4 * dst_h * dst_w, 0) AS BIGINT) AS corner_q
     FROM g ORDER BY doc_id
     """,
 )
 def mm_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilinear twin of mm_resize: same gradient-pattern PNG decode, but
     the resample kernel is edge-clamped bilinear (resize_bilinear —
-    align_corners=False). ``corner_px`` is the float blend of the four
-    pattern pixels around the mapped (0,0) source coordinate; the oracle
-    recomputes the identical blend from the pattern formula, so the wrap
-    boundaries of the %256 pattern exercise the kernel's true weighting.
+    align_corners=False). ``corner_q`` is the blend of the four pattern
+    pixels around the mapped (0,0) source coordinate, RESCALED to an exact
+    integer: the interpolation fractions have denominators 2·dst_h and
+    2·dst_w, so blend × 4·dst_h·dst_w is mathematically integral —
+    rounding to the nearest integer is then engine-robust, unlike a
+    fixed-decimal ROUND whose exact .5 boundaries Spark (binary-value
+    rounding) and DuckDB (shortest-decimal rounding) resolve differently.
+    The oracle recomputes the identical blend from the pattern formula.
 
     Scale: identical posture to mm_resize (map-only, round-robin spread)."""
     import numpy as np
@@ -501,8 +516,16 @@ def mm_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corner_px double"
         ),
     )
-    # round JVM-side: Python round() is banker's, SQL ROUND is half-up —
-    # the blends land on exact .5 boundaries often enough to diverge
-    return out.withColumn("corner_px", F.round("corner_px", 6)).orderBy(
-        "doc_id"
+    # rescale to the mathematically-integral grid before rounding: see the
+    # docstring — fixed-decimal rounding of boundary doubles is
+    # engine-divergent, nearest-integer of an ~integral value is not
+    return (
+        out.withColumn(
+            "corner_q",
+            F.round(
+                F.col("corner_px") * 4 * F.col("dst_h") * F.col("dst_w"), 0
+            ).cast("long"),
+        )
+        .drop("corner_px")
+        .orderBy("doc_id")
     )
