@@ -307,10 +307,12 @@ _TEMPLATE = {
     "querystring": "parse_url({0}, 'QUERY')",
     "protocol": "parse_url({0}, 'PROTOCOL')",
     # non-overlapping substring count via length delta; empty needle:
-    # ClickHouse's CountSubstringsImpl matches at every position, i.e.
-    # length(haystack) + 1, not 0
+    # ClickHouse's CountSubstringsImpl matches at every BYTE position, i.e.
+    # octet_length(haystack) + 1, not 0 (and not the character count — CH
+    # string positions are bytes, same reason the length mapping is
+    # octet_length; the non-empty branch keeps the char/byte caveat)
     "countsubstrings": (
-        "(CASE WHEN length({1}) = 0 THEN CAST(length({0}) + 1 AS BIGINT) ELSE "
+        "(CASE WHEN length({1}) = 0 THEN CAST(octet_length({0}) + 1 AS BIGINT) ELSE "
         "CAST((length({0}) - length(replace({0}, {1}, ''))) "
         "/ length({1}) AS BIGINT) END)"
     ),
@@ -560,16 +562,28 @@ _UNSUPPORTED_FUNCS = {
         "a backreference-free literal replacement IS mapped)"
     ),
     "ngramdistance": "operators/textops.py text_ngram_distance_probe",
-    "deltasum": "block-order dependent — window lag() difference instead",
+    "deltasum": (
+        "block-order dependent without an ORDER BY — add a pinning "
+        "top-level ORDER BY to this SELECT (or order the FROM-subquery): "
+        "the translator then rewrites it to sum(greatest(x - lag(x), 0)) "
+        "over a derived-column subquery; or see "
+        "operators/event_analytics.py ch_delta_sum_per_user"
+    ),
     "entropy": (
         "operators/event_analytics.py entropy_event_type_daily "
         "(Shannon entropy via grouped counts)"
     ),
     "grouparraymovingsum": (
-        "operators/ch_aggregates.py (moving-sum window form)"
+        "block-order dependent without an ORDER BY — add a pinning "
+        "top-level ORDER BY to this SELECT (or order the FROM-subquery): "
+        "the translator then rewrites it to the per-row moving-sum "
+        "window form; or see operators/ch_aggregates.py"
     ),
     "grouparraymovingavg": (
-        "operators/ch_aggregates.py (moving-agg window form)"
+        "block-order dependent without an ORDER BY — add a pinning "
+        "top-level ORDER BY to this SELECT (or order the FROM-subquery): "
+        "the translator then rewrites it to the per-row moving-agg "
+        "window form; or see operators/ch_aggregates.py"
     ),
     "rand64": (
         "UInt64 range exceeds BIGINT — use rand() (UInt32-faithful) or an "
@@ -635,8 +649,11 @@ _UNSUPPORTED_FUNCS = {
     ),
     "summapfiltered": "operators/mergetree.py ch_summing_map (filter first)",
     "deltasumtimestamp": (
-        "operators/ch_aggregates.py ch_delta_sum_per_user (ordered window "
-        "form; deltaSumTimestamp depends on block merge order)"
+        "block-order dependent without an ORDER BY — add a pinning "
+        "top-level ORDER BY to this SELECT (or order the FROM-subquery): "
+        "under one pinned evaluation its value equals deltaSum of the "
+        "first argument (the timestamp only orders state merges) — or "
+        "see operators/ch_aggregates.py ch_delta_sum_per_user"
     ),
     "toweek": (
         "default mode 0 weeks start Sunday and renumber at Jan 1 — Spark "
@@ -1872,6 +1889,16 @@ _RUNNING_FUNCS = {
     "runningaccumulate",
 }
 
+# block-order AGGREGATES with pinned-order window/subquery rewrites:
+# the moving pair becomes a per-row window (the array result unrolled —
+# element i of ClickHouse's array IS the window value at row i in block
+# order, documented in docs/CHSQL.md); the delta pair restructures the
+# owning SELECT around a derived clamped-delta column (aggregate shape
+# preserved, incl. GROUP BY → PARTITION BY).
+_MOVING_FUNCS = {"grouparraymovingsum", "grouparraymovingavg"}
+_DELTA_FUNCS = {"deltasum", "deltasumtimestamp"}
+_BLOCK_AGG_FUNCS = _MOVING_FUNCS | _DELTA_FUNCS
+
 # runningAccumulate inner -State combinators with direct window twins
 _RUNNING_STATE_AGGS = {"sum", "min", "max", "count", "avg"}
 
@@ -1891,7 +1918,7 @@ def _rewrite_running_funcs(tokens: list[str]) -> list[str]:
         hit = None
         for i, t in enumerate(tokens):
             low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
-            if low in _RUNNING_FUNCS:
+            if low in _RUNNING_FUNCS or low in _BLOCK_AGG_FUNCS:
                 j = _next_code(tokens, i + 1)
                 if j < len(tokens) and tokens[j] == "(":
                     hit = (i, j, low)
@@ -1900,14 +1927,222 @@ def _rewrite_running_funcs(tokens: list[str]) -> list[str]:
             return tokens
         i, j, low = hit
         close = _find_close(tokens, j)
+        params = None
+        if low in _MOVING_FUNCS:
+            # parametric form groupArrayMovingSum(N)(x): first group = N
+            nxt = _next_code(tokens, close + 1)
+            if nxt < len(tokens) and tokens[nxt] == "(":
+                params = [
+                    "".join(a).strip()
+                    for a in _split_args(tokens[j + 1 : close])
+                    if a
+                ]
+                j = nxt
+                close = _find_close(tokens, j)
+        if low in _DELTA_FUNCS:
+            new_tokens = _rewrite_delta_select(tokens, i)
+            if new_tokens is None:
+                return tokens  # no pinning ORDER BY → refusal fires
+            tokens = new_tokens
+            continue
         ord_sql = _running_order_by(tokens, i)
         if ord_sql is None:
             return tokens  # no ORDER BY → existing refusal fires
         raw_args = [a for a in _split_args(tokens[j + 1 : close]) if a]
         args = ["".join(a).strip() for a in raw_args]
-        repl = _running_window_expr(low, args, raw_args, ord_sql)
+        repl = _running_window_expr(low, args, raw_args, ord_sql, params)
         tokens = tokens[:i] + _tokenize(repl) + tokens[close + 1 :]
     raise UnsupportedCHSQL("too many running-function rewrites")
+
+
+_PIN_AGG_NAMES = {
+    "sum", "count", "min", "max", "avg", "any", "anylast", "uniq",
+    "uniqexact", "median",
+} | _DELTA_FUNCS | _MOVING_FUNCS
+
+
+def _check_pin_preaggregate(sql: str, what: str) -> None:
+    """The delta rewrite moves ``sql`` INSIDE the pre-aggregation subquery
+    (window ORDER BY / PARTITION BY) — an aggregate call there would be a
+    nested-aggregate analysis error; refuse with the real reason."""
+    toks = _tokenize(sql)
+    for k, t in enumerate(toks):
+        if (
+            t and (t[0].isalpha() or t[0] == "_")
+            and t.lower() in _PIN_AGG_NAMES
+        ):
+            j = _next_code(toks, k + 1)
+            if j < len(toks) and toks[j] == "(":
+                raise UnsupportedCHSQL(
+                    f"deltaSum {what} must use pre-aggregation "
+                    f"expressions — `{t}(…)` is an aggregate"
+                )
+
+
+def _rewrite_delta_select(tokens: list[str], call_idx: int) -> list[str] | None:
+    """Restructure the SELECT owning a pinned deltaSum/deltaSumTimestamp
+    call around a derived clamped-delta column:
+
+        SELECT g, deltaSum(x) FROM t WHERE w GROUP BY g ORDER BY pin
+      → SELECT g, sum(_ds0) FROM (
+            SELECT *, greatest((x) - lag((x), 1, (x))
+                OVER (PARTITION BY g ORDER BY pin), 0) AS _ds0
+            FROM t WHERE w
+        ) GROUP BY g ORDER BY pin
+
+    which preserves the aggregate shape (GROUP BY → window PARTITION BY;
+    the first row of each partition contributes 0 via the lag default,
+    ClickHouse's own first-row contract). deltaSumTimestamp(v, ts) carries
+    the same value under one pinned evaluation — its timestamp argument
+    only orders STATE MERGES, which a single sorted pass never performs
+    (docs/CHSQL.md). All delta calls owned by this SELECT are rewritten in
+    one restructure. Returns None (→ the loud refusal) when unpinned."""
+    sel = _owning_select(tokens, call_idx)
+    if sel is None:
+        return None
+    ord_sql = _running_order_by(tokens, call_idx)
+    if ord_sql is None:
+        return None
+    _check_pin_preaggregate(ord_sql, "pinning ORDER BY")
+    # span of this SELECT: to its subquery close (exclusive) or statement end
+    end = len(tokens)
+    depth = 0
+    for k in range(sel + 1, len(tokens)):
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                end = k
+                break
+    span = list(tokens[sel:end])
+    # replace every delta call owned by THIS select, last-to-first
+    calls: list[tuple[int, int, str, list[str]]] = []
+    for i, t in enumerate(span):
+        low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
+        if low in _DELTA_FUNCS and _owning_select(span, i) == 0:
+            j = _next_code(span, i + 1)
+            if j < len(span) and span[j] == "(":
+                close = _find_close(span, j)
+                args = [
+                    "".join(a).strip()
+                    for a in _split_args(span[j + 1 : close])
+                    if a
+                ]
+                calls.append((i, close, low, args))
+    derived: list[str] = []
+    for k, (i, close, low, args) in enumerate(reversed(calls)):
+        idx = len(calls) - 1 - k
+        if low == "deltasum" and len(args) != 1:
+            raise UnsupportedCHSQL("deltaSum takes exactly 1 argument")
+        if low == "deltasumtimestamp" and len(args) != 2:
+            raise UnsupportedCHSQL(
+                "deltaSumTimestamp takes (value, timestamp)"
+            )
+        span[i : close + 1] = _tokenize(f"sum(_ds{idx})")
+        derived.append(args[0])
+    derived.reverse()
+    # clause boundaries at depth 0 of the rewritten span
+    depth = 0
+    frm = grp = hav = orde = tail = None
+    stop = len(span)
+    for k in range(1, len(span)):
+        t = span[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            lw = t.lower()
+            if lw == "from" and frm is None:
+                frm = k
+            elif lw == "group" and grp is None and _next_word_is(span, k, "by"):
+                grp = k
+            elif lw == "having" and hav is None:
+                hav = k
+            elif lw == "order" and orde is None and _next_word_is(span, k, "by"):
+                orde = k
+            elif lw == "union":
+                return None  # pin across union arms is undefined
+            elif tail is None and (
+                lw == "limit"
+                or (lw in ("settings", "format") and _looks_clause(span, k))
+            ):
+                tail = k
+                break
+            elif lw in ("window", "qualify"):
+                raise UnsupportedCHSQL(
+                    "deltaSum with a WINDOW/QUALIFY clause is not mapped"
+                )
+    if frm is None:
+        return None  # FROM-less scalar select: nothing to pin on
+    # GROUP BY keys → window PARTITION BY (ordinals/aliases resolved to
+    # base expressions, which the inner SELECT * keeps in scope)
+    part = ""
+    first_clause_after_from = min(
+        x for x in (grp, hav, orde, tail, stop) if x is not None
+    )
+    if grp is not None:
+        by = _next_code(span, grp + 1)
+        gend = min(x for x in (hav, orde, tail, stop) if x is not None)
+        keys = [k for k in _split_args(span[by + 1 : gend]) if k]
+        items, aliases, _names = _select_list_items(span, 0)
+        pkeys = []
+        for key in keys:
+            code = [t for t in key if not _is_ws(t)]
+            if len(code) == 1 and code[0].lower() in aliases:
+                ksql = f"({aliases[code[0].lower()]})"
+            elif len(code) == 1 and code[0].isdigit():
+                pos = int(code[0])
+                if not 1 <= pos <= len(items):
+                    raise UnsupportedCHSQL(
+                        f"GROUP BY position {pos} is out of range for the "
+                        f"{len(items)}-item SELECT list"
+                    )
+                ksql = f"({items[pos - 1]})"
+            else:
+                ksql = " ".join(code)
+            _check_pin_preaggregate(ksql, "GROUP BY partition key")
+            pkeys.append(ksql)
+        part = f"PARTITION BY {', '.join(pkeys)} "
+
+        def _norm(s: str) -> str:
+            s = "".join(s.split()).lower().replace("(", "").replace(")", "")
+            for suf in ("nullsfirst", "nullslast", "asc", "desc"):
+                if s.endswith(suf):
+                    s = s[: -len(suf)]
+            return s
+
+        # a pin that only repeats the group keys leaves the order WITHIN
+        # each group undefined — lag() would be nondeterministic; fall
+        # back to the FROM-subquery's ORDER BY (the correct grouped
+        # shape: FROM (SELECT … ORDER BY g, ts) GROUP BY g), refuse if
+        # that is absent or also group-keys-only
+        pset = {_norm(k) for k in pkeys}
+        if {_norm(k) for k in ord_sql.split(",")} <= pset:
+            sub = _subquery_pin(tokens, sel)
+            if sub is None or {_norm(k) for k in sub.split(",")} <= pset:
+                raise UnsupportedCHSQL(
+                    "grouped deltaSum needs a pin that orders rows WITHIN "
+                    "each group — ORDER BY the group keys alone leaves the "
+                    "intra-group order undefined; order the FROM-subquery "
+                    "by (group keys, time) instead"
+                )
+            ord_sql = sub
+    over = f"OVER ({part}ORDER BY {ord_sql})"
+    dcols = ", ".join(
+        f"greatest(({v}) - lag(({v}), 1, ({v})) {over}, 0) AS _ds{k}"
+        for k, v in enumerate(derived)
+    )
+    select_list = "".join(span[1:frm])
+    from_filters = "".join(span[frm + 1 : first_clause_after_from])
+    rest = "".join(span[first_clause_after_from:])
+    new = (
+        f"SELECT {select_list} FROM ( SELECT *, {dcols} "
+        f"FROM {from_filters} ) {rest}"
+    )
+    return tokens[:sel] + _tokenize(new) + tokens[end:]
 
 
 def _owning_select(tokens: list[str], at: int) -> int | None:
@@ -1946,16 +2181,18 @@ def _running_order_by(tokens: list[str], call_idx: int) -> str | None:
         elif t == ")":
             depth -= 1
             if depth < 0:
-                return None
+                break
         elif depth == 0:
             lw = t.lower()
             if lw == "union":
-                return None
+                break
             if lw == "order" and _next_word_is(tokens, k, "by"):
                 by = _next_code(tokens, k + 1)  # index of BY
                 break
     if by is None:
-        return None
+        # the idiomatic ClickHouse pin: ORDER BY inside the immediate
+        # FROM-subquery (how users actually guarantee block order)
+        return _subquery_pin(tokens, sel)
     # key list: from after BY to the next depth-0 clause stop / WITH FILL
     depth = 0
     end = len(tokens)
@@ -1998,18 +2235,174 @@ def _running_order_by(tokens: list[str], call_idx: int) -> str | None:
                 )
             sub = items[pos - 1]
         if sub is not None:
-            if any(
-                t.lower() in _RUNNING_FUNCS
-                for t in _tokenize(sub)
-                if t and (t[0].isalpha() or t[0] == "_")
-            ):
-                raise UnsupportedCHSQL(
-                    "ORDER BY references the running-function column "
-                    "itself — order by the underlying sort key instead"
-                )
             expr = f"({sub})"
         else:
             expr = " ".join(expr_toks)
+        # self-reference check on EVERY rendered key (not only alias /
+        # positional substitutions): a verbatim `ORDER BY runningDiff(v)`
+        # would otherwise re-embed the call inside its own OVER clause
+        # each pass until the rewrite bound trips with a misleading error
+        _check_no_running_ref(expr)
+        rendered.append((expr + " " + " ".join(tail)).strip())
+    return ", ".join(rendered)
+
+
+def _check_no_running_ref(expr: str) -> None:
+    """Refuse ORDER BY keys that reference a block-order function — a
+    verbatim self-reference would re-embed the call inside its own OVER
+    clause on every rewrite pass."""
+    if any(
+        t.lower() in _RUNNING_FUNCS or t.lower() in _BLOCK_AGG_FUNCS
+        for t in _tokenize(expr)
+        if t and (t[0].isalpha() or t[0] == "_")
+    ):
+        raise UnsupportedCHSQL(
+            "ORDER BY references the running-function column "
+            "itself — order by the underlying sort key instead"
+        )
+
+
+def _from_subquery_span(
+    tokens: list[str], sel: int
+) -> tuple[int, int] | None:
+    """``(sub_sel, sub_close)`` when the SELECT at ``sel`` reads FROM
+    exactly one parenthesized subquery (optionally aliased) — None for
+    table FROMs, joins, and comma lists (block order is only defined by a
+    single ordered subquery)."""
+    depth = 0
+    frm = None
+    for k in range(sel + 1, len(tokens)):
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        elif depth == 0 and t.lower() == "from":
+            frm = k
+            break
+    if frm is None:
+        return None
+    f = _next_code(tokens, frm + 1)
+    if f >= len(tokens) or tokens[f] != "(":
+        return None
+    s = _next_code(tokens, f + 1)
+    if s >= len(tokens) or tokens[s].lower() != "select":
+        return None
+    close = _find_close(tokens, f)
+    # after the subquery: optional [AS] alias, then a clause stop / end —
+    # a JOIN or comma means multiple relations: no single block order
+    k = _next_code(tokens, close + 1)
+    if k < len(tokens) and tokens[k].lower() == "as":
+        k = _next_code(tokens, k + 1)
+        if k < len(tokens):
+            k = _next_code(tokens, k + 1)
+    elif k < len(tokens) and (tokens[k][0].isalpha() or tokens[k][0] == "_"):
+        if tokens[k].lower() not in (
+            "where", "prewhere", "group", "order", "having", "limit",
+            "settings", "format", "union", "window",
+        ):
+            k = _next_code(tokens, k + 1)
+    if k < len(tokens):
+        t = tokens[k]
+        if t == "," or t.lower() in ("join", "inner", "left", "right",
+                                     "full", "cross", "global", "any",
+                                     "asof", "semi", "anti"):
+            return None
+    return s, close
+
+
+def _subquery_pin(tokens: list[str], sel: int) -> str | None:
+    """Pin from the immediate FROM-subquery's top-level ORDER BY: the
+    rendered window keys must be OUTPUT columns of that subquery (the
+    outer scope only sees its projection), so alias keys render as the
+    alias name, positional keys as the item's output name, and bare
+    identifiers / expressions pass only when projected (or under ``*``).
+    None when there is no such subquery or it has no ORDER BY; loud
+    refusal when there IS an ORDER BY whose keys aren't projected."""
+    span = _from_subquery_span(tokens, sel)
+    if span is None:
+        return None
+    sub_sel, sub_close = span
+    depth = 0
+    by = None
+    for k in range(sub_sel + 1, sub_close):
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            lw = t.lower()
+            if lw == "union":
+                return None
+            if lw == "order" and _next_word_is(tokens, k, "by"):
+                by = _next_code(tokens, k + 1)
+                break
+    if by is None:
+        return None
+    depth = 0
+    end = sub_close
+    for k in range(by + 1, sub_close):
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and (
+            t.lower() in _ORDER_STOPS or t.lower() == "with"
+        ):
+            end = k
+            break
+    keys = [k for k in _split_args(tokens[by + 1 : end]) if k]
+    items, aliases, names = _select_list_items(tokens, sub_sel)
+    has_star = any(it.strip() == "*" for it in items)
+    out_names = {n.lower() for n in names if n}
+    rendered = []
+    for key in keys:
+        code = [t for t in key if not _is_ws(t)]
+        expr_toks, tail = list(code), []
+        while expr_toks and expr_toks[-1].lower() in (
+            "asc", "desc", "nulls", "first", "last"
+        ):
+            tail.insert(0, expr_toks.pop())
+        if len(expr_toks) == 1 and expr_toks[0].lower() in aliases:
+            expr = expr_toks[0]  # outer scope sees the alias NAME
+        elif len(expr_toks) == 1 and expr_toks[0].isdigit():
+            pos = int(expr_toks[0])
+            if not 1 <= pos <= len(items):
+                raise UnsupportedCHSQL(
+                    f"ORDER BY position {pos} is out of range for the "
+                    f"{len(items)}-item SELECT list"
+                )
+            name = names[pos - 1]
+            if name is None:
+                raise UnsupportedCHSQL(
+                    "subquery ORDER BY position points at an unaliased "
+                    "expression — alias it so the outer window can "
+                    "reference it"
+                )
+            expr = name
+        elif len(expr_toks) == 1 and (
+            expr_toks[0][0].isalpha() or expr_toks[0][0] == "_"
+        ):
+            ident = expr_toks[0]
+            if not has_star and ident.lower() not in out_names:
+                raise UnsupportedCHSQL(
+                    f"subquery ORDER BY key `{ident}` is not projected by "
+                    "the subquery — add it to its SELECT list"
+                )
+            expr = ident
+        else:
+            if not has_star:
+                raise UnsupportedCHSQL(
+                    "subquery ORDER BY expression is not projected by the "
+                    "subquery — alias it in its SELECT list and order by "
+                    "the alias"
+                )
+            expr = " ".join(expr_toks)
+        _check_no_running_ref(expr)
         rendered.append((expr + " " + " ".join(tail)).strip())
     return ", ".join(rendered)
 
@@ -2067,13 +2460,45 @@ def _select_list_items(
 
 
 def _running_window_expr(
-    low: str, args: list[str], raw_args: list[list[str]], ord_sql: str
+    low: str,
+    args: list[str],
+    raw_args: list[list[str]],
+    ord_sql: str,
+    params: list[str] | None = None,
 ) -> str:
     """The Spark window expression for one running-function call (the
     pinning ORDER BY already extracted). Nuances documented in
     docs/CHSQL.md: ties in the ORDER BY are as nondeterministic as
     ClickHouse's own block order; NULL inputs propagate per window rules."""
     over = f"OVER (ORDER BY {ord_sql})"
+    if low in _MOVING_FUNCS:
+        # per-row unrolling of ClickHouse's array result: element i of
+        # groupArrayMovingSum(N)(x) IS the N-window sum at block row i, so
+        # under the pinned order the window form carries the same values,
+        # one per row (docs/CHSQL.md). movingAvg divides by the WINDOW
+        # SIZE (not the frame row count) — ClickHouse's contract — and
+        # always returns DOUBLE (ClickHouse truncates toward zero for Int
+        # inputs; the double is the honest value, documented divergence).
+        if len(args) != 1:
+            raise UnsupportedCHSQL(f"{low} takes exactly 1 argument")
+        if params is not None:
+            if len(params) != 1 or not params[0].isdigit() or params[0] == "0":
+                raise UnsupportedCHSQL(
+                    f"{low} window size must be a positive integer literal "
+                    "(Spark frame bounds are compile-time)"
+                )
+            n = int(params[0])
+            frame = f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"
+        else:
+            frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        a = f"({args[0]})"
+        if low == "grouparraymovingsum":
+            return f"(sum({a}) OVER (ORDER BY {ord_sql} {frame}))"
+        csum = f"sum(CAST({a} AS DOUBLE)) OVER (ORDER BY {ord_sql} {frame})"
+        if params is not None:
+            return f"(({csum}) / {n}.0D)"
+        # no window size → ClickHouse divides by the TOTAL row count
+        return f"(({csum}) / CAST(count(1) OVER () AS DOUBLE))"
     if low == "runningdifference":
         if len(args) != 1:
             raise UnsupportedCHSQL("runningDifference takes exactly 1 argument")

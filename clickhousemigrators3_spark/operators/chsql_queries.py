@@ -967,3 +967,142 @@ _ch(
     """,
     ("events",),
 )
+
+# --- round 9: the remaining block-order aggregate family ---------------------
+# groupArrayMovingSum/Avg unroll ClickHouse's array result to one row per
+# input row (element i IS the window value at block row i — docs/CHSQL.md);
+# deltaSum/deltaSumTimestamp keep the aggregate shape via a derived
+# clamped-delta subquery. Float discipline: decimal accumulation for the
+# windowed sums (DuckDB segment-tree vs Spark sequential FP order), integral
+# BIGINT input for the double movingAvg (integer sums are FP-exact in any
+# order, the /4 is dyadic), final columns cast to DOUBLE on both sides.
+
+_ch(
+    "chsql_moving_sum",
+    """
+    SELECT event_id,
+           toFloat64(groupArrayMovingSum(3)(toDecimal64(value, 2))) AS ms
+    FROM events
+    WHERE user_id < 20
+    ORDER BY ts, event_id
+    """,
+    """
+    SELECT event_id,
+           CAST(sum(CAST(value AS DECIMAL(18, 2)))
+               OVER (ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS ms
+    FROM events
+    WHERE user_id < 20
+    ORDER BY ts, event_id
+    """,
+    ("events",),
+)
+
+_ch(
+    "chsql_moving_avg",
+    """
+    SELECT event_id, groupArrayMovingAvg(4)(user_id) AS ma
+    FROM events
+    WHERE user_id < 20
+    ORDER BY ts, event_id
+    """,
+    """
+    SELECT event_id,
+           sum(CAST(user_id AS DOUBLE))
+               OVER (ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / 4.0 AS ma
+    FROM events
+    WHERE user_id < 20
+    ORDER BY ts, event_id
+    """,
+    ("events",),
+)
+
+# grouped deltaSum: the top-level ORDER BY only repeats the group key, so
+# the pin falls back to the FROM-subquery's ORDER BY — the idiomatic
+# ClickHouse way to guarantee block order (ADVICE r8) — and the GROUP BY
+# becomes the window PARTITION BY.
+_ch(
+    "chsql_delta_sum",
+    """
+    SELECT user_id, toFloat64(deltaSum(toDecimal64(value, 2))) AS d
+    FROM (
+        SELECT user_id, ts, event_id, value
+        FROM events
+        WHERE user_id < 50
+        ORDER BY user_id, ts, event_id
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    """
+    SELECT user_id, CAST(sum(CASE WHEN dd > 0 THEN dd ELSE CAST(0 AS DECIMAL(18, 2)) END) AS DOUBLE) AS d
+    FROM (
+        SELECT user_id,
+               CAST(value AS DECIMAL(18, 2))
+               - lag(CAST(value AS DECIMAL(18, 2)), 1,
+                     CAST(value AS DECIMAL(18, 2)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dd
+        FROM events
+        WHERE user_id < 50
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    ("events",),
+)
+
+# deltaSumTimestamp: under one pinned evaluation its value equals deltaSum
+# of the first argument (the timestamp orders STATE MERGES, which a single
+# sorted pass never performs) — global aggregate, subquery pin.
+_ch(
+    "chsql_delta_sum_timestamp",
+    """
+    SELECT toFloat64(deltaSumTimestamp(toDecimal64(value, 2), ts)) AS d
+    FROM (
+        SELECT value, ts, event_id
+        FROM events
+        WHERE user_id < 20
+        ORDER BY ts, event_id
+    )
+    """,
+    """
+    SELECT CAST(sum(CASE WHEN dd > 0 THEN dd ELSE CAST(0 AS DECIMAL(18, 2)) END) AS DOUBLE) AS d
+    FROM (
+        SELECT CAST(value AS DECIMAL(18, 2))
+               - lag(CAST(value AS DECIMAL(18, 2)), 1,
+                     CAST(value AS DECIMAL(18, 2)))
+                 OVER (ORDER BY ts, event_id) AS dd
+        FROM events
+        WHERE user_id < 20
+    )
+    """,
+    ("events",),
+)
+
+# the subquery-ORDER-BY pin on a RUNNING function (ADVICE r8 #3): the
+# idiomatic ClickHouse shape — ordered subquery inside, running call
+# outside — now pins the window instead of refusing.
+_ch(
+    "chsql_running_diff_subquery_pin",
+    """
+    SELECT event_id, runningDifference(value) AS dv
+    FROM (
+        SELECT event_id, ts, value
+        FROM events
+        WHERE user_id < 20
+        ORDER BY ts, event_id
+    )
+    """,
+    """
+    SELECT event_id,
+           coalesce(value - lag(value) OVER (ORDER BY ts, event_id), 0.0) AS dv
+    FROM (
+        SELECT event_id, ts, value
+        FROM events
+        WHERE user_id < 20
+    )
+    """,
+    ("events",),
+)

@@ -1483,14 +1483,16 @@ def test_zero_divisor_ieee_parity(spark):
         "SELECT divide(4, 2) AS ok, divide(1, 0) AS pinf,"
         "       divide(-1, 0) AS ninf, divide(0, 0) AS nan_,"
         "       arrayAvg(array()) AS empty_avg,"
-        "       countSubstrings('abc', '') AS empty_needle",
+        "       countSubstrings('abc', '') AS empty_needle,"
+        "       countSubstrings('h\u00e9llo', '') AS empty_mb",
     ).collect()[0]
     assert row.ok == 2.0
     assert row.pinf == math.inf and row.ninf == -math.inf
     assert math.isnan(row.nan_) and math.isnan(row.empty_avg)
     # ClickHouse CountSubstringsImpl: empty needle matches at every
-    # position → length(haystack) + 1
+    # BYTE position → octet_length(haystack) + 1 ('héllo' is 6 bytes → 7)
     assert row.empty_needle == 4
+    assert row.empty_mb == 7
     df = spark.createDataFrame([(1.0, 0.0), (3.0, 0.0)], "v double, w double")
     df.createOrReplaceTempView("zw")
     r2 = run_ch_sql(spark, "SELECT avgWeighted(v, w) AS aw FROM zw").collect()[0]
@@ -1751,3 +1753,186 @@ def test_running_funcs_formatting_fuzz():
         assert "runningdifference" not in t.lower()
 
     check()
+
+
+# --- block-order AGGREGATES: moving windows + delta subquery restructure ----
+
+
+def test_moving_funcs_translate_with_order_by():
+    """groupArrayMovingSum/Avg unroll to per-row windows under a pinning
+    ORDER BY: parametric N → ROWS N-1 PRECEDING, no param → cumulative
+    (movingAvg then divides by the TOTAL row count, ClickHouse's
+    contract); movingAvg always divides by the WINDOW SIZE, not the frame
+    row count."""
+    t = translate_ch_sql(
+        "SELECT ts, groupArrayMovingSum(3)(v) AS ms FROM t ORDER BY ts"
+    )
+    assert "sum((v)) OVER (ORDER BY ts ROWS BETWEEN 2 PRECEDING" in t
+    t = translate_ch_sql(
+        "SELECT ts, groupArrayMovingAvg(4)(v) AS ma FROM t ORDER BY ts"
+    )
+    assert "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW" in t
+    assert "/ 4.0D" in t
+    t = translate_ch_sql(
+        "SELECT ts, groupArrayMovingSum(v) AS cs FROM t ORDER BY ts"
+    )
+    assert "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" in t
+    t = translate_ch_sql(
+        "SELECT ts, groupArrayMovingAvg(v) AS ca FROM t ORDER BY ts"
+    )
+    assert "count(1) OVER ()" in t
+
+
+def test_delta_sum_restructures_owning_select():
+    """deltaSum keeps the AGGREGATE shape: the owning SELECT is rebuilt
+    around a derived clamped-delta column; GROUP BY becomes the window
+    PARTITION BY and the pin falls back to the FROM-subquery's ORDER BY
+    when the top-level one only repeats the group keys."""
+    t = translate_ch_sql(
+        "SELECT user_id, deltaSum(v) AS d "
+        "FROM (SELECT user_id, ts, v FROM t ORDER BY user_id, ts) "
+        "GROUP BY user_id ORDER BY user_id"
+    )
+    assert "sum(_ds0) AS d" in t
+    assert "PARTITION BY user_id ORDER BY user_id, ts" in t
+    assert "lag((v), 1, (v))" in t
+    assert "deltasum" not in t.lower()
+    # deltaSumTimestamp: same value under one pinned evaluation
+    t = translate_ch_sql(
+        "SELECT deltaSumTimestamp(v, ts) AS d "
+        "FROM (SELECT v, ts FROM t ORDER BY ts)"
+    )
+    assert "sum(_ds0) AS d" in t and "OVER (ORDER BY ts)" in t
+    # two delta calls in one SELECT → one restructure, two derived columns
+    t = translate_ch_sql(
+        "SELECT deltaSum(a) AS da, deltaSum(b) AS db "
+        "FROM (SELECT a, b, ts FROM t ORDER BY ts)"
+    )
+    assert "sum(_ds0) AS da" in t and "sum(_ds1) AS db" in t
+
+
+def test_delta_sum_refusals():
+    for sql, needle in (
+        # no pin anywhere
+        ("SELECT deltaSum(v) FROM t", "block-order"),
+        ("SELECT deltaSumTimestamp(v, ts) FROM t", "block-order"),
+        ("SELECT groupArrayMovingSum(3)(v) FROM t", "block-order"),
+        # grouped with a group-keys-only pin: intra-group order undefined
+        ("SELECT g, deltaSum(v) FROM t GROUP BY g ORDER BY g",
+         "WITHIN each group"),
+        # pin must be pre-aggregation
+        ("SELECT deltaSum(v) FROM t ORDER BY sum(v)", "pre-aggregation"),
+        # ORDER BY the delta column itself cannot pin it
+        ("SELECT deltaSum(v) AS d FROM t ORDER BY d",
+         "running-function column"),
+        # window size must be a compile-time literal
+        ("SELECT groupArrayMovingSum(n)(v) FROM t ORDER BY ts",
+         "integer literal"),
+        ("SELECT deltaSum(a, b) FROM t ORDER BY ts", "exactly 1"),
+    ):
+        with pytest.raises(UnsupportedCHSQL) as exc:
+            translate_ch_sql(sql)
+        assert needle.lower() in str(exc.value).lower(), (sql, exc.value)
+
+
+def test_subquery_order_by_pins_running_funcs():
+    """The idiomatic ClickHouse shape — ORDER BY inside the immediate
+    FROM-subquery, running call outside — pins the window; keys must be
+    OUTPUT columns of the subquery."""
+    t = translate_ch_sql(
+        "SELECT runningDifference(v) AS dv "
+        "FROM (SELECT v, ts FROM t ORDER BY ts)"
+    )
+    assert "lag((v), 1, (v)) OVER (ORDER BY ts)" in t
+    # alias key renders as the alias NAME (the outer scope sees it)
+    t = translate_ch_sql(
+        "SELECT runningDifference(v) AS dv "
+        "FROM (SELECT v, toStartOfHour(ts) AS h FROM t ORDER BY h)"
+    )
+    assert "OVER (ORDER BY h)" in t
+    # positional key resolves to the item's output name
+    t = translate_ch_sql(
+        "SELECT runningDifference(v) AS dv "
+        "FROM (SELECT v, ts FROM t ORDER BY 2, 1)"
+    )
+    assert "OVER (ORDER BY ts, v)" in t
+    # a JOINed FROM has no single block order → refusal stands
+    with pytest.raises(UnsupportedCHSQL, match="block-order"):
+        translate_ch_sql(
+            "SELECT runningDifference(v) FROM "
+            "(SELECT v, ts FROM t ORDER BY ts) a JOIN dim USING (v)"
+        )
+    # key not projected by the subquery → loud, specific refusal
+    with pytest.raises(UnsupportedCHSQL, match="not projected"):
+        translate_ch_sql(
+            "SELECT runningDifference(v) FROM (SELECT v FROM t ORDER BY ts)"
+        )
+    # `*` projects everything: bare identifiers pass
+    t = translate_ch_sql(
+        "SELECT runningDifference(v) FROM (SELECT * FROM t ORDER BY ts)"
+    )
+    assert "OVER (ORDER BY ts)" in t
+
+
+def test_order_by_verbatim_self_reference_refuses_fast():
+    """ADVICE r8: a verbatim running call in the ORDER BY used to re-embed
+    itself each pass until the 32-pass bound tripped with a misleading
+    'too many rewrites' — the self-reference refusal must fire first."""
+    for sql in (
+        "SELECT runningDifference(v) FROM t ORDER BY runningDifference(v)",
+        "SELECT deltaSum(v) FROM t ORDER BY deltaSum(v)",
+    ):
+        with pytest.raises(UnsupportedCHSQL, match="running-function column"):
+            translate_ch_sql(sql)
+
+
+def test_block_order_aggregates_execute(spark):
+    """Hand-computed values through the full run_ch_sql path."""
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 7.0), ("a", 3, 12.0),
+         ("b", 1, 5.0), ("b", 2, 9.0), ("b", 3, 2.0)],
+        "g string, ts int, v double",
+    )
+    df.createOrReplaceTempView("bo_t")
+    r = run_ch_sql(
+        spark,
+        "SELECT g, deltaSum(v) AS d "
+        "FROM (SELECT g, ts, v FROM bo_t ORDER BY g, ts) "
+        "GROUP BY g ORDER BY g",
+    ).collect()
+    # a: max(0,7-10)+max(0,12-7)=5 ; b: max(0,9-5)+max(0,2-9)=4
+    assert [(x.g, x.d) for x in r] == [("a", 5.0), ("b", 4.0)]
+    r = run_ch_sql(
+        spark,
+        "SELECT deltaSumTimestamp(v, ts) AS d "
+        "FROM (SELECT v, ts FROM bo_t WHERE g = 'a' ORDER BY ts)",
+    ).collect()
+    assert r[0].d == 5.0
+    r = run_ch_sql(
+        spark,
+        "SELECT ts, groupArrayMovingSum(2)(v) AS ms, "
+        "groupArrayMovingAvg(2)(v) AS ma "
+        "FROM bo_t WHERE g = 'a' ORDER BY ts",
+    ).collect()
+    # ClickHouse arrays unrolled: movingSum(2)=[10,17,19], movingAvg(2)
+    # divides by the WINDOW SIZE even for the short first frame: [5,8.5,9.5]
+    assert [x.ms for x in r] == [10.0, 17.0, 19.0]
+    assert [x.ma for x in r] == [5.0, 8.5, 9.5]
+    # no-param movingAvg divides by the TOTAL row count (3)
+    r = run_ch_sql(
+        spark,
+        "SELECT ts, groupArrayMovingAvg(v) AS ma "
+        "FROM bo_t WHERE g = 'a' ORDER BY ts",
+    ).collect()
+    assert [round(x.ma, 9) for x in r] == [
+        round(10 / 3, 9), round(17 / 3, 9), round(29 / 3, 9)]
+    # integer input keeps integer typing for movingSum (ClickHouse Int64)
+    spark.createDataFrame(
+        [(1, 3), (2, 5), (3, 4)], "ts int, k int"
+    ).createOrReplaceTempView("bo_ti")
+    rr = run_ch_sql(
+        spark,
+        "SELECT ts, groupArrayMovingSum(2)(k) AS ms FROM bo_ti ORDER BY ts",
+    )
+    assert rr.schema["ms"].dataType.typeName() == "long"
+    assert [x.ms for x in rr.collect()] == [3, 8, 9]
