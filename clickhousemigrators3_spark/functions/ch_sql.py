@@ -88,17 +88,26 @@ Covered surface (the high-frequency ClickHouse idioms):
 * runningDifference / neighbor / nonNegativeDerivative /
   runningAccumulate — block-order functions, translated to lag/lead/sum
   windows when the SELECT carries a top-level ORDER BY that pins the
-  order (_rewrite_running_funcs); refused loudly otherwise
+  order (_rewrite_running_funcs) or reads FROM a single ordered subquery
+  (the idiomatic ClickHouse pin, _subquery_pin); refused loudly otherwise
+* groupArrayMovingSum/Avg — per-row moving-window unrolling of the array
+  result under the same pin; deltaSum / deltaSumTimestamp — aggregate
+  shape preserved via a derived clamped-delta subquery
+  (_rewrite_delta_select), GROUP BY → window PARTITION BY
+* multi-array ARRAY JOIN a AS x, b AS y — posexplode chain sharing one
+  position; unequal sizes raise (ClickHouse's error contract), LEFT form
+  keeps empty rows with NULL elements
+* tuple(...) → named_struct('_1', …) positional 1-based fields;
+  tupleElement(t, N) / tupleElement(t, 'name') → struct field access
 
 Refused loudly (pointer to the operator that implements the semantics):
 FINAL, SAMPLE, WITH TOTALS, LIMIT offset, n BY and LIMIT n BY without
 ORDER BY (nondeterministic), ANY/ASOF join strictness, topK /
 windowFunnel / retention / sequenceMatch / uniqUpTo / dictGet / sumMap /
-groupBitmap / anyHeavy, running functions without a pinning ORDER BY
-(block-order dependent), engine-specific hash families
-(cityHash64/sipHash64/…/MD5 — same name, different values or types),
-multi-array ARRAY JOIN and multi-array lambdas, non-literal
-extract()/dateDiff units.
+groupBitmap / anyHeavy, running/block-order functions without a pinning
+ORDER BY, engine-specific hash families (cityHash64/sipHash64/…/MD5 —
+same name, different values or types), multi-array lambdas, non-literal
+extract()/dateDiff units, ARRAY JOIN without AS aliases.
 """
 
 from __future__ import annotations
@@ -680,14 +689,6 @@ _UNSUPPORTED_FUNCS = {
         "normalizes ClickHouse SQL text (literal masking) — no Spark twin; "
         "regexp_replace the literals explicitly if needed"
     ),
-    "tuple": (
-        "tuple fields are positional; Spark struct() names fields after "
-        "source expressions — use named_struct(...) and dot access"
-    ),
-    "tupleelement": (
-        "tuple fields are positional; Spark struct() names fields after "
-        "source expressions — use named_struct(...) and dot access"
-    ),
 }
 
 # engine-specific hash families: the same NAME either does not exist in
@@ -906,6 +907,34 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             a0=args[0] if args else "",
             p0=params[0] if params else "",
             params=", ".join(params),
+        )
+    if low == "tuple":
+        # the sumCount precedent (named_struct + dot access): ClickHouse
+        # tuple fields are POSITIONAL and 1-based, so name them _1.._N —
+        # grouping/comparing the struct works natively in Spark, and
+        # tupleElement(t, N) / t._N addresses the field
+        if not args:
+            raise UnsupportedCHSQL("tuple() needs at least one element")
+        fields = ", ".join(
+            f"'_{k + 1}', {a.strip()}" for k, a in enumerate(args)
+        )
+        return f"named_struct({fields})"
+    if low == "tupleelement":
+        if len(args) == 3:
+            raise UnsupportedCHSQL(
+                "tupleElement default argument (out-of-range fallback) is "
+                "not mapped — struct field access is compile-checked here"
+            )
+        if len(args) != 2:
+            raise UnsupportedCHSQL("tupleElement takes (tuple, index|name)")
+        idx = args[1].strip()
+        if idx.isdigit():
+            return f"({args[0]})._{idx}"  # positional, 1-based → _N
+        if len(idx) >= 2 and idx[0] == idx[-1] == "'":
+            return f"({args[0]}).{idx[1:-1]}"  # named-tuple field
+        raise UnsupportedCHSQL(
+            "tupleElement index must be an integer or string literal "
+            "(Spark struct field access is compile-time)"
         )
     if low == "multiif":
         if len(args) < 3 or len(args) % 2 == 0:
@@ -1189,7 +1218,8 @@ _KNOWN = (
        "tostartofinterval", "replaceregexpall", "format",
        "dateadd", "date_add", "datesub", "date_sub", "parsedatetime",
        "trunc", "truncate", "greatest", "least", "rand",
-       "age", "arrayreduce", "transform", "numbers"}
+       "age", "arrayreduce", "transform", "numbers", "tuple",
+       "tupleelement"}
     | set(_FIXED_INTERVALS)
 )
 
@@ -1403,53 +1433,87 @@ def _limit_by_ahead(tokens: list[str], i: int) -> bool:
 
 
 def _array_join(tokens: list[str], i: int, outer: bool = False) -> tuple[int, str]:
-    """ARRAY JOIN <expr> AS <alias> → LATERAL VIEW explode(<expr>) _aj AS
-    <alias>. Single-array form only; the multi-array zip form is refused.
+    """ARRAY JOIN <expr> AS <alias> [, <expr2> AS <alias2> …] → LATERAL
+    VIEW chain. Single array: one explode. Multiple arrays (ClickHouse's
+    parallel unnest): posexplode the FIRST array, then index each further
+    array at the shared position —
 
-    ``outer=True`` renders LEFT ARRAY JOIN as LATERAL VIEW OUTER — rows with
-    empty/NULL arrays are kept. Nuance (documented, deliberate): ClickHouse
-    fills the element with the type's DEFAULT (0, '') on those rows; Spark
-    yields NULL — NULL is the honest representation of "no element" and the
-    two agree on every row that has elements."""
+        LATERAL VIEW posexplode(e1) _aj0 AS _aj_pos, a1
+        LATERAL VIEW explode(array(IF(_aj_pos IS NULL
+            OR size(e2) = size(e1),
+            try_element_at(e2, _aj_pos + 1),
+            raise_error('ARRAY JOIN arrays must have equal sizes')))) …
+
+    which binds every alias directly (no post-hoc substitution) and keeps
+    ClickHouse's unequal-sizes ERROR contract loud instead of NULL-padding
+    the short side (what a bare arrays_zip would silently do).
+
+    ``outer=True`` renders LEFT ARRAY JOIN as LATERAL VIEW OUTER — rows
+    with empty/NULL arrays are kept. Nuance (documented, deliberate):
+    ClickHouse fills the element with the type's DEFAULT (0, '') on those
+    rows; Spark yields NULL — NULL is the honest representation of "no
+    element" and the two agree on every row that has elements. For the
+    multi-array OUTER form the position is NULL on kept rows, so every
+    further alias is NULL too (the IS NULL arm of the guard)."""
     j = _next_code(tokens, i + 1)  # 'join'
     k = _next_code(tokens, j + 1)
+    items: list[tuple[list[str], str | None]] = []
     expr: list[str] = []
     depth = 0
-    alias = None
+    alias: str | None = None
     while k < len(tokens):
         t = tokens[k]
         if t == "(":
             depth += 1
         elif t == ")":
             depth -= 1
+            if depth < 0:
+                break
         if depth == 0:
             lw = t.lower()
             if lw == "as":
                 k = _next_code(tokens, k + 1)
                 alias = tokens[k]
                 k += 1
+                nxt = _next_code(tokens, k)
+                if nxt < len(tokens) and tokens[nxt] == ",":
+                    items.append((expr, alias))
+                    expr, alias = [], None
+                    k = nxt + 1
+                    continue
                 break
             if lw in ("where", "prewhere", "group", "order", "limit",
                       "having", "settings", "left", "inner", "join"):
                 break
             if t == ",":
-                raise UnsupportedCHSQL(
-                    "multi-array ARRAY JOIN not mapped — zip with "
-                    "arrays_zip + one explode instead"
-                )
+                items.append((expr, None))
+                expr = []
+                k += 1
+                continue
         expr.append(t)
         k += 1
-    if alias is None:
-        raise UnsupportedCHSQL("ARRAY JOIN without AS alias not mapped")
-    nxt = _next_code(tokens, k)
-    if nxt < len(tokens) and tokens[nxt] == ",":  # `… AS x, arr2 AS y`
+    items.append((expr, alias))
+    if any(a is None for _e, a in items):
         raise UnsupportedCHSQL(
-            "multi-array ARRAY JOIN not mapped — zip with arrays_zip + one "
-            "explode instead"
+            "ARRAY JOIN without AS alias not mapped — the bare form makes "
+            "the array NAME refer to elements, which would be an ambiguous "
+            "reference in Spark; alias every array"
         )
-    body = _translate_tokens(expr).strip()
+    bodies = [_translate_tokens(e).strip() for e, _a in items]
     view = "LATERAL VIEW OUTER" if outer else "LATERAL VIEW"
-    return k, f"{view} explode({body}) _aj AS {alias} "
+    if len(items) == 1:
+        return k, f"{view} explode({bodies[0]}) _aj AS {items[0][1]} "
+    first = bodies[0]
+    parts = [f"{view} posexplode({first}) _aj0 AS _aj_pos, {items[0][1]}"]
+    for n, (body, (_e, a)) in enumerate(zip(bodies[1:], items[1:]), 1):
+        parts.append(
+            f"LATERAL VIEW explode(array(IF(_aj_pos IS NULL "
+            f"OR size({body}) = size({first}), "
+            f"try_element_at({body}, _aj_pos + 1), "
+            f"raise_error('ARRAY JOIN arrays must have equal sizes')))) "
+            f"_aj{n} AS {a}"
+        )
+    return k, " ".join(parts) + " "
 
 
 class _PrewhereMarker(Exception):

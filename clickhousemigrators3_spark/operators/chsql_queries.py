@@ -1106,3 +1106,108 @@ _ch(
     """,
     ("events",),
 )
+
+# tuple()/tupleElement(): positional 1-based _N struct fields (the sumCount
+# named_struct policy) — grouped as a key, element-accessed, and compared.
+_ch(
+    "chsql_tuple_group_key",
+    """
+    SELECT tupleElement(k, 1) AS rf, tupleElement(k, 2) AS ls, cnt
+    FROM (
+        SELECT tuple(l_returnflag, l_linestatus) AS k, count() AS cnt
+        FROM lineitem
+        GROUP BY k
+    )
+    ORDER BY rf, ls
+    """,
+    """
+    SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS cnt
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY rf, ls
+    """,
+    ("lineitem",),
+)
+
+_ch(
+    "chsql_tuple_compare",
+    """
+    SELECT count() AS n
+    FROM lineitem
+    WHERE tuple(l_returnflag, l_linestatus) = tuple('A', 'F')
+    """,
+    """
+    SELECT count(*) AS n
+    FROM lineitem
+    WHERE l_returnflag = 'A' AND l_linestatus = 'F'
+    """,
+    ("lineitem",),
+)
+
+# multi-array ARRAY JOIN (ClickHouse parallel unnest): posexplode chain
+# sharing one position; the WHERE on the unnested aliases proves filter
+# composition through the LATERAL VIEW chain.
+_ch(
+    "chsql_multi_array_join",
+    """
+    SELECT doc_id, w, toInt64(pos) AS posn
+    FROM documents
+    ARRAY JOIN splitByChar(' ', text) AS w,
+               arrayEnumerate(splitByChar(' ', text)) AS pos
+    WHERE doc_id < 10 AND pos <= 3
+    ORDER BY doc_id, posn
+    """,
+    """
+    SELECT doc_id, w, CAST(pos AS BIGINT) AS posn
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(generate_series(1, len(string_split(text, ' '))))
+                   AS pos
+        FROM documents
+        WHERE doc_id < 10
+    )
+    WHERE pos <= 3
+    ORDER BY doc_id, posn
+    """,
+    ("documents",),
+)
+
+# LEFT multi-array form: docs with no match keep one row with NULL
+# elements (ClickHouse fills type defaults there — documented NULL-honesty
+# divergence, same as the single-array LEFT ARRAY JOIN).
+_ch(
+    "chsql_multi_array_join_left",
+    """
+    SELECT doc_id, h, hl
+    FROM documents
+    LEFT ARRAY JOIN
+        arrayFilter(w -> w = 'spark', splitByChar(' ', text)) AS h,
+        arrayMap(w -> toInt64(length(w)),
+                 arrayFilter(w -> w = 'spark', splitByChar(' ', text))) AS hl
+    WHERE doc_id < 30
+    ORDER BY doc_id
+    """,
+    """
+    SELECT doc_id, h, hl
+    FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END)
+                   AS h,
+               unnest(CASE WHEN len(hits) = 0
+                      THEN [CAST(NULL AS BIGINT)]
+                      ELSE list_transform(hits,
+                                          w -> CAST(length(w) AS BIGINT))
+                      END) AS hl
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               w -> w = 'spark') AS hits
+            FROM documents
+            WHERE doc_id < 30
+        )
+    )
+    ORDER BY doc_id
+    """,
+    ("documents",),
+)

@@ -193,7 +193,7 @@ def test_golden_translation(ch: str, expected: str):
         ("SELECT windowFunnel(60)(ts, a=1, a=2) FROM t", "funnel"),
         ("SELECT extract(s, col) FROM t", "non-literal"),
         ("SELECT * FROM t PREWHERE a=1 PREWHERE b=2", "multiple PREWHERE"),
-        ("SELECT x, y FROM t ARRAY JOIN a AS x, b AS y", "multi-array"),
+        ("SELECT x FROM t ARRAY JOIN a, b AS y", "alias"),
         ("SELECT cityHash64(x) FROM t", "engine-specific"),
         ("SELECT MD5(x) FROM t", "engine-specific"),
         ("SELECT runningDifference(x) FROM t", "block-order"),
@@ -1385,8 +1385,8 @@ def test_wave3_functions(spark):
         ("SELECT sumMapFiltered([1])(k, v) FROM t", "ch_summing_map"),
         ("SELECT deltaSumTimestamp(v, ts) FROM t", "delta_sum"),
         ("SELECT toWeek(d) FROM t", "toISOWeek"),
-        ("SELECT tuple(a, b) FROM t", "named_struct"),
-        ("SELECT tupleElement(tp, 1) FROM t", "named_struct"),
+        ("SELECT tupleElement(tp, 1, 0) FROM t", "default argument"),
+        ("SELECT tupleElement(tp, n) FROM t", "literal"),
         ("SELECT arrayReduce('quantile', arr) FROM t", "not mapped"),
         ("SELECT arrayReduce(name, arr) FROM t", "literal"),
         ("SELECT transform(arr, x -> x * 2) FROM t", "arrayMap"),
@@ -1936,3 +1936,85 @@ def test_block_order_aggregates_execute(spark):
     )
     assert rr.schema["ms"].dataType.typeName() == "long"
     assert [x.ms for x in rr.collect()] == [3, 8, 9]
+
+
+def test_tuple_and_tuple_element(spark):
+    """tuple(...) → named_struct with positional 1-based _N fields (the
+    sumCount precedent); tupleElement addresses by index or name; the
+    struct groups and compares natively."""
+    t = translate_ch_sql("SELECT tuple(a, b) AS tp FROM t")
+    assert "named_struct('_1', a, '_2', b)" in t
+    t = translate_ch_sql("SELECT tupleElement(tp, 2) FROM t")
+    assert "(tp)._2" in t
+    t = translate_ch_sql("SELECT tupleElement(tp, 'name') FROM t")
+    assert "(tp).name" in t
+    spark.createDataFrame(
+        [("a", "x", 1), ("a", "x", 2), ("b", "y", 3)],
+        "k1 string, k2 string, v int",
+    ).createOrReplaceTempView("tup_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT tupleElement(k, 1) AS k1, tupleElement(k, 2) AS k2, s "
+        "FROM (SELECT tuple(k1, k2) AS k, sum(v) AS s FROM tup_t "
+        "      GROUP BY k) ORDER BY k1",
+    ).collect()
+    assert [(r.k1, r.k2, r.s) for r in rows] == [("a", "x", 3), ("b", "y", 3)]
+    # tuple equality comparison
+    n = run_ch_sql(
+        spark,
+        "SELECT count() AS n FROM tup_t "
+        "WHERE tuple(k1, k2) = tuple('a', 'x')",
+    ).collect()[0].n
+    assert n == 2
+
+
+def test_multi_array_join(spark):
+    """ClickHouse's parallel-array unnest: posexplode chain sharing one
+    position; unequal sizes raise (the ClickHouse error contract); LEFT
+    keeps empty rows with NULL elements."""
+    t = translate_ch_sql(
+        "SELECT x, y FROM t ARRAY JOIN a AS x, b AS y WHERE x > 1"
+    )
+    assert "posexplode(a) _aj0 AS _aj_pos, x" in t
+    assert "try_element_at(b, _aj_pos + 1)" in t
+    assert "raise_error" in t and "WHERE x > 1" in t
+    spark.createDataFrame(
+        [(1, [1, 2, 3], ["a", "b", "c"]), (2, [], [])],
+        "id int, a array<int>, b array<string>",
+    ).createOrReplaceTempView("maj_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT id, x, y FROM maj_t ARRAY JOIN a AS x, b AS y "
+        "WHERE x >= 2 ORDER BY x",
+    ).collect()
+    assert [(r.id, r.x, r.y) for r in rows] == [(1, 2, "b"), (1, 3, "c")]
+    rows = run_ch_sql(
+        spark,
+        "SELECT id, x, y FROM maj_t LEFT ARRAY JOIN a AS x, b AS y "
+        "ORDER BY id, x",
+    ).collect()
+    assert (2, None, None) in [(r.id, r.x, r.y) for r in rows]
+    assert len(rows) == 4
+    # three arrays, one shared position
+    spark.createDataFrame(
+        [(1, [1, 2], [10, 20], ["u", "v"])],
+        "id int, a array<int>, b array<int>, c array<string>",
+    ).createOrReplaceTempView("maj3_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT x, y, z FROM maj3_t ARRAY JOIN a AS x, b AS y, c AS z "
+        "ORDER BY x",
+    ).collect()
+    assert [(r.x, r.y, r.z) for r in rows] == [(1, 10, "u"), (2, 20, "v")]
+    # ClickHouse ERRORS on unequal sizes — so do we, loudly, at runtime
+    spark.createDataFrame(
+        [(1, [1, 2, 3], ["only"])], "id int, a array<int>, b array<string>"
+    ).createOrReplaceTempView("maj_bad")
+    import pyspark.errors
+    with pytest.raises(Exception, match="equal sizes"):
+        run_ch_sql(
+            spark, "SELECT x, y FROM maj_bad ARRAY JOIN a AS x, b AS y"
+        ).collect()
+    # every array still needs an alias
+    with pytest.raises(UnsupportedCHSQL, match="alias"):
+        translate_ch_sql("SELECT x FROM t ARRAY JOIN a, b AS y")
