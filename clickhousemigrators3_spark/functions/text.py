@@ -87,8 +87,15 @@ def _words_array(col: Column) -> Column:
 
 
 def _shingles_of_words(words: Column, n: int) -> Column:
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    # guard BEFORE sequence(): Spark's sequence(1, 0) steps DOWN to [1, 0],
+    # whose 0 then crashes slice() — rows with fewer than n words must
+    # yield the empty array, not a descending index range
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    return F.when(
+        F.size(words) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    )
 
 
 def word_shingles(col: Column, n: int) -> Column:

@@ -1308,3 +1308,129 @@ def dedup_incremental_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document exact substring dedup (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better" — the suffix-array modality at shingle
+# grain)
+# ---------------------------------------------------------------------------
+
+SUB_K = 12       # span grain in words; production grain is ~50 tokens
+SUB_MAX_DF = 64  # fingerprints in more docs than this are boilerplate, not
+                 # duplication evidence (Lee et al. treat high-frequency
+                 # repeats separately) — ignored for dedup decisions
+
+
+def _substring_fps_oracle() -> str:
+    grams = sql_word_shingles("text", SUB_K)
+    h = oracle_hash_sql("span", 60)
+    return f"""
+fps AS (
+  SELECT DISTINCT doc_id, {h} AS fp
+  FROM (SELECT doc_id, unnest({grams}) AS span FROM documents)),
+keep AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {SUB_MAX_DF})
+"""
+
+
+def _substring_pairs_oracle() -> str:
+    return f"""
+WITH {_substring_fps_oracle().strip()}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM (SELECT f.* FROM fps f JOIN keep USING (fp)) a
+JOIN (SELECT f.* FROM fps f JOIN keep USING (fp)) b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY a_id, b_id
+"""
+
+
+def _substring_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, fp) over every {SUB_K}-word span, restricted to
+    fingerprints shared by 2..{SUB_MAX_DF} documents. One shuffle on the
+    8-byte fingerprint; the per-doc DISTINCT dedups locally before the
+    exchange, and the df gate kills both the df=1 long tail and the
+    boilerplate head before anything quadratic can see them."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = exploded_word_shingles(d, "text", SUB_K, "span")
+    fps = spans.select(
+        "doc_id", stable_hash60(F.col("span")).alias("fp")
+    ).distinct()
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") > 1) & (F.col("df") <= SUB_MAX_DF))
+        .select("fp")
+    )
+    return fps.join(keep, "fp")
+
+
+@register("dedup_substring_pairs", _substring_pairs_oracle())
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing at least one verbatim {SUB_K}-word span, with
+    the number of shared span fingerprints. The cross-document companion
+    of dedup_repeated_spans: that one reports the SPANS, this one the
+    DOC-PAIR evidence a dedup decision needs.
+
+    Scale plan (same topology class as MinHash-LSH): fingerprints are the
+    buckets — the pair join runs ONLY inside same-fingerprint buckets,
+    whose size the df <= {SUB_MAX_DF} gate bounds, so the worst case is
+    O(df_cap² × shared fps), never all-pairs. Shuffle rows are 16 bytes
+    (doc_id, fp). At 100 TB the grain moves to ~50 tokens and the
+    fingerprint index persists as a bucketed table (see
+    dedup_substring_index_* in tests for the stored-index drive)."""
+    fps = _substring_fps(spark, sf_dir)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _substring_retained_oracle() -> str:
+    return f"""
+WITH {_substring_fps_oracle().strip()},
+kfps AS (SELECT f.* FROM fps f JOIN keep USING (fp)),
+firsts AS (SELECT fp, MIN(doc_id) AS first_doc FROM kfps GROUP BY fp),
+dropped AS (
+  SELECT DISTINCT f.doc_id
+  FROM kfps f JOIN firsts m ON f.fp = m.fp AND f.doc_id > m.first_doc)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY d.doc_id
+"""
+
+
+@register("dedup_substring_retained", _substring_retained_oracle())
+def dedup_substring_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-writer-wins retention under substring evidence: a document is
+    dropped when it shares any {SUB_K}-word span fingerprint with an
+    EARLIER (lower doc_id) document; docs too short to produce a span are
+    always retained. No pair relation is ever materialized — the drop
+    test is fingerprint-vs-min(doc_id), one aggregate and one join on the
+    same shuffle key, so this stays linear where the pairs query is
+    bucket-quadratic."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = _substring_fps(spark, sf_dir)
+    firsts = fps.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    dropped = (
+        fps.join(firsts, "fp")
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.select("doc_id")
+        .join(dropped, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )

@@ -2168,3 +2168,68 @@ def test_wav_pcm16_roundtrip_and_resample():
     # identity length is exact
     x = np.array([3.0, -7.0, 11.0])
     assert np.allclose(resample_linear(x, 3), x)
+
+
+def test_substring_dedup_fixture(spark, tmp_path):
+    """Two hand-built docs sharing EXACTLY one SUB_K-word span: one pair
+    with n_shared=1; first-writer-wins retention drops only the later
+    doc; a doc shorter than SUB_K words is always retained."""
+    from clickhousemigrators3_spark.operators.dedup import (
+        SUB_K,
+        dedup_substring_pairs,
+        dedup_substring_retained,
+    )
+
+    span = " ".join(f"shared{i}" for i in range(SUB_K))
+    rows = [
+        (0, f"pre0a pre0b {span} post0a post0b"),
+        (1, f"pre1a pre1b pre1c {span} post1a"),
+        (2, "totally unrelated words that never repeat anywhere else"),
+        (3, "tiny doc"),  # < SUB_K words → no spans → always retained
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        d + "/documents.parquet"
+    )
+    pairs = dedup_substring_pairs(spark, d).collect()
+    assert [(r.a_id, r.b_id, r.n_shared) for r in pairs] == [(0, 1, 1)]
+    retained = [r.doc_id for r in dedup_substring_retained(spark, d).collect()]
+    assert retained == [0, 2, 3]
+
+
+def test_substring_dedup_boilerplate_gate(spark, tmp_path):
+    """A span present in MORE than SUB_MAX_DF docs is boilerplate, not
+    duplication evidence — it must produce no pairs and drop nothing."""
+    from clickhousemigrators3_spark.operators.dedup import (
+        SUB_K,
+        SUB_MAX_DF,
+        dedup_substring_pairs,
+        dedup_substring_retained,
+    )
+
+    boiler = " ".join(f"footer{i}" for i in range(SUB_K))
+    rows = [
+        (i, f"unique{i}a unique{i}b {boiler}")
+        for i in range(SUB_MAX_DF + 1)
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        d + "/documents.parquet"
+    )
+    assert dedup_substring_pairs(spark, d).count() == 0
+    assert dedup_substring_retained(spark, d).count() == SUB_MAX_DF + 1
+
+
+def test_short_doc_shingles_empty(spark):
+    """sequence(1, 0) steps DOWN in Spark — rows with fewer than n words
+    must yield the empty array, not a descending index that crashes
+    slice() (hit by SUB_K=12 over short fixture docs)."""
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [("a b c",), ("",), ("one two three four five",)], ["t"]
+    )
+    got = df.select(word_shingles(F.col("t"), 4).alias("s")).collect()
+    assert [len(r.s) for r in got] == [0, 0, 2]

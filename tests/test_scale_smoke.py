@@ -333,3 +333,53 @@ def test_hybrid_rrf_at_8x(spark, big_docs_dir, tmp_path_factory):
     assert len(rows) == 10
     assert all(r.lex_rank is not None or r.vec_rank is not None for r in rows)
     assert dt < 90, f"hybrid rrf at 8x took {dt:.1f}s"
+
+
+def test_substring_dedup_at_8x(spark, tmp_path_factory):
+    """Cross-doc substring dedup smoke at 8× documents: replicas of the
+    same doc share every span, so first-writer-wins retention must keep
+    exactly one replica family's worth of span-bearing docs — and the
+    runtime must stay bucket-bounded (fingerprint groupBy + capped-df
+    join), never all-pairs."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.dedup import (
+        SUB_K,
+        dedup_substring_retained,
+    )
+    from clickhousemigrators3_spark.functions.text import word_shingles
+
+    rep = max(2, REPL // 2)  # 8× documents
+    d = tmp_path_factory.mktemp("scale_sub")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = (
+        docs.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(rep)]))
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    big.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    base_retained = dedup_substring_retained(
+        spark, SF_DIR
+    ).count()
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    got = dedup_substring_retained(spark, str(d)).count()
+    dt = time.perf_counter() - t0
+    # every replica beyond the first generation is dropped (it shares all
+    # its spans with the generation-0 twin); span-less short docs survive
+    # in every generation
+    spanless = (
+        docs.select(
+            F.size(word_shingles(F.col("text"), SUB_K)).alias("n")
+        ).filter(F.col("n") == 0).count()
+    )
+    assert got == base_retained + (rep - 1) * spanless, (
+        got, base_retained, spanless
+    )
+    assert got < n_docs * rep
+    assert dt < 120, f"substring retention at {rep}x docs took {dt:.1f}s"
