@@ -166,6 +166,57 @@ ORDER BY a_id, b_id
 """
 
 
+def lsh_perdoc(d: DataFrame) -> DataFrame:
+    """``(doc_id, m0..m15, hs)`` from a ``documents`` relation: word-3-gram
+    shingles → one 32-bit stable hash per shingle → ONE groupBy(doc_id)
+    producing the 16 affine-permutation min-hashes AND the per-doc hash
+    set. The reusable half of the LSH pipeline — the persisted incremental
+    index (operators/dedup_index.py) stores exactly this relation."""
+    raw = exploded_word_shingles(d, "text", SHINGLE_N, "shingle")
+    # single distinct over (doc_id, hash) — strings never shuffle
+    hashed = raw.select(
+        "doc_id", stable_hash32(F.col("shingle")).alias("h")
+    ).distinct()
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ],
+        F.collect_list("h").alias("hs"),
+    )
+
+
+def lsh_bands(per_doc: DataFrame) -> DataFrame:
+    """``(doc_id, band, sig)`` banded signatures from :func:`lsh_perdoc` —
+    md5 over each band's minhash run, unpivoted for the bucket join."""
+    sig_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{j}").cast("string")
+                    for j in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
+                ],
+            )
+        ).alias(f"sig{band}")
+        for band in range(N_SEEDS // BAND_SIZE)
+    ]
+    sigs = per_doc.select("doc_id", *sig_cols)
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"), F.col(f"sig{band}").alias("sig")
+                    )
+                    for band in range(N_SEEDS // BAND_SIZE)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 def _lsh_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared LSH verify input: word-3-gram shingles → one 32-bit stable
     hash per shingle → ONE groupBy(doc_id) producing the 16
@@ -186,46 +237,9 @@ def _lsh_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_intersect``. Overlap is still computed over hashed shingle sets
     (4-byte elements, not strings), identically in the oracle."""
     d = load_table(spark, sf_dir, "documents")
-    raw = exploded_word_shingles(d, "text", SHINGLE_N, "shingle")
-    # single distinct over (doc_id, hash) — strings never shuffle
-    hashed = raw.select(
-        "doc_id", stable_hash32(F.col("shingle")).alias("h")
-    ).distinct()
-    per_doc = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
-            for i, (a, b) in enumerate(MINHASH_COEFFS)
-        ],
-        F.collect_list("h").alias("hs"),
-    )
+    per_doc = lsh_perdoc(d)
     per_doc.persist()
-    sig_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{j}").cast("string")
-                    for j in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
-                ],
-            )
-        ).alias(f"sig{band}")
-        for band in range(N_SEEDS // BAND_SIZE)
-    ]
-    sigs = per_doc.select("doc_id", *sig_cols)
-    # unpivot the band signatures to (doc_id, band, sig) for the bucket join
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"), F.col(f"sig{band}").alias("sig")
-                    )
-                    for band in range(N_SEEDS // BAND_SIZE)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = lsh_bands(per_doc)
     a = bands.select(
         F.col("doc_id").alias("a_id"), F.col("band").alias("band"), F.col("sig").alias("sig")
     )
@@ -1288,7 +1302,11 @@ def dedup_incremental_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join is exchange-free on ingest); the near-dup gate reuses the
     banded LSH pipeline and keeps only cross-snapshot collisions — in
     production the old corpus's band signatures are precomputed once, so
-    per-delta cost is delta-sized, not corpus-sized."""
+    per-delta cost is delta-sized, not corpus-sized. That "precomputed
+    once" claim is implemented end-to-end in operators/dedup_index.py:
+    the fingerprint + perdoc + band tables persist as manifest-published
+    parquet and successive crawl drops dedup against the STORED index
+    (tests/test_dedup_index.py drives two drops with idempotent replays)."""
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     fp = d.select("doc_id", stable_hash60(norm).alias("f"))

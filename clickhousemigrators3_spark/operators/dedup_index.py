@@ -1,0 +1,176 @@
+"""Persisted incremental dedup index — the production shape of
+``dedup_incremental_retained`` (operators/dedup.py): the accumulated
+corpus's fingerprints and LSH signatures are computed ONCE, stored as
+parquet, and every crawl drop dedups its delta against the STORED index
+instead of recomputing the old side per run.
+
+Reference parity: the reference migrates table-by-table with resumable
+checkpoints (migration.py); this is the same incremental contract applied
+to the LLM-pipeline dedup surface. Storage reuses the repo's
+manifest-pointer publish (operators/migrate.py publish_manifest /
+resolve_manifest): data lands in an immutable versioned prefix named after
+the snapshot id, and cutover is one small-object PUT — so index updates
+are atomic, time-travelable, and IDEMPOTENT on replay (a re-run of the
+same snapshot sees its own id in the manifest and no-ops).
+
+Index tables (one manifest each under ``index_dir``):
+
+* ``dedup_fp``      — ``(doc_id, f)`` 60-bit normalized-content
+  fingerprints (exact-dup gate; anti-join key).
+* ``dedup_perdoc``  — ``(doc_id, m0..m15, hs)`` minhash signature + hashed
+  shingle set (near-dup verify side).
+* ``dedup_bands``   — ``(doc_id, band, sig)`` banded LSH signatures
+  (candidate generation; bucket-join key).
+
+Scale: the delta pipeline is delta-sized — old-side work is ONE scan of
+each stored table, the band join collides delta signatures against stored
+buckets (never old-vs-old), and the Jaccard verify joins only collision
+candidates against the stored ``hs`` sets. At 100 TB the three tables are
+bucketed by their join keys so ingest joins are exchange-free on the old
+side; locally they are plain parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash60
+from .dedup import JACCARD_THRESHOLD, lsh_bands, lsh_perdoc
+from .migrate import publish_manifest, resolve_manifest
+
+INDEX_TABLES = ("dedup_fp", "dedup_perdoc", "dedup_bands")
+
+
+def _norm_fp(docs: DataFrame) -> DataFrame:
+    """Same normalized-content fingerprint as dedup_incremental_retained:
+    lower/trim/whitespace-collapse, 60-bit md5-derived hash."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", stable_hash60(norm).alias("f"))
+
+
+def _index_relations(docs: DataFrame) -> dict[str, DataFrame]:
+    per_doc = lsh_perdoc(docs)
+    return {
+        "dedup_fp": _norm_fp(docs),
+        "dedup_perdoc": per_doc,
+        "dedup_bands": lsh_bands(per_doc),
+    }
+
+
+def _snapshot_path(index_dir: str, table: str, snapshot: str) -> str:
+    return os.path.join(index_dir, f"{table}__{snapshot}")
+
+
+def _published(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
+    path = resolve_manifest(index_dir, table)
+    if path is None:
+        raise FileNotFoundError(
+            f"dedup index table {table!r} has no published version under "
+            f"{index_dir!r} — run build_dedup_index first"
+        )
+    return spark.read.parquet(path)
+
+
+def _publish_tables(
+    index_dir: str, snapshot: str, rels: dict[str, DataFrame]
+) -> bool:
+    """Write each relation to its immutable ``<table>__<snapshot>`` prefix
+    and flip the manifests. Returns False (no-op) when the CURRENT
+    manifests already point at this snapshot — the replay-idempotence
+    contract: a crashed-and-retried ingest of the same crawl drop neither
+    duplicates index rows nor burns a version."""
+    current = {
+        t: resolve_manifest(index_dir, t) for t in INDEX_TABLES
+    }
+    want = {t: _snapshot_path(index_dir, t, snapshot) for t in INDEX_TABLES}
+    if all(current[t] == want[t] for t in INDEX_TABLES):
+        return False
+    for t, df in rels.items():
+        df.write.mode("overwrite").parquet(want[t])
+    # data fully landed before any manifest flips (fail-fast ordering:
+    # a crash mid-loop leaves the old versions published)
+    for t in INDEX_TABLES:
+        publish_manifest(index_dir, t, want[t])
+    return True
+
+
+def build_dedup_index(
+    spark: SparkSession, docs: DataFrame, index_dir: str, snapshot: str
+) -> bool:
+    """Bootstrap the index from the initial corpus. Returns True when a
+    new version was published, False on an idempotent replay."""
+    return _publish_tables(index_dir, snapshot, _index_relations(docs))
+
+
+def dedup_delta_retained(
+    spark: SparkSession, delta: DataFrame, index_dir: str
+) -> DataFrame:
+    """doc_ids of ``delta`` documents that survive against the PUBLISHED
+    index: dropped on an exact normalized-fingerprint match with any
+    indexed doc, or on a verified MinHash-LSH near-dup link (band
+    collision + Jaccard >= {JACCARD_THRESHOLD}) to an indexed doc. The
+    old corpus is never re-paired with itself — every join keeps the
+    stored side on its join key and the delta side delta-sized."""
+    old_fp = _published(spark, index_dir, "dedup_fp").select("f").distinct()
+    exact_clean = (
+        _norm_fp(delta).join(old_fp, "f", "left_anti").select("doc_id")
+    )
+    per_doc = lsh_perdoc(delta)
+    per_doc.persist()
+    cand = (
+        lsh_bands(per_doc)
+        .select(F.col("doc_id").alias("new_id"), "band", "sig")
+        .join(
+            _published(spark, index_dir, "dedup_bands").select(
+                F.col("doc_id").alias("old_id"), "band", "sig"
+            ),
+            ["band", "sig"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    new_sets = per_doc.select(
+        F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_new")
+    )
+    old_sets = _published(spark, index_dir, "dedup_perdoc").select(
+        F.col("doc_id").alias("old_id"), F.col("hs").alias("hs_old")
+    )
+    i = F.size(F.array_intersect("hs_new", "hs_old"))
+    u = F.size("hs_new") + F.size("hs_old") - i
+    flagged = (
+        cand.join(new_sets, "new_id")
+        .join(old_sets, "old_id")
+        .filter(i.cast("double") / u >= JACCARD_THRESHOLD)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        exact_clean.join(flagged, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def update_dedup_index(
+    spark: SparkSession,
+    retained_delta: DataFrame,
+    index_dir: str,
+    snapshot: str,
+) -> bool:
+    """Merge the RETAINED delta docs into the index: union each stored
+    table with the delta's rows and publish a new snapshot version.
+    Returns False on an idempotent replay (manifests already at this
+    snapshot). The delta must be the post-dedup retained set — indexing
+    dropped docs would make them block their own near-twins later."""
+    fresh = _index_relations(retained_delta)
+    current = resolve_manifest(index_dir, INDEX_TABLES[0])
+    if current == _snapshot_path(index_dir, INDEX_TABLES[0], snapshot):
+        return False
+    merged = {
+        t: _published(spark, index_dir, t).unionByName(fresh[t])
+        for t in INDEX_TABLES
+    }
+    return _publish_tables(index_dir, snapshot, merged)

@@ -1,0 +1,100 @@
+"""Persisted incremental dedup index (operators/dedup_index.py): two
+successive crawl drops driven through the STORED index — exact and
+near-dup gates against the accumulated corpus, index growth between drops,
+and replay idempotence of every publish."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhousemigrators3_spark.operators.dedup_index import (
+    INDEX_TABLES,
+    build_dedup_index,
+    dedup_delta_retained,
+    update_dedup_index,
+    _published,
+)
+
+T = {
+    0: "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima",
+    1: "math physics chemistry biology geology astronomy botany zoology ecology genetics anatomy taxonomy",
+    2: "red orange yellow green blue indigo violet crimson scarlet amber teal maroon navy olive silver gold bronze copper pearl onyx",
+    3: "spark shuffle partition broadcast executor driver catalyst tungsten codegen arrow parquet predicate",
+    4: "north south east west up down left right forward backward inward outward",
+}
+# near-dup of T[2]: ONE word changed in 20 → shingle Jaccard ~0.9
+NEAR2 = T[2].replace("onyx", "jade")
+FRESH1 = "one unique sentence about gardening tulips roses daisies orchids ferns mosses lichens"
+FRESH2 = "completely different prose covering sailing knots rigging anchors harbors tides currents buoys"
+FRESH3 = "final novel text mentioning telescopes lenses mirrors apertures filters mounts tripods oculars"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture()
+def index_dir(tmp_path):
+    return str(tmp_path / "dedup_index")
+
+
+def _counts(spark, index_dir):
+    return {
+        t: _published(spark, index_dir, t).count() for t in INDEX_TABLES
+    }
+
+
+def test_two_crawl_drops_through_stored_index(spark, index_dir):
+    base = _docs(spark, [(i, T[i]) for i in range(5)])
+    assert build_dedup_index(spark, base, index_dir, "s0") is True
+    c0 = _counts(spark, index_dir)
+    assert c0["dedup_fp"] == 5 and c0["dedup_perdoc"] == 5
+    assert c0["dedup_bands"] == 5 * 4  # 4 bands per doc
+
+    # drop 1: one exact dup of the base, one near-dup (LSH gate), two fresh
+    drop1 = _docs(
+        spark,
+        [(10, T[1]), (11, NEAR2), (12, FRESH1), (13, FRESH2)],
+    )
+    retained1 = dedup_delta_retained(spark, drop1, index_dir)
+    assert [r.doc_id for r in retained1.collect()] == [12, 13]
+
+    docs1 = drop1.join(retained1, "doc_id", "semi")
+    assert update_dedup_index(spark, docs1, index_dir, "s1") is True
+    c1 = _counts(spark, index_dir)
+    assert c1["dedup_fp"] == 7  # 5 base + 2 retained
+
+    # drop 2: exact dup of a DROP-1 retained doc (the index grew), exact
+    # dup of a base doc, one fresh
+    drop2 = _docs(spark, [(20, FRESH1), (21, T[0]), (22, FRESH3)])
+    retained2 = dedup_delta_retained(spark, drop2, index_dir)
+    assert [r.doc_id for r in retained2.collect()] == [22]
+
+    docs2 = drop2.join(retained2, "doc_id", "semi")
+    assert update_dedup_index(spark, docs2, index_dir, "s2") is True
+    c2 = _counts(spark, index_dir)
+    assert c2["dedup_fp"] == 8
+
+
+def test_index_update_is_idempotent_on_replay(spark, index_dir):
+    base = _docs(spark, [(i, T[i]) for i in range(3)])
+    assert build_dedup_index(spark, base, index_dir, "s0") is True
+    # replaying the SAME snapshot is a no-op: no new version, no dup rows
+    assert build_dedup_index(spark, base, index_dir, "s0") is False
+    c0 = _counts(spark, index_dir)
+
+    delta = _docs(spark, [(10, FRESH1)])
+    retained = dedup_delta_retained(spark, delta, index_dir)
+    assert update_dedup_index(spark, delta.join(retained, "doc_id", "semi"),
+                              index_dir, "s1") is True
+    c1 = _counts(spark, index_dir)
+    assert c1["dedup_fp"] == c0["dedup_fp"] + 1
+    # crashed-and-retried ingest of the same drop: counts unchanged
+    assert update_dedup_index(spark, delta, index_dir, "s1") is False
+    assert _counts(spark, index_dir) == c1
+
+
+def test_missing_index_fails_loud(spark, index_dir):
+    delta = _docs(spark, [(1, FRESH1)])
+    with pytest.raises(FileNotFoundError, match="build_dedup_index"):
+        dedup_delta_retained(spark, delta, index_dir).collect()
