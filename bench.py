@@ -55,6 +55,16 @@ HEADLINE = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # sampled BEFORE the JVM spins up: this is the ambient machine load a
+    # concurrent run would show; check_evidence warns when it is high
+    load_start = os.getloadavg()[0]
+    started_at = time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime())
+    if load_start > 4:
+        print(
+            f"# WARNING: load1={load_start:.1f} at bench start — timings "
+            "will be contention-inflated; rerun alone",
+            file=sys.stderr,
+        )
 
     from clickhousemigrators3_spark.registry import load_all
     from clickhousemigrators3_spark.session import get_spark
@@ -108,6 +118,7 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 3)
+    load_end = os.getloadavg()
     print(
         json.dumps(
             {
@@ -118,6 +129,16 @@ def main() -> int:
                 "queries_p50": timings_p50,
                 "total_p50": round(sum(timings_p50.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # contamination evidence (round-8 post-mortem: a bench
+                # captured beside a concurrent run was ~22% inflated and
+                # read as a fabricated regression) — load BEFORE this
+                # process ramped up, load at the end, and the wall window
+                "load1_start": round(load_start, 2),
+                "load1_end": round(load_end[0], 2),
+                "started_at": started_at,
+                "finished_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%S", time.localtime()
+                ),
             }
         )
     )

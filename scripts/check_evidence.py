@@ -54,6 +54,43 @@ def main() -> int:
         return 1
     print(f"evidence fresh: {registered} queries, "
           f"{os.path.basename(latest)} matches")
+
+    # bench contamination check (round-8 post-mortem: BENCH_r08.json was
+    # captured beside a concurrent run, ~22% inflated): the bench JSON now
+    # records the pre-JVM load average — warn loudly when the newest bench
+    # evidence was taken on a loaded machine. Warning only: the bench
+    # numbers may still be intentional (e.g. a mid-round sanity run).
+    import json
+
+    root = os.path.dirname(docs)
+    benches = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if benches:
+        with open(benches[-1], encoding="utf-8") as f:
+            try:
+                bench = json.load(f)
+            except ValueError:
+                bench = {}
+        load1 = bench.get("load1_start")
+        if load1 is None:
+            print(
+                f"note: {os.path.basename(benches[-1])} predates load "
+                "stamping — rerun bench.py alone to get contamination-proof "
+                "evidence"
+            )
+        elif load1 > 4:
+            print(
+                f"WARNING: {os.path.basename(benches[-1])} was captured at "
+                f"load1={load1} — timings are contention-inflated; rerun "
+                "python bench.py ALONE as the genuinely last step"
+            )
+        else:
+            print(
+                f"bench evidence clean: {os.path.basename(benches[-1])} "
+                f"captured at load1={load1}"
+            )
     return 0
 
 
