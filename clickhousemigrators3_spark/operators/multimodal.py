@@ -335,7 +335,8 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + (CAST(((LEAST(CAST(FLOOR(pos) AS BIGINT) + 1, n_in - 1)
                            * 37 + doc_id) % 2000) - 1000 AS DOUBLE))
                    * (pos - FLOOR(pos))) * 2 * n_out, 0) AS BIGINT)
-             AS mid_q
+             AS mid_q,
+           TRUE AS rt_ok
     FROM m ORDER BY doc_id
     """,
 )
@@ -346,13 +347,18 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hz, decode the PCM, linear-interpolate to 16 kHz (pixel-center mapping,
     the resize_bilinear twin in 1-D), re-encode a genuine WAV at 16 kHz, and
     emit the output length by re-parsing the re-encoded bytes.
-    ``mid_q`` is the resampled midpoint value read from the DECODED
-    samples, rescaled by 2·n_out (the interpolation fraction's denominator)
-    to a mathematically-integral value — nearest-integer rounding is
-    engine-robust where fixed-decimal ROUND of exact .5 boundaries is not
-    (see mm_resize_bilinear). The oracle recomputes the interpolation from
-    the waveform formula, so encoder, RIFF walk, and resample kernel must
-    all agree.
+    ``mid_q`` is the resampled midpoint taken from the FLOAT resample
+    output (pre-quantization), rescaled by 2·n_out (the interpolation
+    fraction's denominator) to a mathematically-integral value —
+    nearest-integer rounding is engine-robust where fixed-decimal ROUND of
+    exact .5 boundaries is not (see mm_resize_bilinear). The oracle
+    recomputes that interpolation from the waveform formula, so the
+    decoder, RIFF walk, and resample kernel must agree on it. The
+    encode→decode round trip of wav2 is verified VALUE-exactly by
+    ``rt_ok``: every decoded int16 sample of the re-encoded WAV is
+    compared against the quantized resample output inside the codec
+    domain (exact integer equality, no cross-engine float), and the
+    oracle pins the column TRUE.
 
     Scale: embarrassingly parallel; same round-robin spread as mm_resize."""
     import numpy as np
@@ -383,25 +389,34 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 in_rate, pcm = decode_wav_pcm16(src)
                 n_out = len(pcm) * dst_rate // in_rate
                 out = resample_linear(pcm, n_out)
-                wav2 = encode_wav_pcm16(
-                    np.clip(np.rint(out), -32768, 32767).astype(np.int16),
-                    dst_rate,
-                )
+                q = np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+                wav2 = encode_wav_pcm16(q, dst_rate)
                 hdr2 = parse_header(wav2)
                 mid = float(out[len(out) // 2])
+                # value-exact round trip: decode the re-encoded WAV and
+                # compare EVERY int16 sample against the quantized output
+                rt_rate, pcm2 = decode_wav_pcm16(wav2)
+                rt_ok = bool(
+                    rt_rate == dst_rate
+                    and len(pcm2) == len(q)
+                    and (pcm2 == q).all()
+                )
                 rows.append(
-                    (i, in_rate, len(pcm), hdr2["n_samples"], mid)
+                    (i, in_rate, len(pcm), hdr2["n_samples"], mid, rt_ok)
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "src_rate", "n_in", "n_out", "mid_sample"],
+                columns=[
+                    "doc_id", "src_rate", "n_in", "n_out", "mid_sample",
+                    "rt_ok",
+                ],
             )
 
     out_df = d.mapInPandas(
         resample,
         schema=(
             "doc_id long, src_rate long, n_in long, n_out long, "
-            "mid_sample double"
+            "mid_sample double, rt_ok boolean"
         ),
     )
     # rescale to the mathematically-integral grid before rounding (see
