@@ -1870,6 +1870,7 @@ def translate_ch_sql(sql: str) -> str:
         )
     tokens = _expand_with_macros(tokens)
     tokens = _rewrite_running_funcs(tokens)
+    tokens = _rewrite_group_arrays(tokens)
     # PREWHERE: ClickHouse's early-filter hint. Spark's optimizer pushes
     # predicates itself, so PREWHERE → WHERE; when both clauses appear the
     # conditions conjoin.
@@ -2171,22 +2172,15 @@ def _rewrite_delta_select(tokens: list[str], call_idx: int) -> list[str] | None:
             pkeys.append(ksql)
         part = f"PARTITION BY {', '.join(pkeys)} "
 
-        def _norm(s: str) -> str:
-            s = "".join(s.split()).lower().replace("(", "").replace(")", "")
-            for suf in ("nullsfirst", "nullslast", "asc", "desc"):
-                if s.endswith(suf):
-                    s = s[: -len(suf)]
-            return s
-
         # a pin that only repeats the group keys leaves the order WITHIN
         # each group undefined — lag() would be nondeterministic; fall
         # back to the FROM-subquery's ORDER BY (the correct grouped
         # shape: FROM (SELECT … ORDER BY g, ts) GROUP BY g), refuse if
         # that is absent or also group-keys-only
-        pset = {_norm(k) for k in pkeys}
-        if {_norm(k) for k in ord_sql.split(",")} <= pset:
+        pset = {_norm_key(k) for k in pkeys}
+        if {_norm_key(k) for k in ord_sql.split(",")} <= pset:
             sub = _subquery_pin(tokens, sel)
-            if sub is None or {_norm(k) for k in sub.split(",")} <= pset:
+            if sub is None or {_norm_key(k) for k in sub.split(",")} <= pset:
                 raise UnsupportedCHSQL(
                     "grouped deltaSum needs a pin that orders rows WITHIN "
                     "each group — ORDER BY the group keys alone leaves the "
@@ -2209,6 +2203,163 @@ def _rewrite_delta_select(tokens: list[str], call_idx: int) -> list[str] | None:
     return tokens[:sel] + _tokenize(new) + tokens[end:]
 
 
+def _norm_key(s: str) -> str:
+    """Whitespace/paren/direction-insensitive key text for subset checks."""
+    s = "".join(s.split()).lower().replace("(", "").replace(")", "")
+    for suf in ("nullsfirst", "nullslast", "asc", "desc"):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+    return s
+
+
+def _group_by_keys(tokens: list[str], sel: int) -> list[str] | None:
+    """Rendered GROUP BY key texts of the SELECT at ``sel`` (ordinals and
+    select-list aliases resolved to base expressions) — None when there is
+    no depth-0 GROUP BY."""
+    depth = 0
+    grp = None
+    end = len(tokens)
+    for k in range(sel + 1, len(tokens)):
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                end = k
+                break
+        elif depth == 0:
+            lw = t.lower()
+            if lw == "group" and _next_word_is(tokens, k, "by"):
+                grp = k
+            elif grp is not None and (
+                lw in ("having", "limit", "window", "union")
+                or (lw == "order" and _next_word_is(tokens, k, "by"))
+                or (lw in ("settings", "format") and _looks_clause(tokens, k))
+            ):
+                end = k
+                break
+    if grp is None:
+        return None
+    by = _next_code(tokens, grp + 1)
+    keys = [k for k in _split_args(tokens[by + 1 : end]) if k]
+    items, aliases, _names = _select_list_items(tokens, sel)
+    out = []
+    for key in keys:
+        code = [t for t in key if not _is_ws(t)]
+        if len(code) == 1 and code[0].lower() in aliases:
+            out.append(f"({aliases[code[0].lower()]})")
+        elif len(code) == 1 and code[0].isdigit():
+            pos = int(code[0])
+            if not 1 <= pos <= len(items):
+                raise UnsupportedCHSQL(
+                    f"GROUP BY position {pos} is out of range for the "
+                    f"{len(items)}-item SELECT list"
+                )
+            out.append(f"({items[pos - 1]})")
+        else:
+            out.append(" ".join(code))
+    return out
+
+
+def _rewrite_group_arrays(tokens: list[str]) -> list[str]:
+    """groupArray[(N)](x) under a pin (top-level ORDER BY or ordered
+    FROM-subquery) → a DETERMINISTIC ordered aggregation:
+
+        arrayMap(_ga -> _ga._v, array_sort(collect_list(
+            CASE WHEN (x) IS NULL THEN NULL
+                 ELSE named_struct('_o0', key0, …, '_v', (x)) END)))
+        [sliced to the first N for the parametric form]
+
+    — the struct sort carries the pin keys, the CASE keeps ClickHouse's
+    NULL-skipping aggregate contract (collect_list drops NULL structs),
+    and the emitted arrayMap re-translates to Spark transform. UNPINNED
+    calls are SKIPPED, not refused: ClickHouse documents groupArray's
+    order as indeterminate, so the plain collect_list mapping is already
+    faithful — the pin upgrade exists because reporting queries that DO
+    order the block expect the array in that order. Window uses
+    (groupArray(x) OVER …) are also skipped: the window frame supplies
+    its own order to collect_list."""
+    i = 0
+    guard = 0
+    while i < len(tokens):
+        t = tokens[i]
+        low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
+        if low != "grouparray":
+            i += 1
+            continue
+        j = _next_code(tokens, i + 1)
+        if j >= len(tokens) or tokens[j] != "(":
+            i += 1
+            continue
+        close = _find_close(tokens, j)
+        params = None
+        nxt = _next_code(tokens, close + 1)
+        if nxt < len(tokens) and tokens[nxt] == "(":
+            params = [
+                "".join(a).strip()
+                for a in _split_args(tokens[j + 1 : close])
+                if a
+            ]
+            j = nxt
+            close = _find_close(tokens, j)
+            nxt = _next_code(tokens, close + 1)
+        if nxt < len(tokens) and tokens[nxt].lower() == "over":
+            i = close + 1
+            continue
+        keys = _running_order_keys(tokens, i)
+        if keys is None:
+            i = close + 1
+            continue
+        # a pin that only repeats the GROUP BY keys is constant within each
+        # group — no order information; fall back to the FROM-subquery pin,
+        # else leave the honest indeterminate collect_list mapping
+        sel = _owning_select(tokens, i)
+        gkeys = _group_by_keys(tokens, sel) if sel is not None else None
+        if gkeys is not None:
+            gset = {_norm_key(k) for k in gkeys}
+            if {_norm_key(e) for e, _t in keys} <= gset:
+                keys = _subquery_pin_keys(tokens, sel)
+                if keys is None or {
+                    _norm_key(e) for e, _t in keys
+                } <= gset:
+                    i = close + 1
+                    continue
+        for _e, tail in keys:
+            if "desc" in tail.lower().split():
+                raise UnsupportedCHSQL(
+                    "pinned groupArray orders via an ascending struct "
+                    "sort — DESC pin keys are not mapped (negate the key "
+                    "or drop the pin for the indeterminate-order form)"
+                )
+        args = [
+            "".join(a).strip() for a in _split_args(tokens[j + 1 : close]) if a
+        ]
+        if len(args) != 1:
+            raise UnsupportedCHSQL("groupArray takes exactly 1 argument")
+        x = args[0]
+        fields = ", ".join(
+            f"'_o{k}', ({e})" for k, (e, _t) in enumerate(keys)
+        )
+        inner = (
+            f"CASE WHEN ({x}) IS NULL THEN NULL "
+            f"ELSE named_struct({fields}, '_v', ({x})) END"
+        )
+        repl = f"arrayMap(_ga -> _ga._v, array_sort(collect_list({inner})))"
+        if params is not None:
+            if len(params) != 1 or not params[0].isdigit() or params[0] == "0":
+                raise UnsupportedCHSQL(
+                    "groupArray(N) needs a positive integer literal"
+                )
+            repl = f"slice({repl}, 1, {params[0]})"
+        tokens = tokens[:i] + _tokenize(repl) + tokens[close + 1 :]
+        guard += 1
+        if guard > 64:
+            raise UnsupportedCHSQL("too many groupArray rewrites")
+        i += 1
+    return tokens
+
+
 def _owning_select(tokens: list[str], at: int) -> int | None:
     """Index of the SELECT keyword owning position ``at``. Scans backward;
     balanced paren groups are skipped, an unmatched '(' is transparent (it
@@ -2228,9 +2379,20 @@ def _owning_select(tokens: list[str], at: int) -> int | None:
 
 
 def _running_order_by(tokens: list[str], call_idx: int) -> str | None:
-    """ORDER BY key list (SQL text, select-list aliases substituted) of the
-    SELECT that owns the call at ``call_idx`` — None when that SELECT has
-    no top-level ORDER BY. Scans from the owning SELECT at statement level,
+    """Rendered pin as one ORDER BY SQL string — see _running_order_keys."""
+    keys = _running_order_keys(tokens, call_idx)
+    if keys is None:
+        return None
+    return ", ".join((e + " " + t).strip() for e, t in keys)
+
+
+def _running_order_keys(
+    tokens: list[str], call_idx: int
+) -> list[tuple[str, str]] | None:
+    """Pin keys as ``(expr, direction_tail)`` pairs (SQL text, select-list
+    aliases substituted) of the SELECT that owns the call at ``call_idx``
+    — None when that SELECT has no top-level ORDER BY and no ordered
+    FROM-subquery. Scans from the owning SELECT at statement level,
     stopping at the subquery's ')' and at depth-0 UNION (an outer ORDER BY
     orders the union result, not the block)."""
     sel = _owning_select(tokens, call_idx)
@@ -2256,7 +2418,7 @@ def _running_order_by(tokens: list[str], call_idx: int) -> str | None:
     if by is None:
         # the idiomatic ClickHouse pin: ORDER BY inside the immediate
         # FROM-subquery (how users actually guarantee block order)
-        return _subquery_pin(tokens, sel)
+        return _subquery_pin_keys(tokens, sel)
     # key list: from after BY to the next depth-0 clause stop / WITH FILL
     depth = 0
     end = len(tokens)
@@ -2307,8 +2469,8 @@ def _running_order_by(tokens: list[str], call_idx: int) -> str | None:
         # would otherwise re-embed the call inside its own OVER clause
         # each pass until the rewrite bound trips with a misleading error
         _check_no_running_ref(expr)
-        rendered.append((expr + " " + " ".join(tail)).strip())
-    return ", ".join(rendered)
+        rendered.append((expr, " ".join(tail)))
+    return rendered
 
 
 def _check_no_running_ref(expr: str) -> None:
@@ -2316,7 +2478,9 @@ def _check_no_running_ref(expr: str) -> None:
     verbatim self-reference would re-embed the call inside its own OVER
     clause on every rewrite pass."""
     if any(
-        t.lower() in _RUNNING_FUNCS or t.lower() in _BLOCK_AGG_FUNCS
+        t.lower() in _RUNNING_FUNCS
+        or t.lower() in _BLOCK_AGG_FUNCS
+        or t.lower() == "grouparray"
         for t in _tokenize(expr)
         if t and (t[0].isalpha() or t[0] == "_")
     ):
@@ -2378,6 +2542,16 @@ def _from_subquery_span(
 
 
 def _subquery_pin(tokens: list[str], sel: int) -> str | None:
+    """Rendered FROM-subquery pin as one SQL string."""
+    keys = _subquery_pin_keys(tokens, sel)
+    if keys is None:
+        return None
+    return ", ".join((e + " " + t).strip() for e, t in keys)
+
+
+def _subquery_pin_keys(
+    tokens: list[str], sel: int
+) -> list[tuple[str, str]] | None:
     """Pin from the immediate FROM-subquery's top-level ORDER BY: the
     rendered window keys must be OUTPUT columns of that subquery (the
     outer scope only sees its projection), so alias keys render as the
@@ -2467,8 +2641,8 @@ def _subquery_pin(tokens: list[str], sel: int) -> str | None:
                 )
             expr = " ".join(expr_toks)
         _check_no_running_ref(expr)
-        rendered.append((expr + " " + " ".join(tail)).strip())
-    return ", ".join(rendered)
+        rendered.append((expr, " ".join(tail)))
+    return rendered
 
 
 def _select_list_items(

@@ -1211,3 +1211,42 @@ _ch(
     """,
     ("documents",),
 )
+
+# pinned groupArray: the ordered-reporting idiom (per order, line numbers
+# in ship order). The top-level ORDER BY only repeats the group key, so
+# the pin falls back to the FROM-subquery's ORDER BY; the parametric form
+# keeps the first N in that order. Serialized to a string so the compare
+# is scalar (and exercises arrayStringConcat over the rewritten array).
+_ch(
+    "chsql_group_array_ordered",
+    """
+    SELECT l_orderkey,
+           arrayStringConcat(groupArray(toString(l_linenumber)), ',')
+               AS lines,
+           arrayStringConcat(groupArray(2)(toString(l_linenumber)), ',')
+               AS lines2
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_shipdate
+        FROM lineitem
+        WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_shipdate, l_linenumber
+    )
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    """
+    SELECT l_orderkey,
+           array_to_string(
+               list(CAST(l_linenumber AS VARCHAR)
+                    ORDER BY l_shipdate, l_linenumber), ',') AS lines,
+           array_to_string(
+               (list(CAST(l_linenumber AS VARCHAR)
+                     ORDER BY l_shipdate, l_linenumber))[1:2], ',')
+               AS lines2
+    FROM lineitem
+    WHERE l_orderkey < 200
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    ("lineitem",),
+)

@@ -2018,3 +2018,52 @@ def test_multi_array_join(spark):
     # every array still needs an alias
     with pytest.raises(UnsupportedCHSQL, match="alias"):
         translate_ch_sql("SELECT x FROM t ARRAY JOIN a, b AS y")
+
+
+def test_group_array_pinned_rewrite(spark):
+    """groupArray under a pin → deterministic ordered aggregation (struct
+    sort over the pin keys); group-keys-only pins fall back to the
+    FROM-subquery; unpinned and window forms keep the honest
+    indeterminate collect_list mapping."""
+    t = translate_ch_sql(
+        "SELECT g, groupArray(v) AS vs "
+        "FROM (SELECT g, v, ts FROM t ORDER BY ts) GROUP BY g ORDER BY g"
+    )
+    assert "'_o0', (ts)" in t and "array_sort(collect_list(" in t
+    # parametric form keeps the first N in pin order
+    t = translate_ch_sql(
+        "SELECT g, groupArray(2)(v) AS vs "
+        "FROM (SELECT g, v, ts FROM t ORDER BY ts) GROUP BY g"
+    )
+    assert t.count("slice(") == 1 and ", 1, 2)" in t
+    # no usable pin → plain collect_list (ClickHouse's own order is
+    # documented indeterminate, so this stays faithful)
+    t = translate_ch_sql("SELECT g, groupArray(v) AS vs FROM t GROUP BY g")
+    assert "collect_list(v)" in t
+    t = translate_ch_sql(
+        "SELECT g, groupArray(v) AS vs FROM t GROUP BY g ORDER BY g"
+    )
+    assert "collect_list(v)" in t
+    # window form: the frame supplies its own order
+    t = translate_ch_sql(
+        "SELECT groupArray(v) OVER (ORDER BY ts) AS vs FROM t ORDER BY ts"
+    )
+    assert "collect_list(v) OVER (ORDER BY ts)" in t
+    # DESC pin keys refuse (struct sort is ascending)
+    with pytest.raises(UnsupportedCHSQL, match="ascending"):
+        translate_ch_sql(
+            "SELECT groupArray(v) FROM (SELECT v, ts FROM t ORDER BY ts DESC)"
+        )
+    spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 1, 10.0), ("a", 2, None),
+         ("b", 1, 5.0), ("b", 2, 9.0)],
+        "g string, ts int, v double",
+    ).createOrReplaceTempView("gap_t")
+    r = run_ch_sql(
+        spark,
+        "SELECT g, groupArray(v) AS vs "
+        "FROM (SELECT g, v, ts FROM gap_t ORDER BY ts) "
+        "GROUP BY g ORDER BY g",
+    ).collect()
+    # pin order, NULL v skipped (ClickHouse aggregate contract)
+    assert [(x.g, x.vs) for x in r] == [("a", [10.0, 30.0]), ("b", [5.0, 9.0])]
