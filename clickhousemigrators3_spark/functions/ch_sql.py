@@ -101,7 +101,7 @@ Covered surface (the high-frequency ClickHouse idioms):
   tupleElement(t, N) / tupleElement(t, 'name') → struct field access
 
 Refused loudly (pointer to the operator that implements the semantics):
-FINAL, SAMPLE, WITH TOTALS, LIMIT offset, n BY and LIMIT n BY without
+FINAL, SAMPLE, WITH TOTALS, LIMIT n BY without
 ORDER BY (nondeterministic), ANY/ASOF join strictness, topK /
 windowFunnel / retention / sequenceMatch / uniqUpTo / dictGet / sumMap /
 groupBitmap / anyHeavy, running/block-order functions without a pinning
@@ -407,6 +407,9 @@ _TEMPLATE = {
     "arraymap": "transform({1}, {0})",
     "arrayfilter": "filter({1}, {0})",
     "arrayexists": "exists({1}, {0})",
+    # arrayFold(lambda, arr, init) → aggregate(arr, init, lambda): the
+    # (acc, x) merge-lambda shape is shared, only the arg order moves
+    "arrayfold": "aggregate({1}, {2}, {0})",
     "arrayall": "forall({1}, {0})",
     "adddays": "({0} + make_interval(0, 0, 0, {1}))",
     "subtractdays": "({0} - make_interval(0, 0, 0, {1}))",
@@ -1547,8 +1550,9 @@ def _rewrite_limit_by(tokens: list[str], idx: int) -> list[str]:
       *arbitrary* rows per group, which no rewrite can reproduce → refused
       (pointer: operators/mergetree.py ch_limit_by_recent picks an explicit
       order).
-    * The offset form ``LIMIT o, n BY`` (skip o, keep n per group) →
-      refused; it has no single-window equivalent worth faking.
+    * The offset form ``LIMIT o, n BY`` (skip o, keep n per group) maps
+      to the SAME single window with the shifted predicate
+      ``rn > o AND rn <= o + n``.
     * ORDER BY / BY expressions must name output columns of the SELECT
       (alias your aggregates) — they move into a scope where only the
       select list is visible. A bare source column that is not selected
@@ -1572,12 +1576,17 @@ def _rewrite_limit_by(tokens: list[str], idx: int) -> list[str]:
         )
     j = _next_code(tokens, idx + 1)  # n (or offset in the offset form)
     k = _next_code(tokens, j + 1)
+    off_sql = None
     if tokens[k] == ",":
-        raise UnsupportedCHSQL(
-            "LIMIT offset, n BY is not mapped (per-group offset) — use a "
-            "row_number window directly, see operators/mergetree.py "
-            "ch_limit_by_recent"
-        )
+        # LIMIT offset, n BY — skip the first `offset` rows of each group,
+        # keep the next n: the SAME single window, shifted predicate
+        off_sql = tokens[j]
+        j = _next_code(tokens, k + 1)
+        k = _next_code(tokens, j + 1)
+        if not (off_sql.isdigit() and tokens[j].isdigit()):
+            raise UnsupportedCHSQL(
+                "LIMIT offset, n BY needs integer literals"
+            )
     n_sql = tokens[j]
     # k is the BY keyword; the expr list starts after it
     # --- owning SELECT: nearest depth-0 `select` scanning backward --------
@@ -1660,12 +1669,19 @@ def _rewrite_limit_by(tokens: list[str], idx: int) -> list[str]:
     by_sql = "".join(tokens[by_start:by_end]).strip()
     if not by_sql:
         raise UnsupportedCHSQL("LIMIT n BY with an empty expression list")
+    if off_sql is None:
+        pred = f"__ch_limit_by_rn <= {n_sql}"
+    else:
+        pred = (
+            f"__ch_limit_by_rn > {off_sql} "
+            f"AND __ch_limit_by_rn <= {int(off_sql) + int(n_sql)}"
+        )
     new_sql = (
         f"SELECT * EXCEPT (__ch_limit_by_rn) FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY {by_sql} "
         f"ORDER BY {ord_sql}) AS __ch_limit_by_rn "
         f"FROM ({inner_sql}) AS __ch_lb"
-        f") WHERE __ch_limit_by_rn <= {n_sql} ORDER BY {ord_sql}"
+        f") WHERE {pred} ORDER BY {ord_sql}"
     )
     if trailing_sql:
         new_sql += f" {trailing_sql}"

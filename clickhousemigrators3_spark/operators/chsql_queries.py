@@ -1250,3 +1250,33 @@ _ch(
     """,
     ("lineitem",),
 )
+
+# LIMIT offset, n BY (the pagination-per-group form) + arrayFold: skip the
+# first line per order, keep the next two, in line order; fold the kept
+# quantities with an order-sensitive accumulator to prove the fold order.
+_ch(
+    "chsql_limit_by_offset",
+    """
+    SELECT l_orderkey, l_linenumber,
+           arrayFold((acc, x) -> acc * 2 + x,
+                     arrayMap(i -> toInt64(i), array(l_linenumber)),
+                     toInt64(0)) AS folded
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 1, 2 BY l_orderkey
+    """,
+    """
+    SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS BIGINT) AS folded
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber) AS rn
+        FROM lineitem
+        WHERE l_orderkey < 100
+    )
+    WHERE rn > 1 AND rn <= 3
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    ("lineitem",),
+)

@@ -182,7 +182,6 @@ def test_golden_translation(ch: str, expected: str):
         # LIMIT n BY translates now (window rewrite) — only the shapes no
         # honest rewrite can reproduce still refuse
         ("SELECT * FROM t LIMIT 2 BY x", "limit_by"),  # no ORDER BY
-        ("SELECT * FROM t ORDER BY ts LIMIT 1, 2 BY x", "offset"),
         (
             "SELECT a FROM t ORDER BY a LIMIT 1 BY a UNION ALL SELECT b FROM u",
             "parenthes",
@@ -2067,3 +2066,35 @@ def test_group_array_pinned_rewrite(spark):
     ).collect()
     # pin order, NULL v skipped (ClickHouse aggregate contract)
     assert [(x.g, x.vs) for x in r] == [("a", [10.0, 30.0]), ("b", [5.0, 9.0])]
+
+
+def test_limit_by_offset_form(spark):
+    """LIMIT offset, n BY — skip the first offset rows per group, keep the
+    next n — maps to the same row_number window with a shifted predicate."""
+    t = translate_ch_sql("SELECT * FROM t ORDER BY ts LIMIT 1, 2 BY x")
+    assert "__ch_limit_by_rn > 1 AND __ch_limit_by_rn <= 3" in t
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 1), ("b", 2)],
+        "g string, ts int",
+    ).createOrReplaceTempView("lbo_t")
+    rows = run_ch_sql(
+        spark, "SELECT g, ts FROM lbo_t ORDER BY g, ts LIMIT 1, 2 BY g"
+    ).collect()
+    assert [(r.g, r.ts) for r in rows] == [("a", 2), ("a", 3), ("b", 2)]
+    # non-literal offset refuses
+    with pytest.raises(UnsupportedCHSQL, match="integer literals"):
+        translate_ch_sql("SELECT * FROM t ORDER BY ts LIMIT 1e0, 2 BY x")
+
+
+def test_array_fold(spark):
+    """arrayFold(lambda, arr, init) → aggregate(arr, init, lambda): the
+    (acc, x) merge-lambda shape is shared, only the arg order moves —
+    order-sensitive accumulator proves left-to-right fold order."""
+    t = translate_ch_sql("SELECT arrayFold((acc, x) -> acc + x, arr, 0) FROM t")
+    assert "aggregate(arr,  0, (acc, x) -> acc + x)".replace("  ", " ") in \
+        t.replace("  ", " ")
+    r = run_ch_sql(
+        spark,
+        "SELECT arrayFold((acc, x) -> acc * 10 + x, array(1, 2, 3), 0) AS v",
+    ).collect()
+    assert r[0].v == 123
