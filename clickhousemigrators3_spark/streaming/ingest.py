@@ -124,3 +124,61 @@ def stream_upsert_latest_state(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    docs_source_dir: str,
+    index_dir: str,
+    retained_out: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming crawl-drop dedup against the STORED index — the
+    Structured Streaming twin of operators/dedup_index.py: each
+    micro-batch of new documents is deduped against the published
+    fingerprint/band index (exact anti-join + cross-snapshot LSH verify),
+    the survivors land in ``retained_out/batch=<id>`` and are merged into
+    the index BEFORE the next batch runs (foreachBatch batches are
+    sequential), so a duplicate arriving two drops later is still caught.
+
+    Exactly-once across restarts, twice over: the checkpoint replays a
+    failed batch; the replay's index update no-ops (the manifest already
+    records snapshot ``b<batch_id>`` — dedup_index's idempotence
+    contract) and the retained write targets a deterministic per-batch
+    directory in overwrite mode, so replays converge instead of
+    duplicating. Scale: per-batch cost is delta-sized (the stored side
+    joins on its own keys); the index tables are the same
+    manifest-published parquet the batch pipeline reads."""
+    from pyspark.sql import DataFrame
+
+    from ..operators.dedup_index import (
+        dedup_delta_retained,
+        update_dedup_index,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_source_dir)
+    )
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        spark_ = batch.sparkSession
+        batch.persist()
+        retained = dedup_delta_retained(spark_, batch, index_dir)
+        docs = batch.join(retained, "doc_id", "semi")
+        docs.persist()
+        docs.write.mode("overwrite").parquet(
+            f"{retained_out}/batch={batch_id}"
+        )
+        update_dedup_index(spark_, docs, index_dir, snapshot=f"b{batch_id}")
+        docs.unpersist()
+        batch.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

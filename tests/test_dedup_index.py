@@ -98,3 +98,47 @@ def test_missing_index_fails_loud(spark, index_dir):
     delta = _docs(spark, [(1, FRESH1)])
     with pytest.raises(FileNotFoundError, match="build_dedup_index"):
         dedup_delta_retained(spark, delta, index_dir).collect()
+
+
+def test_stream_dedup_ingest_two_drops(spark, index_dir, tmp_path):
+    """Streaming twin: two crawl-drop files drain through foreachBatch,
+    each deduped against the index as updated by the PREVIOUS batch; a
+    restart against the same checkpoint ingests nothing twice."""
+    import time as _time
+
+    from clickhousemigrators3_spark.streaming.ingest import stream_dedup_ingest
+
+    base = _docs(spark, [(i, T[i]) for i in range(5)])
+    assert build_dedup_index(spark, base, index_dir, "s0") is True
+
+    src = str(tmp_path / "drops")
+    # one file per drop; distinct mtimes keep the processing order stable
+    _docs(spark, [(10, T[1]), (11, FRESH1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)
+    # 20 duplicates drop-1's retained FRESH1 — only the stored index
+    # updated between batches can catch it
+    _docs(spark, [(20, FRESH1), (21, FRESH2)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "retained")
+    ckpt = str(tmp_path / "ckpt")
+    stream_dedup_ingest(spark, src, index_dir, out, ckpt)
+
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    # 10 dups base T[1]; 20 dups the earlier-retained FRESH1
+    assert got == [11, 21]
+    c = _counts(spark, index_dir)
+    assert c["dedup_fp"] == 7  # 5 base + 11 + 21
+
+    # restart against the same checkpoint: nothing reprocessed
+    stream_dedup_ingest(spark, src, index_dir, out, ckpt)
+    got2 = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got2 == [11, 21]
+    assert _counts(spark, index_dir) == c
