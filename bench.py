@@ -49,6 +49,11 @@ HEADLINE = [
     # would otherwise be invisible) and the in-engine GD trainer
     "chsql_prewhere_rollup",
     "logreg_train_weights",
+    # round-9: cross-document substring dedup (the Lee-et-al modality —
+    # fingerprint-bucketed, linear retention path) and the deltaSum
+    # subquery restructure (window inside a rebuilt aggregate SELECT)
+    "dedup_substring_retained",
+    "chsql_delta_sum",
 ]
 
 

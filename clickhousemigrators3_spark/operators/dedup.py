@@ -1377,13 +1377,19 @@ def _substring_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = spans.select(
         "doc_id", stable_hash60(F.col("span")).alias("fp")
     ).distinct()
+    # persist: the explode+hash+distinct corpus pass feeds the df gate AND
+    # the gated join AND (in retained) the min-doc aggregate — without the
+    # cache the physical plan re-scans documents once per consumer
+    fps.persist()
     keep = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") > 1) & (F.col("df") <= SUB_MAX_DF))
         .select("fp")
     )
-    return fps.join(keep, "fp")
+    gated = fps.join(keep, "fp")
+    gated.persist()
+    return gated
 
 
 @register("dedup_substring_pairs", _substring_pairs_oracle())
