@@ -2098,3 +2098,67 @@ def test_array_fold(spark):
         "SELECT arrayFold((acc, x) -> acc * 10 + x, array(1, 2, 3), 0) AS v",
     ).collect()
     assert r[0].v == 123
+
+
+def test_block_agg_formatting_fuzz():
+    """Tokenizer robustness for the round-9 rewrites: random case,
+    whitespace, parametric spacing, and pin placement (top-level vs
+    FROM-subquery) must not change what the rewrite emits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        fn=st.sampled_from(
+            ["groupArrayMovingSum", "GROUPARRAYMOVINGSUM",
+             "grouparraymovingsum", "groupArrayMovingAvg"]
+        ),
+        ws=st.sampled_from([" ", "  ", "\n", "\t "]),
+        n=st.sampled_from(["2", "3", "5"]),
+        subq=st.booleans(),
+    )
+    def check_moving(fn, ws, n, subq):
+        call = f"{fn}{ws}({n}){ws}(v)"
+        if subq:
+            sql = (f"SELECT{ws}{call}{ws}AS m{ws}FROM{ws}"
+                   f"(SELECT v, ts FROM t ORDER BY ts)")
+        else:
+            sql = f"SELECT{ws}ts,{ws}{call}{ws}AS m{ws}FROM t ORDER BY ts"
+        t = translate_ch_sql(sql)
+        assert f"ROWS BETWEEN {int(n) - 1} PRECEDING AND CURRENT ROW" in t
+        assert "OVER (ORDER BY ts" in t
+        assert "grouparraymoving" not in t.lower()
+
+    check_moving()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        fn=st.sampled_from(["deltaSum", "DELTASUM", "deltasum"]),
+        ws=st.sampled_from([" ", "  ", "\n"]),
+        parens=st.booleans(),
+    )
+    def check_delta(fn, ws, parens):
+        arg = "(v)" if parens else "v"
+        sql = (f"SELECT{ws}{fn}{ws}({arg}){ws}AS d{ws}FROM{ws}"
+               f"(SELECT v, ts FROM t ORDER BY ts)")
+        t = " ".join(translate_ch_sql(sql).split())
+        assert "sum(_ds0) AS d" in t and "lag(" in t
+        assert "deltasum" not in t.lower()
+
+    check_delta()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        ws=st.sampled_from([" ", "  ", "\n", "\t "]),
+        n=st.sampled_from(["", "2"]),
+    )
+    def check_group_array(ws, n):
+        par = f"{ws}({n})" if n else ""
+        sql = (f"SELECT{ws}g,{ws}groupArray{par}{ws}(v){ws}AS a{ws}FROM{ws}"
+               f"(SELECT g, v, ts FROM t ORDER BY ts){ws}GROUP BY g")
+        t = translate_ch_sql(sql)
+        assert "array_sort(collect_list(" in t
+        if n:
+            assert f", 1, {n})" in t
+
+    check_group_array()
