@@ -201,6 +201,7 @@ def _post(
     headers: dict[str, str] | None = None,
     retries: int = 0,
     retry_backoff: float = 0.5,
+    summary_sink: dict | None = None,
 ) -> bytes:
     """One HTTP POST. Accepts (and transparently inflates) gzip response
     bodies — ClickHouse compresses when ``enable_http_compression=1`` is in
@@ -218,6 +219,30 @@ def _post(
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
                 raw = resp.read()
+                if summary_sink is not None:
+                    # the documented server-side execution stats:
+                    # X-ClickHouse-Summary arrives once per request
+                    # (read/written row+byte counts), X-ClickHouse-Progress
+                    # repeats during execution when
+                    # send_progress_in_http_headers=1 is set
+                    import json as _json
+
+                    sm = resp.headers.get("X-ClickHouse-Summary")
+                    if sm:
+                        try:
+                            summary_sink["summary"] = _json.loads(sm)
+                        except ValueError:
+                            pass
+                    progress = []
+                    for p in resp.headers.get_all(
+                        "X-ClickHouse-Progress"
+                    ) or []:
+                        try:
+                            progress.append(_json.loads(p))
+                        except ValueError:
+                            pass
+                    if progress:
+                        summary_sink["progress"] = progress
                 if resp.headers.get("Content-Encoding", "") == "gzip":
                     import gzip
 
@@ -265,7 +290,12 @@ def _coerce(pdf: pd.DataFrame, schema: T.StructType) -> pd.DataFrame:
             continue
         s = pdf[f.name]
         if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
-            s = pd.to_datetime(s, format="mixed")
+            # DateTime64(7..9) renders sub-microsecond text; pandas parses
+            # it at ns precision, which Arrow's safe cast to Spark's
+            # timestamp[us] REJECTS — truncate to micros here (the
+            # documented DateTime64 → TIMESTAMP scale loss, applied at the
+            # wire parse instead of crashing the read)
+            s = pd.to_datetime(s, format="mixed").dt.floor("us")
         elif isinstance(f.dataType, T.DateType):
             s = pd.to_datetime(s, format="mixed").dt.date
         elif isinstance(f.dataType, T.DecimalType):
@@ -472,6 +502,7 @@ def write_table_http(
                         for c in buf
                     )
                 ).encode()
+            sink: dict = {}
             if compress:
                 import gzip
 
@@ -480,9 +511,22 @@ def write_table_http(
                     gzip.compress(body),
                     timeout,
                     {**auth, "Content-Encoding": "gzip"},
+                    summary_sink=sink,
                 )
             else:
-                _post(url, body, timeout, auth)
+                _post(url, body, timeout, auth, summary_sink=sink)
+            # wire-level write witness: when the server acknowledges the
+            # INSERT with X-ClickHouse-Summary, its written_rows must equal
+            # the body's row count — a lying/truncating endpoint fails the
+            # task LOUDLY instead of silently under-writing (the C10
+            # fail-fast contract extended to the wire)
+            wr = (sink.get("summary") or {}).get("written_rows")
+            if wr is not None and int(wr) != buffered:
+                raise OSError(
+                    f"server acknowledged {wr} written rows for a "
+                    f"{buffered}-row INSERT body — write witness mismatch "
+                    "(X-ClickHouse-Summary)"
+                )
             buf, buffered = [], 0
 
         for b in batches:

@@ -70,6 +70,8 @@ class _StubClickHouse:
         self.received: list[str] = []
         self.auth_seen: list[dict] = []
         self.fail_next = 0  # make the next N requests 503 (retry testing)
+        self.last_written = 0  # rows of the last INSERT (summary header)
+        self.lie_written_rows = False  # make the summary lie (witness test)
         self.formats: set[str] | None = None  # None = every FORMAT supported
         for t in ("nation", "customer", "orders"):
             self.con.execute(
@@ -113,6 +115,27 @@ class _StubClickHouse:
                     self.wfile.write(str(exc).encode())
                     return
                 self.send_response(200)
+                # the documented execution-stats headers a real server sends
+                # (X-ClickHouse-Summary always; repeated progress headers
+                # when send_progress_in_http_headers=1)
+                written = stub.last_written
+                if stub.lie_written_rows and written:
+                    written += 1
+                self.send_header(
+                    "X-ClickHouse-Progress",
+                    json.dumps({"read_rows": "1", "read_bytes": "8"}),
+                )
+                self.send_header(
+                    "X-ClickHouse-Summary",
+                    json.dumps(
+                        {
+                            "read_rows": "0",
+                            "read_bytes": "0",
+                            "written_rows": str(written),
+                            "written_bytes": str(written * 8),
+                        }
+                    ),
+                )
                 # compress whenever the client advertises gzip, as a real
                 # server with enable_http_compression does — every test then
                 # exercises the transport's transparent inflate path
@@ -131,6 +154,7 @@ class _StubClickHouse:
 
     def execute(self, sql: str | bytes) -> bytes:
         with self.lock:
+            self.last_written = 0
             if isinstance(sql, bytes):
                 pm = re.match(rb"INSERT INTO (\w+) FORMAT Parquet\n(.*)", sql, re.S)
                 if pm:
@@ -148,6 +172,7 @@ class _StubClickHouse:
                         f"INSERT INTO {table} SELECT * FROM _parquet_ins"
                     )
                     self.con.unregister("_parquet_ins")
+                    self.last_written = tbl.num_rows
                     return b""
                 sql = sql.decode()
             self.received.append(sql)
@@ -160,6 +185,7 @@ class _StubClickHouse:
                     f"INSERT INTO {m.group(1)} ({', '.join(cols)}) VALUES ({ph})",
                     [[r[c] for c in cols] for r in rows],
                 )
+                self.last_written = len(rows)
                 return b""
             fmt = "TabSeparated"
             fm = re.search(r"\s+FORMAT\s+(\w+)\s*$", sql)
@@ -1369,3 +1395,58 @@ def test_datetime64_9_truncates_to_micros(spark):
     )
     row = spark.createDataFrame(pdf, schema).collect()[0]
     assert row.ts.microsecond == 123456
+
+
+def test_write_witness_from_summary_headers(spark, stub):
+    """The server's X-ClickHouse-Summary acknowledgment is checked against
+    the INSERT body's row count per flush — a lying/truncating endpoint
+    fails the write loudly instead of silently under-writing."""
+    stub.execute("CREATE TABLE wsink (k BIGINT, v DOUBLE)")
+    df = spark.range(7).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    # honest server: the witness passes silently
+    assert write_table_http(df, stub.url, "wsink") == 7
+    assert stub.con.execute("SELECT count(*) FROM wsink").fetchone()[0] == 7
+
+    stub.lie_written_rows = True
+    try:
+        with pytest.raises(Exception, match="write witness mismatch"):
+            write_table_http(df, stub.url, "wsink")
+    finally:
+        stub.lie_written_rows = False
+
+
+def test_progress_and_summary_headers_captured(stub):
+    """_post exposes the documented execution-stats headers when given a
+    sink: X-ClickHouse-Summary once, X-ClickHouse-Progress repeated."""
+    from clickhousemigrators3_spark.sources.clickhouse_http import _post
+
+    sink: dict = {}
+    _post(stub.url, b"SELECT 1 FORMAT JSONEachRow", 30.0, summary_sink=sink)
+    assert "summary" in sink and "written_rows" in sink["summary"]
+    assert sink["progress"] and sink["progress"][0]["read_rows"] == "1"
+
+
+def test_datetime64_9_truncates_to_micros(spark, stub):
+    """DateTime64(9) renders nanosecond text on the JSON wire; Spark
+    timestamps are microseconds — the schema-driven parse must TRUNCATE
+    to micros, never fail or round up (closing the DateTime64(9) gap
+    named in docs/COVERAGE.md, at the wire-parse level a stub CAN
+    prove)."""
+    from datetime import datetime
+
+    stub.execute("CREATE TABLE ns_t (id BIGINT, ts9 VARCHAR)")
+    stub.con.execute(
+        "INSERT INTO ns_t VALUES (1, '2024-03-01 10:30:00.123456789'), "
+        "(2, '2024-03-01 10:30:00.999999999')"
+    )
+    schema = spark.createDataFrame([], "id long, ts9 timestamp_ntz").schema
+    df = read_table_http(
+        spark, stub.url, "ns_t", schema, wire_format="JSONEachRow"
+    )
+    got = [tuple(r) for r in df.orderBy("id").collect()]
+    assert got == [
+        (1, datetime(2024, 3, 1, 10, 30, 0, 123456)),
+        (2, datetime(2024, 3, 1, 10, 30, 0, 999999)),
+    ]
