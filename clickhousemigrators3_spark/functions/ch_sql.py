@@ -601,6 +601,18 @@ _UNSUPPORTED_FUNCS = {
         "UInt64 range exceeds BIGINT — use rand() (UInt32-faithful) or an "
         "explicit double draw"
     ),
+    "tofixedstring": (
+        "Spark strings are unbounded (no FixedString zero-padding type) — "
+        "use rpad for the padding semantics or leave the column VARCHAR"
+    ),
+    "normalizeutf8nfc": (
+        "no Spark builtin for Unicode normalization — unicodedata"
+        ".normalize in a Pandas UDF (operators/textops.py patterns)"
+    ),
+    "normalizeutf8nfd": (
+        "no Spark builtin for Unicode normalization — unicodedata"
+        ".normalize in a Pandas UDF (operators/textops.py patterns)"
+    ),
     "greatcircledistance": (
         "operators/geo.py _haversine_sql (identical haversine text on "
         "both engines)"
@@ -1039,6 +1051,11 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         return f"POSITION({args[0]})"  # standard POSITION(sub IN str)
     if low == "todecimal64" and len(args) == 2:
         return f"CAST({args[0]} AS DECIMAL(18, {args[1].strip()}))"
+    if low == "todecimal32" and len(args) == 2:
+        return f"CAST({args[0]} AS DECIMAL(9, {args[1].strip()}))"
+    if low == "todecimal128" and len(args) == 2:
+        # ClickHouse Decimal128 carries 38 digits — exactly Spark's max
+        return f"CAST({args[0]} AS DECIMAL(38, {args[1].strip()}))"
     if low == "datediff":
         if len(args) < 3:
             raise UnsupportedCHSQL(
@@ -1214,7 +1231,8 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
 _KNOWN = (
     set(_RENAME) | set(_TEMPLATE) | set(_PARAMETRIC) | set(_UNSUPPORTED_FUNCS)
     | _ENGINE_HASHES | _VARIADIC_ARRAY
-    | {"count", "multiif", "cast", "todecimal64", "formatdatetime",
+    | {"count", "multiif", "cast", "todecimal64", "todecimal32",
+       "todecimal128", "formatdatetime",
        "jsonextractstring",
        "visitparamextractstring", "jsonextractint", "jsonextractfloat",
        "tostartofweek", "extract", "extractall", "datediff",
