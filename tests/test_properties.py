@@ -292,3 +292,64 @@ def test_avg_precision_matches_literal_definition(spark, rows):
     expected = ap / n_pos
     assert len(out) == 1
     assert abs(out[0].avg_precision - expected) < 1e-6, (rows, out[0].avg_precision, expected)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"),  # tiny vocab → collisions likely
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_substring_dedup_pairs_property(spark, docs_words):
+    """dedup_substring_pairs must equal the literal definition — count of
+    shared distinct SUB_K-word spans per doc pair under the df gate — for
+    ARBITRARY corpora (shared spans at any offset, repeated spans inside
+    one doc, docs too short to span, boilerplate shared by everyone)."""
+    from collections import defaultdict
+
+    from clickhousemigrators3_spark.operators.dedup import (
+        SUB_K,
+        SUB_MAX_DF,
+        dedup_substring_pairs,
+    )
+
+    k = 3  # property grain: SUB_K is 12, too long for generated docs
+    import clickhousemigrators3_spark.operators.dedup as dd
+
+    texts = [(i, " ".join(w)) for i, w in enumerate(docs_words)]
+    # literal definition in plain Python
+    spans = defaultdict(set)  # span -> {doc}
+    for i, words in enumerate(docs_words):
+        for s in range(max(0, len(words) - k + 1)):
+            spans[" ".join(words[s : s + k])].add(i)
+    expected = defaultdict(int)
+    for _span, ds in spans.items():
+        if not (1 < len(ds) <= SUB_MAX_DF):
+            continue
+        ds = sorted(ds)
+        for x in range(len(ds)):
+            for y in range(x + 1, len(ds)):
+                expected[(ds[x], ds[y])] += 1
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(texts, ["doc_id", "text"]).write.mode(
+            "overwrite"
+        ).parquet(d + "/documents.parquet")
+        old = dd.SUB_K
+        dd.SUB_K = k
+        try:
+            got = {
+                (r.a_id, r.b_id): r.n_shared
+                for r in dedup_substring_pairs(spark, d).collect()
+            }
+        finally:
+            dd.SUB_K = old
+    assert got == dict(expected), (texts, got, dict(expected))
