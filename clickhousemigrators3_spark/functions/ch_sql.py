@@ -531,6 +531,10 @@ _PARAMETRIC = {
     "quantiles": "percentile_approx({a0}, array({params}))",
     "quantilesexact": "percentile({a0}, array({params}))",
     "quantilestdigest": "percentile_approx({a0}, array({params}))",
+    # the N smallest values in ascending order — deterministic WITHOUT a
+    # block-order pin (sorting defines the result, not arrival order);
+    # ClickHouse aggregates skip NULLs and so does collect_list
+    "grouparraysorted": "slice(array_sort(collect_list({a0})), 1, {p0})",
 }
 
 # parametric names that default to the median when the (params) group is

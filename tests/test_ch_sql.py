@@ -2162,3 +2162,18 @@ def test_block_agg_formatting_fuzz():
             assert f", 1, {n})" in t
 
     check_group_array()
+
+
+def test_group_array_sorted(spark):
+    """groupArraySorted(N)(x): the N smallest values ascending —
+    deterministic WITHOUT a pin (the sort defines the result)."""
+    t = translate_ch_sql("SELECT groupArraySorted(2)(v) FROM t GROUP BY g")
+    assert "slice(array_sort(collect_list(v)), 1, 2)" in t.replace("  ", " ")
+    spark.createDataFrame(
+        [("a", 5), ("a", 1), ("a", 3), ("b", 9)], "g string, v int"
+    ).createOrReplaceTempView("gs_t")
+    r = run_ch_sql(
+        spark,
+        "SELECT g, groupArraySorted(2)(v) AS s FROM gs_t GROUP BY g ORDER BY g",
+    ).collect()
+    assert [(x.g, x.s) for x in r] == [("a", [1, 3]), ("b", [9])]
