@@ -317,3 +317,58 @@ def parse_header(payload: bytes) -> dict:
     out["first_byte"] = payload[0] if n else 0
     out["byte_sum_mod"] = sum(payload) % 65536
     return out
+
+
+# --- SGV1: a minimal indexed video container -------------------------------
+# Real multimodal pipelines frame-sample mp4/webm via ffmpeg, which this
+# container stands in for WITHOUT faking the pipeline shape: frames are
+# genuine PNGs behind a length-indexed directory, so a sampler can seek to
+# frame i and decode ONLY that frame — the property that makes
+# frame-sampling cheap at scale (decode cost ∝ sampled frames, not video
+# length). Layout:
+#
+#   b"SGV1" | uint32 n_frames | uint32 fps | n_frames × uint32 frame_len
+#   | frame 0 PNG bytes | frame 1 PNG bytes | …
+#
+# (big-endian, like the PNG chunks it carries).
+
+SGV_SIG = b"SGV1"
+
+
+def encode_video_sgv(frames, fps: int) -> bytes:
+    """A complete SGV1 container from a list of 2-D uint8 frames."""
+    blobs = [encode_png_gray(f) for f in frames]
+    head = SGV_SIG + struct.pack(">II", len(blobs), int(fps))
+    index = b"".join(struct.pack(">I", len(b)) for b in blobs)
+    return head + index + b"".join(blobs)
+
+
+def parse_video_header(payload: bytes) -> dict:
+    """``{n_frames, fps, frame_offsets}`` from the SGV1 directory — no
+    frame bytes touched."""
+    if len(payload) < 12 or payload[:4] != SGV_SIG:
+        raise ValueError("not an SGV1 container")
+    n_frames, fps = struct.unpack(">II", payload[4:12])
+    need = 12 + 4 * n_frames
+    if len(payload) < need:
+        raise ValueError("SGV1 directory truncated")
+    lens = struct.unpack(f">{n_frames}I", payload[12:need])
+    offsets = []
+    pos = need
+    for ln in lens:
+        offsets.append((pos, ln))
+        pos += ln
+    if pos > len(payload):
+        raise ValueError("SGV1 frame data truncated")
+    return {"n_frames": n_frames, "fps": fps, "frame_offsets": offsets}
+
+
+def decode_video_frame(payload: bytes, idx: int) -> np.ndarray:
+    """Decode ONLY frame ``idx`` (directory seek + one PNG decode) — other
+    frames' bytes are never inflated, the on-demand property the
+    frame-sample operator's cost model rests on."""
+    hdr = parse_video_header(payload)
+    if not 0 <= idx < hdr["n_frames"]:
+        raise IndexError(f"frame {idx} of {hdr['n_frames']}")
+    pos, ln = hdr["frame_offsets"][idx]
+    return decode_png_gray(payload[pos : pos + ln])

@@ -544,3 +544,103 @@ def mm_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("corner_px")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_video_frame_sample",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 9 AS BIGINT) AS n_frames,
+             CAST(8 + doc_id % 5 AS BIGINT) AS h,
+             CAST(8 + doc_id % 3 AS BIGINT) AS w
+      FROM documents WHERE doc_id < 300),
+    f AS (
+      SELECT doc_id, n_frames, h, w,
+             unnest(generate_series(0, n_frames - 1, 3)) AS frame_idx
+      FROM p),
+    y AS (
+      SELECT doc_id, n_frames, frame_idx, h, w,
+             unnest(generate_series(0, h - 1)) AS yy
+      FROM f),
+    px AS (
+      SELECT doc_id, n_frames, frame_idx, yy, w,
+             unnest(generate_series(0, w - 1)) AS xx
+      FROM y)
+    SELECT doc_id, n_frames, frame_idx,
+           CAST((17 * frame_idx + doc_id) % 256 AS BIGINT) AS corner_px,
+           CAST(SUM((17 * frame_idx + 31 * yy + 7 * xx + doc_id) % 256)
+                AS BIGINT) AS sum_px
+    FROM px
+    GROUP BY doc_id, n_frames, frame_idx
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling over a REAL indexed container: synthesize an
+    SGV1 video per doc (4..12 genuine PNG frames behind a length
+    directory, gradient pattern ``px(f,y,x) = (17f+31y+7x+doc_id) % 256``),
+    then sample every 3rd frame — the directory seek decodes ONLY the
+    sampled frames (functions/codecs.py decode_video_frame), which is the
+    property that makes frame-sampling affordable at scale: decode cost ∝
+    sampled frames, not video length. ``corner_px`` and the exact integer
+    ``sum_px`` are read from the DECODED pixels, so the container walk,
+    the PNG decode, and the sampling stride all have to agree with the
+    oracle's closed-form pattern.
+
+    Scale: map-only mapInPandas over the same round-robin spread as
+    mm_resize (CPU-bound codec work across cores); the fps/n_frames
+    directory read costs O(bytes of header), never a full decode."""
+    import numpy as np
+
+    from ..functions.codecs import decode_video_frame, encode_video_sgv
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 300
+    )
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_frames = 4 + i % 9
+                h, w = 8 + i % 5, 8 + i % 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                video = encode_video_sgv(
+                    [
+                        ((17 * f + 31 * yy + 7 * xx + i) % 256).astype(
+                            np.uint8
+                        )
+                        for f in range(n_frames)
+                    ],
+                    fps=24,
+                )
+                for f in range(0, n_frames, 3):
+                    frame = decode_video_frame(video, f)
+                    rows.append(
+                        (
+                            i,
+                            n_frames,
+                            f,
+                            int(frame[0, 0]),
+                            int(frame.astype(np.int64).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "frame_idx", "corner_px", "sum_px",
+                ],
+            )
+
+    return d.mapInPandas(
+        sample,
+        schema=(
+            "doc_id long, n_frames long, frame_idx long, corner_px long, "
+            "sum_px long"
+        ),
+    ).orderBy("doc_id", "frame_idx")

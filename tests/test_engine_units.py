@@ -2233,3 +2233,36 @@ def test_short_doc_shingles_empty(spark):
     )
     got = df.select(word_shingles(F.col("t"), 4).alias("s")).collect()
     assert [len(r.s) for r in got] == [0, 0, 2]
+
+
+def test_sgv1_video_codec_on_demand_decode():
+    """SGV1 container: round trip, header-only directory walk, and the
+    on-demand property the frame-sample cost model rests on — a corrupted
+    UNSAMPLED frame must not affect decoding other frames (its bytes are
+    never inflated), while decoding the corrupted frame itself fails."""
+    import numpy as np
+    import pytest as _pytest
+
+    from clickhousemigrators3_spark.functions.codecs import (
+        decode_video_frame,
+        encode_video_sgv,
+        parse_video_header,
+    )
+
+    frames = [
+        np.arange(20, dtype=np.uint8).reshape(4, 5) + i for i in range(6)
+    ]
+    v = encode_video_sgv(frames, fps=30)
+    hdr = parse_video_header(v)
+    assert hdr["n_frames"] == 6 and hdr["fps"] == 30
+    for i in (0, 3, 5):
+        assert (decode_video_frame(v, i) == frames[i]).all()
+    pos, ln = hdr["frame_offsets"][1]
+    corrupted = v[:pos] + b"\x00" * ln + v[pos + ln:]
+    assert (decode_video_frame(corrupted, 3) == frames[3]).all()
+    with _pytest.raises(Exception):
+        decode_video_frame(corrupted, 1)
+    with _pytest.raises(IndexError):
+        decode_video_frame(v, 6)
+    with _pytest.raises(ValueError, match="SGV1|container"):
+        parse_video_header(b"nope")
