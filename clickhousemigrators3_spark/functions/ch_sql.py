@@ -605,6 +605,37 @@ _UNSUPPORTED_FUNCS = {
         "UInt64 range exceeds BIGINT — use rand() (UInt32-faithful) or an "
         "explicit double draw"
     ),
+    "histogram": (
+        "adaptive-bin sketch with no Spark twin — "
+        "operators/analytics.py histogram_value_buckets (fixed buckets)"
+    ),
+    "exponentialmovingaverage": (
+        "recursive per-row state (EMA) has no window-aggregate twin — "
+        "operators/ch_stats2.py exponentialTimeDecayedAvg parity"
+    ),
+    "exponentialtimedecayedavg": (
+        "operators/ch_stats2.py (exponentialTimeDecayedAvg parity query)"
+    ),
+    "remote": (
+        "distributed fan-out is Spark's job — read the underlying table "
+        "through the catalog / sources/clickhouse_http.py instead"
+    ),
+    "remotesecure": (
+        "distributed fan-out is Spark's job — read the underlying table "
+        "through the catalog / sources/clickhouse_http.py instead"
+    ),
+    "cluster": (
+        "distributed fan-out is Spark's job — read the underlying table "
+        "through the catalog / sources/clickhouse_http.py instead"
+    ),
+    "clusterallreplicas": (
+        "distributed fan-out is Spark's job — read the underlying table "
+        "through the catalog / sources/clickhouse_http.py instead"
+    ),
+    "merge": (
+        "the merge() multi-table view — union the tables explicitly "
+        "(Spark reads a directory of parquet as one relation anyway)"
+    ),
     "tofixedstring": (
         "Spark strings are unbounded (no FixedString zero-padding type) — "
         "use rpad for the padding semantics or leave the column VARCHAR"
@@ -1907,6 +1938,7 @@ def translate_ch_sql(sql: str) -> str:
             "engine/partition-key columns of the emulated system.tables"
         )
     tokens = _expand_with_macros(tokens)
+    _refuse_group_by_modifiers(tokens)
     tokens = _rewrite_running_funcs(tokens)
     tokens = _rewrite_group_arrays(tokens)
     # PREWHERE: ClickHouse's early-filter hint. Spark's optimizer pushes
@@ -2891,6 +2923,46 @@ class _FillSpec:
         self.step_lit = step_lit
         self.step_interval = step_interval
         self.interpolate = interpolate or []
+
+
+def _refuse_group_by_modifiers(tokens: list[str]) -> None:
+    """``GROUP BY … WITH ROLLUP/CUBE`` would pass straight through Spark's
+    shared grammar — but ClickHouse fills the grouping-key columns of
+    subtotal rows with the type's DEFAULT (0 / ''), where Spark emits
+    NULL: a silent VALUE divergence, the exact class this module's
+    contract forbids (same reason WITH TOTALS refuses). Clause-gated like
+    the WITH FILL scanner: a CTE or column named ``rollup`` never
+    matches."""
+    clause: list[str | None] = [None]
+    prev_code: str | None = None
+    for i, t in enumerate(tokens):
+        if _is_ws(t):
+            continue
+        low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
+        if (
+            low in ("rollup", "cube")
+            and prev_code == "with"
+            and clause[-1] == "group"
+        ):
+            raise UnsupportedCHSQL(
+                f"GROUP BY … WITH {low.upper()} fills subtotal-row keys "
+                "with type DEFAULTS in ClickHouse but NULLs in Spark — a "
+                "silent value divergence; if NULL subtotal keys are "
+                f"acceptable, spell Spark's GROUP BY {low.upper()}(…) "
+                "directly, else see operators/tpch_more.py rollup_revenue"
+            )
+        if t == "(":
+            clause.append(None)
+        elif t == ")":
+            if len(clause) > 1:
+                clause.pop()
+        elif low in ("select", "from", "where", "having", "limit", "window"):
+            clause[-1] = low
+        elif low in ("group", "order") and _next_word_is(tokens, i, "by"):
+            clause[-1] = low
+        elif low == "union":
+            clause[-1] = None
+        prev_code = low if low is not None else t
 
 
 def _scan_top_fill(tokens: list[str]) -> int | None:

@@ -2177,3 +2177,35 @@ def test_group_array_sorted(spark):
         "SELECT g, groupArraySorted(2)(v) AS s FROM gs_t GROUP BY g ORDER BY g",
     ).collect()
     assert [(x.g, x.s) for x in r] == [("a", [1, 3]), ("b", [9])]
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        # ClickHouse fills subtotal keys with type DEFAULTS, Spark with
+        # NULL — silent value divergence, so the modifier refuses
+        ("SELECT a, sum(v) FROM t GROUP BY a WITH ROLLUP", "DEFAULTS"),
+        ("SELECT a, b, sum(v) FROM t GROUP BY a, b WITH CUBE", "DEFAULTS"),
+        ("SELECT histogram(5)(v) FROM t", "histogram_value_buckets"),
+        ("SELECT exponentialMovingAverage(10)(v, ts) FROM t ORDER BY ts",
+         "exponentialTimeDecayedAvg"),
+        # distributed table functions: fan-out is Spark's job
+        ("SELECT col FROM remote('h', db, tbl)", "catalog"),
+        ("SELECT * FROM cluster('c', db.t)", "catalog"),
+        ("SELECT * FROM merge('db', '^logs')", "union"),
+    ],
+)
+def test_divergence_class_refusals(ch: str, needle: str):
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql(ch)
+    assert needle.lower() in str(exc.value).lower()
+
+
+def test_group_by_modifier_refusal_is_clause_gated():
+    """A CTE or column merely NAMED rollup/cube must still translate."""
+    t = translate_ch_sql(
+        "WITH rollup AS (SELECT 1 AS x) SELECT x FROM rollup"
+    )
+    assert "rollup" in t.lower()
+    t = translate_ch_sql("SELECT cube, count() FROM t GROUP BY cube")
+    assert "GROUP BY cube" in t
