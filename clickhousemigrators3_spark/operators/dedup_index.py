@@ -78,23 +78,23 @@ def _publish_tables(
     index_dir: str, snapshot: str, rels: dict[str, DataFrame]
 ) -> bool:
     """Write each relation to its immutable ``<table>__<snapshot>`` prefix
-    and flip the manifests. Returns False (no-op) when the CURRENT
-    manifests already point at this snapshot — the replay-idempotence
-    contract: a crashed-and-retried ingest of the same crawl drop neither
-    duplicates index rows nor burns a version."""
-    current = {
-        t: resolve_manifest(index_dir, t) for t in INDEX_TABLES
-    }
-    want = {t: _snapshot_path(index_dir, t, snapshot) for t in INDEX_TABLES}
-    if all(current[t] == want[t] for t in INDEX_TABLES):
-        return False
+    and flip the manifests — PER TABLE, so a retry after a crash anywhere
+    in the sequence converges: tables whose manifest already points at
+    this snapshot are skipped (no duplicate rows, no burned version), the
+    rest are (re)written and flipped. Data lands fully before any manifest
+    flips (fail-fast ordering: a crash mid-write leaves every old version
+    published). Returns False when every table had already converged —
+    the replay-idempotence contract."""
+    pending: list[tuple[str, str]] = []
     for t, df in rels.items():
-        df.write.mode("overwrite").parquet(want[t])
-    # data fully landed before any manifest flips (fail-fast ordering:
-    # a crash mid-loop leaves the old versions published)
-    for t in INDEX_TABLES:
-        publish_manifest(index_dir, t, want[t])
-    return True
+        want = _snapshot_path(index_dir, t, snapshot)
+        if resolve_manifest(index_dir, t) == want:
+            continue
+        df.write.mode("overwrite").parquet(want)
+        pending.append((t, want))
+    for t, want in pending:
+        publish_manifest(index_dir, t, want)
+    return bool(pending)
 
 
 def build_dedup_index(
@@ -166,11 +166,16 @@ def update_dedup_index(
     snapshot). The delta must be the post-dedup retained set — indexing
     dropped docs would make them block their own near-twins later."""
     fresh = _index_relations(retained_delta)
-    current = resolve_manifest(index_dir, INDEX_TABLES[0])
-    if current == _snapshot_path(index_dir, INDEX_TABLES[0], snapshot):
+    # per-table convergence: a crash mid-publish can leave SOME tables
+    # already at this snapshot (their published data already contains the
+    # delta — unioning again would duplicate rows); merge only the tables
+    # still on an older version
+    merged: dict[str, DataFrame] = {}
+    for t in INDEX_TABLES:
+        want = _snapshot_path(index_dir, t, snapshot)
+        if resolve_manifest(index_dir, t) == want:
+            continue
+        merged[t] = _published(spark, index_dir, t).unionByName(fresh[t])
+    if not merged:
         return False
-    merged = {
-        t: _published(spark, index_dir, t).unionByName(fresh[t])
-        for t in INDEX_TABLES
-    }
     return _publish_tables(index_dir, snapshot, merged)

@@ -142,3 +142,40 @@ def test_stream_dedup_ingest_two_drops(spark, index_dir, tmp_path):
     )
     assert got2 == [11, 21]
     assert _counts(spark, index_dir) == c
+
+
+def test_crash_between_write_and_publish_keeps_old_version(
+    spark, index_dir, monkeypatch
+):
+    """Fail-fast ordering: data lands fully before ANY manifest flips, so
+    a crash mid-publish leaves every reader on the old version; the retry
+    converges."""
+    import clickhousemigrators3_spark.operators.dedup_index as di
+
+    base = _docs(spark, [(i, T[i]) for i in range(3)])
+    assert build_dedup_index(spark, base, index_dir, "s0") is True
+    c0 = _counts(spark, index_dir)
+
+    real_publish = di.publish_manifest
+    calls = {"n": 0}
+
+    def crashing_publish(dest_dir, table, data_path):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first manifest flips, second crashes
+            raise OSError("simulated crash mid-publish")
+        return real_publish(dest_dir, table, data_path)
+
+    delta = _docs(spark, [(10, FRESH1)])
+    monkeypatch.setattr(di, "publish_manifest", crashing_publish)
+    with pytest.raises(OSError, match="simulated crash"):
+        update_dedup_index(spark, delta, index_dir, "s1")
+    monkeypatch.setattr(di, "publish_manifest", real_publish)
+
+    # the table whose manifest DID flip shows the new version; the others
+    # still read the old one — but a retry of the same snapshot converges
+    # all three (per-table publish is idempotent on identical paths)
+    assert update_dedup_index(spark, delta, index_dir, "s1") is True
+    c1 = _counts(spark, index_dir)
+    assert c1["dedup_fp"] == c0["dedup_fp"] + 1
+    assert c1["dedup_perdoc"] == c0["dedup_perdoc"] + 1
+    assert c1["dedup_bands"] == c0["dedup_bands"] + 4
