@@ -535,6 +535,12 @@ _PARAMETRIC = {
     # block-order pin (sorting defines the result, not arrival order);
     # ClickHouse aggregates skip NULLs and so does collect_list
     "grouparraysorted": "slice(array_sort(collect_list({a0})), 1, {p0})",
+    # UNPINNED parametric groupArray/groupUniqArray (the pinned form is
+    # rewritten earlier): "up to N values, arbitrary which" — slice of the
+    # unordered collection carries the same indeterminate contract; the
+    # bare rename used to emit unparseable collect_list(N)(x)
+    "grouparray": "slice(collect_list({a0}), 1, {p0})",
+    "groupuniqarray": "slice(collect_set({a0}), 1, {p0})",
 }
 
 # parametric names that default to the median when the (params) group is

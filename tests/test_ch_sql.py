@@ -2209,3 +2209,24 @@ def test_group_by_modifier_refusal_is_clause_gated():
     assert "rollup" in t.lower()
     t = translate_ch_sql("SELECT cube, count() FROM t GROUP BY cube")
     assert "GROUP BY cube" in t
+
+
+def test_unpinned_parametric_group_array(spark):
+    """Unpinned groupArray(N)/groupUniqArray(N): 'up to N values,
+    arbitrary which' — slice of the unordered collection carries the same
+    indeterminate contract; the bare rename used to emit unparseable
+    collect_list(N)(x)."""
+    t = translate_ch_sql("SELECT g, groupArray(2)(v) AS r FROM t GROUP BY g")
+    assert "slice(collect_list(v), 1, 2)" in t.replace("  ", " ")
+    t = translate_ch_sql(
+        "SELECT g, groupUniqArray(3)(v) AS r FROM t GROUP BY g"
+    )
+    assert "slice(collect_set(v), 1, 3)" in t.replace("  ", " ")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3)], "g string, v int"
+    ).createOrReplaceTempView("upga_t")
+    r = run_ch_sql(
+        spark,
+        "SELECT g, groupArray(2)(v) AS r FROM upga_t GROUP BY g",
+    ).collect()
+    assert len(r[0].r) == 2
