@@ -1458,3 +1458,115 @@ def dedup_substring_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dropped, "doc_id", "left_anti")
         .orderBy("doc_id")
     )
+
+
+
+def _substring_coverage_oracle() -> str:
+    words = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    span = " || ' ' || ".join(f"w[s + {j}]" for j in range(SUB_K))
+    h = oracle_hash_sql("span", 60)
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE {words} END AS w
+  FROM documents),
+wins AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, greatest(len(w) - {SUB_K - 1}, 0))) AS s
+  FROM docs),
+fps AS (
+  SELECT doc_id, s, {h} AS fp
+  FROM (SELECT doc_id, s, {span} AS span FROM wins) q),
+dup AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1),
+dupwins AS (SELECT f.doc_id, f.s FROM fps f JOIN dup USING (fp)),
+spanstats AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans FROM dupwins GROUP BY doc_id),
+covered AS (
+  SELECT doc_id, COUNT(DISTINCT p) AS n_covered
+  FROM (SELECT doc_id, unnest(generate_series(s, s + {SUB_K - 1})) AS p
+        FROM dupwins) q
+  GROUP BY doc_id),
+toks AS (SELECT doc_id, len(w) AS n_tokens FROM docs)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(ss.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered
+FROM toks t
+LEFT JOIN spanstats ss USING (doc_id)
+LEFT JOIN covered c USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@register("dedup_substring_coverage", _substring_coverage_oracle())
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al REMOVAL metric for cross-document substring dedup:
+    per document, how many {SUB_K}-word windows are shared verbatim with
+    ANOTHER document (``n_dup_spans``) and how many token positions those
+    windows cover (``n_covered``) — n_covered / n_tokens is the fraction
+    of the document that span-removal (rather than doc-dropping) would
+    delete. Complements dedup_substring_pairs/retained: pairs give the
+    drop evidence, this gives the surgical-removal accounting.
+
+    Scale: linear end to end — one posexploded window scan, a grouped
+    distinct-doc count per fingerprint (df relation, joined back on the
+    8-byte fp), and a bounded position explode (×{SUB_K}) ONLY over
+    duplicated windows (the rare case by construction). No pair relation,
+    no df cap needed: a boilerplate span shared by every doc costs one
+    fp-group row plus its own windows, never a cross join."""
+    from ..functions.text import _shingles_of_words, _words_array
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", _words_array(F.col("text")).alias("w")
+    )
+    wins = docs.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.posexplode(_shingles_of_words(F.col("w"), SUB_K)).alias(
+            "s", "span"
+        ),
+    )
+    fps = wins.select(
+        "doc_id", "s", stable_hash60(F.col("span")).alias("fp")
+    )
+    fps.persist()
+    dup = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("fp")
+    )
+    dupwins = fps.join(dup, "fp").select("doc_id", "s")
+    dupwins.persist()
+    spanstats = dupwins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+    covered = (
+        dupwins.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + (SUB_K - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    toks = docs.select("doc_id", F.size("w").alias("n_tokens"))
+    return (
+        toks.join(spanstats, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias(
+                "n_covered"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -2266,3 +2266,43 @@ def test_sgv1_video_codec_on_demand_decode():
         decode_video_frame(v, 6)
     with _pytest.raises(ValueError, match="SGV1|container"):
         parse_video_header(b"nope")
+
+
+def test_substring_coverage_fixture(spark, tmp_path):
+    """Coverage accounting on a hand-built corpus: a doc whose only
+    duplication is one shared SUB_K-word span reports exactly SUB_K
+    covered positions; overlapping shared windows union their coverage;
+    clean and too-short docs report zeros."""
+    from clickhousemigrators3_spark.operators.dedup import (
+        SUB_K,
+        dedup_substring_coverage,
+    )
+
+    span = " ".join(f"sh{i}" for i in range(SUB_K))
+    span_plus = span + " sh_extra"  # docs 2&3 share SUB_K+1 words →
+    # two overlapping windows, SUB_K+1 covered positions
+    rows = [
+        (0, f"a0 b0 {span} c0 d0"),
+        (1, f"a1 {span} c1"),
+        (2, f"x2 {span_plus} y2"),
+        (3, f"{span_plus} z3 w3"),
+        (4, "totally unrelated clean words nobody repeats anywhere"),
+        (5, "tiny"),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        d + "/documents.parquet"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.n_covered)
+        for r in dedup_substring_coverage(spark, d).collect()
+    }
+    assert got[0] == (SUB_K + 4, 1, SUB_K)
+    assert got[1] == (SUB_K + 2, 1, SUB_K)
+    # span_plus: the shared run is SUB_K+1 words → 2 windows... but the
+    # plain `span` inside it ALSO matches docs 0/1's window, so both
+    # windows of the run are cross-doc duplicated: coverage = SUB_K+1
+    assert got[2] == (SUB_K + 3, 2, SUB_K + 1)
+    assert got[3] == (SUB_K + 3, 2, SUB_K + 1)
+    assert got[4][1:] == (0, 0)
+    assert got[5] == (1, 0, 0)
