@@ -611,6 +611,22 @@ _UNSUPPORTED_FUNCS = {
         "UInt64 range exceeds BIGINT — use rand() (UInt32-faithful) or an "
         "explicit double draw"
     ),
+    "grouparraylast": (
+        "block-order dependent without an ORDER BY — add a pinning "
+        "top-level ORDER BY (or order the FROM-subquery): the translator "
+        "then keeps the LAST N of the pin-sorted collection"
+    ),
+    "minmap": "operators/mergetree.py ch_summing_map (grouped map algebra)",
+    "maxmap": "operators/mergetree.py ch_summing_map (grouped map algebra)",
+    "avgmap": "operators/mergetree.py ch_summing_map (grouped map algebra)",
+    "topkif": "operators/event_analytics.py ev_topk_types_per_day (filter first)",
+    "sumforeach": (
+        "the -ForEach combinator aggregates element-wise across array "
+        "rows — explode + groupBy position, or aggregate()/zip_with"
+    ),
+    "sequencenextnode": (
+        "operators/event_analytics.py ev_sequence_match / funnel family"
+    ),
     "histogram": (
         "adaptive-bin sketch with no Spark twin — "
         "operators/analytics.py histogram_value_buckets (fixed buckets)"
@@ -2361,7 +2377,7 @@ def _rewrite_group_arrays(tokens: list[str]) -> list[str]:
     while i < len(tokens):
         t = tokens[i]
         low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
-        if low != "grouparray":
+        if low not in ("grouparray", "grouparraylast"):
             i += 1
             continue
         j = _next_code(tokens, i + 1)
@@ -2422,7 +2438,21 @@ def _rewrite_group_arrays(tokens: list[str]) -> list[str]:
             f"ELSE named_struct({fields}, '_v', ({x})) END"
         )
         repl = f"arrayMap(_ga -> _ga._v, array_sort(collect_list({inner})))"
-        if params is not None:
+        if low == "grouparraylast":
+            # LAST N of the pin-sorted collection: positive indexing via a
+            # size guard (negative slice starts error on short arrays)
+            if params is None or len(params) != 1 or not params[0].isdigit() \
+                    or params[0] == "0":
+                raise UnsupportedCHSQL(
+                    "groupArrayLast(N) needs a positive integer literal "
+                    "max_size parameter"
+                )
+            n = params[0]
+            repl = (
+                f"slice({repl}, "
+                f"greatest(size({repl}) - {n} + 1, 1), {n})"
+            )
+        elif params is not None:
             if len(params) != 1 or not params[0].isdigit() or params[0] == "0":
                 raise UnsupportedCHSQL(
                     "groupArray(N) needs a positive integer literal"

@@ -2230,3 +2230,26 @@ def test_unpinned_parametric_group_array(spark):
         "SELECT g, groupArray(2)(v) AS r FROM upga_t GROUP BY g",
     ).collect()
     assert len(r[0].r) == 2
+
+
+def test_group_array_last_pinned(spark):
+    """groupArrayLast(N)(x) keeps the LAST N of the pin-sorted collection
+    (positive indexing with a size guard — short groups return all);
+    unpinned it refuses (last-of-arbitrary-order is meaningless)."""
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)],
+        "g string, ts int, v double",
+    ).createOrReplaceTempView("gal_t")
+    r = run_ch_sql(
+        spark,
+        "SELECT g, groupArrayLast(2)(v) AS r "
+        "FROM (SELECT g, v, ts FROM gal_t ORDER BY ts) "
+        "GROUP BY g ORDER BY g",
+    ).collect()
+    assert [(x.g, x.r) for x in r] == [("a", [20.0, 30.0]), ("b", [5.0])]
+    with pytest.raises(UnsupportedCHSQL, match="block-order"):
+        translate_ch_sql("SELECT groupArrayLast(2)(v) FROM t")
+    with pytest.raises(UnsupportedCHSQL, match="max_size"):
+        translate_ch_sql(
+            "SELECT groupArrayLast(v) FROM (SELECT v, ts FROM t ORDER BY ts)"
+        )
