@@ -928,6 +928,14 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             f"multi-array {low} not mapped — arrays_zip the inputs and use "
             "one single-array lambda instead"
         )
+    if low == "arrayfold" and len(args) != 3:
+        # the template is positional (lambda, arr, init) — a multi-array
+        # fold like arrayFold(l, a, b, init) would otherwise silently drop
+        # the init and seed the accumulator with the second array
+        raise UnsupportedCHSQL(
+            "multi-array arrayFold not mapped — arrays_zip the inputs and "
+            "fold the zipped array with one (acc, struct) lambda instead"
+        )
     if low in ("greatest", "least") and len(args) >= 2:
         # ClickHouse returns NULL when ANY argument is NULL; Spark skips
         # NULLs — wrap to propagate
@@ -1582,13 +1590,28 @@ def _array_join(tokens: list[str], i: int, outer: bool = False) -> tuple[int, st
     if len(items) == 1:
         return k, f"{view} explode({bodies[0]}) _aj AS {items[0][1]} "
     first = bodies[0]
-    parts = [f"{view} posexplode({first}) _aj0 AS _aj_pos, {items[0][1]}"]
+    # the equal-sizes guard wraps the FIRST array (evaluated once per
+    # source row, BEFORE any positions are emitted): guarding only the
+    # later arrays per-element would silently swallow ClickHouse's
+    # unequal-sizes error whenever the first array is empty/NULL (no
+    # positions → the guard never evaluates → the row just drops).
+    # NULL counts as size 0 — same emptiness ClickHouse's non-Nullable
+    # arrays express as [].
+    sizes_ok = " AND ".join(
+        f"coalesce(size({b}), 0) = coalesce(size({first}), 0)"
+        for b in bodies[1:]
+    )
+    guarded_first = (
+        f"IF({sizes_ok}, {first}, "
+        f"raise_error('ARRAY JOIN arrays must have equal sizes'))"
+    )
+    parts = [
+        f"{view} posexplode({guarded_first}) _aj0 AS _aj_pos, {items[0][1]}"
+    ]
     for n, (body, (_e, a)) in enumerate(zip(bodies[1:], items[1:]), 1):
         parts.append(
-            f"LATERAL VIEW explode(array(IF(_aj_pos IS NULL "
-            f"OR size({body}) = size({first}), "
-            f"try_element_at({body}, _aj_pos + 1), "
-            f"raise_error('ARRAY JOIN arrays must have equal sizes')))) "
+            f"LATERAL VIEW explode(array("
+            f"try_element_at({body}, _aj_pos + 1))) "
             f"_aj{n} AS {a}"
         )
     return k, " ".join(parts) + " "
@@ -2102,6 +2125,22 @@ def _rewrite_running_funcs(tokens: list[str]) -> list[str]:
                 return tokens  # no pinning ORDER BY → refusal fires
             tokens = new_tokens
             continue
+        if low in _MOVING_FUNCS:
+            # grouped moving calls would need the delta-style GROUP BY →
+            # window PARTITION BY restructure plus an ordered array
+            # re-collection; the plain window rewrite below would leave the
+            # GROUP BY in place and silently return a CROSS-group moving
+            # sum (or fail analysis) — refuse instead of diverging
+            sel = _owning_select(tokens, i)
+            if sel is not None and _group_by_keys(tokens, sel) is not None:
+                raise UnsupportedCHSQL(
+                    f"{t} under GROUP BY is not mapped — ClickHouse "
+                    "returns one moving-window array PER GROUP; rewrite as "
+                    "a window over the ungrouped rows (sum(x) OVER "
+                    "(PARTITION BY <group keys> ORDER BY <pin> ROWS "
+                    "BETWEEN N-1 PRECEDING AND CURRENT ROW)) and collect "
+                    "with a pinned groupArray if the array shape is needed"
+                )
         ord_sql = _running_order_by(tokens, i)
         if ord_sql is None:
             return tokens  # no ORDER BY → existing refusal fires

@@ -516,15 +516,20 @@ def write_table_http(
             else:
                 _post(url, body, timeout, auth, summary_sink=sink)
             # wire-level write witness: when the server acknowledges the
-            # INSERT with X-ClickHouse-Summary, its written_rows must equal
-            # the body's row count — a lying/truncating endpoint fails the
-            # task LOUDLY instead of silently under-writing (the C10
-            # fail-fast contract extended to the wire)
+            # INSERT with X-ClickHouse-Summary, its written_rows must not be
+            # LESS than the body's row count — a truncating endpoint fails
+            # the task LOUDLY instead of silently under-writing (the C10
+            # fail-fast contract extended to the wire). Under-write only:
+            # real servers legitimately report MORE (materialized views
+            # attached to the target count their own writes into
+            # written_rows) and legitimately report 0 for a replayed block
+            # on Replicated tables (insert deduplication) — exact equality
+            # would abort both successful writes.
             wr = (sink.get("summary") or {}).get("written_rows")
-            if wr is not None and int(wr) != buffered:
+            if wr is not None and 0 < int(wr) < buffered:
                 raise OSError(
                     f"server acknowledged {wr} written rows for a "
-                    f"{buffered}-row INSERT body — write witness mismatch "
+                    f"{buffered}-row INSERT body — write witness under-write "
                     "(X-ClickHouse-Summary)"
                 )
             buf, buffered = [], 0

@@ -1828,6 +1828,13 @@ def test_delta_sum_refusals():
         ("SELECT groupArrayMovingSum(n)(v) FROM t ORDER BY ts",
          "integer literal"),
         ("SELECT deltaSum(a, b) FROM t ORDER BY ts", "exactly 1"),
+        # grouped moving calls: the plain window rewrite would leave the
+        # GROUP BY intact and silently return a CROSS-group moving sum
+        # when the argument is a group-key expression (advisor-found)
+        ("SELECT g, groupArrayMovingSum(2)(g) FROM t GROUP BY g ORDER BY g",
+         "under GROUP BY"),
+        ("SELECT g, groupArrayMovingAvg(v) FROM t GROUP BY g, v ORDER BY g",
+         "under GROUP BY"),
     ):
         with pytest.raises(UnsupportedCHSQL) as exc:
             translate_ch_sql(sql)
@@ -1974,7 +1981,11 @@ def test_multi_array_join(spark):
     t = translate_ch_sql(
         "SELECT x, y FROM t ARRAY JOIN a AS x, b AS y WHERE x > 1"
     )
-    assert "posexplode(a) _aj0 AS _aj_pos, x" in t
+    # the sizes guard wraps the FIRST (posexploded) array so it fires even
+    # when that array is empty/NULL — guarding only the later arrays
+    # per-element would swallow the error on first-empty rows
+    assert "posexplode(IF(coalesce(size(b), 0) = coalesce(size(a), 0), a," in t
+    assert "_aj0 AS _aj_pos, x" in t
     assert "try_element_at(b, _aj_pos + 1)" in t
     assert "raise_error" in t and "WHERE x > 1" in t
     spark.createDataFrame(
@@ -2013,6 +2024,28 @@ def test_multi_array_join(spark):
     with pytest.raises(Exception, match="equal sizes"):
         run_ch_sql(
             spark, "SELECT x, y FROM maj_bad ARRAY JOIN a AS x, b AS y"
+        ).collect()
+    # …including when the FIRST array is empty (or NULL) and a later one
+    # is not: posexplode emits no positions there, so a per-element guard
+    # could never fire — the wrap on the first array still errors (the
+    # advisor-found silent-swallow case)
+    spark.createDataFrame(
+        [(1, [], ["only"]), (2, None, ["x", "y"])],
+        "id int, a array<int>, b array<string>",
+    ).createOrReplaceTempView("maj_first_empty")
+    for where in ("id = 1", "id = 2"):
+        with pytest.raises(Exception, match="equal sizes"):
+            run_ch_sql(
+                spark,
+                "SELECT x, y FROM maj_first_empty "
+                f"ARRAY JOIN a AS x, b AS y WHERE {where}",
+            ).collect()
+    # LEFT form carries the same sizes contract
+    with pytest.raises(Exception, match="equal sizes"):
+        run_ch_sql(
+            spark,
+            "SELECT id, x, y FROM maj_first_empty "
+            "LEFT ARRAY JOIN a AS x, b AS y WHERE id = 1",
         ).collect()
     # every array still needs an alias
     with pytest.raises(UnsupportedCHSQL, match="alias"):
@@ -2098,6 +2131,13 @@ def test_array_fold(spark):
         "SELECT arrayFold((acc, x) -> acc * 10 + x, array(1, 2, 3), 0) AS v",
     ).collect()
     assert r[0].v == 123
+    # multi-array fold refuses: the positional template would silently
+    # drop the init and seed the accumulator with the second array
+    # (advisor-found)
+    with pytest.raises(UnsupportedCHSQL, match="multi-array arrayFold"):
+        translate_ch_sql(
+            "SELECT arrayFold((acc, x, y) -> acc + x * y, a, b, 0) FROM t"
+        )
 
 
 def test_block_agg_formatting_fuzz():

@@ -119,8 +119,16 @@ class _StubClickHouse:
                 # (X-ClickHouse-Summary always; repeated progress headers
                 # when send_progress_in_http_headers=1)
                 written = stub.last_written
-                if stub.lie_written_rows and written:
-                    written += 1
+                if stub.lie_written_rows == "under" and written:
+                    written -= 1
+                elif stub.lie_written_rows == "over" and written:
+                    # a real server with a materialized view attached to the
+                    # target legitimately reports MORE than the body
+                    written += 3
+                elif stub.lie_written_rows == "zero":
+                    # replicated-table insert dedup reports 0 for a
+                    # replayed block — a legitimate successful no-op
+                    written = 0
                 self.send_header(
                     "X-ClickHouse-Progress",
                     json.dumps({"read_rows": "1", "read_bytes": "8"}),
@@ -1399,8 +1407,11 @@ def test_datetime64_9_truncates_to_micros(spark):
 
 def test_write_witness_from_summary_headers(spark, stub):
     """The server's X-ClickHouse-Summary acknowledgment is checked against
-    the INSERT body's row count per flush — a lying/truncating endpoint
-    fails the write loudly instead of silently under-writing."""
+    the INSERT body's row count per flush — a truncating endpoint fails the
+    write loudly instead of silently under-writing. UNDER-write only: a
+    real server over-reports when materialized views are attached to the
+    target, and reports 0 for a replayed block on Replicated tables
+    (insert deduplication) — both are successful writes and must pass."""
     stub.execute("CREATE TABLE wsink (k BIGINT, v DOUBLE)")
     df = spark.range(7).select(
         F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
@@ -1409,10 +1420,15 @@ def test_write_witness_from_summary_headers(spark, stub):
     assert write_table_http(df, stub.url, "wsink") == 7
     assert stub.con.execute("SELECT count(*) FROM wsink").fetchone()[0] == 7
 
-    stub.lie_written_rows = True
     try:
-        with pytest.raises(Exception, match="write witness mismatch"):
+        stub.lie_written_rows = "under"
+        with pytest.raises(Exception, match="write witness under-write"):
             write_table_http(df, stub.url, "wsink")
+        # MV over-report and replicated-dedup zero are legitimate acks
+        stub.lie_written_rows = "over"
+        assert write_table_http(df, stub.url, "wsink") == 7
+        stub.lie_written_rows = "zero"
+        assert write_table_http(df, stub.url, "wsink") == 7
     finally:
         stub.lie_written_rows = False
 
@@ -1428,7 +1444,7 @@ def test_progress_and_summary_headers_captured(stub):
     assert sink["progress"] and sink["progress"][0]["read_rows"] == "1"
 
 
-def test_datetime64_9_truncates_to_micros(spark, stub):
+def test_datetime64_9_truncates_on_wire_read(spark, stub):
     """DateTime64(9) renders nanosecond text on the JSON wire; Spark
     timestamps are microseconds — the schema-driven parse must TRUNCATE
     to micros, never fail or round up (closing the DateTime64(9) gap

@@ -2306,3 +2306,25 @@ def test_substring_coverage_fixture(spark, tmp_path):
     assert got[3] == (SUB_K + 3, 2, SUB_K + 1)
     assert got[4][1:] == (0, 0)
     assert got[5] == (1, 0, 0)
+
+
+def test_bench_load1_reads_both_evidence_shapes():
+    # round-9 verdict #3: the driver's BENCH_r*.json nests bench.py's JSON
+    # line under "parsed"; reading only the top level meant the load1>4
+    # contamination warning could never fire on driver-captured files.
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_evidence",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "check_evidence.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.bench_load1({"load1_start": 0.12}) == 0.12
+    assert mod.bench_load1({"parsed": {"load1_start": 3.15}}) == 3.15
+    assert mod.bench_load1({"parsed": {"load1_start": 5.5}}) == 5.5
+    # pre-stamping files (neither shape) → None, not a crash
+    assert mod.bench_load1({}) is None
+    assert mod.bench_load1({"parsed": "not-a-dict"}) is None
