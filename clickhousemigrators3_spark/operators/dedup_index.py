@@ -28,6 +28,19 @@ buckets (never old-vs-old), and the Jaccard verify joins only collision
 candidates against the stored ``hs`` sets. At 100 TB the three tables are
 bucketed by their join keys so ingest joins are exchange-free on the old
 side; locally they are plain parquet.
+
+Updates are O(delta), append-only (round-10, closing the round-9 scale
+gap): each crawl drop writes ONLY its delta rows to an immutable
+``<table>__<snapshot>`` prefix and the manifest's ``data_path`` carries
+the LIVE SNAPSHOT LIST — readers union the listed prefixes at scan time
+(one multi-path parquet read; same scan cost as a single prefix of the
+same total size). The previous design unioned old+delta and REWROTE every
+table per snapshot — three corpus-sized writes per crawl drop at 100 TB,
+erasing the incremental win the index exists for. When the chain grows
+long enough that per-prefix file listings matter (hundreds of drops),
+``compact_dedup_index`` folds the live list back into one prefix as an
+explicit, schedulable maintenance action — the same OPTIMIZE-style
+tradeoff ClickHouse and Iceberg make.
 """
 
 from __future__ import annotations
@@ -64,14 +77,24 @@ def _snapshot_path(index_dir: str, table: str, snapshot: str) -> str:
     return os.path.join(index_dir, f"{table}__{snapshot}")
 
 
+def _live_paths(index_dir: str, table: str) -> list[str] | None:
+    """The published prefix list: ``data_path`` is a list (live snapshot
+    set, append-only layout) or a single string (bootstrap/compacted, and
+    any pre-round-10 manifest) — normalized to a list either way."""
+    cur = resolve_manifest(index_dir, table)
+    if cur is None:
+        return None
+    return [cur] if isinstance(cur, str) else list(cur)
+
+
 def _published(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
-    path = resolve_manifest(index_dir, table)
-    if path is None:
+    paths = _live_paths(index_dir, table)
+    if paths is None:
         raise FileNotFoundError(
             f"dedup index table {table!r} has no published version under "
             f"{index_dir!r} — run build_dedup_index first"
         )
-    return spark.read.parquet(path)
+    return spark.read.parquet(*paths)
 
 
 def _publish_tables(
@@ -88,12 +111,12 @@ def _publish_tables(
     pending: list[tuple[str, str]] = []
     for t, df in rels.items():
         want = _snapshot_path(index_dir, t, snapshot)
-        if resolve_manifest(index_dir, t) == want:
+        if want in (_live_paths(index_dir, t) or []):
             continue
         df.write.mode("overwrite").parquet(want)
         pending.append((t, want))
     for t, want in pending:
-        publish_manifest(index_dir, t, want)
+        publish_manifest(index_dir, t, [want])
     return bool(pending)
 
 
@@ -160,22 +183,68 @@ def update_dedup_index(
     index_dir: str,
     snapshot: str,
 ) -> bool:
-    """Merge the RETAINED delta docs into the index: union each stored
-    table with the delta's rows and publish a new snapshot version.
-    Returns False on an idempotent replay (manifests already at this
-    snapshot). The delta must be the post-dedup retained set — indexing
-    dropped docs would make them block their own near-twins later."""
+    """Merge the RETAINED delta docs into the index — O(delta): each table
+    writes ONLY the delta's rows to a new immutable ``<table>__<snapshot>``
+    prefix and the manifest's live list is extended by that one path; no
+    stored byte is rewritten. Returns False on an idempotent replay (every
+    live list already contains this snapshot). The delta must be the
+    post-dedup retained set — indexing dropped docs would make them block
+    their own near-twins later."""
     fresh = _index_relations(retained_delta)
-    # per-table convergence: a crash mid-publish can leave SOME tables
-    # already at this snapshot (their published data already contains the
-    # delta — unioning again would duplicate rows); merge only the tables
-    # still on an older version
-    merged: dict[str, DataFrame] = {}
+    # fail-fast ordering preserved: ALL delta data lands before ANY
+    # manifest flips. Per-table convergence: a crash between flips leaves
+    # some tables already listing this snapshot (skip — appending again
+    # would duplicate rows) while the rest rewrite their delta prefix
+    # (overwrite of an unpublished path) and flip on retry.
+    pending: list[tuple[str, list[str]]] = []
     for t in INDEX_TABLES:
         want = _snapshot_path(index_dir, t, snapshot)
-        if resolve_manifest(index_dir, t) == want:
+        paths = _live_paths(index_dir, t)
+        if paths is None:
+            raise FileNotFoundError(
+                f"dedup index table {t!r} has no published version under "
+                f"{index_dir!r} — run build_dedup_index first"
+            )
+        if want in paths:
             continue
-        merged[t] = _published(spark, index_dir, t).unionByName(fresh[t])
-    if not merged:
-        return False
-    return _publish_tables(index_dir, snapshot, merged)
+        fresh[t].write.mode("overwrite").parquet(want)
+        pending.append((t, paths + [want]))
+    for t, newpaths in pending:
+        publish_manifest(index_dir, t, newpaths)
+    return bool(pending)
+
+
+def compact_dedup_index(
+    spark: SparkSession, index_dir: str, snapshot: str
+) -> bool:
+    """Fold each table's live snapshot chain back into ONE prefix — the
+    explicit maintenance action that bounds per-scan file listings after
+    many crawl drops (OPTIMIZE-style; never implicit, so routine updates
+    stay O(delta)). Each table's compacted data lands fully before its
+    manifest flips; a crash mid-sequence leaves the remaining tables on
+    their (still-correct) chains and a retry converges. Idempotent per
+    snapshot id. Returns False when every table was already compacted to
+    this snapshot."""
+    changed = False
+    for t in INDEX_TABLES:
+        paths = _live_paths(index_dir, t)
+        if paths is None:
+            raise FileNotFoundError(
+                f"dedup index table {t!r} has no published version under "
+                f"{index_dir!r} — run build_dedup_index first"
+            )
+        want = _snapshot_path(index_dir, t, f"{snapshot}.compact")
+        if paths == [want]:
+            continue
+        if want in paths:
+            # the id was already used to compact and the chain has since
+            # grown — overwriting a PUBLISHED prefix in place would tear
+            # concurrent reads; demand a fresh id instead
+            raise ValueError(
+                f"compaction snapshot id {snapshot!r} was already used for "
+                f"{t!r} and the chain has grown since — pick a new id"
+            )
+        spark.read.parquet(*paths).write.mode("overwrite").parquet(want)
+        publish_manifest(index_dir, t, [want])
+        changed = True
+    return changed

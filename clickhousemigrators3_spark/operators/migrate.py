@@ -173,7 +173,18 @@ def vacuum_versions(dest_dir: str, table: str, keep_last: int = 2) -> list[str]:
     ]
     keep = versions[-max(keep_last, 1):]
     drop = versions[: len(versions) - len(keep)]
-    kept_paths = {v["data_path"] for v in keep}
+
+    # data_path is a single prefix (migrated tables, compacted indexes) or
+    # a LIST of prefixes (the dedup index's append-only snapshot chain,
+    # where consecutive versions share every prefix but the newest) —
+    # flatten so a shared prefix referenced by ANY kept version survives
+    def _paths(v) -> list[str]:
+        p = v.get("data_path")
+        if p is None:
+            return []
+        return [p] if isinstance(p, str) else list(p)
+
+    kept_paths = {p for v in keep for p in _paths(v)}
     # Publish the pruned manifest FIRST, then delete the now-unreferenced
     # data directories: a crash between the two steps leaves orphaned data
     # (re-vacuumable) rather than a manifest whose history points at
@@ -186,10 +197,10 @@ def vacuum_versions(dest_dir: str, table: str, keep_last: int = 2) -> list[str]:
     os.replace(tmp, _manifest_path(dest_dir, table))
     removed = []
     for v in drop:
-        p = v["data_path"]
-        if p is not None and p not in kept_paths and os.path.isdir(p):
-            shutil.rmtree(p)
-            removed.append(p)
+        for p in _paths(v):
+            if p not in kept_paths and os.path.isdir(p):
+                shutil.rmtree(p)
+                removed.append(p)
     return removed
 
 

@@ -179,3 +179,106 @@ def test_crash_between_write_and_publish_keeps_old_version(
     assert c1["dedup_fp"] == c0["dedup_fp"] + 1
     assert c1["dedup_perdoc"] == c0["dedup_perdoc"] + 1
     assert c1["dedup_bands"] == c0["dedup_bands"] + 4
+
+
+def _data_files(index_dir):
+    """(path → (size, mtime)) of every parquet data file under index_dir."""
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(index_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_update_writes_are_delta_sized(spark, index_dir):
+    """Round-9 verdict #1: the second crawl drop must write DELTA-sized
+    data — new files only under the new snapshot's prefixes, row counts
+    equal to the delta's own relations, and not one pre-existing byte
+    rewritten. The old design unioned old+delta and rewrote the whole
+    corpus-sized table per snapshot."""
+    # 200-doc base corpus vs a 2-doc delta: corpus-sized rewrites would be
+    # two orders of magnitude larger than the delta
+    base = _docs(
+        spark,
+        [(i, f"base document number {i} with words "
+             f"{' '.join(f'w{i}x{j}' for j in range(12))}")
+         for i in range(200)],
+    )
+    assert build_dedup_index(spark, base, index_dir, "s0") is True
+    before = _data_files(index_dir)
+
+    delta = _docs(spark, [(1000, FRESH1), (1001, FRESH2)])
+    retained = dedup_delta_retained(spark, delta, index_dir)
+    assert sorted(r.doc_id for r in retained.collect()) == [1000, 1001]
+    assert update_dedup_index(
+        spark, delta.join(retained, "doc_id", "semi"), index_dir, "s1"
+    ) is True
+
+    after = _data_files(index_dir)
+    # not one pre-existing data file was rewritten, resized, or deleted
+    assert all(after.get(p) == meta for p, meta in before.items())
+    new_files = {p for p in after if p not in before}
+    assert new_files, "the update wrote no new data at all"
+    # every new file lives under a __s1 snapshot prefix
+    assert all("__s1" in p for p in new_files)
+    # and the __s1 prefixes hold exactly the delta's rows: 2 fingerprints,
+    # 2 per-doc signatures, 2×4 band rows — not the 200-doc corpus
+    for t, want_rows in (("dedup_fp", 2), ("dedup_perdoc", 2),
+                         ("dedup_bands", 8)):
+        got = spark.read.parquet(f"{index_dir}/{t}__s1").count()
+        assert got == want_rows, (t, got)
+    # the published view still unions base + delta
+    assert _counts(spark, index_dir)["dedup_fp"] == 202
+
+
+def test_compact_folds_chain_and_preserves_results(spark, index_dir):
+    """compact_dedup_index folds the live snapshot chain into one prefix:
+    counts and retained-query results unchanged, manifests single-path,
+    replay of the same compaction id a no-op, id reuse over a grown chain
+    refused (it would overwrite a published prefix in place)."""
+    from clickhousemigrators3_spark.operators.dedup_index import (
+        _live_paths,
+        compact_dedup_index,
+    )
+
+    base = _docs(spark, [(i, T[i]) for i in range(5)])
+    assert build_dedup_index(spark, base, index_dir, "s0") is True
+    for snap, doc in (("s1", (10, FRESH1)), ("s2", (11, FRESH2))):
+        d = _docs(spark, [doc])
+        r = dedup_delta_retained(spark, d, index_dir)
+        assert update_dedup_index(
+            spark, d.join(r, "doc_id", "semi"), index_dir, snap
+        ) is True
+    assert len(_live_paths(index_dir, "dedup_fp")) == 3
+    c_before = _counts(spark, index_dir)
+
+    probe = _docs(spark, [(20, FRESH1), (21, FRESH3)])
+    retained_before = sorted(
+        r.doc_id for r in dedup_delta_retained(spark, probe, index_dir).collect()
+    )
+    assert retained_before == [21]  # 20 dups the s1-retained FRESH1
+
+    assert compact_dedup_index(spark, index_dir, "c0") is True
+    assert all(
+        len(_live_paths(index_dir, t)) == 1 for t in INDEX_TABLES
+    )
+    assert _counts(spark, index_dir) == c_before
+    retained_after = sorted(
+        r.doc_id for r in dedup_delta_retained(spark, probe, index_dir).collect()
+    )
+    assert retained_after == retained_before
+    # replaying the same compaction id is a no-op
+    assert compact_dedup_index(spark, index_dir, "c0") is False
+    # …but reusing it after the chain grows again is refused loudly
+    d = _docs(spark, [(30, FRESH3)])
+    r = dedup_delta_retained(spark, d, index_dir)
+    assert update_dedup_index(
+        spark, d.join(r, "doc_id", "semi"), index_dir, "s3"
+    ) is True
+    with pytest.raises(ValueError, match="already used"):
+        compact_dedup_index(spark, index_dir, "c0")
