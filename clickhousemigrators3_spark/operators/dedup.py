@@ -1404,8 +1404,10 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose size the df <= {SUB_MAX_DF} gate bounds, so the worst case is
     O(df_cap² × shared fps), never all-pairs. Shuffle rows are 16 bytes
     (doc_id, fp). At 100 TB the grain moves to ~50 tokens and the
-    fingerprint index persists as a bucketed table (see
-    dedup_substring_index_* in tests for the stored-index drive)."""
+    fingerprint index persists as a bucketed, manifest-published table —
+    dedup_index.py's ``dedup_subfp`` with the O(delta)
+    ``dedup_delta_substring_retained`` drive (exercised by
+    tests/test_dedup_index.py::test_dedup_substring_index_*)."""
     fps = _substring_fps(spark, sf_dir)
     a = fps.alias("a")
     b = fps.alias("b")
@@ -1568,5 +1570,77 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_covered"
             ),
         )
+        .orderBy("doc_id")
+    )
+
+
+def _substring_incremental_oracle() -> str:
+    grams = sql_word_shingles("text", SUB_K)
+    h = oracle_hash_sql("span", 60)
+    return f"""
+WITH fps AS (
+  SELECT DISTINCT doc_id, {h} AS fp
+  FROM (SELECT doc_id, unnest({grams}) AS span FROM documents)),
+old_kept AS (
+  SELECT fp FROM fps WHERE doc_id % {INC_MOD} != 0
+  GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= {SUB_MAX_DF}),
+dropped AS (
+  SELECT DISTINCT doc_id FROM fps
+  WHERE doc_id % {INC_MOD} = 0 AND fp IN (SELECT fp FROM old_kept))
+SELECT doc_id FROM documents
+WHERE doc_id % {INC_MOD} = 0
+  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_substring_incremental_retained", _substring_incremental_oracle()
+)
+def dedup_substring_incremental_retained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental cross-document substring dedup: which NEW documents
+    (doc_id % {INC_MOD} = 0 plays the crawl drop, as in
+    dedup_incremental_retained) survive against the EXISTING corpus —
+    dropped when any of their {SUB_K}-word span fingerprints already
+    exists in an old document, excluding old-side boilerplate
+    (fingerprints held by more than {SUB_MAX_DF} old docs: template
+    repetition, not duplication evidence). Old docs are earlier by
+    definition, so this is dedup_substring_retained's first-writer-wins
+    rule at the snapshot boundary; delta-vs-delta duplication is the
+    batch family's job on the drop itself.
+
+    This is the emulated twin of the PERSISTED drive
+    ``dedup_index.dedup_delta_substring_retained`` — the stored-index path
+    (fingerprints as manifest-published parquet, O(delta) appends) is
+    exercised by tests/test_dedup_index.py::test_dedup_substring_index_*,
+    which assert it equals this relation.
+
+    Scale: old-side work is one scan; the boilerplate df is counted per
+    fingerprint (one shuffle on the 8-byte fp), the delta's fps join that
+    relation on the same key, and no pair relation ever materializes —
+    linear like the batch retained path."""
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % INC_MOD == 0
+    spans = exploded_word_shingles(d, "text", SUB_K, "span")
+    fps = spans.select(
+        "doc_id", stable_hash60(F.col("span")).alias("fp")
+    ).distinct()
+    fps.persist()
+    old_kept = (
+        fps.filter(~is_new)
+        .groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= SUB_MAX_DF)
+        .select("fp")
+    )
+    dropped = (
+        fps.filter(is_new).join(old_kept, "fp").select("doc_id").distinct()
+    )
+    return (
+        d.filter(is_new)
+        .select("doc_id")
+        .join(dropped, "doc_id", "left_anti")
         .orderBy("doc_id")
     )

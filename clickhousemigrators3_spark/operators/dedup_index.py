@@ -51,10 +51,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash60
-from .dedup import JACCARD_THRESHOLD, lsh_bands, lsh_perdoc
+from ..functions.text import exploded_word_shingles
+from .dedup import (
+    JACCARD_THRESHOLD,
+    SUB_K,
+    SUB_MAX_DF,
+    lsh_bands,
+    lsh_perdoc,
+)
 from .migrate import publish_manifest, resolve_manifest
 
-INDEX_TABLES = ("dedup_fp", "dedup_perdoc", "dedup_bands")
+INDEX_TABLES = ("dedup_fp", "dedup_perdoc", "dedup_bands", "dedup_subfp")
 
 
 def _norm_fp(docs: DataFrame) -> DataFrame:
@@ -64,12 +71,23 @@ def _norm_fp(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", stable_hash60(norm).alias("f"))
 
 
+def _span_fps(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, fp) over every {SUB_K}-word span — the stored
+    side of the cross-document substring modality (the same grain
+    ``dedup_substring_*`` in operators/dedup.py computes per query)."""
+    spans = exploded_word_shingles(docs, "text", SUB_K, "span")
+    return spans.select(
+        "doc_id", stable_hash60(F.col("span")).alias("fp")
+    ).distinct()
+
+
 def _index_relations(docs: DataFrame) -> dict[str, DataFrame]:
     per_doc = lsh_perdoc(docs)
     return {
         "dedup_fp": _norm_fp(docs),
         "dedup_perdoc": per_doc,
         "dedup_bands": lsh_bands(per_doc),
+        "dedup_subfp": _span_fps(docs),
     }
 
 
@@ -173,6 +191,43 @@ def dedup_delta_retained(
     return (
         exact_clean.join(flagged, "doc_id", "left_anti")
         .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_delta_substring_retained(
+    spark: SparkSession, delta: DataFrame, index_dir: str
+) -> DataFrame:
+    """doc_ids of ``delta`` documents that survive the CROSS-DOCUMENT
+    SUBSTRING gate against the published index: dropped when any of the
+    doc's {SUB_K}-word span fingerprints already exists in the stored
+    corpus — excluding stored-boilerplate fingerprints (present in more
+    than {SUB_MAX_DF} stored documents, which are template/header
+    repetition, not duplication evidence; same cap as the batch family in
+    operators/dedup.py). Stored docs are earlier by definition, so this is
+    the first-writer-wins rule of ``dedup_substring_retained`` applied
+    incrementally. Like ``dedup_delta_retained`` the check is
+    delta-vs-index only — intra-delta duplication is the batch family's
+    job on the drop itself.
+
+    Scale: the delta's span fingerprints semi-join the stored table on the
+    8-byte fp (bucketed at 100 TB → exchange-free on the stored side); the
+    boilerplate df is counted ONLY for fingerprints the delta actually
+    collides with (delta-sized group), never over the whole index."""
+    delta_fps = _span_fps(delta)
+    stored = _published(spark, index_dir, "dedup_subfp")
+    # stored rows matching a delta fingerprint (delta-sized output)
+    hit = stored.join(delta_fps.select("fp").distinct(), "fp")
+    kept_fp = (
+        hit.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= SUB_MAX_DF)
+        .select("fp")
+    )
+    dropped = delta_fps.join(kept_fp, "fp").select("doc_id").distinct()
+    return (
+        delta.select("doc_id")
+        .join(dropped, "doc_id", "left_anti")
         .orderBy("doc_id")
     )
 

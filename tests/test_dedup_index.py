@@ -282,3 +282,105 @@ def test_compact_folds_chain_and_preserves_results(spark, index_dir):
     ) is True
     with pytest.raises(ValueError, match="already used"):
         compact_dedup_index(spark, index_dir, "c0")
+
+
+# substring modality: a text sharing one verbatim SUB_K(=12)-word span
+SPAN = "quick brown foxes jump over lazy dogs near quiet rivers at dawn"
+SUB_A = f"opening words then {SPAN} and a distinct tail here"
+SUB_B = f"totally different head before {SPAN} plus another unique ending"
+SUB_CLEAN = ("no shared dozen word run appears anywhere inside this "
+             "sentence because every token is chosen to be unique enough")
+
+
+def test_dedup_substring_index_two_drops(spark, index_dir):
+    """The stored-index drive the dedup.py docstring cites: span
+    fingerprints persist in the index (dedup_subfp), a crawl drop's docs
+    drop on any span shared with the STORED corpus, survivors append
+    O(delta), and the NEXT drop is caught by spans indexed by the
+    previous one."""
+    from clickhousemigrators3_spark.operators.dedup_index import (
+        dedup_delta_substring_retained,
+    )
+
+    base = _docs(spark, [(0, SUB_A), (1, T[1]), (2, T[2])])
+    assert build_dedup_index(spark, base, index_dir, "s0") is True
+
+    # drop 1: SUB_B shares the 12-word SPAN with indexed SUB_A → dropped;
+    # SUB_CLEAN shares nothing → retained; a too-short doc (no span at
+    # this grain) is always retained
+    drop1 = _docs(spark, [(10, SUB_B), (11, SUB_CLEAN), (12, "tiny doc")])
+    got = [r.doc_id for r in
+           dedup_delta_substring_retained(spark, drop1, index_dir).collect()]
+    assert got == [11, 12]
+
+    docs1 = drop1.join(
+        dedup_delta_substring_retained(spark, drop1, index_dir),
+        "doc_id", "semi",
+    )
+    before = _data_files(index_dir)
+    assert update_dedup_index(spark, docs1, index_dir, "s1") is True
+    after = _data_files(index_dir)
+    # O(delta) holds for the substring table too: nothing rewritten
+    assert all(after.get(p) == meta for p, meta in before.items())
+
+    # drop 2: a near-verbatim reuse of drop-1's retained SUB_CLEAN text —
+    # only the index updated by drop 1 can catch it
+    drop2 = _docs(spark, [(20, SUB_CLEAN + " extra"), (21, FRESH3)])
+    got2 = [r.doc_id for r in
+            dedup_delta_substring_retained(spark, drop2, index_dir).collect()]
+    assert got2 == [21]
+
+
+def test_dedup_substring_index_boilerplate_cap(spark, index_dir):
+    """A span held by more than SUB_MAX_DF stored docs is boilerplate —
+    it must NOT drop a delta doc (template repetition is not duplication
+    evidence), while a genuinely shared span still does."""
+    from clickhousemigrators3_spark.operators.dedup import SUB_MAX_DF
+    from clickhousemigrators3_spark.operators.dedup_index import (
+        dedup_delta_substring_retained,
+    )
+
+    boiler = ("standard legal disclaimer text applies to all documents "
+              "in this corpus always")
+    assert len(boiler.split()) == 12
+    rows = [(i, f"{boiler} unique body {i} " +
+             " ".join(f"tok{i}x{j}" for j in range(6)))
+            for i in range(SUB_MAX_DF + 5)]
+    rows.append((900, SUB_A))
+    assert build_dedup_index(spark, _docs(spark, rows), index_dir, "s0")
+
+    delta = _docs(spark, [
+        (1000, f"{boiler} with its own fresh continuation words here"),
+        (1001, SUB_B),  # shares the real SPAN with stored doc 900
+    ])
+    got = [r.doc_id for r in
+           dedup_delta_substring_retained(spark, delta, index_dir).collect()]
+    # 1000 survives (only boilerplate overlap); 1001 drops (real dup)
+    assert got == [1000]
+
+
+def test_dedup_substring_index_matches_emulated_twin(spark, index_dir):
+    """The persisted drive equals the registered emulated twin
+    (dedup_substring_incremental_retained) on the same old/new split of
+    the sf0.001 fixture corpus."""
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.dedup import (
+        INC_MOD,
+        dedup_substring_incremental_retained,
+    )
+    from clickhousemigrators3_spark.operators.dedup_index import (
+        dedup_delta_substring_retained,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % INC_MOD != 0)
+    new = d.filter(F.col("doc_id") % INC_MOD == 0)
+    assert build_dedup_index(spark, old, index_dir, "s0") is True
+
+    stored = [r.doc_id for r in
+              dedup_delta_substring_retained(spark, new, index_dir).collect()]
+    twin = [r.doc_id for r in
+            dedup_substring_incremental_retained(spark, sf).collect()]
+    assert stored == twin and len(twin) > 0
