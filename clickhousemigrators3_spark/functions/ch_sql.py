@@ -99,15 +99,24 @@ Covered surface (the high-frequency ClickHouse idioms):
   keeps empty rows with NULL elements
 * tuple(...) → named_struct('_1', …) positional 1-based fields;
   tupleElement(t, N) / tupleElement(t, 'name') → struct field access
+* map/combinator aggregates (round 10) — sumMap/minMap/maxMap/avgMap
+  (map form and the (keys, values) two-array form, unequal sizes raise),
+  sum/min/max/avg/countForEach (ragged element-wise contract), and
+  topK[(N)]/topKIf (exact counts, value-ascending tie-break, N defaults
+  to 10): one collect-entries-then-fold aggregate expression per call —
+  composes with any GROUP BY/HAVING/sibling aggregate. State is the
+  group's entry list (O(rows), like groupArray), documented in
+  docs/CHSQL.md with the explode-shape pointer for corpus-sized groups
 
 Refused loudly (pointer to the operator that implements the semantics):
 FINAL, SAMPLE, WITH TOTALS, LIMIT n BY without
-ORDER BY (nondeterministic), ANY/ASOF join strictness, topK /
-windowFunnel / retention / sequenceMatch / uniqUpTo / dictGet / sumMap /
-groupBitmap / anyHeavy, running/block-order functions without a pinning
-ORDER BY, engine-specific hash families (cityHash64/sipHash64/…/MD5 —
-same name, different values or types), multi-array lambdas, non-literal
-extract()/dateDiff units, ARRAY JOIN without AS aliases.
+ORDER BY (nondeterministic), ANY/ASOF join strictness,
+windowFunnel / retention / sequenceMatch / uniqUpTo / dictGet /
+sumMapFiltered / groupBitmap / anyHeavy, running/block-order functions
+without a pinning ORDER BY, engine-specific hash families
+(cityHash64/sipHash64/…/MD5 — same name, different values or types),
+multi-array lambdas, non-literal extract()/dateDiff units, ARRAY JOIN
+without AS aliases.
 """
 
 from __future__ import annotations
@@ -543,6 +552,11 @@ _PARAMETRIC = {
     "groupuniqarray": "slice(collect_set({a0}), 1, {p0})",
 }
 
+# custom-coded parametric aggregates (handled in _emit_call, not by a
+# _PARAMETRIC template) — listed so the tokenizer still consumes their
+# `(N)(args)` second group
+_CUSTOM_PARAMETRIC = {"topk", "topkif"}
+
 # parametric names that default to the median when the (params) group is
 # omitted — ClickHouse's documented default level is 0.5
 _MEDIAN_DEFAULT = {
@@ -573,7 +587,6 @@ def _interval_expr(unit: str, count: str) -> str:
 
 
 _UNSUPPORTED_FUNCS = {
-    "topk": "operators/event_analytics.py ev_topk_types_per_day (window top-k)",
     "parsedatetimebesteffort": (
         "best-effort multi-format parsing has no Spark twin — "
         "to_timestamp with an explicit format (parseDateTime IS mapped)"
@@ -615,14 +628,6 @@ _UNSUPPORTED_FUNCS = {
         "block-order dependent without an ORDER BY — add a pinning "
         "top-level ORDER BY (or order the FROM-subquery): the translator "
         "then keeps the LAST N of the pin-sorted collection"
-    ),
-    "minmap": "operators/mergetree.py ch_summing_map (grouped map algebra)",
-    "maxmap": "operators/mergetree.py ch_summing_map (grouped map algebra)",
-    "avgmap": "operators/mergetree.py ch_summing_map (grouped map algebra)",
-    "topkif": "operators/event_analytics.py ev_topk_types_per_day (filter first)",
-    "sumforeach": (
-        "the -ForEach combinator aggregates element-wise across array "
-        "rows — explode + groupBy position, or aggregate()/zip_with"
     ),
     "sequencenextnode": (
         "operators/event_analytics.py ev_sequence_match / funnel family"
@@ -691,7 +696,6 @@ _UNSUPPORTED_FUNCS = {
     "sequencecount": "operators/event_analytics.py ev_sequence_count",
     "uniqupto": "operators/ch_aggregates.py uniq_up_to_per_type",
     "dictget": "operators/mergetree.py ch_dict_get_nation_name (broadcast join)",
-    "summap": "operators/mergetree.py ch_summing_map",
     "quantileexactweighted": (
         "operators/ch_aggregates.py quantile_exact_weighted (Spark has no "
         "weighted percentile builtin)"
@@ -927,6 +931,132 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         raise UnsupportedCHSQL(
             f"multi-array {low} not mapped — arrays_zip the inputs and use "
             "one single-array lambda instead"
+        )
+    if low in ("summap", "minmap", "maxmap", "avgmap"):
+        # the map-combinator aggregates: merge the group's maps, reducing
+        # values per key; ClickHouse returns keys sorted ascending. Shape
+        # is the sumMap precedent (operators/mergetree.py ch_summap_daily)
+        # as ONE aggregate expression: collect the entries, then fold per
+        # distinct key — composes with any GROUP BY / HAVING / sibling
+        # aggregates without restructuring the SELECT. Nuance (documented
+        # in docs/CHSQL.md): the aggregation state is the group's entry
+        # LIST (O(rows), like groupArray), not ClickHouse's merged-map
+        # state (O(keys)) — for corpus-sized groups use the explode shape
+        # in ch_summap_daily.
+        if len(args) == 1:
+            entries = f"map_entries({args[0].strip()})"
+        elif len(args) == 2:
+            # classic two-array form xMap(keys, values): ClickHouse errors
+            # on unequal sizes — keep that loud (zip_with would NULL-pad)
+            k_, v_ = args[0].strip(), args[1].strip()
+            guarded = (
+                f"IF(size({k_}) = size({v_}), {k_}, "
+                f"raise_error('{low}: keys and values must have equal "
+                f"sizes'))"
+            )
+            entries = (
+                f"zip_with({guarded}, {v_}, "
+                f"(_mzk, _mzv) -> struct(_mzk AS key, _mzv AS value))"
+            )
+        else:
+            raise UnsupportedCHSQL(f"{low} takes (map) or (keys, values)")
+        es = f"flatten(collect_list({entries}))"
+        vals = (
+            f"transform(filter({es}, _me -> _me.key = _mk), "
+            f"_me -> _me.value)"
+        )
+        if low == "minmap":
+            red = f"array_min({vals})"
+        elif low == "maxmap":
+            red = f"array_max({vals})"
+        elif low == "avgmap":
+            # ClickHouse avgMap values are Float64
+            red = (
+                f"(aggregate({vals}, 0.0D, (_ma, _mx) -> _ma + "
+                f"CAST(_mx AS DOUBLE)) / size({vals}))"
+            )
+        else:
+            # seed the fold with the first value so the element type
+            # survives (an integer-literal seed would coerce the sum)
+            red = (
+                f"aggregate(slice({vals}, 2, size({vals})), "
+                f"try_element_at({vals}, 1), (_ma, _mx) -> _ma + _mx)"
+            )
+        return (
+            f"map_from_entries(array_sort(transform(array_distinct("
+            f"transform({es}, _me -> _me.key)), "
+            f"_mk -> struct(_mk AS key, {red} AS value))))"
+        )
+    if low in ("sumforeach", "minforeach", "maxforeach", "avgforeach",
+               "countforeach"):
+        # the -ForEach combinator: aggregate the i-th elements across the
+        # group's arrays, one result per position up to the LONGEST array
+        # (ClickHouse's ragged contract: shorter arrays just don't
+        # contribute at the tail positions). Same collect-then-fold shape
+        # and O(rows) state nuance as the map combinators above.
+        if len(args) != 1:
+            raise UnsupportedCHSQL(f"{low} takes exactly 1 array argument")
+        cl = f"collect_list({args[0].strip()})"
+        maxlen = f"aggregate({cl}, 0, (_fa, _fx) -> greatest(_fa, size(_fx)))"
+        vals = (
+            f"filter(transform({cl}, _fx -> try_element_at(_fx, _fi)), "
+            f"_fv -> _fv IS NOT NULL)"
+        )
+        if low == "minforeach":
+            red = f"array_min({vals})"
+        elif low == "maxforeach":
+            red = f"array_max({vals})"
+        elif low == "countforeach":
+            red = f"size({vals})"
+        elif low == "avgforeach":
+            red = (
+                f"(aggregate({vals}, 0.0D, (_fb, _fc) -> _fb + "
+                f"CAST(_fc AS DOUBLE)) / nullif(size({vals}), 0))"
+            )
+        else:
+            # sum of an all-NULL position is 0 (ClickHouse sum contract);
+            # first-value seed keeps the element type
+            red = (
+                f"coalesce(aggregate(slice({vals}, 2, size({vals})), "
+                f"try_element_at({vals}, 1), (_fb, _fc) -> _fb + _fc), 0)"
+            )
+        # sequence(1, 0) would step DOWN to [1, 0]; greatest pins the
+        # bound and the outer slice restores the true (possibly 0) length
+        return (
+            f"slice(transform(sequence(1, greatest({maxlen}, 1)), "
+            f"_fi -> {red}), 1, {maxlen})"
+        )
+    if low in ("topk", "topkif"):
+        # topK(N)(x) / topKIf(N)(x, cond): the ~N most frequent values.
+        # ClickHouse's is an approximate space-saving sketch with
+        # arbitrary tie order; this form counts EXACTLY and breaks ties
+        # by value ascending — deterministic, and a superset of the
+        # sketch's accuracy contract (documented in docs/CHSQL.md).
+        if params is None:
+            params = ["10"]  # ClickHouse's documented default N
+        if len(params) != 1 or not params[0].strip().isdigit() \
+                or params[0].strip() == "0":
+            raise UnsupportedCHSQL(
+                f"{low}(N) needs one positive integer literal — the "
+                "load_factor/'counts' extended forms are sketch-tuning "
+                "knobs with no exact-count meaning"
+            )
+        n_top = params[0].strip()
+        if low == "topkif":
+            if len(args) != 2:
+                raise UnsupportedCHSQL("topKIf takes (x, cond)")
+            cl = (
+                f"collect_list(CASE WHEN ({args[1].strip()}) "
+                f"THEN ({args[0].strip()}) END)"
+            )
+        else:
+            if len(args) != 1:
+                raise UnsupportedCHSQL("topK takes exactly 1 argument")
+            cl = f"collect_list({args[0].strip()})"
+        return (
+            f"slice(transform(array_sort(transform(array_distinct({cl}), "
+            f"_tv -> struct(-size(filter({cl}, _te -> _te = _tv)) AS _tn, "
+            f"_tv AS _tx))), _ts -> _ts._tx), 1, {n_top})"
         )
     if low == "arrayfold" and len(args) != 3:
         # the template is positional (lambda, arr, init) — a multi-array
@@ -1305,7 +1435,10 @@ _KNOWN = (
        "dateadd", "date_add", "datesub", "date_sub", "parsedatetime",
        "trunc", "truncate", "greatest", "least", "rand",
        "age", "arrayreduce", "transform", "numbers", "tuple",
-       "tupleelement"}
+       "tupleelement",
+       "summap", "minmap", "maxmap", "avgmap",
+       "sumforeach", "minforeach", "maxforeach", "avgforeach",
+       "countforeach", "topk", "topkif"}
     | set(_FIXED_INTERVALS)
 )
 
@@ -1438,6 +1571,7 @@ def _translate_tokens(tokens: list[str]) -> str:
                 k = _next_code(tokens, close + 1)
                 if (
                     low in _PARAMETRIC or low in _UNSUPPORTED_FUNCS
+                    or low in _CUSTOM_PARAMETRIC
                 ) and k < n and tokens[k] == "(":
                     close2 = _find_close(tokens, k)
                     params = args

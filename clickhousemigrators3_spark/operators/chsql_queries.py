@@ -1280,3 +1280,145 @@ _ch(
     """,
     ("lineitem",),
 )
+
+# --- round 10: the map/combinator aggregate tail ---------------------------
+# sumMap/minMap/maxMap/avgMap, the -ForEach family, and topK/topKIf now
+# TRANSLATE (functions/ch_sql.py _emit_call) instead of refusing: one
+# collect-entries-then-fold aggregate expression, composing with any
+# GROUP BY / HAVING / sibling aggregate. Maps serialize to 'k:v' strings at
+# the output boundary (the ch_summap_daily convention) so the cross-engine
+# hash compares scalars, and values pre-scale to integer cents so no float
+# sum order can diverge.
+
+# single-map form sumMap(map(k, v)) per day — the SummingMergeTree
+# dashboard shape, verbatim ClickHouse text
+_ch(
+    "chsql_summap_daily",
+    """
+    SELECT toDate(ts) AS day,
+           arrayStringConcat(mapKeys(
+               sumMap(map(event_type, toInt64(round(value * 100))))), ',')
+               AS ks,
+           arrayStringConcat(arrayMap(v -> toString(v), mapValues(
+               sumMap(map(event_type, toInt64(round(value * 100)))))), ',')
+               AS vs
+    FROM events
+    WHERE user_id < 200
+    GROUP BY day
+    ORDER BY day
+    """,
+    """
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type AS k,
+             SUM(CAST(round(value * 100, 0) AS BIGINT)) AS v
+      FROM events WHERE user_id < 200 GROUP BY 1, 2)
+    SELECT day,
+           array_to_string(list(k ORDER BY k), ',') AS ks,
+           array_to_string(list(CAST(v AS VARCHAR) ORDER BY k), ',') AS vs
+    FROM c GROUP BY day ORDER BY day
+    """,
+    ("events",),
+)
+
+# two-array form minMap/maxMap(keys, values) — per weekday, the min and max
+# scaled value each event type reached
+_ch(
+    "chsql_minmax_map_weekday",
+    """
+    SELECT toDayOfWeek(ts) AS dow,
+           arrayStringConcat(arrayMap(v -> toString(v), mapValues(
+               minMap(array(event_type),
+                      array(toInt64(round(value * 100)))))), ',') AS mins,
+           arrayStringConcat(arrayMap(v -> toString(v), mapValues(
+               maxMap(array(event_type),
+                      array(toInt64(round(value * 100)))))), ',') AS maxs
+    FROM events
+    WHERE user_id < 300
+    GROUP BY dow
+    ORDER BY dow
+    """,
+    """
+    WITH c AS (
+      SELECT isodow(ts) AS dow, event_type AS k,
+             MIN(CAST(round(value * 100, 0) AS BIGINT)) AS mn,
+             MAX(CAST(round(value * 100, 0) AS BIGINT)) AS mx
+      FROM events WHERE user_id < 300 GROUP BY 1, 2)
+    SELECT dow,
+           array_to_string(list(CAST(mn AS VARCHAR) ORDER BY k), ',') AS mins,
+           array_to_string(list(CAST(mx AS VARCHAR) ORDER BY k), ',') AS maxs
+    FROM c GROUP BY dow ORDER BY dow
+    """,
+    ("events",),
+)
+
+# topK / topKIf — most frequent event types per user bucket, overall and
+# among high-value events only. The translation counts EXACTLY with ties
+# broken by value ascending (deterministic superset of ClickHouse's
+# approximate sketch; docs/CHSQL.md).
+_ch(
+    "chsql_topk_event_types",
+    """
+    SELECT user_id % 10 AS bucket,
+           arrayStringConcat(topK(3)(event_type), ',') AS top3,
+           arrayStringConcat(topKIf(2)(event_type, value > 250), ',')
+               AS top2_high
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    """
+    WITH ranked AS (
+      SELECT user_id % 10 AS bucket, event_type,
+             row_number() OVER (PARTITION BY user_id % 10
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY 1, 2),
+    ranked_hi AS (
+      SELECT user_id % 10 AS bucket, event_type,
+             row_number() OVER (PARTITION BY user_id % 10
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events WHERE value > 250 GROUP BY 1, 2)
+    SELECT r.bucket,
+           (SELECT array_to_string(list(event_type ORDER BY rn), ',')
+            FROM ranked x WHERE x.bucket = r.bucket AND x.rn <= 3) AS top3,
+           coalesce((SELECT array_to_string(list(event_type ORDER BY rn), ',')
+            FROM ranked_hi y WHERE y.bucket = r.bucket AND y.rn <= 2), '')
+               AS top2_high
+    FROM (SELECT DISTINCT bucket FROM ranked) r
+    ORDER BY r.bucket
+    """,
+    ("events",),
+)
+
+# sumForEach over ragged integer arrays built from lineitem columns —
+# element-wise sums per position up to the longest array (ClickHouse's
+# ragged contract: shorter arrays don't contribute at tail positions)
+_ch(
+    "chsql_sum_foreach_lineitem",
+    """
+    SELECT l_returnflag,
+           arrayStringConcat(arrayMap(v -> toString(v), sumForEach(
+               arraySlice(array(toInt64(l_quantity), toInt64(l_linenumber),
+                                toInt64(l_suppkey % 7)),
+                          1, 1 + (l_orderkey % 3)))), ',') AS sums
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS e1,
+             CASE WHEN 1 + (l_orderkey % 3) >= 2
+                  THEN CAST(l_linenumber AS BIGINT) END AS e2,
+             CASE WHEN 1 + (l_orderkey % 3) >= 3
+                  THEN CAST(l_suppkey % 7 AS BIGINT) END AS e3
+      FROM lineitem WHERE l_orderkey < 2000)
+    SELECT l_returnflag,
+           concat_ws(',', CAST(SUM(e1) AS VARCHAR),
+                          CAST(SUM(e2) AS VARCHAR),
+                          CAST(SUM(e3) AS VARCHAR)) AS sums
+    FROM base GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    ("lineitem",),
+)

@@ -188,7 +188,6 @@ def test_golden_translation(ch: str, expected: str):
         ),
         ("SELECT * FROM t ANY LEFT JOIN u ON t.x = u.x", "ch_any_left_join"),
         ("SELECT * FROM t ASOF JOIN u ON t.k = u.k", "asof"),
-        ("SELECT topK(5)(x) FROM t", "topk"),
         ("SELECT windowFunnel(60)(ts, a=1, a=2) FROM t", "funnel"),
         ("SELECT extract(s, col) FROM t", "non-literal"),
         ("SELECT * FROM t PREWHERE a=1 PREWHERE b=2", "multiple PREWHERE"),
@@ -196,7 +195,6 @@ def test_golden_translation(ch: str, expected: str):
         ("SELECT cityHash64(x) FROM t", "engine-specific"),
         ("SELECT MD5(x) FROM t", "engine-specific"),
         ("SELECT runningDifference(x) FROM t", "block-order"),
-        ("SELECT sumMap(k, v) FROM t", "ch_summing_map"),
         ("SELECT arrayMap((x, y) -> x + y, a, b) FROM t", "multi-array"),
         ("SELECT dateDiff(u, a, b) FROM t", "literal unit"),
         # WITH FILL runs through run_ch_sql (schema-aware); the string-only
@@ -424,10 +422,10 @@ def test_cli_chsql_translate_only_and_refusal_exit_code(capsys):
         "SELECT count_if(a > 1) AS c FROM t WHERE b = 2"
     )
 
-    rc = main(["chsql", "SELECT topK(3)(x) FROM t", "--translate-only"])
+    rc = main(["chsql", "SELECT sparkbar(9)(x, y) FROM t", "--translate-only"])
     out = capsys.readouterr()
     assert rc == 3
-    assert "ev_topk" in out.err
+    assert "histogram" in out.err
 
 
 def test_cli_chsql_explain_insert_is_dry_run(capsys, tmp_path, monkeypatch):
@@ -2293,3 +2291,98 @@ def test_group_array_last_pinned(spark):
         translate_ch_sql(
             "SELECT groupArrayLast(v) FROM (SELECT v, ts FROM t ORDER BY ts)"
         )
+
+
+def test_map_combinator_aggregates(spark):
+    """sumMap/minMap/maxMap/avgMap translate as one collect-entries-then-
+    fold aggregate expression (map form AND the classic two-array form),
+    keys sorted ascending per ClickHouse's contract; the -ForEach family
+    aggregates element-wise with the ragged contract (shorter arrays
+    don't contribute at tail positions — the documented [10,13,5]
+    example); topK/topKIf count exactly with value-ascending tie-break."""
+    spark.createDataFrame(
+        [(1, {"a": 2, "b": 3}), (1, {"a": 5, "c": 1}), (2, {"z": 7})],
+        "g int, m map<string,int>",
+    ).createOrReplaceTempView("mca_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT g, sumMap(m) AS s, minMap(m) AS mn, maxMap(m) AS mx, "
+        "avgMap(m) AS av FROM mca_t GROUP BY g ORDER BY g",
+    ).collect()
+    r1 = rows[0]
+    assert sorted(r1.s.items()) == [("a", 7), ("b", 3), ("c", 1)]
+    assert sorted(r1.mn.items()) == [("a", 2), ("b", 3), ("c", 1)]
+    assert sorted(r1.mx.items()) == [("a", 5), ("b", 3), ("c", 1)]
+    assert sorted(r1.av.items()) == [("a", 3.5), ("b", 3.0), ("c", 1.0)]
+    # keys come out SORTED (map_from_entries preserves the sorted order)
+    assert list(r1.s.keys()) == ["a", "b", "c"]
+
+    # two-array form, with ClickHouse's unequal-sizes error kept loud
+    spark.createDataFrame(
+        [(1, ["x", "y"], [1, 2]), (1, ["y"], [10])],
+        "g int, ks array<string>, vs array<int>",
+    ).createOrReplaceTempView("mca_kv")
+    r = run_ch_sql(
+        spark, "SELECT g, sumMap(ks, vs) AS s FROM mca_kv GROUP BY g"
+    ).collect()[0]
+    assert sorted(r.s.items()) == [("x", 1), ("y", 12)]
+    spark.createDataFrame(
+        [(1, ["x", "y"], [1])], "g int, ks array<string>, vs array<int>"
+    ).createOrReplaceTempView("mca_bad")
+    with pytest.raises(Exception, match="equal sizes"):
+        run_ch_sql(
+            spark, "SELECT g, sumMap(ks, vs) AS s FROM mca_bad GROUP BY g"
+        ).collect()
+
+    # -ForEach: the ClickHouse docs' own ragged example sums to [10,13,5]
+    spark.createDataFrame(
+        [(1, [1, 2]), (1, [3, 4, 5]), (1, [6, 7]), (2, [])],
+        "g int, a array<int>",
+    ).createOrReplaceTempView("mca_fe")
+    rows = run_ch_sql(
+        spark,
+        "SELECT g, sumForEach(a) AS s, minForEach(a) AS mn, "
+        "maxForEach(a) AS mx, countForEach(a) AS c "
+        "FROM mca_fe GROUP BY g ORDER BY g",
+    ).collect()
+    assert rows[0].s == [10, 13, 5]
+    assert rows[0].mn == [1, 2, 5]
+    assert rows[0].mx == [6, 7, 5]
+    assert rows[0].c == [3, 3, 1]
+    # a group whose arrays are all empty yields [], not a crash (the
+    # sequence(1, 0) steps-down trap)
+    assert rows[1].s == []
+
+    # topK / topKIf: exact counts, ties broken by value ascending
+    spark.createDataFrame(
+        [(1, "a", 1), (1, "a", 1), (1, "b", 0), (1, "b", 1), (1, "b", 1),
+         (1, "c", 1), (2, "z", 1)],
+        "g int, v string, ok int",
+    ).createOrReplaceTempView("mca_tk")
+    rows = run_ch_sql(
+        spark,
+        "SELECT g, topK(2)(v) AS t2, topKIf(2)(v, ok = 1) AS ti "
+        "FROM mca_tk GROUP BY g ORDER BY g",
+    ).collect()
+    assert rows[0].t2 == ["b", "a"]      # b:3 beats a:2
+    assert rows[0].ti == ["a", "b"]      # both 2 under the filter → tie → asc
+    # parameterless topK defaults to ClickHouse's N=10
+    t = translate_ch_sql("SELECT topK(v) FROM mca_tk GROUP BY g")
+    assert ", 1, 10)" in t
+
+
+def test_map_combinator_refusals():
+    """What still refuses, loudly, with a pointer: the parametric
+    sumMapFiltered (filter entries first) and malformed arities."""
+    for sql, needle in (
+        ("SELECT sumMapFiltered([1])(k, v) FROM t", "ch_summing_map"),
+        ("SELECT sumMap(m, k, v) FROM t", "(map) or (keys, values)"),
+        ("SELECT avgMap() FROM t", "(map) or (keys, values)"),
+        ("SELECT sumForEach(a, b) FROM t", "exactly 1 array"),
+        ("SELECT topK(0)(v) FROM t", "positive integer"),
+        ("SELECT topK(2, 8)(v) FROM t", "positive integer"),
+        ("SELECT topKIf(2)(v) FROM t", "(x, cond)"),
+    ):
+        with pytest.raises(UnsupportedCHSQL) as exc:
+            translate_ch_sql(sql)
+        assert needle.lower() in str(exc.value).lower(), (sql, exc.value)
