@@ -2120,6 +2120,7 @@ def translate_ch_sql(sql: str) -> str:
     _refuse_group_by_modifiers(tokens)
     tokens = _rewrite_running_funcs(tokens)
     tokens = _rewrite_group_arrays(tokens)
+    tokens = _strip_dead_subquery_orders(tokens)
     # PREWHERE: ClickHouse's early-filter hint. Spark's optimizer pushes
     # predicates itself, so PREWHERE → WHERE; when both clauses appear the
     # conditions conjoin.
@@ -2818,6 +2819,128 @@ def _from_subquery_span(
                                      "asof", "semi", "anti"):
             return None
     return s, close
+
+
+def _select_order_signals(
+    tokens: list[str], sel: int
+) -> tuple[set[str], bool]:
+    """For the SELECT at ``sel``: (depth-0 clause words present among
+    group/order/limit/offset/union, whether it has an OVER whose window
+    spec lacks an ORDER BY). Used by the dead-subquery-sort pass to decide
+    whether a child subquery's block order can still be observed here."""
+    clauses: set[str] = set()
+    bare_over = False
+    depth = 0
+    k = sel + 1
+    n = len(tokens)
+    while k < n:
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                break
+        elif depth == 0:
+            lw = t.lower()
+            if lw in ("limit", "offset", "union"):
+                clauses.add(lw)
+            elif lw in ("group", "order") and _next_word_is(tokens, k, "by"):
+                clauses.add(lw)
+            elif lw == "over":
+                j = _next_code(tokens, k + 1)
+                if j < n and tokens[j] == "(":
+                    close = _find_close(tokens, j)
+                    spec = [
+                        x.lower() for x in tokens[j + 1 : close]
+                        if x and (x[0].isalpha() or x[0] == "_")
+                    ]
+                    if "order" not in spec:
+                        bare_over = True
+        k += 1
+    return clauses, bare_over
+
+
+def _strip_dead_subquery_orders(tokens: list[str]) -> list[str]:
+    """Drop the trailing ORDER BY of parenthesized subqueries whose block
+    order nothing downstream can observe. In the EMITTED Spark SQL such a
+    sort has no semantics, but it materializes a full range-partitioning
+    exchange + global sort that the next aggregate/window exchange
+    immediately destroys — the round-9 verdict's one wasted shuffle in the
+    pin restructures. Every block-order-dependent ClickHouse construct
+    has already CONSUMED its pin by now (rewritten to an explicit window
+    ORDER BY / struct sort, or refused) in the passes above.
+
+    A subquery sort is dead only when the ancestor chain provably
+    redefines or destroys row order before anything order-sensitive:
+    walking outward, an ancestor with a depth-0 GROUP BY (aggregation
+    destroys order; ClickHouse gives no post-aggregate order either) or
+    its own depth-0 ORDER BY (order redefined) ends the walk as SAFE; an
+    ancestor with LIMIT/OFFSET/UNION or a user window spec WITHOUT an
+    ORDER BY (both can observe incoming order) marks it LIVE; reaching
+    the top-level statement keeps it LIVE too (the statement's output
+    block order is the user's to observe). Inside the subquery,
+    LIMIT/OFFSET (top-k: the sort is semantic), UNION arms, and
+    WITH FILL / INTERPOLATE / SETTINGS tails also keep it."""
+    drops: list[tuple[int, int]] = []
+    i = 0
+    while i < len(tokens):
+        if tokens[i] != "(":
+            i += 1
+            continue
+        s = _next_code(tokens, i + 1)
+        if s >= len(tokens) or tokens[s].lower() != "select":
+            i += 1
+            continue
+        close = _find_close(tokens, i)
+        depth = 0
+        ob = None
+        live = False
+        k = i + 1
+        while k < close:
+            t = tokens[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                lw = t.lower()
+                if lw in ("limit", "offset", "union"):
+                    live = True
+                    break
+                if lw == "order" and _next_word_is(tokens, k, "by"):
+                    ob = k
+                elif ob is not None and lw in (
+                    "with", "interpolate", "settings", "format",
+                ):
+                    live = True  # FILL/INTERPOLATE tail or further clause
+                    break
+            k += 1
+        if ob is None or live:
+            i += 1
+            continue
+        # ancestor walk: safe only if order is redefined/destroyed
+        # strictly before anyone who could observe it
+        at = i
+        safe = False
+        while True:
+            parent = _owning_select(tokens, at)
+            if parent is None:
+                break  # top level reached: output block order observable
+            clauses, bare_over = _select_order_signals(tokens, parent)
+            if bare_over or clauses & {"limit", "offset", "union"}:
+                break
+            if clauses & {"group", "order"}:
+                safe = True
+                break
+            # _owning_select is inclusive of `at` — step past this SELECT
+            at = parent - 1
+        if safe:
+            drops.append((ob, close))
+        i += 1
+    for a, b in sorted(drops, reverse=True):
+        tokens = tokens[:a] + tokens[b:]
+    return tokens
 
 
 def _subquery_pin(tokens: list[str], sel: int) -> str | None:

@@ -2386,3 +2386,56 @@ def test_map_combinator_refusals():
         with pytest.raises(UnsupportedCHSQL) as exc:
             translate_ch_sql(sql)
         assert needle.lower() in str(exc.value).lower(), (sql, exc.value)
+
+
+def test_dead_subquery_sort_is_stripped(spark):
+    """Round-9 verdict #6: the pin restructures used to materialize the
+    FROM-subquery's global ORDER BY as a rangepartitioning exchange + sort
+    that the window's hash exchange immediately destroyed. After the
+    rewrites consume the pin, a subquery sort whose block order nothing
+    downstream can observe is stripped — the physical plan shows exactly
+    ONE exchange before the window (hash on the PARTITION BY key), and
+    observable sorts are kept."""
+    # stripped: pin consumed by the delta restructure, GROUP BY above
+    t = translate_ch_sql(
+        "SELECT g, deltaSum(v) AS d FROM "
+        "(SELECT g, v, ts FROM t ORDER BY g, ts) GROUP BY g ORDER BY g"
+    )
+    assert "FROM t )" in t.replace("  ", " ")  # subquery ORDER BY gone
+    assert "OVER (PARTITION BY g ORDER BY g, ts)" in t.replace("( ", "(")
+    # stripped: pinned groupArray, GROUP BY above
+    t = translate_ch_sql(
+        "SELECT g, groupArray(v) AS vs FROM "
+        "(SELECT g, v, ts FROM t ORDER BY ts) GROUP BY g ORDER BY g"
+    )
+    assert "ORDER BY ts )" not in t and "'_o0', (ts)" in t
+    # KEPT: top-k subquery (the sort is semantic with LIMIT inside)
+    t = translate_ch_sql("SELECT x FROM (SELECT x FROM t ORDER BY x LIMIT 5) GROUP BY x")
+    assert "ORDER BY x LIMIT 5" in t
+    # KEPT: outer LIMIT without an outer ORDER BY can observe row order
+    t = translate_ch_sql(
+        "SELECT x, count(*) AS c FROM (SELECT x FROM t ORDER BY x) "
+        "GROUP BY x LIMIT 3"
+    )
+    assert "ORDER BY x" in t
+    # KEPT: top-level passthrough — the statement's output order is the
+    # user's to observe
+    t = translate_ch_sql("SELECT x FROM (SELECT x FROM t ORDER BY x)")
+    assert "ORDER BY x" in t
+    # KEPT: a user window spec WITHOUT an ORDER BY observes incoming order
+    t = translate_ch_sql(
+        "SELECT g, groupArray(v) OVER () AS vs FROM "
+        "(SELECT g, v FROM t ORDER BY v) GROUP BY g, v ORDER BY g"
+    )
+    assert "ORDER BY v" in t
+
+    # plan check: exactly one pre-window exchange, hash on the group key
+    from clickhousemigrators3_spark.registry import load_all
+
+    df = load_all()["chsql_delta_sum"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2  # window hash + final output sort
+    assert plan.count("rangepartitioning") == 1  # ONLY the final ORDER BY
+    # the window's sort is partition-local (global=false), not a second
+    # full-relation sort
+    assert "hashpartitioning(user_id" in plan
