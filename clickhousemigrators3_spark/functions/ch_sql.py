@@ -415,6 +415,9 @@ _TEMPLATE = {
     "arraysum": "aggregate({0}, 0.0D, (_acc, _x) -> _acc + CAST(_x AS DOUBLE))",
     "arraymap": "transform({1}, {0})",
     "arrayfilter": "filter({1}, {0})",
+    # ClickHouse mapFilter is lambda-first; the (k, v) lambda shape is
+    # shared with Spark's map_filter
+    "mapfilter": "map_filter({1}, {0})",
     "arrayexists": "exists({1}, {0})",
     # arrayFold(lambda, arr, init) → aggregate(arr, init, lambda): the
     # (acc, x) merge-lambda shape is shared, only the arg order moves
@@ -555,7 +558,7 @@ _PARAMETRIC = {
 # custom-coded parametric aggregates (handled in _emit_call, not by a
 # _PARAMETRIC template) — listed so the tokenizer still consumes their
 # `(N)(args)` second group
-_CUSTOM_PARAMETRIC = {"topk", "topkif"}
+_CUSTOM_PARAMETRIC = {"topk", "topkif", "summapfiltered"}
 
 # parametric names that default to the median when the (params) group is
 # omitted — ClickHouse's documented default level is 0.5
@@ -732,7 +735,18 @@ _UNSUPPORTED_FUNCS = {
         "renders text art — operators/analytics.py histogram_value_buckets "
         "for the underlying buckets"
     ),
-    "summapfiltered": "operators/mergetree.py ch_summing_map (filter first)",
+    "mapapply": (
+        "the (k, v) -> tuple lambda cannot be re-shaped textually — "
+        "map_from_entries over transform(map_entries(m), …) explicitly"
+    ),
+    "mapexists": (
+        "Spark has no map_exists — exists(map_entries(m), e -> …) with "
+        "e.key/e.value explicitly"
+    ),
+    "mapall": (
+        "Spark has no map_forall — forall(map_entries(m), e -> …) with "
+        "e.key/e.value explicitly"
+    ),
     "deltasumtimestamp": (
         "block-order dependent without an ORDER BY — add a pinning "
         "top-level ORDER BY to this SELECT (or order the FROM-subquery): "
@@ -932,7 +946,7 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             f"multi-array {low} not mapped — arrays_zip the inputs and use "
             "one single-array lambda instead"
         )
-    if low in ("summap", "minmap", "maxmap", "avgmap"):
+    if low in ("summap", "minmap", "maxmap", "avgmap", "summapfiltered"):
         # the map-combinator aggregates: merge the group's maps, reducing
         # values per key; ClickHouse returns keys sorted ascending. Shape
         # is the sumMap precedent (operators/mergetree.py ch_summap_daily)
@@ -960,6 +974,19 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             )
         else:
             raise UnsupportedCHSQL(f"{low} takes (map) or (keys, values)")
+        if low == "summapfiltered":
+            # sumMapFiltered(keys_to_keep)(…): only the listed keys are
+            # merged — filter the entries BEFORE collection so dropped
+            # keys never enter the aggregation state
+            if params is None or len(params) != 1:
+                raise UnsupportedCHSQL(
+                    "sumMapFiltered needs one keys-to-keep array parameter"
+                )
+            entries = (
+                f"filter({entries}, "
+                f"_me -> array_contains({params[0].strip()}, _me.key))"
+            )
+            low = "summap"
         es = f"flatten(collect_list({entries}))"
         vals = (
             f"transform(filter({es}, _me -> _me.key = _mk), "
@@ -1436,7 +1463,7 @@ _KNOWN = (
        "trunc", "truncate", "greatest", "least", "rand",
        "age", "arrayreduce", "transform", "numbers", "tuple",
        "tupleelement",
-       "summap", "minmap", "maxmap", "avgmap",
+       "summap", "minmap", "maxmap", "avgmap", "summapfiltered",
        "sumforeach", "minforeach", "maxforeach", "avgforeach",
        "countforeach", "topk", "topkif"}
     | set(_FIXED_INTERVALS)
@@ -2095,6 +2122,59 @@ def _substitute_ident(
     return out
 
 
+# a word BEFORE '[' that cannot be a subscriptable value reference — the
+# bracket after it is an ARRAY LITERAL, not element access
+_SUBSCRIPT_KEYWORDS = {
+    "select", "from", "where", "prewhere", "and", "or", "not", "in",
+    "when", "then", "else", "end", "by", "as", "on", "having", "limit",
+    "offset", "join", "all", "any", "distinct", "union", "between",
+    "like", "ilike", "is", "case", "with", "settings", "interval",
+    "array", "using", "if",
+}
+
+
+def _rewrite_array_literals(tokens: list[str]) -> list[str]:
+    """ClickHouse ``[a, b, …]`` array literals → ``array(a, b, …)`` —
+    Spark has no bracket literal, and the downstream arg splitter counts
+    only parentheses (a comma inside a bracket literal would split a
+    function's arguments). Element ACCESS brackets (``m[k]``, ``arr[1]``,
+    ``f(x)[1]``) stay: the previous code token is a value reference
+    (identifier / ``)`` / ``]``), and Spark shares that subscript
+    grammar. Runs before every other pass so all machinery sees plain
+    parentheses."""
+    out: list[str] = []
+    stack: list[bool] = []
+    prev: str | None = None
+    for t in tokens:
+        if t == "[":
+            access = prev is not None and (
+                prev in (")", "]")
+                or (
+                    (prev[0].isalpha() or prev[0] in "_`\"")
+                    and prev.lower() not in _SUBSCRIPT_KEYWORDS
+                )
+            )
+            stack.append(access)
+            if access:
+                out.append("[")
+            else:
+                out.extend(["array", "("])
+            prev = t
+            continue
+        if t == "]":
+            if not stack:
+                raise UnsupportedCHSQL("unbalanced brackets in ClickHouse SQL")
+            out.append("]" if stack.pop() else ")")
+            prev = t
+            continue
+        out.append(t)
+        if not _is_ws(t):
+            prev = t
+    if stack:
+        raise UnsupportedCHSQL("unbalanced brackets in ClickHouse SQL")
+    return out
+
+
 def translate_ch_sql(sql: str) -> str:
     """Translate a ClickHouse SELECT/WITH query to Spark SQL. Raises
     UnsupportedCHSQL (with a pointer to this repo's equivalent operator)
@@ -2116,6 +2196,7 @@ def translate_ch_sql(sql: str) -> str:
             "structured here: catalog.get_schema (StructType) and the "
             "engine/partition-key columns of the emulated system.tables"
         )
+    tokens = _rewrite_array_literals(tokens)
     tokens = _expand_with_macros(tokens)
     _refuse_group_by_modifiers(tokens)
     tokens = _rewrite_running_funcs(tokens)

@@ -1379,7 +1379,6 @@ def test_wave3_functions(spark):
     [
         ("SELECT arrayAUC(s, l) FROM t", "ml_roc_auc"),
         ("SELECT sparkbar(9)(x, y) FROM t", "histogram"),
-        ("SELECT sumMapFiltered([1])(k, v) FROM t", "ch_summing_map"),
         ("SELECT deltaSumTimestamp(v, ts) FROM t", "delta_sum"),
         ("SELECT toWeek(d) FROM t", "toISOWeek"),
         ("SELECT tupleElement(tp, 1, 0) FROM t", "default argument"),
@@ -2372,10 +2371,13 @@ def test_map_combinator_aggregates(spark):
 
 
 def test_map_combinator_refusals():
-    """What still refuses, loudly, with a pointer: the parametric
-    sumMapFiltered (filter entries first) and malformed arities."""
+    """What still refuses, loudly, with a pointer: tuple-returning /
+    predicate map lambdas that can't be re-shaped textually, and
+    malformed arities."""
     for sql, needle in (
-        ("SELECT sumMapFiltered([1])(k, v) FROM t", "ch_summing_map"),
+        ("SELECT sumMapFiltered(k, v) FROM t", "keys-to-keep"),
+        ("SELECT mapApply((k,v) -> tuple(k,v), m) FROM t", "map_from_entries"),
+        ("SELECT mapExists((k,v) -> v > 0, m) FROM t", "map_entries"),
         ("SELECT sumMap(m, k, v) FROM t", "(map) or (keys, values)"),
         ("SELECT avgMap() FROM t", "(map) or (keys, values)"),
         ("SELECT sumForEach(a, b) FROM t", "exactly 1 array"),
@@ -2439,3 +2441,44 @@ def test_dead_subquery_sort_is_stripped(spark):
     # the window's sort is partition-local (global=false), not a second
     # full-relation sort
     assert "hashpartitioning(user_id" in plan
+
+
+def test_array_literals_and_map_filter(spark):
+    """ClickHouse [a, b] array literals → array(a, b) in a pre-pass (the
+    arg splitter is bracket-naive — a comma inside a literal would split
+    function arguments); ACCESS brackets m[k] / arr[1] / f(x)[1] stay.
+    mapFilter translates (lambda-first → map-first); sumMapFiltered keeps
+    only the listed keys, filtering BEFORE the aggregation state."""
+    t = translate_ch_sql(
+        "SELECT arr[1] AS e, m['k'] AS mk, [[1],[2]] AS nested, "
+        "hasAny(a, [1,2]) AS h FROM t"
+    )
+    assert "arr[1]" in t and "m['k']" in t
+    assert "array(array(1),array(2))".replace(",", ", ") in \
+        t.replace(", ", ",").replace(",", ", ") or "array(array(1)" in t
+    spark.createDataFrame(
+        [(1, {"a": 2, "b": -1}), (1, {"a": 3, "c": 9})],
+        "g int, m map<string,int>",
+    ).createOrReplaceTempView("alm_t")
+    r = run_ch_sql(
+        spark,
+        "SELECT g, sumMapFiltered(['a','c'])(m) AS sm FROM alm_t GROUP BY g",
+    ).collect()[0]
+    assert sorted(r.sm.items()) == [("a", 5), ("c", 9)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT mapFilter((k, v) -> v > 0, m) AS f FROM alm_t "
+        "ORDER BY f['a']",
+    ).collect()
+    assert [dict(r.f) for r in rows] == [{"a": 2}, {"a": 3, "c": 9}]
+    # two-array form with a bracket-literal key filter end-to-end
+    spark.createDataFrame(
+        [(1, "a", 2), (1, "a", 5), (1, "b", 3), (1, "c", 9)],
+        "g int, k string, v int",
+    ).createOrReplaceTempView("alm_kv")
+    r = run_ch_sql(
+        spark,
+        "SELECT g, sumMapFiltered(['a','b'])(array(k), array(v)) AS s "
+        "FROM alm_kv GROUP BY g",
+    ).collect()[0]
+    assert sorted(r.s.items()) == [("a", 7), ("b", 3)]
