@@ -132,11 +132,15 @@ def stream_dedup_ingest(
     index_dir: str,
     retained_out: str,
     checkpoint_path: str,
+    substring_gate: bool = False,
 ) -> None:
     """Streaming crawl-drop dedup against the STORED index — the
     Structured Streaming twin of operators/dedup_index.py: each
     micro-batch of new documents is deduped against the published
-    fingerprint/band index (exact anti-join + cross-snapshot LSH verify),
+    fingerprint/band index (exact anti-join + cross-snapshot LSH verify;
+    with ``substring_gate`` additionally the Lee-et-al span-fingerprint
+    gate via :func:`~..operators.dedup_index.dedup_delta_substring_retained`
+    — a doc sharing a verbatim span with the stored corpus drops too),
     the survivors land in ``retained_out/batch=<id>`` and are merged into
     the index BEFORE the next batch runs (foreachBatch batches are
     sequential), so a duplicate arriving two drops later is still caught.
@@ -153,6 +157,7 @@ def stream_dedup_ingest(
 
     from ..operators.dedup_index import (
         dedup_delta_retained,
+        dedup_delta_substring_retained,
         update_dedup_index,
     )
 
@@ -166,6 +171,12 @@ def stream_dedup_ingest(
         spark_ = batch.sparkSession
         batch.persist()
         retained = dedup_delta_retained(spark_, batch, index_dir)
+        if substring_gate:
+            retained = retained.join(
+                dedup_delta_substring_retained(spark_, batch, index_dir),
+                "doc_id",
+                "semi",
+            )
         docs = batch.join(retained, "doc_id", "semi")
         docs.persist()
         docs.write.mode("overwrite").parquet(

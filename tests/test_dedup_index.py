@@ -384,3 +384,37 @@ def test_dedup_substring_index_matches_emulated_twin(spark, index_dir):
     twin = [r.doc_id for r in
             dedup_substring_incremental_retained(spark, sf).collect()]
     assert stored == twin and len(twin) > 0
+
+
+def test_stream_dedup_ingest_substring_gate(spark, index_dir, tmp_path):
+    """The streaming twin with substring_gate=True: a drop-2 doc that is
+    NOT a minhash near-dup of anything but verbatim-reuses a 12-word span
+    from a doc RETAINED in drop 1 is caught — only possible because drop
+    1's survivors' span fingerprints were merged into the stored index
+    between batches."""
+    import time as _time
+
+    from clickhousemigrators3_spark.streaming.ingest import stream_dedup_ingest
+
+    base = _docs(spark, [(0, T[0]), (1, T[1])])
+    assert build_dedup_index(spark, base, index_dir, "s0") is True
+
+    src = str(tmp_path / "drops")
+    _docs(spark, [(10, SUB_A), (11, FRESH2)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)
+    # 20 shares the SPAN with drop-1's retained SUB_A but differs enough
+    # everywhere else that minhash LSH alone would keep it
+    _docs(spark, [(20, SUB_B), (21, FRESH3)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "retained")
+    ckpt = str(tmp_path / "ckpt")
+    stream_dedup_ingest(spark, src, index_dir, out, ckpt,
+                        substring_gate=True)
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got == [10, 11, 21]  # 20 dropped by the substring gate
