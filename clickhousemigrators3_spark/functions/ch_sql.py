@@ -2342,21 +2342,18 @@ def _rewrite_running_funcs(tokens: list[str]) -> list[str]:
             tokens = new_tokens
             continue
         if low in _MOVING_FUNCS:
-            # grouped moving calls would need the delta-style GROUP BY →
-            # window PARTITION BY restructure plus an ordered array
-            # re-collection; the plain window rewrite below would leave the
-            # GROUP BY in place and silently return a CROSS-group moving
-            # sum (or fail analysis) — refuse instead of diverging
+            # grouped moving calls take the delta-style restructure
+            # (GROUP BY → window PARTITION BY + pin-ordered array
+            # re-collection); the plain window rewrite below would leave
+            # the GROUP BY in place and silently return a CROSS-group
+            # moving sum (or fail analysis)
             sel = _owning_select(tokens, i)
             if sel is not None and _group_by_keys(tokens, sel) is not None:
-                raise UnsupportedCHSQL(
-                    f"{t} under GROUP BY is not mapped — ClickHouse "
-                    "returns one moving-window array PER GROUP; rewrite as "
-                    "a window over the ungrouped rows (sum(x) OVER "
-                    "(PARTITION BY <group keys> ORDER BY <pin> ROWS "
-                    "BETWEEN N-1 PRECEDING AND CURRENT ROW)) and collect "
-                    "with a pinned groupArray if the array shape is needed"
-                )
+                new_tokens = _rewrite_delta_select(tokens, i)
+                if new_tokens is None:
+                    return tokens  # no pin → the loud refusal fires
+                tokens = new_tokens
+                continue
         ord_sql = _running_order_by(tokens, i)
         if ord_sql is None:
             return tokens  # no ORDER BY → existing refusal fires
@@ -2392,8 +2389,9 @@ def _check_pin_preaggregate(sql: str, what: str) -> None:
 
 
 def _rewrite_delta_select(tokens: list[str], call_idx: int) -> list[str] | None:
-    """Restructure the SELECT owning a pinned deltaSum/deltaSumTimestamp
-    call around a derived clamped-delta column:
+    """Restructure the SELECT owning a pinned block-order aggregate
+    (deltaSum / deltaSumTimestamp, and — when grouped — also
+    groupArrayMovingSum/Avg) around derived window columns:
 
         SELECT g, deltaSum(x) FROM t WHERE w GROUP BY g ORDER BY pin
       → SELECT g, sum(_ds0) FROM (
@@ -2402,20 +2400,31 @@ def _rewrite_delta_select(tokens: list[str], call_idx: int) -> list[str] | None:
             FROM t WHERE w
         ) GROUP BY g ORDER BY pin
 
+        SELECT g, groupArrayMovingSum(N)(x) FROM … GROUP BY g  (pinned)
+      → SELECT g, arrayMap(_ga -> _ga._v, array_sort(collect_list(
+            named_struct('_o0', pin0, …, '_v', _ds0)))) FROM (
+            SELECT *, sum((x)) OVER (PARTITION BY g ORDER BY pin
+                ROWS BETWEEN N-1 PRECEDING AND CURRENT ROW) AS _ds0
+            FROM …
+        ) GROUP BY g
+
     which preserves the aggregate shape (GROUP BY → window PARTITION BY;
-    the first row of each partition contributes 0 via the lag default,
-    ClickHouse's own first-row contract). deltaSumTimestamp(v, ts) carries
-    the same value under one pinned evaluation — its timestamp argument
-    only orders STATE MERGES, which a single sorted pass never performs
-    (docs/CHSQL.md). All delta calls owned by this SELECT are rewritten in
-    one restructure. Returns None (→ the loud refusal) when unpinned."""
+    the delta's first row contributes 0 via the lag default, ClickHouse's
+    own first-row contract; the moving array's element i IS the window
+    value at pinned row i, re-collected in pin order via the pinned-
+    groupArray struct sort). deltaSumTimestamp(v, ts) carries the same
+    value under one pinned evaluation — its timestamp argument only
+    orders STATE MERGES, which a single sorted pass never performs
+    (docs/CHSQL.md). All eligible calls owned by this SELECT are
+    rewritten in one restructure; UNGROUPED moving calls are left for the
+    per-row unroll path. Returns None (→ the loud refusal) when
+    unpinned."""
     sel = _owning_select(tokens, call_idx)
     if sel is None:
         return None
-    ord_sql = _running_order_by(tokens, call_idx)
-    if ord_sql is None:
+    ord_keys = _running_order_keys(tokens, call_idx)
+    if ord_keys is None:
         return None
-    _check_pin_preaggregate(ord_sql, "pinning ORDER BY")
     # span of this SELECT: to its subquery close (exclusive) or statement end
     end = len(tokens)
     depth = 0
@@ -2429,72 +2438,52 @@ def _rewrite_delta_select(tokens: list[str], call_idx: int) -> list[str] | None:
                 end = k
                 break
     span = list(tokens[sel:end])
-    # replace every delta call owned by THIS select, last-to-first
-    calls: list[tuple[int, int, str, list[str]]] = []
-    for i, t in enumerate(span):
-        low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
-        if low in _DELTA_FUNCS and _owning_select(span, i) == 0:
-            j = _next_code(span, i + 1)
-            if j < len(span) and span[j] == "(":
-                close = _find_close(span, j)
-                args = [
-                    "".join(a).strip()
-                    for a in _split_args(span[j + 1 : close])
-                    if a
-                ]
-                calls.append((i, close, low, args))
-    derived: list[str] = []
-    for k, (i, close, low, args) in enumerate(reversed(calls)):
-        idx = len(calls) - 1 - k
-        if low == "deltasum" and len(args) != 1:
-            raise UnsupportedCHSQL("deltaSum takes exactly 1 argument")
-        if low == "deltasumtimestamp" and len(args) != 2:
-            raise UnsupportedCHSQL(
-                "deltaSumTimestamp takes (value, timestamp)"
-            )
-        span[i : close + 1] = _tokenize(f"sum(_ds{idx})")
-        derived.append(args[0])
-    derived.reverse()
-    # clause boundaries at depth 0 of the rewritten span
-    depth = 0
-    frm = grp = hav = orde = tail = None
-    stop = len(span)
-    for k in range(1, len(span)):
-        t = span[k]
-        if t == "(":
-            depth += 1
-        elif t == ")":
-            depth -= 1
-        elif depth == 0:
-            lw = t.lower()
-            if lw == "from" and frm is None:
-                frm = k
-            elif lw == "group" and grp is None and _next_word_is(span, k, "by"):
-                grp = k
-            elif lw == "having" and hav is None:
-                hav = k
-            elif lw == "order" and orde is None and _next_word_is(span, k, "by"):
-                orde = k
-            elif lw == "union":
-                return None  # pin across union arms is undefined
-            elif tail is None and (
-                lw == "limit"
-                or (lw in ("settings", "format") and _looks_clause(span, k))
-            ):
-                tail = k
-                break
-            elif lw in ("window", "qualify"):
-                raise UnsupportedCHSQL(
-                    "deltaSum with a WINDOW/QUALIFY clause is not mapped"
-                )
+
+    def _scan_clauses(sp):
+        depth = 0
+        frm = grp = hav = orde = tail = None
+        for k in range(1, len(sp)):
+            t = sp[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                lw = t.lower()
+                if lw == "from" and frm is None:
+                    frm = k
+                elif lw == "group" and grp is None and _next_word_is(sp, k, "by"):
+                    grp = k
+                elif lw == "having" and hav is None:
+                    hav = k
+                elif lw == "order" and orde is None and _next_word_is(sp, k, "by"):
+                    orde = k
+                elif lw == "union":
+                    return "union"
+                elif tail is None and (
+                    lw == "limit"
+                    or (lw in ("settings", "format") and _looks_clause(sp, k))
+                ):
+                    tail = k
+                    break
+                elif lw in ("window", "qualify"):
+                    raise UnsupportedCHSQL(
+                        "deltaSum/groupArrayMoving* with a WINDOW/QUALIFY "
+                        "clause is not mapped"
+                    )
+        return frm, grp, hav, orde, tail
+
+    scanned = _scan_clauses(span)
+    if scanned == "union":
+        return None  # pin across union arms is undefined
+    frm, grp, hav, orde, tail = scanned
     if frm is None:
         return None  # FROM-less scalar select: nothing to pin on
+    stop = len(span)
+
     # GROUP BY keys → window PARTITION BY (ordinals/aliases resolved to
     # base expressions, which the inner SELECT * keeps in scope)
     part = ""
-    first_clause_after_from = min(
-        x for x in (grp, hav, orde, tail, stop) if x is not None
-    )
     if grp is not None:
         by = _next_code(span, grp + 1)
         gend = min(x for x in (hav, orde, tail, stop) if x is not None)
@@ -2520,31 +2509,140 @@ def _rewrite_delta_select(tokens: list[str], call_idx: int) -> list[str] | None:
         part = f"PARTITION BY {', '.join(pkeys)} "
 
         # a pin that only repeats the group keys leaves the order WITHIN
-        # each group undefined — lag() would be nondeterministic; fall
-        # back to the FROM-subquery's ORDER BY (the correct grouped
-        # shape: FROM (SELECT … ORDER BY g, ts) GROUP BY g), refuse if
-        # that is absent or also group-keys-only
+        # each group undefined — lag()/the moving frame would be
+        # nondeterministic; fall back to the FROM-subquery's ORDER BY
+        # (the correct grouped shape: FROM (SELECT … ORDER BY g, ts)
+        # GROUP BY g), refuse if that is absent or also group-keys-only
         pset = {_norm_key(k) for k in pkeys}
-        if {_norm_key(k) for k in ord_sql.split(",")} <= pset:
-            sub = _subquery_pin(tokens, sel)
-            if sub is None or {_norm_key(k) for k in sub.split(",")} <= pset:
+        if {_norm_key(e + " " + t) for e, t in ord_keys} <= pset:
+            sub = _subquery_pin_keys(tokens, sel)
+            if sub is None or {
+                _norm_key(e + " " + t) for e, t in sub
+            } <= pset:
                 raise UnsupportedCHSQL(
-                    "grouped deltaSum needs a pin that orders rows WITHIN "
-                    "each group — ORDER BY the group keys alone leaves the "
-                    "intra-group order undefined; order the FROM-subquery "
-                    "by (group keys, time) instead"
+                    "grouped deltaSum/groupArrayMoving* needs a pin that "
+                    "orders rows WITHIN each group — ORDER BY the group "
+                    "keys alone leaves the intra-group order undefined; "
+                    "order the FROM-subquery by (group keys, time) instead"
                 )
-            ord_sql = sub
+            ord_keys = sub
+    ord_sql = ", ".join((e + " " + t).strip() for e, t in ord_keys)
+    _check_pin_preaggregate(ord_sql, "pinning ORDER BY")
+
+    # collect every eligible call owned by THIS select: delta always;
+    # moving only when grouped (ungrouped moving stays on the unroll path)
+    calls: list[tuple[int, int, str, list[str], list[str] | None]] = []
+    for i, t in enumerate(span):
+        low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
+        if low in _DELTA_FUNCS or (low in _MOVING_FUNCS and grp is not None):
+            if _owning_select(span, i) != 0:
+                continue
+            j = _next_code(span, i + 1)
+            if j >= len(span) or span[j] != "(":
+                continue
+            close = _find_close(span, j)
+            params = None
+            if low in _MOVING_FUNCS:
+                nxt = _next_code(span, close + 1)
+                if nxt < len(span) and span[nxt] == "(":
+                    params = [
+                        "".join(a).strip()
+                        for a in _split_args(span[j + 1 : close])
+                        if a
+                    ]
+                    j = nxt
+                    close = _find_close(span, j)
+            args = [
+                "".join(a).strip()
+                for a in _split_args(span[j + 1 : close])
+                if a
+            ]
+            calls.append((i, close, low, args, params))
+    if not calls:
+        return None
+
     over = f"OVER ({part}ORDER BY {ord_sql})"
-    dcols = ", ".join(
-        f"greatest(({v}) - lag(({v}), 1, ({v})) {over}, 0) AS _ds{k}"
-        for k, v in enumerate(derived)
+    pin_fields = ", ".join(
+        f"'_o{k}', ({e})" for k, (e, _t) in enumerate(ord_keys)
+    )
+    dcols: list[str] = []
+    for k, (i, close, low, args, params) in enumerate(reversed(calls)):
+        idx = len(calls) - 1 - k
+        if low == "deltasum" and len(args) != 1:
+            raise UnsupportedCHSQL("deltaSum takes exactly 1 argument")
+        if low == "deltasumtimestamp" and len(args) != 2:
+            raise UnsupportedCHSQL(
+                "deltaSumTimestamp takes (value, timestamp)"
+            )
+        if low in _DELTA_FUNCS:
+            v = args[0]
+            dcols.append(
+                f"greatest(({v}) - lag(({v}), 1, ({v})) {over}, 0) "
+                f"AS _ds{idx}"
+            )
+            repl = f"sum(_ds{idx})"
+        else:
+            if len(args) != 1:
+                raise UnsupportedCHSQL(f"{low} takes exactly 1 argument")
+            for _e, tl in ord_keys:
+                if "desc" in tl.lower().split():
+                    raise UnsupportedCHSQL(
+                        "grouped groupArrayMoving* re-collects the array "
+                        "via an ascending struct sort — DESC pin keys are "
+                        "not mapped (negate the key)"
+                    )
+            v = args[0]
+            if params is not None:
+                if len(params) != 1 or not params[0].isdigit() \
+                        or params[0] == "0":
+                    raise UnsupportedCHSQL(
+                        f"{low} window size must be a positive integer "
+                        "literal (Spark frame bounds are compile-time)"
+                    )
+                frame = (
+                    f"ROWS BETWEEN {int(params[0]) - 1} PRECEDING "
+                    "AND CURRENT ROW"
+                )
+            else:
+                frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            if low == "grouparraymovingsum":
+                dcols.append(
+                    f"sum(({v})) OVER ({part}ORDER BY {ord_sql} {frame}) "
+                    f"AS _ds{idx}"
+                )
+            else:
+                # movingAvg divides by the WINDOW SIZE (or, with no size,
+                # the group's total row count) and returns DOUBLE —
+                # ClickHouse's contract (docs/CHSQL.md)
+                csum = (
+                    f"sum(CAST(({v}) AS DOUBLE)) "
+                    f"OVER ({part}ORDER BY {ord_sql} {frame})"
+                )
+                div = (
+                    f"{int(params[0])}.0D"
+                    if params is not None
+                    else f"CAST(count(1) OVER ({part.strip()}) AS DOUBLE)"
+                )
+                dcols.append(f"(({csum}) / {div}) AS _ds{idx}")
+            repl = (
+                f"arrayMap(_ga -> _ga._v, array_sort(collect_list("
+                f"named_struct({pin_fields}, '_v', _ds{idx}))))"
+            )
+        span[i : close + 1] = _tokenize(repl)
+    dcols.reverse()
+
+    # re-scan: replacements shifted every clause position
+    scanned = _scan_clauses(span)
+    frm, grp, hav, orde, tail = scanned
+    stop = len(span)
+    first_clause_after_from = min(
+        x for x in (grp, hav, orde, tail, stop) if x is not None
     )
     select_list = "".join(span[1:frm])
     from_filters = "".join(span[frm + 1 : first_clause_after_from])
     rest = "".join(span[first_clause_after_from:])
     new = (
-        f"SELECT {select_list} FROM ( SELECT *, {dcols} "
+        f"SELECT {select_list} FROM ( SELECT *, {', '.join(dcols)} "
         f"FROM {from_filters} ) {rest}"
     )
     return tokens[:sel] + _tokenize(new) + tokens[end:]

@@ -1422,3 +1422,48 @@ _ch(
     """,
     ("lineitem",),
 )
+
+# grouped groupArrayMovingSum/Avg (round 10): the delta-style restructure —
+# GROUP BY → window PARTITION BY, per-group array re-collected in pin order
+# (ClickHouse's true result shape, unlike the ungrouped per-row unroll).
+# Values pre-scaled to integer cents; arrays serialized at the boundary.
+_ch(
+    "chsql_moving_sum_grouped",
+    """
+    SELECT user_id,
+           arrayStringConcat(arrayMap(v -> toString(v),
+               groupArrayMovingSum(3)(toInt64(round(value * 100)))), ',')
+               AS ms3,
+           arrayStringConcat(arrayMap(v -> toString(v),
+               groupArrayMovingSum(toInt64(round(value * 100)))), ',')
+               AS cs
+    FROM (
+        SELECT user_id, ts, event_id, value
+        FROM events
+        WHERE user_id < 40
+        ORDER BY user_id, ts, event_id
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    """
+    WITH w AS (
+      SELECT user_id, ts, event_id,
+             SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 AS ms3,
+             SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cs
+      FROM (SELECT user_id, ts, event_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE user_id < 40))
+    SELECT user_id,
+           array_to_string(list(CAST(ms3 AS VARCHAR)
+                                ORDER BY ts, event_id), ',') AS ms3,
+           array_to_string(list(CAST(cs AS VARCHAR)
+                                ORDER BY ts, event_id), ',') AS cs
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+    ("events",),
+)

@@ -1825,13 +1825,16 @@ def test_delta_sum_refusals():
         ("SELECT groupArrayMovingSum(n)(v) FROM t ORDER BY ts",
          "integer literal"),
         ("SELECT deltaSum(a, b) FROM t ORDER BY ts", "exactly 1"),
-        # grouped moving calls: the plain window rewrite would leave the
-        # GROUP BY intact and silently return a CROSS-group moving sum
-        # when the argument is a group-key expression (advisor-found)
+        # grouped moving calls restructure like deltaSum — but a pin that
+        # only repeats the group keys (the advisor-found silent
+        # cross-group divergence) refuses, as does a DESC pin
         ("SELECT g, groupArrayMovingSum(2)(g) FROM t GROUP BY g ORDER BY g",
-         "under GROUP BY"),
+         "WITHIN each group"),
         ("SELECT g, groupArrayMovingAvg(v) FROM t GROUP BY g, v ORDER BY g",
-         "under GROUP BY"),
+         "WITHIN each group"),
+        ("SELECT g, groupArrayMovingSum(2)(v) FROM "
+         "(SELECT g, v, ts FROM t ORDER BY g, ts DESC) GROUP BY g",
+         "DESC pin"),
     ):
         with pytest.raises(UnsupportedCHSQL) as exc:
             translate_ch_sql(sql)
@@ -2482,3 +2485,45 @@ def test_array_literals_and_map_filter(spark):
         "FROM alm_kv GROUP BY g",
     ).collect()[0]
     assert sorted(r.s.items()) == [("a", 7), ("b", 3)]
+
+
+def test_grouped_moving_restructure(spark):
+    """Grouped groupArrayMovingSum/Avg restructure like deltaSum: GROUP BY
+    → window PARTITION BY, and the per-group ARRAY (ClickHouse's true
+    result shape) re-collects the window values in pin order via the
+    pinned-groupArray struct sort. movingAvg divides by the window size
+    (or the group's total count with no size) and returns DOUBLE."""
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("b", 1, 5), ("b", 2, 7)],
+        "g string, ts int, v int",
+    ).createOrReplaceTempView("gmr_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT g, groupArrayMovingSum(2)(v) AS ms, "
+        "groupArrayMovingAvg(2)(v) AS ma, groupArrayMovingSum(v) AS cs "
+        "FROM (SELECT g, ts, v FROM gmr_t ORDER BY g, ts) "
+        "GROUP BY g ORDER BY g",
+    ).collect()
+    assert [(r.g, r.ms, r.ma, r.cs) for r in rows] == [
+        ("a", [10, 30, 50], [5.0, 15.0, 25.0], [10, 30, 60]),
+        ("b", [5, 12], [2.5, 6.0], [5, 12]),
+    ]
+    # mixed with deltaSum: one restructure carries both families
+    rows = run_ch_sql(
+        spark,
+        "SELECT g, toFloat64(deltaSum(v)) AS d, "
+        "groupArrayMovingSum(2)(v) AS ms "
+        "FROM (SELECT g, ts, v FROM gmr_t ORDER BY g, ts) "
+        "GROUP BY g ORDER BY g",
+    ).collect()
+    assert [(r.g, r.d, r.ms) for r in rows] == [
+        ("a", 20.0, [10, 30, 50]),
+        ("b", 2.0, [5, 12]),
+    ]
+    # the ungrouped per-row unroll path is untouched
+    rows = run_ch_sql(
+        spark,
+        "SELECT ts, groupArrayMovingSum(2)(v) AS ms FROM gmr_t "
+        "WHERE g = 'a' ORDER BY ts",
+    ).collect()
+    assert [(r.ts, r.ms) for r in rows] == [(1, 10), (2, 30), (3, 50)]
