@@ -111,8 +111,8 @@ Covered surface (the high-frequency ClickHouse idioms):
 Refused loudly (pointer to the operator that implements the semantics):
 FINAL, SAMPLE, WITH TOTALS, LIMIT n BY without
 ORDER BY (nondeterministic), ANY/ASOF join strictness,
-windowFunnel / retention / sequenceMatch / uniqUpTo / dictGet /
-sumMapFiltered / groupBitmap / anyHeavy, running/block-order functions
+windowFunnel / retention / sequenceMatch / dictGet / groupBitmap,
+running/block-order functions
 without a pinning ORDER BY, engine-specific hash families
 (cityHash64/sipHash64/…/MD5 — same name, different values or types),
 multi-array lambdas, non-literal extract()/dateDiff units, ARRAY JOIN
@@ -558,7 +558,7 @@ _PARAMETRIC = {
 # custom-coded parametric aggregates (handled in _emit_call, not by a
 # _PARAMETRIC template) — listed so the tokenizer still consumes their
 # `(N)(args)` second group
-_CUSTOM_PARAMETRIC = {"topk", "topkif", "summapfiltered"}
+_CUSTOM_PARAMETRIC = {"topk", "topkif", "summapfiltered", "topkweighted", "uniqupto"}
 
 # parametric names that default to the median when the (params) group is
 # omitted — ClickHouse's documented default level is 0.5
@@ -692,19 +692,16 @@ _UNSUPPORTED_FUNCS = {
         "fixed-width bit rendering differs from Spark bin — use "
         "format_string/conv explicitly"
     ),
-    "topkweighted": "operators/ch_aggregates.py topk_weighted_sources",
     "windowfunnel": "operators/event_analytics.py ev_window_funnel_*",
     "retention": "operators/event_analytics.py ev_retention_day0",
     "sequencematch": "operators/event_analytics.py ev_sequence_match",
     "sequencecount": "operators/event_analytics.py ev_sequence_count",
-    "uniqupto": "operators/ch_aggregates.py uniq_up_to_per_type",
     "dictget": "operators/mergetree.py ch_dict_get_nation_name (broadcast join)",
     "quantileexactweighted": (
         "operators/ch_aggregates.py quantile_exact_weighted (Spark has no "
         "weighted percentile builtin)"
     ),
     "groupbitmap": "operators/ch_aggregates.py ch_group_bitmap_weekly_users",
-    "anyheavy": "operators/ch_aggregates.py topk_weighted_sources",
     "runningdifference": (
         "block-order dependent without an ORDER BY — add a top-level "
         "ORDER BY to this SELECT (the translator then rewrites it to "
@@ -1052,6 +1049,60 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         return (
             f"slice(transform(sequence(1, greatest({maxlen}, 1)), "
             f"_fi -> {red}), 1, {maxlen})"
+        )
+    if low == "uniqupto":
+        # uniqUpTo(N)(x): "the number of different values if <= N, else
+        # N+1" — least(exact distinct count, N+1) IS that definition,
+        # computed exactly (ClickHouse's version bounds its state at N+1;
+        # Spark's distinct count is the same value without the bound)
+        if params is None or len(params) != 1 \
+                or not params[0].strip().isdigit():
+            raise UnsupportedCHSQL(
+                "uniqUpTo(N) needs one integer literal parameter"
+            )
+        if len(args) != 1:
+            raise UnsupportedCHSQL("uniqUpTo takes exactly 1 argument")
+        n_cap = int(params[0].strip())
+        return f"least(count(DISTINCT {args[0].strip()}), {n_cap + 1})"
+    if low == "anyheavy":
+        # anyHeavy(x): "a frequently occurring value" (heavy-hitter
+        # sketch, arbitrary among candidates) — the exact MODE with ties
+        # broken by value ascending is a deterministic superset of that
+        # contract (docs/CHSQL.md)
+        if len(args) != 1:
+            raise UnsupportedCHSQL("anyHeavy takes exactly 1 argument")
+        cl = f"collect_list({args[0].strip()})"
+        return (
+            f"try_element_at(transform(array_sort(transform("
+            f"array_distinct({cl}), "
+            f"_tv -> struct(-size(filter({cl}, _te -> _te = _tv)) AS _tn, "
+            f"_tv AS _tx))), _ts -> _ts._tx), 1)"
+        )
+    if low == "topkweighted":
+        # topKWeighted(N)(x, weight): values ranked by TOTAL WEIGHT —
+        # exact sums, ties by value ascending (same determinism posture
+        # as topK). Weights rank as DOUBLE (comparison only; no weight is
+        # returned).
+        if params is None:
+            params = ["10"]
+        if len(params) != 1 or not params[0].strip().isdigit() \
+                or params[0].strip() == "0":
+            raise UnsupportedCHSQL(
+                "topKWeighted(N) needs one positive integer literal"
+            )
+        if len(args) != 2:
+            raise UnsupportedCHSQL("topKWeighted takes (x, weight)")
+        x, w = args[0].strip(), args[1].strip()
+        cl = f"collect_list(named_struct('v', ({x}), 'w', ({w})))"
+        wsum = (
+            f"aggregate(transform(filter({cl}, _tp -> _tp.v = _tv), "
+            f"_tp -> CAST(_tp.w AS DOUBLE)), 0.0D, (_ta, _tb) -> _ta + _tb)"
+        )
+        return (
+            f"slice(transform(array_sort(transform(array_distinct("
+            f"transform({cl}, _tp -> _tp.v)), "
+            f"_tv -> struct(-({wsum}) AS _tn, _tv AS _tx))), "
+            f"_ts -> _ts._tx), 1, {params[0].strip()})"
         )
     if low in ("topk", "topkif"):
         # topK(N)(x) / topKIf(N)(x, cond): the ~N most frequent values.
@@ -1465,7 +1516,8 @@ _KNOWN = (
        "tupleelement",
        "summap", "minmap", "maxmap", "avgmap", "summapfiltered",
        "sumforeach", "minforeach", "maxforeach", "avgforeach",
-       "countforeach", "topk", "topkif"}
+       "countforeach", "topk", "topkif", "topkweighted", "uniqupto",
+       "anyheavy"}
     | set(_FIXED_INTERVALS)
 )
 

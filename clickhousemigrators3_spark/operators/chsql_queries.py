@@ -1467,3 +1467,44 @@ _ch(
     """,
     ("events",),
 )
+
+# uniqUpTo / topKWeighted / anyHeavy (round 10): the last refused
+# aggregate-sketch trio, translated exactly — uniqUpTo(N) IS
+# least(distinct count, N+1) by its definition; topKWeighted ranks by
+# exact total weight; anyHeavy is the deterministic exact mode.
+_ch(
+    "chsql_uniq_upto_topk_weighted",
+    """
+    SELECT user_id % 10 AS bucket,
+           uniqUpTo(3)(event_type) AS u3,
+           anyHeavy(event_type) AS heavy,
+           arrayStringConcat(
+               topKWeighted(2)(event_type, toInt64(round(value * 100))),
+               ',') AS tw2
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    """
+    WITH ranked AS (
+      SELECT user_id % 10 AS bucket, event_type,
+             row_number() OVER (PARTITION BY user_id % 10
+                                ORDER BY SUM(CAST(round(value * 100, 0)
+                                              AS BIGINT)) DESC,
+                                         event_type) AS rnw,
+             row_number() OVER (PARTITION BY user_id % 10
+                                ORDER BY COUNT(*) DESC, event_type) AS rnc
+      FROM events GROUP BY 1, 2)
+    SELECT b.bucket,
+           least(b.nd, 4) AS u3,
+           (SELECT event_type FROM ranked x
+            WHERE x.bucket = b.bucket AND x.rnc = 1) AS heavy,
+           (SELECT array_to_string(list(event_type ORDER BY rnw), ',')
+            FROM ranked y WHERE y.bucket = b.bucket AND y.rnw <= 2) AS tw2
+    FROM (SELECT user_id % 10 AS bucket,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd
+          FROM events GROUP BY 1) b
+    ORDER BY b.bucket
+    """,
+    ("events",),
+)

@@ -2527,3 +2527,27 @@ def test_grouped_moving_restructure(spark):
         "WHERE g = 'a' ORDER BY ts",
     ).collect()
     assert [(r.ts, r.ms) for r in rows] == [(1, 10), (2, 30), (3, 50)]
+
+
+def test_uniqupto_topkweighted_anyheavy(spark):
+    """Round-10 aggregate tail: uniqUpTo(N) == least(exact distinct, N+1)
+    by definition; topKWeighted ranks by exact total weight (ties by
+    value ascending); anyHeavy returns the deterministic exact mode — a
+    superset of the heavy-hitter sketch's contract."""
+    spark.createDataFrame(
+        [(1, "a", 1), (1, "a", 1), (1, "b", 10), (1, "c", 3), (2, "z", 1)],
+        "g int, v string, w int",
+    ).createOrReplaceTempView("utw_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT g, uniqUpTo(2)(v) AS u, anyHeavy(v) AS h, "
+        "topKWeighted(2)(v, w) AS tw FROM utw_t GROUP BY g ORDER BY g",
+    ).collect()
+    assert [(r.g, r.u, r.h, r.tw) for r in rows] == [
+        (1, 3, "a", ["b", "c"]),   # 3 distinct capped at N+1; mode 'a';
+        (2, 1, "z", ["z"]),        # weights b=10 > c=3 > a=2
+    ]
+    with pytest.raises(UnsupportedCHSQL, match="integer literal"):
+        translate_ch_sql("SELECT uniqUpTo(v) FROM t")
+    with pytest.raises(UnsupportedCHSQL, match=r"\(x, weight\)"):
+        translate_ch_sql("SELECT topKWeighted(2)(v) FROM t")
