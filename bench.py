@@ -54,6 +54,14 @@ HEADLINE = [
     # subquery restructure (window inside a rebuilt aggregate SELECT)
     "dedup_substring_retained",
     "chsql_delta_sum",
+    # round-10: the incremental substring gate (delta-vs-corpus, the
+    # stored-index emulated twin), the map-combinator aggregate
+    # translation (collect-entries-then-fold), and the grouped moving
+    # restructure (GROUP BY → window PARTITION BY + pin-ordered
+    # re-collection)
+    "dedup_substring_incremental_retained",
+    "chsql_summap_daily",
+    "chsql_moving_sum_grouped",
 ]
 
 
