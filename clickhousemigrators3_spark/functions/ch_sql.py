@@ -422,6 +422,16 @@ _TEMPLATE = {
     # arrayFold(lambda, arr, init) → aggregate(arr, init, lambda): the
     # (acc, x) merge-lambda shape is shared, only the arg order moves
     "arrayfold": "aggregate({1}, {2}, {0})",
+    # 1-based index of the first lambda match; Spark array_position
+    # returns 0 when absent — exactly ClickHouse's contract
+    "arrayfirstindex": "array_position(transform({1}, {0}), true)",
+    # per-element occurrence counter (1 on first sighting, 2 on second …)
+    # — prefix-scan count; null-safe compare keeps NULL runs counted the
+    # way ClickHouse counts them (equal to each other)
+    "arrayenumerateuniq": (
+        "transform({0}, (_aeu, _aei) -> "
+        "size(filter(slice({0}, 1, _aei + 1), _aey -> _aey <=> _aeu)))"
+    ),
     "arrayall": "forall({1}, {0})",
     "adddays": "({0} + make_interval(0, 0, 0, {1}))",
     "subtractdays": "({0} - make_interval(0, 0, 0, {1}))",
@@ -938,7 +948,8 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
     if params is None and low in _MEDIAN_DEFAULT:
         params = ["0.5"]  # ClickHouse's default level is the median
     if low in ("arraymap", "arrayfilter", "arrayexists", "arrayall",
-               "arrayfirst", "arraylast", "arraycount") and len(args) != 2:
+               "arrayfirst", "arraylast", "arraycount",
+               "arrayfirstindex") and len(args) != 2:
         raise UnsupportedCHSQL(
             f"multi-array {low} not mapped — arrays_zip the inputs and use "
             "one single-array lambda instead"

@@ -2551,3 +2551,18 @@ def test_uniqupto_topkweighted_anyheavy(spark):
         translate_ch_sql("SELECT uniqUpTo(v) FROM t")
     with pytest.raises(UnsupportedCHSQL, match=r"\(x, weight\)"):
         translate_ch_sql("SELECT topKWeighted(2)(v) FROM t")
+
+
+def test_array_first_index_and_enumerate_uniq(spark):
+    """arrayFirstIndex → array_position over the mapped booleans (1-based,
+    0 when absent — the shared contract); arrayEnumerateUniq → per-element
+    occurrence counter via a null-safe prefix-scan count."""
+    r = run_ch_sql(
+        spark,
+        "SELECT arrayFirstIndex(x -> x > 10, array(3, 20, 7, 30)) AS fi, "
+        "arrayFirstIndex(x -> x > 99, array(3, 20)) AS no_match, "
+        "arrayEnumerateUniq(array(10, 20, 10, 10, 20)) AS eu",
+    ).collect()[0]
+    assert (r.fi, r.no_match, r.eu) == (2, 0, [1, 1, 2, 3, 2])
+    with pytest.raises(UnsupportedCHSQL, match="multi-array"):
+        translate_ch_sql("SELECT arrayFirstIndex((x, y) -> x > y, a, b) FROM t")
