@@ -418,3 +418,45 @@ def test_stream_dedup_ingest_substring_gate(spark, index_dir, tmp_path):
         r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
     )
     assert got == [10, 11, 21]  # 20 dropped by the substring gate
+
+
+def test_compact_crash_mid_sequence_converges(spark, index_dir, monkeypatch):
+    """compact_dedup_index flips manifests per table as each compacted
+    prefix lands; a crash mid-sequence leaves the remaining tables on
+    their (still-correct) chains, and a retry with the SAME id converges
+    — already-compacted tables skip, the rest compact."""
+    import clickhousemigrators3_spark.operators.dedup_index as di
+
+    base = _docs(spark, [(i, T[i]) for i in range(3)])
+    assert build_dedup_index(spark, base, index_dir, "s0") is True
+    d = _docs(spark, [(10, FRESH1)])
+    r = dedup_delta_retained(spark, d, index_dir)
+    assert update_dedup_index(
+        spark, d.join(r, "doc_id", "semi"), index_dir, "s1"
+    ) is True
+    c_before = _counts(spark, index_dir)
+
+    real_publish = di.publish_manifest
+    calls = {"n": 0}
+
+    def crashing_publish(dest_dir, table, data_path):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash mid-compact")
+        return real_publish(dest_dir, table, data_path)
+
+    monkeypatch.setattr(di, "publish_manifest", crashing_publish)
+    with pytest.raises(OSError, match="mid-compact"):
+        di.compact_dedup_index(spark, index_dir, "c0")
+    monkeypatch.setattr(di, "publish_manifest", real_publish)
+
+    # mid-crash state still reads correctly (mixed chains + compacted)
+    assert _counts(spark, index_dir) == c_before
+    # retry converges every table to the single compacted prefix
+    assert di.compact_dedup_index(spark, index_dir, "c0") is True
+    assert all(
+        len(di._live_paths(index_dir, t)) == 1 for t in INDEX_TABLES
+    )
+    assert _counts(spark, index_dir) == c_before
+    # replay is a no-op
+    assert di.compact_dedup_index(spark, index_dir, "c0") is False
