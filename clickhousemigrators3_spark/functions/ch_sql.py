@@ -2196,17 +2196,81 @@ _SUBSCRIPT_KEYWORDS = {
 }
 
 
+def _primary_start(out: list[str]) -> int | None:
+    """Index in ``out`` where the primary expression ending at the tail
+    begins — the receiver of a subscript. Handles identifiers (with
+    dotted qualifiers: ``t.arr``), literals, and call/paren groups
+    (``f(x)``, ``(expr)``, including an already-rewritten
+    ``try_element_at(…)`` from a chained subscript)."""
+    i = len(out) - 1
+    while i >= 0 and _is_ws(out[i]):
+        i -= 1
+    if i < 0:
+        return None
+    t = out[i]
+    if t == ")":
+        depth = 0
+        while i >= 0:
+            if out[i] == ")":
+                depth += 1
+            elif out[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if i < 0:
+            return None
+        j = i - 1
+        while j >= 0 and _is_ws(out[j]):
+            j -= 1
+        # absorb a function name — including array()/if()/any(), which ARE
+        # functions before a paren even though they are also keywords in
+        # subscript-classification position
+        if j >= 0 and out[j] and (
+            out[j][0].isalpha() or out[j][0] in "_`\""
+        ) and out[j].lower() not in (
+            _SUBSCRIPT_KEYWORDS - {"array", "if", "any"}
+        ):
+            i = j
+        return i
+    if t and (t[0].isalpha() or t[0] in "_`\"'" or t[0].isdigit()):
+        while True:  # absorb dotted qualifiers: db . t . arr
+            j = i - 1
+            while j >= 0 and _is_ws(out[j]):
+                j -= 1
+            if j >= 1 and out[j] == ".":
+                k = j - 1
+                while k >= 0 and _is_ws(out[k]):
+                    k -= 1
+                if k >= 0 and out[k] and (
+                    out[k][0].isalpha() or out[k][0] in "_`\""
+                ):
+                    i = k
+                    continue
+            break
+        return i
+    return None
+
+
 def _rewrite_array_literals(tokens: list[str]) -> list[str]:
-    """ClickHouse ``[a, b, …]`` array literals → ``array(a, b, …)`` —
-    Spark has no bracket literal, and the downstream arg splitter counts
-    only parentheses (a comma inside a bracket literal would split a
-    function's arguments). Element ACCESS brackets (``m[k]``, ``arr[1]``,
-    ``f(x)[1]``) stay: the previous code token is a value reference
-    (identifier / ``)`` / ``]``), and Spark shares that subscript
-    grammar. Runs before every other pass so all machinery sees plain
-    parentheses."""
+    """ClickHouse bracket grammar → Spark:
+
+    * ``[a, b, …]`` array LITERALS → ``array(a, b, …)`` — Spark has no
+      bracket literal, and the downstream arg splitter counts only
+      parentheses (a comma inside a bracket literal would split a
+      function's arguments).
+    * element ACCESS ``expr[i]`` (previous code token is a value
+      reference: identifier / ``)`` / ``]``) → ``try_element_at(expr,
+      i)`` — ClickHouse subscripts are 1-BASED (negative = from the end);
+      Spark's own ``expr[i]`` is 0-based, so passing it through would be
+      a silent off-by-one on every access. try_element_at shares the
+      1-based/negative contract; out-of-range yields NULL where
+      ClickHouse fills the type default (the documented LEFT ARRAY JOIN
+      posture, docs/CHSQL.md).
+
+    Runs before every other pass so all machinery sees plain parens."""
     out: list[str] = []
-    stack: list[bool] = []
+    stack: list[str] = []  # per open bracket: "lit" | "acc" | "raw"
     prev: str | None = None
     for t in tokens:
         if t == "[":
@@ -2217,17 +2281,24 @@ def _rewrite_array_literals(tokens: list[str]) -> list[str]:
                     and prev.lower() not in _SUBSCRIPT_KEYWORDS
                 )
             )
-            stack.append(access)
             if access:
-                out.append("[")
+                p = _primary_start(out)
+                if p is None:
+                    out.append("[")  # unrecognized receiver: loud downstream
+                    stack.append("raw")
+                else:
+                    out[p:p] = ["try_element_at", "("]
+                    out.append(",")
+                    stack.append("acc")
             else:
                 out.extend(["array", "("])
+                stack.append("lit")
             prev = t
             continue
         if t == "]":
             if not stack:
                 raise UnsupportedCHSQL("unbalanced brackets in ClickHouse SQL")
-            out.append("]" if stack.pop() else ")")
+            out.append("]" if stack.pop() == "raw" else ")")
             prev = t
             continue
         out.append(t)

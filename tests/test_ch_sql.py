@@ -2456,9 +2456,14 @@ def test_array_literals_and_map_filter(spark):
         "SELECT arr[1] AS e, m['k'] AS mk, [[1],[2]] AS nested, "
         "hasAny(a, [1,2]) AS h FROM t"
     )
-    assert "arr[1]" in t and "m['k']" in t
-    assert "array(array(1),array(2))".replace(",", ", ") in \
-        t.replace(", ", ",").replace(",", ", ") or "array(array(1)" in t
+    # ACCESS brackets rewrite to try_element_at: ClickHouse subscripts
+    # are 1-BASED (negative = from the end) where Spark's own expr[i] is
+    # 0-based — passing them through would be a silent off-by-one
+    assert "try_element_at(arr,1)".replace(",", ", ") in \
+        t.replace(", ", ",").replace(",", ", ")
+    assert "try_element_at(m,'k')".replace(",", ", ") in \
+        t.replace(", ", ",").replace(",", ", ")
+    assert "array(array(1)" in t.replace(" ", "")
     spark.createDataFrame(
         [(1, {"a": 2, "b": -1}), (1, {"a": 3, "c": 9})],
         "g int, m map<string,int>",
@@ -2566,3 +2571,25 @@ def test_array_first_index_and_enumerate_uniq(spark):
     assert (r.fi, r.no_match, r.eu) == (2, 0, [1, 1, 2, 3, 2])
     with pytest.raises(UnsupportedCHSQL, match="multi-array"):
         translate_ch_sql("SELECT arrayFirstIndex((x, y) -> x > y, a, b) FROM t")
+
+
+def test_bracket_access_is_one_based(spark):
+    """ClickHouse expr[i] is 1-BASED with negative-from-the-end; Spark's
+    own subscript is 0-based — the rewrite to try_element_at keeps the
+    ClickHouse contract (out-of-range/missing-key → NULL, the documented
+    type-default posture)."""
+    spark.createDataFrame(
+        [(1, [5, 6], {"k": 9})],
+        "id int, arr array<int>, m map<string,int>",
+    ).createOrReplaceTempView("ba_t")
+    r = run_ch_sql(
+        spark,
+        "SELECT [10,20][1] AS lit1, [10,20][-1] AS last, [10,20][5] AS oob, "
+        "[[1],[2,3]][2][1] AS chained, ba_t.arr[1] AS dotted, "
+        "m['k'] AS mk, m['nope'] AS miss, "
+        "splitByChar(',', 'x,y,z')[2] AS call_recv, "
+        "arrayMap(x -> x * 2, arr)[2] AS hof_recv "
+        "FROM ba_t",
+    ).collect()[0]
+    assert (r.lit1, r.last, r.oob, r.chained, r.dotted) == (10, 20, None, 2, 5)
+    assert (r.mk, r.miss, r.call_recv, r.hof_recv) == (9, None, "y", 12)
