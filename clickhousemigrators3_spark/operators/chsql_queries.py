@@ -1508,3 +1508,32 @@ _ch(
     """,
     ("events",),
 )
+
+# bracket grammar (round 10): ClickHouse [a, b] array literals (→ array())
+# and 1-BASED element access with negative-from-the-end (→
+# try_element_at; Spark's own subscript is 0-based — the passthrough was
+# a silent off-by-one on every subscript).
+_ch(
+    "chsql_bracket_literals_access",
+    """
+    SELECT l_orderkey,
+           [toInt64(l_quantity), toInt64(l_linenumber)][1] AS qty_first,
+           [toInt64(l_quantity), toInt64(l_linenumber)][-1] AS line_last,
+           splitByChar('#', 'a#b#c')[2] AS mid,
+           [toInt64(l_partkey)][5] AS oob
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    """
+    SELECT l_orderkey,
+           CAST(l_quantity AS BIGINT) AS qty_first,
+           CAST(l_linenumber AS BIGINT) AS line_last,
+           'b' AS mid,
+           CAST(NULL AS BIGINT) AS oob
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    ("lineitem",),
+)
