@@ -617,10 +617,6 @@ _UNSUPPORTED_FUNCS = {
         "over a derived-column subquery; or see "
         "operators/event_analytics.py ch_delta_sum_per_user"
     ),
-    "entropy": (
-        "operators/event_analytics.py entropy_event_type_daily "
-        "(Shannon entropy via grouped counts)"
-    ),
     "grouparraymovingsum": (
         "block-order dependent without an ORDER BY — add a pinning "
         "top-level ORDER BY to this SELECT (or order the FROM-subquery): "
@@ -1060,6 +1056,24 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         return (
             f"slice(transform(sequence(1, greatest({maxlen}, 1)), "
             f"_fi -> {red}), 1, {maxlen})"
+        )
+    if low == "entropy":
+        # Shannon entropy of the value distribution in bits (ClickHouse
+        # uses log2; NULLs skipped per the aggregate contract) — exact
+        # counts via the collect-then-fold shape; same O(rows)-state
+        # nuance as the combinators above
+        if len(args) != 1:
+            raise UnsupportedCHSQL("entropy takes exactly 1 argument")
+        cl = f"collect_list({args[0].strip()})"
+        p = (
+            f"(CAST(size(filter({cl}, _ee -> _ee <=> _ev)) AS DOUBLE) "
+            f"/ CAST(size({cl}) AS DOUBLE))"
+        )
+        # 0.0D - … (not unary minus): a single-valued group folds to 0.0
+        # and -0.0 would hash-differ from the oracle's +0.0
+        return (
+            f"(0.0D - aggregate(transform(array_distinct({cl}), "
+            f"_ev -> {p} * log2({p})), 0.0D, (_ea, _eb) -> _ea + _eb))"
         )
     if low == "uniqupto":
         # uniqUpTo(N)(x): "the number of different values if <= N, else
@@ -1528,7 +1542,7 @@ _KNOWN = (
        "summap", "minmap", "maxmap", "avgmap", "summapfiltered",
        "sumforeach", "minforeach", "maxforeach", "avgforeach",
        "countforeach", "topk", "topkif", "topkweighted", "uniqupto",
-       "anyheavy"}
+       "anyheavy", "entropy"}
     | set(_FIXED_INTERVALS)
 )
 

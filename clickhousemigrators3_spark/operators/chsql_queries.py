@@ -1537,3 +1537,22 @@ _ch(
     """,
     ("lineitem",),
 )
+
+# entropy (round 10): Shannon entropy in bits over exact counts; rounded
+# to 6dp in BOTH texts (the distinct-value fold order differs between
+# engines, so the last float bits may — the cross-engine discipline).
+_ch(
+    "chsql_entropy_event_types",
+    """
+    SELECT user_id % 10 AS bucket,
+           round(entropy(event_type), 6) AS h
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    """
+    SELECT user_id % 10 AS bucket, round(entropy(event_type), 6) AS h
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    ("events",),
+)

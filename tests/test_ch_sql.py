@@ -2593,3 +2593,25 @@ def test_bracket_access_is_one_based(spark):
     ).collect()[0]
     assert (r.lit1, r.last, r.oob, r.chained, r.dotted) == (10, 20, None, 2, 5)
     assert (r.mk, r.miss, r.call_recv, r.hof_recv) == (9, None, "y", 12)
+
+
+def test_entropy_translates(spark):
+    """entropy(x) → exact-count Shannon entropy in bits (ClickHouse uses
+    log2); a single-valued group yields +0.0 (not -0.0, which would
+    hash-differ from any oracle)."""
+    import math
+    import struct
+
+    spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (1, "b"), (2, "z"),
+         (3, "x"), (3, "y"), (3, "y"), (3, "y")],
+        "g int, v string",
+    ).createOrReplaceTempView("ent_t")
+    rows = run_ch_sql(
+        spark, "SELECT g, entropy(v) AS e FROM ent_t GROUP BY g ORDER BY g"
+    ).collect()
+    assert rows[0].e == 1.0
+    # +0.0, bit-exactly (the 0.0D - fold form, not unary minus)
+    assert struct.pack("d", rows[1].e) == struct.pack("d", 0.0)
+    want = -(0.25 * math.log2(0.25) + 0.75 * math.log2(0.75))
+    assert abs(rows[2].e - want) < 1e-12
