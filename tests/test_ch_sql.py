@@ -2615,3 +2615,33 @@ def test_entropy_translates(spark):
     assert struct.pack("d", rows[1].e) == struct.pack("d", 0.0)
     want = -(0.25 * math.log2(0.25) + 0.75 * math.log2(0.75))
     assert abs(rows[2].e - want) < 1e-12
+
+
+def test_bracket_grammar_formatting_fuzz():
+    """Tokenizer robustness for the round-10 bracket pre-pass: random
+    case, whitespace, nesting depth, and receiver shape must not change
+    the literal/access classification — literals always emit array(),
+    accesses always emit try_element_at, brackets never leak through."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        ws=st.sampled_from(["", " ", "  ", "\n", "\t"]),
+        recv=st.sampled_from(["arr", "t.arr", "f(x)", "(arr)",
+                              "[1,2]", "arrayMap(x -> x, arr)"]),
+        idx=st.sampled_from(["1", "-1", "i + 1", "'k'"]),
+        chain=st.booleans(),
+        kw=st.sampled_from(["SELECT", "select", "Select"]),
+    )
+    def check(ws, recv, idx, chain, kw):
+        sub = f"{recv}{ws}[{ws}{idx}{ws}]"
+        if chain:
+            sub += f"[{ws}1]"
+        sql = f"{kw}{ws or ' '}{sub} AS a, [{ws}7{ws},{ws}8] AS lit FROM t"
+        t = translate_ch_sql(sql)
+        assert "[" not in t and "]" not in t
+        assert "try_element_at" in t
+        assert "array" in t  # the literal column (and/or literal receiver)
+
+    check()
