@@ -757,14 +757,6 @@ _UNSUPPORTED_FUNCS = {
         "first argument (the timestamp only orders state merges) — or "
         "see operators/ch_aggregates.py ch_delta_sum_per_user"
     ),
-    "toweek": (
-        "default mode 0 weeks start Sunday and renumber at Jan 1 — Spark "
-        "weekofyear is ISO; use toISOWeek (mapped) or spell the bucket"
-    ),
-    "toyearweek": (
-        "default mode 0 weeks start Sunday and renumber at Jan 1 — Spark "
-        "weekofyear is ISO; use toISOWeek (mapped) or spell the bucket"
-    ),
     "totypename": (
         "introspects the ClickHouse type system (names like 'UInt64' have "
         "no Spark equivalent) — use catalog.get_schema / DataFrame.schema, "
@@ -1056,6 +1048,28 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         return (
             f"slice(transform(sequence(1, greatest({maxlen}, 1)), "
             f"_fi -> {red}), 1, {maxlen})"
+        )
+    if low in ("toweek", "toyearweek"):
+        # only ISO mode 3 has a Spark twin (weekofyear / YEAROFWEEK);
+        # mode 0 (the default) starts weeks on Sunday and renumbers at
+        # Jan 1 — no equivalent, refused so values can't silently shift
+        mode = args[1].strip() if len(args) >= 2 else "0"
+        if len(args) not in (1, 2) or mode != "3":
+            raise UnsupportedCHSQL(
+                f"{low} is only mapped for ISO mode 3 — write "
+                f"{'toWeek' if low == 'toweek' else 'toYearWeek'}(d, 3); "
+                "mode-0/1/2 week numbering (Sunday starts, Jan-1 renumber) "
+                "has no Spark twin — use toISOWeek or spell the bucket"
+            )
+        d = args[0].strip()
+        if low == "toweek":
+            return f"weekofyear({d})"
+        # ISO year * 100 + ISO week (the ISO year differs from the
+        # calendar year around Jan 1 / Dec 31 — extract(YEAROFWEEK) is
+        # exactly that)
+        return (
+            f"(CAST(extract(YEAROFWEEK FROM ({d})) AS INT) * 100 "
+            f"+ weekofyear({d}))"
         )
     if low == "entropy":
         # Shannon entropy of the value distribution in bits (ClickHouse
@@ -1542,7 +1556,7 @@ _KNOWN = (
        "summap", "minmap", "maxmap", "avgmap", "summapfiltered",
        "sumforeach", "minforeach", "maxforeach", "avgforeach",
        "countforeach", "topk", "topkif", "topkweighted", "uniqupto",
-       "anyheavy", "entropy"}
+       "anyheavy", "entropy", "toweek", "toyearweek"}
     | set(_FIXED_INTERVALS)
 )
 

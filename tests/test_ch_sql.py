@@ -1380,7 +1380,8 @@ def test_wave3_functions(spark):
         ("SELECT arrayAUC(s, l) FROM t", "ml_roc_auc"),
         ("SELECT sparkbar(9)(x, y) FROM t", "histogram"),
         ("SELECT deltaSumTimestamp(v, ts) FROM t", "delta_sum"),
-        ("SELECT toWeek(d) FROM t", "toISOWeek"),
+        ("SELECT toWeek(d) FROM t", "ISO mode 3"),
+        ("SELECT toYearWeek(d, 1) FROM t", "ISO mode 3"),
         ("SELECT tupleElement(tp, 1, 0) FROM t", "default argument"),
         ("SELECT tupleElement(tp, n) FROM t", "literal"),
         ("SELECT arrayReduce('quantile', arr) FROM t", "not mapped"),
@@ -2645,3 +2646,17 @@ def test_bracket_grammar_formatting_fuzz():
         assert "array" in t  # the literal column (and/or literal receiver)
 
     check()
+
+
+def test_toweek_iso_mode3(spark):
+    """toWeek/toYearWeek map ONLY for ISO mode 3 (weekofyear/YEAROFWEEK
+    are exactly that); the ISO year differs from the calendar year at the
+    boundaries — Dec 31 2024 is ISO 2025-W01, Jan 1 2021 is ISO
+    2020-W53."""
+    r = run_ch_sql(
+        spark,
+        "SELECT toWeek(toDate('2024-01-01'), 3) AS w, "
+        "toYearWeek(toDate('2024-12-31'), 3) AS yw, "
+        "toYearWeek(toDate('2021-01-01'), 3) AS yw2",
+    ).collect()[0]
+    assert (r.w, r.yw, r.yw2) == (1, 202501, 202053)
