@@ -1300,7 +1300,6 @@ def test_rand_is_uint32_faithful(spark):
     "ch, needle",
     [
         ("SELECT deltaSum(x) FROM t", "block-order"),
-        ("SELECT entropy(x) FROM t", "entropy_event_type_daily"),
         ("SELECT groupArrayMovingSum(x) FROM t", "window form"),
         ("SELECT rand64() FROM t", "UInt64"),
     ],
