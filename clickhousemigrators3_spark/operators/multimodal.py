@@ -644,3 +644,87 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_px long"
         ),
     ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "mm_audio_frame_energy",
+    """
+    WITH p AS (
+      SELECT doc_id, CAST(256 + doc_id % 512 AS BIGINT) AS n_in
+      FROM documents),
+    idx AS (
+      SELECT doc_id, n_in,
+             unnest(generate_series(0, CAST(n_in - 1 AS BIGINT))) AS i
+      FROM p),
+    fr AS (
+      SELECT doc_id, i // 128 AS f,
+             CAST(((37 * i + doc_id) % 2000) - 1000 AS BIGINT) AS v
+      FROM idx WHERE i < (n_in // 128) * 128),
+    en AS (
+      SELECT doc_id, f, SUM(v * v) AS e FROM fr GROUP BY 1, 2),
+    en2 AS (
+      SELECT doc_id, f, e, MAX(e) OVER (PARTITION BY doc_id) AS me
+      FROM en)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(CASE WHEN f = 0 THEN e END) AS BIGINT) AS e0,
+           CAST(MAX(e) AS BIGINT) AS emax,
+           CAST(MIN(CASE WHEN e = me THEN f END) AS BIGINT) AS fmax
+    FROM en2 GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy over REAL decoded PCM — the VAD-style
+    feature-extract step a speech-data pipeline gates on: synthesize the
+    same deterministic sawtooth WAV as mm_audio_resample
+    (``s(i) = ((37i + doc_id) % 2000) - 1000``), decode it through the
+    genuine RIFF walk, split into non-overlapping 128-sample frames
+    (dropping the partial tail — the documented contract), and emit per
+    doc the frame count, frame-0 energy, max frame energy, and the FIRST
+    frame index achieving that max. Energy = Σ s² of int16 samples —
+    exactly integral in int64, so the cross-engine comparison is
+    value-exact with zero float surface; the oracle recomputes the sums
+    from the waveform formula, so the decoder and the framing must agree
+    with it sample-for-sample.
+
+    Scale: embarrassingly parallel (one doc per row through the
+    sanctioned Arrow codec class, RoundRobin-spread like mm_resize);
+    decode cost is linear in samples, output is 5 small ints per doc."""
+    import numpy as np
+
+    from ..functions.codecs import decode_wav_pcm16, encode_wav_pcm16
+
+    FRAME = 128
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+
+    def frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = 8000 + (i % 8) * 1000
+                n_in = 256 + i % 512
+                saw = ((np.arange(n_in, dtype=np.int64) * 37 + i) % 2000
+                       - 1000).astype(np.int16)
+                _rate, pcm = decode_wav_pcm16(encode_wav_pcm16(saw, rate))
+                n_frames = len(pcm) // FRAME
+                fr = pcm[: n_frames * FRAME].astype(np.int64).reshape(
+                    n_frames, FRAME
+                )
+                en = (fr * fr).sum(axis=1)
+                rows.append(
+                    (i, n_frames, int(en[0]), int(en.max()),
+                     int(en.argmax()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "e0", "emax", "fmax"],
+            )
+
+    return d.mapInPandas(
+        frame_energy,
+        schema="doc_id long, n_frames long, e0 long, emax long, fmax long",
+    ).orderBy("doc_id")

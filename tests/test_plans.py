@@ -265,6 +265,7 @@ def test_registry_no_python_boundary(spark):
         "mm_resize",
         "mm_resize_bilinear",
         "mm_audio_resample",
+        "mm_audio_frame_energy",
         "mm_video_frame_sample",
         # SemDeDup prune = per-cluster normalized gram matrix (the paper's
         # own computation): deliberately Arrow+BLAS — measured 3.5x the
