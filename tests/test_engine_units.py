@@ -896,7 +896,12 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     )
 
     plain_path = str(tmp_path / "plain")
-    li.repartition(4).write.mode("overwrite").option(
+    # hash-partition on an UNCORRELATED column: deterministic (plain
+    # round-robin repartition(4) depends on task completion order, which
+    # flaked this test under a loaded machine) while keeping every
+    # partition spanning the full l_orderkey/l_suppkey range — the
+    # "unsorted baseline" the comparison needs
+    li.repartition(4, "l_quantity").write.mode("overwrite").option(
         "maxRecordsPerFile", 500
     ).parquet(plain_path)
     z_path = str(tmp_path / "zord")
