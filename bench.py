@@ -132,6 +132,7 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()
+    finished_at = time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime())
     print(
         json.dumps(
             {
@@ -149,9 +150,32 @@ def main() -> int:
                 "load1_start": round(load_start, 2),
                 "load1_end": round(load_end[0], 2),
                 "started_at": started_at,
-                "finished_at": time.strftime(
-                    "%Y-%m-%dT%H:%M:%S", time.localtime()
-                ),
+                "finished_at": finished_at,
+            }
+        )
+    )
+    # Compact trailing summary — ALWAYS the last stdout line. The full line
+    # above outgrew the driver's fixed-size stdout tail capture (round-10:
+    # BENCH_r10.json recorded "parsed": null because the tail started
+    # mid-object), which silently defeated check_evidence's
+    # load-contamination gate. This line is a few hundred bytes, so any
+    # tail window that exists ends with one complete, parseable object
+    # carrying the headline number and the load stamps. Per-query timings
+    # live in the full line (and docs/BENCH_r*_builder.json).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "total_p50": round(sum(timings_p50.values()), 3),
+                "n_queries": len(timings),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load1_start": round(load_start, 2),
+                "load1_end": round(load_end[0], 2),
+                "started_at": started_at,
+                "finished_at": finished_at,
+                "summary_of": "full JSON line above",
             }
         )
     )

@@ -20,20 +20,34 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_load1(bench: dict):
+def bench_load1(bench: dict, raw_text: str | None = None):
     """Extract the pre-run load average from a bench evidence JSON.
 
-    Two shapes exist: ``python bench.py > file`` puts ``load1_start`` at the
-    top level; the driver's ``BENCH_r*.json`` nests bench.py's JSON line
-    under ``"parsed"``. Round-9 verdict: reading only the top level meant
-    the load1>4 contamination warning could never fire on driver-captured
-    files. Returns None when neither shape carries the stamp (pre-r9 files).
-    """
+    Shapes handled, in order: ``python bench.py > file`` puts
+    ``load1_start`` at the top level; the driver's ``BENCH_r*.json`` nests
+    bench.py's JSON line under ``"parsed"`` (round-9 fix: reading only the
+    top level meant the load1>4 contamination warning could never fire on
+    driver-captured files); and — round-10 fix — when the driver's
+    fixed-size stdout tail TRUNCATED the full JSON line (``"parsed":
+    null``, the tail string starts mid-object), the stamp is regexed out
+    of the raw file text as a last resort, because the stamp itself is
+    usually intact inside the truncated ``"tail"`` string. bench.py now
+    also emits a compact trailing summary line so new captures always end
+    with a parseable object. Returns None when no shape carries the stamp
+    (pre-r9 files)."""
     load1 = bench.get("load1_start")
     if load1 is None:
         parsed = bench.get("parsed")
         if isinstance(parsed, dict):
             load1 = parsed.get("load1_start")
+    if load1 is None and raw_text:
+        m = None
+        for m in re.finditer(
+            r'\\?"load1_start\\?":\s*([0-9]+(?:\.[0-9]+)?)', raw_text
+        ):
+            pass  # last occurrence wins (the trailing summary line)
+        if m is not None:
+            load1 = float(m.group(1))
     return load1
 
 
@@ -86,11 +100,12 @@ def main() -> int:
     )
     if benches:
         with open(benches[-1], encoding="utf-8") as f:
-            try:
-                bench = json.load(f)
-            except ValueError:
-                bench = {}
-        load1 = bench_load1(bench)
+            raw_text = f.read()
+        try:
+            bench = json.loads(raw_text)
+        except ValueError:
+            bench = {}
+        load1 = bench_load1(bench, raw_text)
         if load1 is None:
             print(
                 f"note: {os.path.basename(benches[-1])} predates load "
