@@ -452,6 +452,7 @@ def write_table_http(
     rows_per_request: int = 100_000,
     wire_format: str = "JSONEachRow",
     compress: bool = False,
+    expect_insert_dedup: bool = False,
 ) -> int:
     """Sink: ``INSERT INTO … FORMAT <wire_format>`` POSTs issued
     executor-side, flushed every ``rows_per_request`` rows so request
@@ -464,7 +465,15 @@ def write_table_http(
     magnitude of CPU, and preserves Decimal/DateTime64 exactly.
     ``compress=True`` gzips each request body with ``Content-Encoding:
     gzip`` (the server inflates it) — worth it for JSON text uploads over
-    a real network; parquet bodies are already compact."""
+    a real network; parquet bodies are already compact.
+
+    ``expect_insert_dedup=True`` opts into accepting a ``written_rows=0``
+    acknowledgment for a non-empty INSERT body — legitimate ONLY on
+    Replicated tables with insert deduplication, where a replayed block is
+    acked with 0 (the flag's 0-acks are still warned about in the executor
+    log). The STRICT default treats 0-ack as a failed write: an endpoint
+    that silently drops the entire batch and acks 0 is exactly the
+    total-loss case the write witness exists to catch."""
     cols = df.columns
     auth = _auth_headers(user, password)
     count_schema = T.StructType([T.StructField("rows", T.LongType())])
@@ -519,19 +528,46 @@ def write_table_http(
             # INSERT with X-ClickHouse-Summary, its written_rows must not be
             # LESS than the body's row count — a truncating endpoint fails
             # the task LOUDLY instead of silently under-writing (the C10
-            # fail-fast contract extended to the wire). Under-write only:
+            # fail-fast contract extended to the wire). Not exact equality:
             # real servers legitimately report MORE (materialized views
             # attached to the target count their own writes into
-            # written_rows) and legitimately report 0 for a replayed block
-            # on Replicated tables (insert deduplication) — exact equality
-            # would abort both successful writes.
+            # written_rows). A 0-ack is ambiguous — either a Replicated
+            # insert-dedup REPLAY (successful, server-side duplicate
+            # suppression) or a total-loss endpoint that dropped the whole
+            # batch; only the caller knows which is plausible for the
+            # target table, so 0-acks raise unless expect_insert_dedup
+            # opted in (and even then each one is warned to the executor
+            # log — a stream of them against a non-Replicated table is the
+            # loss case).
             wr = (sink.get("summary") or {}).get("written_rows")
-            if wr is not None and 0 < int(wr) < buffered:
-                raise OSError(
-                    f"server acknowledged {wr} written rows for a "
-                    f"{buffered}-row INSERT body — write witness under-write "
-                    "(X-ClickHouse-Summary)"
-                )
+            iwr = None if wr is None else int(wr)
+            if iwr is not None and iwr < buffered:
+                if iwr == 0 and expect_insert_dedup:
+                    import logging
+
+                    logging.getLogger("spark_migrator.http").warning(
+                        "INSERT into %s acked written_rows=0 for a %d-row "
+                        "body — treated as a Replicated insert-dedup replay "
+                        "(expect_insert_dedup=True); if %s is not a "
+                        "Replicated table with deduplication, this write "
+                        "was LOST",
+                        table,
+                        buffered,
+                        table,
+                    )
+                else:
+                    raise OSError(
+                        f"server acknowledged {wr} written rows for a "
+                        f"{buffered}-row INSERT body — write witness "
+                        "under-write (X-ClickHouse-Summary)"
+                        + (
+                            ""
+                            if iwr
+                            else "; pass expect_insert_dedup=True only if "
+                            "this target is a Replicated table where a "
+                            "0-ack means a deduplicated replay"
+                        )
+                    )
             buf, buffered = [], 0
 
         for b in batches:

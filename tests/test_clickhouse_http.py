@@ -1408,10 +1408,13 @@ def test_datetime64_9_truncates_to_micros(spark):
 def test_write_witness_from_summary_headers(spark, stub):
     """The server's X-ClickHouse-Summary acknowledgment is checked against
     the INSERT body's row count per flush — a truncating endpoint fails the
-    write loudly instead of silently under-writing. UNDER-write only: a
-    real server over-reports when materialized views are attached to the
-    target, and reports 0 for a replayed block on Replicated tables
-    (insert deduplication) — both are successful writes and must pass."""
+    write loudly instead of silently under-writing. A real server
+    over-reports when materialized views are attached to the target (always
+    passes), and reports 0 for a replayed block on Replicated tables with
+    insert deduplication — the 0-ack is ambiguous with a total-loss
+    endpoint, so it passes only under expect_insert_dedup=True (round-10
+    advice: the blanket 0-ack pass let a batch-dropping endpoint go
+    undetected)."""
     stub.execute("CREATE TABLE wsink (k BIGINT, v DOUBLE)")
     df = spark.range(7).select(
         F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
@@ -1424,11 +1427,18 @@ def test_write_witness_from_summary_headers(spark, stub):
         stub.lie_written_rows = "under"
         with pytest.raises(Exception, match="write witness under-write"):
             write_table_http(df, stub.url, "wsink")
-        # MV over-report and replicated-dedup zero are legitimate acks
+        # MV over-report is a legitimate ack unconditionally
         stub.lie_written_rows = "over"
         assert write_table_http(df, stub.url, "wsink") == 7
+        # 0-ack: STRICT default treats it as a lost batch...
         stub.lie_written_rows = "zero"
-        assert write_table_http(df, stub.url, "wsink") == 7
+        with pytest.raises(Exception, match="expect_insert_dedup"):
+            write_table_http(df, stub.url, "wsink")
+        # ...and passes only when the caller declares the target Replicated
+        # with insert dedup (where a replayed block is legitimately 0-acked)
+        assert write_table_http(
+            df, stub.url, "wsink", expect_insert_dedup=True
+        ) == 7
     finally:
         stub.lie_written_rows = False
 
