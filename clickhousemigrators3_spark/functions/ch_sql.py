@@ -957,10 +957,18 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             entries = f"map_entries({args[0].strip()})"
         elif len(args) == 2:
             # classic two-array form xMap(keys, values): ClickHouse errors
-            # on unequal sizes — keep that loud (zip_with would NULL-pad)
+            # on unequal sizes — keep that loud (zip_with would NULL-pad).
+            # NULL arrays compare as size 0 (the ARRAY JOIN guard's
+            # posture — size(NULL) is -1/NULL, and a bare equality would
+            # turn the IF condition NULL and fire raise_error on a single
+            # NULL-array row): a NULL/NULL row passes the guard and then
+            # contributes no entries (zip_with of NULLs is NULL, which
+            # collect_list skips); a NULL beside a non-empty array is a
+            # genuine size mismatch and still raises.
             k_, v_ = args[0].strip(), args[1].strip()
             guarded = (
-                f"IF(size({k_}) = size({v_}), {k_}, "
+                f"IF(coalesce(size({k_}), 0) = coalesce(size({v_}), 0), "
+                f"{k_}, "
                 f"raise_error('{low}: keys and values must have equal "
                 f"sizes'))"
             )

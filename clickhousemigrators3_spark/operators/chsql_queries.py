@@ -1513,6 +1513,14 @@ _ch(
 # and 1-BASED element access with negative-from-the-end (→
 # try_element_at; Spark's own subscript is 0-based — the passthrough was
 # a silent off-by-one on every subscript).
+#
+# Honesty note on the `oob` column: real ClickHouse fills out-of-range /
+# missing-key access with the element type's DEFAULT (0 / ''), while this
+# repo's documented posture (docs/CHSQL.md) is try_element_at's NULL. The
+# oracle below bakes that SAME NULL posture into the DuckDB text — so this
+# query verifies the translator's internal consistency, NOT ClickHouse
+# parity on the out-of-range case; don't read a green here as CH
+# default-fill behavior.
 _ch(
     "chsql_bracket_literals_access",
     """

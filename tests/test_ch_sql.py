@@ -2336,6 +2336,27 @@ def test_map_combinator_aggregates(spark):
             spark, "SELECT g, sumMap(ks, vs) AS s FROM mca_bad GROUP BY g"
         ).collect()
 
+    # a NULL/NULL-array row passes the size guard (sizes coalesce to 0 —
+    # the ARRAY JOIN posture; round-10 advice: the bare size equality went
+    # NULL and fired raise_error on the whole aggregate) and contributes
+    # no entries; a NULL beside a NON-EMPTY array is a genuine mismatch
+    spark.createDataFrame(
+        [(1, ["x"], [5]), (1, None, None)],
+        "g int, ks array<string>, vs array<int>",
+    ).createOrReplaceTempView("mca_nullrow")
+    r = run_ch_sql(
+        spark, "SELECT g, sumMap(ks, vs) AS s FROM mca_nullrow GROUP BY g"
+    ).collect()[0]
+    assert sorted(r.s.items()) == [("x", 5)]
+    spark.createDataFrame(
+        [(1, None, [1, 2])], "g int, ks array<string>, vs array<int>"
+    ).createOrReplaceTempView("mca_nullbad")
+    with pytest.raises(Exception, match="equal sizes"):
+        run_ch_sql(
+            spark,
+            "SELECT g, sumMap(ks, vs) AS s FROM mca_nullbad GROUP BY g",
+        ).collect()
+
     # -ForEach: the ClickHouse docs' own ragged example sums to [10,13,5]
     spark.createDataFrame(
         [(1, [1, 2]), (1, [3, 4, 5]), (1, [6, 7]), (2, [])],
