@@ -20,9 +20,21 @@ Scale design (the point of each operator, beyond small-SF correctness):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Storage level for CORPUS-SIZED cached relations (the exploded span
+# fingerprints: O(docs × spans) rows). The DataFrame default persist is
+# MEMORY_AND_DISK_DESER — deserialized JVM objects, several × the on-wire
+# size; fine at fixture scale, but at 100 TB a corpus-sized deserialized
+# cache evicts everything else or OOMs the executors. Serialized-in-memory
+# (+ disk spill) keeps the reuse win at a bounded footprint; the true
+# production path for the incremental flow is the PERSISTED index drive
+# (operators/dedup_index.py), which keeps fingerprints as parquet and
+# caches nothing.
+_CORPUS_CACHE = StorageLevel.MEMORY_AND_DISK
 
 from ..catalog import load_table
 from ..functions.hashing import oracle_hash_sql, stable_hash32, stable_hash60
@@ -1380,7 +1392,7 @@ def _substring_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the explode+hash+distinct corpus pass feeds the df gate AND
     # the gated join AND (in retained) the min-doc aggregate — without the
     # cache the physical plan re-scans documents once per consumer
-    fps.persist()
+    fps.persist(_CORPUS_CACHE)
     keep = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1388,7 +1400,7 @@ def _substring_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp")
     )
     gated = fps.join(keep, "fp")
-    gated.persist()
+    gated.persist(_CORPUS_CACHE)
     return gated
 
 
@@ -1533,7 +1545,7 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = wins.select(
         "doc_id", "s", stable_hash60(F.col("span")).alias("fp")
     )
-    fps.persist()
+    fps.persist(_CORPUS_CACHE)
     dup = (
         fps.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1541,7 +1553,7 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp")
     )
     dupwins = fps.join(dup, "fp").select("doc_id", "s")
-    dupwins.persist()
+    dupwins.persist(_CORPUS_CACHE)
     spanstats = dupwins.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans")
     )
@@ -1627,7 +1639,7 @@ def dedup_substring_incremental_retained(
     fps = spans.select(
         "doc_id", stable_hash60(F.col("span")).alias("fp")
     ).distinct()
-    fps.persist()
+    fps.persist(_CORPUS_CACHE)
     old_kept = (
         fps.filter(~is_new)
         .groupBy("fp")

@@ -383,3 +383,57 @@ def test_substring_dedup_at_8x(spark, tmp_path_factory):
     )
     assert got < n_docs * rep
     assert dt < 120, f"substring retention at {rep}x docs took {dt:.1f}s"
+
+
+def test_stored_substring_index_drive_at_8x(spark, tmp_path_factory):
+    """The PRODUCTION path for incremental substring dedup at scale: the
+    old corpus's span fingerprints live in the persisted index (parquet,
+    nothing cached) and the crawl drop dedups against the STORED table —
+    at 8× documents the drive must (a) exactly match the emulated twin
+    ``dedup_substring_incremental_retained`` (which recomputes the old
+    side per run and caches the corpus-sized fp relation), and (b) stay
+    delta-bounded in wall clock. Round-10 verdict #3: the emulated twin's
+    corpus-sized persist is the fixture-scale convenience; THIS drive is
+    what runs at 100 TB."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.dedup import (
+        INC_MOD,
+        dedup_substring_incremental_retained,
+    )
+    from clickhousemigrators3_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_delta_substring_retained,
+    )
+
+    rep = max(2, REPL // 2)  # 8× documents
+    d = tmp_path_factory.mktemp("scale_subidx")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = (
+        docs.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(rep)]))
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+    big.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    big = spark.read.parquet(str(d / "documents.parquet"))
+
+    is_new = F.col("doc_id") % INC_MOD == 0
+    index_dir = str(d / "index")
+    # bootstrap the index from the old corpus (untimed: this is the
+    # once-per-corpus cost the incremental contract amortizes away)
+    assert build_dedup_index(
+        spark, big.filter(~is_new), index_dir, "s0"
+    ) is True
+
+    t0 = time.perf_counter()
+    got = dedup_delta_substring_retained(
+        spark, big.filter(is_new), index_dir
+    ).count()
+    dt = time.perf_counter() - t0
+    want = dedup_substring_incremental_retained(spark, str(d)).count()
+    assert got == want
+    assert dt < 90, f"stored substring drive at {rep}x took {dt:.1f}s"
