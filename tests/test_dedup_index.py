@@ -460,3 +460,129 @@ def test_compact_crash_mid_sequence_converges(spark, index_dir, monkeypatch):
     assert _counts(spark, index_dir) == c_before
     # replay is a no-op
     assert di.compact_dedup_index(spark, index_dir, "c0") is False
+
+
+def test_auto_compact_knob_folds_long_chain(spark, index_dir):
+    """update_dedup_index(auto_compact_after=K): the chain-length POLICY
+    the round-10 verdict asked for — routine updates stay O(delta) until
+    the live list exceeds K prefixes, then the update itself triggers the
+    existing crash-safe compaction (deterministic ``<snapshot>.auto`` id).
+    Counts and retained-query results are unchanged across the fold, and
+    the next update appends to the compacted chain normally."""
+    from clickhousemigrators3_spark.operators.dedup_index import _live_paths
+
+    base = _docs(spark, [(i, T[i]) for i in range(5)])
+    assert build_dedup_index(spark, base, index_dir, "s0") is True
+    # grow the chain to 3 prefixes with knobless updates (policy stays
+    # explicit when the knob is absent)
+    for snap, doc in (("s1", (10, FRESH1)), ("s2", (11, FRESH2))):
+        d = _docs(spark, [doc])
+        r = dedup_delta_retained(spark, d, index_dir)
+        assert update_dedup_index(
+            spark, d.join(r, "doc_id", "semi"), index_dir, snap
+        ) is True
+    assert all(len(_live_paths(index_dir, t)) == 3 for t in INDEX_TABLES)
+    c_before = _counts(spark, index_dir)
+    assert c_before["dedup_fp"] == 7
+    d3 = _docs(spark, [(12, FRESH3)])
+    r3 = dedup_delta_retained(spark, d3, index_dir)
+    assert update_dedup_index(
+        spark, d3.join(r3, "doc_id", "semi"), index_dir, "s3",
+        auto_compact_after=2,
+    ) is True
+    # the append took the chain to 4 > 2 → auto-folded to one prefix
+    assert all(
+        _live_paths(index_dir, t)
+        == [f"{index_dir}/{t}__s3.auto.compact"]
+        for t in INDEX_TABLES
+    )
+    c_after = _counts(spark, index_dir)
+    assert c_after["dedup_fp"] == 8
+    # the folded index still answers: exact dup of every prior retained
+    # doc drops, fresh text survives
+    probe = _docs(spark, [(20, FRESH1), (21, FRESH3), (22, T[0]),
+                          (23, "wholly new words about glaciers moraines "
+                               "crevasses seracs icefalls cirques aretes")])
+    got = sorted(
+        r.doc_id
+        for r in dedup_delta_retained(spark, probe, index_dir).collect()
+    )
+    assert got == [23]
+    # next update appends to the compacted chain (length 2 <= K: no fold)
+    d4 = _docs(spark, [(30, "fresh follow-up sentences describing looms "
+                            "shuttles warps wefts heddles treadles reeds")])
+    r4 = dedup_delta_retained(spark, d4, index_dir)
+    assert update_dedup_index(
+        spark, d4.join(r4, "doc_id", "semi"), index_dir, "s4",
+        auto_compact_after=2,
+    ) is True
+    assert all(len(_live_paths(index_dir, t)) == 2 for t in INDEX_TABLES)
+    with pytest.raises(ValueError, match="auto_compact_after"):
+        update_dedup_index(
+            spark, d4, index_dir, "s5", auto_compact_after=0
+        )
+
+
+def test_auto_compact_crash_converges_on_update_replay(
+    spark, index_dir, monkeypatch
+):
+    """Crash INSIDE the auto-compaction, then replay the WHOLE update call
+    (the orchestrator's retry unit): the append phase must NOT duplicate
+    the delta — after a partial fold, some tables' live lists no longer
+    contain the snapshot prefix (its rows are inside the compacted prefix),
+    so replay detection consults the manifest's version HISTORY — and the
+    deterministic ``<snapshot>.auto`` compaction id lets the retried fold
+    converge table by table."""
+    import clickhousemigrators3_spark.operators.dedup_index as di
+
+    base = _docs(spark, [(i, T[i]) for i in range(4)])
+    assert build_dedup_index(spark, base, index_dir, "s0") is True
+    d1 = _docs(spark, [(10, FRESH1)])
+    r1 = dedup_delta_retained(spark, d1, index_dir)
+    docs1 = d1.join(r1, "doc_id", "semi")
+    assert update_dedup_index(spark, docs1, index_dir, "s1") is True
+
+    d2 = _docs(spark, [(11, FRESH2)])
+    r2 = dedup_delta_retained(spark, d2, index_dir)
+    docs2 = d2.join(r2, "doc_id", "semi")
+
+    real_publish = di.publish_manifest
+    calls = {"n": 0}
+
+    def crashing_publish(dest_dir, table, data_path):
+        calls["n"] += 1
+        # the s2 append flips 4 manifests (calls 1-4); crash on the SECOND
+        # compaction flip (call 6): one table compacted, three on chains
+        if calls["n"] == 6:
+            raise OSError("simulated crash mid-auto-compact")
+        return real_publish(dest_dir, table, data_path)
+
+    monkeypatch.setattr(di, "publish_manifest", crashing_publish)
+    with pytest.raises(OSError, match="mid-auto-compact"):
+        di.update_dedup_index(
+            spark, docs2, index_dir, "s2", auto_compact_after=1
+        )
+    monkeypatch.setattr(di, "publish_manifest", real_publish)
+
+    # mid-crash: mixed state (>=1 table folded, others on 3-prefix chains)
+    folded = [
+        t for t in INDEX_TABLES if len(di._live_paths(index_dir, t)) == 1
+    ]
+    assert folded and len(folded) < len(INDEX_TABLES)
+    c_mid = _counts(spark, index_dir)
+    assert c_mid["dedup_fp"] == 6  # 4 base + FRESH1 + FRESH2, no dups
+
+    # replay of the SAME update call: appends all skip (history-aware),
+    # the fold completes, and no row is duplicated anywhere
+    assert di.update_dedup_index(
+        spark, docs2, index_dir, "s2", auto_compact_after=1
+    ) is True
+    assert all(
+        di._live_paths(index_dir, t) == [f"{index_dir}/{t}__s2.auto.compact"]
+        for t in INDEX_TABLES
+    )
+    assert _counts(spark, index_dir) == c_mid
+    # a second replay is a full no-op
+    assert di.update_dedup_index(
+        spark, docs2, index_dir, "s2", auto_compact_after=1
+    ) is False
