@@ -99,6 +99,15 @@ Covered surface (the high-frequency ClickHouse idioms):
   keeps empty rows with NULL elements
 * tuple(...) → named_struct('_1', …) positional 1-based fields;
   tupleElement(t, N) / tupleElement(t, 'name') → struct field access
+* GROUP BY … WITH ROLLUP / WITH CUBE / WITH TOTALS (round 11) —
+  explicit ROLLUP()/CUBE()/GROUPING SETS((keys),()) rewrite with every
+  select-listed key wrapped in CASE WHEN grouping(k)=1 THEN <ClickHouse
+  type default> ELSE k END (subtotal rows carry 0/''/epoch like
+  ClickHouse, and genuine NULL-key groups stay NULL); key types come
+  from the expression text here, or from the analyzed probe schema in
+  run_ch_sql (bare-column keys). Combined modifiers, HAVING alongside a
+  modifier (totals_mode divergence), SELECT */DISTINCT, and
+  complex-typed keys refuse loudly
 * map/combinator aggregates (round 10) — sumMap/minMap/maxMap/avgMap
   (map form and the (keys, values) two-array form, unequal sizes raise),
   sum/min/max/avg/countForEach (ragged element-wise contract), and
@@ -109,7 +118,7 @@ Covered surface (the high-frequency ClickHouse idioms):
   docs/CHSQL.md with the explode-shape pointer for corpus-sized groups
 
 Refused loudly (pointer to the operator that implements the semantics):
-FINAL, SAMPLE, WITH TOTALS, LIMIT n BY without
+FINAL, SAMPLE, LIMIT n BY without
 ORDER BY (nondeterministic), ANY/ASOF join strictness,
 windowFunnel / retention / sequenceMatch / dictGet / groupBitmap,
 running/block-order functions
@@ -1677,10 +1686,23 @@ def _translate_tokens(tokens: list[str]) -> str:
                 "there), or build the axis with sequence()+explode, see "
                 "operators/event_analytics.py ev_wau_sliding_7d"
             )
-        if low == "totals" and prev_code == "with" and clause[-1] == "group":
+        if (
+            low in ("totals", "rollup", "cube")
+            and prev_code == "with"
+            and clause[-1] == "group"
+        ):
+            # backstop only: _rewrite_group_modifiers translates these
+            # before tokens reach here (GROUPING SETS / explicit
+            # ROLLUP()/CUBE() + typed-default key wraps). Letting a
+            # trailing form through to Spark's shared grammar would be
+            # DOUBLY wrong: NULL subtotal keys where ClickHouse fills
+            # type defaults, and Spark 4.1.2's trailing form drops rows
+            # outright in some shapes.
             raise UnsupportedCHSQL(
-                "WITH TOTALS needs a rollup — see operators/tpch_more.py "
-                "rollup_revenue / groupingsets_*"
+                f"GROUP BY … WITH {low.upper()} reached the token "
+                "translator unrewritten — this shape escaped "
+                "_rewrite_group_modifiers; spell GROUPING SETS "
+                "explicitly, or report the query text"
             )
 
         if low is not None and low in _KNOWN:
@@ -2349,7 +2371,18 @@ def translate_ch_sql(sql: str) -> str:
     """Translate a ClickHouse SELECT/WITH query to Spark SQL. Raises
     UnsupportedCHSQL (with a pointer to this repo's equivalent operator)
     on constructs that need more than a dialect rewrite — including DML/
-    DDL statements, which route to the operator surface instead."""
+    DDL statements, which route to the operator surface instead.
+
+    ``GROUP BY … WITH ROLLUP/CUBE/TOTALS`` translates here when every
+    select-listed key's type class is derivable from its expression text
+    (see _rewrite_group_modifiers); bare-column keys need the analyzed
+    schema and raise a pointer to run_ch_sql, which types them there."""
+    return _translate_impl(sql)
+
+
+def _translate_impl(
+    sql: str, gm_mode: str = "text", gm_types: dict[int, str] | None = None
+) -> str:
     tokens = _tokenize(sql)
     first = _next_code(tokens, 0)
     lead = tokens[first].lower() if first < len(tokens) else ""
@@ -2368,7 +2401,7 @@ def translate_ch_sql(sql: str) -> str:
         )
     tokens = _rewrite_array_literals(tokens)
     tokens = _expand_with_macros(tokens)
-    _refuse_group_by_modifiers(tokens)
+    tokens = _rewrite_group_modifiers(tokens, gm_mode, gm_types)
     tokens = _rewrite_running_funcs(tokens)
     tokens = _rewrite_group_arrays(tokens)
     tokens = _strip_dead_subquery_orders(tokens)
@@ -3606,44 +3639,354 @@ class _FillSpec:
         self.interpolate = interpolate or []
 
 
-def _refuse_group_by_modifiers(tokens: list[str]) -> None:
-    """``GROUP BY … WITH ROLLUP/CUBE`` would pass straight through Spark's
-    shared grammar — but ClickHouse fills the grouping-key columns of
-    subtotal rows with the type's DEFAULT (0 / ''), where Spark emits
-    NULL: a silent VALUE divergence, the exact class this module's
-    contract forbids (same reason WITH TOTALS refuses). Clause-gated like
-    the WITH FILL scanner: a CTE or column named ``rollup`` never
-    matches."""
+# --- GROUP BY … WITH ROLLUP / CUBE / TOTALS ---------------------------------
+# Translated (round 11; refused in rounds 1-10). Spark shares the
+# ROLLUP/CUBE grammar, but two things need bridging:
+#
+# 1. ClickHouse fills the grouping-key columns of subtotal rows with the
+#    key type's DEFAULT (0 / '' / epoch) where Spark emits NULL — the
+#    silent VALUE divergence the old refusal existed for. Bridged by
+#    wrapping each select-listed key k in
+#    ``CASE WHEN grouping(k) = 1 THEN <typed default> ELSE k END`` —
+#    grouping() distinguishes a subtotal row from a genuine NULL-valued
+#    key group, which a plain coalesce would conflate. The default's TYPE
+#    comes from the key expression's text when derivable (numeric 0 and
+#    string '' coerce to any width, the epoch DATE literal coerces across
+#    date/timestamp/ntz under the UTC-pinned session), else from the
+#    analyzed probe schema in run_ch_sql — the same split as WITH FILL.
+# 2. Spark 4.1.2's TRAILING form (``GROUP BY a, b WITH ROLLUP``) DROPS
+#    result rows in some shapes (observed locally: a missing grand-total
+#    row with bare-column keys, a missing detail row with computed
+#    keys+aliases — while ``GROUP BY ROLLUP(a, b)`` is correct in the
+#    same session), so the rewrite always emits the explicit
+#    ROLLUP(...)/CUBE(...) form and a backstop in _translate_tokens
+#    refuses any trailing form that could slip through to the shared
+#    grammar.
+#
+# WITH TOTALS = the plain GROUP BY rows plus ONE all-keys-defaulted totals
+# row → ``GROUP BY GROUPING SETS ((k1, …, kn), ())`` with the same key
+# wrap. HAVING alongside any modifier is refused: ClickHouse applies
+# HAVING to the totals row under the ``totals_mode`` setting family
+# (before/after having, auto thresholds), which has no Spark twin — a
+# translation would silently pick one mode.
+
+
+_GM_KINDS = ("rollup", "cube", "totals")
+
+# text-derivable type classes for subtotal defaults: the default literal
+# only needs the CLASS right — Spark coerces 0 to any numeric width, ''
+# to any string, and the epoch DATE literal to date/timestamp/ntz (epoch
+# midnight in the UTC-pinned session = the ClickHouse DateTime default)
+_TD_NUM_FUNCS = frozenset({
+    "toyear", "tomonth", "todayofmonth", "todayofweek", "todayofyear",
+    "tohour", "tominute", "tosecond", "toquarter", "toisoweek", "toweek",
+    "toyearweek", "toyyyymm", "toyyyymmdd", "toyyyymmddhhmmss",
+    "torelativedaynum", "torelativehournum", "tounixtimestamp",
+    "toint8", "toint16", "toint32", "toint64", "touint8", "touint16",
+    "touint32", "touint64", "tofloat32", "tofloat64",
+    "length", "lengthutf8", "abs", "floor", "ceil", "round",
+    "roundbankers", "sign", "intdiv", "intdivorzero", "modulo",
+    "moduloorzero", "plus", "minus", "multiply", "divide",
+    "bitand", "bitor", "bitxor", "bitnot", "bitshiftleft",
+    "bitshiftright", "position", "indexof", "countequal", "empty",
+    "notempty",
+})
+_TD_STR_FUNCS = frozenset({
+    "tostring", "concat", "lower", "upper", "lowerutf8", "upperutf8",
+    "substring", "substr", "trim", "ltrim", "rtrim", "reverse",
+    "replaceall", "replaceone", "replaceregexpall", "formatdatetime",
+    "monthname", "dayname", "tovalidutf8", "hex", "left", "right",
+})
+_TD_DATE_FUNCS = frozenset({
+    "todate", "todatetime", "tostartofday", "tostartofhour",
+    "tostartofminute", "tostartofweek", "tostartofmonth",
+    "tostartofquarter", "tostartofyear", "tomonday", "tolastdayofmonth",
+    "makedate", "makedatetime", "timeslot",
+})
+
+
+def _text_key_default(key_sql: str) -> str | None:
+    """ClickHouse-default literal for a grouping key whose type CLASS is
+    derivable from the expression text alone; None when it is not (bare
+    columns, unknown functions) — those need the analyzed-schema path."""
+    toks = [t for t in _tokenize(key_sql) if not _is_ws(t)]
+    # strip balanced outer parens
+    while (
+        len(toks) >= 2
+        and toks[0] == "("
+        and _find_close(toks, 0) == len(toks) - 1
+    ):
+        toks = toks[1:-1]
+    if not toks:
+        return None
+    if len(toks) == 1:
+        t = toks[0]
+        if t.startswith("'") or t.startswith('"'):
+            return "''"
+        if t[0].isdigit():
+            return "0"
+        return None  # bare identifier: type unknown
+    # depth-0 operators decide the class before any function name does
+    # (`toString(x) || y` is string concat; `toYear(d) % 7` is numeric)
+    depth = 0
+    has_arith = False
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            if t == "||":
+                return "''"
+            if t in ("%", "+", "-", "*", "/"):
+                has_arith = True
+    if has_arith:
+        return "0"
+    name = toks[0].lower() if toks[0][0].isalpha() or toks[0][0] == "_" else ""
+    if (
+        len(toks) >= 3
+        and toks[1] == "("
+        and _find_close(toks, 1) == len(toks) - 1
+    ):
+        if name in _TD_NUM_FUNCS:
+            return "0"
+        if name in _TD_STR_FUNCS:
+            return "''"
+        if name in _TD_DATE_FUNCS:
+            return "DATE'1970-01-01'"
+    return None
+
+
+class _NeedsSchemaTyping(UnsupportedCHSQL):
+    """A group-modifier key's type is not derivable from text alone —
+    run_ch_sql re-translates with the analyzed probe schema (the same
+    two-tier contract as WITH FILL)."""
+
+
+def _scan_group_modifier(
+    tokens: list[str],
+) -> tuple[int, int, int, str, bool] | None:
+    """First ``GROUP BY … WITH ROLLUP/CUBE/TOTALS`` occurrence:
+    ``(group_idx, with_idx, mod_idx, kind, at_top_level)``. Clause-gated
+    like the WITH FILL scanner (a CTE or column named ``rollup`` never
+    matches); ``at_top_level`` is True when the clause sits at paren depth
+    0 — the only depth whose select list the probe schema can type."""
     clause: list[str | None] = [None]
+    group_at: list[int | None] = [None]
     prev_code: str | None = None
+    prev_idx: int = -1
     for i, t in enumerate(tokens):
         if _is_ws(t):
             continue
         low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
         if (
-            low in ("rollup", "cube")
+            low in _GM_KINDS
             and prev_code == "with"
             and clause[-1] == "group"
+            and group_at[-1] is not None
         ):
-            raise UnsupportedCHSQL(
-                f"GROUP BY … WITH {low.upper()} fills subtotal-row keys "
-                "with type DEFAULTS in ClickHouse but NULLs in Spark — a "
-                "silent value divergence; if NULL subtotal keys are "
-                f"acceptable, spell Spark's GROUP BY {low.upper()}(…) "
-                "directly, else see operators/tpch_more.py rollup_revenue"
-            )
+            return group_at[-1], prev_idx, i, low, len(clause) == 1
         if t == "(":
             clause.append(None)
+            group_at.append(None)
         elif t == ")":
             if len(clause) > 1:
                 clause.pop()
+                group_at.pop()
         elif low in ("select", "from", "where", "having", "limit", "window"):
             clause[-1] = low
         elif low in ("group", "order") and _next_word_is(tokens, i, "by"):
             clause[-1] = low
+            if low == "group":
+                group_at[-1] = i
         elif low == "union":
             clause[-1] = None
         prev_code = low if low is not None else t
+        prev_idx = i
+    return None
+
+
+def _rewrite_group_modifiers(
+    tokens: list[str],
+    mode: str = "text",
+    types: dict[int, str] | None = None,
+) -> list[str]:
+    """Rewrite every ``GROUP BY … WITH ROLLUP/CUBE/TOTALS`` (see the block
+    comment above for the semantics bridged). ``mode``:
+
+    * ``'text'``  — defaults typed from the key expression text;
+      :class:`_NeedsSchemaTyping` when a top-level key is not textually
+      typeable (run_ch_sql catches it and retries with the probe schema).
+    * ``'plain'`` — no key wraps, only the structural
+      ROLLUP()/CUBE()/GROUPING SETS rewrite: the probe whose analyzed
+      schema supplies the types.
+    * ``'typed'`` — ``types`` maps top-level select positions to Spark
+      simpleString types from the probe schema; non-top-level occurrences
+      still use the text typer (their select lists are invisible in the
+      probe schema) and refuse loudly when untypeable.
+    """
+    for _ in range(16):  # each pass consumes one modifier
+        hit = _scan_group_modifier(tokens)
+        if hit is None:
+            return tokens
+        group_idx, with_idx, mod_idx, kind, top = hit
+        sel = _owning_select(tokens, group_idx)
+        if sel is None:  # pragma: no cover - GROUP BY implies a SELECT
+            raise UnsupportedCHSQL(f"WITH {kind.upper()} outside a SELECT")
+
+        # select-list span and items
+        items, aliases, names = _select_list_items(tokens, sel)
+        sel_end = len(tokens)
+        depth = 0
+        for k in range(sel + 1, len(tokens)):
+            t = tokens[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth < 0:
+                    sel_end = k
+                    break
+            elif depth == 0:
+                lw = t.lower()
+                if lw in ("from", "where", "having", "limit", "window") or (
+                    lw in ("group", "order") and _next_word_is(tokens, k, "by")
+                ):
+                    sel_end = k
+                    break
+        first_code = _next_code(tokens, sel + 1)
+        if first_code < len(tokens) and tokens[first_code].lower() in (
+            "distinct",
+            "*",
+        ):
+            raise UnsupportedCHSQL(
+                f"WITH {kind.upper()} with SELECT "
+                f"{tokens[first_code].upper()} is not mapped — list and "
+                "alias the grouping keys explicitly so subtotal rows can "
+                "carry their typed defaults"
+            )
+        if any(it.strip() == "*" for it in items):
+            raise UnsupportedCHSQL(
+                f"WITH {kind.upper()} with SELECT * is not mapped — list "
+                "and alias the grouping keys explicitly"
+            )
+
+        # HAVING in this select refuses (ClickHouse's totals_mode family
+        # decides how HAVING interacts with totals/subtotal rows)
+        depth = 0
+        for k in range(mod_idx + 1, len(tokens)):
+            t = tokens[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0 and t.lower() == "having":
+                raise UnsupportedCHSQL(
+                    f"WITH {kind.upper()} combined with HAVING is not "
+                    "mapped — ClickHouse's totals_mode setting decides "
+                    "whether HAVING filters the subtotal/totals rows; "
+                    "filter in an outer SELECT instead"
+                )
+            elif depth == 0 and t.lower() == "union":
+                break
+
+        # resolve the GROUP BY keys (aliases/ordinals → base expressions)
+        by = _next_code(tokens, group_idx + 1)
+        keys_raw = [k for k in _split_args(tokens[by + 1 : with_idx]) if k]
+        if not keys_raw:
+            raise UnsupportedCHSQL(
+                f"GROUP BY WITH {kind.upper()} without keys"
+            )
+        keys: list[str] = []
+        for key in keys_raw:
+            code = [t for t in key if not _is_ws(t)]
+            if code and code[0].lower() in ("rollup", "cube", "grouping"):
+                raise UnsupportedCHSQL(
+                    "combined GROUP BY modifiers (e.g. ROLLUP … WITH "
+                    "TOTALS) are not mapped — spell the union of GROUPING "
+                    "SETS explicitly"
+                )
+            if len(code) == 1 and code[0].lower() in aliases:
+                keys.append(f"({aliases[code[0].lower()]})")
+            elif len(code) == 1 and code[0].isdigit():
+                pos = int(code[0])
+                if not 1 <= pos <= len(items):
+                    raise UnsupportedCHSQL(
+                        f"GROUP BY position {pos} is out of range for the "
+                        f"{len(items)}-item SELECT list"
+                    )
+                keys.append(f"({items[pos - 1]})")
+            else:
+                keys.append(" ".join(code))
+        key_norms = {_norm_key(k): k for k in keys}
+
+        # rebuild the select list with grouping()-guarded key items
+        new_items: list[str] = []
+        for i, (item, name) in enumerate(zip(items, names)):
+            key = key_norms.get(_norm_key(item))
+            if key is None or mode == "plain":
+                if name is not None and _norm_key(item) != _norm_key(name):
+                    new_items.append(f"{item} AS {name}")
+                else:
+                    new_items.append(item)
+                continue
+            if name is None:
+                raise UnsupportedCHSQL(
+                    f"WITH {kind.upper()} key {item!r} needs an AS alias "
+                    "in the SELECT list — the subtotal-default wrap "
+                    "changes the expression, and an alias keeps the "
+                    "output column name stable"
+                )
+            if mode == "typed" and top and types is not None and i in types:
+                try:
+                    default = _fill_default(name, types[i])
+                except UnsupportedCHSQL:
+                    raise UnsupportedCHSQL(
+                        f"WITH {kind.upper()} cannot synthesize a "
+                        f"ClickHouse subtotal default for key {name!r} of "
+                        f"type {types[i]} — complex-typed keys have no "
+                        "scalar default; cast or project the key to a "
+                        "scalar"
+                    ) from None
+            else:
+                default = _text_key_default(key)
+                if default is None:
+                    if mode == "text":
+                        raise _NeedsSchemaTyping(
+                            f"WITH {kind.upper()} key {item!r}'s type is "
+                            "not derivable from text — run the query "
+                            "through run_ch_sql (the analyzed schema "
+                            "types it there), or wrap the key in a typed "
+                            "function (toString/toInt64/…)"
+                        )
+                    raise UnsupportedCHSQL(
+                        f"WITH {kind.upper()} key {item!r} in a subquery "
+                        "is not typeable from text (the probe schema only "
+                        "covers the top-level SELECT) — wrap the key in a "
+                        "typed function (toString/toInt64/…) or move the "
+                        "rollup to the top level"
+                    )
+            new_items.append(
+                f"CASE WHEN grouping({key}) = 1 THEN {default} "
+                f"ELSE {item} END AS {name}"
+            )
+
+        if kind == "totals":
+            group_clause = (
+                f"GROUP BY GROUPING SETS (({', '.join(keys)}), ())"
+            )
+        else:
+            group_clause = f"GROUP BY {kind.upper()}({', '.join(keys)})"
+        tokens = (
+            tokens[:sel]
+            + _tokenize("SELECT " + ", ".join(new_items) + " ")
+            + tokens[sel_end:group_idx]
+            + _tokenize(group_clause)
+            + tokens[mod_idx + 1 :]
+        )
+    raise UnsupportedCHSQL("too many GROUP BY modifier rewrites")
 
 
 def _scan_top_fill(tokens: list[str]) -> int | None:
@@ -4012,10 +4355,20 @@ def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
     (not in the string-only :func:`translate_ch_sql` path) because the dense
     axis needs the result schema: other columns are filled with ClickHouse
     type defaults (0 / '' / epoch), which requires knowing their Spark
-    types. See :func:`_expand_with_fill`."""
+    types. See :func:`_expand_with_fill`.
+
+    ``GROUP BY … WITH ROLLUP/CUBE/TOTALS`` whose key types are not
+    derivable from the query text (bare-column keys) is typed here the
+    same way: a probe translation (structural rewrite, no key wraps) is
+    ANALYZED — nothing executes — and the output schema supplies each
+    key's type for the ClickHouse subtotal defaults. See
+    :func:`_rewrite_group_modifiers`."""
     fill = _extract_with_fill(sql)
     base_sql = sql if fill is None else fill[0]
-    translated = translate_ch_sql(base_sql)
+    try:
+        translated = translate_ch_sql(base_sql)
+    except _NeedsSchemaTyping:
+        translated = None  # typed below, after the views exist to analyze
     if sf_dir is not None:
         from ..catalog import register_system_views, register_tables
 
@@ -4024,8 +4377,25 @@ def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
 
             tables = TABLES
         register_tables(spark, sf_dir, tuple(tables))
-        if re.search(r"\bsystem_(?:tables|parts|storage_policies)\b", translated):
+    if translated is None:
+        probe = _translate_impl(base_sql, gm_mode="plain")
+        if sf_dir is not None and re.search(
+            r"\bsystem_(?:tables|parts|storage_policies)\b", probe
+        ):
+            from ..catalog import register_system_views
+
             register_system_views(spark, sf_dir)
+        schema = spark.sql(probe).schema  # analysis only
+        types = {
+            i: f.dataType.simpleString() for i, f in enumerate(schema.fields)
+        }
+        translated = _translate_impl(base_sql, gm_mode="typed", gm_types=types)
+    elif sf_dir is not None and re.search(
+        r"\bsystem_(?:tables|parts|storage_policies)\b", translated
+    ):
+        from ..catalog import register_system_views
+
+        register_system_views(spark, sf_dir)
     if fill is not None:
         translated = _expand_with_fill(spark, translated, fill[1])
     return spark.sql(translated)

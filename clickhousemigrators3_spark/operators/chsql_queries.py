@@ -1546,6 +1546,125 @@ _ch(
     ("lineitem",),
 )
 
+# GROUP BY … WITH ROLLUP / CUBE / TOTALS (round 11 — the last clause-level
+# refusal family, now translated). Subtotal-row keys carry ClickHouse's
+# TYPE DEFAULTS (0 / '' / epoch), not Spark's NULLs: every select-listed
+# key is wrapped in CASE WHEN grouping(k)=1 THEN <default> ELSE k END, and
+# the structural rewrite always emits the explicit ROLLUP()/CUBE()/
+# GROUPING SETS form (Spark 4.1.2's trailing `a, b WITH ROLLUP` form drops
+# rows in some shapes — functions/ch_sql.py block comment). The oracles
+# spell the same grouping()-guarded defaults in DuckDB. Note the totals /
+# subtotal rows MAY collide with genuine key values (a real bucket 0 and
+# the totals row both read 0) — exactly ClickHouse's own ambiguity.
+#
+# chsql_rollup_status_priority: BARE-COLUMN string keys — exercises the
+# analyzed-probe typing path in run_ch_sql (text typing cannot see a bare
+# column's type).
+_ch(
+    "chsql_rollup_status_priority",
+    """
+    SELECT o_orderstatus AS st, o_orderpriority AS pri,
+           count() AS c,
+           sum(toInt64(round(o_totalprice))) AS tp
+    FROM orders
+    WHERE o_orderkey < 30000
+    GROUP BY st, pri WITH ROLLUP
+    ORDER BY st, pri, c
+    """,
+    """
+    SELECT CASE WHEN grouping(o_orderstatus) = 1 THEN ''
+                ELSE o_orderstatus END AS st,
+           CASE WHEN grouping(o_orderpriority) = 1 THEN ''
+                ELSE o_orderpriority END AS pri,
+           count(*) AS c,
+           sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS tp
+    FROM orders
+    WHERE o_orderkey < 30000
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY st, pri, c
+    """,
+    ("orders",),
+)
+
+# chsql_rollup_year_month: computed int keys — fully TEXT-typed, so the
+# standalone translate_ch_sql path handles it without a session (the
+# golden suite locks the emitted shape).
+_ch(
+    "chsql_rollup_year_month",
+    """
+    SELECT toYear(o_orderdate) AS y, toMonth(o_orderdate) AS m,
+           count() AS c,
+           sum(toInt64(round(o_totalprice * 100))) AS cents
+    FROM orders
+    WHERE o_orderkey < 20000
+    GROUP BY y, m WITH ROLLUP
+    ORDER BY y, m, c
+    """,
+    """
+    SELECT CASE WHEN grouping(year(o_orderdate)) = 1 THEN 0
+                ELSE CAST(year(o_orderdate) AS INT) END AS y,
+           CASE WHEN grouping(month(o_orderdate)) = 1 THEN 0
+                ELSE CAST(month(o_orderdate) AS INT) END AS m,
+           count(*) AS c,
+           sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+    FROM orders
+    WHERE o_orderkey < 20000
+    GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+    ORDER BY y, m, c
+    """,
+    ("orders",),
+)
+
+# chsql_cube_year_status: CUBE over a computed int key and a bare string
+# key — all four grouping sets, mixed text/probe typing in one clause.
+_ch(
+    "chsql_cube_year_status",
+    """
+    SELECT toYear(o_orderdate) AS y, o_orderstatus AS st, count() AS c
+    FROM orders
+    WHERE o_orderkey < 20000
+    GROUP BY y, st WITH CUBE
+    ORDER BY y, st, c
+    """,
+    """
+    SELECT CASE WHEN grouping(year(o_orderdate)) = 1 THEN 0
+                ELSE CAST(year(o_orderdate) AS INT) END AS y,
+           CASE WHEN grouping(o_orderstatus) = 1 THEN ''
+                ELSE o_orderstatus END AS st,
+           count(*) AS c
+    FROM orders
+    WHERE o_orderkey < 20000
+    GROUP BY CUBE(year(o_orderdate), o_orderstatus)
+    ORDER BY y, st, c
+    """,
+    ("orders",),
+)
+
+# chsql_totals_bucket: WITH TOTALS → GROUPING SETS ((keys), ()) — the
+# plain GROUP BY rows plus ONE totals row whose key carries the type
+# default (0 — colliding with the real bucket 0, as in ClickHouse).
+_ch(
+    "chsql_totals_bucket",
+    """
+    SELECT user_id % 10 AS bucket,
+           count() AS c,
+           uniqExact(event_type) AS types
+    FROM events
+    GROUP BY bucket WITH TOTALS
+    ORDER BY bucket, c
+    """,
+    """
+    SELECT CASE WHEN grouping(user_id % 10) = 1 THEN 0
+                ELSE user_id % 10 END AS bucket,
+           count(*) AS c,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS types
+    FROM events
+    GROUP BY GROUPING SETS ((user_id % 10), ())
+    ORDER BY bucket, c
+    """,
+    ("events",),
+)
+
 # entropy (round 10): Shannon entropy in bits over exact counts; rounded
 # to 6dp in BOTH texts (the distinct-value fold order differs between
 # engines, so the last float bits may — the cross-engine discipline).

@@ -178,7 +178,10 @@ def test_golden_translation(ch: str, expected: str):
         ("SELECT * FROM t FINAL", "mergetree"),
         ("SELECT * FROM t FINAL WHERE a=1", "mergetree"),
         ("SELECT * FROM t SAMPLE 0.1", "sample_hash"),
-        ("SELECT x, count(*) FROM t GROUP BY x WITH TOTALS", "rollup"),
+        # WITH TOTALS translates now (GROUPING SETS + typed-default key
+        # wrap); a BARE-column key's type needs the analyzed schema, so
+        # the string-only path points at run_ch_sql (the WITH FILL split)
+        ("SELECT x, count(*) FROM t GROUP BY x WITH TOTALS", "run_ch_sql"),
         # LIMIT n BY translates now (window rewrite) — only the shapes no
         # honest rewrite can reproduce still refuse
         ("SELECT * FROM t LIMIT 2 BY x", "limit_by"),  # no ORDER BY
@@ -2222,10 +2225,30 @@ def test_group_array_sorted(spark):
 @pytest.mark.parametrize(
     "ch, needle",
     [
-        # ClickHouse fills subtotal keys with type DEFAULTS, Spark with
-        # NULL — silent value divergence, so the modifier refuses
-        ("SELECT a, sum(v) FROM t GROUP BY a WITH ROLLUP", "DEFAULTS"),
-        ("SELECT a, b, sum(v) FROM t GROUP BY a, b WITH CUBE", "DEFAULTS"),
+        # GROUP BY modifiers translate now (grouping()-guarded typed
+        # defaults) — what remains refused is the genuinely untranslatable
+        # boundary around them:
+        # bare-column keys in the STRING-ONLY path (type needs the
+        # analyzed schema — run_ch_sql handles these)
+        ("SELECT a, sum(v) FROM t GROUP BY a WITH ROLLUP", "run_ch_sql"),
+        ("SELECT a, b, sum(v) FROM t GROUP BY a, b WITH CUBE", "run_ch_sql"),
+        # HAVING + modifier: ClickHouse's totals_mode decides whether
+        # HAVING filters subtotal/totals rows — no faithful single answer
+        ("SELECT toYear(d) AS y, sum(v) AS s FROM t GROUP BY y WITH ROLLUP "
+         "HAVING s > 1", "totals_mode"),
+        # combined modifiers
+        ("SELECT toYear(d) AS y, sum(v) FROM t GROUP BY ROLLUP(y) "
+         "WITH TOTALS", "GROUPING SETS"),
+        # SELECT * can't carry per-key default wraps
+        ("SELECT * FROM t GROUP BY a WITH CUBE", "alias the grouping keys"),
+        # a computed key must be aliased so the wrap keeps its output name
+        ("SELECT toYear(d), sum(v) FROM t GROUP BY toYear(d) WITH ROLLUP",
+         "AS alias"),
+        # a subquery's select list is invisible to the probe schema, so an
+        # untypeable key there refuses even in run_ch_sql's typed mode
+        # (text mode points at run_ch_sql first — needle matches both)
+        ("SELECT y FROM (SELECT a AS y, count() c FROM t "
+         "GROUP BY y WITH ROLLUP)", "run_ch_sql"),
         ("SELECT histogram(5)(v) FROM t", "histogram_value_buckets"),
         ("SELECT exponentialMovingAverage(10)(v, ts) FROM t ORDER BY ts",
          "exponentialTimeDecayedAvg"),
@@ -2249,6 +2272,88 @@ def test_group_by_modifier_refusal_is_clause_gated():
     assert "rollup" in t.lower()
     t = translate_ch_sql("SELECT cube, count() FROM t GROUP BY cube")
     assert "GROUP BY cube" in t
+
+
+def test_rollup_translation_emits_explicit_form():
+    """The trailing `GROUP BY a, b WITH ROLLUP` form DROPS rows in Spark
+    4.1.2 (observed: a missing grand-total row with bare keys, a missing
+    detail row with computed keys — while GROUP BY ROLLUP(a, b) is correct
+    in the same session), so the rewrite must always emit the explicit
+    form with grouping()-guarded typed defaults and leave NO trailing
+    modifier behind."""
+    t = translate_ch_sql(
+        "SELECT toYear(d) AS y, toMonth(d) AS m, sum(v) AS s "
+        "FROM t GROUP BY y, m WITH ROLLUP ORDER BY y, m"
+    )
+    low = " ".join(t.lower().split())
+    assert "with rollup" not in low
+    assert "group by rollup(" in low
+    assert "grouping((year(d))) = 1" in low
+    # ClickHouse subtotal default for an int-class key is 0, via CASE (a
+    # coalesce would conflate genuine NULL-key groups with subtotals)
+    assert "case when grouping((year(d))) = 1 then 0 else year(d) end as y" \
+        in low
+    # TOTALS → GROUPING SETS ((keys), ())
+    t2 = translate_ch_sql(
+        "SELECT user_id % 10 AS b, count() AS c FROM t "
+        "GROUP BY b WITH TOTALS"
+    )
+    low2 = " ".join(t2.lower().split())
+    assert "grouping sets (((user_id % 10)), ())" in low2
+    assert "with totals" not in low2
+    # string-class key → '' default
+    t3 = translate_ch_sql(
+        "SELECT toString(k) AS ks, count() AS c FROM t "
+        "GROUP BY ks WITH CUBE"
+    )
+    low3 = " ".join(t3.lower().split())
+    assert "then '' else" in low3 and "group by cube(" in low3
+
+
+def test_rollup_executed_semantics(spark):
+    """Executed WITH ROLLUP/TOTALS through run_ch_sql: subtotal rows carry
+    ClickHouse TYPE DEFAULTS (0 / ''), a genuine NULL-valued key group
+    stays NULL (grouping() distinguishes them — a coalesce could not), and
+    the bare-column key is typed from the analyzed probe schema."""
+    spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 5), (None, "a", 7)],
+        "k int, s string, v int",
+    ).createOrReplaceTempView("gm_t")
+    rows = run_ch_sql(
+        spark,
+        # k is a BARE column: the string-only path refuses, run_ch_sql
+        # types it via the probe schema (int → 0 default)
+        "SELECT k AS k2, sum(v) AS sv FROM gm_t "
+        "GROUP BY k2 WITH TOTALS ORDER BY k2, sv",
+    ).collect()
+    got = [(r.k2, r.sv) for r in rows]
+    # NULL-key group stays NULL; totals row keyed 0 (the int default)
+    assert (None, 7) in got
+    assert (0, 42) in got  # the totals row: sum over ALL rows
+    assert (1, 30) in got and (2, 5) in got
+    assert len(got) == 4
+
+    rows = run_ch_sql(
+        spark,
+        "SELECT k AS k2, s AS s2, count() AS c FROM gm_t "
+        "GROUP BY k2, s2 WITH ROLLUP ORDER BY k2, s2, c",
+    ).collect()
+    got = {(r.k2, r.s2): r.c for r in rows}
+    # detail + k-subtotals (s defaulted to '') + grand total (0, '')
+    assert got[(1, "a")] == 1 and got[(1, "b")] == 1
+    assert got[(1, "")] == 2 and got[(2, "")] == 1
+    assert got[(None, "")] == 1  # NULL-key subtotal keeps its NULL key
+    assert got[(0, "")] == 4  # grand total: both keys defaulted
+    assert len(got) == 8
+
+    # subquery rollup with an untypeable key refuses even here (the probe
+    # schema only covers the top-level select list)
+    with pytest.raises(UnsupportedCHSQL, match="subquery"):
+        run_ch_sql(
+            spark,
+            "SELECT y FROM (SELECT k AS y, count() AS c FROM gm_t "
+            "GROUP BY y WITH ROLLUP)",
+        )
 
 
 def test_unpinned_parametric_group_array(spark):
