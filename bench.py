@@ -62,6 +62,12 @@ HEADLINE = [
     "dedup_substring_incremental_retained",
     "chsql_summap_daily",
     "chsql_moving_sum_grouped",
+    # round-11: the GROUP BY WITH ROLLUP translation (grouping()-guarded
+    # typed defaults over the probe-typed keys) and the count-combinator
+    # two-level restructure with sibling partial-merge (a regression to
+    # the O(distinct × rows) collect form would show here)
+    "chsql_rollup_status_priority",
+    "chsql_topk_with_siblings",
 ]
 
 

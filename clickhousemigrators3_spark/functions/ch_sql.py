@@ -114,8 +114,15 @@ Covered surface (the high-frequency ClickHouse idioms):
   topK[(N)]/topKIf (exact counts, value-ascending tie-break, N defaults
   to 10): one collect-entries-then-fold aggregate expression per call —
   composes with any GROUP BY/HAVING/sibling aggregate. State is the
-  group's entry list (O(rows), like groupArray), documented in
+  group's entry list (O(rows), like groupArray) and the fold re-filters
+  it per distinct value (O(distinct × rows) compute), documented in
   docs/CHSQL.md with the explode-shape pointer for corpus-sized groups
+* count-combinator restructure (round 11) — entropy/topK/topKIf/
+  topKWeighted/anyHeavy/uniqUpTo in a restructurable SELECT lower to a
+  linear two-level GROUP BY (inner per-(keys, value) counts, outer folds
+  the pairs; decomposable count/sum/min/max/uniqExact siblings merge via
+  partials) — see _rewrite_count_combinators; non-restructurable shapes
+  keep the collect-form expressions above, twin-equal by test
 
 Refused loudly (pointer to the operator that implements the semantics):
 FINAL, SAMPLE, LIMIT n BY without
@@ -2404,6 +2411,7 @@ def _translate_impl(
     tokens = _rewrite_group_modifiers(tokens, gm_mode, gm_types)
     tokens = _rewrite_running_funcs(tokens)
     tokens = _rewrite_group_arrays(tokens)
+    tokens = _rewrite_count_combinators(tokens)
     tokens = _strip_dead_subquery_orders(tokens)
     # PREWHERE: ClickHouse's early-filter hint. Spark's optimizer pushes
     # predicates itself, so PREWHERE → WHERE; when both clauses appear the
@@ -3020,6 +3028,482 @@ def _rewrite_group_arrays(tokens: list[str]) -> list[str]:
             raise UnsupportedCHSQL("too many groupArray rewrites")
         i += 1
     return tokens
+
+
+# --- exact-count combinator restructure (round 11) --------------------------
+# entropy / topK / topKIf / topKWeighted / anyHeavy / uniqUpTo translate by
+# default as pure aggregate EXPRESSIONS over the group's collected value
+# list (_emit_call) — correct anywhere, but the state is O(rows in group)
+# and the per-distinct-value re-filtering makes the compute
+# O(distinct × group rows): a hot group at 100 TB would crawl (round-10
+# verdict #3). When the owning SELECT's shape allows, the whole SELECT is
+# restructured to the linear two-level form instead:
+#
+#     SELECT g, topK(3)(x), count() FROM t WHERE w GROUP BY g
+#   → SELECT _gk0 AS g, <fold over (value, count) pairs>, sum(_sb0)
+#     FROM (SELECT (g) AS _gk0, (x) AS _tv0,
+#                  count((x)) AS _cm0, count(*) AS _sb0
+#           FROM t WHERE w GROUP BY _gk0, _tv0)
+#     GROUP BY _gk0
+#
+# Inner level: one HashAggregate per (keys, value) — O(distinct) rows out,
+# plain counters in. Outer level: entropy/anyHeavy/uniqUpTo fold the count
+# pairs with pure sum/min_by/count arithmetic (HashAggregate, no collect at
+# all — entropy uses H = log2(T) − Σ c·log2 c / T); the array-returning
+# topK family necessarily collects, but only the O(distinct) surviving
+# pairs, never the group's rows. Sibling aggregates merge through partials
+# (count→sum of partial counts, sum→sum of partial sums, min/max→same);
+# sum over a DECIMAL column widens the result precision by one extra
+# sum-level (values exact — documented in docs/CHSQL.md).
+#
+# FALLBACK, never refusal: any shape this pass cannot restructure (UNION,
+# HAVING, windows, differing value expressions across calls, sibling
+# aggregates outside the decomposable allowlist, select items referencing
+# base columns outside replaced spans) keeps the collect-form translation,
+# which is always correct. The leftover-identifier scan is the safety net:
+# after replacing aggregate call spans, any remaining bare identifier that
+# is not a select alias, a generated column, or a lambda parameter means
+# the item needs base-row scope — fall back.
+
+_COUNT_COMBINATORS = frozenset(
+    {"entropy", "topk", "topkif", "topkweighted", "anyheavy", "uniqupto"}
+)
+# siblings that merge through partials: name -> outer merge aggregate
+_CC_SIBLINGS = {
+    "count": "sum", "countif": "sum", "sum": "sum", "sumif": "sum",
+    "min": "min", "minif": "min", "max": "max", "maxif": "max",
+}
+# identifiers allowed to remain bare in rebuilt outer items (SQL keywords
+# and literals the leftover scan must not mistake for base columns)
+_CC_KEYWORDS = frozenset({
+    "as", "case", "when", "then", "else", "end", "null", "true", "false",
+    "is", "not", "and", "or", "in", "distinct", "like", "ilike", "rlike",
+    "between", "asc", "desc", "nulls", "first", "last", "interval", "cast",
+    "double", "bigint", "int", "string", "decimal", "float", "date",
+    "timestamp", "boolean",
+})
+
+
+def _cc_scan_clauses(span: list[str]):
+    """(frm, grp, hav, orde, tail) indices of the SELECT span (span[0] is
+    the SELECT keyword), or the string 'bail' on UNION/WINDOW/QUALIFY."""
+    depth = 0
+    frm = grp = hav = orde = tail = None
+    for k in range(1, len(span)):
+        t = span[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            lw = t.lower()
+            if lw == "from" and frm is None:
+                frm = k
+            elif lw == "group" and grp is None and _next_word_is(span, k, "by"):
+                grp = k
+            elif lw == "having" and hav is None:
+                hav = k
+            elif lw == "order" and orde is None and _next_word_is(span, k, "by"):
+                orde = k
+            elif lw in ("union", "window", "qualify"):
+                return "bail"
+            elif tail is None and (
+                lw == "limit"
+                or (lw in ("settings", "format") and _looks_clause(span, k))
+            ):
+                tail = k
+                break
+    return frm, grp, hav, orde, tail
+
+
+def _cc_parse_call(span, i):
+    """Parse a [parametric] aggregate call at span[i]: returns
+    ``(close, args, params)`` or None when span[i] isn't called."""
+    j = _next_code(span, i + 1)
+    if j >= len(span) or span[j] != "(":
+        return None
+    close = _find_close(span, j)
+    params = None
+    nxt = _next_code(span, close + 1)
+    if nxt < len(span) and span[nxt] == "(":
+        params = ["".join(a).strip() for a in _split_args(span[j + 1 : close]) if a]
+        j = nxt
+        close = _find_close(span, j)
+        nxt = _next_code(span, close + 1)
+    if nxt < len(span) and span[nxt].lower() == "over":
+        return None  # window use keeps the expression form
+    args = ["".join(a).strip() for a in _split_args(span[j + 1 : close]) if a]
+    return close, args, params
+
+
+class _CCMeasures:
+    """Dedup registry of inner-level measure columns."""
+
+    def __init__(self):
+        self.cols: list[str] = []  # "expr AS _cmN" fragments
+        self._by_norm: dict[str, str] = {}
+
+    def add(self, expr: str) -> str:
+        norm = _norm_key(expr)
+        name = self._by_norm.get(norm)
+        if name is None:
+            name = f"_cm{len(self.cols)}"
+            self._by_norm[norm] = name
+            self.cols.append(f"{expr} AS {name}")
+        return name
+
+
+def _cc_outer_expr(low, args, params, val_norm, measures):
+    """Outer-level replacement for one combinator call, registering its
+    inner measures; None → the shape can't restructure (fall back)."""
+    def count_measure(cond=None):
+        if cond is None:
+            return measures.add(f"count(({args[0].strip()}))")
+        return measures.add(
+            f"count(if(({cond}), ({args[0].strip()}), NULL))"
+        )
+
+    if low == "entropy":
+        if params is not None or len(args) != 1:
+            return None
+        m = count_measure()
+        t_ = f"CAST(sum({m}) AS DOUBLE)"
+        clogc = (
+            f"sum(if({m} > 0, CAST({m} AS DOUBLE) * "
+            f"log2(CAST({m} AS DOUBLE)), 0.0D))"
+        )
+        # H = log2(T) − Σ c·log2 c / T, clamped at +0.0 (H >= 0 exactly;
+        # the clamp also normalizes a −1e−16 FP residue / −0.0 away)
+        return (
+            f"greatest(if(sum({m}) = 0, 0.0D, "
+            f"log2({t_}) - {clogc} / {t_}), 0.0D)"
+        )
+    if low == "uniqupto":
+        if params is None or len(params) != 1 \
+                or not params[0].strip().isdigit() or len(args) != 1:
+            return None
+        m = count_measure()
+        return (
+            f"least(count(if({m} > 0, _tv0, NULL)), "
+            f"{int(params[0].strip()) + 1})"
+        )
+    if low == "anyheavy":
+        if params is not None or len(args) != 1:
+            return None
+        m = count_measure()
+        return (
+            f"min_by(_tv0, if({m} > 0, "
+            f"named_struct('_tn', 0 - {m}, '_tx', _tv0), NULL))"
+        )
+    if low in ("topk", "topkif"):
+        if params is None:
+            params = ["10"]
+        if len(params) != 1 or not params[0].strip().isdigit() \
+                or params[0].strip() == "0":
+            return None
+        if low == "topkif":
+            if len(args) != 2:
+                return None
+            m = count_measure(args[1].strip())
+        else:
+            if len(args) != 1:
+                return None
+            m = count_measure()
+        return (
+            f"slice(arrayMap(_ts -> _ts._tx, array_sort(collect_list("
+            f"if({m} > 0, named_struct('_tn', 0 - {m}, '_tx', _tv0), "
+            f"NULL)))), 1, {params[0].strip()})"
+        )
+    if low == "topkweighted":
+        if params is None:
+            params = ["10"]
+        if len(params) != 1 or not params[0].strip().isdigit() \
+                or params[0].strip() == "0" or len(args) != 2:
+            return None
+        w = measures.add(f"sum(CAST(({args[1].strip()}) AS DOUBLE))")
+        # every distinct value is a candidate (the collect-form contract);
+        # a NULL value ranks with weight 0, matching the expression form's
+        # filter(v = NULL) → empty → 0.0 weight
+        return (
+            f"slice(arrayMap(_ts -> _ts._tx, array_sort(collect_list("
+            f"named_struct('_tn', 0.0D - if(_tv0 IS NULL, 0.0D, "
+            f"coalesce({w}, 0.0D)), '_tx', _tv0)))), 1, {params[0].strip()})"
+        )
+    return None
+
+
+def _cc_sibling_expr(low, args, params, val_norm, measures):
+    """Outer partial-merge for one decomposable sibling aggregate; None →
+    not mergeable (fall back)."""
+    if params is not None:
+        return None
+    if low in ("uniq", "uniqexact"):
+        # exact distinct count of the SHARED value expression: one row per
+        # (keys, value) survives the inner level, so a plain conditional
+        # count is the distinct count
+        if len(args) != 1 or _norm_key(args[0]) != val_norm:
+            return None
+        m = measures.add(f"count(({args[0].strip()}))")
+        return f"count(if({m} > 0, _tv0, NULL))"
+    merge = _CC_SIBLINGS.get(low)
+    if merge is None:
+        return None
+    arg_sql = ", ".join(a.strip() for a in args)
+    inner = f"{low}({arg_sql})" if args else f"{low}()"
+    name = measures.add(inner)
+    return f"{merge}({name})"
+
+
+def _cc_rebuild_item(item, val_norm, measures, allowed_idents):
+    """Rebuild one select/order item: combinator and sibling call spans are
+    replaced with outer-level expressions; returns the rebuilt text, or
+    None when the item references base-row scope the outer level lost."""
+    toks = _tokenize(item)
+    out: list[str] = []
+    # lambda parameters declared inside the item stay legal bare idents
+    lambda_params: set[str] = set()
+    code = [(ix, t) for ix, t in enumerate(toks) if not _is_ws(t)]
+    for p, (ix, t) in enumerate(code):
+        if t == "->" and p > 0:
+            prev_ix, prev = code[p - 1]
+            if prev != ")":
+                lambda_params.add(prev.lower())
+            else:  # (a, b) -> …: find the matching open paren
+                depth = 0
+                for q in range(p - 1, -1, -1):
+                    if code[q][1] == ")":
+                        depth += 1
+                    elif code[q][1] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            for _, w in code[q + 1 : p - 1]:
+                                if w and (w[0].isalpha() or w[0] == "_"):
+                                    lambda_params.add(w.lower())
+                            break
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
+        if low in _COUNT_COMBINATORS or low in _CC_SIBLINGS \
+                or low in ("uniq", "uniqexact"):
+            parsed = _cc_parse_call(toks, i)
+            if parsed is not None:
+                close, args, params = parsed
+                if low in _COUNT_COMBINATORS:
+                    repl = _cc_outer_expr(low, args, params, val_norm, measures)
+                else:
+                    repl = _cc_sibling_expr(low, args, params, val_norm, measures)
+                if repl is None:
+                    return None
+                out.append(repl)
+                i = close + 1
+                continue
+        if low is not None:
+            j = _next_code(toks, i + 1)
+            is_call = j < n and toks[j] == "("
+            if not is_call and low not in _CC_KEYWORDS \
+                    and low not in lambda_params \
+                    and low not in allowed_idents \
+                    and not (j < n and toks[j] == "->"):
+                return None  # base-column / qualified ref: outer scope lost it
+        out.append(t)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_count_combinators(tokens: list[str]) -> list[str]:
+    """Restructure SELECTs owning exact-count combinator calls to the
+    two-level GROUP BY form (module comment above). Non-restructurable
+    selects keep the collect-form expression translation."""
+    failed: set[tuple[str, ...]] = set()
+    for _ in range(12):
+        target_sel = None
+        for i, t in enumerate(tokens):
+            low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
+            if low in _COUNT_COMBINATORS:
+                j = _next_code(tokens, i + 1)
+                if j < len(tokens) and tokens[j] == "(":
+                    sel = _owning_select(tokens, i)
+                    if sel is None:
+                        continue
+                    sig = _cc_span_sig(tokens, sel)
+                    if sig in failed:
+                        continue
+                    target_sel = sel
+                    break
+        if target_sel is None:
+            return tokens
+        new = _cc_restructure_select(tokens, target_sel)
+        if new is None:
+            failed.add(_cc_span_sig(tokens, target_sel))
+        else:
+            tokens = new
+    return tokens
+
+
+def _cc_span_sig(tokens: list[str], sel: int) -> tuple[str, ...]:
+    depth = 0
+    end = len(tokens)
+    for k in range(sel + 1, len(tokens)):
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                end = k
+                break
+    return tuple(t for t in tokens[sel:end] if not _is_ws(t))
+
+
+def _cc_restructure_select(tokens: list[str], sel: int) -> list[str] | None:
+    depth = 0
+    end = len(tokens)
+    for k in range(sel + 1, len(tokens)):
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                end = k
+                break
+    span = list(tokens[sel:end])
+    scanned = _cc_scan_clauses(span)
+    if scanned == "bail":
+        return None
+    frm, grp, hav, orde, tail = scanned
+    if frm is None or hav is not None:
+        return None
+    first_code = _next_code(span, 1)
+    if first_code < len(span) and span[first_code].lower() in ("distinct", "*"):
+        return None
+
+    # every combinator call owned by THIS select must share one value expr
+    calls = []
+    for i, t in enumerate(span):
+        low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
+        if low in _COUNT_COMBINATORS and _owning_select(span, i) == 0:
+            parsed = _cc_parse_call(span, i)
+            if parsed is None:
+                continue
+            close, args, params = parsed
+            if not args:
+                return None
+            calls.append((i, close, low, args, params))
+    if not calls:
+        return None
+    val_norm = {_norm_key(c[3][0]) for c in calls}
+    if len(val_norm) != 1:
+        return None
+    val_norm = val_norm.pop()
+    val_sql = calls[0][3][0].strip()
+
+    items, aliases, names = _select_list_items(span, 0)
+    if any(it.strip() == "*" for it in items):
+        return None
+
+    # resolve GROUP BY keys (aliases / ordinals → base expressions)
+    keys: list[str] = []
+    if grp is not None:
+        by = _next_code(span, grp + 1)
+        gend = min(x for x in (orde, tail, len(span)) if x is not None)
+        for key in _split_args(span[by + 1 : gend]):
+            code = [t for t in key if not _is_ws(t)]
+            if not code:
+                continue
+            if len(code) == 1 and code[0].lower() in aliases:
+                keys.append(f"({aliases[code[0].lower()]})")
+            elif len(code) == 1 and code[0].isdigit():
+                pos = int(code[0])
+                if not 1 <= pos <= len(items):
+                    return None
+                keys.append(f"({items[pos - 1]})")
+            elif code[0].lower() in ("rollup", "cube", "grouping") or any(
+                c.lower() in ("with",) for c in code
+            ):
+                return None  # modifier shapes keep the expression form
+            else:
+                keys.append(" ".join(code))
+    key_norms = {_norm_key(k): ix for ix, k in enumerate(keys)}
+
+    measures = _CCMeasures()
+    out_aliases = {nm.lower() for nm in names if nm}
+    allowed = set(out_aliases)
+
+    new_items: list[str] = []
+    for item, name in zip(items, names):
+        kix = key_norms.get(_norm_key(item))
+        if kix is not None:
+            if name is None:
+                return None
+            new_items.append(f"_gk{kix} AS {name}")
+            continue
+        rebuilt = _cc_rebuild_item(item, val_norm, measures, allowed)
+        if rebuilt is None:
+            return None
+        if name is not None and _norm_key(item) != _norm_key(name):
+            new_items.append(f"{rebuilt} AS {name}")
+        else:
+            new_items.append(rebuilt)
+    # ORDER BY: key expressions → _gk refs; aliases/ordinals pass; anything
+    # referencing base columns bails
+    order_sql = ""
+    if orde is not None:
+        oend = tail if tail is not None else len(span)
+        by = _next_code(span, orde + 1)
+        o_items: list[str] = []
+        for oi in _split_args(span[by + 1 : oend]):
+            text = "".join(oi).strip()
+            # split a trailing ASC/DESC/NULLS FIRST|LAST off the expr
+            m = re.match(
+                r"^(.*?)((?:\s+(?:asc|desc))?(?:\s+nulls\s+(?:first|last))?)$",
+                text,
+                re.I | re.S,
+            )
+            expr, suffix = m.group(1).strip(), m.group(2)
+            kix = key_norms.get(_norm_key(expr))
+            if kix is not None:
+                o_items.append(f"_gk{kix}{suffix}")
+                continue
+            code = [t for t in _tokenize(expr) if not _is_ws(t)]
+            if len(code) == 1 and (
+                code[0].lower() in out_aliases or code[0].isdigit()
+            ):
+                o_items.append(text)
+                continue
+            rebuilt = _cc_rebuild_item(expr, val_norm, measures, allowed)
+            if rebuilt is None:
+                return None
+            o_items.append(f"{rebuilt}{suffix}")
+        order_sql = f" ORDER BY {', '.join(o_items)}"
+
+    from_stop = min(x for x in (grp, orde, tail, len(span)) if x is not None)
+    from_section = "".join(span[frm + 1 : from_stop]).strip()
+    if not from_section:
+        return None
+
+    gk_cols = [f"{k} AS _gk{ix}" for ix, k in enumerate(keys)]
+    inner_cols = gk_cols + [f"({val_sql}) AS _tv0"] + measures.cols
+    inner_group = ", ".join(
+        [f"_gk{ix}" for ix in range(len(keys))] + ["_tv0"]
+    )
+    inner = (
+        f"SELECT {', '.join(inner_cols)} FROM {from_section} "
+        f"GROUP BY {inner_group}"
+    )
+    outer_group = (
+        " GROUP BY " + ", ".join(f"_gk{ix}" for ix in range(len(keys)))
+        if keys
+        else ""
+    )
+    tail_sql = " " + "".join(span[tail:]).strip() if tail is not None else ""
+    new = (
+        f"SELECT {', '.join(new_items)} FROM ( {inner} )"
+        f"{outer_group}{order_sql}{tail_sql}"
+    )
+    return tokens[:sel] + _tokenize(new) + tokens[end:]
 
 
 def _owning_select(tokens: list[str], at: int) -> int | None:

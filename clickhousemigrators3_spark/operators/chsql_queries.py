@@ -1665,6 +1665,46 @@ _ch(
     ("events",),
 )
 
+# count-combinator restructure with sibling aggregates (round 11): the
+# SELECT lowers to the two-level GROUP BY form — inner per-(bucket, type)
+# counts, outer folds the pairs — while count/sum/min/max siblings merge
+# through partials (count → sum of partial counts, etc.). The oracle
+# computes the same semantics relationally.
+_ch(
+    "chsql_topk_with_siblings",
+    """
+    SELECT user_id % 10 AS bucket,
+           arrayStringConcat(topK(2)(event_type), ',') AS top2,
+           count() AS c,
+           uniqExact(event_type) AS types,
+           sum(toInt64(round(value * 100))) AS cents,
+           min(toInt64(round(value * 100))) AS mn,
+           max(toInt64(round(value * 100))) AS mx
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    """
+    WITH ranked AS (
+      SELECT user_id % 10 AS bucket, event_type,
+             row_number() OVER (PARTITION BY user_id % 10
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY 1, 2)
+    SELECT b.bucket,
+           (SELECT array_to_string(list(event_type ORDER BY rn), ',')
+            FROM ranked x WHERE x.bucket = b.bucket AND x.rn <= 2) AS top2,
+           b.c, b.types, b.cents, b.mn, b.mx
+    FROM (SELECT user_id % 10 AS bucket, count(*) AS c,
+                 CAST(count(DISTINCT event_type) AS BIGINT) AS types,
+                 sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents,
+                 min(CAST(round(value * 100, 0) AS BIGINT)) AS mn,
+                 max(CAST(round(value * 100, 0) AS BIGINT)) AS mx
+          FROM events GROUP BY 1) b
+    ORDER BY b.bucket
+    """,
+    ("events",),
+)
+
 # entropy (round 10): Shannon entropy in bits over exact counts; rounded
 # to 6dp in BOTH texts (the distinct-value fold order differs between
 # engines, so the last float bits may — the cross-engine discipline).
