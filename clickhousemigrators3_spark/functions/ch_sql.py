@@ -3433,11 +3433,13 @@ def _cc_restructure_select(tokens: list[str], sel: int) -> list[str] | None:
     allowed = set(out_aliases)
 
     new_items: list[str] = []
+    key_out_names: dict[int, str] = {}  # key index -> its OUTPUT alias
     for item, name in zip(items, names):
         kix = key_norms.get(_norm_key(item))
         if kix is not None:
             if name is None:
                 return None
+            key_out_names.setdefault(kix, name)
             new_items.append(f"_gk{kix} AS {name}")
             continue
         rebuilt = _cc_rebuild_item(item, val_norm, measures, allowed)
@@ -3463,15 +3465,20 @@ def _cc_restructure_select(tokens: list[str], sel: int) -> list[str] | None:
                 re.I | re.S,
             )
             expr, suffix = m.group(1).strip(), m.group(2)
-            kix = key_norms.get(_norm_key(expr))
-            if kix is not None:
-                o_items.append(f"_gk{kix}{suffix}")
-                continue
             code = [t for t in _tokenize(expr) if not _is_ws(t)]
+            # output aliases and ordinals FIRST: they resolve in any outer
+            # wrapper (a later LIMIT BY rewrite re-wraps this select, and
+            # only the OUTPUT columns survive into that subquery — an
+            # inner _gk reference would be unresolvable there)
             if len(code) == 1 and (
                 code[0].lower() in out_aliases or code[0].isdigit()
             ):
                 o_items.append(text)
+                continue
+            kix = key_norms.get(_norm_key(expr))
+            if kix is not None:
+                name = key_out_names.get(kix)
+                o_items.append(f"{name or f'_gk{kix}'}{suffix}")
                 continue
             rebuilt = _cc_rebuild_item(expr, val_norm, measures, allowed)
             if rebuilt is None:

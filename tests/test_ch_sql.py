@@ -2809,6 +2809,32 @@ def test_count_combinator_restructure_equals_fallback(spark):
     assert "_tv0" in t_fast and "_tv0" not in t_slow
 
 
+def test_count_combinator_composes_with_limit_by(spark):
+    """Probe-pass find (round 11): the restructure's ORDER BY rewrite
+    replaced a key reference with the inner `_gk0` column — which resolves
+    through the Aggregate normally, but a LATER LIMIT BY rewrite wraps the
+    select in another subquery where only OUTPUT columns survive, making
+    `_gk0` unresolvable. ORDER BY now prefers the key's output alias, so
+    combinators compose with LIMIT n BY (and any other outer re-wrap)."""
+    spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "z")], "k int, s string"
+    ).createOrReplaceTempView("clb_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, topK(2)(s) AS t2, count() AS c FROM clb_t "
+        "GROUP BY k ORDER BY k LIMIT 1 BY k",
+    ).collect()
+    assert [(r.k, r.t2, r.c) for r in rows] == [(1, ["a", "b"], 3),
+                                                (2, ["z"], 1)]
+    # re-spelled computed key in ORDER BY + LIMIT BY on the alias
+    rows = run_ch_sql(
+        spark,
+        "SELECT k % 2 AS km, entropy(s) AS h FROM clb_t "
+        "GROUP BY km ORDER BY k % 2 LIMIT 1 BY km",
+    ).collect()
+    assert [r.km for r in rows] == [0, 1]
+
+
 def test_count_combinator_sibling_merge(spark):
     """Decomposable sibling aggregates ride the restructure through
     partial-merge (count→sum of partials, sum→sum, min/max→same,
