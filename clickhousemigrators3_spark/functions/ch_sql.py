@@ -3173,9 +3173,13 @@ def _cc_outer_expr(low, args, params, val_norm, measures):
             f"log2(CAST({m} AS DOUBLE)), 0.0D))"
         )
         # H = log2(T) − Σ c·log2 c / T, clamped at +0.0 (H >= 0 exactly;
-        # the clamp also normalizes a −1e−16 FP residue / −0.0 away)
+        # the clamp also normalizes a −1e−16 FP residue / −0.0 away).
+        # coalesce on the zero test: a GLOBAL aggregate over an EMPTY
+        # input has sum = NULL, and the expression-form twin yields 0.0
+        # there (empty collect → zero fold) — twin equality is the
+        # contract
         return (
-            f"greatest(if(sum({m}) = 0, 0.0D, "
+            f"greatest(if(coalesce(sum({m}), 0) = 0, 0.0D, "
             f"log2({t_}) - {clogc} / {t_}), 0.0D)"
         )
     if low == "uniqupto":
@@ -3251,6 +3255,10 @@ def _cc_sibling_expr(low, args, params, val_norm, measures):
     arg_sql = ", ".join(a.strip() for a in args)
     inner = f"{low}({arg_sql})" if args else f"{low}()"
     name = measures.add(inner)
+    if low in ("count", "countif"):
+        # count is never NULL: a GLOBAL aggregate over an EMPTY input has
+        # sum(partial) = NULL where the direct count() is 0
+        return f"coalesce(sum({name}), 0)"
     return f"{merge}({name})"
 
 

@@ -2809,6 +2809,25 @@ def test_count_combinator_restructure_equals_fallback(spark):
     assert "_tv0" in t_fast and "_tv0" not in t_slow
 
 
+def test_count_combinator_global_empty_input(spark):
+    """Probe-pass find (round 11): a GLOBAL aggregate over an EMPTY input
+    has sum(partial) = NULL, so the restructured entropy yielded NULL and
+    count siblings NULL where the expression-form twins yield 0.0 / 0
+    (empty collect → zero fold; count is never NULL). Both are coalesced
+    to the twin's value now."""
+    spark.createDataFrame([], "k int, s string").createOrReplaceTempView(
+        "cce_t"
+    )
+    q = "SELECT entropy(s) AS h, count() AS c, topK(2)(s) AS t2 FROM cce_t"
+    fast = run_ch_sql(spark, q).collect()
+    slow = run_ch_sql(spark, q + " HAVING count() >= 0").collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow] == [
+        (0.0, 0, [])
+    ]
+    assert "_tv0" in translate_ch_sql(q)
+    assert "_tv0" not in translate_ch_sql(q + " HAVING count() >= 0")
+
+
 def test_count_combinator_composes_with_limit_by(spark):
     """Probe-pass find (round 11): the restructure's ORDER BY rewrite
     replaced a key reference with the inner `_gk0` column — which resolves
