@@ -754,18 +754,6 @@ _UNSUPPORTED_FUNCS = {
         "renders text art — operators/analytics.py histogram_value_buckets "
         "for the underlying buckets"
     ),
-    "mapapply": (
-        "the (k, v) -> tuple lambda cannot be re-shaped textually — "
-        "map_from_entries over transform(map_entries(m), …) explicitly"
-    ),
-    "mapexists": (
-        "Spark has no map_exists — exists(map_entries(m), e -> …) with "
-        "e.key/e.value explicitly"
-    ),
-    "mapall": (
-        "Spark has no map_forall — forall(map_entries(m), e -> …) with "
-        "e.key/e.value explicitly"
-    ),
     "deltasumtimestamp": (
         "block-order dependent without an ORDER BY — add a pinning "
         "top-level ORDER BY to this SELECT (or order the FROM-subquery): "
@@ -932,6 +920,79 @@ def _json_path(key_tok: str) -> str:
     return _quote("$." + _string_value(key_tok))
 
 
+def _split_lambda(text: str) -> tuple[list[str] | None, str | None]:
+    """Split a translated lambda ``(x, y) -> body`` at its top-level arrow.
+
+    Returns ``(param_names, body)``, or ``(None, None)`` when the text is
+    not a lambda with simple identifier parameters. Scans at paren depth 0
+    outside string literals so arrows inside nested lambdas or strings
+    never split early.
+    """
+    depth, i, n, in_str = 0, 0, len(text), False
+    while i < n - 1:
+        c = text[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "-" and text[i + 1] == ">" and depth == 0:
+            params = text[:i].strip()
+            if params.startswith("(") and params.endswith(")"):
+                params = params[1:-1]
+            names = [p.strip() for p in params.split(",")]
+            if all(re.fullmatch(r"[A-Za-z_]\w*", p) for p in names):
+                return names, text[i + 2:].strip()
+            return None, None
+        i += 1
+    return None, None
+
+
+def _emit_two_array_hof(low: str, args: list[str]) -> str:
+    """Two-array arrayMap/Filter/Exists/All/Count via Spark's zip_with.
+
+    ClickHouse errors on unequal array sizes, so the first array is
+    wrapped in the xMap equal-sizes guard (NULL arrays compare as size 0 —
+    a NULL/NULL pair passes and zips to NULL rather than aborting the row).
+    The original two-parameter lambda text applies unchanged inside
+    zip_with; only arrayFilter — which keeps elements of the FIRST array —
+    needs the lambda split into (params, body) to build the keep-flag
+    struct.
+    """
+    lam, a_, b_ = (s.strip() for s in args)
+    guarded = (
+        f"IF(coalesce(size({a_}), 0) = coalesce(size({b_}), 0), {a_}, "
+        f"raise_error('{low}: arrays must have equal sizes'))"
+    )
+    zipped = f"zip_with({guarded}, {b_}, {lam})"
+    if low == "arraymap":
+        return zipped
+    if low == "arrayexists":
+        return f"exists({zipped}, _zb -> _zb)"
+    if low == "arrayall":
+        return f"forall({zipped}, _zb -> _zb)"
+    if low == "arraycount":
+        return f"size(filter({zipped}, _zb -> _zb))"
+    names, body = _split_lambda(lam)
+    if not names or len(names) != 2:
+        raise UnsupportedCHSQL(
+            "multi-array arrayFilter needs a literal (x, y) -> cond lambda"
+        )
+    x_, y_ = names
+    pairs = (
+        f"zip_with({guarded}, {b_}, ({x_}, {y_}) -> "
+        f"struct({x_} AS _zfe, ({body}) AS _zfp))"
+    )
+    return f"transform(filter({pairs}, _zs -> _zs._zfp), _zs -> _zs._zfe)"
+
+
 def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
     """Render one translated function call from already-translated args."""
     if low == "count":
@@ -954,10 +1015,31 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
     if low in ("arraymap", "arrayfilter", "arrayexists", "arrayall",
                "arrayfirst", "arraylast", "arraycount",
                "arrayfirstindex") and len(args) != 2:
+        if low in ("arraymap", "arrayfilter", "arrayexists", "arrayall",
+                   "arraycount") and len(args) == 3:
+            return _emit_two_array_hof(low, args)
         raise UnsupportedCHSQL(
             f"multi-array {low} not mapped — arrays_zip the inputs and use "
             "one single-array lambda instead"
         )
+    if low in ("mapapply", "mapexists", "mapall"):
+        if len(args) != 2:
+            raise UnsupportedCHSQL(f"{low} takes (lambda, map)")
+        # ClickHouse map HOFs are lambda-first with a (k, v) two-parameter
+        # lambda. Spark's zip_with takes a two-parameter lambda natively,
+        # so the ORIGINAL lambda text applies unchanged over the key/value
+        # arrays — no identifier surgery on the body (ref: reference's map
+        # pipeline uses these on typed Map columns; semantics per CH docs).
+        # Nuance (docs/CHSQL.md): mapApply lambdas that emit duplicate keys
+        # error in Spark's map_from_entries where ClickHouse would keep
+        # duplicate-keyed entries.
+        lam, m_ = args[0].strip(), args[1].strip()
+        zipped = f"zip_with(map_keys({m_}), map_values({m_}), {lam})"
+        if low == "mapapply":
+            return f"map_from_entries({zipped})"
+        if low == "mapexists":
+            return f"exists({zipped}, _zb -> _zb)"
+        return f"forall({zipped}, _zb -> _zb)"
     if low in ("summap", "minmap", "maxmap", "avgmap", "summapfiltered"):
         # the map-combinator aggregates: merge the group's maps, reducing
         # values per key; ClickHouse returns keys sorted ascending. Shape
@@ -1220,13 +1302,31 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         return "CAST(floor(rand() * 4294967296.0D) AS BIGINT)"
     if low in ("trunc", "truncate"):
         # ClickHouse trunc(x) = numeric truncation toward zero; Spark's
-        # trunc() is DATE truncation — never pass through
-        if len(args) != 1:
-            raise UnsupportedCHSQL(
-                "trunc with a scale argument is not mapped — use "
-                "floor/ceil with a scale, or multiply-cast-divide"
+        # trunc() is DATE truncation — never pass through. The scaled form
+        # trunc(x, s) multiplies into the integer domain, truncates via
+        # double→BIGINT cast (toward zero in Spark), and divides back —
+        # same float-domain arithmetic ClickHouse performs. Values beyond
+        # 2^63 / 10^s saturate the BIGINT cast (docs/CHSQL.md nuance).
+        if len(args) == 1:
+            return f"CAST(CAST({args[0]} AS BIGINT) AS DOUBLE)"
+        if len(args) == 2:
+            s_tok = args[1].strip()
+            if not re.fullmatch(r"-?\d+", s_tok) or abs(int(s_tok)) > 18:
+                raise UnsupportedCHSQL(
+                    "trunc scale must be an integer literal in [-18, 18]"
+                )
+            s_val = int(s_tok)
+            factor = 10 ** abs(s_val)
+            if s_val >= 0:
+                return (
+                    f"(CAST(CAST(({args[0]}) * {factor} AS BIGINT) "
+                    f"AS DOUBLE) / {factor})"
+                )
+            return (
+                f"(CAST(CAST(({args[0]}) / {factor} AS BIGINT) "
+                f"AS DOUBLE) * {factor})"
             )
-        return f"CAST(CAST({args[0]} AS BIGINT) AS DOUBLE)"
+        raise UnsupportedCHSQL("trunc takes (x) or (x, scale)")
     if low in ("arraysort", "arrayreversesort") and len(args) != 1:
         raise UnsupportedCHSQL(
             f"keyed {low}(lambda, arr) is not mapped (Spark's array_sort "
@@ -1354,13 +1454,38 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             raise UnsupportedCHSQL(
                 "format() with a non-literal pattern not mapped"
             )
-        pat = _string_value(a0)
+        # {{ and }} are ClickHouse's literal-brace escapes — shelve them so
+        # the placeholder scan below never sees them, restore at the end
+        pat = (
+            _string_value(a0).replace("{{", "\x00").replace("}}", "\x01")
+        )
         if re.search(r"\{\d", pat):
-            raise UnsupportedCHSQL(
-                "format() with indexed {n} placeholders not mapped — "
-                "reorder the arguments and use positional {}"
+            # indexed {n} placeholders (0-based in ClickHouse) → Java
+            # Formatter 1-based positional %n$s. Mixing {} with {n} is a
+            # ClickHouse error too — keep it loud rather than guessing.
+            if "{}" in pat:
+                raise UnsupportedCHSQL(
+                    "format() cannot mix {} and {n} placeholders "
+                    "(ClickHouse rejects this form as well)"
+                )
+            idxs = [int(m) for m in re.findall(r"\{(\d+)\}", pat)]
+            if max(idxs, default=0) >= len(args) - 1:
+                raise UnsupportedCHSQL(
+                    "format() placeholder index exceeds the argument count"
+                )
+            spark_pat = re.sub(
+                r"\{(\d+)\}",
+                lambda m: f"%{int(m.group(1)) + 1}$s",
+                pat.replace("%", "%%"),
             )
-        spark_pat = pat.replace("%", "%%").replace("{}", "%s")
+        else:
+            spark_pat = pat.replace("%", "%%").replace("{}", "%s")
+        if re.search(r"\{[^}]*\}", spark_pat):
+            raise UnsupportedCHSQL(
+                "format() with named {x} placeholders not mapped — "
+                "ClickHouse format() only accepts {} and {n} holes"
+            )
+        spark_pat = spark_pat.replace("\x00", "{").replace("\x01", "}")
         return f"format_string({_quote(spark_pat)}, {', '.join(args[1:])})"
     if low in ("extract", "extractall") and len(args) == 2:
         # ClickHouse extract(haystack, pattern): first capture group when the
@@ -1521,6 +1646,19 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             )
         if n_ == 1 and unit in ("week", "month", "quarter", "year"):
             return f"date_trunc('{unit}', {args[0]})"
+        months = {"month": 1, "quarter": 3, "year": 12}.get(unit)
+        if months is not None:
+            # multi-month buckets align to months-since-epoch (1970-01)
+            # exactly as ClickHouse does; result is a DATE like ClickHouse's
+            # (the n=1 date_trunc fast path above keeps its historical
+            # TIMESTAMP output — docs/CHSQL.md nuance)
+            step = n_ * months
+            arg = args[0].strip()
+            return (
+                f"add_months(DATE '1970-01-01', CAST(floor("
+                f"((year({arg}) - 1970) * 12 + month({arg}) - 1) / {step}"
+                f") * {step} AS INT))"
+            )
         raise UnsupportedCHSQL(
             f"toStartOfInterval({n_} {unit}) not mapped — multi-{unit} "
             "buckets have ClickHouse-specific epoch alignment; bucket "
@@ -1577,6 +1715,7 @@ _KNOWN = (
        "trunc", "truncate", "greatest", "least", "rand",
        "age", "arrayreduce", "transform", "numbers", "tuple",
        "tupleelement",
+       "mapapply", "mapexists", "mapall",
        "summap", "minmap", "maxmap", "avgmap", "summapfiltered",
        "sumforeach", "minforeach", "maxforeach", "avgforeach",
        "countforeach", "topk", "topkif", "topkweighted", "uniqupto",

@@ -1723,3 +1723,116 @@ _ch(
     """,
     ("events",),
 )
+
+# --- round 11: map HOFs, two-array HOFs, indexed format / scaled trunc /
+# multi-month toStartOfInterval -----------------------------------------
+# mapApply/mapExists/mapAll translate via zip_with(map_keys, map_values,
+# <original lambda>) — the two-parameter lambda applies unchanged, no
+# identifier surgery (functions/ch_sql.py _emit_call). Maps serialize to
+# joined strings at the output boundary (the ch_summap_daily convention).
+_ch(
+    "chsql_map_hofs",
+    """
+    SELECT uid,
+           arrayStringConcat(mapKeys(
+               mapApply((k, v) -> tuple(concat(k, '#'), v), m)), ',') AS ks,
+           arrayStringConcat(arrayMap(v -> toString(v), mapValues(
+               mapApply((k, v) -> tuple(k, v * 2), m))), ',') AS vs,
+           toInt64(if(mapExists((k, v) -> v >= 3, m), 1, 0)) AS has_hot,
+           toInt64(if(mapAll((k, v) -> v >= 2, m), 1, 0)) AS all_warm
+    FROM (SELECT user_id AS uid,
+                 sumMap(map(event_type, toInt64(1))) AS m
+          FROM events WHERE user_id < 60 GROUP BY uid)
+    ORDER BY uid
+    """,
+    """
+    WITH c AS (
+      SELECT user_id AS uid, event_type AS k, COUNT(*) AS v
+      FROM events WHERE user_id < 60 GROUP BY 1, 2)
+    SELECT uid,
+           array_to_string(list(k || '#' ORDER BY k), ',') AS ks,
+           array_to_string(list(CAST(v * 2 AS VARCHAR) ORDER BY k), ',')
+               AS vs,
+           CAST(max(CASE WHEN v >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS has_hot,
+           CAST(min(CASE WHEN v >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS all_warm
+    FROM c GROUP BY uid ORDER BY uid
+    """,
+    ("events",),
+)
+
+# two-array HOFs (zip_with): per-row element-wise compare/multiply between
+# two constructed arrays, aggregated per return flag. arrayFilter keeps
+# elements of the FIRST array — the lt_sum column proves that contract.
+_ch(
+    "chsql_two_array_hofs",
+    """
+    SELECT l_returnflag,
+           sum(toInt64(arrayCount((x, y) -> x > y, a, b))) AS gt_cnt,
+           toInt64(sum(arraySum(arrayMap((x, y) -> x * y, a, b)))) AS dot,
+           countIf(arrayExists((x, y) -> x = y, a, b)) AS eq_rows,
+           toInt64(sum(arraySum(arrayFilter((x, y) -> x < y, a, b))))
+               AS lt_sum,
+           countIf(arrayAll((x, y) -> x <= y + 50, a, b)) AS all_near
+    FROM (SELECT l_returnflag,
+                 array(toInt64(l_quantity), toInt64(l_linenumber)) AS a,
+                 array(toInt64(l_partkey % 50), toInt64(l_suppkey % 10)) AS b
+          FROM lineitem WHERE l_orderkey < 4000)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS a1,
+             CAST(l_linenumber AS BIGINT) AS a2,
+             CAST(l_partkey % 50 AS BIGINT) AS b1,
+             CAST(l_suppkey % 10 AS BIGINT) AS b2
+      FROM lineitem WHERE l_orderkey < 4000)
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN a1 > b1 THEN 1 ELSE 0 END
+                  + CASE WHEN a2 > b2 THEN 1 ELSE 0 END) AS BIGINT) AS gt_cnt,
+           CAST(SUM(a1 * b1 + a2 * b2) AS BIGINT) AS dot,
+           CAST(SUM(CASE WHEN a1 = b1 OR a2 = b2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS eq_rows,
+           CAST(SUM(CASE WHEN a1 < b1 THEN a1 ELSE 0 END
+                  + CASE WHEN a2 < b2 THEN a2 ELSE 0 END) AS BIGINT) AS lt_sum,
+           CAST(SUM(CASE WHEN a1 <= b1 + 50 AND a2 <= b2 + 50 THEN 1 ELSE 0
+                    END) AS BIGINT) AS all_near
+    FROM base GROUP BY 1 ORDER BY 1
+    """,
+    ("lineitem",),
+)
+
+# indexed format() placeholders (%n$s positional), scaled trunc (toward
+# zero), and multi-month toStartOfInterval (months-since-epoch alignment).
+# trunc applies to MIN/MAX — order-independent exact doubles, so both
+# engines truncate the identical product (the cross-engine float
+# discipline).
+_ch(
+    "chsql_format_trunc_interval",
+    """
+    SELECT toStartOfInterval(o_orderdate, INTERVAL 2 month) AS bucket,
+           format('{1}|{0}', toString(count()), o_orderpriority) AS label,
+           trunc(min(o_totalprice), 2) AS min_t2,
+           trunc(max(o_totalprice), -2) AS max_down
+    FROM orders
+    WHERE o_custkey < 500
+    GROUP BY bucket, o_orderpriority
+    ORDER BY bucket, label
+    """,
+    """
+    SELECT (DATE '1970-01-01' + to_months(CAST(
+               floor(((year(o_orderdate) - 1970) * 12
+                      + month(o_orderdate) - 1) / 2) * 2 AS INT))) AS bucket,
+           o_orderpriority || '|' || CAST(COUNT(*) AS VARCHAR) AS label,
+           trunc(min(o_totalprice) * 100) / 100 AS min_t2,
+           trunc(max(o_totalprice) / 100) * 100 AS max_down
+    FROM orders
+    WHERE o_custkey < 500
+    GROUP BY 1, o_orderpriority
+    ORDER BY bucket, label
+    """,
+    ("orders",),
+)

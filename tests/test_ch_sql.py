@@ -198,7 +198,10 @@ def test_golden_translation(ch: str, expected: str):
         ("SELECT cityHash64(x) FROM t", "engine-specific"),
         ("SELECT MD5(x) FROM t", "engine-specific"),
         ("SELECT runningDifference(x) FROM t", "block-order"),
-        ("SELECT arrayMap((x, y) -> x + y, a, b) FROM t", "multi-array"),
+        # two-array HOFs translate now (zip_with) — three and more still
+        # refuse (zip_with is binary; arrays_zip field naming is positional)
+        ("SELECT arrayMap((x, y, z) -> x + y + z, a, b, c) FROM t",
+         "multi-array"),
         ("SELECT dateDiff(u, a, b) FROM t", "literal unit"),
         # WITH FILL runs through run_ch_sql (schema-aware); the string-only
         # translate path refuses with a pointer at it
@@ -577,7 +580,10 @@ def test_type_and_interval_mapping(ch: str, expected: str):
 @pytest.mark.parametrize(
     "ch, needle",
     [
-        ("SELECT toStartOfInterval(ts, INTERVAL 2 month) FROM t", "alignment"),
+        # multi-month/quarter/year buckets translate now (months-since-epoch
+        # alignment); multi-WEEK stays refused — ClickHouse aligns those to
+        # its own week epoch, which Spark arithmetic would silently miss
+        ("SELECT toStartOfInterval(ts, INTERVAL 2 week) FROM t", "alignment"),
         ("SELECT CAST(x, 'AggregateFunction(uniq, UInt64)') FROM t", "not mapped"),
         ("SELECT quantileExactWeighted(0.5)(x, w) FROM t", "quantile_exact_weighted"),
     ],
@@ -1172,7 +1178,11 @@ def test_string_wave2_functions(spark):
         ("SELECT ngramDistance(a, b) FROM t", "ngram_distance_probe"),
         ("SELECT hex(x) FROM t", "fixed-width"),
         ("SELECT bin(x) FROM t", "fixed-width"),
-        ("SELECT format('{1} {0}', a, b) FROM t", "indexed"),
+        # indexed {n} placeholders translate now (%n$s positional) — the
+        # forms ClickHouse itself rejects, or can't be checked, still refuse
+        ("SELECT format('{} {1}', a, b) FROM t", "mix"),
+        ("SELECT format('{2} {0}', a, b) FROM t", "exceeds"),
+        ("SELECT format('{name}', a) FROM t", "named"),
         ("SELECT format(p, a) FROM t", "non-literal"),
     ],
 )
@@ -1261,7 +1271,10 @@ def test_math_wave2_functions(spark):
 @pytest.mark.parametrize(
     "ch, needle",
     [
-        ("SELECT trunc(x, 2) FROM t", "scale"),
+        # literal scales translate now (multiply-cast-divide); non-literal
+        # and absurd scales stay refused
+        ("SELECT trunc(x, s) FROM t", "integer literal"),
+        ("SELECT trunc(x, 99) FROM t", "integer literal"),
         ("SELECT greatCircleDistance(a, b, c, d) FROM t", "haversine"),
         ("SELECT pointInPolygon(a, b) FROM t", "geo"),
     ],
@@ -2503,8 +2516,10 @@ def test_map_combinator_aggregates(spark):
     "ch, needle",
     [
         ("SELECT sumMapFiltered(k, v) FROM t", "keys-to-keep"),
-        ("SELECT mapApply((k,v) -> tuple(k,v), m) FROM t", "map_from_entries"),
-        ("SELECT mapExists((k,v) -> v > 0, m) FROM t", "map_entries"),
+        # mapApply/mapExists/mapAll translate now (zip_with over
+        # map_keys/map_values) — only malformed arities refuse
+        ("SELECT mapApply(m) FROM t", "(lambda, map)"),
+        ("SELECT mapExists((k,v) -> v > 0, m, n) FROM t", "(lambda, map)"),
         ("SELECT sumMap(m, k, v) FROM t", "(map) or (keys, values)"),
         ("SELECT avgMap() FROM t", "(map) or (keys, values)"),
         ("SELECT sumForEach(a, b) FROM t", "exactly 1 array"),
@@ -2520,6 +2535,74 @@ def test_map_combinator_refusals(ch: str, needle: str):
     with pytest.raises(UnsupportedCHSQL) as exc:
         translate_ch_sql(ch)
     assert needle.lower() in str(exc.value).lower(), (ch, exc.value)
+
+
+def test_two_array_and_map_hofs_executed(spark):
+    """Round 11: two-array HOFs (zip_with) and the map HOF family.
+
+    The original two-parameter lambda text applies unchanged inside
+    zip_with — no identifier surgery — and unequal sizes abort loudly
+    (ClickHouse errors there too)."""
+    spark.createDataFrame(
+        [(1, [1, 2, 3], [3, 2, 1]), (2, [], []), (3, None, None)],
+        "g int, a array<int>, b array<int>",
+    ).createOrReplaceTempView("hof2")
+    rows = run_ch_sql(
+        spark,
+        "SELECT g, arrayMap((x, y) -> x + y, a, b) AS s, "
+        "arrayFilter((x, y) -> x > y, a, b) AS f, "
+        "arrayExists((x, y) -> x = y, a, b) AS e, "
+        "arrayAll((x, y) -> x <= y, a, b) AS al, "
+        "arrayCount((x, y) -> x < y, a, b) AS c "
+        "FROM hof2 ORDER BY g",
+    ).collect()
+    assert rows[0].s == [4, 4, 4]
+    assert rows[0].f == [3]                     # elements of the FIRST array
+    assert bool(rows[0].e) and not bool(rows[0].al) and rows[0].c == 1
+    assert rows[1].s == [] and rows[1].f == []
+    assert rows[2].s is None                    # NULL/NULL passes the guard
+    spark.createDataFrame(
+        [([1], [1, 2])], "a array<int>, b array<int>"
+    ).createOrReplaceTempView("hof2_bad")
+    with pytest.raises(Exception, match="equal sizes"):
+        run_ch_sql(
+            spark, "SELECT arrayMap((x, y) -> x + y, a, b) FROM hof2_bad"
+        ).collect()
+
+    spark.sql("SELECT map('a', 1, 'b', -2) AS m").createOrReplaceTempView(
+        "hofm"
+    )
+    row = run_ch_sql(
+        spark,
+        "SELECT mapApply((k, v) -> tuple(concat(k, '!'), v * 10), m) AS ma, "
+        "mapExists((k, v) -> v < 0, m) AS me, "
+        "mapAll((k, v) -> v < 0, m) AS mall FROM hofm",
+    ).collect()[0]
+    assert row.ma == {"a!": 10, "b!": -20}
+    assert bool(row.me) and not bool(row.mall)
+
+
+def test_format_trunc_interval_wave_executed(spark):
+    """Round 11: indexed format() placeholders, scaled trunc, and
+    multi-month toStartOfInterval — executed values."""
+    spark.createDataFrame(
+        [("Hello", "World", -1.23456)], "a string, b string, x double"
+    ).createOrReplaceTempView("ftw")
+    row = run_ch_sql(
+        spark,
+        "SELECT format('{1} {0}!', a, b) AS f, format('{0}{0}', a) AS rep, "
+        "trunc(x, 2) AS t2, trunc(x, -1) AS tm1, trunc(123.456, 1) AS tl, "
+        "toStartOfInterval(toDateTime('2024-03-15 10:00:00'), "
+        "INTERVAL 2 month) AS m2, "
+        "toStartOfInterval(toDate('2024-03-15'), INTERVAL 5 year) AS y5 "
+        "FROM ftw",
+    ).collect()[0]
+    assert row.f == "World Hello!"
+    assert row.rep == "HelloHello"             # an index may repeat
+    assert row.t2 == -1.23                     # toward zero, not floor
+    assert row.tm1 == -0.0 and row.tl == 123.4
+    assert str(row.m2) == "2024-03-01"         # epoch-aligned even buckets
+    assert str(row.y5) == "2020-01-01"         # 1970 + floor(54/5)*5
 
 
 def test_dead_subquery_sort_is_stripped(spark):
