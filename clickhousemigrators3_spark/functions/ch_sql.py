@@ -2045,6 +2045,226 @@ def _array_join(tokens: list[str], i: int, outer: bool = False) -> tuple[int, st
     return k, " ".join(parts) + " "
 
 
+_ANY_JOIN_PTR = "operators/mergetree.py ch_any_left_join"
+
+# depth-0 words that end an ON conjunct list
+_ON_STOPS = {
+    "where", "prewhere", "group", "order", "having", "limit", "union",
+    "settings", "format", "window", "inner", "left", "right", "full",
+    "cross", "join", "any", "asof", "semi", "anti", "global", "on",
+}
+
+
+def _rewrite_any_joins(tokens: list[str]) -> list[str]:
+    """Rewrite ClickHouse ANY LEFT/INNER JOIN strictness (round 11).
+
+    ANY keeps ONE right-side row per join key — WHICH row is
+    engine-arbitrary, so the translator demands a pin (the repo's
+    block-order discipline, the runningDifference precedent): the right
+    side must be a FROM-subquery with a top-level ORDER BY, and the
+    rewrite keeps the FIRST row under that order — deterministic where
+    ClickHouse is not::
+
+        t ANY LEFT JOIN (SELECT … FROM u ORDER BY o) AS u ON t.k = u.k
+        →
+        t LEFT JOIN (SELECT * EXCEPT (__ch_any_rn) FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY o)
+                   AS __ch_any_rn
+            FROM (SELECT … FROM u ORDER BY o) AS __ch_any
+        ) WHERE __ch_any_rn = 1) AS u ON t.k = u.k
+
+    Join keys come from the ON equality conjuncts qualified by the right
+    alias, or from USING. ANY RIGHT/FULL (they dedup the LEFT side),
+    unpinned right sides, and non-equi ON conjuncts refuse loudly with
+    the operator pointer. Scale note: the rewrite adds ONE extra shuffle
+    on the join keys for the window before the join's own exchange — the
+    same topology ch_any_left_join builds with DataFrames.
+    """
+    for _ in range(8):
+        i = _find_any_join(tokens)
+        if i is None:
+            return tokens
+        tokens = _any_join_rewrite(tokens, i)
+    raise UnsupportedCHSQL("too many ANY JOIN rewrites")
+
+
+def _find_any_join(tokens: list[str]) -> int | None:
+    for i, t in enumerate(tokens):
+        if t.lower() == "any" and _next_code_word(tokens, i) in _JOIN_WORDS:
+            return i
+    return None
+
+
+def _any_join_rewrite(tokens: list[str], i: int) -> list[str]:
+    n = len(tokens)
+    kinds: list[str] = []
+    j = _next_code(tokens, i + 1)
+    while j < n and tokens[j].lower() in (
+        "left", "inner", "right", "full", "outer"
+    ):
+        kinds.append(tokens[j].upper())
+        j = _next_code(tokens, j + 1)
+    if any(k in ("RIGHT", "FULL") for k in kinds):
+        raise UnsupportedCHSQL(
+            "ANY RIGHT/FULL JOIN dedups the LEFT side — only ANY "
+            f"LEFT/INNER JOIN translate; see {_ANY_JOIN_PTR}"
+        )
+    if j >= n or tokens[j].lower() != "join":
+        raise UnsupportedCHSQL("ANY strictness without a JOIN keyword")
+    r = _next_code(tokens, j + 1)
+    if r >= n or tokens[r] != "(":
+        raise UnsupportedCHSQL(
+            "ANY JOIN keeps an engine-arbitrary right row — pin it: make "
+            "the right side an ordered FROM-subquery (… ANY LEFT JOIN "
+            "(SELECT * FROM u ORDER BY <cols>) AS u ON …), or see "
+            f"{_ANY_JOIN_PTR}"
+        )
+    close = _find_close(tokens, r)
+    ord_sql = _subquery_order_sql(tokens, r, close)
+    if ord_sql is None:
+        raise UnsupportedCHSQL(
+            "ANY JOIN right-side subquery needs a top-level ORDER BY — "
+            "the pin decides which row 'any' keeps; or see "
+            f"{_ANY_JOIN_PTR}"
+        )
+    # alias (required — the ON conjuncts and the rewrite both name it)
+    k = _next_code(tokens, close + 1)
+    if k < n and tokens[k].lower() == "as":
+        k = _next_code(tokens, k + 1)
+    if k >= n or not (tokens[k][0].isalpha() or tokens[k][0] == "_") or \
+            tokens[k].lower() in _ON_STOPS:
+        raise UnsupportedCHSQL(
+            "ANY JOIN right-side subquery needs an alias (the join keys "
+            "are read from the alias-qualified ON conjuncts)"
+        )
+    alias = tokens[k]
+    keys = _any_join_keys(tokens, _next_code(tokens, k + 1), alias)
+    inner_sql = "".join(tokens[r : close + 1]).strip()
+    kinds_sql = (" ".join(kinds) + " ") if kinds else ""
+    right = (
+        f"{kinds_sql}JOIN (SELECT * EXCEPT (__ch_any_rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {', '.join(keys)} "
+        f"ORDER BY {ord_sql}) AS __ch_any_rn "
+        f"FROM {inner_sql} AS __ch_any"
+        f") WHERE __ch_any_rn = 1)"
+    )
+    return tokens[:i] + _tokenize(right) + [" "] + tokens[close + 1 :]
+
+
+def _subquery_order_sql(
+    tokens: list[str], i_open: int, i_close: int
+) -> str | None:
+    """The hoistable top-level ORDER BY list of the subquery between
+    parens — plain output-column identifiers with optional ASC/DESC only
+    (the list moves into a window spec where only the subquery's output
+    is visible); anything else returns None (→ refusal upstream)."""
+    depth = 0
+    ord_start = None
+    for p in range(i_open + 1, i_close):
+        t = tokens[p]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and t.lower() == "order"
+            and _next_word_is(tokens, p, "by")
+        ):
+            ord_start = _next_code(tokens, p + 1) + 1  # past BY
+    if ord_start is None:
+        return None
+    end = i_close
+    depth = 0
+    for p in range(ord_start, i_close):
+        t = tokens[p]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.lower() in ("limit", "settings", "format"):
+            end = p
+            break
+    items = [t for t in tokens[ord_start:end] if not _is_ws(t)]
+    for t in items:
+        if t == "," or t.lower() in ("asc", "desc"):
+            continue
+        if (t[0].isalpha() or t[0] == "_") and "." not in t:
+            continue
+        return None  # expressions / qualified / positional keys: refuse
+    sql = "".join(tokens[ord_start:end]).strip().rstrip(",")
+    return sql or None
+
+
+def _any_join_keys(tokens: list[str], c: int, alias: str) -> list[str]:
+    """Right-side join-key column names from the ON/USING clause at c."""
+    n = len(tokens)
+    if c < n and tokens[c].lower() == "using":
+        o = _next_code(tokens, c + 1)
+        if o >= n or tokens[o] != "(":
+            raise UnsupportedCHSQL("USING needs a parenthesized column list")
+        cl = _find_close(tokens, o)
+        keys = [
+            t for t in tokens[o + 1 : cl] if not _is_ws(t) and t != ","
+        ]
+        if not keys:
+            raise UnsupportedCHSQL("USING with an empty column list")
+        return keys
+    if c >= n or tokens[c].lower() != "on":
+        raise UnsupportedCHSQL(
+            "ANY JOIN needs an ON or USING clause to read the join keys"
+        )
+    # conjuncts until a depth-0 clause stop
+    depth = 0
+    end = n
+    for p in range(c + 1, n):
+        t = tokens[p]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            if depth == 0:
+                end = p
+                break
+            depth -= 1
+        elif depth == 0 and (t == "," or t.lower() in _ON_STOPS):
+            end = p
+            break
+    conj: list[list[str]] = [[]]
+    depth = 0
+    for p in range(c + 1, end):
+        t = tokens[p]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and t.lower() == "and":
+            conj.append([])
+        elif not _is_ws(t):
+            conj[-1].append(t)
+    keys: list[str] = []
+    for cj in conj:
+        ok = (
+            len(cj) == 7
+            and cj[1] == "." and cj[5] == "." and cj[3] == "="
+        )
+        if not ok:
+            raise UnsupportedCHSQL(
+                "ANY JOIN ON conjuncts must be alias-qualified equalities "
+                "(t.k = u.k) — the rewrite partitions the right side by "
+                f"those keys; see {_ANY_JOIN_PTR} for other shapes"
+            )
+        if cj[0].lower() == alias.lower():
+            keys.append(cj[2])
+        elif cj[4].lower() == alias.lower():
+            keys.append(cj[6])
+        else:
+            raise UnsupportedCHSQL(
+                f"ANY JOIN ON conjunct does not reference the right "
+                f"alias {alias!r} — cannot derive the dedup keys"
+            )
+    return keys
+
+
 class _PrewhereMarker(Exception):
     def __init__(self, idx: int):
         self.idx = idx
@@ -2551,6 +2771,7 @@ def _translate_impl(
     tokens = _rewrite_running_funcs(tokens)
     tokens = _rewrite_group_arrays(tokens)
     tokens = _rewrite_count_combinators(tokens)
+    tokens = _rewrite_any_joins(tokens)
     tokens = _strip_dead_subquery_orders(tokens)
     # PREWHERE: ClickHouse's early-filter hint. Spark's optimizer pushes
     # predicates itself, so PREWHERE → WHERE; when both clauses appear the

@@ -1836,3 +1836,36 @@ _ch(
     """,
     ("orders",),
 )
+
+# ANY LEFT JOIN (round 11): strictness translates to a row_number window
+# over the pinned right subquery — each customer joined to its single
+# latest order (date DESC, orderkey tiebreak), verbatim ClickHouse text.
+_ch(
+    "chsql_any_join_latest_order",
+    """
+    SELECT c_custkey, c_name,
+           o.o_orderdate AS last_order_date,
+           o.o_totalprice AS last_price
+    FROM customer
+    ANY LEFT JOIN (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+                   FROM orders
+                   ORDER BY o_orderdate DESC, o_orderkey) AS o
+        ON customer.c_custkey = o.o_custkey
+    WHERE c_custkey < 400
+    ORDER BY c_custkey
+    """,
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      FROM orders)
+    SELECT c_custkey, c_name,
+           r.o_orderdate AS last_order_date,
+           r.o_totalprice AS last_price
+    FROM customer LEFT JOIN r ON c_custkey = r.o_custkey AND r.rn = 1
+    WHERE c_custkey < 400
+    ORDER BY c_custkey
+    """,
+    ("customer", "orders"),
+)

@@ -2582,6 +2582,55 @@ def test_two_array_and_map_hofs_executed(spark):
     assert bool(row.me) and not bool(row.mall)
 
 
+def test_any_join_executed(spark):
+    """Round 11: ANY LEFT/INNER JOIN with a pinned right subquery keeps
+    the FIRST right row under the subquery's ORDER BY per join key."""
+    spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k int, lv string"
+    ).createOrReplaceTempView("ajl")
+    spark.createDataFrame(
+        [(1, 5, "a"), (1, 3, "b"), (2, 9, "c")], "k int, o int, rv string"
+    ).createOrReplaceTempView("ajr")
+    rows = run_ch_sql(
+        spark,
+        "SELECT l.k AS k, r.rv AS rv FROM ajl AS l "
+        "ANY LEFT JOIN (SELECT * FROM ajr ORDER BY o) AS r ON l.k = r.k "
+        "ORDER BY k",
+    ).collect()
+    assert [(r.k, r.rv) for r in rows] == [(1, "b"), (2, "c"), (3, None)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT l.k AS k, r.rv AS rv FROM ajl AS l "
+        "ANY INNER JOIN (SELECT * FROM ajr ORDER BY o DESC) AS r "
+        "ON l.k = r.k ORDER BY k",
+    ).collect()
+    assert [(r.k, r.rv) for r in rows] == [(1, "a"), (2, "c")]
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        # the pin discipline: bare right table / unordered subquery refuse
+        ("SELECT * FROM t ANY LEFT JOIN u ON t.x = u.x", "pin"),
+        ("SELECT * FROM t ANY LEFT JOIN (SELECT * FROM u) AS u "
+         "ON t.x = u.x", "ORDER BY"),
+        # left-side dedup strictness has no right-side rewrite
+        ("SELECT * FROM t ANY RIGHT JOIN (SELECT * FROM u ORDER BY x) AS u "
+         "ON t.x = u.x", "LEFT side"),
+        # non-equi conjuncts would change which rows are dedup candidates
+        ("SELECT * FROM t ANY LEFT JOIN (SELECT * FROM u ORDER BY x) AS u "
+         "ON t.x = u.x AND u.v > 5", "equalities"),
+        # qualified/expression ORDER BY keys can't hoist into the window
+        ("SELECT * FROM t ANY LEFT JOIN (SELECT * FROM u ORDER BY u.x) "
+         "AS u ON t.x = u.x", "ORDER BY"),
+    ],
+)
+def test_any_join_refusals(ch: str, needle: str):
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql(ch)
+    assert needle.lower() in str(exc.value).lower()
+
+
 def test_format_trunc_interval_wave_executed(spark):
     """Round 11: indexed format() placeholders, scaled trunc, and
     multi-month toStartOfInterval — executed values."""
