@@ -1767,6 +1767,44 @@ def test_running_funcs_formatting_fuzz():
     check()
 
 
+def test_split_lambda_fuzz():
+    """_split_lambda (the arrayFilter two-array split) must find the
+    TOP-LEVEL arrow only: arrows inside nested lambdas, parens, brackets,
+    and string literals (with '' escapes) never split early, and the
+    recovered (params, body) re-render to the input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhousemigrators3_spark.functions.ch_sql import _split_lambda
+
+    ident = st.sampled_from(["x", "y", "_v", "k2"])
+    body = st.sampled_from(
+        [
+            "x + y",
+            "x > y AND y < 3",
+            "aggregate(z, 0, (a, b) -> a + b)",
+            "x || 'a -> b'",
+            "concat(x, 'it''s -> here')",
+            "element_at(m, x)[1] - y",
+        ]
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(p1=ident, p2=ident, b=body, ws=st.sampled_from([" ", "  "]))
+    def check(p1, p2, b, ws):
+        lam = f"({p1},{ws}{p2}){ws}->{ws}{b}"
+        names, got = _split_lambda(lam)
+        assert names == [p1, p2]
+        assert got == b
+
+    check()
+    # not-a-lambda shapes: no top-level arrow → (None, None)
+    assert _split_lambda("x + y") == (None, None)
+    assert _split_lambda("transform(a, q -> q + 1)") == (None, None)
+    # non-identifier params → (None, None)
+    assert _split_lambda("(x + 1, y) -> x") == (None, None)
+
+
 # --- block-order AGGREGATES: moving windows + delta subquery restructure ----
 
 
