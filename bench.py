@@ -68,6 +68,11 @@ HEADLINE = [
     # the O(distinct × rows) collect form would show here)
     "chsql_rollup_status_priority",
     "chsql_topk_with_siblings",
+    # round-11b: the ANY JOIN strictness rewrite — row_number window over
+    # the pinned right side feeding the join; the plan's WindowGroupLimit
+    # partial (map-side top-1 before the exchange) and the join-key filter
+    # inference into the right scan are the properties tracked here
+    "chsql_any_join_latest_order",
 ]
 
 
