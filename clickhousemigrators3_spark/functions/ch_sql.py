@@ -620,11 +620,6 @@ _UNSUPPORTED_FUNCS = {
         "best-effort multi-format parsing has no Spark twin — "
         "to_timestamp with an explicit format (parseDateTime IS mapped)"
     ),
-    "replaceregexpone": (
-        "Spark regexp_replace replaces ALL matches; splice the first "
-        "match with locate/regexp_extract instead (replaceRegexpAll with "
-        "a backreference-free literal replacement IS mapped)"
-    ),
     "ngramdistance": "operators/textops.py text_ngram_distance_probe",
     "deltasum": (
         "block-order dependent without an ORDER BY — add a pinning "
@@ -980,17 +975,30 @@ def _emit_two_array_hof(low: str, args: list[str]) -> str:
         return f"forall({zipped}, _zb -> _zb)"
     if low == "arraycount":
         return f"size(filter({zipped}, _zb -> _zb))"
+    if low == "arrayfirstindex":
+        # 1-based first-match index, 0 when absent — array_position over
+        # the predicate array, ClickHouse's exact contract
+        return f"array_position({zipped}, true)"
+    # arrayFilter/First/Last keep elements of the FIRST array — build the
+    # keep-flag struct, which needs the lambda split into (params, body)
     names, body = _split_lambda(lam)
     if not names or len(names) != 2:
         raise UnsupportedCHSQL(
-            "multi-array arrayFilter needs a literal (x, y) -> cond lambda"
+            f"multi-array {low} needs a literal (x, y) -> cond lambda"
         )
     x_, y_ = names
     pairs = (
         f"zip_with({guarded}, {b_}, ({x_}, {y_}) -> "
         f"struct({x_} AS _zfe, ({body}) AS _zfp))"
     )
-    return f"transform(filter({pairs}, _zs -> _zs._zfp), _zs -> _zs._zfe)"
+    kept = f"transform(filter({pairs}, _zs -> _zs._zfp), _zs -> _zs._zfe)"
+    if low == "arrayfirst":
+        # NULL when no match — the single-array arrayFirst posture
+        # (ClickHouse fills the element-type default; docs/CHSQL.md)
+        return f"try_element_at({kept}, 1)"
+    if low == "arraylast":
+        return f"try_element_at({kept}, -1)"
+    return kept
 
 
 def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
@@ -1015,8 +1023,7 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
     if low in ("arraymap", "arrayfilter", "arrayexists", "arrayall",
                "arrayfirst", "arraylast", "arraycount",
                "arrayfirstindex") and len(args) != 2:
-        if low in ("arraymap", "arrayfilter", "arrayexists", "arrayall",
-                   "arraycount") and len(args) == 3:
+        if len(args) == 3:
             return _emit_two_array_hof(low, args)
         raise UnsupportedCHSQL(
             f"multi-array {low} not mapped — arrays_zip the inputs and use "
@@ -1429,6 +1436,58 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             )
         fmt = _fmt_datetime(_string_value(a1))
         return f"to_timestamp({args[0]}, {_quote(fmt)})"
+    if low == "replaceregexpone" and len(args) == 3:
+        # Spark's regexp_replace replaces ALL matches — splice the first
+        # instead: for a position-independent pattern (no anchors/word
+        # boundaries/lookarounds), the first match's TEXT provably locates
+        # the first match POSITION (an earlier substring occurrence of
+        # that text would itself match there, contradicting first-ness),
+        # so instr on the extracted match is exact. Zero-width-matchable
+        # patterns refuse (ClickHouse inserts at position 0 there; the
+        # empty-extract sentinel below can't tell that from no-match).
+        a1, a2 = args[1].strip(), args[2].strip()
+        if not (a1.startswith("'") and a1.endswith("'")):
+            raise UnsupportedCHSQL(
+                "replaceRegexpOne needs a literal pattern — the splice "
+                "rewrite must prove it position-independent"
+            )
+        if not (
+            a2.startswith("'")
+            and a2.endswith("'")
+            and "\\" not in a2
+            and "$" not in a2
+        ):
+            raise UnsupportedCHSQL(
+                "replaceRegexpOne with backreferences or a non-literal "
+                "replacement is not mapped — ClickHouse uses \\1 where "
+                "Spark uses $1; rewrite the replacement explicitly"
+            )
+        pat = _string_value(a1)
+        if re.search(r"(?<!\\)(?:\^|\$|\\b|\\B|\\A|\\[Zz])|\(\?", pat):
+            raise UnsupportedCHSQL(
+                "replaceRegexpOne with anchors/word-boundaries/lookarounds "
+                "is not mapped — the first-match splice needs a "
+                "position-independent pattern"
+            )
+        try:
+            if re.compile(pat).match("") is not None:
+                raise UnsupportedCHSQL(
+                    "replaceRegexpOne pattern can match empty — ClickHouse "
+                    "would insert at position 0; rewrite explicitly"
+                )
+        except re.error as exc:
+            raise UnsupportedCHSQL(
+                f"replaceRegexpOne pattern does not compile: {exc}"
+            ) from None
+        # the repeated extract relies on Catalyst CSE (the template-arg
+        # precedent); empty extract = no match (zero-width refused above)
+        s_ = args[0].strip()
+        m_ = f"regexp_extract({s_}, {a1}, 0)"
+        return (
+            f"CASE WHEN {m_} = '' THEN {s_} "
+            f"ELSE concat(substring({s_}, 1, instr({s_}, {m_}) - 1), "
+            f"{a2}, substring({s_}, instr({s_}, {m_}) + length({m_}))) END"
+        )
     if low == "replaceregexpall" and len(args) == 3:
         # replacement dialects differ (CH \1 vs Spark $1): mapped only for
         # a literal replacement free of backreferences and dollar signs
@@ -1710,7 +1769,8 @@ _KNOWN = (
        "jsonextractstring",
        "visitparamextractstring", "jsonextractint", "jsonextractfloat",
        "tostartofweek", "extract", "extractall", "datediff",
-       "tostartofinterval", "replaceregexpall", "format",
+       "tostartofinterval", "replaceregexpall", "replaceregexpone",
+       "format",
        "dateadd", "date_add", "datesub", "date_sub", "parsedatetime",
        "trunc", "truncate", "greatest", "least", "rand",
        "age", "arrayreduce", "transform", "numbers", "tuple",

@@ -1869,3 +1869,39 @@ _ch(
     """,
     ("customer", "orders"),
 )
+
+# replaceRegexpOne first-match splice + two-array element pickers (round
+# 11b). DuckDB's regexp_replace is first-match-only without the 'g' flag —
+# a direct oracle for ClickHouse's replaceOne semantics. The two-array
+# pickers reduce element-wise over constructed arrays; the oracle spells
+# the per-position CASE ladder.
+_ch(
+    "chsql_regexp_one_and_pickers",
+    """
+    SELECT p_partkey,
+           replaceRegexpOne(p_name, '[aeiou]+', '<v>') AS devoweled_once,
+           arrayFirst((x, y) -> x > y,
+                      array(toInt64(p_size), toInt64(p_size) * 2),
+                      array(toInt64(15), toInt64(p_size))) AS first_gt,
+           arrayFirstIndex((x, y) -> x = y,
+                      array(toInt64(p_size), toInt64(p_size) * 2),
+                      array(toInt64(15), toInt64(p_size))) AS eq_idx
+    FROM part
+    WHERE p_partkey < 600
+    ORDER BY p_partkey
+    """,
+    """
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]+', '<v>') AS devoweled_once,
+           CASE WHEN p_size > 15 THEN CAST(p_size AS BIGINT)
+                WHEN p_size * 2 > p_size THEN CAST(p_size * 2 AS BIGINT)
+           END AS first_gt,
+           CAST(CASE WHEN p_size = 15 THEN 1
+                     WHEN p_size * 2 = p_size THEN 2
+                     ELSE 0 END AS BIGINT) AS eq_idx
+    FROM part
+    WHERE p_partkey < 600
+    ORDER BY p_partkey
+    """,
+    ("part",),
+)

@@ -1125,7 +1125,9 @@ def test_array_sort_nulls_last_both_directions(spark):
     "ch, needle",
     [
         ("SELECT arraySort(x -> -x, a) FROM t", "key-extracting"),
-        ("SELECT arrayFirst((x, y) -> x > y, a, b) FROM t", "multi-array"),
+        # two-array forms translate now (zip_with) — three-plus still refuse
+        ("SELECT arrayFirst((x, y, z) -> x > y, a, b, c) FROM t",
+         "multi-array"),
     ],
 )
 def test_array_wave2_refusals(ch: str, needle: str):
@@ -1169,7 +1171,12 @@ def test_string_wave2_functions(spark):
 @pytest.mark.parametrize(
     "ch, needle",
     [
-        ("SELECT replaceRegexpOne(s, 'x', 'y') FROM t", "ALL matches"),
+        # position-independent literal patterns translate now (first-match
+        # splice); the shapes the splice can't prove stay refused
+        ("SELECT replaceRegexpOne(s, '^x', 'y') FROM t", "position-independent"),
+        ("SELECT replaceRegexpOne(s, 'x*', 'y') FROM t", "match empty"),
+        ("SELECT replaceRegexpOne(s, p, 'y') FROM t", "literal pattern"),
+        ("SELECT replaceRegexpOne(s, 'x', r) FROM t", "backreference"),
         (
             "SELECT replaceRegexpAll(s, '(a)(b)', '\\\\2\\\\1') FROM t",
             "backreference",
@@ -2619,6 +2626,35 @@ def test_two_array_and_map_hofs_executed(spark):
     assert row.ma == {"a!": 10, "b!": -20}
     assert bool(row.me) and not bool(row.mall)
 
+    # two-array element-pickers keep elements of the FIRST array; NULL
+    # when no match (the single-array arrayFirst posture)
+    row = run_ch_sql(
+        spark,
+        "SELECT arrayFirst((x, y) -> x > y, a, b) AS fi, "
+        "arrayLast((x, y) -> x > y, a, b) AS la, "
+        "arrayFirstIndex((x, y) -> x = y, a, b) AS ix, "
+        "arrayFirstIndex((x, y) -> x > 99, a, b) AS ix0 "
+        "FROM hof2 WHERE g = 1",
+    ).collect()[0]
+    # a=[1,2,3], b=[3,2,1]: x>y at position 3 only; x=y at position 2
+    assert row.fi == 3 and row.la == 3 and row.ix == 2 and row.ix0 == 0
+
+
+def test_replace_regexp_one_executed(spark):
+    """Round 11: replaceRegexpOne first-match splice — only the FIRST
+    match is replaced, no-match rows pass through unchanged."""
+    spark.createDataFrame(
+        [("abcabc",), ("zzz",), ("xaabz aab",)], "s string"
+    ).createOrReplaceTempView("rro")
+    rows = run_ch_sql(
+        spark,
+        "SELECT s, replaceRegexpOne(s, 'a+b', '<>') AS r FROM rro ORDER BY s",
+    ).collect()
+    got = {r.s: r.r for r in rows}
+    assert got["abcabc"] == "<>cabc"       # first match only
+    assert got["zzz"] == "zzz"             # no match → unchanged
+    assert got["xaabz aab"] == "x<>z aab"  # greedy first match spliced
+
 
 def test_any_join_executed(spark):
     """Round 11: ANY LEFT/INNER JOIN with a pinned right subquery keeps
@@ -2868,8 +2904,12 @@ def test_array_first_index_and_enumerate_uniq(spark):
         "arrayEnumerateUniq(array(10, 20, 10, 10, 20)) AS eu",
     ).collect()[0]
     assert (r.fi, r.no_match, r.eu) == (2, 0, [1, 1, 2, 3, 2])
+    # the two-array form translates now (round 11, zip_with); three-plus
+    # still refuses
     with pytest.raises(UnsupportedCHSQL, match="multi-array"):
-        translate_ch_sql("SELECT arrayFirstIndex((x, y) -> x > y, a, b) FROM t")
+        translate_ch_sql(
+            "SELECT arrayFirstIndex((x, y, z) -> x > y, a, b, c) FROM t"
+        )
 
 
 def test_bracket_access_is_one_based(spark):
