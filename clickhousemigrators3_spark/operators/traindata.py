@@ -410,6 +410,137 @@ def text_decontaminated_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the constant-memory scale path
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 65536  # m: filter size in bits (2048 32-bit words)
+BLOOM_K = 3         # k: hash functions per gram
+
+
+def _bloom_retained_oracle() -> str:
+    from ..functions.text import sql_word_shingles
+
+    grams = sql_word_shingles("text", CONTAM_N)
+    h = oracle_hash_sql("g || chr(31) || CAST(j AS VARCHAR)")
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, unnest({grams}) AS g FROM documents),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % {CONTAM_MOD} = 0),
+seeds AS (SELECT unnest(range({BLOOM_K})) AS j),
+eval_pos AS (
+  SELECT ({h} % {BLOOM_BITS}) AS pos FROM eval_g CROSS JOIN seeds),
+bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM eval_pos GROUP BY 1),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id % {CONTAM_MOD} <> 0),
+probe0 AS (
+  SELECT t.doc_id, t.g, ({h} % {BLOOM_BITS}) AS pos
+  FROM train t CROSS JOIN seeds s(j)),
+probe AS (
+  SELECT doc_id, g, pos // 32 AS word,
+         (1::BIGINT << CAST(pos % 32 AS INT)) AS mask
+  FROM probe0),
+gram_hits AS (
+  SELECT pr.doc_id, pr.g,
+         SUM(CASE WHEN b.bits IS NOT NULL AND (b.bits & pr.mask) = pr.mask
+                  THEN 1 ELSE 0 END) AS set_bits
+  FROM probe pr LEFT JOIN bloom b ON pr.word = b.word
+  GROUP BY 1, 2),
+doc AS (
+  SELECT doc_id, COUNT(*) AS total_grams,
+         SUM(CASE WHEN set_bits = {BLOOM_K} THEN 1 ELSE 0 END) AS bloom_hits
+  FROM gram_hits GROUP BY 1)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % {CONTAM_MOD} <> 0
+  AND doc_id NOT IN
+    (SELECT doc_id FROM doc
+     WHERE CAST(bloom_hits AS DOUBLE) / total_grams >= {DECONTAM_THRESHOLD})
+ORDER BY doc_id
+"""
+
+
+@register("text_decontamination_bloom_retained", _bloom_retained_oracle())
+def text_decontamination_bloom_retained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination through a Bloom filter instead of the gram join:
+    the eval slice's {CONTAM_N}-grams are folded into a {BLOOM_BITS}-bit
+    filter (k={BLOOM_K} md5-derived hashes, cross-engine-stable so DuckDB
+    rebuilds the identical filter), training grams probe it, and docs
+    whose bloom-positive gram ratio reaches {DECONTAM_THRESHOLD} drop.
+
+    Why it exists next to text_decontaminated_retained: at 100 TB the
+    exact path joins the corpus gram relation against the benchmark gram
+    set — fine while AQE can broadcast the benchmark, but the join's
+    build side grows with the benchmark suite. The Bloom filter is
+    CONSTANT-size (2048 words here, a few MB at production m) regardless
+    of either side, broadcasts unconditionally, and never shuffles the
+    corpus: build is one tiny aggregate on the eval side, probe is a
+    map-side broadcast join + two bounded groupBys. No false negatives —
+    every truly contaminated gram is bloom-positive — so the bloom
+    retained set is a SUBSET of the exact retained set (asserted in
+    tests); false positives only over-drop, tunable via m/k.
+    """
+    from ..functions.hashing import stable_hash60
+    from ..functions.text import exploded_word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = exploded_word_shingles(d, "text", CONTAM_N, "g").distinct()
+    seeds = spark.range(BLOOM_K).select(F.col("id").alias("j"))
+
+    def positions(df):
+        return df.crossJoin(seeds).select(
+            df["*"],
+            (
+                stable_hash60(
+                    F.concat(
+                        F.col("g"), F.lit("\x1f"), F.col("j").cast("string")
+                    )
+                )
+                % BLOOM_BITS
+            ).alias("pos"),
+        ).select(
+            df["*"],
+            F.expr("pos div 32").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("mask"),
+        )
+
+    eval_g = (
+        grams.filter(F.col("doc_id") % CONTAM_MOD == 0).select("g").distinct()
+    )
+    bloom = (
+        positions(eval_g)
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    train = grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    probe = positions(train).join(F.broadcast(bloom), "word", "left")
+    gram_hits = probe.groupBy("doc_id", "g").agg(
+        F.sum(
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+                1,
+            ).otherwise(0)
+        ).alias("set_bits")
+    )
+    doc = gram_hits.groupBy("doc_id").agg(
+        F.count("*").alias("total_grams"),
+        F.sum((F.col("set_bits") == BLOOM_K).cast("int")).alias("bloom_hits"),
+    )
+    drop = doc.filter(
+        F.col("bloom_hits").cast("double") / F.col("total_grams")
+        >= DECONTAM_THRESHOLD
+    ).select("doc_id")
+    base = d.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    return (
+        base.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 def _emb_retained_oracle() -> str:
     from .dedup import EMB_LSH_PAIRS_ORACLE
 

@@ -234,3 +234,27 @@ def test_peak_concurrency_matches_bruteforce(spark):
         h += datetime.timedelta(hours=1)
 
     assert got == expected
+
+
+def test_bloom_decontamination_never_under_drops(spark):
+    """Bloom filters have no false negatives: every gram the exact join
+    flags is bloom-positive, so per doc bloom_hits >= overlap_grams and
+    the bloom retained set is a SUBSET of the exact retained set (false
+    positives can only over-drop — the conservative direction for
+    decontamination)."""
+    from clickhousemigrators3_spark.operators.traindata import (
+        text_decontaminated_retained,
+        text_decontamination_bloom_retained,
+    )
+
+    exact = {
+        r.doc_id
+        for r in text_decontaminated_retained(spark, SF_DIR).collect()
+    }
+    bloom = {
+        r.doc_id
+        for r in text_decontamination_bloom_retained(spark, SF_DIR).collect()
+    }
+    assert bloom <= exact
+    # sanity: the gate keeps a real corpus, not an empty one
+    assert len(bloom) > 0
