@@ -460,6 +460,79 @@ ORDER BY doc_id
 """
 
 
+def _bloom_positions(df: DataFrame) -> DataFrame:
+    """df + (word, mask) per gram × seed — the k md5-derived bit probes."""
+    from ..functions.hashing import stable_hash60
+
+    seeds = df.sparkSession.range(BLOOM_K).select(F.col("id").alias("j"))
+    return df.crossJoin(seeds).select(
+        df["*"],
+        (
+            stable_hash60(
+                F.concat(F.col("g"), F.lit("\x1f"), F.col("j").cast("string"))
+            )
+            % BLOOM_BITS
+        ).alias("pos"),
+    ).select(
+        df["*"],
+        F.expr("pos div 32").alias("word"),
+        F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("mask"),
+    )
+
+
+def bloom_filter_from_grams(eval_g: DataFrame) -> DataFrame:
+    """Fold a gram set (column ``g``) into the (word, bits) Bloom table —
+    at most BLOOM_BITS/32 rows regardless of input size."""
+    return (
+        _bloom_positions(eval_g.select("g").distinct())
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_contaminated_ids(train_grams: DataFrame, bloom: DataFrame) -> DataFrame:
+    """doc_ids whose bloom-positive gram ratio reaches DECONTAM_THRESHOLD.
+    ``train_grams`` is (doc_id, g) distinct; ``bloom`` is (word, bits)."""
+    probe = _bloom_positions(train_grams).join(
+        F.broadcast(bloom), "word", "left"
+    )
+    gram_hits = probe.groupBy("doc_id", "g").agg(
+        F.sum(
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+                1,
+            ).otherwise(0)
+        ).alias("set_bits")
+    )
+    doc = gram_hits.groupBy("doc_id").agg(
+        F.count("*").alias("total_grams"),
+        F.sum((F.col("set_bits") == BLOOM_K).cast("int")).alias("bloom_hits"),
+    )
+    return doc.filter(
+        F.col("bloom_hits").cast("double") / F.col("total_grams")
+        >= DECONTAM_THRESHOLD
+    ).select("doc_id")
+
+
+def publish_decontamination_bloom(
+    benchmark_docs: DataFrame, out_path: str
+) -> None:
+    """Ship the filter, not the benchmark: fold ``benchmark_docs``
+    (doc_id, text) into the Bloom table and publish it as one small
+    parquet — ingest pipelines gate against the artifact without ever
+    seeing benchmark text (also a governance win: the filter is one-way).
+    """
+    from ..functions.text import exploded_word_shingles
+
+    grams = exploded_word_shingles(
+        benchmark_docs, "text", CONTAM_N, "g"
+    ).select("g").distinct()
+    bloom_filter_from_grams(grams).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+
+
 @register("text_decontamination_bloom_retained", _bloom_retained_oracle())
 def text_decontamination_bloom_retained(
     spark: SparkSession, sf_dir: str
@@ -482,57 +555,15 @@ def text_decontamination_bloom_retained(
     retained set is a SUBSET of the exact retained set (asserted in
     tests); false positives only over-drop, tunable via m/k.
     """
-    from ..functions.hashing import stable_hash60
     from ..functions.text import exploded_word_shingles
 
     d = load_table(spark, sf_dir, "documents")
     grams = exploded_word_shingles(d, "text", CONTAM_N, "g").distinct()
-    seeds = spark.range(BLOOM_K).select(F.col("id").alias("j"))
-
-    def positions(df):
-        return df.crossJoin(seeds).select(
-            df["*"],
-            (
-                stable_hash60(
-                    F.concat(
-                        F.col("g"), F.lit("\x1f"), F.col("j").cast("string")
-                    )
-                )
-                % BLOOM_BITS
-            ).alias("pos"),
-        ).select(
-            df["*"],
-            F.expr("pos div 32").alias("word"),
-            F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("mask"),
-        )
-
-    eval_g = (
-        grams.filter(F.col("doc_id") % CONTAM_MOD == 0).select("g").distinct()
-    )
-    bloom = (
-        positions(eval_g)
-        .groupBy("word")
-        .agg(F.expr("bit_or(mask)").alias("bits"))
+    bloom = bloom_filter_from_grams(
+        grams.filter(F.col("doc_id") % CONTAM_MOD == 0)
     )
     train = grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
-    probe = positions(train).join(F.broadcast(bloom), "word", "left")
-    gram_hits = probe.groupBy("doc_id", "g").agg(
-        F.sum(
-            F.when(
-                F.col("bits").isNotNull()
-                & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
-                1,
-            ).otherwise(0)
-        ).alias("set_bits")
-    )
-    doc = gram_hits.groupBy("doc_id").agg(
-        F.count("*").alias("total_grams"),
-        F.sum((F.col("set_bits") == BLOOM_K).cast("int")).alias("bloom_hits"),
-    )
-    drop = doc.filter(
-        F.col("bloom_hits").cast("double") / F.col("total_grams")
-        >= DECONTAM_THRESHOLD
-    ).select("doc_id")
+    drop = bloom_contaminated_ids(train, bloom)
     base = d.filter(F.col("doc_id") % CONTAM_MOD != 0)
     return (
         base.join(drop, "doc_id", "left_anti")

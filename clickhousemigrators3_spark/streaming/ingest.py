@@ -133,6 +133,7 @@ def stream_dedup_ingest(
     retained_out: str,
     checkpoint_path: str,
     substring_gate: bool = False,
+    decontam_bloom_dir: str | None = None,
 ) -> None:
     """Streaming crawl-drop dedup against the STORED index — the
     Structured Streaming twin of operators/dedup_index.py: each
@@ -140,7 +141,10 @@ def stream_dedup_ingest(
     fingerprint/band index (exact anti-join + cross-snapshot LSH verify;
     with ``substring_gate`` additionally the Lee-et-al span-fingerprint
     gate via :func:`~..operators.dedup_index.dedup_delta_substring_retained`
-    — a doc sharing a verbatim span with the stored corpus drops too),
+    — a doc sharing a verbatim span with the stored corpus drops too;
+    with ``decontam_bloom_dir`` additionally the benchmark-contamination
+    gate against a published Bloom artifact — see
+    :func:`~..operators.traindata.publish_decontamination_bloom`),
     the survivors land in ``retained_out/batch=<id>`` and are merged into
     the index BEFORE the next batch runs (foreachBatch batches are
     sequential), so a duplicate arriving two drops later is still caught.
@@ -178,6 +182,26 @@ def stream_dedup_ingest(
                 "semi",
             )
         docs = batch.join(retained, "doc_id", "semi")
+        if decontam_bloom_dir is not None:
+            # benchmark-decontamination gate against the PUBLISHED Bloom
+            # artifact (operators/traindata.py
+            # publish_decontamination_bloom): contaminated docs never
+            # enter the retained corpus OR the dedup index. The filter is
+            # constant-size, so the per-batch probe is a map-side
+            # broadcast join — no benchmark text ships to ingest.
+            from ..functions.text import exploded_word_shingles
+            from ..operators.traindata import (
+                CONTAM_N,
+                bloom_contaminated_ids,
+            )
+
+            bloom = spark_.read.parquet(decontam_bloom_dir)
+            grams = exploded_word_shingles(
+                docs, "text", CONTAM_N, "g"
+            ).distinct()
+            docs = docs.join(
+                bloom_contaminated_ids(grams, bloom), "doc_id", "anti"
+            )
         docs.persist()
         docs.write.mode("overwrite").parquet(
             f"{retained_out}/batch={batch_id}"

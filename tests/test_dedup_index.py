@@ -586,3 +586,42 @@ def test_auto_compact_crash_converges_on_update_replay(
     assert di.update_dedup_index(
         spark, docs2, index_dir, "s2", auto_compact_after=1
     ) is False
+
+
+def test_stream_dedup_ingest_bloom_gate(spark, index_dir, tmp_path):
+    """The streaming twin with a PUBLISHED decontamination Bloom filter:
+    a drop doc that verbatim-reuses benchmark text is dropped at ingest —
+    without the benchmark text ever shipping to the pipeline (only the
+    one-way (word, bits) artifact does) — while fresh docs pass and enter
+    the dedup index as usual."""
+    from clickhousemigrators3_spark.operators.traindata import (
+        publish_decontamination_bloom,
+    )
+    from clickhousemigrators3_spark.streaming.ingest import stream_dedup_ingest
+
+    base = _docs(spark, [(0, T[0])])
+    assert build_dedup_index(spark, base, index_dir, "s0") is True
+
+    bench_dir = str(tmp_path / "bloom")
+    publish_decontamination_bloom(_docs(spark, [(900, FRESH2)]), bench_dir)
+    # the artifact is the constant-size (word, bits) table, nothing else
+    bloom = spark.read.parquet(bench_dir)
+    assert set(bloom.columns) == {"word", "bits"}
+    assert bloom.count() <= 65536 // 32
+
+    src = str(tmp_path / "drops")
+    _docs(spark, [(10, FRESH2), (11, FRESH1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "retained")
+    ckpt = str(tmp_path / "ckpt")
+    stream_dedup_ingest(spark, src, index_dir, out, ckpt,
+                        decontam_bloom_dir=bench_dir)
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got == [11]  # 10 is benchmark-contaminated, gated at ingest
+    # the contaminated doc's fingerprints never entered the index either
+    c = _counts(spark, index_dir)
+    assert c["dedup_fp"] == 2  # base doc 0 + retained doc 11 only
