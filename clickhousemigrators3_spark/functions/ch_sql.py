@@ -2313,9 +2313,20 @@ def _any_join_keys(tokens: list[str], c: int, alias: str) -> list[str]:
                 "(t.k = u.k) — the rewrite partitions the right side by "
                 f"those keys; see {_ANY_JOIN_PTR} for other shapes"
             )
-        if cj[0].lower() == alias.lower():
+        left_is_r = cj[0].lower() == alias.lower()
+        right_is_r = cj[4].lower() == alias.lower()
+        if left_is_r and right_is_r:
+            # u.a = u.b is a right-side FILTER, not a join key — using it
+            # as a partition key would over-key the dedup window and let
+            # multiple right rows per real key survive (review round 11)
+            raise UnsupportedCHSQL(
+                "ANY JOIN ON conjunct references the right alias "
+                f"{alias!r} on BOTH sides — that is a right-side filter, "
+                "not a join key; move it into the subquery's WHERE"
+            )
+        if left_is_r:
             keys.append(cj[2])
-        elif cj[4].lower() == alias.lower():
+        elif right_is_r:
             keys.append(cj[6])
         else:
             raise UnsupportedCHSQL(
@@ -3503,6 +3514,26 @@ _CC_KEYWORDS = frozenset({
     "timestamp", "boolean",
 })
 
+# row-wise scalar functions allowed to WRAP rebuilt combinator/sibling
+# expressions at the outer level of the two-level restructure. Any call
+# outside this set (and outside the rebuilt aggregates) forces the
+# collect-form fallback: an unrecognized call could be an aggregate whose
+# literal/alias-only arguments evade the bare-identifier safety net, and
+# an aggregate evaluated over the inner level's one-row-per-(keys, value)
+# stream silently changes its value (review round 11).
+_CC_SCALAR_WRAPPERS = frozenset({
+    "round", "bround", "floor", "ceil", "ceiling", "abs", "cast",
+    "coalesce", "if", "ifnull", "nullif", "multiif", "concat", "concat_ws",
+    "tostring", "toint8", "toint16", "toint32", "toint64", "touint8",
+    "touint16", "touint32", "touint64", "tofloat32", "tofloat64",
+    "todecimal32", "todecimal64", "arraystringconcat", "arraymap",
+    "arrayslice", "slice", "arraysort", "arrayreversesort", "arraydistinct",
+    "arrayuniq", "length", "size", "empty", "notempty", "greatest", "least",
+    "pow", "power", "sqrt", "exp", "ln", "log", "log2", "log10", "log1p",
+    "substring", "substr", "upper", "lower", "trim", "ltrim", "rtrim",
+    "tuple", "tupleelement", "struct", "named_struct", "array",
+})
+
 
 def _cc_scan_clauses(span: list[str]):
     """(frm, grp, hav, orde, tail) indices of the SELECT span (span[0] is
@@ -3661,6 +3692,11 @@ def _cc_sibling_expr(low, args, params, val_norm, measures):
     not mergeable (fall back)."""
     if params is not None:
         return None
+    if any(re.match(r"(?is)^\s*distinct\b", a) for a in args):
+        # count(DISTINCT w)/sum(DISTINCT w) are NOT decomposable through
+        # per-(keys, value) partials: a w repeated under two values would
+        # be counted once per value group (review round 11) — fall back
+        return None
     if low in ("uniq", "uniqexact"):
         # exact distinct count of the SHARED value expression: one row per
         # (keys, value) survives the inner level, so a plain conditional
@@ -3730,6 +3766,14 @@ def _cc_rebuild_item(item, val_norm, measures, allowed_idents):
         if low is not None:
             j = _next_code(toks, i + 1)
             is_call = j < n and toks[j] == "("
+            if is_call and low not in _CC_SCALAR_WRAPPERS \
+                    and low not in lambda_params:
+                # any call that is not a rebuilt combinator/sibling and not
+                # a known row-wise scalar wrapper could be an AGGREGATE
+                # whose literal/alias-only args evade the bare-ident net
+                # (groupArray(1) — review round 11): keep the collect-form
+                # fallback, which is always correct
+                return None
             if not is_call and low not in _CC_KEYWORDS \
                     and low not in lambda_params \
                     and low not in allowed_idents \
@@ -4807,6 +4851,18 @@ def _rewrite_group_modifiers(
                     "mapped — ClickHouse's totals_mode setting decides "
                     "whether HAVING filters the subtotal/totals rows; "
                     "filter in an outer SELECT instead"
+                )
+            elif depth == 0 and kind == "totals" and t.lower() == "limit":
+                # ClickHouse delivers the totals block OUT-OF-BAND, exempt
+                # from LIMIT; the inline-row translation would let the
+                # totals row displace a data row inside the LIMIT — the
+                # silent-divergence class this module refuses
+                raise UnsupportedCHSQL(
+                    "WITH TOTALS combined with LIMIT is not mapped — "
+                    "ClickHouse's totals block is exempt from LIMIT, but "
+                    "the inline totals row here would consume a LIMIT "
+                    "slot; apply the LIMIT in an outer SELECT that "
+                    "excludes the all-keys-defaulted totals row"
                 )
             elif depth == 0 and t.lower() == "union":
                 break

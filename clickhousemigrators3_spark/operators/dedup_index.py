@@ -235,26 +235,6 @@ def dedup_delta_substring_retained(
     )
 
 
-def _snapshot_applied(index_dir: str, table: str, want: str) -> bool:
-    """Whether ``want`` was ever part of a PUBLISHED version of ``table`` —
-    current OR historical. The current live list alone is not enough for
-    replay detection once compaction folds the chain: the snapshot's prefix
-    leaves the live list (its rows now live inside the compacted prefix),
-    and a replayed update that only checked the live list would re-append
-    the delta and duplicate every row. The manifest's Iceberg-style version
-    history records every list that was ever current, so an applied
-    snapshot stays detectable until ``vacuum_versions`` prunes that history
-    (replays are prompt; vacuum is explicit maintenance — don't vacuum a
-    chain an in-flight update might still replay against)."""
-    from .migrate import list_versions
-
-    for v in list_versions(index_dir, table):
-        p = v.get("data_path")
-        if want in ([p] if isinstance(p, str) else list(p or [])):
-            return True
-    return False
-
-
 def update_dedup_index(
     spark: SparkSession,
     retained_delta: DataFrame,
@@ -289,16 +269,38 @@ def update_dedup_index(
     # some tables already listing this snapshot (skip — appending again
     # would duplicate rows) while the rest rewrite their delta prefix
     # (overwrite of an unpublished path) and flip on retry.
+    from .migrate import list_versions
+
     pending: list[tuple[str, list[str]]] = []
     for t in INDEX_TABLES:
         want = _snapshot_path(index_dir, t, snapshot)
-        paths = _live_paths(index_dir, t)
-        if paths is None:
+        # ONE manifest read per table: the last version is the live list,
+        # the rest is the replay-detection history. Checking HISTORY (not
+        # just the live list) matters once compaction folds the chain: the
+        # snapshot's prefix leaves the live list (its rows now live inside
+        # the compacted prefix), and a replayed update that only checked
+        # the live list would re-append the delta and duplicate every row.
+        # An applied snapshot stays detectable until vacuum_versions
+        # prunes the history (replays are prompt; vacuum is explicit
+        # maintenance — don't vacuum a chain an in-flight update might
+        # still replay against).
+        versions = list_versions(index_dir, t)
+        if not versions:
             raise FileNotFoundError(
                 f"dedup index table {t!r} has no published version under "
                 f"{index_dir!r} — run build_dedup_index first"
             )
-        if want in paths or _snapshot_applied(index_dir, t, want):
+        cur = versions[-1].get("data_path")
+        paths = [cur] if isinstance(cur, str) else list(cur or [])
+        applied = any(
+            want in (
+                [v.get("data_path")]
+                if isinstance(v.get("data_path"), str)
+                else list(v.get("data_path") or [])
+            )
+            for v in versions
+        )
+        if applied:
             continue
         fresh[t].write.mode("overwrite").parquet(want)
         pending.append((t, paths + [want]))

@@ -170,6 +170,14 @@ def stream_dedup_ingest(
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_source_dir)
     )
+    # the published filter is immutable for the stream's lifetime — read
+    # its plan ONCE here, not per micro-batch (per-batch file listing and
+    # footer reads would add fixed latency to every trigger)
+    bloom = (
+        spark.read.parquet(decontam_bloom_dir)
+        if decontam_bloom_dir is not None
+        else None
+    )
 
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
         spark_ = batch.sparkSession
@@ -182,7 +190,7 @@ def stream_dedup_ingest(
                 "semi",
             )
         docs = batch.join(retained, "doc_id", "semi")
-        if decontam_bloom_dir is not None:
+        if bloom is not None:
             # benchmark-decontamination gate against the PUBLISHED Bloom
             # artifact (operators/traindata.py
             # publish_decontamination_bloom): contaminated docs never
@@ -195,7 +203,6 @@ def stream_dedup_ingest(
                 bloom_contaminated_ids,
             )
 
-            bloom = spark_.read.parquet(decontam_bloom_dir)
             grams = exploded_word_shingles(
                 docs, "text", CONTAM_N, "g"
             ).distinct()

@@ -169,8 +169,10 @@ def main() -> int:
         cwd=os.path.dirname(docs),
     )
     if r.returncode != 0:
+        lines = (r.stderr or r.stdout).strip().splitlines()
         print("STALE EVIDENCE: refusal goldens drifted — "
-              + (r.stderr or r.stdout).strip().splitlines()[-1])
+              + (lines[-1] if lines else
+                 f"dump_refusals exited {r.returncode} with no output"))
         return 1
     with open(refusals_path, encoding="utf-8") as f:
         committed = f.read()

@@ -182,6 +182,10 @@ def test_golden_translation(ch: str, expected: str):
         # wrap); a BARE-column key's type needs the analyzed schema, so
         # the string-only path points at run_ch_sql (the WITH FILL split)
         ("SELECT x, count(*) FROM t GROUP BY x WITH TOTALS", "run_ch_sql"),
+        # ClickHouse's totals block is exempt from LIMIT; inlined it would
+        # displace a data row inside the LIMIT — refuse (review round 11)
+        ("SELECT toString(b) AS bb, count() AS c FROM t "
+         "GROUP BY bb WITH TOTALS LIMIT 3", "exempt"),
         # LIMIT n BY translates now (window rewrite) — only the shapes no
         # honest rewrite can reproduce still refuse
         ("SELECT * FROM t LIMIT 2 BY x", "limit_by"),  # no ORDER BY
@@ -2694,6 +2698,10 @@ def test_any_join_executed(spark):
         # non-equi conjuncts would change which rows are dedup candidates
         ("SELECT * FROM t ANY LEFT JOIN (SELECT * FROM u ORDER BY x) AS u "
          "ON t.x = u.x AND u.v > 5", "equalities"),
+        # a right-side filter spelled as an equality (u.a = u.b) is NOT a
+        # join key — partitioning on it would over-key the dedup window
+        ("SELECT * FROM t ANY LEFT JOIN (SELECT * FROM u ORDER BY o) AS u "
+         "ON t.k = u.k AND u.a = u.b", "BOTH sides"),
         # qualified/expression ORDER BY keys can't hoist into the window
         ("SELECT * FROM t ANY LEFT JOIN (SELECT * FROM u ORDER BY u.x) "
          "AS u ON t.x = u.x", "ORDER BY"),
@@ -3017,6 +3025,38 @@ def test_count_combinator_restructure_equals_fallback(spark):
     t_fast = translate_ch_sql(q.format(having="") + base)
     t_slow = translate_ch_sql(q.format(having="") + base + "HAVING count() > 0")
     assert "_tv0" in t_fast and "_tv0" not in t_slow
+
+
+def test_combinator_restructure_distinct_and_agg_siblings_fall_back(spark):
+    """Review round 11: two restructure escape hatches. (1) DISTINCT-
+    qualified siblings are NOT decomposable through per-(keys, value)
+    partials — a w repeated under two values would count once per value
+    group. (2) Aggregates outside the mergeable set whose args carry no
+    base-column reference (groupArray(1)) evaded the bare-ident net and
+    aggregated over distinct-value rows. Both now force the collect-form
+    fallback, which the forced-HAVING twins prove correct."""
+    spark.createDataFrame(
+        [(1, "a", 7), (1, "b", 7), (1, "b", 8)], "g int, v string, w int"
+    ).createOrReplaceTempView("ccr_t")
+    q1 = "SELECT g, topK(2)(v) AS t2, count(DISTINCT w) AS cd FROM ccr_t GROUP BY g"
+    rows = run_ch_sql(spark, q1).collect()
+    assert rows[0].cd == 2  # the restructured partial merge returned 3
+    assert "_tv0" not in translate_ch_sql(q1)  # fell back, by design
+    twin = run_ch_sql(spark, q1 + " HAVING count() > 0").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in twin]
+
+    q2 = "SELECT g, topK(2)(v) AS t2, groupArray(1) AS ga FROM ccr_t GROUP BY g"
+    rows = run_ch_sql(spark, q2).collect()
+    assert rows[0].ga == [1, 1, 1]  # one per ROW, not per distinct value
+    assert "_tv0" not in translate_ch_sql(q2)
+    # sum(DISTINCT …) is the same hole as count(DISTINCT …)
+    q3 = "SELECT g, topK(2)(v) AS t2, sum(DISTINCT w) AS sd FROM ccr_t GROUP BY g"
+    assert run_ch_sql(spark, q3).collect()[0].sd == 15
+    # and the allowlisted wrappers still restructure
+    assert "_tv0" in translate_ch_sql(
+        "SELECT g, arrayStringConcat(topK(2)(v), ',') AS t2, count() AS c "
+        "FROM ccr_t GROUP BY g"
+    )
 
 
 def test_count_combinator_global_empty_input(spark):
