@@ -144,6 +144,12 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()
     finished_at = time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime())
+    # contention verdict over the WHOLE window, not just the start: the
+    # round-11 driver bench started at load1=2.87 ("clean") but ended at
+    # 8.75 — load arrived mid-run and inflated p50s ~8% while the
+    # start-only gate stayed green. A run is contended if ambient load was
+    # high at either edge of the window.
+    contended = max(load_start, load_end[0]) > 4
     print(
         json.dumps(
             {
@@ -160,6 +166,7 @@ def main() -> int:
                 # process ramped up, load at the end, and the wall window
                 "load1_start": round(load_start, 2),
                 "load1_end": round(load_end[0], 2),
+                "contended": contended,
                 "started_at": started_at,
                 "finished_at": finished_at,
             }
@@ -184,6 +191,7 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load1_start": round(load_start, 2),
                 "load1_end": round(load_end[0], 2),
+                "contended": contended,
                 "started_at": started_at,
                 "finished_at": finished_at,
                 "summary_of": "full JSON line above",

@@ -20,35 +20,50 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_load1(bench: dict, raw_text: str | None = None):
-    """Extract the pre-run load average from a bench evidence JSON.
+def _bench_stamp(bench: dict, raw_text: str | None, key: str):
+    """Extract one load stamp (``load1_start`` / ``load1_end``) from a
+    bench evidence JSON.
 
-    Shapes handled, in order: ``python bench.py > file`` puts
-    ``load1_start`` at the top level; the driver's ``BENCH_r*.json`` nests
-    bench.py's JSON line under ``"parsed"`` (round-9 fix: reading only the
-    top level meant the load1>4 contamination warning could never fire on
-    driver-captured files); and — round-10 fix — when the driver's
-    fixed-size stdout tail TRUNCATED the full JSON line (``"parsed":
-    null``, the tail string starts mid-object), the stamp is regexed out
-    of the raw file text as a last resort, because the stamp itself is
-    usually intact inside the truncated ``"tail"`` string. bench.py now
-    also emits a compact trailing summary line so new captures always end
-    with a parseable object. Returns None when no shape carries the stamp
-    (pre-r9 files)."""
-    load1 = bench.get("load1_start")
+    Shapes handled, in order: ``python bench.py > file`` puts the stamp at
+    the top level; the driver's ``BENCH_r*.json`` nests bench.py's JSON
+    line under ``"parsed"`` (round-9 fix: reading only the top level meant
+    the load1>4 contamination warning could never fire on driver-captured
+    files); and — round-10 fix — when the driver's fixed-size stdout tail
+    TRUNCATED the full JSON line (``"parsed": null``, the tail string
+    starts mid-object), the stamp is regexed out of the raw file text as a
+    last resort, because the stamp itself is usually intact inside the
+    truncated ``"tail"`` string. bench.py now also emits a compact
+    trailing summary line so new captures always end with a parseable
+    object. Returns None when no shape carries the stamp (pre-r9 files)."""
+    load1 = bench.get(key)
     if load1 is None:
         parsed = bench.get("parsed")
         if isinstance(parsed, dict):
-            load1 = parsed.get("load1_start")
+            load1 = parsed.get(key)
     if load1 is None and raw_text:
         m = None
         for m in re.finditer(
-            r'\\?"load1_start\\?":\s*([0-9]+(?:\.[0-9]+)?)', raw_text
+            r'\\?"' + key + r'\\?":\s*([0-9]+(?:\.[0-9]+)?)', raw_text
         ):
             pass  # last occurrence wins (the trailing summary line)
         if m is not None:
             load1 = float(m.group(1))
     return load1
+
+
+def bench_load1(bench: dict, raw_text: str | None = None):
+    """Worst load average seen across the bench window.
+
+    Round-11 post-mortem: the driver's bench started at load1=2.87 (below
+    the >4 gate → declared "clean") but ENDED at 8.75 — load arrived
+    mid-run and inflated p50s ~8% while the start-only gate stayed green.
+    The contamination verdict must consider both edges of the window, so
+    this returns max(load1_start, load1_end); either stamp alone when only
+    one is present; None for pre-stamp files."""
+    start = _bench_stamp(bench, raw_text, "load1_start")
+    end = _bench_stamp(bench, raw_text, "load1_end")
+    stamps = [s for s in (start, end) if s is not None]
+    return max(stamps) if stamps else None
 
 
 def main() -> int:
@@ -114,14 +129,15 @@ def main() -> int:
             )
         elif load1 > 4:
             print(
-                f"WARNING: {os.path.basename(benches[-1])} was captured at "
-                f"load1={load1} — timings are contention-inflated; rerun "
-                "python bench.py ALONE as the genuinely last step"
+                f"WARNING: {os.path.basename(benches[-1])} saw load1={load1} "
+                "during its window (max of start/end stamps) — timings are "
+                "contention-inflated; rerun python bench.py ALONE as the "
+                "genuinely last step"
             )
         else:
             print(
                 f"bench evidence clean: {os.path.basename(benches[-1])} "
-                f"captured at load1={load1}"
+                f"window max load1={load1}"
             )
 
     # plan-evidence sync (round-9 verdict #4: dump_plans.py's SHOW list

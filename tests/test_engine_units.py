@@ -2333,6 +2333,16 @@ def test_bench_load1_reads_both_evidence_shapes():
     # pre-stamping files (neither shape) → None, not a crash
     assert mod.bench_load1({}) is None
     assert mod.bench_load1({"parsed": "not-a-dict"}) is None
+    # round-11 verdict #2: the gate read only load1_start, so a run whose
+    # load arrived MID-window (start 2.87, end 8.75 — the literal
+    # BENCH_r11.json stamps) was declared clean. The verdict is now the
+    # max over the whole window, whichever edge carried it.
+    assert mod.bench_load1(
+        {"parsed": {"load1_start": 2.87, "load1_end": 8.75}}
+    ) == 8.75
+    assert mod.bench_load1({"load1_start": 6.2, "load1_end": 0.4}) == 6.2
+    # one-edge-only files (pre-load1_end captures) still gate on that edge
+    assert mod.bench_load1({"load1_end": 5.1}) == 5.1
 
 
 def test_bench_load1_regexes_truncated_tail():
@@ -2365,15 +2375,22 @@ def test_bench_load1_regexes_truncated_tail():
         ),
     }
     raw = json.dumps(truncated)
-    assert mod.bench_load1(truncated, raw) == 3.1
-    # multiple stamps (full line + trailing summary both in the tail):
-    # the LAST one wins — both lines carry the same value by construction
+    # round-11 #2: the WORST stamp in the window wins — here load1_end 5.94
+    assert mod.bench_load1(truncated, raw) == 5.94
+    assert mod._bench_stamp(truncated, raw, "load1_start") == 3.1
+    # multiple stamps of the same key (full line + trailing summary both in
+    # the tail): the LAST occurrence per key wins — both lines carry the
+    # same value by construction
     raw2 = raw[:-1] + ', "extra": "\\"load1_start\\": 0.56"}'
-    assert mod.bench_load1({"parsed": None}, raw2) == 0.56
+    assert mod._bench_stamp({"parsed": None}, raw2, "load1_start") == 0.56
+    assert mod.bench_load1({"parsed": None}, raw2) == 5.94  # end still worse
     # no stamp anywhere → still None, not a crash
     assert mod.bench_load1({"parsed": None}, '{"tail": "mid-object"}') is None
-    # dict shapes still win over the regex fallback
-    assert mod.bench_load1({"load1_start": 0.2}, raw) == 0.2
+    # dict shapes win over the regex fallback PER KEY: start comes from the
+    # dict, but the missing end stamp still falls through to the raw text
+    # (a partial dict must not blind the gate to a contaminated tail)
+    assert mod._bench_stamp({"load1_start": 0.2}, raw, "load1_start") == 0.2
+    assert mod.bench_load1({"load1_start": 0.2}, raw) == 5.94
 
 
 def test_refusals_doc_matches_goldens():
