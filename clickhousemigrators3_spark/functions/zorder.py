@@ -56,11 +56,24 @@ def write_zordered(
     bits: int = ZBITS,
     max_records_per_file: int = 50_000,
     n_partitions: int | None = None,
+    deterministic: bool = False,
 ) -> None:
     """Write ``df`` as parquet clustered on the Morton curve of
     (col_a, col_b). Bounds are collected once (two scalars per column);
     the sort is the one global exchange that buys min/max pruning on both
-    columns for every later scan."""
+    columns for every later scan.
+
+    ``deterministic=True`` swaps the default ``repartitionByRange`` (whose
+    partition boundaries come from reservoir sampling and can shift
+    between runs) for a fully reproducible layout: rows are bucketed by
+    the top bits of the Morton code (a fixed, data-independent split of
+    the z-space), hash-repartitioned on the bucket id, and sorted within
+    partitions by (_z, col_a, col_b) so ties cannot reorder under shuffle
+    arrival races. Byte-identical stats layout on every run — use it for
+    reproducible-pruning tests and audit snapshots. The default sampling
+    mode remains the scale path: uniform z-space splits can skew when the
+    data does not fill the [min, max] box evenly, while range sampling
+    adapts to the actual distribution."""
     bounds = df.agg(
         F.min(col_a).alias("a_lo"),
         F.max(col_a).alias("a_hi"),
@@ -73,12 +86,21 @@ def write_zordered(
     zb = _scale_to_bits(
         F.col(col_b), F.lit(bounds["b_lo"]), F.lit(bounds["b_hi"]), bits
     )
-    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = max(n_partitions or df.sparkSession.sparkContext.defaultParallelism, 1)
+    zdf = df.withColumn("_z", morton_code(za, zb, bits))
+    if deterministic:
+        # fixed split of the 2*bits-wide z-space: bucket = top ceil(log2 n)
+        # bits. Row→bucket is a pure function of the row; bucket→partition
+        # is Spark's hash (stable across runs); the sort key includes the
+        # clustered columns so shuffle arrival order cannot permute ties.
+        bucket_bits = max((n - 1).bit_length(), 1)
+        part = zdf.repartition(
+            n, F.shiftright(F.col("_z"), 2 * bits - bucket_bits)
+        ).sortWithinPartitions("_z", col_a, col_b)
+    else:
+        part = zdf.repartitionByRange(n, "_z").sortWithinPartitions("_z")
     (
-        df.withColumn("_z", morton_code(za, zb, bits))
-        .repartitionByRange(max(n, 1), "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        part.drop("_z")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)
