@@ -3693,9 +3693,17 @@ def _cc_sibling_expr(low, args, params, val_norm, measures):
     if params is not None:
         return None
     if any(re.match(r"(?is)^\s*distinct\b", a) for a in args):
-        # count(DISTINCT w)/sum(DISTINCT w) are NOT decomposable through
-        # per-(keys, value) partials: a w repeated under two values would
-        # be counted once per value group (review round 11) — fall back
+        # count(DISTINCT v) over the SHARED value expression is exactly the
+        # inner level's non-NULL row count per group (one inner row per
+        # distinct value — round-11 verdict #3), so it decomposes like
+        # uniqExact(v). Every other DISTINCT shape is NOT decomposable
+        # through per-(keys, value) partials: a w repeated under two values
+        # would count once per value group (review round 11) — fall back.
+        if low == "count" and len(args) == 1:
+            bare = re.sub(r"(?is)^\s*distinct\b", "", args[0]).strip()
+            if _norm_key(bare) == val_norm:
+                m = measures.add(f"count(({bare}))")
+                return f"count(if({m} > 0, _tv0, NULL))"
         return None
     if low in ("uniq", "uniqexact"):
         # exact distinct count of the SHARED value expression: one row per

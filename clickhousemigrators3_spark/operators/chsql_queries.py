@@ -1705,6 +1705,41 @@ _ch(
     ("events",),
 )
 
+# count(DISTINCT <shared value>) sibling (round 12): the DISTINCT-spelled
+# exact unique count over the combinators' own value expression decomposes
+# to a conditional count of the inner per-(bucket, value) rows — the
+# SELECT stays on the linear two-level form instead of falling back to the
+# O(distinct × rows) collect form (round-11 verdict #3).
+_ch(
+    "chsql_topk_with_uniq",
+    """
+    SELECT user_id % 10 AS bucket,
+           arrayStringConcat(topK(2)(event_type), ',') AS top2,
+           count(DISTINCT event_type) AS types,
+           count() AS c
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    """
+    WITH ranked AS (
+      SELECT user_id % 10 AS bucket, event_type,
+             row_number() OVER (PARTITION BY user_id % 10
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY 1, 2)
+    SELECT b.bucket,
+           (SELECT array_to_string(list(event_type ORDER BY rn), ',')
+            FROM ranked x WHERE x.bucket = b.bucket AND x.rn <= 2) AS top2,
+           b.types, b.c
+    FROM (SELECT user_id % 10 AS bucket,
+                 CAST(count(DISTINCT event_type) AS BIGINT) AS types,
+                 count(*) AS c
+          FROM events GROUP BY 1) b
+    ORDER BY b.bucket
+    """,
+    ("events",),
+)
+
 # entropy (round 10): Shannon entropy in bits over exact counts; rounded
 # to 6dp in BOTH texts (the distinct-value fold order differs between
 # engines, so the last float bits may — the cross-engine discipline).
