@@ -4843,7 +4843,16 @@ def _rewrite_group_modifiers(
             )
 
         # HAVING in this select refuses (ClickHouse's totals_mode family
-        # decides how HAVING interacts with totals/subtotal rows)
+        # decides how HAVING interacts with totals/subtotal rows).
+        # TOTALS + LIMIT is recorded for the two-branch rewrite below:
+        # ClickHouse delivers the totals block OUT-OF-BAND, exempt from
+        # LIMIT, so the inline-row GROUPING SETS form would let the totals
+        # row displace a data row inside the LIMIT — instead the LIMITed
+        # plain rows and an unlimited totals row are unioned (round-11
+        # verdict #4). Only the top-level statement shape is rewritable
+        # (the rewrite splices a UNION ALL tail); nested/unioned shapes
+        # keep the refusal.
+        limit_at = None
         depth = 0
         for k in range(mod_idx + 1, len(tokens)):
             t = tokens[k]
@@ -4861,18 +4870,37 @@ def _rewrite_group_modifiers(
                     "filter in an outer SELECT instead"
                 )
             elif depth == 0 and kind == "totals" and t.lower() == "limit":
-                # ClickHouse delivers the totals block OUT-OF-BAND, exempt
-                # from LIMIT; the inline-row translation would let the
-                # totals row displace a data row inside the LIMIT — the
-                # silent-divergence class this module refuses
+                if not top:
+                    raise UnsupportedCHSQL(
+                        "WITH TOTALS combined with LIMIT translates only "
+                        "at the top level of the statement — in a "
+                        "subquery, apply the LIMIT in an outer SELECT "
+                        "that excludes the all-keys-defaulted totals row"
+                    )
+                limit_at = k
+            elif depth == 0 and limit_at is not None and t.lower() == "by":
                 raise UnsupportedCHSQL(
-                    "WITH TOTALS combined with LIMIT is not mapped — "
-                    "ClickHouse's totals block is exempt from LIMIT, but "
-                    "the inline totals row here would consume a LIMIT "
-                    "slot; apply the LIMIT in an outer SELECT that "
-                    "excludes the all-keys-defaulted totals row"
+                    "WITH TOTALS combined with LIMIT … BY is not mapped — "
+                    "ClickHouse's totals block is exempt from the "
+                    "per-group limit; apply the LIMIT BY in an outer "
+                    "SELECT that excludes the all-keys-defaulted totals "
+                    "row"
+                )
+            elif depth == 0 and limit_at is not None and t.lower() in (
+                "settings", "format"
+            ) and _looks_clause(tokens, k):
+                raise UnsupportedCHSQL(
+                    f"WITH TOTALS + LIMIT with a trailing "
+                    f"{t.upper()} clause is not mapped — drop the "
+                    "clause or apply the LIMIT in an outer SELECT"
                 )
             elif depth == 0 and t.lower() == "union":
+                if kind == "totals" and limit_at is not None:
+                    raise UnsupportedCHSQL(
+                        "WITH TOTALS + LIMIT in a UNION operand is not "
+                        "mapped — apply the LIMIT in an outer SELECT "
+                        "that excludes the all-keys-defaulted totals row"
+                    )
                 break
 
         # resolve the GROUP BY keys (aliases/ordinals → base expressions)
@@ -4882,28 +4910,116 @@ def _rewrite_group_modifiers(
             raise UnsupportedCHSQL(
                 f"GROUP BY WITH {kind.upper()} without keys"
             )
-        keys: list[str] = []
-        for key in keys_raw:
-            code = [t for t in key if not _is_ws(t)]
-            if code and code[0].lower() in ("rollup", "cube", "grouping"):
-                raise UnsupportedCHSQL(
-                    "combined GROUP BY modifiers (e.g. ROLLUP … WITH "
-                    "TOTALS) are not mapped — spell the union of GROUPING "
-                    "SETS explicitly"
-                )
+        def _resolve_key(code: list[str]) -> str:
             if len(code) == 1 and code[0].lower() in aliases:
-                keys.append(f"({aliases[code[0].lower()]})")
-            elif len(code) == 1 and code[0].isdigit():
+                return f"({aliases[code[0].lower()]})"
+            if len(code) == 1 and code[0].isdigit():
                 pos = int(code[0])
                 if not 1 <= pos <= len(items):
                     raise UnsupportedCHSQL(
                         f"GROUP BY position {pos} is out of range for the "
                         f"{len(items)}-item SELECT list"
                     )
-                keys.append(f"({items[pos - 1]})")
-            else:
-                keys.append(" ".join(code))
+                return f"({items[pos - 1]})"
+            return " ".join(code)
+
+        keys: list[str] = []
+        for key in keys_raw:
+            code = [t for t in key if not _is_ws(t)]
+            if code and code[0].lower() in ("rollup", "cube", "grouping"):
+                inner_kind = code[0].lower()
+                if (
+                    kind == "totals"
+                    and limit_at is None
+                    and len(keys_raw) == 1
+                    and inner_kind in ("rollup", "cube")
+                    and len(code) >= 3
+                    and code[1] == "("
+                    and _find_close(code, 1) == len(code) - 1
+                ):
+                    # ROLLUP/CUBE … WITH TOTALS: the totals row IS the
+                    # modifier's own all-keys grouping set — the union of
+                    # grouping sets dedups to the plain modifier
+                    # (ClickHouse's default totals_mode computes the same
+                    # grand total the rollup's () set already carries), so
+                    # this pass re-emits ROLLUP/CUBE over the inner keys
+                    # and drops the TOTALS (round-11 verdict #4)
+                    kind = inner_kind
+                    for k2 in _split_args(code[2:-1]):
+                        c2 = [t for t in k2 if not _is_ws(t)]
+                        if c2:
+                            keys.append(_resolve_key(c2))
+                    continue
+                raise UnsupportedCHSQL(
+                    "combined GROUP BY modifiers beyond ROLLUP/CUBE … "
+                    "WITH TOTALS (e.g. GROUPING SETS … WITH TOTALS, or "
+                    "all three with LIMIT) are not mapped — spell the "
+                    "union of GROUPING SETS explicitly"
+                )
+            keys.append(_resolve_key(code))
         key_norms = {_norm_key(k): k for k in keys}
+
+        if kind == "totals" and limit_at is not None:
+            # two-branch rewrite: LIMITed plain rows UNION ALL one totals
+            # row over the UNLIMITED input (ClickHouse's out-of-band
+            # totals block, inlined after the data rows)
+            if mode == "plain":
+                # probe translation: schema-identical plain branch only
+                tokens = (
+                    tokens[:sel]
+                    + tokens[sel:with_idx]
+                    + tokens[mod_idx + 1 :]
+                )
+                continue
+            totals_items: list[str] = []
+            for i, (item, name) in enumerate(zip(items, names)):
+                key = key_norms.get(_norm_key(item))
+                if key is None:
+                    if name is not None and _norm_key(item) != _norm_key(name):
+                        totals_items.append(f"{item} AS {name}")
+                    else:
+                        totals_items.append(item)
+                    continue
+                if name is None:
+                    raise UnsupportedCHSQL(
+                        f"WITH {kind.upper()} key {item!r} needs an AS "
+                        "alias in the SELECT list — the totals row "
+                        "replaces the key with its typed default, and an "
+                        "alias keeps the output column name stable"
+                    )
+                if mode == "typed" and types is not None and i in types:
+                    try:
+                        default = _fill_default(name, types[i])
+                    except UnsupportedCHSQL:
+                        raise UnsupportedCHSQL(
+                            f"WITH {kind.upper()} cannot synthesize a "
+                            f"ClickHouse subtotal default for key "
+                            f"{name!r} of type {types[i]} — complex-typed "
+                            "keys have no scalar default; cast or project "
+                            "the key to a scalar"
+                        ) from None
+                else:
+                    default = _text_key_default(key)
+                    if default is None:
+                        raise _NeedsSchemaTyping(
+                            f"WITH {kind.upper()} key {item!r}'s type is "
+                            "not derivable from text — run the query "
+                            "through run_ch_sql (the analyzed schema "
+                            "types it there), or wrap the key in a typed "
+                            "function (toString/toInt64/…)"
+                        )
+                totals_items.append(f"{default} AS {name}")
+            plain_sql = (
+                "".join(tokens[sel:with_idx]).strip()
+                + " "
+                + "".join(tokens[mod_idx + 1 :]).strip()
+            )
+            from_where = "".join(tokens[sel_end:group_idx]).strip()
+            tokens = tokens[:sel] + _tokenize(
+                f"SELECT * FROM ( {plain_sql} ) UNION ALL "
+                f"SELECT {', '.join(totals_items)} {from_where}"
+            )
+            continue
 
         # rebuild the select list with grouping()-guarded key items
         new_items: list[str] = []

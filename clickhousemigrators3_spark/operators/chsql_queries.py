@@ -1640,6 +1640,64 @@ _ch(
     ("orders",),
 )
 
+# chsql_rollup_with_totals (round 12): ROLLUP … WITH TOTALS — the totals
+# row is the rollup's own grand-total grouping set, so the union of sets
+# dedups to plain ROLLUP: the grand-total row appears exactly once.
+_ch(
+    "chsql_rollup_with_totals",
+    """
+    SELECT o_orderstatus AS st, o_orderpriority AS pri,
+           count() AS c,
+           sum(toInt64(round(o_totalprice))) AS tp
+    FROM orders
+    WHERE o_orderkey < 30000
+    GROUP BY ROLLUP(st, pri) WITH TOTALS
+    ORDER BY st, pri, c
+    """,
+    """
+    SELECT CASE WHEN grouping(o_orderstatus) = 1 THEN ''
+                ELSE o_orderstatus END AS st,
+           CASE WHEN grouping(o_orderpriority) = 1 THEN ''
+                ELSE o_orderpriority END AS pri,
+           count(*) AS c,
+           sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS tp
+    FROM orders
+    WHERE o_orderkey < 30000
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY st, pri, c
+    """,
+    ("orders",),
+)
+
+# chsql_totals_limit (round 12): WITH TOTALS + LIMIT — ClickHouse's totals
+# block is exempt from LIMIT and computed over the UNLIMITED input; the
+# rewrite LIMITs the plain rows and UNION ALLs one all-keys-defaulted
+# totals row, so the totals row never displaces a data row in the LIMIT.
+_ch(
+    "chsql_totals_limit",
+    """
+    SELECT o_orderpriority AS pri,
+           count() AS c,
+           sum(toInt64(round(o_totalprice))) AS tp
+    FROM orders
+    WHERE o_orderkey < 30000
+    GROUP BY pri WITH TOTALS
+    ORDER BY c DESC, pri LIMIT 3
+    """,
+    """
+    SELECT * FROM (
+      SELECT o_orderpriority AS pri, count(*) AS c,
+             sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS tp
+      FROM orders WHERE o_orderkey < 30000
+      GROUP BY 1 ORDER BY c DESC, pri LIMIT 3)
+    UNION ALL
+    SELECT '' AS pri, count(*) AS c,
+           sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS tp
+    FROM orders WHERE o_orderkey < 30000
+    """,
+    ("orders",),
+)
+
 # chsql_totals_bucket: WITH TOTALS → GROUPING SETS ((keys), ()) — the
 # plain GROUP BY rows plus ONE totals row whose key carries the type
 # default (0 — colliding with the real bucket 0, as in ClickHouse).

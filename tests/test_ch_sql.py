@@ -182,10 +182,18 @@ def test_golden_translation(ch: str, expected: str):
         # wrap); a BARE-column key's type needs the analyzed schema, so
         # the string-only path points at run_ch_sql (the WITH FILL split)
         ("SELECT x, count(*) FROM t GROUP BY x WITH TOTALS", "run_ch_sql"),
-        # ClickHouse's totals block is exempt from LIMIT; inlined it would
-        # displace a data row inside the LIMIT — refuse (review round 11)
+        # TOTALS + LIMIT translates now (LIMITed plain rows UNION ALL an
+        # unlimited totals row) — but only at the statement's top level,
+        # and never with the per-group LIMIT BY (ClickHouse's totals block
+        # is exempt from both; only the flat top-level shape has a faithful
+        # two-branch rewrite)
         ("SELECT toString(b) AS bb, count() AS c FROM t "
-         "GROUP BY bb WITH TOTALS LIMIT 3", "exempt"),
+         "GROUP BY bb WITH TOTALS LIMIT 2 BY bb", "LIMIT … BY"),
+        ("SELECT x FROM (SELECT toString(b) AS bb, count() AS c FROM t "
+         "GROUP BY bb WITH TOTALS LIMIT 3) AS q", "top level"),
+        ("SELECT toString(b) AS bb, count() AS c FROM t "
+         "GROUP BY bb WITH TOTALS LIMIT 3 UNION ALL SELECT bb, c FROM u",
+         "UNION operand"),
         # LIMIT n BY translates now (window rewrite) — only the shapes no
         # honest rewrite can reproduce still refuse
         ("SELECT * FROM t LIMIT 2 BY x", "limit_by"),  # no ORDER BY
@@ -2298,9 +2306,15 @@ def test_group_array_sorted(spark):
         # HAVING filters subtotal/totals rows — no faithful single answer
         ("SELECT toYear(d) AS y, sum(v) AS s FROM t GROUP BY y WITH ROLLUP "
          "HAVING s > 1", "totals_mode"),
-        # combined modifiers
+        # ROLLUP/CUBE … WITH TOTALS translates now (the totals row dedups
+        # into the modifier's own grand-total set); what remains refused
+        # is GROUPING SETS … WITH TOTALS and the triple combination with
+        # LIMIT (the totals row is exempt from LIMIT but the rollup's own
+        # grand-total row is not — no faithful single rewrite)
+        ("SELECT toYear(d) AS y, sum(v) FROM t GROUP BY GROUPING SETS "
+         "((y), ()) WITH TOTALS", "GROUPING SETS"),
         ("SELECT toYear(d) AS y, sum(v) FROM t GROUP BY ROLLUP(y) "
-         "WITH TOTALS", "GROUPING SETS"),
+         "WITH TOTALS LIMIT 3", "GROUPING SETS"),
         # SELECT * can't carry per-key default wraps
         ("SELECT * FROM t GROUP BY a WITH CUBE", "alias the grouping keys"),
         # a computed key must be aliased so the wrap keeps its output name
@@ -2416,6 +2430,85 @@ def test_rollup_executed_semantics(spark):
             "SELECT y FROM (SELECT k AS y, count() AS c FROM gm_t "
             "GROUP BY y WITH ROLLUP)",
         )
+
+
+def test_combined_rollup_totals_translates(spark):
+    """Round-11 verdict #4a: ROLLUP/CUBE … WITH TOTALS. The totals row is
+    the modifier's own all-keys grouping set, so the union of grouping
+    sets dedups to the plain modifier — the grand-total row appears
+    exactly ONCE. Both the explicit (GROUP BY ROLLUP(k) WITH TOTALS) and
+    the trailing double-modifier (GROUP BY k WITH ROLLUP WITH TOTALS)
+    spellings translate; bare-column keys type via the probe schema."""
+    spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 5), (None, "a", 7)],
+        "k int, s string, v int",
+    ).createOrReplaceTempView("ct_t")
+    # string-only path with a text-typeable key: no modifier survives
+    t = translate_ch_sql(
+        "SELECT toYear(d) AS y, sum(v) AS s FROM t "
+        "GROUP BY ROLLUP(y) WITH TOTALS"
+    )
+    low = " ".join(t.lower().split())
+    assert "with totals" not in low and "group by rollup((year(d)))" in low
+    rows = run_ch_sql(
+        spark,
+        "SELECT k AS k2, sum(v) AS sv FROM ct_t "
+        "GROUP BY ROLLUP(k2) WITH TOTALS ORDER BY k2, sv",
+    ).collect()
+    got = [(r.k2, r.sv) for r in rows]
+    assert got.count((0, 42)) == 1  # grand total deduped, not doubled
+    assert set(got) == {(None, 7), (0, 42), (1, 30), (2, 5)}
+    # trailing double-modifier spelling, two keys, CUBE flavor too
+    rows = run_ch_sql(
+        spark,
+        "SELECT k AS k2, s AS s2, sum(v) AS sv FROM ct_t "
+        "GROUP BY k2, s2 WITH ROLLUP WITH TOTALS ORDER BY k2, s2, sv",
+    ).collect()
+    got = {(r.k2, r.s2): r.sv for r in rows}
+    assert got[(0, "")] == 42 and len(got) == 8
+    rows = run_ch_sql(
+        spark,
+        "SELECT k AS k2, sum(v) AS sv FROM ct_t "
+        "GROUP BY CUBE(k2) WITH TOTALS ORDER BY k2, sv",
+    ).collect()
+    assert [(r.k2, r.sv) for r in rows].count((0, 42)) == 1
+
+
+def test_totals_with_limit_translates(spark):
+    """Round-11 verdict #4b: WITH TOTALS + LIMIT. ClickHouse's totals
+    block is exempt from LIMIT and computed over the UNLIMITED input —
+    the rewrite LIMITs the plain rows, then UNION ALLs one totals row, so
+    the totals row never displaces a data row inside the LIMIT."""
+    spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 5), (None, "a", 7)],
+        "k int, s string, v int",
+    ).createOrReplaceTempView("tl_t")
+    t = translate_ch_sql(
+        "SELECT toString(k) AS ks, count() AS c FROM t "
+        "GROUP BY ks WITH TOTALS ORDER BY c DESC LIMIT 3"
+    )
+    low = " ".join(t.lower().split())
+    assert "union all" in low and "limit 3" in low
+    assert "grouping sets" not in low  # two-branch form, not inline
+    # executed, bare key → probe-typed default (int → 0)
+    rows = run_ch_sql(
+        spark,
+        "SELECT k AS k2, sum(v) AS sv FROM tl_t "
+        "GROUP BY k2 WITH TOTALS ORDER BY sv DESC LIMIT 2",
+    ).collect()
+    got = [(r.k2, r.sv) for r in rows]
+    # LIMIT 2 keeps the two largest DATA rows; the totals row (0, 42) is
+    # exempt and appended — three rows out, grand total intact
+    assert sorted(got, key=lambda x: (x[0] is None, x[0])) == [
+        (0, 42), (1, 30), (None, 7)
+    ]
+    # LIMIT larger than the data: every group survives plus the totals row
+    rows = run_ch_sql(
+        spark,
+        "SELECT k AS k2, sum(v) AS sv FROM tl_t "
+        "GROUP BY k2 WITH TOTALS ORDER BY sv DESC LIMIT 99",
+    ).collect()
+    assert len(rows) == 4 and (0, 42) in [(r.k2, r.sv) for r in rows]
 
 
 def test_unpinned_parametric_group_array(spark):
