@@ -413,6 +413,16 @@ def text_decontaminated_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Bloom-filter decontamination — the constant-memory scale path
 # ---------------------------------------------------------------------------
+# Defaults sized for the FIXTURE eval slice (~20k distinct grams at
+# sf0.01). Production sizing: after inserting n distinct grams into an
+# m-bit filter with k hashes, a non-member gram is false-positive with
+#     fp ≈ (1 − e^(−k·n/m))^k
+# so pick m ≈ −k·n / ln(1 − fp^(1/k)); for the near-optimal
+# k = (m/n)·ln 2, fp ≈ 0.6185^(m/n) — ~10 bits/gram gives fp ≈ 1%,
+# ~14.4 bits/gram gives fp ≈ 0.1%. A 1e9-gram benchmark suite at 0.1%
+# fp is m ≈ 14.4 Gbit = 1.8 GB: still one broadcast table, constant
+# regardless of corpus size. All entry points below take (bits, k)
+# overrides; these module constants are only the fixture defaults.
 BLOOM_BITS = 65536  # m: filter size in bits (2048 32-bit words)
 BLOOM_K = 3         # k: hash functions per gram
 
@@ -460,18 +470,20 @@ ORDER BY doc_id
 """
 
 
-def _bloom_positions(df: DataFrame) -> DataFrame:
+def _bloom_positions(
+    df: DataFrame, bits: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
     """df + (word, mask) per gram × seed — the k md5-derived bit probes."""
     from ..functions.hashing import stable_hash60
 
-    seeds = df.sparkSession.range(BLOOM_K).select(F.col("id").alias("j"))
+    seeds = df.sparkSession.range(k).select(F.col("id").alias("j"))
     return df.crossJoin(seeds).select(
         df["*"],
         (
             stable_hash60(
                 F.concat(F.col("g"), F.lit("\x1f"), F.col("j").cast("string"))
             )
-            % BLOOM_BITS
+            % bits
         ).alias("pos"),
     ).select(
         df["*"],
@@ -480,20 +492,30 @@ def _bloom_positions(df: DataFrame) -> DataFrame:
     )
 
 
-def bloom_filter_from_grams(eval_g: DataFrame) -> DataFrame:
+def bloom_filter_from_grams(
+    eval_g: DataFrame, bits: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
     """Fold a gram set (column ``g``) into the (word, bits) Bloom table —
-    at most BLOOM_BITS/32 rows regardless of input size."""
+    at most ``bits``/32 rows regardless of input size. Sizing: with n
+    distinct grams, fp ≈ (1 − e^(−k·n/bits))^k — see the module-constant
+    comment for the production formula."""
     return (
-        _bloom_positions(eval_g.select("g").distinct())
+        _bloom_positions(eval_g.select("g").distinct(), bits, k)
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
 
 
-def bloom_contaminated_ids(train_grams: DataFrame, bloom: DataFrame) -> DataFrame:
+def bloom_contaminated_ids(
+    train_grams: DataFrame,
+    bloom: DataFrame,
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
     """doc_ids whose bloom-positive gram ratio reaches DECONTAM_THRESHOLD.
-    ``train_grams`` is (doc_id, g) distinct; ``bloom`` is (word, bits)."""
-    probe = _bloom_positions(train_grams).join(
+    ``train_grams`` is (doc_id, g) distinct; ``bloom`` is (word, bits)
+    built with the SAME (bits, k) — the probe recomputes the k hashes."""
+    probe = _bloom_positions(train_grams, bits, k).join(
         F.broadcast(bloom), "word", "left"
     )
     gram_hits = probe.groupBy("doc_id", "g").agg(
@@ -507,7 +529,7 @@ def bloom_contaminated_ids(train_grams: DataFrame, bloom: DataFrame) -> DataFram
     )
     doc = gram_hits.groupBy("doc_id").agg(
         F.count("*").alias("total_grams"),
-        F.sum((F.col("set_bits") == BLOOM_K).cast("int")).alias("bloom_hits"),
+        F.sum((F.col("set_bits") == k).cast("int")).alias("bloom_hits"),
     )
     return doc.filter(
         F.col("bloom_hits").cast("double") / F.col("total_grams")
@@ -516,21 +538,44 @@ def bloom_contaminated_ids(train_grams: DataFrame, bloom: DataFrame) -> DataFram
 
 
 def publish_decontamination_bloom(
-    benchmark_docs: DataFrame, out_path: str
+    benchmark_docs: DataFrame,
+    out_path: str,
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
 ) -> None:
     """Ship the filter, not the benchmark: fold ``benchmark_docs``
     (doc_id, text) into the Bloom table and publish it as one small
     parquet — ingest pipelines gate against the artifact without ever
     seeing benchmark text (also a governance win: the filter is one-way).
+    Size (bits, k) for the benchmark suite's distinct-gram count n via
+    fp ≈ (1 − e^(−k·n/bits))^k (module-constant comment); probes must
+    reuse the same (bits, k).
     """
     from ..functions.text import exploded_word_shingles
 
     grams = exploded_word_shingles(
         benchmark_docs, "text", CONTAM_N, "g"
     ).select("g").distinct()
-    bloom_filter_from_grams(grams).coalesce(1).write.mode(
+    # the artifact carries its own sizing (constant columns — a few bytes
+    # RLE-encoded) so probes self-configure instead of trusting callers to
+    # repeat the publisher's (bits, k)
+    bloom_filter_from_grams(grams, bits, k).withColumn(
+        "_m", F.lit(bits)
+    ).withColumn("_k", F.lit(k)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(out_path)
+
+
+def read_decontamination_bloom(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, int, int]:
+    """Load a published Bloom artifact → ``(bloom(word, bits), m, k)``.
+    Pre-sizing-column artifacts fall back to the module defaults."""
+    bloom = spark.read.parquet(path)
+    if "_m" in bloom.columns:
+        row = bloom.select("_m", "_k").first()
+        return bloom.select("word", "bits"), int(row["_m"]), int(row["_k"])
+    return bloom, BLOOM_BITS, BLOOM_K
 
 
 @register("text_decontamination_bloom_retained", _bloom_retained_oracle())

@@ -171,13 +171,17 @@ def stream_dedup_ingest(
         .parquet(docs_source_dir)
     )
     # the published filter is immutable for the stream's lifetime — read
-    # its plan ONCE here, not per micro-batch (per-batch file listing and
-    # footer reads would add fixed latency to every trigger)
-    bloom = (
-        spark.read.parquet(decontam_bloom_dir)
-        if decontam_bloom_dir is not None
-        else None
-    )
+    # its plan (and its self-describing (m, k) sizing) ONCE here, not per
+    # micro-batch (per-batch file listing and footer reads would add fixed
+    # latency to every trigger)
+    if decontam_bloom_dir is not None:
+        from ..operators.traindata import read_decontamination_bloom
+
+        bloom, bloom_m, bloom_k = read_decontamination_bloom(
+            spark, decontam_bloom_dir
+        )
+    else:
+        bloom = bloom_m = bloom_k = None
 
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
         spark_ = batch.sparkSession
@@ -207,7 +211,9 @@ def stream_dedup_ingest(
                 docs, "text", CONTAM_N, "g"
             ).distinct()
             docs = docs.join(
-                bloom_contaminated_ids(grams, bloom), "doc_id", "anti"
+                bloom_contaminated_ids(grams, bloom, bloom_m, bloom_k),
+                "doc_id",
+                "anti",
             )
         docs.persist()
         docs.write.mode("overwrite").parquet(

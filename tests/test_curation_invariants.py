@@ -258,3 +258,95 @@ def test_bloom_decontamination_never_under_drops(spark):
     assert bloom <= exact
     # sanity: the gate keeps a real corpus, not an empty one
     assert len(bloom) > 0
+
+
+def test_bloom_sizing_knobs_and_fp_rate_formula(spark):
+    """Round-11 verdict #5: (m, k) are caller-sizable, and the measured
+    false-positive rate tracks the textbook formula
+    fp ≈ (1 − e^(−k·n/m))^k. With md5-derived hashes the measurement is
+    DETERMINISTIC for a fixed gram set, so the band asserted here
+    (formula/3 ≤ measured ≤ 2×formula) is a stable property, not a flaky
+    sample. Also: a filter built at (m, k) probed at the same (m, k)
+    keeps the no-false-negative guarantee."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from clickhousemigrators3_spark.operators.traindata import (
+        bloom_filter_from_grams,
+        _bloom_positions,
+    )
+
+    m_bits, k, n_members, n_probes = 8192, 3, 1000, 3000
+    members = spark.range(n_members).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("g")
+    )
+    bloom = bloom_filter_from_grams(members, m_bits, k)
+    words = bloom.count()
+    assert words <= m_bits // 32  # constant-size regardless of input
+
+    # non-member probes: k-for-k positive == false positive
+    probes = spark.range(n_probes).select(
+        F.concat(F.lit("absent-"), F.col("id")).alias("g")
+    )
+    hits = (
+        _bloom_positions(probes, m_bits, k)
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bits").isNotNull()
+                    & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+                    1,
+                ).otherwise(0)
+            ).alias("set_bits")
+        )
+        .filter(F.col("set_bits") == k)
+        .count()
+    )
+    measured = hits / n_probes
+    formula = (1 - math.exp(-k * n_members / m_bits)) ** k  # ≈ 0.029
+    assert measured <= 2 * formula, (measured, formula)
+    assert measured >= formula / 3, (measured, formula)
+
+    # no false negatives at the custom (m, k): every member is k-for-k
+    # positive through the same probe path
+    neg = (
+        _bloom_positions(members, m_bits, k)
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bits").isNotNull()
+                    & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+                    1,
+                ).otherwise(0)
+            ).alias("set_bits")
+        )
+        .filter(F.col("set_bits") < k)
+        .count()
+    )
+    assert neg == 0
+
+
+def test_published_bloom_carries_its_sizing(spark, tmp_path):
+    """publish_decontamination_bloom stamps (m, k) into the artifact and
+    read_decontamination_bloom recovers them, so a probe never has to
+    trust the caller to repeat the publisher's sizing."""
+    from clickhousemigrators3_spark.operators.traindata import (
+        publish_decontamination_bloom,
+        read_decontamination_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bloom")
+    publish_decontamination_bloom(docs, path, bits=4096, k=2)
+    bloom, m, k = read_decontamination_bloom(spark, path)
+    assert (m, k) == (4096, 2)
+    assert set(bloom.columns) == {"word", "bits"}
+    assert 0 < bloom.count() <= 4096 // 32

@@ -604,9 +604,10 @@ def test_stream_dedup_ingest_bloom_gate(spark, index_dir, tmp_path):
 
     bench_dir = str(tmp_path / "bloom")
     publish_decontamination_bloom(_docs(spark, [(900, FRESH2)]), bench_dir)
-    # the artifact is the constant-size (word, bits) table, nothing else
+    # the artifact is the constant-size (word, bits) table plus its own
+    # (m, k) sizing stamp (round 12) — never benchmark text
     bloom = spark.read.parquet(bench_dir)
-    assert set(bloom.columns) == {"word", "bits"}
+    assert set(bloom.columns) == {"word", "bits", "_m", "_k"}
     assert bloom.count() <= 65536 // 32
 
     src = str(tmp_path / "drops")
