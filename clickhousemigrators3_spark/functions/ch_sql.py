@@ -1469,6 +1469,16 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
                 "is not mapped — the first-match splice needs a "
                 "position-independent pattern"
             )
+        if re.search(r"(?<!\\)\\[1-9]", pat):
+            # Python re accepts pattern backreferences but RE2 (ClickHouse)
+            # rejects them — running such a pattern here would be a silent
+            # lenient-direction dialect drift (advice round 11); keep the
+            # splice limited to the RE2-compatible subset
+            raise UnsupportedCHSQL(
+                "replaceRegexpOne pattern uses a backreference (\\N) — "
+                "RE2/ClickHouse does not support pattern backreferences; "
+                "rewrite the pattern without them"
+            )
         try:
             if re.compile(pat).match("") is not None:
                 raise UnsupportedCHSQL(
@@ -1703,14 +1713,17 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
                 f"timestamp_seconds(CAST(floor(unix_timestamp({args[0]}) / "
                 f"{step}) * {step} AS BIGINT))"
             )
-        if n_ == 1 and unit in ("week", "month", "quarter", "year"):
+        if n_ == 1 and unit == "week":
             return f"date_trunc('{unit}', {args[0]})"
+        if n_ == 1 and unit in ("month", "quarter", "year"):
+            # DATE like ClickHouse (and like the multi-month path below):
+            # a literal change from INTERVAL 2 MONTH to INTERVAL 1 MONTH
+            # must not silently flip the output type (advice round 11)
+            return f"CAST(date_trunc('{unit}', {args[0]}) AS DATE)"
         months = {"month": 1, "quarter": 3, "year": 12}.get(unit)
         if months is not None:
             # multi-month buckets align to months-since-epoch (1970-01)
             # exactly as ClickHouse does; result is a DATE like ClickHouse's
-            # (the n=1 date_trunc fast path above keeps its historical
-            # TIMESTAMP output — docs/CHSQL.md nuance)
             step = n_ * months
             arg = args[0].strip()
             return (
@@ -1854,7 +1867,10 @@ def _translate_tokens(tokens: list[str]) -> str:
                 "SAMPLE needs deterministic hash sampling — see "
                 "operators/curation.py sample_hash_5pct"
             )
-        if low in ("any", "asof") and _next_code_word(tokens, i) in _JOIN_WORDS:
+        if low in ("any", "asof") and _next_code_word(tokens, i) in _JOIN_WORDS \
+                and prev_code != "as":
+            # prev_code == "as" → a relation ALIASED any/asof, not
+            # strictness (advice round 11; mirrors _find_any_join)
             if low == "asof":
                 raise UnsupportedCHSQL(
                     "ASOF JOIN needs the as-of operator — see "
@@ -2140,18 +2156,31 @@ def _rewrite_any_joins(tokens: list[str]) -> list[str]:
     on the join keys for the window before the join's own exchange — the
     same topology ch_any_left_join builds with DataFrames.
     """
-    for _ in range(8):
+    # loop until no match remains: each rewrite strictly consumes its
+    # 'any' strictness token and emits none, so this terminates for any
+    # number of pinned ANY joins (the former cap of 8 failed a valid
+    # 9-join query with an opaque error — advice round 11)
+    while True:
         i = _find_any_join(tokens)
         if i is None:
             return tokens
         tokens = _any_join_rewrite(tokens, i)
-    raise UnsupportedCHSQL("too many ANY JOIN rewrites")
 
 
 def _find_any_join(tokens: list[str]) -> int | None:
+    prev_code: str | None = None
     for i, t in enumerate(tokens):
-        if t.lower() == "any" and _next_code_word(tokens, i) in _JOIN_WORDS:
+        if (
+            t.lower() == "any"
+            and _next_code_word(tokens, i) in _JOIN_WORDS
+            # a relation ALIASED 'any' (… FROM t AS any LEFT JOIN …) is
+            # not strictness — rewriting it would silently dedup an
+            # ordinary ALL join's right side (advice round 11)
+            and prev_code != "as"
+        ):
             return i
+        if not _is_ws(t):
+            prev_code = t.lower()
     return None
 
 
@@ -2246,12 +2275,61 @@ def _subquery_order_sql(
             end = p
             break
     items = [t for t in tokens[ord_start:end] if not _is_ws(t)]
+    idents: list[str] = []
     for t in items:
         if t == "," or t.lower() in ("asc", "desc"):
             continue
         if (t[0].isalpha() or t[0] == "_") and "." not in t:
+            idents.append(t)
             continue
         return None  # expressions / qualified / positional keys: refuse
+    # best-effort projection check (advice round 11): the list moves into
+    # an outer window spec where only the subquery's OUTPUT columns are
+    # visible, so a ClickHouse-valid pin like (SELECT o_custkey FROM
+    # orders ORDER BY o_orderdate) must refuse with guidance here rather
+    # than emit SQL that fails Spark analysis with a missing-column
+    # error. Skipped when the output names are unknowable from text
+    # (*, qualified stars, computed unaliased items) or a depth-0 UNION
+    # owns the ORDER BY.
+    sel_idx = _next_code(tokens, i_open + 1)
+    if sel_idx < i_close and tokens[sel_idx].lower() == "select":
+        depth = 0
+        has_union = False
+        for p in range(i_open + 1, i_close):
+            t = tokens[p]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and t.lower() == "union":
+                has_union = True
+                break
+        if not has_union:
+            items_sq, _aliases_sq, names_sq = _select_list_items(
+                tokens, sel_idx
+            )
+            known: set[str] = set()
+            opaque = False
+            for it, nm in zip(items_sq, names_sq):
+                if nm is not None:
+                    known.add(nm.lower())
+                    continue
+                code = [c for c in _tokenize(it) if not _is_ws(c)]
+                if len(code) == 1 and code[0] != "*" and (
+                    code[0][0].isalpha() or code[0][0] == "_"
+                ):
+                    known.add(code[0].lower())
+                else:
+                    opaque = True  # star / computed unaliased: unknowable
+            if not opaque:
+                for ident in idents:
+                    if ident.lower() not in known:
+                        raise UnsupportedCHSQL(
+                            f"ANY JOIN pin key `{ident}` is not projected "
+                            "by the right-side subquery — add it to the "
+                            "subquery's SELECT list (the pin moves into a "
+                            "window over the subquery's output)"
+                        )
     sql = "".join(tokens[ord_start:end]).strip().rstrip(",")
     return sql or None
 

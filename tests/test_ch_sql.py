@@ -2806,6 +2806,77 @@ def test_any_join_refusals(ch: str, needle: str):
     assert needle.lower() in str(exc.value).lower()
 
 
+def test_any_join_advice_round11_edges(spark):
+    """Advice round 11: (1) a relation ALIASED 'any' is not strictness —
+    the ALL join must not get its right side deduped; (2) a pin key the
+    subquery does not project refuses with guidance instead of emitting
+    unanalyzable SQL; (3) any number of pinned ANY joins rewrites (the
+    former cap of 8 failed a valid 9-join query)."""
+    t = translate_ch_sql(
+        "SELECT any.k FROM t AS any LEFT JOIN "
+        "(SELECT k, o FROM u ORDER BY o) AS u ON any.k = u.k"
+    )
+    assert "__ch_any_rn" not in t  # ordinary ALL join, untouched
+    # executed: the aliased-any ALL join keeps BOTH right matches
+    spark.createDataFrame([(1, "x")], "k int, lv string") \
+        .createOrReplaceTempView("aae_l")
+    spark.createDataFrame([(1, 5), (1, 3)], "k int, o int") \
+        .createOrReplaceTempView("aae_r")
+    rows = run_ch_sql(
+        spark,
+        "SELECT any.k AS k, u.o AS o FROM aae_l AS any LEFT JOIN "
+        "(SELECT k, o FROM aae_r ORDER BY o) AS u ON any.k = u.k "
+        "ORDER BY o",
+    ).collect()
+    assert [(r.k, r.o) for r in rows] == [(1, 3), (1, 5)]
+
+    with pytest.raises(UnsupportedCHSQL, match="not projected"):
+        translate_ch_sql(
+            "SELECT * FROM t ANY LEFT JOIN "
+            "(SELECT k FROM u ORDER BY o) AS u ON t.k = u.k"
+        )
+    # SELECT * right side: output names unknowable from text — no refusal
+    assert "__ch_any_rn" in translate_ch_sql(
+        "SELECT * FROM t ANY LEFT JOIN "
+        "(SELECT * FROM u ORDER BY o) AS u ON t.k = u.k"
+    )
+
+    nine = "SELECT * FROM t0 " + " ".join(
+        f"ANY LEFT JOIN (SELECT k, o FROM u{i} ORDER BY o) AS a{i} "
+        f"ON t0.k = a{i}.k"
+        for i in range(9)
+    )
+    assert translate_ch_sql(nine).count("__ch_any_rn =") == 9
+
+
+def test_interval_month_granularity_returns_date():
+    """Advice round 11: INTERVAL 1 month/quarter/year now returns DATE
+    like the n>=2 path (and like ClickHouse) — changing the literal from
+    2 to 1 must not silently flip the output type. 1 week keeps the
+    date_trunc TIMESTAMP (no multi-week sibling to diverge from)."""
+    for unit in ("month", "quarter", "year"):
+        t = translate_ch_sql(
+            f"SELECT toStartOfInterval(d, INTERVAL 1 {unit}) FROM t"
+        )
+        assert f"CAST(date_trunc('{unit}', d) AS DATE)" in t
+    t = translate_ch_sql("SELECT toStartOfInterval(d, INTERVAL 1 week) FROM t")
+    assert "CAST(date_trunc" not in t and "date_trunc('week', d)" in t
+
+
+def test_replace_regexp_one_backreference_refuses():
+    """Advice round 11: Python re accepts pattern backreferences but
+    RE2/ClickHouse rejects them — the splice must refuse rather than run
+    a pattern ClickHouse never would."""
+    with pytest.raises(UnsupportedCHSQL, match="backreference"):
+        translate_ch_sql(r"SELECT replaceRegexpOne(s, '(a)\1', 'x') FROM t")
+    # SQL '\\1' unescapes to regex \1 — still a backreference, refused
+    with pytest.raises(UnsupportedCHSQL, match="backreference"):
+        translate_ch_sql(r"SELECT replaceRegexpOne(s, '(a)\\1', 'x') FROM t")
+    # SQL '\\\\1' → regex \\1 = literal backslash + digit: allowed
+    t = translate_ch_sql(r"SELECT replaceRegexpOne(s, 'a\\\\1b', 'x') FROM t")
+    assert "regexp_extract" in t
+
+
 def test_format_trunc_interval_wave_executed(spark):
     """Round 11: indexed format() placeholders, scaled trunc, and
     multi-month toStartOfInterval — executed values."""
