@@ -73,6 +73,14 @@ HEADLINE = [
     # partial (map-side top-1 before the exchange) and the join-key filter
     # inference into the right scan are the properties tracked here
     "chsql_any_join_latest_order",
+    # round-12: count(DISTINCT shared-value) decomposed through the
+    # combinator restructure (a regression back to the collect form or to
+    # Spark's Expand-based count-distinct would show here) and the
+    # combined GROUP BY modifiers (ROLLUP…WITH TOTALS dedup; TOTALS+LIMIT
+    # two-branch union over one unlimited totals aggregate)
+    "chsql_topk_with_uniq",
+    "chsql_rollup_with_totals",
+    "chsql_totals_limit",
 ]
 
 

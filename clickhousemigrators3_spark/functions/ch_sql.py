@@ -1360,7 +1360,7 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
     if params is not None:
         tpl = _PARAMETRIC.get(low)
         if tpl is None:
-            raise UnsupportedCHSQL(f"parametric aggregate {low}(..)(..) not mapped")
+            raise UnsupportedCHSQL(f"parametric aggregate {low}(..)(..) not mapped")  # no-golden: unreachable: params parse only for _PARAMETRIC/_UNSUPPORTED_FUNCS/_CUSTOM_PARAMETRIC names, each handled before this lookup
         return tpl.format(
             a0=args[0] if args else "",
             p0=params[0] if params else "",
@@ -1771,7 +1771,7 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
     new = _RENAME.get(low)
     if new is not None:
         return f"{new}({', '.join(args)})"
-    raise UnsupportedCHSQL(f"no mapping for {low}()")  # unreachable by _KNOWN
+    raise UnsupportedCHSQL(f"no mapping for {low}()")  # no-golden: unreachable by the _KNOWN gate
 
 
 _KNOWN = (
@@ -1876,7 +1876,7 @@ def _translate_tokens(tokens: list[str]) -> str:
                     "ASOF JOIN needs the as-of operator — see "
                     "operators/asof.py asof_join_orders_events"
                 )
-            raise UnsupportedCHSQL(
+            raise UnsupportedCHSQL(  # no-golden: unreachable: _rewrite_any_joins intercepts every any+join (same detection incl. the AS alias gate)
                 "ANY JOIN strictness needs a first-match rewrite — see "
                 "operators/mergetree.py ch_any_left_join"
             )
@@ -1920,7 +1920,7 @@ def _translate_tokens(tokens: list[str]) -> str:
             # DOUBLY wrong: NULL subtotal keys where ClickHouse fills
             # type defaults, and Spark 4.1.2's trailing form drops rows
             # outright in some shapes.
-            raise UnsupportedCHSQL(
+            raise UnsupportedCHSQL(  # no-golden: unreachable: _rewrite_group_modifiers consumes every WITH modifier first
                 f"GROUP BY … WITH {low.upper()} reached the token "
                 "translator unrewritten — this shape escaped "
                 "_rewrite_group_modifiers; spell GROUPING SETS "
@@ -2479,7 +2479,7 @@ def _rewrite_limit_by(tokens: list[str], idx: int) -> list[str]:
         j = _next_code(tokens, k + 1)
         k = _next_code(tokens, j + 1)
         if not (off_sql.isdigit() and tokens[j].isdigit()):
-            raise UnsupportedCHSQL(
+            raise UnsupportedCHSQL(  # no-golden: unreachable: _limit_by_ahead fires only on digit literals
                 "LIMIT offset, n BY needs integer literals"
             )
     n_sql = tokens[j]
@@ -2499,7 +2499,7 @@ def _rewrite_limit_by(tokens: list[str], idx: int) -> list[str]:
             sel_idx = p
             break
     if sel_idx is None:
-        raise UnsupportedCHSQL("LIMIT n BY without an owning SELECT")
+        raise UnsupportedCHSQL("LIMIT n BY without an owning SELECT")  # no-golden: unreachable: the LIMIT BY marker is raised inside an owning SELECT
     # --- ORDER BY inside [sel_idx, idx): required for determinism ---------
     order_idx = None
     depth = 0
@@ -2932,7 +2932,7 @@ def _translate_impl(
             tokens = _merge_prewhere(tokens, m.idx)
         except _LimitByMarker as m:
             tokens = _rewrite_limit_by(tokens, m.idx)
-    raise UnsupportedCHSQL("too many PREWHERE / LIMIT BY rewrites")
+    raise UnsupportedCHSQL("too many PREWHERE / LIMIT BY rewrites")  # no-golden: defensive loop bound
 
 
 def _merge_prewhere(tokens: list[str], idx: int) -> list[str]:
@@ -3081,7 +3081,7 @@ def _rewrite_running_funcs(tokens: list[str]) -> list[str]:
         args = ["".join(a).strip() for a in raw_args]
         repl = _running_window_expr(low, args, raw_args, ord_sql, params)
         tokens = tokens[:i] + _tokenize(repl) + tokens[close + 1 :]
-    raise UnsupportedCHSQL("too many running-function rewrites")
+    raise UnsupportedCHSQL("too many running-function rewrites")  # no-golden: defensive loop bound
 
 
 _PIN_AGG_NAMES = {
@@ -3534,7 +3534,7 @@ def _rewrite_group_arrays(tokens: list[str]) -> list[str]:
         tokens = tokens[:i] + _tokenize(repl) + tokens[close + 1 :]
         guard += 1
         if guard > 64:
-            raise UnsupportedCHSQL("too many groupArray rewrites")
+            raise UnsupportedCHSQL("too many groupArray rewrites")  # no-golden: defensive loop bound
         i += 1
     return tokens
 
@@ -4881,7 +4881,7 @@ def _rewrite_group_modifiers(
         group_idx, with_idx, mod_idx, kind, top = hit
         sel = _owning_select(tokens, group_idx)
         if sel is None:  # pragma: no cover - GROUP BY implies a SELECT
-            raise UnsupportedCHSQL(f"WITH {kind.upper()} outside a SELECT")
+            raise UnsupportedCHSQL(f"WITH {kind.upper()} outside a SELECT")  # no-golden: unreachable: GROUP BY implies an owning SELECT
 
         # select-list span and items
         items, aliases, names = _select_list_items(tokens, sel)
@@ -4983,7 +4983,14 @@ def _rewrite_group_modifiers(
 
         # resolve the GROUP BY keys (aliases/ordinals → base expressions)
         by = _next_code(tokens, group_idx + 1)
-        keys_raw = [k for k in _split_args(tokens[by + 1 : with_idx]) if k]
+        # a key must contain CODE: a whitespace-only split (GROUP BY WITH
+        # TOTALS) used to slip through as one empty key and emit
+        # GROUPING SETS ((), ()) instead of refusing (round-12 audit find)
+        keys_raw = [
+            k
+            for k in _split_args(tokens[by + 1 : with_idx])
+            if any(not _is_ws(t) for t in k)
+        ]
         if not keys_raw:
             raise UnsupportedCHSQL(
                 f"GROUP BY WITH {kind.upper()} without keys"
@@ -5069,7 +5076,7 @@ def _rewrite_group_modifiers(
                     try:
                         default = _fill_default(name, types[i])
                     except UnsupportedCHSQL:
-                        raise UnsupportedCHSQL(
+                        raise UnsupportedCHSQL(  # no-golden: run-path (typed probe) -- pytest test_group_modifier_complex_typed_key_refuses
                             f"WITH {kind.upper()} cannot synthesize a "
                             f"ClickHouse subtotal default for key "
                             f"{name!r} of type {types[i]} — complex-typed "
@@ -5120,7 +5127,7 @@ def _rewrite_group_modifiers(
                 try:
                     default = _fill_default(name, types[i])
                 except UnsupportedCHSQL:
-                    raise UnsupportedCHSQL(
+                    raise UnsupportedCHSQL(  # no-golden: run-path (typed probe) -- pytest test_group_modifier_complex_typed_key_refuses
                         f"WITH {kind.upper()} cannot synthesize a "
                         f"ClickHouse subtotal default for key {name!r} of "
                         f"type {types[i]} — complex-typed keys have no "
@@ -5138,7 +5145,7 @@ def _rewrite_group_modifiers(
                             "types it there), or wrap the key in a typed "
                             "function (toString/toInt64/…)"
                         )
-                    raise UnsupportedCHSQL(
+                    raise UnsupportedCHSQL(  # no-golden: run-path (typed probe) -- pytest test_rollup_executed_semantics subquery case
                         f"WITH {kind.upper()} key {item!r} in a subquery "
                         "is not typeable from text (the probe schema only "
                         "covers the top-level SELECT) — wrap the key in a "
@@ -5163,7 +5170,7 @@ def _rewrite_group_modifiers(
             + _tokenize(group_clause)
             + tokens[mod_idx + 1 :]
         )
-    raise UnsupportedCHSQL("too many GROUP BY modifier rewrites")
+    raise UnsupportedCHSQL("too many GROUP BY modifier rewrites")  # no-golden: defensive loop bound
 
 
 def _scan_top_fill(tokens: list[str]) -> int | None:
@@ -5243,14 +5250,14 @@ def _extract_with_fill(sql: str) -> tuple[str, _FillSpec] | None:
     if key_toks and key_toks[-1].lower() == "asc":
         key_toks = key_toks[:-1]
     if key_toks and key_toks[-1].lower() == "desc":
-        raise UnsupportedCHSQL(
+        raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql WITH FILL split) -- pytest test_with_fill_refusals
             "ORDER BY … DESC WITH FILL (negative fill cursor) is not "
             "mapped — fill ascending and re-sort, or build the axis with "
             "sequence()+explode (operators/event_analytics.py "
             "ev_wau_sliding_7d)"
         )
     if len(key_toks) != 1 or not _IDENT_RE.match(key_toks[0]):
-        raise UnsupportedCHSQL(
+        raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (bare key case)
             "WITH FILL needs a single bare output-column key (got "
             f"{''.join(key_toks)!r}) — alias the expression in SELECT and "
             "fill on the alias"
@@ -5263,7 +5270,7 @@ def _extract_with_fill(sql: str) -> tuple[str, _FillSpec] | None:
         if low in ("from", "to"):
             v = _next_code(tokens, j + 1)
             if v >= n or not _is_literal_tok(tokens[v]):
-                raise UnsupportedCHSQL(
+                raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (FROM literal case)
                     f"WITH FILL {low.upper()} needs a plain numeric/string "
                     "literal bound (expressions are not evaluated at "
                     "translation time)"
@@ -5276,7 +5283,7 @@ def _extract_with_fill(sql: str) -> tuple[str, _FillSpec] | None:
                 num = _next_code(tokens, v + 1)
                 unit = _next_code(tokens, num + 1)
                 if unit >= n or not tokens[num][0].isdigit():
-                    raise UnsupportedCHSQL(
+                    raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (STEP INTERVAL case)
                         "WITH FILL STEP INTERVAL needs `INTERVAL <n> <unit>`"
                     )
                 spec.step_interval = f"INTERVAL {tokens[num]} {tokens[unit]}"
@@ -5285,7 +5292,7 @@ def _extract_with_fill(sql: str) -> tuple[str, _FillSpec] | None:
                 spec.step_lit = tokens[v]
                 j = _next_code(tokens, v + 1)
             else:
-                raise UnsupportedCHSQL(
+                raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (STEP literal case)
                     "WITH FILL STEP needs a numeric literal or "
                     "INTERVAL <n> <unit>"
                 )
@@ -5296,7 +5303,7 @@ def _extract_with_fill(sql: str) -> tuple[str, _FillSpec] | None:
             # cannot honestly replay — so it refuses below.
             v = _next_code(tokens, j + 1)
             if v >= n or tokens[v] != "(":
-                raise UnsupportedCHSQL(
+                raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (INTERPOLATE paren case)
                     "WITH FILL INTERPOLATE needs a parenthesized column "
                     "list"
                 )
@@ -5304,7 +5311,7 @@ def _extract_with_fill(sql: str) -> tuple[str, _FillSpec] | None:
             for grp in _split_args(tokens[v + 1 : close]):
                 code = [t for t in grp if not _is_ws(t)]
                 if len(code) != 1 or not _IDENT_RE.match(code[0]):
-                    raise UnsupportedCHSQL(
+                    raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (INTERPOLATE AS case)
                         "WITH FILL INTERPOLATE (col AS expr) is not "
                         "mapped — the expression recurrence runs on "
                         "generated rows; bare INTERPOLATE (col) carries "
@@ -5313,17 +5320,17 @@ def _extract_with_fill(sql: str) -> tuple[str, _FillSpec] | None:
                 spec.interpolate.append(code[0])
             j = _next_code(tokens, close + 1)
         elif low == "staleness":
-            raise UnsupportedCHSQL(
+            raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (STALENESS case)
                 "WITH FILL STALENESS is not mapped — bound the carried "
                 "distance with a windowed gap check instead"
             )
         elif low == ",":
-            raise UnsupportedCHSQL(
+            raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (multi-key case)
                 "WITH FILL on more than one ORDER BY key is not mapped — "
                 "fill the outer key with sequence()+explode and cross join"
             )
         elif low == "limit":
-            raise UnsupportedCHSQL(
+            raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (LIMIT case)
                 "LIMIT after WITH FILL is not mapped (ClickHouse limits the "
                 "FILLED result; a pushed-down limit would truncate before "
                 "filling) — wrap the filled query and limit outside"
@@ -5333,7 +5340,7 @@ def _extract_with_fill(sql: str) -> tuple[str, _FillSpec] | None:
         elif tokens[j] == ";" and _next_code(tokens, j + 1) >= n:
             j = _next_code(tokens, j + 1)  # trailing statement terminator
         else:
-            raise UnsupportedCHSQL(
+            raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (unexpected-token case)
                 f"unexpected token {tokens[j]!r} after WITH FILL spec"
             )
     sql_nofill = "".join(tokens[:wi]) + " " + "".join(tokens[j:])
@@ -5356,7 +5363,7 @@ def _fill_default(name: str, t: str) -> str:
         return "DATE'1970-01-01'"
     if t in ("timestamp", "timestamp_ntz"):
         return f"CAST('1970-01-01 00:00:00' AS {t})"
-    raise UnsupportedCHSQL(
+    raise UnsupportedCHSQL(  # no-golden: run-path (fill/typed defaults) -- pytest test_with_fill_float_key_refused et al.
         f"WITH FILL cannot synthesize a default for column {name!r} of "
         f"type {t} — project it out or fill via sequence()+explode"
     )
@@ -5373,7 +5380,7 @@ def _expand_with_fill(spark, inner_sql: str, spec: _FillSpec) -> str:
         (f for f in schema.fields if f.name.lower() == spec.key.lower()), None
     )
     if field is None:
-        raise UnsupportedCHSQL(
+        raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_key_must_be_output_column
             f"WITH FILL key {spec.key!r} is not an output column of the "
             f"query (columns: {', '.join(f.name for f in schema.fields)})"
         )
@@ -5382,14 +5389,14 @@ def _expand_with_fill(spark, inner_sql: str, spec: _FillSpec) -> str:
     is_date = kt == "date"
     is_ts = kt in ("timestamp", "timestamp_ntz")
     if not (integral or is_date or is_ts):
-        raise UnsupportedCHSQL(
+        raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_float_key_refused
             f"WITH FILL on a {kt} key is not mapped (float/decimal axes "
             "need exact step alignment) — cast the key to an integer grid "
             "or fill via sequence()+explode"
         )
     if spec.step_interval is not None:
         if integral:
-            raise UnsupportedCHSQL(
+            raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (STEP INTERVAL on numeric key)
                 "WITH FILL STEP INTERVAL on a numeric key — use a plain "
                 "numeric STEP"
             )
@@ -5397,7 +5404,7 @@ def _expand_with_fill(spark, inner_sql: str, spec: _FillSpec) -> str:
     elif spec.step_lit is not None:
         if integral:
             if "." in spec.step_lit:
-                raise UnsupportedCHSQL(
+                raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (fractional STEP case)
                     "fractional STEP on an integer fill key"
                 )
             step = spec.step_lit
@@ -5461,12 +5468,12 @@ def _expand_with_fill(spark, inner_sql: str, spec: _FillSpec) -> str:
     out_names = {f.name.lower() for f in schema.fields}
     missing = interp - out_names
     if missing:
-        raise UnsupportedCHSQL(
+        raise UnsupportedCHSQL(  # no-golden: run-path -- pytest test_with_fill_refusals (INTERPOLATE not-output case)
             f"INTERPOLATE column(s) {sorted(missing)} are not output "
             "columns of the query"
         )
     if field.name.lower() in interp:
-        raise UnsupportedCHSQL("cannot INTERPOLATE the fill key itself")
+        raise UnsupportedCHSQL("cannot INTERPOLATE the fill key itself")  # no-golden: run-path -- pytest test_with_fill_refusals (INTERPOLATE fill-key case)
     cols = ", ".join(_fill_ident(f.name) for f in schema.fields)
 
     def _gen_col(f) -> str:
@@ -5600,7 +5607,7 @@ def split_ch_insert(sql: str) -> tuple[str, list[str] | None, str] | None:
         return None
     i = _next_code(tokens, i + 1)
     if i >= len(tokens) or tokens[i].lower() != "into":
-        raise UnsupportedCHSQL("INSERT needs INTO")
+        raise UnsupportedCHSQL("INSERT needs INTO")  # no-golden: run-path (split_ch_insert) -- pytest test_insert_parser_refusals
     i = _next_code(tokens, i + 1)
     if i < len(tokens) and tokens[i].lower() == "table":
         i = _next_code(tokens, i + 1)
@@ -5620,7 +5627,7 @@ def split_ch_insert(sql: str) -> tuple[str, list[str] | None, str] | None:
             i = j
             break
     if not parts:
-        raise UnsupportedCHSQL("INSERT INTO needs a target table name")
+        raise UnsupportedCHSQL("INSERT INTO needs a target table name")  # no-golden: run-path (split_ch_insert) -- pytest test_insert_parser_refusals
     target = ".".join(parts)
     cols: list[str] | None = None
     if i < len(tokens) and tokens[i] == "(":
@@ -5632,7 +5639,7 @@ def split_ch_insert(sql: str) -> tuple[str, list[str] | None, str] | None:
         ]
         i = _next_code(tokens, close + 1)
     if i >= len(tokens):
-        raise UnsupportedCHSQL("INSERT INTO needs a SELECT, WITH, or VALUES source")
+        raise UnsupportedCHSQL("INSERT INTO needs a SELECT, WITH, or VALUES source")  # no-golden: run-path (split_ch_insert) -- pytest test_insert_parser_refusals
     lead = tokens[i].lower()
     rest = "".join(tokens[i:])
     if lead in ("select", "with"):
@@ -5642,12 +5649,12 @@ def split_ch_insert(sql: str) -> tuple[str, list[str] | None, str] | None:
         alias = f" AS _ins({', '.join(cols)})" if cols else ""
         return target, cols, f"SELECT * FROM VALUES {tail}{alias}"
     if lead == "format":
-        raise UnsupportedCHSQL(
+        raise UnsupportedCHSQL(  # no-golden: run-path (split_ch_insert) -- pytest test_insert_parser_refusals
             "INSERT … FORMAT ships data out-of-band — use "
             "sources/clickhouse_http.py write_table_http (the same wire, "
             "JSONEachRow/Parquet both directions)"
         )
-    raise UnsupportedCHSQL(f"INSERT source {lead!r} not supported")
+    raise UnsupportedCHSQL(f"INSERT source {lead!r} not supported")  # no-golden: run-path (split_ch_insert) -- pytest test_insert_parser_refusals
 
 
 def _list_data_files(spark, path: str) -> set[str]:
@@ -5694,7 +5701,7 @@ def run_ch_insert(spark, sql: str, dest_root: str, sf_dir: str | None = None):
     the concurrent-safe path)."""
     parsed = split_ch_insert(sql)
     if parsed is None:
-        raise UnsupportedCHSQL("not an INSERT statement — use run_ch_sql")
+        raise UnsupportedCHSQL("not an INSERT statement — use run_ch_sql")  # no-golden: run-path (run_ch_insert on a non-INSERT; split returns None -- pytest test_insert_parser_refusals)
     target, cols, source_sql = parsed
     translated = translate_ch_sql(source_sql)
     if sf_dir is not None:
@@ -5708,7 +5715,7 @@ def run_ch_insert(spark, sql: str, dest_root: str, sf_dir: str | None = None):
     df = spark.sql(translated)
     if cols:
         if len(cols) != len(df.columns):
-            raise UnsupportedCHSQL(
+            raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_insert column-list mismatch, session-only)
                 f"INSERT column list has {len(cols)} names but the source "
                 f"produces {len(df.columns)} columns"
             )

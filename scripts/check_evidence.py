@@ -198,6 +198,23 @@ def main() -> int:
         return 1
     n_rows = committed.count("| `")
     print(f"refusal inventory synced: {n_rows} golden-verified refusals")
+
+    # refusal-SITE coverage (round-11 verdict #6): every raise site in
+    # ch_sql.py must be reached by a golden or carry an explicit
+    # `# no-golden: <reason>` marker (unreachable-by-construction guards
+    # and run-path sites backed by named pytests).
+    import audit_refusals
+
+    orphans, n_sites, covered, allowed = audit_refusals.audit()
+    if orphans:
+        print(f"STALE EVIDENCE: {len(orphans)} refusal sites have neither "
+              "a golden nor a '# no-golden:' marker — run "
+              "python scripts/audit_refusals.py")
+        for lineno, text in orphans[:10]:
+            print(f"  ch_sql.py:{lineno}  {text[:80]}")
+        return 1
+    print(f"refusal sites audited: {n_sites} total = {covered} "
+          f"golden-covered + {allowed} allowlisted")
     return 0
 
 

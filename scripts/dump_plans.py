@@ -137,6 +137,13 @@ SHOW = [
     # final anti-join both map-side), corpus-side exchanges limited to the
     # gram distinct + the hit aggregation
     "text_decontamination_bloom_retained",
+    # round-12: count(DISTINCT shared-value) riding the combinator
+    # restructure (two-level HashAggregate, no Expand), ROLLUP … WITH
+    # TOTALS deduping into native Expand, and the TOTALS+LIMIT two-branch
+    # union (LIMITed plain rows + unlimited totals aggregate)
+    "chsql_topk_with_uniq",
+    "chsql_rollup_with_totals",
+    "chsql_totals_limit",
 ]
 
 HEADER = """# Physical plans — headline queries at sf0.1

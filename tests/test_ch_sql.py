@@ -937,6 +937,22 @@ def test_with_fill_to_below_max_fails_loudly(spark, fill_view):
         ("SELECT k FROM fill_t ORDER BY k WITH FILL LIMIT 3", "limit"),
         ("SELECT k FROM fill_t ORDER BY k + 1 WITH FILL", "bare"),
         ("SELECT k FROM fill_t ORDER BY k WITH FILL FROM x", "literal"),
+        # round-12 site audit: the remaining parse/expansion shapes
+        ("SELECT k FROM fill_t ORDER BY k WITH FILL STEP INTERVAL x DAY",
+         "INTERVAL <n> <unit>"),
+        ("SELECT k FROM fill_t ORDER BY k WITH FILL STEP x",
+         "numeric literal"),
+        ("SELECT k, s FROM fill_t ORDER BY k WITH FILL INTERPOLATE s",
+         "parenthesized"),
+        ("SELECT k FROM fill_t ORDER BY k WITH FILL XYZ", "unexpected"),
+        ("SELECT k FROM fill_t ORDER BY k WITH FILL STEP INTERVAL 1 DAY",
+         "numeric key"),
+        ("SELECT k FROM fill_t ORDER BY k WITH FILL STEP 1.5",
+         "fractional"),
+        ("SELECT k, s FROM fill_t ORDER BY k WITH FILL INTERPOLATE (zz)",
+         "not output"),
+        ("SELECT k, s FROM fill_t ORDER BY k WITH FILL INTERPOLATE (k)",
+         "fill key itself"),
     ],
 )
 def test_with_fill_refusals(spark, fill_view, ch: str, needle: str):
@@ -2804,6 +2820,219 @@ def test_any_join_refusals(ch: str, needle: str):
     with pytest.raises(UnsupportedCHSQL) as exc:
         translate_ch_sql(ch)
     assert needle.lower() in str(exc.value).lower()
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        # ---- round-12 refusal-SITE coverage (verdict #6): every
+        # reachable UnsupportedCHSQL raise site in ch_sql.py carries a
+        # golden here or in a sibling suite; scripts/audit_refusals.py
+        # instruments the constructor and fails the evidence gate when a
+        # site has neither a golden nor a `# no-golden:` marker.
+        # tokenizer / bracket structure (the paren case reaches
+        # _find_close through the ANY JOIN subquery scan — the plain
+        # call-emit path treats an unclosed call as a non-call and
+        # streams it through to Spark's own parser)
+        ("SELECT * FROM t ANY LEFT JOIN (SELECT k FROM u ORDER BY o",
+         "unbalanced parentheses"),
+        ("SELECT a[1 FROM t", "unbalanced brackets"),
+        ("SELECT a]1 FROM t", "unbalanced brackets"),
+        # scalar-function argument shapes
+        ("SELECT formatDateTime(d, '%J') FROM t", "not mapped"),
+        ("SELECT formatDateTime(d, f) FROM t", "literal format"),
+        ("SELECT JSONExtractString(j, k) FROM t", "literal key"),
+        ("SELECT arrayFilter(x -> x > 0, a, b) FROM t", "(x, y)"),
+        ("SELECT arrayFold((acc, x) -> acc + x, a, b, 0) FROM t",
+         "arrays_zip"),
+        ("SELECT trunc(x, 1, 2) FROM t", "trunc takes"),
+        ("SELECT arrayConcat() FROM t", "at least one array"),
+        ("SELECT tuple() FROM t", "at least one element"),
+        ("SELECT tupleElement(tp) FROM t", "tuple, index|name"),
+        ("SELECT multiIf(a, b) FROM t", "cond/value pairs"),
+        ("SELECT replaceRegexpOne(s, '(', 'x') FROM t", "does not compile"),
+        (r"SELECT replaceRegexpOne(s, '(a)\1', 'x') FROM t",
+         "backreference"),
+        ("SELECT extract(s, '(') FROM t", "does not compile"),
+        ("SELECT dateDiff('day', a) FROM t", "3-arg form"),
+        ("SELECT dateDiff('fortnight', a, b) FROM t", "not mapped"),
+        ("SELECT dateDiff('day', a, b, 'UTC') FROM t", "timezone"),
+        ("SELECT age('day', a) FROM t", "'unit', start, end"),
+        ("SELECT age('fortnight', a, b) FROM t", "not mapped"),
+        ("SELECT arrayReduce('sum') FROM t", "'agg', array"),
+        ("SELECT arrayReduce(f, a) FROM t", "literal aggregate name"),
+        ("SELECT arrayReduce('sum', a, b) FROM t", "arrays_zip"),
+        ("SELECT toStartOfInterval(ts, x) FROM t", "literal INTERVAL"),
+        ("SELECT toStartOfWeek(d, 0) FROM t", "Sunday modes"),
+        ("SELECT * FROM numbers(1, 2, 3)", "numbers takes"),
+        ("SELECT arrayStringConcat() FROM t", "arity mismatch"),
+        # exact-count combinators (expression form, forced via fallback)
+        ("SELECT g, entropy(a, b) FROM t GROUP BY g", "exactly 1 argument"),
+        ("SELECT g, uniqUpTo('x')(v) FROM t GROUP BY g", "integer literal"),
+        ("SELECT g, uniqUpTo(3)(a, b) FROM t GROUP BY g",
+         "exactly 1 argument"),
+        ("SELECT g, anyHeavy(a, b) FROM t GROUP BY g", "exactly 1 argument"),
+        ("SELECT g, topK(3)(a, b) FROM t GROUP BY g", "exactly 1 argument"),
+        ("SELECT g, topKWeighted(0)(v, w) FROM t GROUP BY g",
+         "positive integer literal"),
+        ("SELECT g, topKWeighted(3)(v) FROM t GROUP BY g", "(x, weight)"),
+        # system tables / statements
+        ("SELECT * FROM system.columns", "not emulated"),
+        ("SHOW CREATE TABLE t", "schema reflection"),
+        # ANY JOIN shape errors
+        ("SELECT * FROM t ANY RIGHT JOIN u ON t.x = u.x",
+         "ch_any_left_join"),
+        ("SELECT * FROM t ANY INNER u ON t.x = u.x", "without a JOIN"),
+        ("SELECT * FROM t ANY LEFT JOIN (SELECT k, o FROM u ORDER BY o) "
+         "ON t.k = u.k", "needs an alias"),
+        ("SELECT * FROM t ANY LEFT JOIN (SELECT k, o FROM u ORDER BY o) "
+         "AS u USING k", "parenthesized column list"),
+        ("SELECT * FROM t ANY LEFT JOIN (SELECT k, o FROM u ORDER BY o) "
+         "AS u USING ()", "empty column list"),
+        ("SELECT * FROM t ANY LEFT JOIN (SELECT k, o FROM u ORDER BY o) "
+         "AS u WHERE 1", "ON or USING"),
+        ("SELECT * FROM t ANY LEFT JOIN (SELECT k, o FROM u ORDER BY o) "
+         "AS u ON t.a = t.b", "does not reference the right"),
+        ("SELECT * FROM t ANY LEFT JOIN (SELECT k FROM u ORDER BY o) "
+         "AS u ON t.k = u.k", "not projected"),
+        # LIMIT BY shapes
+        ("SELECT a FROM t ORDER BY a LIMIT 1 BY", "empty expression list"),
+        ("SELECT quantile(0.5)((SELECT a FROM t ORDER BY a LIMIT 1 BY a)) "
+         "FROM x", "inside function arguments"),
+        ("SELECT a FROM t ORDER BY 5 LIMIT 1 BY a", "out of range"),
+        ("SELECT a + 1 FROM t ORDER BY 1 LIMIT 1 BY a", "unaliased"),
+        # WITH clause shapes
+        ("WITH c AS (SELECT 1), 2 AS x SELECT x FROM c", "mixing"),
+        ("WITH 1 + 1 SELECT 2", "neither a CTE nor"),
+        # block-order aggregates (deltaSum / moving / running family)
+        ("SELECT deltaSum(v) FROM t ORDER BY max(ts)", "pre-aggregation"),
+        ("SELECT g, deltaSum(v) AS d FROM t WINDOW w AS (ORDER BY ts) "
+         "ORDER BY ts", "WINDOW/QUALIFY"),
+        ("SELECT deltaSum(v) AS d FROM t GROUP BY 9 ORDER BY ts",
+         "out of range"),
+        ("SELECT g, deltaSum(v) AS d FROM t GROUP BY g ORDER BY g",
+         "WITHIN each group"),
+        ("SELECT deltaSum(a, b) FROM t ORDER BY a", "exactly 1 argument"),
+        ("SELECT deltaSumTimestamp(v) FROM t ORDER BY v",
+         "(value, timestamp)"),
+        ("SELECT g, groupArrayMovingSum(a, b) AS m FROM t GROUP BY g "
+         "ORDER BY (g, a)", "exactly 1 argument"),
+        ("SELECT g, groupArrayMovingSum(v) AS m "
+         "FROM (SELECT * FROM t ORDER BY g, ts DESC) GROUP BY g",
+         "DESC pin"),
+        ("SELECT g, groupArrayMovingSum(0)(v) AS m "
+         "FROM (SELECT * FROM t ORDER BY g, ts) GROUP BY g",
+         "positive integer"),
+        ("SELECT groupArrayMovingAvg(a, b) FROM t ORDER BY a",
+         "exactly 1 argument"),
+        ("SELECT groupArrayMovingAvg(0)(v) FROM t ORDER BY v",
+         "positive integer"),
+        ("SELECT runningDifference(a, b) FROM t ORDER BY a",
+         "exactly 1 argument"),
+        ("SELECT neighbor(v, 1) FROM t ORDER BY v", "explicit default"),
+        ("SELECT neighbor(v) FROM t ORDER BY v", "(x, offset, default)"),
+        ("SELECT neighbor(v, x, 0) FROM t ORDER BY v", "integer literal"),
+        ("SELECT nonNegativeDerivative(v) FROM t ORDER BY v",
+         "(metric, timestamp"),
+        ("SELECT nonNegativeDerivative(v, ts, x) FROM t ORDER BY ts",
+         "INTERVAL n SECOND"),
+        ("SELECT runningAccumulate(sumState(v), g, x) FROM t ORDER BY v",
+         "aggState"),
+        ("SELECT runningAccumulate(sum(v)) FROM t ORDER BY v",
+         "-State aggregate"),
+        ("SELECT runningAccumulate(topKState(v)) FROM t ORDER BY v",
+         "no window twin"),
+        ("SELECT runningDifference(v) AS rd FROM t ORDER BY rd",
+         "running-function column"),
+        ("SELECT runningAccumulate(sumState(v)) FROM t ORDER BY 7",
+         "out of range"),
+        # pinned groupArray family (the pin forces the struct-sort path)
+        ("SELECT g, groupArray(v) AS ga "
+         "FROM (SELECT * FROM t ORDER BY ts DESC) GROUP BY g", "DESC pin"),
+        ("SELECT g, groupArray(a, b) AS ga "
+         "FROM (SELECT * FROM t ORDER BY ts) GROUP BY g",
+         "exactly 1 argument"),
+        ("SELECT g, groupArrayLast(v) AS ga "
+         "FROM (SELECT * FROM t ORDER BY ts) GROUP BY g", "max_size"),
+        ("SELECT g, groupArray(0)(v) AS ga "
+         "FROM (SELECT * FROM t ORDER BY ts) GROUP BY g",
+         "positive integer"),
+        ("SELECT g, groupArray(v) AS ga "
+         "FROM (SELECT * FROM t ORDER BY ts) GROUP BY 7", "out of range"),
+        # subquery-pin hoisting shapes
+        ("SELECT runningAccumulate(sumState(v)) "
+         "FROM (SELECT v AS a FROM t ORDER BY 9)", "out of range"),
+        ("SELECT runningAccumulate(sumState(v)) "
+         "FROM (SELECT v + 1 FROM t ORDER BY 1)", "unaliased"),
+        ("SELECT runningAccumulate(sumState(a)) "
+         "FROM (SELECT v AS a FROM t ORDER BY b)", "not projected"),
+        ("SELECT runningAccumulate(sumState(a)) "
+         "FROM (SELECT v AS a FROM t ORDER BY b + 1)", "not projected"),
+        # GROUP BY modifier shapes
+        ("SELECT a, *, count() FROM t GROUP BY a WITH CUBE",
+         "alias the grouping keys"),
+        ("SELECT count() AS c FROM t GROUP BY WITH TOTALS", "without keys"),
+        ("SELECT toYear(d) AS y FROM t GROUP BY 5 WITH ROLLUP",
+         "out of range"),
+        ("SELECT toString(b) AS bb, count() AS c FROM t "
+         "GROUP BY bb WITH TOTALS LIMIT 3 SETTINGS x = 1", "SETTINGS"),
+        ("SELECT toString(b), count() AS c FROM t "
+         "GROUP BY toString(b) WITH TOTALS LIMIT 3", "AS alias"),
+        ("SELECT b AS bb, count() AS c FROM t "
+         "GROUP BY bb WITH TOTALS LIMIT 3", "run_ch_sql"),
+        # INSERT lead-token pointer is covered elsewhere; the token-level
+        # insert parser sites are run-path (see `# no-golden:` markers)
+    ],
+)
+def test_arity_and_shape_refusals(ch: str, needle: str):
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        translate_ch_sql(ch)
+    assert needle.lower() in str(exc.value).lower()
+
+
+def test_insert_parser_refusals():
+    """Run-path refusal sites of the INSERT surface (split_ch_insert is
+    pure string parsing — no session). These back the `# no-golden:
+    run-path` markers the site audit accepts; the queries never reach
+    these sites through translate_ch_sql (the DML lead-token pointer
+    fires first there)."""
+    from clickhousemigrators3_spark.functions.ch_sql import split_ch_insert
+
+    cases = [
+        ("INSERT orders SELECT 1", "needs INTO"),
+        ("INSERT INTO (a, b) SELECT 1", "target table name"),
+        ("INSERT INTO orders", "SELECT, WITH, or VALUES"),
+        ("INSERT INTO orders FORMAT CSV", "out-of-band"),
+        ("INSERT INTO orders DROP TABLE x", "not supported"),
+    ]
+    for sql, needle in cases:
+        with pytest.raises(UnsupportedCHSQL) as exc:
+            split_ch_insert(sql)
+        assert needle.lower() in str(exc.value).lower(), sql
+    # non-INSERT statements return None (run_ch_insert raises the pointer)
+    assert split_ch_insert("SELECT 1") is None
+
+
+def test_group_modifier_complex_typed_key_refuses(spark):
+    """Run-path (typed probe mode): an array-typed grouping key has no
+    scalar ClickHouse default — the modifier bridge must refuse with the
+    cast/project hint instead of emitting an untypeable totals row. Backs
+    the `# no-golden: run-path` markers on the typed-mode raise sites."""
+    spark.createDataFrame(
+        [([1, 2], 5)], "ks array<int>, v int"
+    ).createOrReplaceTempView("gmk_t")
+    with pytest.raises(UnsupportedCHSQL, match="scalar default"):
+        run_ch_sql(
+            spark,
+            "SELECT ks AS k2, sum(v) AS sv FROM gmk_t "
+            "GROUP BY k2 WITH TOTALS",
+        )
+    with pytest.raises(UnsupportedCHSQL, match="scalar default"):
+        run_ch_sql(
+            spark,
+            "SELECT ks AS k2, sum(v) AS sv FROM gmk_t "
+            "GROUP BY k2 WITH TOTALS ORDER BY sv LIMIT 2",
+        )
 
 
 def test_any_join_advice_round11_edges(spark):
