@@ -3571,6 +3571,42 @@ def test_count_distinct_shared_value_sibling_decomposes(spark):
     plan = run_ch_sql(spark, q)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
 
+    # sum/avg/min/max(DISTINCT <shared value>) decompose the same way:
+    # one inner row per distinct value, so the same aggregate over _tv0
+    # (same function + input type → same output type as the fallback)
+    q2 = (
+        "SELECT g, topK(2)(v) AS t2, min(DISTINCT v) AS mn, "
+        "max(DISTINCT v) AS mx FROM cds_t GROUP BY g ORDER BY g"
+    )
+    assert "_tv0" in translate_ch_sql(q2)
+    rows2 = run_ch_sql(spark, q2).collect()
+    twin2 = run_ch_sql(spark, q2.replace(" ORDER BY g",
+                                         " HAVING count() > 0 ORDER BY g"))
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in twin2.collect()]
+    assert [(r.g, r.mn, r.mx) for r in rows2] == [
+        (1, "a", "b"), (2, "z", "z")
+    ]
+    # plain avg (non-DISTINCT) still forces the fallback: its decimal
+    # output type is not derivable through sum/count partials from text
+    q3 = "SELECT g, topK(2)(v) AS t2, avg(v) AS av FROM cds_t GROUP BY g"
+    assert "_tv0" not in translate_ch_sql(q3)
+    # DISTINCT over a different expression still falls back
+    q4 = ("SELECT g, topK(2)(v) AS t2, sum(DISTINCT w) AS sw "
+          "FROM cds_t GROUP BY g")
+    assert "_tv0" not in translate_ch_sql(q4)
+    # numeric shared value: exact distinct-aggregate values
+    spark.createDataFrame(
+        [(1, 3), (1, 3), (1, 7), (1, None), (2, 5)], "g int, v int"
+    ).createOrReplaceTempView("cds_n")
+    q5 = (
+        "SELECT g, topK(2)(v) AS t2, sum(DISTINCT v) AS sd, "
+        "avg(DISTINCT v) AS ad, count(DISTINCT v) AS cd "
+        "FROM cds_n GROUP BY g ORDER BY g"
+    )
+    assert "_tv0" in translate_ch_sql(q5)
+    got = [(r.g, r.sd, r.ad, r.cd) for r in run_ch_sql(spark, q5).collect()]
+    assert got == [(1, 10, 5.0, 2), (2, 5, 5.0, 1)]
+
 
 def test_bracket_grammar_formatting_fuzz():
     """Tokenizer robustness for the round-10 bracket pre-pass: random
