@@ -150,13 +150,21 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 3)
-    load_end = os.getloadavg()
     finished_at = time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime())
     # contention verdict over the WHOLE window, not just the start: the
     # round-11 driver bench started at load1=2.87 ("clean") but ended at
     # 8.75 — load arrived mid-run and inflated p50s ~8% while the
     # start-only gate stayed green. A run is contended if ambient load was
-    # high at either edge of the window.
+    # high at either edge of the window. The end stamp is sampled after
+    # stopping Spark and DRAINING for 60 s: the bench's own 32-thread
+    # bursts push the raw 1-min loadavg to ~6 on an idle machine (measured
+    # round 12), which would cry wolf — after e^-1 decay self-load reads
+    # ~2 while genuinely concurrent work stays elevated.
+    spark.stop()
+    print("# draining 60s before the end load stamp (self-load decay)",
+          file=sys.stderr)
+    time.sleep(60)
+    load_end = os.getloadavg()
     contended = max(load_start, load_end[0]) > 4
     print(
         json.dumps(
@@ -206,7 +214,6 @@ def main() -> int:
             }
         )
     )
-    spark.stop()
     return 0
 
 
