@@ -287,6 +287,10 @@ _RENAME = {
 _TEMPLATE = {
     "uniq": "count(DISTINCT {args})",
     "uniqexact": "count(DISTINCT {args})",
+    # ClickHouse aliases countDistinct → uniqExact (by default); Spark SQL
+    # has no function of that name, so an un-rewritten pass-through would
+    # fail analysis
+    "countdistinct": "count(DISTINCT {args})",
     "tostring": "CAST({0} AS STRING)",
     "toint8": "CAST({0} AS TINYINT)",
     "toint16": "CAST({0} AS SMALLINT)",
@@ -1901,6 +1905,8 @@ def _translate_tokens(tokens: list[str]) -> str:
             continue
         if low == "limit" and _limit_by_ahead(tokens, i):
             raise _LimitByMarker(i)  # handled by caller on the full list
+        if low == "limit" and _limit_ties_ahead(tokens, i):
+            raise _LimitTiesMarker(i)  # handled by caller on the full list
         if low == "fill" and prev_code == "with" and clause[-1] == "order":
             raise UnsupportedCHSQL(
                 "ORDER BY … WITH FILL needs the result schema for the "
@@ -2427,6 +2433,137 @@ class _LimitByMarker(Exception):
         self.idx = idx
 
 
+class _LimitTiesMarker(Exception):
+    """Raised by _translate_tokens on ``LIMIT n WITH TIES``; the caller
+    rewrites the owning SELECT through ``_rewrite_limit_ties`` and
+    retries."""
+
+    def __init__(self, idx: int):
+        self.idx = idx
+
+
+def _limit_ties_ahead(tokens: list[str], i: int) -> bool:
+    """LIMIT <n> WITH TIES, or LIMIT <o>, <n> WITH TIES (the offset form
+    is detected so the rewrite can refuse it with guidance instead of
+    streaming an un-parseable WITH TIES through to Spark)."""
+    j = _next_code(tokens, i + 1)
+    if j >= len(tokens) or not tokens[j][0].isdigit():
+        return False
+    k = _next_code(tokens, j + 1)
+    if k < len(tokens) and tokens[k] == ",":
+        j2 = _next_code(tokens, k + 1)
+        if j2 >= len(tokens) or not tokens[j2][0].isdigit():
+            return False
+        k = _next_code(tokens, j2 + 1)
+    return (
+        k < len(tokens)
+        and tokens[k].lower() == "with"
+        and _next_word_is(tokens, k, "ties")
+    )
+
+
+def _rewrite_limit_ties(tokens: list[str], idx: int) -> list[str]:
+    """Rewrite ClickHouse's ``LIMIT n WITH TIES`` into the rank() window
+    it stands for (Spark has no WITH TIES)::
+
+        SELECT … ORDER BY o LIMIT n WITH TIES
+        →
+        SELECT * EXCEPT (__ch_ties_rk) FROM (
+            SELECT *, rank() OVER (ORDER BY o) AS __ch_ties_rk
+            FROM ( <query without ORDER BY / LIMIT> ) AS __ch_wt
+        ) WHERE __ch_ties_rk <= n ORDER BY o
+
+    rank() assigns every row tied with the n-th row a rank ≤ n, which is
+    exactly the WITH TIES contract (first n rows plus all rows equal to
+    the last one on the ORDER BY fields).
+
+    Refusals (same divergence discipline as LIMIT BY): no ORDER BY (no
+    tie definition), the offset form (ClickHouse's offset+ties fill needs
+    the post-ties row stream), and directly before UNION (the rewrite's
+    trailing ORDER BY cannot sit before UNION in Spark's grammar).
+
+    Scale note: the rank() window is single-partition (a global top-n
+    with ties IS a global order); Spark plans one ranged sort — same
+    topology as ClickHouse's single-stream LIMIT WITH TIES fill. Bound n
+    or pre-filter for very large inputs.
+    """
+    n = len(tokens)
+    if idx >= n or tokens[idx].lower() != "limit" or not _limit_ties_ahead(
+        tokens, idx
+    ):
+        # marker escaped a recursive arg-slice translation (mirror of the
+        # LIMIT BY guard)
+        raise UnsupportedCHSQL(
+            "LIMIT n WITH TIES inside function arguments is not supported"
+        )
+    j = _next_code(tokens, idx + 1)
+    k = _next_code(tokens, j + 1)
+    if tokens[k] == ",":
+        raise UnsupportedCHSQL(
+            "LIMIT offset, n WITH TIES is not mapped — apply the offset "
+            "in an outer SELECT over the ties-bounded result"
+        )
+    n_sql = tokens[j]
+    ties_word = _next_code(tokens, k + 1)  # the TIES token
+    ties_end = ties_word + 1
+    # owning SELECT: nearest depth-0 `select` scanning backward
+    sel_idx = None
+    depth = 0
+    for p in range(idx - 1, -1, -1):
+        t = tokens[p]
+        if t == ")":
+            depth += 1
+        elif t == "(":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and t.lower() == "select":
+            sel_idx = p
+            break
+    if sel_idx is None:
+        raise UnsupportedCHSQL("LIMIT n WITH TIES without an owning SELECT")  # no-golden: unreachable: the marker is raised inside an owning SELECT
+    # ORDER BY inside [sel_idx, idx): required — it DEFINES the ties
+    order_idx = None
+    depth = 0
+    for p in range(sel_idx + 1, idx):
+        t = tokens[p]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and t.lower() == "order"
+            and _next_word_is(tokens, p, "by")
+        ):
+            order_idx = p
+    if order_idx is None:
+        raise UnsupportedCHSQL(
+            "LIMIT n WITH TIES without ORDER BY has no tie definition — "
+            "add an ORDER BY naming the tie columns"
+        )
+    # a depth-0 UNION right after TIES cannot take the trailing ORDER BY
+    nxt = _next_code(tokens, ties_end)
+    if nxt < n and tokens[nxt].lower() == "union":
+        raise UnsupportedCHSQL(
+            "LIMIT n WITH TIES directly before UNION is not mapped — wrap "
+            "the branch in parentheses: (SELECT … LIMIT n WITH TIES) "
+            "UNION ALL …"
+        )
+    ord_start = _next_code(tokens, order_idx + 1) + 1  # past the BY word
+    inner_sql = "".join(tokens[sel_idx:order_idx]).strip()
+    ord_sql = _resolve_ordinal_keys(
+        "".join(tokens[ord_start:idx]).strip(), tokens, sel_idx
+    )
+    new_sql = (
+        f"SELECT * EXCEPT (__ch_ties_rk) FROM ("
+        f"SELECT *, rank() OVER (ORDER BY {ord_sql}) AS __ch_ties_rk "
+        f"FROM ({inner_sql}) AS __ch_wt"
+        f") WHERE __ch_ties_rk <= {n_sql} ORDER BY {ord_sql}"
+    )
+    return tokens[:sel_idx] + _tokenize(new_sql) + [" "] + tokens[ties_end:]
+
+
 def _rewrite_limit_by(tokens: list[str], idx: int) -> list[str]:
     """Rewrite ClickHouse's ``LIMIT n BY`` sugar into the window form it
     stands for::
@@ -2932,6 +3069,8 @@ def _translate_impl(
             tokens = _merge_prewhere(tokens, m.idx)
         except _LimitByMarker as m:
             tokens = _rewrite_limit_by(tokens, m.idx)
+        except _LimitTiesMarker as m:
+            tokens = _rewrite_limit_ties(tokens, m.idx)
     raise UnsupportedCHSQL("too many PREWHERE / LIMIT BY rewrites")  # no-golden: defensive loop bound
 
 
@@ -3789,10 +3928,11 @@ def _cc_sibling_expr(low, args, params, val_norm, measures):
                 if low in ("sum", "avg", "min", "max"):
                     return f"{low}(_tv0)"
         return None
-    if low in ("uniq", "uniqexact"):
+    if low in ("uniq", "uniqexact", "countdistinct"):
         # exact distinct count of the SHARED value expression: one row per
         # (keys, value) survives the inner level, so a plain conditional
-        # count is the distinct count
+        # count is the distinct count (countDistinct is ClickHouse's
+        # uniqExact alias)
         if len(args) != 1 or _norm_key(args[0]) != val_norm:
             return None
         m = measures.add(f"count(({args[0].strip()}))")
@@ -3842,7 +3982,7 @@ def _cc_rebuild_item(item, val_norm, measures, allowed_idents):
         t = toks[i]
         low = t.lower() if t and (t[0].isalpha() or t[0] == "_") else None
         if low in _COUNT_COMBINATORS or low in _CC_SIBLINGS \
-                or low in ("uniq", "uniqexact", "avg"):
+                or low in ("uniq", "uniqexact", "countdistinct", "avg"):
             # plain avg still returns None from _cc_sibling_expr (its
             # decimal output type is not derivable through sum/count
             # partials from text) — only avg(DISTINCT <shared value>)

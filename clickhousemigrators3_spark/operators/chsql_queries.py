@@ -1698,6 +1698,28 @@ _ch(
     ("orders",),
 )
 
+# chsql_limit_with_ties (round 12): LIMIT n WITH TIES → rank()-bounded
+# window (first n rows plus every row tied with the n-th on the ORDER BY
+# fields). Ties on the low-cardinality status column make the kept SET
+# deterministic even though the row order inside a tie group is not.
+_ch(
+    "chsql_limit_with_ties",
+    """
+    SELECT o_orderstatus AS st, o_orderpriority AS pri
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY st LIMIT 5 WITH TIES
+    """,
+    """
+    SELECT st, pri FROM (
+      SELECT o_orderstatus AS st, o_orderpriority AS pri,
+             rank() OVER (ORDER BY o_orderstatus) AS r
+      FROM orders WHERE o_orderkey < 2000)
+    WHERE r <= 5 ORDER BY st
+    """,
+    ("orders",),
+)
+
 # chsql_totals_bucket: WITH TOTALS → GROUPING SETS ((keys), ()) — the
 # plain GROUP BY rows plus ONE totals row whose key carries the type
 # default (0 — colliding with the real bucket 0, as in ClickHouse).

@@ -2899,6 +2899,15 @@ def test_any_join_refusals(ch: str, needle: str):
         ("SELECT a FROM t ORDER BY a LIMIT 1 BY", "empty expression list"),
         ("SELECT quantile(0.5)((SELECT a FROM t ORDER BY a LIMIT 1 BY a)) "
          "FROM x", "inside function arguments"),
+        # LIMIT n WITH TIES translates (rank()-bounded window) — refused
+        # boundary shapes:
+        ("SELECT a FROM t LIMIT 2 WITH TIES", "no tie definition"),
+        ("SELECT a FROM t ORDER BY a LIMIT 1, 2 WITH TIES",
+         "offset, n WITH TIES"),
+        ("SELECT a FROM t ORDER BY a LIMIT 2 WITH TIES "
+         "UNION ALL SELECT b FROM u", "parenthes"),
+        ("SELECT quantile(0.5)((SELECT a FROM t ORDER BY a "
+         "LIMIT 1 WITH TIES)) FROM x", "inside function arguments"),
         ("SELECT a FROM t ORDER BY 5 LIMIT 1 BY a", "out of range"),
         ("SELECT a + 1 FROM t ORDER BY 1 LIMIT 1 BY a", "unaliased"),
         # WITH clause shapes
@@ -2988,6 +2997,43 @@ def test_arity_and_shape_refusals(ch: str, needle: str):
     with pytest.raises(UnsupportedCHSQL) as exc:
         translate_ch_sql(ch)
     assert needle.lower() in str(exc.value).lower()
+
+
+def test_limit_with_ties_executed(spark):
+    """LIMIT n WITH TIES keeps the first n rows PLUS every row tied with
+    the n-th on the ORDER BY fields — the rank()-window rewrite's
+    contract, executed. Works in subqueries too, and countDistinct (the
+    ClickHouse uniqExact alias Spark has no function for) translates."""
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (2, "d"), (3, "e")],
+        "k int, v string",
+    ).createOrReplaceTempView("wt_t")
+    rows = run_ch_sql(
+        spark, "SELECT k, v FROM wt_t ORDER BY k LIMIT 3 WITH TIES"
+    ).collect()
+    # rank of both k=2 rows is 3 → both kept; k=3 (rank 5) dropped
+    assert sorted((r.k, r.v) for r in rows) == [
+        (1, "a"), (1, "b"), (2, "c"), (2, "d")
+    ]
+    rows = run_ch_sql(
+        spark, "SELECT k, v FROM wt_t ORDER BY k LIMIT 2 WITH TIES"
+    ).collect()
+    assert sorted((r.k, r.v) for r in rows) == [(1, "a"), (1, "b")]
+    rows = run_ch_sql(
+        spark,
+        "SELECT count() AS c FROM "
+        "(SELECT k FROM wt_t ORDER BY k LIMIT 3 WITH TIES)",
+    ).collect()
+    assert rows[0].c == 4
+    # countDistinct → count(DISTINCT …), incl. through the restructure
+    t = translate_ch_sql("SELECT countDistinct(v) AS u FROM t GROUP BY g")
+    assert "count(DISTINCT v)" in t
+    q = ("SELECT k, topK(2)(v) AS t2, countDistinct(v) AS cd "
+         "FROM wt_t GROUP BY k ORDER BY k")
+    assert "_tv0" in translate_ch_sql(q)
+    assert [(r.k, r.cd) for r in run_ch_sql(spark, q).collect()] == [
+        (1, 2), (2, 2), (3, 1)
+    ]
 
 
 def test_insert_parser_refusals():
