@@ -624,6 +624,11 @@ _UNSUPPORTED_FUNCS = {
         "best-effort multi-format parsing has no Spark twin — "
         "to_timestamp with an explicit format (parseDateTime IS mapped)"
     ),
+    "untuple": (
+        "untuple() widens one expression into several output columns, "
+        "which a string rewrite cannot name — select the fields "
+        "explicitly: tupleElement(t, 1), tupleElement(t, 2), …"
+    ),
     "ngramdistance": "operators/textops.py text_ngram_distance_probe",
     "deltasum": (
         "block-order dependent without an ORDER BY — add a pinning "
@@ -1907,6 +1912,28 @@ def _translate_tokens(tokens: list[str]) -> str:
             raise _LimitByMarker(i)  # handled by caller on the full list
         if low == "limit" and _limit_ties_ahead(tokens, i):
             raise _LimitTiesMarker(i)  # handled by caller on the full list
+        if t == "?":
+            # ClickHouse's ternary — Spark has no ?: operator, and the
+            # pass-through would die on a bare parse error
+            raise UnsupportedCHSQL(
+                "the cond ? a : b ternary operator is not translated — "
+                "spell it if(cond, a, b)"
+            )
+        if (
+            low in ("apply", "replace", "columns")
+            and clause[-1] == "select"
+            and _next_code_word(tokens, i) == "("
+            and (low == "columns" or prev_code in ("*", ")"))
+        ):
+            # SELECT * APPLY(f) / * REPLACE(e AS c) / COLUMNS('re') are
+            # schema-driven column matchers — the string translator cannot
+            # know the column set, and the pass-through dies on a bare
+            # Spark parse/resolution error
+            raise UnsupportedCHSQL(
+                f"the {low.upper()} column matcher is not translated — "
+                "spell the matched columns explicitly (the schema is not "
+                "visible to the string rewrite)"
+            )
         if low == "fill" and prev_code == "with" and clause[-1] == "order":
             raise UnsupportedCHSQL(
                 "ORDER BY … WITH FILL needs the result schema for the "
@@ -2431,6 +2458,206 @@ class _LimitByMarker(Exception):
 
     def __init__(self, idx: int):
         self.idx = idx
+
+
+# ``expr::Type`` cast-operator type names → the equivalent ClickHouse cast
+# FUNCTION the emit path already maps (same width/sign semantics as the
+# toX templates; Nullable/LowCardinality wrappers unwrap — every Spark
+# column is nullable and LowCardinality is an encoding hint)
+# structural keywords that can precede a paren group without being its
+# call name — the ``::`` operand scan must stop at them
+_COLON_STOP_KEYWORDS = frozenset({
+    "select", "from", "where", "when", "then", "else", "end", "and", "or",
+    "not", "on", "using", "by", "group", "order", "having", "limit",
+    "union", "all", "distinct", "as", "in", "like", "ilike", "rlike",
+    "between", "case", "join", "left", "right", "inner", "outer", "full",
+    "cross", "is", "over", "partition", "interval", "prewhere", "with",
+})
+
+_COLON_CAST_FUNCS = {
+    "int8": "toInt8", "int16": "toInt16", "int32": "toInt32",
+    "int64": "toInt64", "uint8": "toUInt8", "uint16": "toUInt16",
+    "uint32": "toUInt32", "uint64": "toUInt64", "float32": "toFloat32",
+    "float64": "toFloat64", "string": "toString", "date": "toDate",
+    "datetime": "toDateTime", "datetime64": "toDateTime64",
+}
+
+
+def _rewrite_colon_casts(tokens: list[str]) -> list[str]:
+    """Rewrite ClickHouse's ``expr::Type`` cast operator into the
+    equivalent ``toType(expr)`` call (which the emit path already maps) —
+    Spark's ``::`` exists but takes SPARK type names, so ``a::Int64``
+    would otherwise fail analysis with UNSUPPORTED_DATATYPE. ``::``
+    binds one primary expression to its left: an identifier/literal, a
+    dotted chain, or a balanced paren group with an optional call name.
+    ``Decimal(p, s)`` casts directly; ``Nullable(T)``/``LowCardinality(T)``
+    unwrap. Unknown type names refuse with the CAST rewrite hint."""
+    out = list(tokens)
+    i = len(out) - 1
+    while i > 0:
+        if not (out[i] == ":" and out[i - 1] == ":"):
+            i -= 1
+            continue
+        colon = i - 1
+        # --- type spec to the right ------------------------------------
+        ty = _next_code(out, i + 1)
+        if ty >= len(out) or not (
+            out[ty][0].isalpha() or out[ty][0] == "_"
+        ):
+            raise UnsupportedCHSQL(
+                "':: ' cast needs a type name — or use CAST(x AS <type>)"
+            )
+        name = out[ty]
+        ty_end = ty + 1
+        args: list[str] = []
+        nxt = _next_code(out, ty + 1)
+        if nxt < len(out) and out[nxt] == "(":
+            close = _find_close(out, nxt)
+            args = [
+                "".join(a).strip() for a in _split_args(out[nxt + 1 : close])
+            ]
+            ty_end = close + 1
+        low = name.lower()
+        if low in ("nullable", "lowcardinality") and len(args) == 1:
+            inner = args[0]
+            m = re.match(r"^(\w+)\s*(?:\((.*)\))?$", inner)
+            if not m:
+                raise UnsupportedCHSQL(
+                    f"'::{name}({inner})' cast is not mapped — use "
+                    "CAST(x AS <type>)"
+                )
+            low = m.group(1).lower()
+            args = [a.strip() for a in (m.group(2) or "").split(",") if a.strip()]
+        if low == "decimal" and len(args) == 2 and all(
+            a.isdigit() for a in args
+        ):
+            cast_tail = f"CAST(__X__ AS DECIMAL({args[0]}, {args[1]}))"
+        elif low in _COLON_CAST_FUNCS and not args:
+            cast_tail = f"{_COLON_CAST_FUNCS[low]}(__X__)"
+        else:
+            raise UnsupportedCHSQL(
+                f"'::{name}' cast is not mapped — use CAST(x AS <type>) "
+                "or a toType() function"
+            )
+        # --- one primary expression to the left -------------------------
+        end = colon  # exclusive
+        p = colon - 1
+        while p >= 0 and _is_ws(out[p]):
+            p -= 1
+        if p < 0:
+            raise UnsupportedCHSQL("'::' cast without a left operand")
+        start = None
+        if out[p] == ")":
+            depth = 0
+            for q in range(p, -1, -1):
+                if out[q] == ")":
+                    depth += 1
+                elif out[q] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        start = q
+                        # include a call name before the paren group — but
+                        # never a structural keyword ((a + b)::Float64 in
+                        # a select list must not swallow SELECT)
+                        r = q - 1
+                        while r >= 0 and _is_ws(out[r]):
+                            r -= 1
+                        if r >= 0 and out[r] and (
+                            out[r][0].isalpha() or out[r][0] == "_"
+                        ) and out[r].lower() not in _COLON_STOP_KEYWORDS:
+                            start = r
+                        break
+            if start is None:
+                raise UnsupportedCHSQL(
+                    "unbalanced parentheses before '::' cast"
+                )
+        elif (
+            out[p][0].isalnum() or out[p][0] in ("_", "'", '"', "`")
+        ) and out[p].lower() not in _COLON_STOP_KEYWORDS:
+            start = p
+            # dotted chain t.a / db.t.a
+            while start >= 2 and out[start - 1] == "." and (
+                out[start - 2][0].isalnum() or out[start - 2][0] in ("_", "`")
+            ):
+                start -= 2
+        else:
+            raise UnsupportedCHSQL(
+                "'::' cast needs an identifier, literal, or parenthesized "
+                "expression on its left — or use CAST(x AS <type>)"
+            )
+        operand = "".join(out[start:end]).strip()
+        out = (
+            out[:start]
+            + _tokenize(cast_tail.replace("__X__", operand))
+            + out[ty_end:]
+        )
+        i = min(start, len(out) - 1)
+    return out
+
+
+def _rewrite_offset_fetch(tokens: list[str]) -> list[str]:
+    """Map the ANSI forms ClickHouse accepts to Spark's grammar:
+    ``OFFSET n ROW[S]`` → ``OFFSET n`` and ``FETCH FIRST|NEXT n ROW[S]
+    ONLY|WITH TIES`` → ``LIMIT n [WITH TIES]`` (the ties form then rides
+    the LIMIT WITH TIES window rewrite). Shape-gated: a column merely
+    named ``offset``/``fetch`` never matches the full keyword pattern."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        low = out[i].lower() if out[i] else ""
+        if low == "offset":
+            j = _next_code(out, i + 1)
+            if j < len(out) and out[j][0].isdigit():
+                k = _next_code(out, j + 1)
+                if k < len(out) and out[k].lower() in ("row", "rows"):
+                    del out[j + 1 : k + 1]
+        elif low == "fetch":
+            j = _next_code(out, i + 1)
+            if j < len(out) and out[j].lower() in ("first", "next"):
+                n_i = _next_code(out, j + 1)
+                if n_i < len(out) and out[n_i][0].isdigit():
+                    r_i = _next_code(out, n_i + 1)
+                    if r_i < len(out) and out[r_i].lower() in ("row", "rows"):
+                        t_i = _next_code(out, r_i + 1)
+                        # a preceding OFFSET m must move AFTER the LIMIT:
+                        # Spark's grammar is LIMIT n OFFSET m
+                        start, off = i, None
+                        p = i - 1
+                        while p >= 0 and _is_ws(out[p]):
+                            p -= 1
+                        if p >= 1 and out[p][0].isdigit():
+                            q = p - 1
+                            while q >= 0 and _is_ws(out[q]):
+                                q -= 1
+                            if q >= 0 and out[q].lower() == "offset":
+                                start, off = q, out[p]
+                        if t_i < len(out) and out[t_i].lower() == "only":
+                            tail = f" OFFSET {off}" if off else ""
+                            out = (
+                                out[:start]
+                                + _tokenize(f"LIMIT {out[n_i]}{tail}")
+                                + out[t_i + 1 :]
+                            )
+                        elif (
+                            t_i < len(out)
+                            and out[t_i].lower() == "with"
+                            and _next_word_is(out, t_i, "ties")
+                        ):
+                            if off is not None:
+                                raise UnsupportedCHSQL(
+                                    "OFFSET … FETCH … WITH TIES is not "
+                                    "mapped — apply the offset in an "
+                                    "outer SELECT over the ties-bounded "
+                                    "result"
+                                )
+                            ties_i = _next_code(out, t_i + 1)
+                            out = (
+                                out[:i]
+                                + _tokenize(f"LIMIT {out[n_i]} WITH TIES")
+                                + out[ties_i + 1 :]
+                            )
+        i += 1
+    return out
 
 
 class _LimitTiesMarker(Exception):
@@ -3052,6 +3279,8 @@ def _translate_impl(
             "engine/partition-key columns of the emulated system.tables"
         )
     tokens = _rewrite_array_literals(tokens)
+    tokens = _rewrite_colon_casts(tokens)
+    tokens = _rewrite_offset_fetch(tokens)
     tokens = _expand_with_macros(tokens)
     tokens = _rewrite_group_modifiers(tokens, gm_mode, gm_types)
     tokens = _rewrite_running_funcs(tokens)

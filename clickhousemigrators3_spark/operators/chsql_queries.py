@@ -1720,6 +1720,29 @@ _ch(
     ("orders",),
 )
 
+# chsql_colon_cast_offset_fetch (round 12): the ``::Type`` cast operator
+# and the ANSI OFFSET/FETCH forms ClickHouse accepts, over an ordered
+# unique key so the page is deterministic.
+_ch(
+    "chsql_colon_cast_offset_fetch",
+    """
+    SELECT o_orderkey::String AS k, o_totalprice::Int64 AS p
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    OFFSET 2 ROWS FETCH NEXT 5 ROWS ONLY
+    """,
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS k,
+           CAST(trunc(o_totalprice) AS BIGINT) AS p  -- CH toInt64 truncates
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    LIMIT 5 OFFSET 2
+    """,
+    ("orders",),
+)
+
 # chsql_totals_bucket: WITH TOTALS → GROUPING SETS ((keys), ()) — the
 # plain GROUP BY rows plus ONE totals row whose key carries the type
 # default (0 — colliding with the real bucket 0, as in ClickHouse).

@@ -2908,6 +2908,23 @@ def test_any_join_refusals(ch: str, needle: str):
          "UNION ALL SELECT b FROM u", "parenthes"),
         ("SELECT quantile(0.5)((SELECT a FROM t ORDER BY a "
          "LIMIT 1 WITH TIES)) FROM x", "inside function arguments"),
+        # round-12 stream-through closures: constructs that used to reach
+        # Spark's parser/analyzer raw now refuse with guidance
+        ("SELECT a ? b : 0 FROM t", "ternary"),
+        ("SELECT * APPLY (sum) FROM t", "column matcher"),
+        ("SELECT * EXCEPT (s) REPLACE (lower(s) AS s) FROM t",
+         "column matcher"),
+        ("SELECT COLUMNS('^a') FROM t", "column matcher"),
+        ("SELECT untuple(tuple(a, b)) FROM t", "tupleElement"),
+        ("SELECT a::FancyType FROM t", "CAST(x AS <type>)"),
+        ("SELECT a::Nullable(Array(Int64)) FROM t", "CAST(x AS <type>)"),
+        ("SELECT ::Int64 FROM t", "identifier, literal, or parenthesized"),
+        ("SELECT a::1 FROM t", "needs a type name"),
+        ("SELECT a::Nullable('x') FROM t", "not mapped"),
+        ("::Int64", "without a left operand"),
+        ("SELECT )::Int64 FROM t", "unbalanced parentheses before"),
+        ("SELECT a FROM t ORDER BY a OFFSET 1 ROW "
+         "FETCH NEXT 2 ROWS WITH TIES", "ties-bounded"),
         ("SELECT a FROM t ORDER BY 5 LIMIT 1 BY a", "out of range"),
         ("SELECT a + 1 FROM t ORDER BY 1 LIMIT 1 BY a", "unaliased"),
         # WITH clause shapes
@@ -3034,6 +3051,56 @@ def test_limit_with_ties_executed(spark):
     assert [(r.k, r.cd) for r in run_ch_sql(spark, q).collect()] == [
         (1, 2), (2, 2), (3, 1)
     ]
+
+
+def test_colon_cast_and_offset_fetch(spark):
+    """Round 12: ClickHouse's ``expr::Type`` cast operator maps to the
+    toType()/CAST path (Spark's own :: takes SPARK type names and failed
+    analysis), and the ANSI OFFSET n ROW / FETCH FIRST n ROWS ONLY|WITH
+    TIES forms map to OFFSET/LIMIT (the ties form rides the rank window
+    rewrite)."""
+    cases = [
+        ("SELECT a::Int64 FROM t", "CAST(a AS BIGINT)"),
+        ("SELECT f(b)::String FROM t", "CAST(f(b) AS STRING)"),
+        ("SELECT (a + b)::Float64 FROM t", "CAST((a + b) AS DOUBLE)"),
+        ("SELECT t.a::UInt8 FROM t", "CAST(t.a AS SMALLINT)"),
+        ("SELECT a::Nullable(Int64) FROM t", "CAST(a AS BIGINT)"),
+        ("SELECT a::LowCardinality(String) FROM t", "CAST(a AS STRING)"),
+        ("SELECT a::Decimal(10, 2) FROM t", "CAST(a AS DECIMAL(10, 2))"),
+        ("SELECT a FROM t ORDER BY a OFFSET 2 ROWS", "OFFSET 2"),
+        ("SELECT a FROM t ORDER BY a OFFSET 1 ROW "
+         "FETCH NEXT 3 ROWS ONLY", "LIMIT 3 OFFSET 1"),
+        ("SELECT a FROM t ORDER BY a FETCH FIRST 2 ROWS WITH TIES",
+         "__ch_ties_rk"),
+    ]
+    for ch, needle in cases:
+        t = " ".join(translate_ch_sql(ch).split())
+        assert needle in t, (ch, t)
+    # a column merely NAMED offset/fetch is untouched (shape-gated)
+    t = translate_ch_sql("SELECT offset, fetch FROM t WHERE offset > 1")
+    assert "offset, fetch" in t
+    spark.createDataFrame(
+        [(1, 2.7, "9")], "a int, f double, s string"
+    ).createOrReplaceTempView("cc_t")
+    r = run_ch_sql(
+        spark,
+        "SELECT a::String AS s2, f::Int64 AS i, s::UInt32 AS u, "
+        "(a + 1)::Float32 AS g FROM cc_t",
+    ).collect()[0]
+    assert (r.s2, r.i, r.u, r.g) == ("1", 2, 9, 2.0)
+    rows = run_ch_sql(
+        spark,
+        "SELECT a FROM (SELECT 1 AS a UNION ALL SELECT 1 "
+        "UNION ALL SELECT 2) ORDER BY a FETCH FIRST 1 ROWS WITH TIES",
+    ).collect()
+    assert [x.a for x in rows] == [1, 1]
+    rows = run_ch_sql(
+        spark,
+        "SELECT a FROM (SELECT 1 AS a UNION ALL SELECT 2 "
+        "UNION ALL SELECT 3) ORDER BY a OFFSET 1 ROW "
+        "FETCH NEXT 1 ROWS ONLY",
+    ).collect()
+    assert [x.a for x in rows] == [2]
 
 
 def test_insert_parser_refusals():
