@@ -1802,6 +1802,73 @@ def test_running_funcs_formatting_fuzz():
     check()
 
 
+def test_colon_cast_formatting_fuzz():
+    """Tokenizer robustness for the round-12 ``::`` cast rewrite: random
+    case, whitespace, operand shapes (identifier, dotted chain, literal,
+    call, paren group), and wrapper spellings must always produce the one
+    correct CAST over exactly the bound primary — and queries whose only
+    ':'s belong to other contexts are untouched."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    operands = st.sampled_from(
+        ["a", "t.a", "'5'", "f(b)", "(a + b)", "sum(v)"]
+    )
+    types = st.sampled_from(
+        [("Int64", "BIGINT"), ("int64", "BIGINT"), ("STRING", "STRING"),
+         ("Float32", "FLOAT"), ("Nullable(Int64)", "BIGINT"),
+         ("LowCardinality(String)", "STRING")]
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(op=operands, ty=types, ws=st.sampled_from(["", " ", "\n "]))
+    def check(op, ty, ws):
+        ch_ty, spark_ty = ty
+        sql = f"SELECT {op}{ws}::{ws}{ch_ty} AS c FROM t WHERE a > 1"
+        t = " ".join(translate_ch_sql(sql).split())
+        assert f"AS {spark_ty})" in t, t
+        # exactly the operand is bound — WHERE clause untouched
+        assert "WHERE a > 1" in t
+        assert "::" not in t
+
+    check()
+    # no '::' → untouched (a lone ':' can only be ternary, which refuses)
+    t = translate_ch_sql("SELECT a, b FROM t WHERE s = 'x::y'")
+    assert "'x::y'" in t  # string literals are single tokens, never split
+
+
+def test_offset_fetch_formatting_fuzz():
+    """The OFFSET/FETCH rewrite is shape-gated: random case/whitespace
+    over the full ANSI forms always maps, and columns merely named
+    offset/fetch never match."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        kw=st.sampled_from(["FIRST", "first", "NEXT", "next"]),
+        rows=st.sampled_from(["ROW", "ROWS", "row", "rows"]),
+        ws=st.sampled_from([" ", "  ", "\n"]),
+        n=st.integers(min_value=1, max_value=99),
+        off=st.integers(min_value=0, max_value=9),
+    )
+    def check(kw, rows, ws, n, off):
+        sql = (
+            f"SELECT a FROM t ORDER BY a{ws}OFFSET {off} {rows}"
+            f"{ws}FETCH {kw} {n} {rows} ONLY"
+        )
+        t = " ".join(translate_ch_sql(sql).split())
+        assert f"LIMIT {n} OFFSET {off}" in t, t
+        assert "fetch" not in t.lower() and " row" not in t.lower()
+
+    check()
+    # columns named offset / fetch stream through untouched
+    t = translate_ch_sql(
+        "SELECT offset, fetch FROM t WHERE offset > fetch ORDER BY offset"
+    )
+    assert "offset, fetch" in t and "LIMIT" not in t
+
+
 def test_split_lambda_fuzz():
     """_split_lambda (the arrayFilter two-array split) must find the
     TOP-LEVEL arrow only: arrows inside nested lambdas, parens, brackets,
