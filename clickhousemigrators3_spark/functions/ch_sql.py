@@ -433,6 +433,22 @@ _TEMPLATE = {
     "arrayenumerate": "sequence(1, size({0}))",
     "arraystringconcat": "array_join({0}, {1})",
     "arraysum": "aggregate({0}, 0.0D, (_acc, _x) -> _acc + CAST(_x AS DOUBLE))",
+    # -Array aggregate combinators: apply the aggregate to ALL elements
+    # across the group's arrays (sumArray = sum of per-row array sums;
+    # same DOUBLE convention as arraySum above)
+    "sumarray": (
+        "sum(aggregate({0}, 0.0D, (_acc, _x) -> _acc + CAST(_x AS DOUBLE)))"
+    ),
+    "countarray": "sum(size({0}))",
+    "minarray": "min(array_min({0}))",
+    "maxarray": "max(array_max({0}))",
+    "avgarray": (
+        "(sum(aggregate({0}, 0.0D, (_aa, _ax) -> _aa + CAST(_ax AS DOUBLE)))"
+        " / CAST(sum(size({0})) AS DOUBLE))"
+    ),
+    "grouparrayarray": "flatten(collect_list({0}))",
+    "materialize": "{0}",  # constant-folding hint: a no-op here
+    "bitcount": "bit_count({0})",
     "arraymap": "transform({1}, {0})",
     "arrayfilter": "filter({1}, {0})",
     # ClickHouse mapFilter is lambda-first; the (k, v) lambda shape is
@@ -628,6 +644,15 @@ _UNSUPPORTED_FUNCS = {
         "untuple() widens one expression into several output columns, "
         "which a string rewrite cannot name — select the fields "
         "explicitly: tupleElement(t, 1), tupleElement(t, 2), …"
+    ),
+    "initializeaggregation": (
+        "partial aggregate STATES are engine-internal bytes — compute "
+        "the final aggregate directly, or see operators/ch_aggregates.py "
+        "for the mergeable HLL-partial pattern"
+    ),
+    "bar": (
+        "a presentation helper — compute the ratio (x - min) / "
+        "(max - min) and render the bar client-side"
     ),
     "ngramdistance": "operators/textops.py text_ngram_distance_probe",
     "deltasum": (
@@ -1016,7 +1041,7 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         # ClickHouse count() is zero-arg count(*); Spark requires the star
         return f"count({', '.join(a.strip() for a in args) or '*'})"
     if low in _UNSUPPORTED_FUNCS:
-        raise UnsupportedCHSQL(
+        raise UnsupportedCHSQL(  # no-golden: shadowed by the scan-level early raise (same message); kept for non-scan callers
             f"ClickHouse {low}() needs an operator-level rewrite — see "
             f"{_UNSUPPORTED_FUNCS[low]}"
         )
@@ -1919,6 +1944,31 @@ def _translate_tokens(tokens: list[str]) -> str:
                 "the cond ? a : b ternary operator is not translated — "
                 "spell it if(cond, a, b)"
             )
+        if low is not None and _next_code_word(tokens, i) == "(":
+            if low in _UNSUPPORTED_FUNCS:
+                # raise BEFORE the call path recursively translates the
+                # arguments: an inner -State argument would otherwise
+                # refuse first with the less actionable state message
+                # (runningAccumulate(sumState(x)) without a pin must say
+                # "block-order … add an ORDER BY")
+                raise UnsupportedCHSQL(
+                    f"ClickHouse {low}() needs an operator-level rewrite "
+                    f"— see {_UNSUPPORTED_FUNCS[low]}"
+                )
+            m_state = re.match(r"^(\w+?)(simplestate|state|merge)$", low)
+            if m_state and m_state.group(1) in _STATEFUL_AGG_BASES:
+                # -State/-Merge combinators ship engine-internal partial-
+                # aggregate bytes; unknown to _KNOWN they would stream
+                # through to UNRESOLVED_ROUTINE. (The one translated
+                # consumer, runningAccumulate(xState(…)), is consumed by
+                # _rewrite_running_funcs before tokens reach here.)
+                raise UnsupportedCHSQL(
+                    f"{low}() carries an engine-internal partial aggregate "
+                    f"state — compute the final aggregate "
+                    f"({m_state.group(1)}), use runningAccumulate for the "
+                    "cumulative form, or see operators/ch_aggregates.py "
+                    "for the mergeable HLL-partial pattern"
+                )
         if (
             low in ("apply", "replace", "columns")
             and clause[-1] == "select"
@@ -2464,6 +2514,44 @@ class _LimitByMarker(Exception):
 # FUNCTION the emit path already maps (same width/sign semantics as the
 # toX templates; Nullable/LowCardinality wrappers unwrap — every Spark
 # column is nullable and LowCardinality is an encoding hint)
+# aggregate base names whose -State/-Merge combinator forms refuse with
+# the partial-state pointer (anything else ending in "state"/"merge" may
+# be a genuine user function and streams through)
+_STATEFUL_AGG_BASES = frozenset({
+    "sum", "count", "avg", "min", "max", "any", "anylast", "uniq",
+    "uniqexact", "uniqcombined", "median", "quantile", "quantiles",
+    "argmax", "argmin", "grouparray", "groupuniqarray", "topk",
+    "corr", "covarpop", "covarsamp", "stddevpop", "stddevsamp",
+    "varpop", "varsamp", "sumif", "countif", "avgif", "minif", "maxif",
+    "groupbitmap", "grouparraymovingsum", "grouparraymovingavg",
+})
+
+
+def _rewrite_tuple_dots(tokens: list[str]) -> list[str]:
+    """Rewrite ClickHouse's positional tuple access ``expr.N`` into the
+    ``._N`` struct-field form this module's tuple() emission uses
+    (``named_struct('_1', …)``) — Spark parses a bare ``.1`` as a syntax
+    error. Gated on the left context: only after a closing paren or an
+    identifier (a leading-dot float literal like ``+ .25`` follows an
+    operator and is untouched)."""
+    out = list(tokens)
+    for i in range(1, len(out) - 1):
+        if out[i] != "." or not out[i + 1].isdigit():
+            continue
+        p = i - 1
+        while p >= 0 and _is_ws(out[p]):
+            p -= 1
+        if p < 0:
+            continue
+        prev = out[p]
+        if prev == ")" or (
+            (prev[0].isalpha() or prev[0] in ("_", "`"))
+            and prev.lower() not in _COLON_STOP_KEYWORDS
+        ):
+            out[i + 1] = "_" + out[i + 1]
+    return out
+
+
 # structural keywords that can precede a paren group without being its
 # call name — the ``::`` operand scan must stop at them
 _COLON_STOP_KEYWORDS = frozenset({
@@ -3280,6 +3368,7 @@ def _translate_impl(
         )
     tokens = _rewrite_array_literals(tokens)
     tokens = _rewrite_colon_casts(tokens)
+    tokens = _rewrite_tuple_dots(tokens)
     tokens = _rewrite_offset_fetch(tokens)
     tokens = _expand_with_macros(tokens)
     tokens = _rewrite_group_modifiers(tokens, gm_mode, gm_types)

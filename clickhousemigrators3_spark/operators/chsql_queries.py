@@ -1743,6 +1743,37 @@ _ch(
     ("orders",),
 )
 
+# chsql_array_combinators (round 12): -Array aggregate combinators over
+# the embeddings vectors — the aggregate applies to ALL elements across
+# the group's arrays. sumArray rounds to 6dp (double fold order differs
+# between engines — the cross-engine float discipline).
+_ch(
+    "chsql_array_combinators",
+    """
+    SELECT vec_id % 4 AS bucket,
+           round(sumArray(embedding), 6) AS s,
+           countArray(embedding) AS c,
+           round(minArray(embedding), 6) AS mn,
+           round(maxArray(embedding), 6) AS mx
+    FROM embeddings
+    WHERE vec_id < 400
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    """
+    SELECT vec_id % 4 AS bucket,
+           round(sum(list_aggregate(embedding, 'sum')), 6) AS s,
+           sum(len(embedding)) AS c,
+           round(min(list_aggregate(embedding, 'min')), 6) AS mn,
+           round(max(list_aggregate(embedding, 'max')), 6) AS mx
+    FROM embeddings
+    WHERE vec_id < 400
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    ("embeddings",),
+)
+
 # chsql_totals_bucket: WITH TOTALS → GROUPING SETS ((keys), ()) — the
 # plain GROUP BY rows plus ONE totals row whose key carries the type
 # default (0 — colliding with the real bucket 0, as in ClickHouse).

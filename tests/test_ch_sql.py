@@ -2992,6 +2992,8 @@ def test_any_join_refusals(ch: str, needle: str):
         ("SELECT )::Int64 FROM t", "unbalanced parentheses before"),
         ("SELECT a FROM t ORDER BY a OFFSET 1 ROW "
          "FETCH NEXT 2 ROWS WITH TIES", "ties-bounded"),
+        ("SELECT sumState(v) FROM t", "partial aggregate"),
+        ("SELECT uniqMerge(v) FROM t", "partial aggregate"),
         ("SELECT a FROM t ORDER BY 5 LIMIT 1 BY a", "out of range"),
         ("SELECT a + 1 FROM t ORDER BY 1 LIMIT 1 BY a", "unaliased"),
         # WITH clause shapes
@@ -3168,6 +3170,52 @@ def test_colon_cast_and_offset_fetch(spark):
         "FETCH NEXT 1 ROWS ONLY",
     ).collect()
     assert [x.a for x in rows] == [2]
+
+
+def test_array_combinators_tuple_dots_and_state_refusals(spark):
+    """Round 12: -Array aggregate combinators (the aggregate over ALL
+    elements across the group's arrays), positional tuple access .N, and
+    the materialize/bitCount passthroughs; -State/-Merge combinators of
+    known aggregates refuse with the partial-state pointer instead of
+    streaming through to UNRESOLVED_ROUTINE."""
+    spark.createDataFrame(
+        [(1, [1, 2], 5), (1, [3], 2), (2, [], 7)],
+        "g int, arr array<int>, b int",
+    ).createOrReplaceTempView("ac_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT g, sumArray(arr) AS s, countArray(arr) AS c, "
+        "minArray(arr) AS mn, maxArray(arr) AS mx, "
+        "groupArrayArray(arr) AS ga FROM ac_t GROUP BY g ORDER BY g",
+    ).collect()
+    assert [(r.g, r.s, r.c, r.mn, r.mx, sorted(r.ga)) for r in rows] == [
+        (1, 6.0, 3, 1, 3, [1, 2, 3]),
+        (2, 0.0, 0, None, None, []),
+    ]
+    r = run_ch_sql(spark, "SELECT avgArray(arr) AS a FROM ac_t").collect()[0]
+    assert r.a == 2.0
+    r = run_ch_sql(
+        spark,
+        "SELECT tuple(g, b).1 AS x, tuple(g, b).2 AS y, "
+        "materialize(b) AS m, bitCount(7) AS bc "
+        "FROM ac_t ORDER BY b LIMIT 1",
+    ).collect()[0]
+    assert (r.x, r.y, r.m, r.bc) == (1, 2, 2, 3)
+    # leading-dot float literals are NOT tuple access (operator context)
+    assert run_ch_sql(
+        spark, "SELECT max(b * .5) AS h FROM ac_t"
+    ).collect()[0].h == 3.5
+    for q in ("SELECT sumState(b) FROM ac_t",
+              "SELECT uniqMerge(b) FROM ac_t",
+              "SELECT quantileState(0.5)(b) FROM ac_t"):
+        with pytest.raises(UnsupportedCHSQL, match="partial aggregate"):
+            translate_ch_sql(q)
+    # a user function merely ENDING in state streams through (base unknown)
+    assert "mystate(b)" in translate_ch_sql("SELECT mystate(b) FROM ac_t")
+    # runningAccumulate's own state argument stays on its handler: with a
+    # pin it translates; without one it raises the block-order refusal
+    with pytest.raises(UnsupportedCHSQL, match="block-order"):
+        translate_ch_sql("SELECT runningAccumulate(sumState(b)) FROM ac_t")
 
 
 def test_insert_parser_refusals():
