@@ -81,6 +81,12 @@ HEADLINE = [
     "chsql_topk_with_uniq",
     "chsql_rollup_with_totals",
     "chsql_totals_limit",
+    # round-12b: the rank()-window LIMIT WITH TIES rewrite (a global
+    # top-n-with-ties — the single-partition window is the honest
+    # topology, documented) and the -Array combinators (JVM array folds
+    # inside a plain HashAggregate, no explode shuffle)
+    "chsql_limit_with_ties",
+    "chsql_array_combinators",
 ]
 
 

@@ -144,6 +144,13 @@ SHOW = [
     "chsql_topk_with_uniq",
     "chsql_rollup_with_totals",
     "chsql_totals_limit",
+    # round-12b: LIMIT WITH TIES = rank window over the ordered input (a
+    # global top-n-with-ties is single-partition by nature — what to look
+    # for is the pushed filter and the one final sort, no extra shuffle);
+    # -Array combinators = aggregate() lambda folds inside a plain
+    # HashAggregate pair, never an explode shuffle
+    "chsql_limit_with_ties",
+    "chsql_array_combinators",
 ]
 
 HEADER = """# Physical plans — headline queries at sf0.1
