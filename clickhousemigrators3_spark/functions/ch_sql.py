@@ -244,6 +244,15 @@ _RENAME = {
     "fromunixtimestamp": "timestamp_seconds",
     "roundbankers": "bround",
     "stddevpop": "stddev_pop",
+    # -Stable variants: numerically-stable implementations of the same
+    # aggregates — Spark's are already single-pass stable
+    "corrstable": "corr",
+    "covarpopstable": "covar_pop",
+    "covarsampstable": "covar_samp",
+    "stddevpopstable": "stddev_pop",
+    "stddevsampstable": "stddev_samp",
+    "varpopstable": "var_pop",
+    "varsampstable": "var_samp",
     "stddevsamp": "stddev_samp",
     "varpop": "var_pop",
     "varsamp": "var_samp",
@@ -449,6 +458,21 @@ _TEMPLATE = {
     "grouparrayarray": "flatten(collect_list({0}))",
     "materialize": "{0}",  # constant-folding hint: a no-op here
     "bitcount": "bit_count({0})",
+    # string tokenizers: maximal runs of the class, empties dropped (the
+    # split can yield leading/trailing '' that ClickHouse never emits)
+    "alphatokens": (
+        "filter(split({0}, '[^A-Za-z]+'), _at -> _at != '')"
+    ),
+    "tokens": (
+        "filter(split({0}, '[^A-Za-z0-9]+'), _tk -> _tk != '')"
+    ),
+    # character n-grams; the length guard avoids sequence(1, 0)'s
+    # DESCENDING [1, 0] surprise on short strings
+    "ngrams": (
+        "(CASE WHEN length({0}) < ({1}) THEN array() "
+        "ELSE transform(sequence(1, length({0}) - ({1}) + 1), "
+        "_ng -> substring({0}, _ng, {1})) END)"
+    ),
     "arraymap": "transform({1}, {0})",
     "arrayfilter": "filter({1}, {0})",
     # ClickHouse mapFilter is lambda-first; the (k, v) lambda shape is
@@ -653,6 +677,18 @@ _UNSUPPORTED_FUNCS = {
     "bar": (
         "a presentation helper — compute the ratio (x - min) / "
         "(max - min) and render the bar client-side"
+    ),
+    "studentttest": (
+        "tuple-returning hypothesis test — see operators/ch_stats2.py "
+        "ch_student_ttest_click_vs_view (statistic and p_value as columns)"
+    ),
+    "welchttest": (
+        "tuple-returning hypothesis test — see operators/ch_aggregates.py "
+        "ch_welch_ttest_click_vs_view (statistic and p_value as columns)"
+    ),
+    "mannwhitneyutest": (
+        "tuple-returning hypothesis test — see operators/ch_aggregates.py "
+        "ch_mann_whitney_click_vs_view (u_statistic and p_value as columns)"
     ),
     "ngramdistance": "operators/textops.py text_ngram_distance_probe",
     "deltasum": (
@@ -1717,6 +1753,25 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             f" AS INT)), _tp -> CASE WHEN _tp > 0 THEN "
             f"try_element_at({dst}, _tp) ELSE {fallback} END), 1)), 1)"
         )
+    if low == "datename":
+        # dateName('unit', d) → the unit's NAME/number as a string
+        if len(args) != 2:
+            raise UnsupportedCHSQL("dateName takes ('unit', date)")
+        u = args[0].strip()
+        if not (u.startswith("'") and u.endswith("'")):
+            raise UnsupportedCHSQL("dateName needs a literal unit")
+        unit = _string_value(u).lower()
+        fmt = {
+            "year": "yyyy", "month": "MMMM", "weekday": "EEEE",
+            "day": "d", "hour": "H", "minute": "m", "second": "s",
+        }.get(unit)
+        if fmt is None:
+            raise UnsupportedCHSQL(
+                f"dateName unit {unit!r} not mapped — use "
+                "year/month/weekday/day/hour/minute/second, or "
+                "formatDateTime with an explicit pattern"
+            )
+        return f"date_format({args[1]}, {_quote(fmt)})"
     if low == "formatdatetime" and len(args) == 2:
         a1 = args[1].strip()
         if not (a1.startswith("'") and a1.endswith("'")):
@@ -1812,7 +1867,7 @@ _KNOWN = (
     set(_RENAME) | set(_TEMPLATE) | set(_PARAMETRIC) | set(_UNSUPPORTED_FUNCS)
     | _ENGINE_HASHES | _VARIADIC_ARRAY
     | {"count", "multiif", "cast", "todecimal64", "todecimal32",
-       "todecimal128", "formatdatetime",
+       "todecimal128", "formatdatetime", "datename",
        "jsonextractstring",
        "visitparamextractstring", "jsonextractint", "jsonextractfloat",
        "tostartofweek", "extract", "extractall", "datediff",

@@ -1774,6 +1774,39 @@ _ch(
     ("embeddings",),
 )
 
+# chsql_tokenizers (round 12): alphaTokens / tokens (maximal class runs,
+# empties dropped) and character ngrams over document text — DuckDB twins
+# via str_split_regex + list_filter and a list_transform over range().
+_ch(
+    "chsql_tokenizers",
+    """
+    SELECT doc_id,
+           arrayStringConcat(alphaTokens(substring(text, 1, 40)), '|') AS at,
+           arrayStringConcat(tokens(substring(text, 1, 40)), '|') AS tk,
+           arrayStringConcat(ngrams(substring(text, 1, 12), 3), '|') AS ng
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    """
+    SELECT doc_id,
+           array_to_string(list_filter(
+             str_split_regex(substring(text, 1, 40), '[^A-Za-z]+'),
+             x -> x != ''), '|') AS at,
+           array_to_string(list_filter(
+             str_split_regex(substring(text, 1, 40), '[^A-Za-z0-9]+'),
+             x -> x != ''), '|') AS tk,
+           array_to_string(list_transform(
+             range(1, greatest(length(substring(text, 1, 12)) - 2, 0) + 1),
+             i -> substring(substring(text, 1, 12), CAST(i AS INT), 3)),
+             '|') AS ng
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    ("documents",),
+)
+
 # chsql_totals_bucket: WITH TOTALS → GROUPING SETS ((keys), ()) — the
 # plain GROUP BY rows plus ONE totals row whose key carries the type
 # default (0 — colliding with the real bucket 0, as in ClickHouse).

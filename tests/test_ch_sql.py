@@ -2994,6 +2994,9 @@ def test_any_join_refusals(ch: str, needle: str):
          "FETCH NEXT 2 ROWS WITH TIES", "ties-bounded"),
         ("SELECT sumState(v) FROM t", "partial aggregate"),
         ("SELECT uniqMerge(v) FROM t", "partial aggregate"),
+        ("SELECT dateName('era', d) FROM t", "not mapped"),
+        ("SELECT dateName(u, d) FROM t", "literal unit"),
+        ("SELECT dateName(d) FROM t", "'unit', date"),
         ("SELECT a FROM t ORDER BY 5 LIMIT 1 BY a", "out of range"),
         ("SELECT a + 1 FROM t ORDER BY 1 LIMIT 1 BY a", "unaliased"),
         # WITH clause shapes
@@ -3216,6 +3219,47 @@ def test_array_combinators_tuple_dots_and_state_refusals(spark):
     # pin it translates; without one it raises the block-order refusal
     with pytest.raises(UnsupportedCHSQL, match="block-order"):
         translate_ch_sql("SELECT runningAccumulate(sumState(b)) FROM ac_t")
+
+
+def test_string_tokenizers_datename_and_stable_variants(spark):
+    """Round 12: alphaTokens/tokens (maximal class runs, no empties),
+    character ngrams (with the short-string guard — sequence(1, 0) is
+    DESCENDING in Spark), dateName's literal-unit mapping, and the
+    -Stable aggregate variants (numerically stable spellings of the same
+    aggregates); the tuple-returning hypothesis tests refuse with their
+    operator pointers."""
+    spark.createDataFrame(
+        [("Hello, world_42 abc",)], "s string"
+    ).createOrReplaceTempView("stk_t")
+    r = run_ch_sql(
+        spark,
+        "SELECT alphaTokens(s) AS a, tokens(s) AS t2, "
+        "ngrams('abcd', 3) AS n3, ngrams('ab', 3) AS n0, "
+        "dateName('month', toDate('2024-03-15')) AS mn, "
+        "dateName('weekday', toDate('2024-03-15')) AS wd FROM stk_t",
+    ).collect()[0]
+    assert r.a == ["Hello", "world", "abc"]
+    assert r.t2 == ["Hello", "world", "42", "abc"]
+    assert r.n3 == ["abc", "bcd"] and r.n0 == []
+    assert (r.mn, r.wd) == ("March", "Friday")
+    assert run_ch_sql(
+        spark,
+        "SELECT round(corrStable(a, b), 9) AS c "
+        "FROM (SELECT 1 AS a, 2 AS b UNION ALL SELECT 2, 4)",
+    ).collect()[0].c == 1.0
+    t = " ".join(
+        translate_ch_sql(
+            "SELECT covarPopStable(a, b), varSampStable(a) FROM t"
+        ).split()
+    )
+    assert "covar_pop(a, b)" in t and "var_samp(a)" in t
+    for q, needle in (
+        ("SELECT studentTTest(a, b) FROM t", "ch_student_ttest"),
+        ("SELECT welchTTest(a, b) FROM t", "ch_welch_ttest"),
+        ("SELECT mannWhitneyUTest(a, b) FROM t", "ch_mann_whitney"),
+    ):
+        with pytest.raises(UnsupportedCHSQL, match=needle):
+            translate_ch_sql(q)
 
 
 def test_insert_parser_refusals():
