@@ -347,12 +347,14 @@ _TEMPLATE = {
     ),
     "arraymin": "array_min({0})",
     "arraymax": "array_max({0})",
-    # URL functions (the web-corpus idioms): Spark parse_url covers them
-    "domain": "parse_url({0}, 'HOST')",
-    "domainwithoutwww": "regexp_replace(parse_url({0}, 'HOST'), '^www\\\\.', '')",
-    "path": "parse_url({0}, 'PATH')",
-    "querystring": "parse_url({0}, 'QUERY')",
-    "protocol": "parse_url({0}, 'PROTOCOL')",
+    # URL functions (the web-corpus idioms): Spark try_parse_url covers
+    # them — the try_ form because ClickHouse URL functions NEVER throw
+    # on malformed input (round 12; parse_url raises INVALID_URL)
+    "domain": "try_parse_url({0}, 'HOST')",
+    "domainwithoutwww": "regexp_replace(try_parse_url({0}, 'HOST'), '^www\\\\.', '')",
+    "path": "try_parse_url({0}, 'PATH')",
+    "querystring": "try_parse_url({0}, 'QUERY')",
+    "protocol": "try_parse_url({0}, 'PROTOCOL')",
     # non-overlapping substring count via length delta; empty needle:
     # ClickHouse's CountSubstringsImpl matches at every BYTE position, i.e.
     # octet_length(haystack) + 1, not 0 (and not the character count — CH
@@ -458,6 +460,30 @@ _TEMPLATE = {
     "grouparrayarray": "flatten(collect_list({0}))",
     "materialize": "{0}",  # constant-folding hint: a no-op here
     "bitcount": "bit_count({0})",
+    # URL family (round 12): ClickHouse's String URL functions return ''
+    # where a part is absent (non-Nullable String), so the new mappings
+    # coalesce try_parse_url's NULL to '' — the long-standing
+    # domain()/path() mappings keep their un-coalesced form (their
+    # NULL-vs-'' nuance is documented in docs/CHSQL.md and registry
+    # oracles depend on it)
+    "extracturlparameter": "coalesce(try_parse_url({0}, 'QUERY', {1}), '')",
+    "fragment": "coalesce(try_parse_url({0}, 'REF'), '')",
+    "netloc": "coalesce(try_parse_url({0}, 'AUTHORITY'), '')",
+    "topleveldomain": (
+        "(CASE WHEN coalesce(try_parse_url({0}, 'HOST'), '') LIKE '%.%' "
+        "THEN substring_index(try_parse_url({0}, 'HOST'), '.', -1) "
+        "ELSE '' END)"
+    ),
+    "cutquerystring": "regexp_replace({0}, '\\\\?[^#]*', '')",
+    "cutfragment": "regexp_replace({0}, '#.*$', '')",
+    "cutquerystringandfragment": "regexp_replace({0}, '[?#].*$', '')",
+    "pathfull": (
+        "regexp_replace({0}, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/]*', '')"
+    ),
+    # CH %-encodes spaces; Spark's url_encode/url_decode use the
+    # form-encoding '+' — the replaces keep the ClickHouse contract
+    "decodeurlcomponent": "url_decode(replace({0}, '+', '%2B'))",
+    "encodeurlcomponent": "replace(url_encode({0}), '+', '%20')",
     # string tokenizers: maximal runs of the class, empties dropped (the
     # split can yield leading/trailing '' that ClickHouse never emits)
     "alphatokens": (
@@ -689,6 +715,10 @@ _UNSUPPORTED_FUNCS = {
     "mannwhitneyutest": (
         "tuple-returning hypothesis test — see operators/ch_aggregates.py "
         "ch_mann_whitney_click_vs_view (u_statistic and p_value as columns)"
+    ),
+    "firstsignificantsubdomain": (
+        "public-suffix-list logic ('com.tr' counts as a TLD) — derive "
+        "from domain() with your own suffix table join"
     ),
     "ngramdistance": "operators/textops.py text_ngram_distance_probe",
     "deltasum": (

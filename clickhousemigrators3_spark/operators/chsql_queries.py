@@ -1807,6 +1807,45 @@ _ch(
     ("documents",),
 )
 
+# chsql_url_functions (round 12): the URL family over URLs synthesized
+# from fixture columns — the oracle CONSTRUCTS each expected part
+# directly, so this checks the try_parse_url-based parsing against
+# ground truth rather than against another parser.
+_ch(
+    "chsql_url_functions",
+    """
+    SELECT doc_id,
+           domain(u) AS dm,
+           pathFull(u) AS pf,
+           extractURLParameter(u, 'id') AS pid,
+           extractURLParameter(u, 'zz') AS pzz,
+           topLevelDomain(u) AS tld,
+           cutQueryString(u) AS cq,
+           netloc(u) AS nl
+    FROM (SELECT doc_id,
+                 concat('https://www.ex', toString(doc_id % 7),
+                        '.com/p/', lang, '?q=', source,
+                        '&id=', toString(doc_id)) AS u
+          FROM documents WHERE doc_id < 60)
+    ORDER BY doc_id
+    """,
+    """
+    SELECT doc_id,
+           'www.ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dm,
+           '/p/' || lang || '?q=' || source || '&id=' ||
+             CAST(doc_id AS VARCHAR) AS pf,
+           CAST(doc_id AS VARCHAR) AS pid,
+           '' AS pzz,
+           'com' AS tld,
+           'https://www.ex' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.com/p/' || lang AS cq,
+           'www.ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS nl
+    FROM documents WHERE doc_id < 60
+    ORDER BY doc_id
+    """,
+    ("documents",),
+)
+
 # chsql_totals_bucket: WITH TOTALS → GROUPING SETS ((keys), ()) — the
 # plain GROUP BY rows plus ONE totals row whose key carries the type
 # default (0 — colliding with the real bucket 0, as in ClickHouse).

@@ -2997,6 +2997,7 @@ def test_any_join_refusals(ch: str, needle: str):
         ("SELECT dateName('era', d) FROM t", "not mapped"),
         ("SELECT dateName(u, d) FROM t", "literal unit"),
         ("SELECT dateName(d) FROM t", "'unit', date"),
+        ("SELECT firstSignificantSubdomain(u) FROM t", "public-suffix"),
         ("SELECT a FROM t ORDER BY 5 LIMIT 1 BY a", "out of range"),
         ("SELECT a + 1 FROM t ORDER BY 1 LIMIT 1 BY a", "unaliased"),
         # WITH clause shapes
@@ -3260,6 +3261,39 @@ def test_string_tokenizers_datename_and_stable_variants(spark):
     ):
         with pytest.raises(UnsupportedCHSQL, match=needle):
             translate_ch_sql(q)
+
+
+def test_url_family_never_throws_and_matches_ch(spark):
+    """Round 12: the URL family rides try_parse_url — ClickHouse URL
+    functions NEVER throw on malformed input (Spark's plain parse_url
+    raises INVALID_URL), absent parts come back '' on the new mappings,
+    extractURLParameter('' for a missing key), decode preserves literal
+    '+' and encode emits %20 (ClickHouse %-encoding, not form
+    encoding)."""
+    spark.createDataFrame(
+        [("https://www.shop7.com:8080/a/b?q=1&id=9#frag",),
+         ("http://localhost/x y",)],  # malformed: space in path
+        "u string",
+    ).createOrReplaceTempView("url_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT extractURLParameter(u, 'id') AS pid, fragment(u) AS fr, "
+        "netloc(u) AS nl, topLevelDomain(u) AS tld, "
+        "cutQueryString(u) AS cq, cutFragment(u) AS cf, pathFull(u) AS pf, "
+        "decodeURLComponent('a%20b+c') AS dec, "
+        "encodeURLComponent('a b+c') AS enc "
+        "FROM url_t ORDER BY u",
+    ).collect()
+    bad, good = rows
+    # malformed URL: everything '' / passthrough, never an exception
+    assert (bad.pid, bad.fr, bad.nl, bad.tld) == ("", "", "", "")
+    assert bad.pf == "/x y"
+    assert (good.pid, good.fr, good.tld) == ("9", "frag", "com")
+    assert good.nl == "www.shop7.com:8080"
+    assert good.cq == "https://www.shop7.com:8080/a/b#frag"
+    assert good.cf == "https://www.shop7.com:8080/a/b?q=1&id=9"
+    assert good.pf == "/a/b?q=1&id=9#frag"
+    assert good.dec == "a b+c" and good.enc == "a%20b%2Bc"
 
 
 def test_insert_parser_refusals():
