@@ -90,6 +90,40 @@ HEADLINE = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Calibration probes (round-13, verdict r12 #1/#6): two PINNED operations
+# that never change across rounds, timed in the same session as the
+# headline queries, so cross-round comparisons survive host-speed drift and
+# sub-threshold ambient load. The r12 post-mortem: a load-3 window inflated
+# the driver bench ~23% while the binary `load1 > 4` stamp read "clean",
+# and a uniform ~13% clean-run drift on unchanged plans r11→r12 was
+# indistinguishable from a real regression without an anchor.
+#   - cpu probe: spark.range fold — pure JVM codegen/scheduling throughput,
+#     no I/O, fixed 32 partitions (independent of sf and shuffle conf).
+#   - scan probe: full lineitem scan-agg at sf_dir — parquet read path.
+# CALIB_REF pins the idle-machine reference measured when the probe was
+# introduced (round 13, load1 < 0.5); host_factor ≈ 1.0 on that machine,
+# > 1 when today's host is slower (drift OR contention). DO NOT retune
+# CALIB_REF without renaming the fields — the anchor is the point.
+CALIB_REF = {"cpu": 0.132, "scan": 0.164}  # seconds, round-13 idle machine
+
+
+def _calibrate(spark, lineitem, iters: int = 3) -> tuple[float, float]:
+    cpu_runs, scan_runs = [], []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        spark.range(0, 100_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 7) AS s"
+        ).collect()
+        cpu_runs.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        lineitem.selectExpr(
+            "count(*) AS c", "sum(l_extendedprice) AS s", "avg(l_discount) AS a"
+        ).collect()
+        scan_runs.append(time.perf_counter() - t0)
+    return min(cpu_runs), min(scan_runs)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -127,7 +161,14 @@ def main() -> int:
 
     for t in TABLES:
         load_table(spark, sf_dir, t)
-    load_table(spark, sf_dir, "lineitem").count()
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem.count()
+
+    # calibration BEFORE and AFTER the headline loop: the min across both
+    # anchors today's host speed (host_factor); the before/after spread
+    # catches contention that arrives or leaves MID-window, which a single
+    # probe (and the start/end loadavg stamps alone) would miss.
+    calib_before = _calibrate(spark, lineitem)
 
     timings: dict[str, float] = {}
     timings_p50: dict[str, float] = {}
@@ -155,6 +196,17 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    calib_after = _calibrate(spark, lineitem)
+    calib_cpu = min(calib_before[0], calib_after[0])
+    calib_scan = min(calib_before[1], calib_after[1])
+    host_factor = round(
+        0.5 * (calib_cpu / CALIB_REF["cpu"] + calib_scan / CALIB_REF["scan"]),
+        3,
+    )
+    # spread on the cpu probe only (the scan probe's second round rides the
+    # page cache, so its spread under-reads)
+    calib_spread = round(max(calib_before[0], calib_after[0]) / calib_cpu, 3)
+
     total = round(sum(timings.values()), 3)
     finished_at = time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime())
     # contention verdict over the WHOLE window, not just the start: the
@@ -171,7 +223,21 @@ def main() -> int:
           file=sys.stderr)
     time.sleep(60)
     load_end = os.getloadavg()
-    contended = max(load_start, load_end[0]) > 4
+    # contended verdict, round-13 recalibration (r12 post-mortem: a load-3
+    # window inflated the run ~23% while the old `> 4` threshold stamped
+    # clean). Three independent triggers, any one suffices:
+    #   - ambient load > 2 at either window edge (the old catastrophic
+    #     threshold was calibrated for load ~8; ~3 already costs ~25% on
+    #     sub-second queries),
+    #   - host_factor > 1.2: today's pinned probes ran ≥20% slower than
+    #     the idle-machine reference — drift or co-tenancy either way the
+    #     raw timings are not comparable (use the *_calibrated fields),
+    #   - calib_spread > 1.25: the machine's speed CHANGED mid-window.
+    contended = (
+        max(load_start, load_end[0]) > 2
+        or host_factor > 1.2
+        or calib_spread > 1.25
+    )
     print(
         json.dumps(
             {
@@ -181,6 +247,20 @@ def main() -> int:
                 "queries": timings,
                 "queries_p50": timings_p50,
                 "total_p50": round(sum(timings_p50.values()), 3),
+                # host-drift anchor (round 13): raw probe seconds, the
+                # factor vs the pinned idle reference, and every headline
+                # number re-expressed in reference-machine seconds —
+                # cross-round comparisons should use the *_calibrated
+                # fields, never raw seconds from different-day hosts
+                "calib_cpu_sec": round(calib_cpu, 3),
+                "calib_scan_sec": round(calib_scan, 3),
+                "calib_spread": calib_spread,
+                "host_factor": host_factor,
+                "cpu_count": os.cpu_count(),
+                "value_calibrated": round(total / host_factor, 3),
+                "queries_calibrated": {
+                    k: round(v / host_factor, 3) for k, v in timings.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # contamination evidence (round-8 post-mortem: a bench
                 # captured beside a concurrent run was ~22% inflated and
@@ -191,6 +271,14 @@ def main() -> int:
                 "contended": contended,
                 "started_at": started_at,
                 "finished_at": finished_at,
+                # round-13 bisect (verdict r12 #1a): the r11 snapshot
+                # (966588e) rerun on the round-13 host read 13.94 s min
+                # vs the 11.04 s its own round recorded — identical code,
+                # data, and plans (docs/BENCH_bisect_r11.json) — so the
+                # uniform r11→r12 clean-bench drift was HOST slowdown,
+                # not added overhead; compare rounds via value_calibrated.
+                "drift_note": "r11 code reruns at 13.94s on this host "
+                "(was 11.04s) — drift is the host; use *_calibrated",
             }
         )
     )
@@ -213,6 +301,9 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load1_start": round(load_start, 2),
                 "load1_end": round(load_end[0], 2),
+                "host_factor": host_factor,
+                "calib_spread": calib_spread,
+                "value_calibrated": round(total / host_factor, 3),
                 "contended": contended,
                 "started_at": started_at,
                 "finished_at": finished_at,

@@ -2146,3 +2146,130 @@ _ch(
     """,
     ("part",),
 )
+
+# --- round 13 ---------------------------------------------------------------
+
+# chsql_ternary_bands (round 13, verdict r12 #2): the cond ? a : b ternary
+# — ClickHouse's lowest-precedence operator — in nested (right-associative)
+# banding form, inside an aggregate argument, and with an AND-chain
+# condition (the whole chain is the cond). Translates via
+# _rewrite_ternaries → CASE WHEN; the oracle spells the CASE directly.
+_ch(
+    "chsql_ternary_bands",
+    """
+    SELECT o_orderkey AS k,
+           o_totalprice > 200000 ? 'high'
+             : o_totalprice > 100000 ? 'mid' : 'low' AS band,
+           o_orderstatus = 'F' AND o_totalprice > 150000 ? 1 : 0 AS big_f
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY k
+    """,
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS band,
+           CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000
+                THEN 1 ELSE 0 END AS big_f
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY k
+    """,
+    ("orders",),
+)
+
+# chsql_ternary_agg (round 13): ternaries inside aggregate arguments —
+# the conditional-sum idiom ClickHouse users write instead of sumIf.
+_ch(
+    "chsql_ternary_agg",
+    """
+    SELECT o_orderstatus AS st,
+           sum(o_totalprice > 150000 ? 1 : 0) AS n_big,
+           count() AS c
+    FROM orders
+    WHERE o_orderkey < 30000
+    GROUP BY st
+    ORDER BY st
+    """,
+    """
+    SELECT o_orderstatus AS st,
+           CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big,
+           count(*) AS c
+    FROM orders
+    WHERE o_orderkey < 30000
+    GROUP BY st
+    ORDER BY st
+    """,
+    ("orders",),
+)
+
+# chsql_column_matchers (round 13, verdict r12 #3): the * EXCEPT/REPLACE/
+# APPLY modifier chain, expanded in run_ch_sql against the analyzed FROM
+# schema (plain EXCEPT is lenient per ClickHouse; names follow the CH
+# result header: f(col)). The oracle spells the expansion explicitly with
+# matching quoted aliases.
+_ch(
+    "chsql_column_matchers",
+    """
+    SELECT * EXCEPT (o_totalprice, o_orderdate)
+             REPLACE (lower(o_orderpriority) AS o_orderpriority)
+             APPLY(uniqExact)
+    FROM orders
+    WHERE o_orderkey < 30000
+    """,
+    """
+    SELECT count(DISTINCT o_orderkey) AS "uniqExact(o_orderkey)",
+           count(DISTINCT o_custkey) AS "uniqExact(o_custkey)",
+           count(DISTINCT o_orderstatus) AS "uniqExact(o_orderstatus)",
+           count(DISTINCT lower(o_orderpriority))
+             AS "uniqExact(o_orderpriority)"
+    FROM orders
+    WHERE o_orderkey < 30000
+    """,
+    ("orders",),
+)
+
+# chsql_columns_regex (round 13): COLUMNS('re') base matcher with an APPLY
+# chain — regex-selected columns (RE2/Python search semantics) in table
+# order.
+_ch(
+    "chsql_columns_regex",
+    """
+    SELECT COLUMNS('key$') APPLY(max) FROM orders WHERE o_orderkey < 30000
+    """,
+    """
+    SELECT max(o_orderkey) AS "max(o_orderkey)",
+           max(o_custkey) AS "max(o_custkey)"
+    FROM orders
+    WHERE o_orderkey < 30000
+    """,
+    ("orders",),
+)
+
+# chsql_untuple_agg (round 13): untuple() widening a tuple of aggregates
+# into columns — expanded against the probed struct schema; Spark field
+# names (_1, _2) become the output names (documented divergence from
+# ClickHouse's `alias.N` header, docs/CHSQL.md).
+_ch(
+    "chsql_untuple_agg",
+    """
+    SELECT o_orderstatus AS st,
+           untuple(tuple(count(), uniqExact(o_custkey)))
+    FROM orders
+    WHERE o_orderkey < 30000
+    GROUP BY st
+    ORDER BY st
+    """,
+    """
+    SELECT o_orderstatus AS st,
+           count(*) AS "_1",
+           count(DISTINCT o_custkey) AS "_2"
+    FROM orders
+    WHERE o_orderkey < 30000
+    GROUP BY st
+    ORDER BY st
+    """,
+    ("orders",),
+)

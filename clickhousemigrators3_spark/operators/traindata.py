@@ -574,6 +574,10 @@ def read_decontamination_bloom(
     bloom = spark.read.parquet(path)
     if "_m" in bloom.columns:
         row = bloom.select("_m", "_k").first()
+        if row is None:  # published-but-empty filter (no grams): zero
+            # rows still carry the sizing COLUMNS but no values — fall
+            # back to the module defaults instead of subscripting None
+            return bloom.select("word", "bits"), BLOOM_BITS, BLOOM_K
         return bloom.select("word", "bits"), int(row["_m"]), int(row["_k"])
     return bloom, BLOOM_BITS, BLOOM_K
 

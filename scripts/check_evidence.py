@@ -121,23 +121,49 @@ def main() -> int:
         except ValueError:
             bench = {}
         load1 = bench_load1(bench, raw_text)
+        # round-13 recalibration (r12 post-mortem: a load-3 window inflated
+        # the driver bench ~23% under the old `> 4` threshold): the loud
+        # threshold drops to 2, and the bench's own calibration stamps
+        # (host_factor vs the pinned idle reference, mid-window spread) are
+        # consulted when present — they catch drift/contention the loadavg
+        # stamps miss, and the *_calibrated fields stay comparable anyway.
+        parsed = bench.get("parsed") if isinstance(
+            bench.get("parsed"), dict) else bench
+        host_factor = parsed.get("host_factor") if isinstance(
+            parsed, dict) else None
+        calib_spread = parsed.get("calib_spread") if isinstance(
+            parsed, dict) else None
+        if host_factor is None and raw_text:
+            m = re.search(r'"host_factor"\s*:\s*([0-9.]+)', raw_text)
+            if m:
+                host_factor = float(m.group(1))
+            m = re.search(r'"calib_spread"\s*:\s*([0-9.]+)', raw_text)
+            if m:
+                calib_spread = float(m.group(1))
         if load1 is None:
             print(
                 f"note: {os.path.basename(benches[-1])} predates load "
                 "stamping — rerun bench.py alone to get contamination-proof "
                 "evidence"
             )
-        elif load1 > 4:
+        elif (
+            load1 > 2
+            or (host_factor is not None and host_factor > 1.2)
+            or (calib_spread is not None and calib_spread > 1.25)
+        ):
             print(
-                f"WARNING: {os.path.basename(benches[-1])} saw load1={load1} "
-                "during its window (max of start/end stamps) — timings are "
-                "contention-inflated; rerun python bench.py ALONE as the "
-                "genuinely last step"
+                f"WARNING: {os.path.basename(benches[-1])} window max "
+                f"load1={load1}, host_factor={host_factor}, "
+                f"calib_spread={calib_spread} — raw timings are "
+                "contention/drift-inflated; compare via the *_calibrated "
+                "fields or rerun python bench.py ALONE as the genuinely "
+                "last step"
             )
         else:
             print(
                 f"bench evidence clean: {os.path.basename(benches[-1])} "
-                f"window max load1={load1}"
+                f"window max load1={load1}, host_factor={host_factor}, "
+                f"calib_spread={calib_spread}"
             )
 
     # plan-evidence sync (round-9 verdict #4: dump_plans.py's SHOW list

@@ -169,6 +169,99 @@ def test_golden_translation(ch: str, expected: str):
     assert " ".join(translate_ch_sql(ch).split()) == " ".join(expected.split())
 
 
+# --- ternary cond ? a : b (round 13) ---------------------------------------
+
+
+@pytest.mark.parametrize(
+    "ch, expected",
+    [
+        (
+            "SELECT a ? b : c FROM t",
+            "SELECT CASE WHEN a THEN b ELSE c END FROM t",
+        ),
+        # ternary binds LOOSEST: the whole AND chain is the condition
+        (
+            "SELECT a AND b ? 1 : 0 FROM t",
+            "SELECT CASE WHEN a AND b THEN 1 ELSE 0 END FROM t",
+        ),
+        (
+            "SELECT x BETWEEN 1 AND 2 ? 'in' : 'out' AS r FROM t",
+            "SELECT CASE WHEN x BETWEEN 1 AND 2 THEN 'in' ELSE 'out' END "
+            "AS r FROM t",
+        ),
+        # right-associative else-nesting and then-branch nesting
+        (
+            "SELECT a ? b : c ? d : e FROM t",
+            "SELECT CASE WHEN a THEN b ELSE CASE WHEN c THEN d ELSE e END "
+            "END FROM t",
+        ),
+        (
+            "SELECT a ? b ? c : d : e FROM t",
+            "SELECT CASE WHEN a THEN CASE WHEN b THEN c ELSE d END ELSE e "
+            "END FROM t",
+        ),
+        # inside call args; '?'/':' inside string literals untouched
+        (
+            "SELECT f(a ? 1 : 0, x) FROM t",
+            "SELECT f(CASE WHEN a THEN 1 ELSE 0 END, x) FROM t",
+        ),
+        (
+            "SELECT a ? '?:' : ':?' FROM t",
+            "SELECT CASE WHEN a THEN '?:' ELSE ':?' END FROM t",
+        ),
+        # else-branch extends through operators, stops at alias / clause
+        (
+            "SELECT a ? b : c + 1 FROM t",
+            "SELECT CASE WHEN a THEN b ELSE c + 1 END FROM t",
+        ),
+        (
+            "SELECT a ? b : c lbl FROM t",
+            "SELECT CASE WHEN a THEN b ELSE c END lbl FROM t",
+        ),
+        (
+            "SELECT x FROM t ORDER BY a ? b : c DESC",
+            "SELECT x FROM t ORDER BY CASE WHEN a THEN b ELSE c END DESC",
+        ),
+        # lambda arrow scopes the condition to the lambda body
+        (
+            "SELECT arrayMap(v -> v > 0 ? v : 0, arr) FROM t",
+            "SELECT transform(arr, v -> CASE WHEN v > 0 THEN v ELSE 0 END) "
+            "FROM t",
+        ),
+        # CASE…END as an operand on either side
+        (
+            "SELECT CASE WHEN x THEN 1 END ? 'y' : 'n' FROM t",
+            "SELECT CASE WHEN CASE WHEN x THEN 1 END THEN 'y' ELSE 'n' END "
+            "FROM t",
+        ),
+        (
+            "SELECT a ? CASE WHEN p THEN 1 ELSE 2 END : 9 FROM t",
+            "SELECT CASE WHEN a THEN CASE WHEN p THEN 1 ELSE 2 END ELSE 9 "
+            "END FROM t",
+        ),
+        # composes with the '::' cast rewrite (casts first, ternary after)
+        (
+            "SELECT a ? b : c::Int64 FROM t",
+            "SELECT CASE WHEN a THEN b ELSE CAST(c AS BIGINT) END FROM t",
+        ),
+    ],
+)
+def test_ternary_golden_translation(ch: str, expected: str):
+    assert " ".join(translate_ch_sql(ch).split()) == " ".join(expected.split())
+
+
+def test_ternary_executes_correctly(spark):
+    rows = spark.sql(
+        translate_ch_sql(
+            "SELECT v, v > 2 ? 'big' : v > 0 ? 'small' : 'neg' AS lbl "
+            "FROM (SELECT explode(array(-1, 1, 5)) AS v) ORDER BY v"
+        )
+    ).collect()
+    assert [(r.v, r.lbl) for r in rows] == [
+        (-1, "neg"), (1, "small"), (5, "big"),
+    ]
+
+
 # --- 2. refusals and identifier false-positives ---------------------------
 
 
@@ -419,6 +512,85 @@ def test_run_ch_sql_reference_shapes(spark):
         tables=("orders",),
     ).collect()
     assert len(parts) >= 2
+
+
+def test_column_matchers_expand_against_schema(spark):
+    """Round 13 (verdict r12 #3): * APPLY/REPLACE, COLUMNS('re') with a
+    modifier chain, and untuple() expand in run_ch_sql against the
+    analyzed FROM schema — the string-only path refuses with a pointer."""
+    row = run_ch_sql(
+        spark, "SELECT * APPLY(max) FROM region", SF01, tables=("region",)
+    ).collect()[0]
+    assert row["max(r_regionkey)"] == 4
+    df = run_ch_sql(
+        spark,
+        "SELECT COLUMNS('key$') APPLY(sum) FROM nation",
+        SF01,
+        tables=("nation",),
+    )
+    assert set(df.columns) == {"sum(n_nationkey)", "sum(n_regionkey)"}
+    # REPLACE keeps the column's name; plain EXCEPT is lenient on absent
+    # names (ClickHouse contract — only STRICT errors)
+    df = run_ch_sql(
+        spark,
+        "SELECT * EXCEPT (not_a_column) "
+        "REPLACE (r_regionkey + 100 AS r_regionkey) FROM region",
+        SF01,
+        tables=("region",),
+    )
+    assert df.columns[0] == "r_regionkey"
+    assert df.agg({"r_regionkey": "min"}).collect()[0][0] == 100
+    # untuple widens to the struct's fields (Spark field names)
+    df = run_ch_sql(
+        spark,
+        "SELECT untuple(tuple(r_regionkey, r_name)) FROM region",
+        SF01,
+        tables=("region",),
+    )
+    assert df.columns == ["_1", "_2"] and df.count() == 5
+    # matcher inside a subquery expands innermost-first
+    n = run_ch_sql(
+        spark,
+        "SELECT count(*) AS c FROM "
+        "(SELECT COLUMNS('_name$') FROM nation) AS q",
+        SF01,
+        tables=("nation",),
+    ).collect()[0].c
+    assert n == 25
+
+
+@pytest.mark.parametrize(
+    "ch, needle",
+    [
+        ("SELECT * APPLY(max)", "needs a FROM clause"),
+        ("SELECT * APPLY(max) FROM no_such_table_xyz",
+         "could not resolve the FROM relation"),
+        ("SELECT * APPLY 5 FROM region", "parenthesized argument list"),
+        ("SELECT * EXCEPT STRICT (nope) APPLY(max) FROM region",
+         "EXCEPT STRICT names"),
+        ("SELECT * REPLACE (r_name) FROM region", "expr AS column_name"),
+        ("SELECT * REPLACE (AS r_name) FROM region", "expr AS column_name"),
+        ("SELECT * REPLACE STRICT (x AS nope) FROM region",
+         "REPLACE STRICT names"),
+        ("SELECT * APPLY(x -> x + 1) FROM region", "single function name"),
+        ("SELECT COLUMNS('^zz$') FROM region", "zero columns"),
+        ("SELECT r.* APPLY(max) FROM region AS r", "qualified-star"),
+        ("SELECT untuple() FROM region", "needs an argument"),
+        ("SELECT untuple(r_name) FROM region", "Tuple/struct argument"),
+        ("SELECT COLUMNS(r_name) FROM region", "literal regex string"),
+        ("SELECT COLUMNS('[') FROM region", "does not compile"),
+    ],
+)
+def test_column_matcher_refusals(spark, ch: str, needle: str):
+    from clickhousemigrators3_spark.functions.ch_sql import (
+        _expand_column_matchers,
+    )
+    from clickhousemigrators3_spark.catalog import register_tables
+
+    register_tables(spark, SF01, ("region", "nation"))
+    with pytest.raises(UnsupportedCHSQL) as exc:
+        _expand_column_matchers(spark, ch)
+    assert needle.lower() in str(exc.value).lower()
 
 
 def test_cli_chsql_translate_only_and_refusal_exit_code(capsys):
@@ -2975,9 +3147,17 @@ def test_any_join_refusals(ch: str, needle: str):
          "UNION ALL SELECT b FROM u", "parenthes"),
         ("SELECT quantile(0.5)((SELECT a FROM t ORDER BY a "
          "LIMIT 1 WITH TIES)) FROM x", "inside function arguments"),
+        # round-13 (advice r12): the tie column must be projected — the
+        # rank() window sees only the query's output
+        ("SELECT x FROM t ORDER BY y LIMIT 2 WITH TIES",
+         "not in the SELECT list"),
         # round-12 stream-through closures: constructs that used to reach
         # Spark's parser/analyzer raw now refuse with guidance
-        ("SELECT a ? b : 0 FROM t", "ternary"),
+        # (round 13: `cond ? a : b` itself now TRANSLATES via
+        # _rewrite_ternaries — only malformed shapes refuse)
+        ("SELECT a ? b FROM t", "without a matching ':'"),
+        ("SELECT a ? : c FROM t", "empty condition or branch"),
+        ("SELECT ? : 1 FROM t", "empty condition or branch"),
         ("SELECT * APPLY (sum) FROM t", "column matcher"),
         ("SELECT * EXCEPT (s) REPLACE (lower(s) AS s) FROM t",
          "column matcher"),
