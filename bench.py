@@ -87,6 +87,18 @@ HEADLINE = [
     # inside a plain HashAggregate, no explode shuffle)
     "chsql_limit_with_ties",
     "chsql_array_combinators",
+    # round-13: the ternary → CASE rewrite (row-level nested banding — a
+    # regression to a refusal or a mis-scoped condition shows up as wrong
+    # rows, a plan regression as a lost pushdown), the schema-aware column
+    # matcher expansion (its analysis probe runs per call — a probe that
+    # started executing instead of analyzing would show here), the ANY
+    # RIGHT left-side-dedup mirror (WindowGroupLimit partial on the LEFT
+    # input), and the multi-array fold (zip_with structs inside one
+    # project — no explode, no shuffle)
+    "chsql_ternary_bands",
+    "chsql_column_matchers",
+    "chsql_any_right_join_first_order",
+    "chsql_multi_array_fold",
 ]
 
 

@@ -483,6 +483,33 @@ _TEMPLATE = {
     "pathfull": (
         "regexp_replace({0}, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/]*', '')"
     ),
+    # firstSignificantSubdomain (round 13, verdict r12 #7): ClickHouse's
+    # DEFAULT behavior needs no public-suffix list — the second-level
+    # label counts as part of the suffix only when it is com/net/org/co
+    # (FirstSignificantSubdomain default lookup), so
+    # news.clickhouse.com.tr → clickhouse and news.clickhouse.com →
+    # clickhouse. Custom-TLD-list variants ({0}, 'custom_list') are a
+    # server-config feature and refuse via arity. The
+    # transform(array(split…)) wrapper binds ONE split to a lambda var so
+    # the label array is not re-split per branch. Same host-extraction
+    # posture as domain(): scheme-less inputs parse to NULL → '' (the
+    # documented try_parse_url discipline, docs/CHSQL.md).
+    "firstsignificantsubdomain": (
+        "element_at(transform(array(split(coalesce(try_parse_url({0}, "
+        "'HOST'), ''), '\\\\.')), _fs -> CASE WHEN size(_fs) >= 3 AND "
+        "element_at(_fs, -2) IN ('com', 'net', 'org', 'co') "
+        "THEN element_at(_fs, -3) "
+        "WHEN size(_fs) >= 2 THEN element_at(_fs, -2) "
+        "ELSE '' END), 1)"
+    ),
+    "cuttofirstsignificantsubdomain": (
+        "element_at(transform(array(split(coalesce(try_parse_url({0}, "
+        "'HOST'), ''), '\\\\.')), _cs -> CASE WHEN size(_cs) >= 3 AND "
+        "element_at(_cs, -2) IN ('com', 'net', 'org', 'co') "
+        "THEN array_join(slice(_cs, -3, 3), '.') "
+        "WHEN size(_cs) >= 2 THEN array_join(slice(_cs, -2, 2), '.') "
+        "ELSE '' END), 1)"
+    ),
     # CH %-encodes spaces; Spark's url_encode/url_decode use the
     # form-encoding '+' — the replaces keep the ClickHouse contract
     "decodeurlcomponent": "url_decode(replace({0}, '+', '%2B'))",
@@ -719,10 +746,6 @@ _UNSUPPORTED_FUNCS = {
     "mannwhitneyutest": (
         "tuple-returning hypothesis test — see operators/ch_aggregates.py "
         "ch_mann_whitney_click_vs_view (u_statistic and p_value as columns)"
-    ),
-    "firstsignificantsubdomain": (
-        "public-suffix-list logic ('com.tr' counts as a TLD) — derive "
-        "from domain() with your own suffix table join"
     ),
     "ngramdistance": "operators/textops.py text_ngram_distance_probe",
     "deltasum": (
@@ -1105,6 +1128,74 @@ def _emit_two_array_hof(low: str, args: list[str]) -> str:
     return kept
 
 
+def _subst_ident(sql: str, name: str, repl: str) -> str:
+    """Replace bare identifier ``name`` with ``repl`` at token level —
+    never after a '.', never when it is a call name. Used to redirect a
+    multi-array lambda's parameters at the zipped struct's fields."""
+    toks = _tokenize(sql)
+    out: list[str] = []
+    prev_code: str | None = None
+    for idx, t in enumerate(toks):
+        if (
+            t == name
+            and prev_code != "."
+            and _next_code_word(toks, idx) != "("
+        ):
+            out.append(repl)
+        else:
+            out.append(t)
+        if not _is_ws(t):
+            prev_code = t
+    return "".join(out)
+
+
+def _emit_multi_array_fold(args: list[str]) -> str:
+    """``arrayFold((acc, x1, …, xN) -> body, a1, …, aN, init)`` →
+    ``aggregate(<zip of a1…aN into structs>, init, (acc, _zs) ->
+    body[xi → _zs.xi])`` (round 13).
+
+    The zip chains Spark's binary zip_with, building a struct whose
+    FIELDS are the lambda's own parameter names, so the body rewrite is a
+    mechanical ident → _zs.ident redirect. ClickHouse errors on unequal
+    array sizes, so the first array carries the equal-sizes guard against
+    every other input (the two-array HOF posture: NULLs size-coalesce to
+    0, so a NULL/NULL row zips to NULL instead of aborting). Nested
+    lambdas that SHADOW a fold parameter are out of scope (documented,
+    docs/CHSQL.md) — the redirect is textual."""
+    lam = args[0].strip()
+    arrs = [a.strip() for a in args[1:-1]]
+    init = args[-1].strip()
+    names, body = _split_lambda(lam)
+    if not names or len(names) != len(arrs) + 1:
+        raise UnsupportedCHSQL(
+            f"multi-array arrayFold over {len(arrs)} arrays needs a "
+            f"literal (acc, x1, …, x{len(arrs)}) -> expr lambda"
+        )
+    acc, xs = names[0], names[1:]
+    cond = " AND ".join(
+        f"coalesce(size({arrs[0]}), 0) = coalesce(size({a}), 0)"
+        for a in arrs[1:]
+    )
+    guarded = (
+        f"IF({cond}, {arrs[0]}, "
+        f"raise_error('arrayfold: arrays must have equal sizes'))"
+    )
+    zipped = (
+        f"zip_with({guarded}, {arrs[1]}, ({xs[0]}, {xs[1]}) -> "
+        f"struct({xs[0]} AS {xs[0]}, {xs[1]} AS {xs[1]}))"
+    )
+    for idx in range(2, len(arrs)):
+        fields = ", ".join(f"_zp.{x} AS {x}" for x in xs[:idx])
+        zipped = (
+            f"zip_with({zipped}, {arrs[idx]}, (_zp, {xs[idx]}) -> "
+            f"struct({fields}, {xs[idx]} AS {xs[idx]}))"
+        )
+    new_body = body
+    for x in xs:
+        new_body = _subst_ident(new_body, x, f"_zs.{x}")
+    return f"aggregate({zipped}, {init}, ({acc}, _zs) -> ({new_body}))"
+
+
 def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
     """Render one translated function call from already-translated args."""
     if low == "count":
@@ -1392,13 +1483,18 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             f"_tv -> struct(-size(filter({cl}, _te -> _te = _tv)) AS _tn, "
             f"_tv AS _tx))), _ts -> _ts._tx), 1, {n_top})"
         )
+    if low == "arrayfold" and len(args) >= 4:
+        # multi-array fold (round 13, verdict r12 #5): the rewrite the old
+        # refusal hint prescribed, automated — zip the arrays into structs
+        # whose fields are the lambda's own parameter names, then fold the
+        # zipped array with one (acc, struct) lambda whose body reads
+        # param → _zs.param
+        return _emit_multi_array_fold(args)
     if low == "arrayfold" and len(args) != 3:
-        # the template is positional (lambda, arr, init) — a multi-array
-        # fold like arrayFold(l, a, b, init) would otherwise silently drop
-        # the init and seed the accumulator with the second array
+        # the template is positional (lambda, arr, init) — fewer than
+        # (lambda, arr, init) is an arity error, not a rewrite candidate
         raise UnsupportedCHSQL(
-            "multi-array arrayFold not mapped — arrays_zip the inputs and "
-            "fold the zipped array with one (acc, struct) lambda instead"
+            "arrayFold takes (lambda, arr1 [, arr2, …], init)"
         )
     if low in ("greatest", "least") and len(args) >= 2:
         # ClickHouse returns NULL when ANY argument is NULL; Spark skips
@@ -2366,11 +2462,18 @@ def _any_join_rewrite(tokens: list[str], i: int) -> list[str]:
     ):
         kinds.append(tokens[j].upper())
         j = _next_code(tokens, j + 1)
-    if any(k in ("RIGHT", "FULL") for k in kinds):
+    if "FULL" in kinds:
+        # faithful refusal: ClickHouse itself raises NOT_IMPLEMENTED on
+        # ANY FULL JOIN — there is no semantics to translate
         raise UnsupportedCHSQL(
-            "ANY RIGHT/FULL JOIN dedups the LEFT side — only ANY "
-            f"LEFT/INNER JOIN translate; see {_ANY_JOIN_PTR}"
+            "ANY FULL JOIN is not implemented by ClickHouse itself — use "
+            "ANY LEFT/RIGHT/INNER JOIN, or an ALL FULL JOIN"
         )
+    if "RIGHT" in kinds:
+        # mirror of the LEFT/INNER path (round 13, verdict r12 #4): ANY
+        # RIGHT keeps every right row and at most one (pinned) LEFT row
+        # per key — dedup the LEFT side under the same pin discipline
+        return _any_right_join_rewrite(tokens, i, kinds, j)
     if j >= n or tokens[j].lower() != "join":
         raise UnsupportedCHSQL("ANY strictness without a JOIN keyword")
     r = _next_code(tokens, j + 1)
@@ -2401,6 +2504,7 @@ def _any_join_rewrite(tokens: list[str], i: int) -> list[str]:
         )
     alias = tokens[k]
     keys = _any_join_keys(tokens, _next_code(tokens, k + 1), alias)
+    _check_any_keys_projected(tokens, r, close, keys, side="right")
     inner_sql = "".join(tokens[r : close + 1]).strip()
     kinds_sql = (" ".join(kinds) + " ") if kinds else ""
     right = (
@@ -2434,7 +2538,7 @@ def _select_output_names(tokens: list[str], sel_idx: int) -> set[str] | None:
 
 
 def _subquery_order_sql(
-    tokens: list[str], i_open: int, i_close: int
+    tokens: list[str], i_open: int, i_close: int, side: str = "right"
 ) -> str | None:
     """The hoistable top-level ORDER BY list of the subquery between
     parens — plain output-column identifiers with optional ASC/DESC only
@@ -2504,7 +2608,7 @@ def _subquery_order_sql(
                     if ident.lower() not in known:
                         raise UnsupportedCHSQL(
                             f"ANY JOIN pin key `{ident}` is not projected "
-                            "by the right-side subquery — add it to the "
+                            f"by the {side}-side subquery — add it to the "
                             "subquery's SELECT list (the pin moves into a "
                             "window over the subquery's output)"
                         )
@@ -2512,8 +2616,163 @@ def _subquery_order_sql(
     return sql or None
 
 
-def _any_join_keys(tokens: list[str], c: int, alias: str) -> list[str]:
-    """Right-side join-key column names from the ON/USING clause at c."""
+def _any_right_join_rewrite(
+    tokens: list[str], i: int, kinds: list[str], j: int
+) -> list[str]:
+    """ANY RIGHT JOIN — the left-side-dedup mirror of the LEFT/INNER
+    rewrite (round 13)::
+
+        (SELECT … FROM t ORDER BY o) AS t ANY RIGHT JOIN u ON t.k = u.k
+        →
+        (SELECT * EXCEPT (__ch_any_rn) FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY o)
+                   AS __ch_any_rn
+            FROM (SELECT … FROM t ORDER BY o) AS __ch_anyl
+        ) WHERE __ch_any_rn = 1) AS t RIGHT JOIN u ON t.k = u.k
+
+    The PIN lives on the LEFT side here (the side ANY dedups): it must be
+    a parenthesized subquery with a top-level ORDER BY, aliased when the
+    keys come from ON conjuncts (USING keys are unqualified, so a bare
+    pinned subquery is fine). Unpinned shapes refuse with the mirrored
+    hints. Scale: one extra shuffle on the join keys for the dedup window
+    before the join's own exchange — same topology as the LEFT path, on
+    the other side. Plan shows the map-side WindowGroupLimit partial on
+    the LEFT input (docs/PLANS.md §chsql_any_right_join_first_order).
+    """
+    n = len(tokens)
+    if j >= n or tokens[j].lower() != "join":
+        raise UnsupportedCHSQL("ANY strictness without a JOIN keyword")  # no-golden: unreachable: _find_any_join requires a JOIN word ahead
+    # --- left relation: ( subquery ) [AS] alias, scanning back from ANY --
+    p = i - 1
+    while p >= 0 and _is_ws(tokens[p]):
+        p -= 1
+    alias = None
+    close_i = None
+    if p >= 0 and tokens[p] == ")":
+        close_i = p
+    elif p >= 0 and (tokens[p][0].isalpha() or tokens[p][0] == "_"):
+        alias = tokens[p]
+        q = p - 1
+        while q >= 0 and _is_ws(tokens[q]):
+            q -= 1
+        if q >= 0 and tokens[q].lower() == "as":
+            q -= 1
+            while q >= 0 and _is_ws(tokens[q]):
+                q -= 1
+        if q >= 0 and tokens[q] == ")":
+            close_i = q
+    if close_i is None:
+        raise UnsupportedCHSQL(
+            "ANY RIGHT JOIN keeps an engine-arbitrary LEFT row per key — "
+            "pin it: make the left side an ordered FROM-subquery "
+            "((SELECT * FROM t ORDER BY <cols>) AS t ANY RIGHT JOIN …), "
+            f"or see {_ANY_JOIN_PTR}"
+        )
+    depth = 0
+    open_i = None
+    for q in range(close_i, -1, -1):
+        if tokens[q] == ")":
+            depth += 1
+        elif tokens[q] == "(":
+            depth -= 1
+            if depth == 0:
+                open_i = q
+                break
+    if open_i is None:
+        raise UnsupportedCHSQL("unbalanced parentheses before ANY RIGHT JOIN")  # no-golden: unreachable: the tokenizer pass balances parens before rewrites run
+    ord_sql = _subquery_order_sql(tokens, open_i, close_i, side="left")
+    if ord_sql is None:
+        raise UnsupportedCHSQL(
+            "ANY RIGHT JOIN left-side subquery needs a top-level ORDER BY "
+            "— the pin decides which LEFT row 'any' keeps; or see "
+            f"{_ANY_JOIN_PTR}"
+        )
+    # --- ON/USING after the right relation -------------------------------
+    depth = 0
+    c = None
+    for q in range(j + 1, n):
+        t = tokens[q]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and t.lower() in ("on", "using"):
+            c = q
+            break
+        elif depth == 0 and t.lower() in ("where", "group", "order",
+                                          "limit", "union", "settings",
+                                          "format", "having"):
+            break
+    if c is None:
+        raise UnsupportedCHSQL(
+            "ANY JOIN needs an ON or USING clause to read the join keys"
+        )
+    if tokens[c].lower() == "on" and alias is None:
+        raise UnsupportedCHSQL(
+            "ANY RIGHT JOIN left-side subquery needs an alias (the join "
+            "keys are read from the alias-qualified ON conjuncts)"
+        )
+    keys = _any_join_keys(tokens, c, alias or "", side="left")
+    _check_any_keys_projected(tokens, open_i, close_i, keys, side="left")
+    inner_sql = "".join(tokens[open_i : close_i + 1]).strip()
+    new_left = (
+        f"(SELECT * EXCEPT (__ch_any_rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {', '.join(keys)} "
+        f"ORDER BY {ord_sql}) AS __ch_any_rn "
+        f"FROM {inner_sql} AS __ch_anyl"
+        f") WHERE __ch_any_rn = 1)"
+    )
+    kinds_sql = (" ".join(kinds) + " ") if kinds else ""
+    return (
+        tokens[:open_i]
+        + _tokenize(new_left)
+        + tokens[close_i + 1 : i]  # the [AS] alias span, untouched
+        + _tokenize(f"{kinds_sql}JOIN")
+        + tokens[j + 1 :]
+    )
+
+
+def _check_any_keys_projected(
+    tokens: list[str], i_open: int, i_close: int, keys: list[str], side: str
+) -> None:
+    """Best-effort (round 13): the dedup window PARTITIONs the subquery's
+    OUTPUT by the join keys, so a key the subquery knowably does not
+    project must refuse with guidance instead of failing Spark analysis.
+    Skipped when the output names are unknowable or a UNION owns them —
+    same discipline as the ORDER-BY-pin check in _subquery_order_sql."""
+    sel_idx = _next_code(tokens, i_open + 1)
+    if sel_idx >= i_close or tokens[sel_idx].lower() != "select":
+        return
+    depth = 0
+    for p in range(i_open + 1, i_close):
+        t = tokens[p]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.lower() == "union":
+            return
+    known = _select_output_names(tokens, sel_idx)
+    if known is None:
+        return
+    for k in keys:
+        if k.strip('`"').lower() not in known:
+            raise UnsupportedCHSQL(
+                f"ANY JOIN key `{k}` is not projected by the {side}-side "
+                "subquery — add it to the subquery's SELECT list (the "
+                "dedup window partitions the subquery's output by the "
+                "join keys)"
+            )
+
+
+def _any_join_keys(
+    tokens: list[str], c: int, alias: str, side: str = "right"
+) -> list[str]:
+    """Join-key column names qualified by ``alias`` (the deduped side —
+    right for ANY LEFT/INNER, left for ANY RIGHT) from the ON/USING
+    clause at c."""
     n = len(tokens)
     if c < n and tokens[c].lower() == "using":
         o = _next_code(tokens, c + 1)
@@ -2566,18 +2825,18 @@ def _any_join_keys(tokens: list[str], c: int, alias: str) -> list[str]:
         if not ok:
             raise UnsupportedCHSQL(
                 "ANY JOIN ON conjuncts must be alias-qualified equalities "
-                "(t.k = u.k) — the rewrite partitions the right side by "
+                f"(t.k = u.k) — the rewrite partitions the {side} side by "
                 f"those keys; see {_ANY_JOIN_PTR} for other shapes"
             )
         left_is_r = cj[0].lower() == alias.lower()
         right_is_r = cj[4].lower() == alias.lower()
         if left_is_r and right_is_r:
-            # u.a = u.b is a right-side FILTER, not a join key — using it
+            # u.a = u.b is a same-side FILTER, not a join key — using it
             # as a partition key would over-key the dedup window and let
-            # multiple right rows per real key survive (review round 11)
+            # multiple rows per real key survive (review round 11)
             raise UnsupportedCHSQL(
-                "ANY JOIN ON conjunct references the right alias "
-                f"{alias!r} on BOTH sides — that is a right-side filter, "
+                f"ANY JOIN ON conjunct references the {side} alias "
+                f"{alias!r} on BOTH sides — that is a {side}-side filter, "
                 "not a join key; move it into the subquery's WHERE"
             )
         if left_is_r:
@@ -2586,7 +2845,7 @@ def _any_join_keys(tokens: list[str], c: int, alias: str) -> list[str]:
             keys.append(cj[6])
         else:
             raise UnsupportedCHSQL(
-                f"ANY JOIN ON conjunct does not reference the right "
+                f"ANY JOIN ON conjunct does not reference the {side} "
                 f"alias {alias!r} — cannot derive the dedup keys"
             )
     return keys

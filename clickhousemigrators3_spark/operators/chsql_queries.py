@@ -2273,3 +2273,95 @@ _ch(
     """,
     ("orders",),
 )
+
+# chsql_any_right_join_first_order (round 13, verdict r12 #4): ANY RIGHT
+# JOIN — the left-side-dedup mirror. Every customer row survives (right
+# side); each is matched to its single EARLIEST order (date ASC, orderkey
+# tiebreak) via the pinned LEFT subquery. Plan: row_number window over the
+# left side (map-side WindowGroupLimit partial) feeding a RIGHT join.
+_ch(
+    "chsql_any_right_join_first_order",
+    """
+    SELECT c.c_custkey AS ck, c.c_name AS name,
+           o.o_orderdate AS first_order_date,
+           o.o_totalprice AS first_price
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+          FROM orders
+          ORDER BY o_orderdate, o_orderkey) AS o
+    ANY RIGHT JOIN customer AS c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 400
+    ORDER BY ck
+    """,
+    """
+    WITH l AS (
+      SELECT o_custkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    SELECT c_custkey AS ck, c_name AS name,
+           l.o_orderdate AS first_order_date,
+           l.o_totalprice AS first_price
+    FROM l RIGHT JOIN customer ON l.o_custkey = c_custkey AND l.rn = 1
+    WHERE c_custkey < 400
+    ORDER BY ck
+    """,
+    ("customer", "orders"),
+)
+
+# chsql_first_significant_subdomain (round 13, verdict r12 #7): URLs
+# synthesized from fixture columns with a mix of plain TLDs and the
+# com/net/org/co second-level suffixes; the oracle CONSTRUCTS the expected
+# significant label directly from the same modulus, so the rule (not
+# another parser) is what's checked.
+_ch(
+    "chsql_first_significant_subdomain",
+    """
+    SELECT doc_id,
+           firstSignificantSubdomain(u) AS fss,
+           cutToFirstSignificantSubdomain(u) AS cfss
+    FROM (SELECT doc_id,
+                 concat('https://news.site', toString(doc_id % 5),
+                        CASE WHEN doc_id % 2 = 0 THEN '.com.tr'
+                             ELSE '.org' END,
+                        '/p/', lang) AS u
+          FROM documents WHERE doc_id < 60)
+    ORDER BY doc_id
+    """,
+    """
+    SELECT doc_id,
+           'site' || CAST(doc_id % 5 AS VARCHAR) AS fss,
+           'site' || CAST(doc_id % 5 AS VARCHAR) ||
+             CASE WHEN doc_id % 2 = 0 THEN '.com.tr' ELSE '.org' END AS cfss
+    FROM documents WHERE doc_id < 60
+    ORDER BY doc_id
+    """,
+    ("documents",),
+)
+
+# chsql_multi_array_fold (round 13, verdict r12 #5): multi-array arrayFold
+# over constructed equal-size arrays — zip_with structs + one (acc, struct)
+# aggregate; the oracle computes the same fold arithmetically.
+_ch(
+    "chsql_multi_array_fold",
+    """
+    SELECT o_orderkey AS k,
+           arrayFold((acc, x, y) -> acc + x * y,
+                     array(toInt64(1), toInt64(2), toInt64(3)),
+                     array(toInt64(o_orderkey % 7),
+                           toInt64(o_orderkey % 5),
+                           toInt64(o_orderkey % 3)),
+                     toInt64(0)) AS dotp
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY k
+    """,
+    """
+    SELECT o_orderkey AS k,
+           CAST(1 * (o_orderkey % 7) + 2 * (o_orderkey % 5)
+                + 3 * (o_orderkey % 3) AS BIGINT) AS dotp
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY k
+    """,
+    ("orders",),
+)

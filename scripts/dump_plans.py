@@ -151,6 +151,22 @@ SHOW = [
     # HashAggregate pair, never an explode shuffle
     "chsql_limit_with_ties",
     "chsql_array_combinators",
+    # round-13: ternary → CASE (row-local project, pushed scan filter);
+    # column matchers (the EXPANSION happens pre-translation — the plan is
+    # a plain two-phase HashAggregate over the explicit columns, proof the
+    # probe analyzed rather than executed); ANY RIGHT mirror (what to look
+    # for: WindowGroupLimit partial on the LEFT input feeding the join);
+    # multi-array fold (zip_with structs inside one project — no explode,
+    # no extra shuffle); firstSignificantSubdomain (row-local CASE over
+    # one split, pushed filter intact)
+    "chsql_ternary_bands",
+    "chsql_ternary_agg",
+    "chsql_column_matchers",
+    "chsql_columns_regex",
+    "chsql_untuple_agg",
+    "chsql_any_right_join_first_order",
+    "chsql_multi_array_fold",
+    "chsql_first_significant_subdomain",
 ]
 
 HEADER = """# Physical plans — headline queries at sf0.1

@@ -986,6 +986,39 @@ def test_url_and_substring_functions(spark):
     assert row.parts == ["a", "a", "a", ""]
 
 
+def test_first_significant_subdomain(spark):
+    """Round 13: firstSignificantSubdomain / cutToFirstSignificantSubdomain
+    — ClickHouse's DEFAULT rule (second-level com/net/org/co counts as
+    part of the suffix), no public-suffix list needed."""
+    spark.createDataFrame(
+        [
+            ("https://news.clickhouse.com.tr/path?q=1",),
+            ("https://news.clickhouse.com/",),
+            ("https://a.b.example.co.uk/x",),
+            ("http://example.org",),
+            ("http://localhost/x",),
+            ("not a url",),
+        ],
+        "u string",
+    ).createOrReplaceTempView("fss_t")
+    rows = spark.sql(
+        translate_ch_sql(
+            "SELECT u, firstSignificantSubdomain(u) AS fss, "
+            "cutToFirstSignificantSubdomain(u) AS cfss FROM fss_t"
+        )
+    ).collect()
+    got = {r.u: (r.fss, r.cfss) for r in rows}
+    assert got["https://news.clickhouse.com.tr/path?q=1"] == (
+        "clickhouse", "clickhouse.com.tr")
+    assert got["https://news.clickhouse.com/"] == (
+        "clickhouse", "clickhouse.com")
+    assert got["https://a.b.example.co.uk/x"] == ("example", "example.co.uk")
+    assert got["http://example.org"] == ("example", "example.org")
+    # single-label and unparseable hosts → '' (the URL-family contract)
+    assert got["http://localhost/x"] == ("", "")
+    assert got["not a url"] == ("", "")
+
+
 # --- ORDER BY … WITH FILL (run_ch_sql dense-axis rewrite) ------------------
 # ClickHouse FillingTransform semantics: the cursor RE-ANCHORS at every
 # original row (not a static grid), FROM seeds a head segment, TO is
@@ -2459,12 +2492,38 @@ def test_array_fold(spark):
         "SELECT arrayFold((acc, x) -> acc * 10 + x, array(1, 2, 3), 0) AS v",
     ).collect()
     assert r[0].v == 123
-    # multi-array fold refuses: the positional template would silently
-    # drop the init and seed the accumulator with the second array
-    # (advisor-found)
-    with pytest.raises(UnsupportedCHSQL, match="multi-array arrayFold"):
+
+
+def test_multi_array_fold(spark):
+    """Round 13 (verdict r12 #5): multi-array arrayFold translates — the
+    arrays zip into structs FIELD-NAMED after the lambda's parameters,
+    one (acc, struct) lambda folds them; param refs redirect to _zs.x."""
+    r = run_ch_sql(
+        spark,
+        "SELECT arrayFold((acc, x, y) -> acc + x * y, "
+        "array(1, 2, 3), array(10, 20, 30), 0) AS v",
+    ).collect()
+    assert r[0].v == 140
+    # three arrays, order-sensitive accumulator
+    r = run_ch_sql(
+        spark,
+        "SELECT arrayFold((acc, x, y, z) -> acc * 10 + x + y - z, "
+        "array(1, 2), array(3, 4), array(1, 1), 0) AS v",
+    ).collect()
+    assert r[0].v == 35  # (0*10+1+3-1)=3 → 3*10+2+4-1=35
+    # ClickHouse contract: unequal sizes are an ERROR, not a NULL-pad
+    import pyspark
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        run_ch_sql(
+            spark,
+            "SELECT arrayFold((acc, x, y) -> acc + x + y, "
+            "array(1, 2), array(1), 0) AS v",
+        ).collect()
+    # lambda arity must match the array count
+    with pytest.raises(UnsupportedCHSQL, match="literal \\(acc, x1"):
         translate_ch_sql(
-            "SELECT arrayFold((acc, x, y) -> acc + x * y, a, b, 0) FROM t"
+            "SELECT arrayFold((acc, x) -> acc + x, a, b, 0) FROM t"
         )
 
 
@@ -3033,6 +3092,36 @@ def test_any_join_executed(spark):
     assert [(r.k, r.rv) for r in rows] == [(1, "a"), (2, "c")]
 
 
+def test_any_right_join_executed(spark):
+    """Round 13: ANY RIGHT JOIN — the left-side-dedup mirror. Every right
+    row survives; each gets at most one LEFT row, the FIRST under the
+    left subquery's ORDER BY pin."""
+    spark.createDataFrame(
+        [(1, 5, "a"), (1, 3, "b"), (2, 9, "c")], "k int, o int, lv string"
+    ).createOrReplaceTempView("ajrl")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k int, rv string"
+    ).createOrReplaceTempView("ajrr")
+    rows = run_ch_sql(
+        spark,
+        "SELECT r.k AS k, l.lv AS lv, r.rv AS rv "
+        "FROM (SELECT * FROM ajrl ORDER BY o) AS l "
+        "ANY RIGHT JOIN ajrr AS r ON l.k = r.k ORDER BY k",
+    ).collect()
+    assert [(r.k, r.lv, r.rv) for r in rows] == [
+        (1, "b", "x"), (2, "c", "y"), (3, None, "z"),
+    ]
+    # USING form: no alias needed on the pinned left subquery
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, lv, rv FROM (SELECT * FROM ajrl ORDER BY o DESC) "
+        "ANY RIGHT JOIN ajrr USING (k) ORDER BY k",
+    ).collect()
+    assert [(r.k, r.lv, r.rv) for r in rows] == [
+        (1, "a", "x"), (2, "c", "y"), (3, None, "z"),
+    ]
+
+
 @pytest.mark.parametrize(
     "ch, needle",
     [
@@ -3040,9 +3129,21 @@ def test_any_join_executed(spark):
         ("SELECT * FROM t ANY LEFT JOIN u ON t.x = u.x", "pin"),
         ("SELECT * FROM t ANY LEFT JOIN (SELECT * FROM u) AS u "
          "ON t.x = u.x", "ORDER BY"),
-        # left-side dedup strictness has no right-side rewrite
+        # round 13: ANY RIGHT translates via the left-side-dedup mirror —
+        # the PIN moves to the left side, so a bare left table refuses
         ("SELECT * FROM t ANY RIGHT JOIN (SELECT * FROM u ORDER BY x) AS u "
-         "ON t.x = u.x", "LEFT side"),
+         "ON t.x = u.x", "pin it: make the left side"),
+        ("SELECT * FROM (SELECT k FROM t) AS t ANY RIGHT JOIN u "
+         "ON t.k = u.k", "left-side subquery needs a top-level ORDER BY"),
+        ("SELECT * FROM (SELECT k, o FROM t ORDER BY o) ANY RIGHT JOIN u "
+         "ON t.k = u.k", "left-side subquery needs an alias"),
+        ("SELECT * FROM (SELECT o FROM t ORDER BY o) AS t ANY RIGHT JOIN u "
+         "ON t.k = u.k", "not projected by the left-side"),
+        # ClickHouse itself raises NOT_IMPLEMENTED on ANY FULL
+        ("SELECT * FROM (SELECT k, o FROM t ORDER BY o) AS t ANY FULL "
+         "JOIN u ON t.k = u.k", "not implemented by ClickHouse"),
+        ("SELECT * FROM (SELECT k, o FROM t ORDER BY o) AS t "
+         "ANY RIGHT JOIN u WHERE 1", "ON or USING"),
         # non-equi conjuncts would change which rows are dedup candidates
         ("SELECT * FROM t ANY LEFT JOIN (SELECT * FROM u ORDER BY x) AS u "
          "ON t.x = u.x AND u.v > 5", "equalities"),
@@ -3082,8 +3183,12 @@ def test_any_join_refusals(ch: str, needle: str):
         ("SELECT formatDateTime(d, f) FROM t", "literal format"),
         ("SELECT JSONExtractString(j, k) FROM t", "literal key"),
         ("SELECT arrayFilter(x -> x > 0, a, b) FROM t", "(x, y)"),
+        # round 13: multi-array arrayFold TRANSLATES — only the arity
+        # mismatch (2 arrays need a 3-param lambda) and short arg lists
+        # refuse now
         ("SELECT arrayFold((acc, x) -> acc + x, a, b, 0) FROM t",
-         "arrays_zip"),
+         "literal (acc, x1"),
+        ("SELECT arrayFold(f, a) FROM t", "(lambda, arr1"),
         ("SELECT trunc(x, 1, 2) FROM t", "trunc takes"),
         ("SELECT arrayConcat() FROM t", "at least one array"),
         ("SELECT tuple() FROM t", "at least one element"),
@@ -3177,7 +3282,8 @@ def test_any_join_refusals(ch: str, needle: str):
         ("SELECT dateName('era', d) FROM t", "not mapped"),
         ("SELECT dateName(u, d) FROM t", "literal unit"),
         ("SELECT dateName(d) FROM t", "'unit', date"),
-        ("SELECT firstSignificantSubdomain(u) FROM t", "public-suffix"),
+        # round 13: firstSignificantSubdomain TRANSLATES (ClickHouse's
+        # default com/net/org/co rule needs no public-suffix list)
         ("SELECT a FROM t ORDER BY 5 LIMIT 1 BY a", "out of range"),
         ("SELECT a + 1 FROM t ORDER BY 1 LIMIT 1 BY a", "unaliased"),
         # WITH clause shapes
