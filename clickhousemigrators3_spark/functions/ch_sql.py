@@ -1934,6 +1934,19 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             )
         if n_ == 1 and unit == "week":
             return f"date_trunc('{unit}', {args[0]})"
+        if unit == "week":
+            # multi-week buckets (round 13): ClickHouse aligns week
+            # intervals to day 4 since epoch — 1970-01-05, the first
+            # MONDAY after the (Thursday) epoch (DateLUT
+            # toStartOfWeekInterval: 4 + (d - 4) / (7n) * (7n)); result
+            # is a DATE like ClickHouse's
+            step = n_ * 7
+            arg = args[0].strip()
+            return (
+                f"date_add(DATE '1970-01-05', CAST(floor("
+                f"datediff(CAST({arg} AS DATE), DATE '1970-01-05') / {step}"
+                f") * {step} AS INT))"
+            )
         if n_ == 1 and unit in ("month", "quarter", "year"):
             # DATE like ClickHouse (and like the multi-month path below):
             # a literal change from INTERVAL 2 MONTH to INTERVAL 1 MONTH

@@ -2365,3 +2365,30 @@ _ch(
     """,
     ("orders",),
 )
+
+# chsql_two_week_buckets (round 13): multi-week toStartOfInterval —
+# ClickHouse aligns week intervals to 1970-01-05 (the first Monday after
+# the Thursday epoch); the oracle spells the same day arithmetic, so the
+# anchor (not just the 14-day modulus) is what's checked.
+_ch(
+    "chsql_two_week_buckets",
+    """
+    SELECT toStartOfInterval(o_orderdate, INTERVAL 2 WEEK) AS w2,
+           count() AS c,
+           uniqExact(o_custkey) AS u
+    FROM orders
+    GROUP BY w2
+    ORDER BY w2
+    """,
+    """
+    SELECT DATE '1970-01-05' + CAST(floor(
+             datediff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE))
+             / 14) * 14 AS INT) AS w2,
+           count(*) AS c,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS u
+    FROM orders
+    GROUP BY w2
+    ORDER BY w2
+    """,
+    ("orders",),
+)

@@ -764,10 +764,11 @@ def test_type_and_interval_mapping(ch: str, expected: str):
 @pytest.mark.parametrize(
     "ch, needle",
     [
-        # multi-month/quarter/year buckets translate now (months-since-epoch
-        # alignment); multi-WEEK stays refused — ClickHouse aligns those to
-        # its own week epoch, which Spark arithmetic would silently miss
-        ("SELECT toStartOfInterval(ts, INTERVAL 2 week) FROM t", "alignment"),
+        # multi-month/quarter/year/WEEK buckets all translate now (round
+        # 13 added weeks: aligned to 1970-01-05, ClickHouse's week epoch);
+        # unknown units still refuse
+        ("SELECT toStartOfInterval(ts, INTERVAL 2 fortnight) FROM t",
+         "alignment"),
         ("SELECT CAST(x, 'AggregateFunction(uniq, UInt64)') FROM t", "not mapped"),
         ("SELECT quantileExactWeighted(0.5)(x, w) FROM t", "quantile_exact_weighted"),
     ],
@@ -2527,6 +2528,55 @@ def test_multi_array_fold(spark):
         )
 
 
+def test_ternary_formatting_fuzz(spark):
+    """Round 13: randomly generated nested ternaries — the rewrite must
+    agree with an independently-built CASE WHEN reference under random
+    whitespace, nesting side, and operand shape. Executed, not just
+    string-compared: the property is SEMANTIC equality."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def build(depth, rng_label):
+        """(ch_ternary_expr, equivalent_case_expr) pair, recursively."""
+        cond = f"v > {rng_label[0]}"
+        a = (f"'{rng_label[1]}'", f"'{rng_label[1]}'")
+        b = (f"'{rng_label[2]}'", f"'{rng_label[2]}'")
+        if depth > 0:
+            nested = build(depth - 1, rng_label[3:])
+            if rng_label[3] % 2 == 0:
+                a = nested
+            else:
+                b = nested
+        ch = f"{cond} ? {a[0]} : {b[0]}"
+        case = f"CASE WHEN {cond} THEN {a[1]} ELSE {b[1]} END"
+        return ch, case
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        labels=st.lists(
+            st.integers(min_value=0, max_value=9), min_size=12, max_size=12
+        ),
+        depth=st.integers(min_value=0, max_value=2),
+        ws=st.sampled_from([" ", "  ", "\n", "\t "]),
+    )
+    def check(labels, depth, ws):
+        ch, case = build(depth, labels)
+        ch = ch.replace(" ? ", f"{ws}?{ws}").replace(" : ", f"{ws}:{ws}")
+        got = spark.sql(
+            translate_ch_sql(
+                f"SELECT v, {ch} AS r FROM "
+                "(SELECT explode(sequence(0, 10)) AS v) ORDER BY v"
+            )
+        ).collect()
+        want = spark.sql(
+            f"SELECT v, {case} AS r FROM "
+            "(SELECT explode(sequence(0, 10)) AS v) ORDER BY v"
+        ).collect()
+        assert [(r.v, r.r) for r in got] == [(r.v, r.r) for r in want]
+
+    check()
+
+
 def test_block_agg_formatting_fuzz():
     """Tokenizer robustness for the round-9 rewrites: random case,
     whitespace, parametric spacing, and pin placement (top-level vs
@@ -3719,6 +3769,27 @@ def test_format_trunc_interval_wave_executed(spark):
     assert row.tm1 == -0.0 and row.tl == 123.4
     assert str(row.m2) == "2024-03-01"         # epoch-aligned even buckets
     assert str(row.y5) == "2020-01-01"         # 1970 + floor(54/5)*5
+
+
+def test_multi_week_interval_executed(spark):
+    """Round 13: multi-week toStartOfInterval — ClickHouse aligns week
+    buckets to 1970-01-05 (the first Monday after the Thursday epoch):
+    every bucket start is a Monday on the 14-day grid through that
+    anchor, and week-1 agrees with date_trunc('week')."""
+    rows = run_ch_sql(
+        spark,
+        "SELECT toStartOfInterval(toDate('2024-01-01'), INTERVAL 2 week) "
+        "AS a, "
+        "toStartOfInterval(toDate('2024-01-11'), INTERVAL 2 week) AS b, "
+        "toStartOfInterval(toDate('1970-01-05'), INTERVAL 2 week) AS c, "
+        "toStartOfInterval(toDate('2024-01-08'), INTERVAL 4 week) AS d",
+    ).collect()[0]
+    assert str(rows.a) == "2023-12-25"  # Monday, on the 14-day epoch grid
+    assert str(rows.b) == "2024-01-08"
+    assert str(rows.c) == "1970-01-05"  # the anchor maps to itself
+    # 28-day grid: 2024-01-08 is 19726 days past the anchor; floor to
+    # 704*28 = 19712 → 2023-12-25
+    assert str(rows.d) == "2023-12-25"
 
 
 def test_dead_subquery_sort_is_stripped(spark):
