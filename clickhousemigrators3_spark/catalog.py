@@ -180,6 +180,42 @@ def register_system_views(spark: SparkSession, sf_dir: str) -> None:
         [(p,) for p in STORAGE_POLICIES], "policy_name string"
     ).createOrReplaceTempView("system_storage_policies")
 
+    # system.columns (round 13): one row per column with its ClickHouse
+    # type name, derived from the parquet footers — always consistent with
+    # what a scan sees, like system_parts. Static local relation.
+    col_rows = []
+    for name in TABLES:
+        for pos, f in enumerate(load_table(spark, sf_dir, name).schema, 1):
+            col_rows.append(
+                ("default", name, f.name,
+                 _ch_type_name(f.dataType.simpleString()), pos)
+            )
+    spark.createDataFrame(
+        col_rows,
+        "database string, table string, name string, type string, "
+        "position int",
+    ).createOrReplaceTempView("system_columns")
+
+
+def _ch_type_name(spark_type: str) -> str:
+    """Spark simpleString → the ClickHouse type name a system.columns
+    reader expects. Nested element types map recursively."""
+    t = spark_type.lower()
+    base = {
+        "bigint": "Int64", "int": "Int32", "smallint": "Int16",
+        "tinyint": "Int8", "double": "Float64", "float": "Float32",
+        "string": "String", "boolean": "Bool", "date": "Date",
+        "timestamp": "DateTime", "timestamp_ntz": "DateTime",
+        "binary": "String",
+    }
+    if t in base:
+        return base[t]
+    if t.startswith("array<") and t.endswith(">"):
+        return f"Array({_ch_type_name(t[6:-1])})"
+    if t.startswith("decimal(") and t.endswith(")"):
+        return "Decimal(" + t[8:-1] + ")"
+    return spark_type  # unmapped: surface the Spark name rather than lie
+
 
 def table_exists(spark: SparkSession, path: str) -> bool:
     """S3 — existence scan.

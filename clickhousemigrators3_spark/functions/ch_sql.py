@@ -2038,7 +2038,7 @@ _TABLE_INTRO = {None, "from", "join", ",", "(", ".", "as"}
 _JOIN_WORDS = {"left", "right", "inner", "full", "join", "outer"}
 
 # ClickHouse system tables the catalog emulates as system_<name> views
-_SYSTEM_VIEWS = {"tables", "parts", "storage_policies"}
+_SYSTEM_VIEWS = {"tables", "parts", "storage_policies", "columns"}
 
 
 def _translate_tokens(tokens: list[str]) -> str:
@@ -2077,7 +2077,7 @@ def _translate_tokens(tokens: list[str]) -> str:
                 raise UnsupportedCHSQL(
                     f"system.{sysname} is not emulated — see "
                     "catalog.register_system_views (tables / parts / "
-                    "storage_policies are)"
+                    "columns / storage_policies are)"
                 )
         if low == "prewhere":
             raise _PrewhereMarker(i)  # handled by caller on the full list
@@ -7042,7 +7042,7 @@ def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
         # round 13: matcher expansion probes the FROM clause's schema, so
         # the views must already exist; system views too when referenced
         if sf_dir is not None and re.search(
-            r"\bsystem\s*\.\s*(?:tables|parts|storage_policies)\b", base_sql
+            r"\bsystem\s*\.\s*(?:tables|parts|columns|storage_policies)\b", base_sql
         ):
             from ..catalog import register_system_views
 
@@ -7055,7 +7055,7 @@ def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
     if translated is None:
         probe = _translate_impl(base_sql, gm_mode="plain")
         if sf_dir is not None and re.search(
-            r"\bsystem_(?:tables|parts|storage_policies)\b", probe
+            r"\bsystem_(?:tables|parts|columns|storage_policies)\b", probe
         ):
             from ..catalog import register_system_views
 
@@ -7066,7 +7066,7 @@ def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
         }
         translated = _translate_impl(base_sql, gm_mode="typed", gm_types=types)
     elif sf_dir is not None and re.search(
-        r"\bsystem_(?:tables|parts|storage_policies)\b", translated
+        r"\bsystem_(?:tables|parts|columns|storage_policies)\b", translated
     ):
         from ..catalog import register_system_views
 
@@ -7201,7 +7201,7 @@ def run_ch_insert(spark, sql: str, dest_root: str, sf_dir: str | None = None):
         from .. import TABLES
 
         register_tables(spark, sf_dir, tuple(TABLES))
-        if re.search(r"\bsystem_(?:tables|parts|storage_policies)\b", translated):
+        if re.search(r"\bsystem_(?:tables|parts|columns|storage_policies)\b", translated):
             register_system_views(spark, sf_dir)
     df = spark.sql(translated)
     if cols:

@@ -2392,3 +2392,29 @@ _ch(
     """,
     ("orders",),
 )
+
+# chsql_sys_columns (round 13): system.columns emulation — one row per
+# column with its ClickHouse type name, derived from the parquet footer
+# (catalog.register_system_views). Static oracle, same discipline as
+# chsql_sys_partition_key: the fixture schema is a known constant.
+_ch(
+    "chsql_sys_columns",
+    """
+    SELECT name, type, position
+    FROM system.columns
+    WHERE database = 'default' AND table = 'orders'
+    ORDER BY position
+    """,
+    """
+    SELECT * FROM (VALUES
+      ('o_orderkey', 'Int64', 1),
+      ('o_custkey', 'Int64', 2),
+      ('o_orderstatus', 'String', 3),
+      ('o_totalprice', 'Float64', 4),
+      ('o_orderdate', 'DateTime', 5),
+      ('o_orderpriority', 'String', 6)
+    ) AS t(name, type, position)
+    ORDER BY position
+    """,
+    (),
+)

@@ -706,6 +706,32 @@ def test_system_table_emulation(spark):
     ).collect()[0][0]
     assert rows == load_table(spark, SF01, "orders").count()
 
+    # system.columns (round 13): names in footer order, ClickHouse type
+    # names derived from the parquet schema
+    cols = run_ch_sql(
+        spark,
+        "SELECT name, type FROM system.columns "
+        "WHERE database = 'default' AND table = 'orders' ORDER BY position",
+        SF01,
+        tables=(),
+    ).collect()
+    got = {r.name: r.type for r in cols}
+    assert [r.name for r in cols] == load_table(
+        spark, SF01, "orders"
+    ).columns
+    assert got["o_orderkey"] == "Int64"
+    assert got["o_totalprice"] == "Float64"
+    assert got["o_orderstatus"] == "String"
+    assert got["o_orderdate"] == "DateTime"
+    emb = run_ch_sql(
+        spark,
+        "SELECT type FROM system.columns "
+        "WHERE table = 'embeddings' AND name = 'embedding'",
+        SF01,
+        tables=(),
+    ).collect()[0].type
+    assert emb.startswith("Array(")
+
 
 @pytest.mark.parametrize(
     "ch, needle",
@@ -3271,7 +3297,9 @@ def test_any_join_refusals(ch: str, needle: str):
          "positive integer literal"),
         ("SELECT g, topKWeighted(3)(v) FROM t GROUP BY g", "(x, weight)"),
         # system tables / statements
-        ("SELECT * FROM system.columns", "not emulated"),
+        # round 13: system.columns is emulated now; unknown system tables
+        # still refuse with the pointer
+        ("SELECT * FROM system.metrics", "not emulated"),
         ("SHOW CREATE TABLE t", "schema reflection"),
         # ANY JOIN shape errors
         ("SELECT * FROM t ANY RIGHT JOIN u ON t.x = u.x",
