@@ -157,7 +157,14 @@ class UnsupportedCHSQL(ValueError):
 
 _TOKEN = re.compile(
     r"""
-    '(?:\\.|''|[^'\\])*'              # string literal (C-style escapes, '')
+    --[^\n]*                          # line comment (round 13: tokenized
+                                      #   whole, then dropped — comment
+                                      #   text used to leak into the
+                                      #   token-level rewrites, where a
+                                      #   '?' or a LIMIT keyword inside a
+                                      #   comment confused them)
+  | /\*(?:[^*]|\*(?!/))*\*/           # block comment (non-nesting, ditto)
+  | '(?:\\.|''|[^'\\])*'              # string literal (C-style escapes, '')
   | `[^`]*`                           # backtick identifier
   | "[^"]*"                           # double-quoted identifier
   | \d+(?:\.\d+)?(?:[eE][+-]?\d+)?    # number
@@ -171,7 +178,16 @@ _TOKEN = re.compile(
 
 
 def _tokenize(sql: str) -> list[str]:
-    return [m.group(0) for m in _TOKEN.finditer(sql)]
+    # comments are replaced by one space: they separate tokens like
+    # whitespace does (`a--c\nb` is two identifiers), but their TEXT must
+    # never reach the keyword/operator scans. `/*+ … */` optimizer hints
+    # survive as one opaque token — Spark reads them.
+    return [
+        " " if m.group(0).startswith("--") or (
+            m.group(0).startswith("/*") and not m.group(0).startswith("/*+")
+        ) else m.group(0)
+        for m in _TOKEN.finditer(sql)
+    ]
 
 
 def _is_ws(tok: str) -> bool:
@@ -1534,11 +1550,43 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
                 f"AS DOUBLE) * {factor})"
             )
         raise UnsupportedCHSQL("trunc takes (x) or (x, scale)")
+    if low in ("arraysort", "arrayreversesort") and len(args) == 2:
+        # keyed sort (round 13): arraySort(x -> key, arr) → STABLE
+        # struct sort — (null-flag, key, index, value), unwrap the value.
+        # The index field makes ties keep their original order (the
+        # ClickHouse contract); the null flag keeps NULL keys LAST in
+        # both directions (CH parks NULL at the end even for
+        # arrayReverseSort). Reverse sort uses sort_array(…, false) with
+        # the flag and index signs flipped so non-nulls still lead and
+        # ties still ascend. Float-NaN keys in REVERSE sort diverge
+        # (Spark ranks NaN above Inf → first; CH parks NaN next-to-last)
+        # — documented in docs/CHSQL.md.
+        lam, arr = args[0].strip(), args[1].strip()
+        names, body = _split_lambda(lam)
+        if not names or len(names) != 1:
+            raise UnsupportedCHSQL(
+                f"keyed {low} needs a literal one-parameter x -> key "
+                "lambda (the multi-array form is not mapped — arrays_zip "
+                "the inputs first)"
+            )
+        x = names[0]
+        if low == "arraysort":
+            pairs = (
+                f"transform({arr}, ({x}, _si) -> "
+                f"struct(({body}) IS NULL AS _kn, ({body}) AS _k, "
+                f"_si AS _i, {x} AS _v))"
+            )
+            return f"transform(array_sort({pairs}), _s -> _s._v)"
+        pairs = (
+            f"transform({arr}, ({x}, _si) -> "
+            f"struct(({body}) IS NOT NULL AS _kn, ({body}) AS _k, "
+            f"-_si AS _i, {x} AS _v))"
+        )
+        return f"transform(sort_array({pairs}, false), _s -> _s._v)"
     if low in ("arraysort", "arrayreversesort") and len(args) != 1:
         raise UnsupportedCHSQL(
-            f"keyed {low}(lambda, arr) is not mapped (Spark's array_sort "
-            "comparator is 3-way, not key-extracting) — precompute the key "
-            "with arrayMap and sort structs"
+            f"multi-array keyed {low} is not mapped — arrays_zip the "
+            "inputs and sort the zipped array with one x -> key lambda"
         )
     if low in _VARIADIC_ARRAY:
         if not args:

@@ -2418,3 +2418,38 @@ _ch(
     """,
     (),
 )
+
+# chsql_keyed_array_sort (round 13): arraySort(x -> key, arr) — the stable
+# struct-sort rewrite — over constructed per-row arrays, scalarized via
+# arrayStringConcat. Sorting by -v is a descending value sort, so the
+# oracle reconstructs the order arithmetically (greatest / middle /
+# least), independent of any list-sort machinery.
+_ch(
+    "chsql_keyed_array_sort",
+    """
+    SELECT o_orderkey AS k,
+           arrayStringConcat(
+             arrayMap(x -> toString(x),
+                      arraySort(v -> -v,
+                                array(toInt64(o_orderkey % 7),
+                                      toInt64(o_orderkey % 5),
+                                      toInt64(o_orderkey % 3)))), ',') AS s
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY k
+    """,
+    """
+    SELECT o_orderkey AS k,
+           CAST(greatest(a, b, c) AS VARCHAR) || ',' ||
+           CAST(a + b + c - greatest(a, b, c) - least(a, b, c)
+                AS VARCHAR) || ',' ||
+           CAST(least(a, b, c) AS VARCHAR) AS s
+    FROM (SELECT o_orderkey,
+                 o_orderkey % 7 AS a, o_orderkey % 5 AS b,
+                 o_orderkey % 3 AS c
+          FROM orders)
+    WHERE o_orderkey < 2000
+    ORDER BY k
+    """,
+    ("orders",),
+)

@@ -250,6 +250,34 @@ def test_ternary_golden_translation(ch: str, expected: str):
     assert " ".join(translate_ch_sql(ch).split()) == " ".join(expected.split())
 
 
+def test_comments_never_reach_the_rewrites():
+    """Round 13: SQL comments tokenize whole and drop to one space, so a
+    '?' or a keyword INSIDE a comment can no longer confuse the
+    token-level rewrites; string literals that merely LOOK like comments
+    survive; /*+ hints pass through for Spark to read."""
+    assert translate_ch_sql(
+        "SELECT a FROM t -- what? really:"
+    ).strip() == "SELECT a FROM t"
+    assert translate_ch_sql(
+        "SELECT a FROM t -- LIMIT 2 BY x"
+    ).strip() == "SELECT a FROM t"
+    assert " ".join(translate_ch_sql(
+        "SELECT a, /* mid? : */ b ? 1 : 0 FROM t"
+    ).split()) == "SELECT a, CASE WHEN b THEN 1 ELSE 0 END FROM t"
+    assert translate_ch_sql(
+        "SELECT '--not a comment' FROM t"
+    ) == "SELECT '--not a comment' FROM t"
+    assert translate_ch_sql(
+        "SELECT '/*also not*/' FROM t"
+    ) == "SELECT '/*also not*/' FROM t"
+    assert translate_ch_sql(
+        "SELECT /*+ BROADCAST(t) */ a FROM t"
+    ) == "SELECT /*+ BROADCAST(t) */ a FROM t"
+    # standard SQL: a--b is `a` then a line comment, not a - (-b)
+    assert translate_ch_sql("SELECT a--b\nFROM t").split() == [
+        "SELECT", "a", "FROM", "t"]
+
+
 def test_ternary_executes_correctly(spark):
     rows = spark.sql(
         translate_ch_sql(
@@ -591,6 +619,78 @@ def test_column_matcher_refusals(spark, ch: str, needle: str):
     with pytest.raises(UnsupportedCHSQL) as exc:
         _expand_column_matchers(spark, ch)
     assert needle.lower() in str(exc.value).lower()
+
+
+def test_column_matcher_chain_fuzz(spark):
+    """Round 13: random EXCEPT/REPLACE/APPLY chains over a known schema —
+    the expansion's OUTPUT COLUMN NAMES must match an independent Python
+    model of the ClickHouse semantics (lenient EXCEPT/REPLACE, APPLY
+    renames to f(name)), under random whitespace and base matcher."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickhousemigrators3_spark.functions.ch_sql import (
+        _expand_column_matchers,
+    )
+
+    spark.createDataFrame(
+        [(1, 2, 3, "x")], "a_one int, b_two int, ab int, z string"
+    ).createOrReplaceTempView("mf_t")
+    cols0 = ["a_one", "b_two", "ab", "z"]
+
+    MODS = [
+        ("EXCEPT (a_one)", lambda it: [(n, e) for n, e in it
+                                       if n != "a_one"]),
+        ("EXCEPT (nope)", lambda it: it),  # lenient skip
+        ("EXCEPT (ab, z)", lambda it: [(n, e) for n, e in it
+                                       if n not in ("ab", "z")]),
+        ("REPLACE (b_two + 1 AS b_two)",
+         lambda it: [(n, "expr" if n == "b_two" else e) for n, e in it]),
+        ("APPLY(max)", lambda it: [(f"max({n})", "expr") for n, _e in it]),
+        ("APPLY(toString)",
+         lambda it: [(f"toString({n})", "expr") for n, _e in it]),
+    ]
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        base=st.sampled_from(["*", "COLUMNS('^a')", "COLUMNS('_')"]),
+        picks=st.lists(st.integers(0, len(MODS) - 1), min_size=0,
+                       max_size=3),
+        ws=st.sampled_from([" ", "  ", "\n "]),
+    )
+    def check(base, picks, ws):
+        import re as _re
+
+        # at most one aggregate APPLY — max(max(x)) is invalid SQL in
+        # ClickHouse too, so the expansion faithfully emits the error case
+        picks = [i for k, i in enumerate(picks)
+                 if MODS[i][0] != "APPLY(max)" or
+                 all(MODS[j][0] != "APPLY(max)" for j in picks[:k])]
+        if base == "*":
+            items = [(c, c) for c in cols0]
+        else:
+            rx = _re.compile(base[9:-2])
+            items = [(c, c) for c in cols0 if rx.search(c)]
+        chain = "".join(f"{ws}{MODS[i][0]}" for i in picks)
+        for i in picks:
+            items = MODS[i][1](items)
+        sql = f"SELECT {base}{chain}{ws}FROM mf_t"
+        if base == "*" and all(
+            MODS[i][0].startswith("EXCEPT") for i in picks
+        ):
+            # only-EXCEPT star is left to Spark natively
+            assert _expand_column_matchers(spark, sql) == sql
+            return
+        if not items:
+            with pytest.raises(UnsupportedCHSQL, match="zero columns"):
+                _expand_column_matchers(spark, sql)
+            return
+        got = spark.sql(
+            translate_ch_sql(_expand_column_matchers(spark, sql))
+        ).columns
+        assert got == [n for n, _e in items]
+
+    check()
 
 
 def test_cli_chsql_translate_only_and_refusal_exit_code(capsys):
@@ -1381,10 +1481,37 @@ def test_array_sort_nulls_last_both_directions(spark):
     assert row.a == [1, 3, None] and row.d == [3, 1, None]
 
 
+def test_keyed_array_sort(spark):
+    """Round 13: arraySort(x -> key, arr) / arrayReverseSort translate via
+    an index-STABLE struct sort — ties keep their original order and NULL
+    keys park last in BOTH directions, the ClickHouse contract."""
+    spark.createDataFrame(
+        [([3, 1, 2], ["bb", "a", "ccc", "dd"])],
+        "a array<int>, s array<string>",
+    ).createOrReplaceTempView("kas_t")
+    row = run_ch_sql(
+        spark,
+        "SELECT arraySort(x -> -x, a) AS neg, "
+        "arraySort(x -> length(x), s) AS bylen, "
+        "arrayReverseSort(x -> length(x), s) AS bylen_d, "
+        "arraySort(x -> x % 2, a) AS ties, "
+        "arraySort(x -> NULL, a) AS allnull "
+        "FROM kas_t",
+    ).collect()[0]
+    assert row.neg == [3, 2, 1]
+    assert row.bylen == ["a", "bb", "dd", "ccc"]      # stable: bb before dd
+    assert row.bylen_d == ["ccc", "bb", "dd", "a"]    # stable under desc too
+    assert row.ties == [2, 3, 1]                      # 3 before 1 (original)
+    assert row.allnull == [3, 1, 2]                   # all-NULL keys: stable
+
+
 @pytest.mark.parametrize(
     "ch, needle",
     [
-        ("SELECT arraySort(x -> -x, a) FROM t", "key-extracting"),
+        # round 13: keyed single-array sorts translate — multi-array and
+        # non-literal lambdas still refuse
+        ("SELECT arraySort((x, y) -> x, a, b) FROM t", "arrays_zip"),
+        ("SELECT arraySort(f, a) FROM t", "one-parameter"),
         # two-array forms translate now (zip_with) — three-plus still refuse
         ("SELECT arrayFirst((x, y, z) -> x > y, a, b, c) FROM t",
          "multi-array"),
