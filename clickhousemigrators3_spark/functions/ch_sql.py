@@ -6145,10 +6145,51 @@ def _rewrite_group_modifiers(
             return " ".join(code)
 
         keys: list[str] = []
+        gsets: list[list[str]] | None = None
         for key in keys_raw:
             code = [t for t in key if not _is_ws(t)]
             if code and code[0].lower() in ("rollup", "cube", "grouping"):
                 inner_kind = code[0].lower()
+                if (
+                    kind == "totals"
+                    and limit_at is None
+                    and len(keys_raw) == 1
+                    and inner_kind == "grouping"
+                    and len(code) >= 4
+                    and code[1].lower() == "sets"
+                    and code[2] == "("
+                    and _find_close(code, 2) == len(code) - 1
+                ):
+                    # GROUPING SETS … WITH TOTALS (round 13): the totals
+                    # row is the grand-total () set — append it to the
+                    # union (dedup when the user already listed ()), same
+                    # dedup convention as ROLLUP … WITH TOTALS (r12); the
+                    # grouping()-guarded typed defaults below apply to the
+                    # UNION of keys across all sets (grouping(k)=1 is
+                    # per-row correct whichever set a row belongs to)
+                    gsets = []
+                    for s in _split_args(code[3:-1]):
+                        sc = [t for t in s if not _is_ws(t)]
+                        if not sc:
+                            continue
+                        if sc[0] == "(" and _find_close(sc, 0) == len(sc) - 1:
+                            ks = []
+                            for k3 in _split_args(sc[1:-1]):
+                                c3 = [t for t in k3 if not _is_ws(t)]
+                                if c3:
+                                    ks.append(_resolve_key(c3))
+                            gsets.append(ks)
+                        else:
+                            gsets.append([_resolve_key(sc)])  # bare key
+                    if not any(len(s) == 0 for s in gsets):
+                        gsets.append([])
+                    seen_keys: set[str] = set()
+                    for s in gsets:
+                        for k2 in s:
+                            if _norm_key(k2) not in seen_keys:
+                                seen_keys.add(_norm_key(k2))
+                                keys.append(k2)
+                    continue
                 if (
                     kind == "totals"
                     and limit_at is None
@@ -6172,10 +6213,13 @@ def _rewrite_group_modifiers(
                             keys.append(_resolve_key(c2))
                     continue
                 raise UnsupportedCHSQL(
-                    "combined GROUP BY modifiers beyond ROLLUP/CUBE … "
-                    "WITH TOTALS (e.g. GROUPING SETS … WITH TOTALS, or "
-                    "all three with LIMIT) are not mapped — spell the "
-                    "union of GROUPING SETS explicitly"
+                    "combined GROUP BY modifiers beyond "
+                    "ROLLUP/CUBE/GROUPING SETS … WITH TOTALS (e.g. the "
+                    "triple combination with LIMIT — the totals row is "
+                    "exempt from LIMIT but the modifier's own grand-total "
+                    "row is not) are not mapped — spell the union of "
+                    "GROUPING SETS explicitly and apply the LIMIT in an "
+                    "outer SELECT"
                 )
             keys.append(_resolve_key(code))
         key_norms = {_norm_key(k): k for k in keys}
@@ -6293,7 +6337,12 @@ def _rewrite_group_modifiers(
                 f"ELSE {item} END AS {name}"
             )
 
-        if kind == "totals":
+        if gsets is not None:
+            rendered = ", ".join(
+                "(" + ", ".join(s) + ")" for s in gsets
+            )
+            group_clause = f"GROUP BY GROUPING SETS ({rendered})"
+        elif kind == "totals":
             group_clause = (
                 f"GROUP BY GROUPING SETS (({', '.join(keys)}), ())"
             )

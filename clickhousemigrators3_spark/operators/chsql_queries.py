@@ -2453,3 +2453,34 @@ _ch(
     """,
     ("orders",),
 )
+
+# chsql_grouping_sets_totals (round 13): GROUPING SETS … WITH TOTALS —
+# the totals row joins the union as the () grand-total set (deduped when
+# already listed), with grouping()-guarded typed key defaults. The oracle
+# spells the unioned sets explicitly.
+_ch(
+    "chsql_grouping_sets_totals",
+    """
+    SELECT o_orderstatus AS st, o_orderpriority AS pri,
+           count() AS c,
+           sum(toInt64(round(o_totalprice))) AS tp
+    FROM orders
+    WHERE o_orderkey < 30000
+    GROUP BY GROUPING SETS ((st, pri), (st)) WITH TOTALS
+    ORDER BY st, pri, c
+    """,
+    """
+    SELECT CASE WHEN grouping(o_orderstatus) = 1 THEN ''
+                ELSE o_orderstatus END AS st,
+           CASE WHEN grouping(o_orderpriority) = 1 THEN ''
+                ELSE o_orderpriority END AS pri,
+           count(*) AS c,
+           sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS tp
+    FROM orders
+    WHERE o_orderkey < 30000
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY st, pri, c
+    """,
+    ("orders",),
+)

@@ -278,6 +278,43 @@ def test_comments_never_reach_the_rewrites():
         "SELECT", "a", "FROM", "t"]
 
 
+def test_round13_rewrite_interplay(spark):
+    """The round-13 rewrites compose with the older clause rewrites: the
+    ternary's CASE survives LIMIT BY / PREWHERE+SETTINGS / WITH TOTALS /
+    LIMIT WITH TIES restructures, and a matcher expands inside a query
+    the group-modifier typed path then re-translates."""
+    spark.createDataFrame(
+        [(1, 5), (2, -3), (3, 8), (4, -1)], "k int, v int"
+    ).createOrReplaceTempView("ip_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, v > 0 ? 'p' : 'n' AS s FROM ip_t "
+        "ORDER BY k LIMIT 1 BY s",
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, "p"), (2, "n")]
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, v > 0 ? 1 : 0 AS f FROM ip_t "
+        "PREWHERE k < 4 SETTINGS x = 1",
+    ).collect()
+    assert sorted(tuple(r) for r in rows) == [(1, 1), (2, 0), (3, 1)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT v > 0 ? 'p' : 'n' AS s, count() AS c FROM ip_t "
+        "GROUP BY s WITH TOTALS ORDER BY s, c",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("", 4), ("n", 2), ("p", 2)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, v > 0 ? 'p' : 'n' AS s FROM ip_t "
+        "ORDER BY s DESC LIMIT 1 WITH TIES",
+    ).collect()
+    assert sorted(tuple(r) for r in rows) == [(1, "p"), (3, "p")]
+    assert run_ch_sql(
+        spark, "SELECT COLUMNS('^v') APPLY(sum) FROM ip_t"
+    ).collect()[0][0] == 9
+
+
 def test_ternary_executes_correctly(spark):
     rows = spark.sql(
         translate_ch_sql(
@@ -2823,15 +2860,16 @@ def test_group_array_sorted(spark):
         # HAVING filters subtotal/totals rows — no faithful single answer
         ("SELECT toYear(d) AS y, sum(v) AS s FROM t GROUP BY y WITH ROLLUP "
          "HAVING s > 1", "totals_mode"),
-        # ROLLUP/CUBE … WITH TOTALS translates now (the totals row dedups
-        # into the modifier's own grand-total set); what remains refused
-        # is GROUPING SETS … WITH TOTALS and the triple combination with
-        # LIMIT (the totals row is exempt from LIMIT but the rollup's own
-        # grand-total row is not — no faithful single rewrite)
-        ("SELECT toYear(d) AS y, sum(v) FROM t GROUP BY GROUPING SETS "
-         "((y), ()) WITH TOTALS", "GROUPING SETS"),
+        # ROLLUP/CUBE/GROUPING SETS … WITH TOTALS all translate now (the
+        # totals row dedups into the union's own grand-total set — r12 for
+        # ROLLUP/CUBE, r13 for GROUPING SETS); what remains refused is the
+        # triple combination with LIMIT (the totals row is exempt from
+        # LIMIT but the modifier's own grand-total row is not — no
+        # faithful single rewrite)
         ("SELECT toYear(d) AS y, sum(v) FROM t GROUP BY ROLLUP(y) "
          "WITH TOTALS LIMIT 3", "GROUPING SETS"),
+        ("SELECT toYear(d) AS y, sum(v) FROM t GROUP BY GROUPING SETS "
+         "((y)) WITH TOTALS LIMIT 3", "GROUPING SETS"),
         # SELECT * can't carry per-key default wraps
         ("SELECT * FROM t GROUP BY a WITH CUBE", "alias the grouping keys"),
         # a computed key must be aliased so the wrap keeps its output name
@@ -2901,6 +2939,41 @@ def test_rollup_translation_emits_explicit_form():
     )
     low3 = " ".join(t3.lower().split())
     assert "then '' else" in low3 and "group by cube(" in low3
+
+
+def test_grouping_sets_with_totals_executed(spark):
+    """Round 13: GROUPING SETS … WITH TOTALS — the totals () set joins
+    the union (deduped when already listed); keys carry grouping()-guarded
+    typed defaults like the other modifiers."""
+    spark.createDataFrame(
+        [("a", "p", 1), ("a", "q", 2), ("b", "p", 3)],
+        "x string, y string, v int",
+    ).createOrReplaceTempView("gst_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT x, y, count() AS c, sum(v) AS s FROM gst_t "
+        "GROUP BY GROUPING SETS ((x, y), (x)) WITH TOTALS "
+        "ORDER BY x, y, c",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("", "", 3, 6),          # the appended totals set, '' defaults
+        ("a", "", 2, 3),         # the (x) set
+        ("a", "p", 1, 1), ("a", "q", 1, 2),
+        ("b", "", 1, 3), ("b", "p", 1, 3),
+    ]
+    # () already present → dedup (no doubled grand total); bare-key set
+    rows = run_ch_sql(
+        spark,
+        "SELECT x, count() AS c FROM gst_t "
+        "GROUP BY GROUPING SETS ((x), ()) WITH TOTALS ORDER BY x, c",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("", 3), ("a", 2), ("b", 1)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT x, count() AS c FROM gst_t "
+        "GROUP BY GROUPING SETS (x) WITH TOTALS ORDER BY x, c",
+    ).collect()
+    assert [tuple(r) for r in rows] == [("", 3), ("a", 2), ("b", 1)]
 
 
 def test_rollup_executed_semantics(spark):
