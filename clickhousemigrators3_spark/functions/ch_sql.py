@@ -2023,10 +2023,19 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             f"{step}) * {step} AS BIGINT))"
         )
     if low == "tostartofweek":
-        if len(args) > 1 and args[1].strip() not in ("1", "3"):
+        mode = args[1].strip() if len(args) > 1 else "0"
+        if mode in ("0", "2"):
+            # ClickHouse's DEFAULT mode 0 (and 2) weeks start SUNDAY —
+            # Spark's date_trunc('week') is Monday-anchored, so roll back
+            # to the preceding Sunday arithmetically (round 13; Spark
+            # dayofweek: Sunday=1 … Saturday=7)
+            arg = args[0].strip()
+            return (
+                f"date_sub(CAST({arg} AS DATE), dayofweek({arg}) - 1)"
+            )
+        if mode not in ("1", "3"):
             raise UnsupportedCHSQL(
-                "toStartOfWeek Sunday modes (0/2) not mapped — Spark weeks "
-                "start Monday; pass mode 1/3 or use date_trunc directly"
+                "toStartOfWeek mode must be 0-3 (0/2 Sunday, 1/3 Monday)"
             )
         return f"CAST(date_trunc('week', {args[0]}) AS DATE)"
     if low == "numbers":

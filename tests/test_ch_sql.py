@@ -3483,7 +3483,9 @@ def test_any_join_refusals(ch: str, needle: str):
         ("SELECT arrayReduce(f, a) FROM t", "literal aggregate name"),
         ("SELECT arrayReduce('sum', a, b) FROM t", "arrays_zip"),
         ("SELECT toStartOfInterval(ts, x) FROM t", "literal INTERVAL"),
-        ("SELECT toStartOfWeek(d, 0) FROM t", "Sunday modes"),
+        # round 13: Sunday modes (0/2 — 0 is ClickHouse's DEFAULT) now
+        # translate arithmetically; only out-of-range modes refuse
+        ("SELECT toStartOfWeek(d, 9) FROM t", "mode must be 0-3"),
         ("SELECT * FROM numbers(1, 2, 3)", "numbers takes"),
         ("SELECT arrayStringConcat() FROM t", "arity mismatch"),
         # exact-count combinators (expression form, forced via fallback)
@@ -3997,6 +3999,24 @@ def test_format_trunc_interval_wave_executed(spark):
     assert row.tm1 == -0.0 and row.tl == 123.4
     assert str(row.m2) == "2024-03-01"         # epoch-aligned even buckets
     assert str(row.y5) == "2020-01-01"         # 1970 + floor(54/5)*5
+
+
+def test_start_of_week_modes_executed(spark):
+    """Round 13: toStartOfWeek Sunday modes (0 — ClickHouse's DEFAULT —
+    and 2) translate arithmetically; Monday modes keep date_trunc.
+    2024-08-14 is a Wednesday: Sunday before = 08-11, Monday = 08-12."""
+    row = run_ch_sql(
+        spark,
+        "SELECT toStartOfWeek(toDate('2024-08-14')) AS sun0, "
+        "toStartOfWeek(toDate('2024-08-14'), 2) AS sun2, "
+        "toStartOfWeek(toDate('2024-08-14'), 1) AS mon1, "
+        "toStartOfWeek(toDate('2024-08-11')) AS on_sun, "
+        "toStartOfWeek(toDate('2024-08-12'), 1) AS on_mon",
+    ).collect()[0]
+    assert str(row.sun0) == "2024-08-11" and str(row.sun2) == "2024-08-11"
+    assert str(row.mon1) == "2024-08-12"
+    assert str(row.on_sun) == "2024-08-11"  # a Sunday maps to itself
+    assert str(row.on_mon) == "2024-08-12"  # a Monday maps to itself
 
 
 def test_multi_week_interval_executed(spark):
