@@ -123,16 +123,31 @@ Covered surface (the high-frequency ClickHouse idioms):
   the pairs; decomposable count/sum/min/max/uniqExact siblings merge via
   partials) — see _rewrite_count_combinators; non-restructurable shapes
   keep the collect-form expressions above, twin-equal by test
+* round 13 — the ternary ``cond ? a : b`` → CASE WHEN on the full token
+  list (_rewrite_ternaries: lowest precedence, right-associative,
+  paren/CASE-aware, lambda arrows scope the condition); SQL comments
+  tokenize whole and drop to one space (/*+ hints pass through); ANY
+  RIGHT JOIN via the left-side-dedup mirror (_any_right_join_rewrite;
+  ANY FULL refuses — ClickHouse itself raises NOT_IMPLEMENTED);
+  multi-array arrayFold via zip_with structs (_emit_multi_array_fold);
+  keyed arraySort/arrayReverseSort via an index-stable struct sort;
+  firstSignificantSubdomain/cutToFirstSignificantSubdomain under
+  ClickHouse's default com/net/org/co rule; multi-week toStartOfInterval
+  (1970-01-05 anchor) and toStartOfWeek Sunday modes; GROUPING SETS …
+  WITH TOTALS (the () set joins the union, deduped); `* APPLY/REPLACE/
+  EXCEPT [STRICT]`, COLUMNS('re') chains, and untuple() expand in
+  run_ch_sql against the analyzed FROM schema (_expand_column_matchers —
+  the string-only path refuses with the run_ch_sql pointer)
 
 Refused loudly (pointer to the operator that implements the semantics):
 FINAL, SAMPLE, LIMIT n BY without
-ORDER BY (nondeterministic), ANY/ASOF join strictness,
+ORDER BY (nondeterministic), unpinned ANY / ASOF join strictness,
 windowFunnel / retention / sequenceMatch / dictGet / groupBitmap,
 running/block-order functions
 without a pinning ORDER BY, engine-specific hash families
 (cityHash64/sipHash64/…/MD5 — same name, different values or types),
-multi-array lambdas, non-literal extract()/dateDiff units, ARRAY JOIN
-without AS aliases.
+three-plus-array lambdas, non-literal extract()/dateDiff units,
+ARRAY JOIN without AS aliases.
 """
 
 from __future__ import annotations
