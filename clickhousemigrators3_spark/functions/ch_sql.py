@@ -4057,6 +4057,33 @@ def _translate_impl(
             "structured here: catalog.get_schema (StructType) and the "
             "engine/partition-key columns of the emulated system.tables"
         )
+    if lead == "explain":
+        # ClickHouse EXPLAIN modes → the closest Spark EXPLAIN mode
+        # (round 13): AST → EXTENDED (parsed+analyzed plans), PLAN →
+        # bare, PIPELINE → FORMATTED (physical operator pipeline),
+        # ESTIMATE → COST (row/size statistics). SYNTAX — ClickHouse's
+        # "show the rewritten query" — IS this translator's output;
+        # run_ch_sql returns it as rows, the string-only path refuses
+        # with that pointer.
+        m_i = _next_code(tokens, first + 1)
+        mode_word = tokens[m_i].lower() if m_i < len(tokens) else ""
+        ch_modes = {
+            "ast": "EXTENDED", "plan": "", "pipeline": "FORMATTED",
+            "estimate": "COST",
+        }
+        if mode_word == "syntax":
+            raise UnsupportedCHSQL(
+                "EXPLAIN SYNTAX shows the rewritten query — run it "
+                "through run_ch_sql, which returns this translator's "
+                "emitted Spark SQL as rows"
+            )
+        if mode_word in ch_modes:
+            spark_mode = ch_modes[mode_word]
+            tokens = (
+                tokens[: first + 1]
+                + ([" "] + _tokenize(spark_mode) if spark_mode else [])
+                + tokens[m_i + 1 :]
+            )
     tokens = _rewrite_array_literals(tokens)
     tokens = _rewrite_colon_casts(tokens)
     tokens = _rewrite_tuple_dots(tokens)
@@ -7149,6 +7176,48 @@ def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
     ANALYZED — nothing executes — and the output schema supplies each
     key's type for the ClickHouse subtotal defaults. See
     :func:`_rewrite_group_modifiers`."""
+    toks = _tokenize(sql)
+    lead_i = _next_code(toks, 0)
+    if lead_i < len(toks) and toks[lead_i].lower() == "explain":
+        m_i = _next_code(toks, lead_i + 1)
+        if m_i < len(toks) and toks[m_i].lower() == "syntax":
+            # ClickHouse's EXPLAIN SYNTAX shows the rewritten query — here
+            # that IS this translator's emitted Spark SQL (round 13):
+            # translate the inner statement (views registered so matcher
+            # expansion and typed-probe paths work; ANALYSIS only, nothing
+            # executes) and return the text as rows, one per line.
+            inner_sql = "".join(toks[m_i + 1 :])
+            if sf_dir is not None:
+                from ..catalog import register_tables
+
+                from .. import TABLES
+
+                register_tables(
+                    spark, sf_dir,
+                    tuple(TABLES) if tables is None else tuple(tables),
+                )
+            fill2 = _extract_with_fill(inner_sql)
+            base2 = inner_sql if fill2 is None else fill2[0]
+            if _has_column_matchers(base2):
+                base2 = _expand_column_matchers(spark, base2)
+            try:
+                text = translate_ch_sql(base2)
+            except _NeedsSchemaTyping:
+                probe = _translate_impl(base2, gm_mode="plain")
+                types = {
+                    i: f.dataType.simpleString()
+                    for i, f in enumerate(spark.sql(probe).schema.fields)
+                }
+                text = _translate_impl(
+                    base2, gm_mode="typed", gm_types=types
+                )
+            if fill2 is not None:
+                text = _expand_with_fill(spark, text, fill2[1])
+            return spark.createDataFrame(
+                [(line,) for line in (text.splitlines() or [text])],
+                "statement string",
+            )
+
     fill = _extract_with_fill(sql)
     base_sql = sql if fill is None else fill[0]
     if sf_dir is not None:

@@ -278,6 +278,40 @@ def test_comments_never_reach_the_rewrites():
         "SELECT", "a", "FROM", "t"]
 
 
+def test_explain_modes(spark):
+    """Round 13: ClickHouse EXPLAIN modes map to Spark's (AST→EXTENDED,
+    PLAN→bare, PIPELINE→FORMATTED, ESTIMATE→COST); EXPLAIN SYNTAX —
+    ClickHouse's 'show the rewritten query' — returns THIS translator's
+    emitted Spark SQL as rows (analysis only, nothing executes)."""
+    assert translate_ch_sql("EXPLAIN AST SELECT 1") == \
+        "EXPLAIN EXTENDED SELECT 1"
+    assert translate_ch_sql("EXPLAIN PIPELINE SELECT 1") == \
+        "EXPLAIN FORMATTED SELECT 1"
+    assert translate_ch_sql("EXPLAIN ESTIMATE SELECT 1") == \
+        "EXPLAIN COST SELECT 1"
+    assert translate_ch_sql("EXPLAIN PLAN SELECT 1") == "EXPLAIN SELECT 1"
+    with pytest.raises(UnsupportedCHSQL, match="run_ch_sql"):
+        translate_ch_sql("EXPLAIN SYNTAX SELECT 1")
+    df = run_ch_sql(
+        spark,
+        "EXPLAIN SYNTAX SELECT countIf(o_totalprice > 1000) AS big "
+        "FROM orders PREWHERE o_orderkey < 100",
+        SF01,
+        tables=("orders",),
+    )
+    assert df.columns == ["statement"]
+    assert df.collect()[0].statement == (
+        "SELECT count_if(o_totalprice > 1000) AS big FROM orders "
+        "WHERE o_orderkey < 100"
+    )
+    # plain EXPLAIN executes through Spark and yields the physical plan
+    plan = run_ch_sql(
+        spark, "EXPLAIN SELECT count() FROM orders", SF01,
+        tables=("orders",),
+    ).collect()[0][0]
+    assert "Physical Plan" in plan
+
+
 def test_round13_rewrite_interplay(spark):
     """The round-13 rewrites compose with the older clause rewrites: the
     ternary's CASE survives LIMIT BY / PREWHERE+SETTINGS / WITH TOTALS /
@@ -377,6 +411,9 @@ def test_ternary_executes_correctly(spark):
         # translate path refuses with a pointer at it
         ("SELECT x FROM t ORDER BY x WITH FILL", "run_ch_sql"),
         ("SELECT x FROM t ORDER BY x WITH FILL FROM 1 TO 10", "run_ch_sql"),
+        # round 13: EXPLAIN SYNTAX needs run_ch_sql (it returns this
+        # translator's emitted text as rows; Spark has no SYNTAX mode)
+        ("EXPLAIN SYNTAX SELECT x FROM t", "run_ch_sql"),
     ],
 )
 def test_refusals(ch: str, needle: str):
