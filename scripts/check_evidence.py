@@ -149,6 +149,7 @@ def main() -> int:
         elif (
             load1 > 2
             or (host_factor is not None and host_factor > 1.2)
+            or (calib_spread is not None and calib_spread > 2.0)
         ):
             print(
                 f"WARNING: {os.path.basename(benches[-1])} window max "
