@@ -1976,6 +1976,14 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         return f"CAST(get_json_object({args[0]}, {_json_path(args[1].strip())}) AS BIGINT)"
     if low == "jsonextractfloat" and len(args) == 2:
         return f"CAST(get_json_object({args[0]}, {_json_path(args[1].strip())}) AS DOUBLE)"
+    if low == "tostartofinterval" and len(args) >= 3:
+        # the 3rd argument is a timezone — dropping it would bucket in
+        # the session TZ silently (round-13 review; same loud posture as
+        # dateDiff's refused tz argument)
+        raise UnsupportedCHSQL(
+            "toStartOfInterval timezone argument not supported — convert "
+            "the input with from_utc_timestamp first"
+        )
     if low == "tostartofinterval" and len(args) >= 2:
         m = re.match(
             r"(?is)^\(?\s*INTERVAL\s+(\d+)\s+(\w+?)s?\s*\)?\s*$",
@@ -2038,6 +2046,12 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             f"{step}) * {step} AS BIGINT))"
         )
     if low == "tostartofweek":
+        if len(args) > 2:
+            # 3rd arg is a timezone — same loud posture as dateDiff's
+            raise UnsupportedCHSQL(
+                "toStartOfWeek timezone argument not supported — convert "
+                "the input with from_utc_timestamp first"
+            )
         mode = args[1].strip() if len(args) > 1 else "0"
         if mode in ("0", "2"):
             # ClickHouse's DEFAULT mode 0 (and 2) weeks start SUNDAY —
@@ -2602,6 +2616,22 @@ def _any_join_rewrite(tokens: list[str], i: int) -> list[str]:
     return tokens[:i] + _tokenize(right) + [" "] + tokens[close + 1 :]
 
 
+def _depth0_union(tokens: list[str], start: int, end: int) -> bool:
+    """True when a depth-0 UNION sits in tokens[start:end] — shared by
+    the projection checks and the LIMIT WITH TIES rewrite (a union owns
+    its ORDER BY / output names, so best-effort checks skip)."""
+    depth = 0
+    for p in range(start, end):
+        t = tokens[p]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.lower() == "union":
+            return True
+    return False
+
+
 def _select_output_names(tokens: list[str], sel_idx: int) -> set[str] | None:
     """Lowercased output-column names of the SELECT at ``sel_idx`` — best
     effort from text; returns None when unknowable (a ``*`` / qualified
@@ -2675,18 +2705,7 @@ def _subquery_order_sql(
     # owns the ORDER BY.
     sel_idx = _next_code(tokens, i_open + 1)
     if sel_idx < i_close and tokens[sel_idx].lower() == "select":
-        depth = 0
-        has_union = False
-        for p in range(i_open + 1, i_close):
-            t = tokens[p]
-            if t == "(":
-                depth += 1
-            elif t == ")":
-                depth -= 1
-            elif depth == 0 and t.lower() == "union":
-                has_union = True
-                break
-        if not has_union:
+        if not _depth0_union(tokens, i_open + 1, i_close):
             known = _select_output_names(tokens, sel_idx)
             if known is not None:
                 for ident in idents:
@@ -2830,15 +2849,8 @@ def _check_any_keys_projected(
     sel_idx = _next_code(tokens, i_open + 1)
     if sel_idx >= i_close or tokens[sel_idx].lower() != "select":
         return
-    depth = 0
-    for p in range(i_open + 1, i_close):
-        t = tokens[p]
-        if t == "(":
-            depth += 1
-        elif t == ")":
-            depth -= 1
-        elif depth == 0 and t.lower() == "union":
-            return
+    if _depth0_union(tokens, i_open + 1, i_close):
+        return
     known = _select_output_names(tokens, sel_idx)
     if known is None:
         return
@@ -3473,19 +3485,7 @@ def _rewrite_limit_ties(tokens: list[str], idx: int) -> list[str]:
     ties_word = _next_code(tokens, k + 1)  # the TIES token
     ties_end = ties_word + 1
     # owning SELECT: nearest depth-0 `select` scanning backward
-    sel_idx = None
-    depth = 0
-    for p in range(idx - 1, -1, -1):
-        t = tokens[p]
-        if t == ")":
-            depth += 1
-        elif t == "(":
-            if depth == 0:
-                break
-            depth -= 1
-        elif depth == 0 and t.lower() == "select":
-            sel_idx = p
-            break
+    sel_idx = _owning_select_idx(tokens, idx)
     if sel_idx is None:
         raise UnsupportedCHSQL("LIMIT n WITH TIES without an owning SELECT")  # no-golden: unreachable: the marker is raised inside an owning SELECT
     # ORDER BY inside [sel_idx, idx): required — it DEFINES the ties
@@ -3529,18 +3529,7 @@ def _rewrite_limit_ties(tokens: list[str], idx: int) -> list[str]:
     # names are unknowable from text or a depth-0 UNION owns the order;
     # only plain unqualified identifier keys are checked (expression
     # keys over projected columns remain legal inside the window).
-    depth0_union = False
-    depth = 0
-    for p in range(sel_idx + 1, order_idx):
-        t = tokens[p]
-        if t == "(":
-            depth += 1
-        elif t == ")":
-            depth -= 1
-        elif depth == 0 and t.lower() == "union":
-            depth0_union = True
-            break
-    if not depth0_union:
+    if not _depth0_union(tokens, sel_idx + 1, order_idx):
         known = _select_output_names(tokens, sel_idx)
         if known is not None:
             for item in _split_args(_tokenize(ord_sql)):
@@ -3628,19 +3617,7 @@ def _rewrite_limit_by(tokens: list[str], idx: int) -> list[str]:
     n_sql = tokens[j]
     # k is the BY keyword; the expr list starts after it
     # --- owning SELECT: nearest depth-0 `select` scanning backward --------
-    sel_idx = None
-    depth = 0
-    for p in range(idx - 1, -1, -1):
-        t = tokens[p]
-        if t == ")":
-            depth += 1
-        elif t == "(":
-            if depth == 0:
-                break  # left the subquery that owns this LIMIT — malformed
-            depth -= 1
-        elif depth == 0 and t.lower() == "select":
-            sel_idx = p
-            break
+    sel_idx = _owning_select_idx(tokens, idx)
     if sel_idx is None:
         raise UnsupportedCHSQL("LIMIT n BY without an owning SELECT")  # no-golden: unreachable: the LIMIT BY marker is raised inside an owning SELECT
     # --- ORDER BY inside [sel_idx, idx): required for determinism ---------
@@ -6785,14 +6762,26 @@ def _has_column_matchers(sql: str) -> bool:
         low = t.lower() if t else ""
         if low in ("columns", "untuple") and _next_code_word(toks, i) == "(":
             return True
-        if low in ("apply", "replace"):
+        if low in ("apply", "replace", "except"):
             # modifier position only: directly after `*` or a `)` — the
-            # plain replace(s, 'a', 'b') STRING function must not route
-            # through the (probe-issuing) expansion pass
+            # plain replace(s, 'a', 'b') STRING function (or a set-op
+            # EXCEPT between queries, whose left operand never ends in a
+            # bare `*`) must not route through the probe-issuing
+            # expansion pass. EXCEPT is included (round-13 review): the
+            # bare `* EXCEPT col` and `* EXCEPT STRICT (…)` forms are not
+            # valid Spark grammar, so they must expand here rather than
+            # die on a raw ParseException.
             p = i - 1
             while p >= 0 and _is_ws(toks[p]):
                 p -= 1
-            if p >= 0 and toks[p] in ("*", ")"):
+            if p >= 0 and toks[p] == "*":
+                j = _next_code(toks, i + 1)
+                if j < len(toks) and (
+                    toks[j] == "(" or toks[j][0].isalpha()
+                    or toks[j][0] == "_"
+                ):
+                    return True
+            if p >= 0 and toks[p] == ")" and low in ("apply", "replace"):
                 j = _next_code(toks, i + 1)
                 if j < len(toks) and (
                     toks[j] == "(" or toks[j][0].isalpha()
@@ -6873,13 +6862,21 @@ def _from_clause_span(tokens: list[str], sel_idx: int) -> tuple[int, int]:
     return from_idx + 1, end
 
 
-def _with_prefix(tokens: list[str]) -> str:
+def _with_prefix(tokens: list[str], before: int | None = None) -> str:
     """The leading WITH clause text (CTEs or scalar macros) up to the
-    top-level SELECT, so FROM-clause probes can resolve CTE names."""
+    top-level SELECT, so FROM-clause probes can resolve CTE names.
+
+    ``before`` (round-13 review fix): when the matcher being expanded
+    sits INSIDE a CTE body, the full prefix would carry the unexpanded
+    matcher into its own schema probe — a circular refusal. Passing the
+    matcher's token index keeps only the COMPLETE CTE items that end
+    before it (a CTE may reference earlier CTEs, never itself or later
+    ones), and drops the WITH entirely when no prior item exists."""
     first = _next_code(tokens, 0)
     if first >= len(tokens) or tokens[first].lower() != "with":
         return ""
     depth = 0
+    end = None
     for p in range(first + 1, len(tokens)):
         t = tokens[p]
         if t == "(":
@@ -6887,8 +6884,24 @@ def _with_prefix(tokens: list[str]) -> str:
         elif t == ")":
             depth -= 1
         elif depth == 0 and t.lower() == "select":
-            return "".join(tokens[:p])
-    return ""
+            end = p
+            break
+    if end is None:
+        return ""
+    if before is None or before >= end:
+        return "".join(tokens[:end])
+    # matcher inside the WITH clause: keep only prior complete CTE items
+    items = _split_args(tokens[first + 1 : end])
+    kept: list[str] = []
+    pos = first + 1
+    for item in items:
+        item_end = pos + len(item)
+        if item_end <= before:
+            kept.append("".join(item).strip())
+        pos = item_end + 1  # past the comma
+    if not kept:
+        return ""
+    return "WITH " + ", ".join(kept) + " "
 
 
 def _probe_schema(spark, ch_sql: str):
@@ -7040,7 +7053,6 @@ def _expand_column_matchers(spark, sql: str) -> str:
     divergence, docs/CHSQL.md)."""
     for _ in range(32):  # each pass expands one matcher; bounded
         tokens = _tokenize(sql)
-        with_prefix = _with_prefix(tokens)
         # collect candidate sites with their paren depth
         sites: list[tuple[int, int, str]] = []  # (depth, idx, kind)
         depth = 0
@@ -7084,6 +7096,9 @@ def _expand_column_matchers(spark, sql: str) -> str:
                 )
             f_start, f_end = _from_clause_span(tokens, sel_idx)
             from_sql = "".join(tokens[f_start:f_end]).strip()
+            # prefix limited to CTEs that END before this site — a matcher
+            # inside a CTE body must not probe through itself
+            with_prefix = _with_prefix(tokens, before=i)
             probe = f"{with_prefix}SELECT * FROM {from_sql}"
             if kind == "untuple":
                 open_i = _next_code(tokens, i + 1)
@@ -7091,6 +7106,24 @@ def _expand_column_matchers(spark, sql: str) -> str:
                 inner = "".join(tokens[open_i + 1 : close]).strip()
                 if not inner:
                     raise UnsupportedCHSQL("untuple() needs an argument")  # no-golden: run-path (_expand_column_matchers) -- pytest test_column_matcher_refusals
+                # round-13 review: a trailing alias (untuple(t) AS a —
+                # ClickHouse names the columns a.1, a.2) would otherwise
+                # splice into double-AS SQL; refuse with guidance
+                nxt = _next_code(tokens, close + 1)
+                if nxt < len(tokens) and (
+                    tokens[nxt].lower() == "as"
+                    or (
+                        (tokens[nxt][0].isalpha() or tokens[nxt][0] == "_")
+                        and tokens[nxt].lower() not in _MATCHER_CLAUSE_STOPS
+                        and tokens[nxt].lower() != "from"
+                    )
+                ):
+                    raise UnsupportedCHSQL(  # no-golden: run-path (_expand_column_matchers) -- pytest test_column_matcher_refusals
+                        "untuple() with an alias is not expanded "
+                        "(ClickHouse names the columns alias.1, alias.2 — "
+                        "dotted output names) — alias the tupleElement "
+                        "fields explicitly instead"
+                    )
                 ut_probe = (
                     f"{with_prefix}SELECT {inner} AS __ut FROM {from_sql}"
                 )
@@ -7114,8 +7147,12 @@ def _expand_column_matchers(spark, sql: str) -> str:
                 break
             if kind == "star":
                 mods, chain_end = _parse_modifier_chain(tokens, i + 1)
-                if all(kw == "except" for kw, _a in mods):
-                    continue  # native Spark * EXCEPT — leave alone
+                # round-13 review: star+EXCEPT chains EXPAND too (they
+                # used to pass through as "native Spark * EXCEPT", but
+                # ClickHouse's bare `EXCEPT col` / `EXCEPT STRICT (…)`
+                # forms are not Spark grammar, and expansion is the more
+                # faithful semantics anyway — plain EXCEPT is lenient on
+                # absent names where Spark's native clause errors)
                 cols = [f.name for f in _probe_schema(spark, probe).fields]
                 items = [(c, c) for c in cols]
                 base_start = i
@@ -7188,7 +7225,7 @@ def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
             # executes) and return the text as rows, one per line.
             inner_sql = "".join(toks[m_i + 1 :])
             if sf_dir is not None:
-                from ..catalog import register_tables
+                from ..catalog import register_system_views, register_tables
 
                 from .. import TABLES
 
@@ -7196,6 +7233,16 @@ def run_ch_sql(spark, sql: str, sf_dir: str | None = None, tables=None):
                     spark, sf_dir,
                     tuple(TABLES) if tables is None else tuple(tables),
                 )
+                # the typed-probe / matcher-expansion fallbacks below
+                # analyze against system_* views when referenced — same
+                # registration the non-SYNTAX path performs (round-13
+                # review fix)
+                if re.search(
+                    r"\bsystem\s*\.\s*(?:tables|parts|columns|"
+                    r"storage_policies)\b",
+                    inner_sql,
+                ):
+                    register_system_views(spark, sf_dir)
             fill2 = _extract_with_fill(inner_sql)
             base2 = inner_sql if fill2 is None else fill2[0]
             if _has_column_matchers(base2):

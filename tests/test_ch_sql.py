@@ -659,6 +659,24 @@ def test_column_matchers_expand_against_schema(spark):
         tables=("nation",),
     ).collect()[0].c
     assert n == 25
+    # round-13 review fixes: a matcher inside a CTE body probes through
+    # the PRIOR CTEs only (not through itself); bare `EXCEPT col` (no
+    # parens — not Spark grammar) expands instead of raw-parse-erroring
+    df = run_ch_sql(
+        spark,
+        "WITH a AS (SELECT r_regionkey AS k, r_name FROM region), "
+        "b AS (SELECT * APPLY(max) FROM a) SELECT * FROM b",
+        SF01,
+        tables=("region",),
+    )
+    assert df.columns == ["max(k)", "max(r_name)"]
+    df = run_ch_sql(
+        spark,
+        "SELECT * EXCEPT r_name FROM region",
+        SF01,
+        tables=("region",),
+    )
+    assert df.columns == ["r_regionkey"]
 
 
 @pytest.mark.parametrize(
@@ -681,6 +699,14 @@ def test_column_matchers_expand_against_schema(spark):
         ("SELECT untuple(r_name) FROM region", "Tuple/struct argument"),
         ("SELECT COLUMNS(r_name) FROM region", "literal regex string"),
         ("SELECT COLUMNS('[') FROM region", "does not compile"),
+        # round-13 review fixes: untuple with an alias would splice into
+        # double-AS SQL; bare/STRICT EXCEPT now routes through expansion
+        ("SELECT untuple(tuple(r_regionkey, r_name)) AS u FROM region",
+         "with an alias"),
+        ("SELECT untuple(tuple(r_regionkey, r_name)) u2 FROM region",
+         "with an alias"),
+        ("SELECT * EXCEPT STRICT (nope2) FROM region",
+         "EXCEPT STRICT names"),
     ],
 )
 def test_column_matcher_refusals(spark, ch: str, needle: str):
@@ -749,10 +775,8 @@ def test_column_matcher_chain_fuzz(spark):
         for i in picks:
             items = MODS[i][1](items)
         sql = f"SELECT {base}{chain}{ws}FROM mf_t"
-        if base == "*" and all(
-            MODS[i][0].startswith("EXCEPT") for i in picks
-        ):
-            # only-EXCEPT star is left to Spark natively
+        if base == "*" and not picks:
+            # a bare star with no modifier chain is not a matcher site
             assert _expand_column_matchers(spark, sql) == sql
             return
         if not items:
@@ -3521,8 +3545,12 @@ def test_any_join_refusals(ch: str, needle: str):
         ("SELECT arrayReduce('sum', a, b) FROM t", "arrays_zip"),
         ("SELECT toStartOfInterval(ts, x) FROM t", "literal INTERVAL"),
         # round 13: Sunday modes (0/2 — 0 is ClickHouse's DEFAULT) now
-        # translate arithmetically; only out-of-range modes refuse
+        # translate arithmetically; only out-of-range modes refuse, and
+        # timezone args refuse loudly (review fix — they were dropped)
         ("SELECT toStartOfWeek(d, 9) FROM t", "mode must be 0-3"),
+        ("SELECT toStartOfWeek(d, 0, 'UTC') FROM t", "timezone"),
+        ("SELECT toStartOfInterval(ts, INTERVAL 2 WEEK, 'UTC') FROM t",
+         "timezone"),
         ("SELECT * FROM numbers(1, 2, 3)", "numbers takes"),
         ("SELECT arrayStringConcat() FROM t", "arity mismatch"),
         # exact-count combinators (expression form, forced via fallback)
