@@ -525,11 +525,16 @@ _TEMPLATE = {
     # the label array is not re-split per branch. Same host-extraction
     # posture as domain(): scheme-less inputs parse to NULL → '' (the
     # documented try_parse_url discipline, docs/CHSQL.md).
+    # the size-2 composite-suffix branch (round 14, advice r13): a host
+    # that IS a bare composite suffix ('com.tr') has no significant
+    # subdomain — ClickHouse returns '' there, not the suffix label
     "firstsignificantsubdomain": (
         "element_at(transform(array(split(coalesce(try_parse_url({0}, "
         "'HOST'), ''), '\\\\.')), _fs -> CASE WHEN size(_fs) >= 3 AND "
         "element_at(_fs, -2) IN ('com', 'net', 'org', 'co') "
         "THEN element_at(_fs, -3) "
+        "WHEN size(_fs) = 2 AND "
+        "element_at(_fs, -2) IN ('com', 'net', 'org', 'co') THEN '' "
         "WHEN size(_fs) >= 2 THEN element_at(_fs, -2) "
         "ELSE '' END), 1)"
     ),
@@ -538,6 +543,8 @@ _TEMPLATE = {
         "'HOST'), ''), '\\\\.')), _cs -> CASE WHEN size(_cs) >= 3 AND "
         "element_at(_cs, -2) IN ('com', 'net', 'org', 'co') "
         "THEN array_join(slice(_cs, -3, 3), '.') "
+        "WHEN size(_cs) = 2 AND "
+        "element_at(_cs, -2) IN ('com', 'net', 'org', 'co') THEN '' "
         "WHEN size(_cs) >= 2 THEN array_join(slice(_cs, -2, 2), '.') "
         "ELSE '' END), 1)"
     ),
@@ -2009,13 +2016,15 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             # multi-week buckets (round 13): ClickHouse aligns week
             # intervals to day 4 since epoch — 1970-01-05, the first
             # MONDAY after the (Thursday) epoch (DateLUT
-            # toStartOfWeekInterval: 4 + (d - 4) / (7n) * (7n)); result
+            # toStartOfWeekInterval: 4 + (d - 4) / (7n) * (7n)). The C
+            # division truncates toward ZERO, so pre-1970-01-05 dates
+            # must use `div`, not floor() (round 14, advice r13); result
             # is a DATE like ClickHouse's
             step = n_ * 7
             arg = args[0].strip()
             return (
-                f"date_add(DATE '1970-01-05', CAST(floor("
-                f"datediff(CAST({arg} AS DATE), DATE '1970-01-05') / {step}"
+                f"date_add(DATE '1970-01-05', CAST(("
+                f"datediff(CAST({arg} AS DATE), DATE '1970-01-05') div {step}"
                 f") * {step} AS INT))"
             )
         if n_ == 1 and unit in ("month", "quarter", "year"):
@@ -2185,6 +2194,22 @@ def _translate_tokens(tokens: list[str]) -> str:
                 "SAMPLE needs deterministic hash sampling — see "
                 "operators/curation.py sample_hash_5pct"
             )
+        if (
+            low in ("all", "any", "some")
+            and prev_code in _COMPARISON_OPS
+            and _next_code_word(tokens, i) == "("
+        ):
+            j = _next_code(tokens, i + 1)
+            if _next_code_word(tokens, j) in ("select", "with"):
+                # quantified comparison — Spark has no `<cmp> ALL/ANY
+                # (subquery)` grammar at all; passing it through would die
+                # on a raw ParseException (round 14, advice r13)
+                raise UnsupportedCHSQL(
+                    f"quantified comparison `{prev_code} {low.upper()} "
+                    "(SELECT …)` is not Spark grammar — rewrite with a "
+                    "scalar subquery (`x > (SELECT max(…) …)` for ALL, "
+                    "`(SELECT min(…))` for ANY) or with EXISTS / IN"
+                )
         if low in ("any", "asof") and _next_code_word(tokens, i) in _JOIN_WORDS \
                 and prev_code != "as":
             # prev_code == "as" → a relation ALIASED any/asof, not
@@ -2259,6 +2284,14 @@ def _translate_tokens(tokens: list[str]) -> str:
             and clause[-1] == "select"
             and _next_code_word(tokens, i) == "("
             and (low == "columns" or prev_code in ("*", ")"))
+            and not (
+                # `n * replace(s, 'a', 'b')` is multiplication by the
+                # plain replace() STRING function, not a matcher
+                # (round 14, advice r13)
+                low == "replace"
+                and prev_code == "*"
+                and not _star_replace_is_matcher(tokens, i)
+            )
         ):
             # SELECT * APPLY(f) / * REPLACE(e AS c) / COLUMNS('re') are
             # schema-driven column matchers — round 13: run_ch_sql expands
@@ -3164,6 +3197,20 @@ _TERNARY_CLAUSE_STOPS = frozenset((
     "limit", "union", "settings", "format",
 ))
 
+# comparison operators that turn a following ALL/ANY/SOME into a quantified
+# subquery keyword (`x > ALL (SELECT …)`), which CONTINUES the expression —
+# the boundary/alias scans must walk through it (round 14, advice r13)
+_COMPARISON_OPS = frozenset((">", "<", "=", ">=", "<=", "!=", "<>"))
+
+# interval unit words are expression continuations ONLY after an INTERVAL
+# keyword — `… ? 3 : 4 day` is a bare alias, `INTERVAL 4 day` is not
+_INTERVAL_UNIT_WORDS = frozenset((
+    "day", "days", "hour", "hours", "minute", "minutes", "second",
+    "seconds", "week", "weeks", "month", "months", "year", "years",
+    "quarter", "quarters",
+))
+_TERNARY_EXPR_WORDS_NO_UNITS = _TERNARY_EXPR_WORDS - _INTERVAL_UNIT_WORDS
+
 
 def _is_primary_tail(tok: str) -> bool:
     """True when ``tok`` can END a complete primary expression (an
@@ -3271,6 +3318,17 @@ def _rewrite_ternaries(tokens: list[str]) -> list[str]:
                     # lambda BODY, never on `v ->` itself
                     or low in _TERNARY_BOUNDARY
                 ):
+                    if low == "all":
+                        # quantified comparison (`x > ALL (SELECT …)`)
+                        # continues the condition; only UNION ALL /
+                        # SELECT ALL-style ALL is a boundary (round 14)
+                        q = p - 1
+                        while q >= 0 and _is_ws(out[q]):
+                            q -= 1
+                        if q >= 0 and out[q] in _COMPARISON_OPS:
+                            cs = p
+                            p -= 1
+                            continue
                     break
             cs = p
             p -= 1
@@ -3279,6 +3337,8 @@ def _rewrite_ternaries(tokens: list[str]) -> list[str]:
         case_depth = 0
         ee = len(out)
         prev_primary = False
+        last_code: str | None = None  # previous non-ws token (any depth)
+        saw_interval = False  # a depth-0 INTERVAL keyword licenses unit words
         for j in range(ci + 1, len(out)):
             t = out[j]
             if _is_ws(t):
@@ -3286,6 +3346,7 @@ def _rewrite_ternaries(tokens: list[str]) -> list[str]:
             if t in ("(", "["):
                 depth += 1
                 prev_primary = False
+                last_code = t
                 continue
             if t in (")", "]"):
                 depth -= 1
@@ -3293,31 +3354,49 @@ def _rewrite_ternaries(tokens: list[str]) -> list[str]:
                     ee = j
                     break
                 prev_primary = True
+                last_code = t
                 continue
             if depth == 0:
                 low = t.lower()
                 if low == "case":
                     case_depth += 1
                     prev_primary = False
+                    last_code = t
                     continue
                 if case_depth > 0:
                     if low == "end":
                         case_depth -= 1
                         prev_primary = True
+                    last_code = t
+                    continue
+                if low == "all" and last_code in _COMPARISON_OPS:
+                    # quantified comparison (`x > ALL (SELECT …)`) — the
+                    # ALL continues the expression (round 14, advice r13)
+                    prev_primary = False
+                    last_code = t
                     continue
                 if t == "," or low in _TERNARY_BOUNDARY:
                     ee = j
                     break
+                if low == "interval":
+                    saw_interval = True
                 # bare alias: a plain identifier directly after a complete
-                # primary cannot continue the expression
+                # primary cannot continue the expression. Interval unit
+                # words only continue it after an INTERVAL keyword —
+                # `… ? 3 : 4 day` ends at the `day` alias (round 14)
                 if (
                     prev_primary
                     and (t[0].isalpha() or t[0] == "_")
-                    and low not in _TERNARY_EXPR_WORDS
+                    and low not in (
+                        _TERNARY_EXPR_WORDS
+                        if saw_interval
+                        else _TERNARY_EXPR_WORDS_NO_UNITS
+                    )
                 ):
                     ee = j
                     break
                 prev_primary = _is_primary_tail(t)
+            last_code = t
         cond_sql = "".join(out[cs:qi]).strip()
         then_sql = "".join(out[qi + 1 : ci]).strip()
         else_sql = "".join(out[ci + 1 : ee]).strip()
@@ -6756,6 +6835,53 @@ _MATCHER_CLAUSE_STOPS = frozenset((
 ))
 
 
+def _star_replace_is_matcher(tokens: list[str], ri: int) -> bool:
+    """Disambiguate ``* REPLACE`` (round 14, advice r13): directly after a
+    ``*``, REPLACE is the column-matcher modifier only when its
+    parenthesized argument list carries a depth-0 ``AS`` (the
+    ``expr AS col`` item shape) or the STRICT keyword. Otherwise the ``*``
+    is multiplication by the plain replace() STRING function —
+    ``SELECT n * replace(s, 'a', 'b') FROM t`` must stay arithmetic, not
+    refuse as a malformed matcher.
+
+    Multiplication needs a LEFT OPERAND before the ``*``: when the token
+    preceding the star is SELECT / ',' / '(' there is none, so the star
+    is the column selector and REPLACE is the matcher regardless of its
+    argument shape (``SELECT * REPLACE (r_name)`` must refuse as a
+    malformed matcher, not silently become arithmetic)."""
+    p = ri - 1
+    while p >= 0 and _is_ws(tokens[p]):
+        p -= 1
+    q = p - 1  # the `*` sits at p; find what precedes it
+    while q >= 0 and _is_ws(tokens[q]):
+        q -= 1
+    before_star = tokens[q] if q >= 0 else None
+    if before_star is None or not (
+        before_star in (")", "]")
+        or before_star[0].isalnum()
+        or before_star[0] in ("_", "'", '"', "`")
+    ) or (
+        before_star[0].isalpha()
+        and before_star.lower() in ("select", "distinct", "all", "by")
+    ):
+        return True  # star position — no left operand for a `*` product
+    j = _next_code(tokens, ri + 1)
+    if j < len(tokens) and tokens[j].lower() == "strict":
+        return True  # REPLACE STRICT exists only as the matcher modifier
+    if j >= len(tokens) or tokens[j] != "(":
+        return True  # bare-identifier form (REPLACE c) — no call ambiguity
+    close = _find_close(tokens, j)
+    depth = 0
+    for t in tokens[j + 1 : close]:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.lower() == "as":
+            return True
+    return False
+
+
 def _has_column_matchers(sql: str) -> bool:
     toks = _tokenize(sql)
     for i, t in enumerate(toks):
@@ -6775,6 +6901,8 @@ def _has_column_matchers(sql: str) -> bool:
             while p >= 0 and _is_ws(toks[p]):
                 p -= 1
             if p >= 0 and toks[p] == "*":
+                if low == "replace" and not _star_replace_is_matcher(toks, i):
+                    continue  # multiplication by the replace() string fn
                 j = _next_code(toks, i + 1)
                 if j < len(toks) and (
                     toks[j] == "(" or toks[j][0].isalpha()
@@ -7043,8 +7171,11 @@ def _expand_column_matchers(spark, sql: str) -> str:
     `untuple(expr)` into explicit ClickHouse select-list items, using the
     analyzed schema of each owning SELECT's FROM clause. Innermost
     (deepest-parenthesized) matchers expand first, so a subquery's own
-    matcher is resolved before it is probed as a FROM relation. `* EXCEPT`
-    with no other modifier is left alone — Spark supports it natively.
+    matcher is resolved before it is probed as a FROM relation. Star
+    EXCEPT chains expand here too (round 13): ClickHouse's bare
+    ``* EXCEPT col`` / ``* EXCEPT STRICT (…)`` forms are not Spark
+    grammar, and expansion keeps ClickHouse's lenient absent-name
+    semantics where Spark's native clause would error.
 
     Naming follows ClickHouse's result header: APPLY(f) renames a column
     to ``f(name)`` (backtick-quoted on emit); REPLACE keeps the original
@@ -7066,6 +7197,9 @@ def _expand_column_matchers(spark, sql: str) -> str:
                 nxt = _next_code(tokens, i + 1)
                 if nxt < len(tokens) and tokens[nxt].lower() in (
                     "apply", "replace", "except"
+                ) and not (
+                    tokens[nxt].lower() == "replace"
+                    and not _star_replace_is_matcher(tokens, nxt)
                 ):
                     sites.append((depth, i, "star"))
             elif low == "columns" and _next_code_word(tokens, i) == "(":

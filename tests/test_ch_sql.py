@@ -106,11 +106,10 @@ SF01 = "/root/testdata/sf0.01"
             "SELECT count() AS c, count(x) AS cx, count(DISTINCT x) AS cd FROM t",
             "SELECT count(*) AS c, count(x) AS cx, count(DISTINCT x) AS cd FROM t",
         ),
-        # quantified comparison is NOT ClickHouse any()
-        (
-            "SELECT * FROM t WHERE x = any(SELECT y FROM u)",
-            "SELECT * FROM t WHERE x = any(SELECT y FROM u)",
-        ),
+        # (round 14: quantified `= any(SELECT …)` now REFUSES with a
+        # guided message — Spark has no quantified-subquery grammar, so
+        # the old pass-through died on a raw ParseException; see the
+        # "quantified" rows in test_refusals)
         # parametric quantiles
         (
             "SELECT quantile(0.9)(x) AS p90 FROM t",
@@ -243,6 +242,17 @@ def test_golden_translation(ch: str, expected: str):
         (
             "SELECT a ? b : c::Int64 FROM t",
             "SELECT CASE WHEN a THEN b ELSE CAST(c AS BIGINT) END FROM t",
+        ),
+        # round 14 (advice r13): an interval-unit word right after the
+        # else primary is a bare ALIAS unless an INTERVAL keyword
+        # licensed it — `4 day` ends the branch, `INTERVAL 4 day` does not
+        (
+            "SELECT a ? 3 : 4 day FROM t",
+            "SELECT CASE WHEN a THEN 3 ELSE 4 END day FROM t",
+        ),
+        (
+            "SELECT a ? b : c + INTERVAL 4 day FROM t",
+            "SELECT CASE WHEN a THEN b ELSE c + INTERVAL 4 day END FROM t",
         ),
     ],
 )
@@ -414,6 +424,13 @@ def test_ternary_executes_correctly(spark):
         # round 13: EXPLAIN SYNTAX needs run_ch_sql (it returns this
         # translator's emitted text as rows; Spark has no SYNTAX mode)
         ("EXPLAIN SYNTAX SELECT x FROM t", "run_ch_sql"),
+        # round 14 (advice r13): quantified comparisons are not Spark
+        # grammar at all — guided refusal instead of a raw ParseException,
+        # including when the comparison is a ternary condition
+        ("SELECT x > ALL (SELECT max(y) FROM u) FROM t", "quantified"),
+        ("SELECT x = ANY (SELECT y FROM u) FROM t", "quantified"),
+        ("SELECT x > ALL (SELECT y FROM u) ? 'a' : 'b' FROM t",
+         "quantified"),
     ],
 )
 def test_refusals(ch: str, needle: str):
@@ -434,6 +451,12 @@ def test_refusals(ch: str, needle: str):
         "SELECT * FROM final",  # a table named final
         "SELECT * FROM sample WHERE x = 1",
         "SELECT x AS final FROM t",
+        # round 14 (advice r13): multiplication by the plain replace()
+        # STRING function is NOT a `* REPLACE` matcher site
+        "SELECT n * replace(s, 'a', 'b') FROM t",
+        # the CH any() AGGREGATE after a comparison is a function call,
+        # not a quantified comparison (no subquery behind the paren)
+        "SELECT x > any(y) FROM t",
     ],
 )
 def test_identifier_false_positives_pass(ch: str):
@@ -1242,6 +1265,46 @@ def test_first_significant_subdomain(spark):
     # single-label and unparseable hosts → '' (the URL-family contract)
     assert got["http://localhost/x"] == ("", "")
     assert got["not a url"] == ("", "")
+
+
+def test_first_significant_subdomain_bare_composite_suffix(spark):
+    """Round 14 (advice r13): a host that IS a bare composite suffix
+    ('com.tr') has no significant subdomain — ClickHouse returns '' for
+    both functions, not the suffix label."""
+    spark.createDataFrame(
+        [("http://com.tr/x",), ("http://co.il",), ("http://a.tr/x",)],
+        "u string",
+    ).createOrReplaceTempView("fss_bare_t")
+    rows = spark.sql(
+        translate_ch_sql(
+            "SELECT u, firstSignificantSubdomain(u) AS fss, "
+            "cutToFirstSignificantSubdomain(u) AS cfss FROM fss_bare_t"
+        )
+    ).collect()
+    got = {r.u: (r.fss, r.cfss) for r in rows}
+    assert got["http://com.tr/x"] == ("", "")
+    assert got["http://co.il"] == ("", "")
+    # a 2-label host whose -2 label is NOT a composite suffix keeps it
+    assert got["http://a.tr/x"] == ("a", "a.tr")
+
+
+def test_multi_week_interval_truncates_toward_zero(spark):
+    """Round 14 (advice r13): ClickHouse's DateLUT week-interval formula
+    (4 + (d-4)/days*days) uses C integer division — truncation toward
+    ZERO — so dates before the 1970-01-05 anchor must not floor one
+    bucket lower."""
+    rows = spark.sql(
+        translate_ch_sql(
+            "SELECT toStartOfInterval(d, INTERVAL 2 WEEK) AS w2 FROM "
+            "(SELECT explode(array(DATE '1969-12-29', DATE '1970-01-04', "
+            "DATE '1970-01-05', DATE '1970-01-19')) AS d)"
+        )
+    ).collect()
+    # d=-7 and d=-1 both `div` to bucket 0 → the anchor itself (ClickHouse
+    # truncation); floor() would have produced 1969-12-22
+    assert [str(r.w2) for r in rows] == [
+        "1970-01-05", "1970-01-05", "1970-01-05", "1970-01-19",
+    ]
 
 
 # --- ORDER BY … WITH FILL (run_ch_sql dense-axis rewrite) ------------------
