@@ -1011,6 +1011,83 @@ _FIXED_INTERVALS = {
     "tostartoffifteenminutes": 900,
 }
 
+# --- timezone arguments (round 14, verdict r13 #3) ---------------------------
+# ClickHouse date functions accept a trailing IANA timezone name:
+# toStartOfDay(dt, 'Asia/Tokyo') truncates dt's WALL CLOCK in that zone.
+# Under this engine's TIMESTAMP_NTZ-as-UTC fixture convention the faithful
+# rewrite is exactly what the old refusal hints prescribed — wrap the input
+# in from_utc_timestamp(x, tz) and proceed; DateTime-returning functions
+# then yield the zone's wall clock as NTZ, which is character-for-character
+# what ClickHouse renders for its DateTime(tz) result (docs/CHSQL.md).
+# Values are the EXPECTED ARGUMENT COUNT WITHOUT the timezone; the wrap
+# fires only when exactly one extra literal-string argument is present
+# (a non-literal zone refuses loudly — lead data, not a config constant).
+_TZ_ARG_FUNCS: dict[str, int] = {
+    "tostartofminute": 1, "tostartofhour": 1, "tostartofday": 1,
+    "tostartofmonth": 1, "tostartofquarter": 1, "tostartofyear": 1,
+    "tomonday": 1, "tolastdayofmonth": 1,
+    "tostartoffiveminutes": 1, "tostartoftenminutes": 1,
+    "tostartoffifteenminutes": 1,
+    "toyear": 1, "toquarter": 1, "tomonth": 1, "todayofyear": 1,
+    "todayofmonth": 1, "tohour": 1, "tominute": 1, "tosecond": 1,
+    "todate": 1, "toyyyymm": 1, "toyyyymmdd": 1, "toyyyymmddhhmmss": 1,
+    "todayofweek": 2,  # (t[, mode[, tz]]) — tz only with mode present
+    "tostartofweek": 2, "toweek": 2, "toyearweek": 2,
+    "tostartofinterval": 2,
+    "datediff": 3,  # ('unit', a, b[, tz]) — wraps BOTH operands
+}
+
+
+_TPL_ARITY_CACHE: dict[str, int] = {}
+
+
+def _tpl_positional_arity(low: str, tpl: str) -> int:
+    """Highest positional placeholder index + 1 in a _TEMPLATE entry —
+    the exact argument count the mapping consumes."""
+    n = _TPL_ARITY_CACHE.get(low)
+    if n is None:
+        idxs = [int(m) for m in re.findall(r"\{(\d+)\}", tpl)]
+        n = (max(idxs) + 1) if idxs else 0
+        _TPL_ARITY_CACHE[low] = n
+    return n
+
+
+def _apply_tz_argument(low: str, args: list[str]) -> list[str]:
+    """Strip a trailing literal-string timezone argument from the
+    ClickHouse date functions that accept one, wrapping the time input(s)
+    in ``from_utc_timestamp`` so downstream truncation/extraction happens
+    on that zone's wall clock. No-op for every other call shape."""
+    base = _TZ_ARG_FUNCS.get(low)
+    if base is None or len(args) != base + 1:
+        return args
+    tz = args[-1].strip()
+    if not (tz.startswith("'") and tz.endswith("'")):
+        if low == "datediff":
+            # dateDiff's 4th argument can ONLY be a timezone, so a
+            # non-literal one is an error, not an alternate overload
+            raise UnsupportedCHSQL(
+                "dateDiff timezone argument must be a literal string — "
+                "wrap the operands in from_utc_timestamp explicitly for "
+                "a computed zone"
+            )
+        return args  # not a tz form; the normal arity handling decides
+    name = _string_value(tz)
+    try:
+        from zoneinfo import ZoneInfo
+
+        ZoneInfo(name)
+    except ImportError:  # pragma: no cover — zoneinfo is stdlib ≥3.9
+        pass
+    except Exception:
+        raise UnsupportedCHSQL(
+            f"unknown timezone {name!r} in {low}() — use an IANA name "
+            "like 'Europe/Berlin' or 'UTC'"
+        ) from None
+    wrap = lambda a: f"from_utc_timestamp({a.strip()}, {tz})"  # noqa: E731
+    if low == "datediff":
+        return [args[0], wrap(args[1]), wrap(args[2])]
+    return [wrap(args[0]), *[a for a in args[1:-1]]]
+
 # formatDateTime %-codes → Spark date_format pattern letters
 _FMT = {
     "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
@@ -1239,6 +1316,7 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
     if low == "count":
         # ClickHouse count() is zero-arg count(*); Spark requires the star
         return f"count({', '.join(a.strip() for a in args) or '*'})"
+    args = _apply_tz_argument(low, args)
     if low in _UNSUPPORTED_FUNCS:
         raise UnsupportedCHSQL(  # no-golden: shadowed by the scan-level early raise (same message); kept for non-scan callers
             f"ClickHouse {low}() needs an operator-level rewrite — see "
@@ -1872,9 +1950,10 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         ):
             raise UnsupportedCHSQL(f"dateDiff unit {unit!r} not mapped")
         if len(args) > 3:
+            # a literal-string 4th arg (the timezone) was already consumed
+            # by _apply_tz_argument; anything still here is a 5th argument
             raise UnsupportedCHSQL(
-                "dateDiff timezone argument not supported — convert inputs "
-                "with from_utc_timestamp first"
+                "dateDiff takes ('unit', start, end[, 'timezone'])"
             )
         # ClickHouse dateDiff counts crossed unit BOUNDARIES (like DuckDB
         # date_diff); Spark timestampdiff counts complete elapsed units
@@ -1984,12 +2063,12 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
     if low == "jsonextractfloat" and len(args) == 2:
         return f"CAST(get_json_object({args[0]}, {_json_path(args[1].strip())}) AS DOUBLE)"
     if low == "tostartofinterval" and len(args) >= 3:
-        # the 3rd argument is a timezone — dropping it would bucket in
-        # the session TZ silently (round-13 review; same loud posture as
-        # dateDiff's refused tz argument)
+        # a literal-string 3rd arg (the timezone) was already consumed by
+        # _apply_tz_argument; anything still here is a computed zone or a
+        # 4th argument — refuse rather than bucket in the session TZ
         raise UnsupportedCHSQL(
-            "toStartOfInterval timezone argument not supported — convert "
-            "the input with from_utc_timestamp first"
+            "toStartOfInterval takes (value, INTERVAL n unit"
+            "[, 'timezone']) — the timezone must be a literal string"
         )
     if low == "tostartofinterval" and len(args) >= 2:
         m = re.match(
@@ -2056,10 +2135,12 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         )
     if low == "tostartofweek":
         if len(args) > 2:
-            # 3rd arg is a timezone — same loud posture as dateDiff's
+            # a literal-string 3rd arg (the timezone) was already consumed
+            # by _apply_tz_argument; anything still here is a computed
+            # zone or a 4th argument
             raise UnsupportedCHSQL(
-                "toStartOfWeek timezone argument not supported — convert "
-                "the input with from_utc_timestamp first"
+                "toStartOfWeek takes (date[, mode[, 'timezone']]) — the "
+                "timezone must be a literal string"
             )
         mode = args[1].strip() if len(args) > 1 else "0"
         if mode in ("0", "2"):
@@ -2091,6 +2172,14 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         raise UnsupportedCHSQL("numbers takes (N) or (offset, N)")
     tpl = _TEMPLATE.get(low)
     if tpl is not None:
+        # str.format silently IGNORES extra positional args — without this
+        # guard a surplus argument (e.g. an unmapped timezone/mode) would
+        # be dropped and the query would silently change meaning (round 14)
+        if "{args}" not in tpl and len(args) > _tpl_positional_arity(low, tpl):
+            raise UnsupportedCHSQL(
+                f"{low}() arity mismatch: got {len(args)} arguments, the "
+                f"mapping takes {_tpl_positional_arity(low, tpl)}"
+            )
         try:
             return tpl.format(*[a.strip() for a in args], args=", ".join(args))
         except IndexError as exc:

@@ -2484,3 +2484,32 @@ _ch(
     """,
     ("orders",),
 )
+
+# chsql_tz_date_functions (round 14, verdict r13 #3): literal timezone
+# arguments on the date functions translate via the from_utc_timestamp
+# wrap (the rewrite the r13 refusal hints prescribed, now automated).
+# Asia/Tokyo is deliberately a FIXED-offset zone (UTC+9, never DST), so
+# the oracle constructs the expected wall clock with plain +9h interval
+# arithmetic — the translation, not DuckDB's tz machinery, is under test.
+_ch(
+    "chsql_tz_date_functions",
+    """
+    SELECT toDate(ts, 'Asia/Tokyo') AS tokyo_date,
+           toStartOfInterval(ts, INTERVAL 6 HOUR, 'Asia/Tokyo') AS h6,
+           count() AS c,
+           uniqExact(user_id) AS u
+    FROM events
+    GROUP BY tokyo_date, h6
+    ORDER BY h6
+    """,
+    """
+    WITH s AS (SELECT ts + INTERVAL 9 HOUR AS tsh, user_id FROM events)
+    SELECT CAST(tsh AS DATE) AS tokyo_date,
+           date_trunc('day', tsh)
+             + (CAST(hour(tsh) AS INT) // 6) * 6 * INTERVAL 1 HOUR AS h6,
+           count(*) AS c,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS u
+    FROM s GROUP BY 1, 2 ORDER BY h6
+    """,
+    ("events",),
+)

@@ -1907,10 +1907,53 @@ def test_datediff_counts_boundary_crossings(spark):
         assert got == expected == oracle, (unit, a, b, got, oracle)
 
 
-def test_datediff_timezone_arg_refused():
-    with pytest.raises(UnsupportedCHSQL) as exc:
-        translate_ch_sql("SELECT dateDiff('day', a, b, 'UTC') FROM t")
-    assert "timezone" in str(exc.value)
+def test_timezone_arguments_translate(spark):
+    """Round 14 (verdict r13 #3): literal timezone arguments on the date
+    functions translate via the from_utc_timestamp wrap the old refusal
+    hints prescribed. Expectations are hand-computed wall-clock facts:
+    2024-03-09 20:00 UTC is 2024-03-10 05:00 in Asia/Tokyo (UTC+9, no
+    DST) and 2024-03-09 12:00 in America/Los_Angeles (UTC-8 before the
+    DST jump that night)."""
+    spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-03-09 20:00:00' AS ts"
+    ).createOrReplaceTempView("tz_t")
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT toStartOfDay(ts, 'Asia/Tokyo') AS tokyo_day, "
+            "toDate(ts, 'Asia/Tokyo') AS tokyo_date, "
+            "toStartOfDay(ts, 'America/Los_Angeles') AS la_day, "
+            "toYear(ts, 'Asia/Tokyo') AS tokyo_year, "
+            "toHour(ts, 'Asia/Tokyo') AS tokyo_hour, "
+            "toStartOfWeek(ts, 1, 'Asia/Tokyo') AS tokyo_monday, "
+            "toStartOfDay(ts, 'UTC') AS utc_day FROM tz_t"
+        )
+    ).collect()[0]
+    assert str(row.tokyo_day) == "2024-03-10 00:00:00"
+    assert str(row.tokyo_date) == "2024-03-10"
+    assert str(row.la_day) == "2024-03-09 00:00:00"
+    assert row.tokyo_year == 2024 and row.tokyo_hour == 5
+    # 2024-03-10 (Sunday) in Tokyo → Monday-mode week starts 03-04
+    assert str(row.tokyo_monday) == "2024-03-04"
+    assert str(row.utc_day) == "2024-03-09 00:00:00"
+    # dateDiff counts crossed boundaries IN THE GIVEN ZONE: the two
+    # instants straddle midnight in Tokyo but not in UTC
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT dateDiff('day', TIMESTAMP_NTZ '2024-03-09 14:00:00', "
+            "TIMESTAMP_NTZ '2024-03-09 16:00:00', 'Asia/Tokyo') AS d_tok, "
+            "dateDiff('day', TIMESTAMP_NTZ '2024-03-09 14:00:00', "
+            "TIMESTAMP_NTZ '2024-03-09 16:00:00') AS d_utc"
+        )
+    ).collect()[0]
+    assert (row.d_tok, row.d_utc) == (1, 0)
+    # toStartOfInterval buckets on the zone's wall clock too
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT toStartOfInterval(ts, INTERVAL 6 HOUR, 'Asia/Tokyo') "
+            "AS h6 FROM tz_t"
+        )
+    ).collect()[0]
+    assert str(row.h6) == "2024-03-10 00:00:00"
 
 
 def test_wave3_functions(spark):
@@ -3600,7 +3643,11 @@ def test_any_join_refusals(ch: str, needle: str):
         ("SELECT extract(s, '(') FROM t", "does not compile"),
         ("SELECT dateDiff('day', a) FROM t", "3-arg form"),
         ("SELECT dateDiff('fortnight', a, b) FROM t", "not mapped"),
-        ("SELECT dateDiff('day', a, b, 'UTC') FROM t", "timezone"),
+        # round 14: literal timezone args TRANSLATE now (from_utc_timestamp
+        # wrap); only computed zones / extra args / unknown names refuse
+        ("SELECT dateDiff('day', a, b, tz_col) FROM t", "literal string"),
+        ("SELECT dateDiff('day', a, b, 'UTC', 1) FROM t",
+         "'unit', start, end"),
         ("SELECT age('day', a) FROM t", "'unit', start, end"),
         ("SELECT age('fortnight', a, b) FROM t", "not mapped"),
         ("SELECT arrayReduce('sum') FROM t", "'agg', array"),
@@ -3608,12 +3655,16 @@ def test_any_join_refusals(ch: str, needle: str):
         ("SELECT arrayReduce('sum', a, b) FROM t", "arrays_zip"),
         ("SELECT toStartOfInterval(ts, x) FROM t", "literal INTERVAL"),
         # round 13: Sunday modes (0/2 — 0 is ClickHouse's DEFAULT) now
-        # translate arithmetically; only out-of-range modes refuse, and
-        # timezone args refuse loudly (review fix — they were dropped)
+        # translate arithmetically; only out-of-range modes refuse. Round
+        # 14: literal timezone args translate; computed zones refuse
         ("SELECT toStartOfWeek(d, 9) FROM t", "mode must be 0-3"),
-        ("SELECT toStartOfWeek(d, 0, 'UTC') FROM t", "timezone"),
-        ("SELECT toStartOfInterval(ts, INTERVAL 2 WEEK, 'UTC') FROM t",
-         "timezone"),
+        ("SELECT toStartOfWeek(d, 0, tz_col) FROM t", "literal string"),
+        ("SELECT toStartOfInterval(ts, INTERVAL 2 WEEK, tz_col) FROM t",
+         "literal string"),
+        ("SELECT toStartOfDay(ts, 'Not/AZone') FROM t", "unknown timezone"),
+        # the template excess-arg guard (round 14): a surplus argument on
+        # a fixed-arity mapping refuses instead of silently dropping
+        ("SELECT toStartOfDay(ts, mode, 'UTC') FROM t", "arity mismatch"),
         ("SELECT * FROM numbers(1, 2, 3)", "numbers takes"),
         ("SELECT arrayStringConcat() FROM t", "arity mismatch"),
         # exact-count combinators (expression form, forced via fallback)
