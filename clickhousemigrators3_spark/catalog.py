@@ -109,6 +109,55 @@ def register_tables(
     return out
 
 
+# --- MergeTree engine metadata (round 14, verdict r13 #1/#2) ----------------
+# What a ClickHouse deployment declares in DDL (ENGINE = ReplacingMergeTree
+# ORDER BY … / SAMPLE BY …) and this engine needs to translate `FROM t
+# FINAL` and `SAMPLE k` at SQL level: the dedup key, the version that picks
+# the survivor, the collapse sign, and the sampling expression. The fixture
+# default below mirrors operators/mergetree.py ch_replacing_final exactly
+# (key = (user_id, event_type), version = (ts, event_id) — event_id is the
+# deterministic tie-break ClickHouse doesn't give you). Callers override or
+# extend per query via run_ch_sql(..., engines={...}) — the moral
+# equivalent of reading the source table's DDL, reference migration.py's
+# SHOW CREATE TABLE step.
+MERGETREE_ENGINES: dict[str, dict] = {
+    "events": {
+        "engine": "ReplacingMergeTree",
+        "key": ("user_id", "event_type"),
+        "version": ("ts", "event_id"),
+        "sample_by": "user_id",
+    },
+    # plain MergeTree tables with a SAMPLE BY declaration — enough for
+    # `SAMPLE k`, while `FINAL` on them refuses (nothing to collapse)
+    "orders": {"engine": "MergeTree", "sample_by": "o_orderkey"},
+    "lineitem": {"engine": "MergeTree", "sample_by": "l_orderkey"},
+    "customer": {"engine": "MergeTree", "sample_by": "c_custkey"},
+    "documents": {"engine": "MergeTree", "sample_by": "doc_id"},
+}
+
+
+def register_mergetree_engine(
+    name: str,
+    engine: str,
+    key: tuple[str, ...] = (),
+    version: tuple[str, ...] | None = None,
+    sign: str | None = None,
+    sample_by: str | None = None,
+) -> None:
+    """Declare (or overwrite) a table's MergeTree metadata so SQL-level
+    ``FINAL`` / ``SAMPLE`` translate. ``sign`` may be any SQL expression
+    over the table's columns (CollapsingMergeTree's sign column, or a
+    derivation of one)."""
+    spec: dict = {"engine": engine, "key": tuple(key)}
+    if version is not None:
+        spec["version"] = tuple(version)
+    if sign is not None:
+        spec["sign"] = sign
+    if sample_by is not None:
+        spec["sample_by"] = sample_by
+    MERGETREE_ENGINES[name] = spec
+
+
 # --- ClickHouse system-table emulation -------------------------------------
 
 # Canonical partition keys for the partitioned fixture tables — what a

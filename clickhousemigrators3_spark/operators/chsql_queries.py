@@ -2513,3 +2513,113 @@ _ch(
     """,
     ("events",),
 )
+
+# chsql_final_replacing (round 14, verdict r13 #1): `FROM events FINAL` at
+# SQL level — expanded in run_ch_sql against catalog.MERGETREE_ENGINES
+# (events is registered ReplacingMergeTree, key (user_id, event_type),
+# version (ts, event_id) — the deterministic tie-break). Plan: row_number
+# window with a map-side WindowGroupLimit partial BEFORE the shuffle; a
+# WHERE on the key pushes into the parquet scan below the window.
+_ch(
+    "chsql_final_replacing",
+    """
+    SELECT user_id, event_type, value AS final_value, ts AS final_ts
+    FROM events FINAL
+    WHERE user_id < 400
+    ORDER BY user_id, event_type
+    """,
+    """
+    WITH v AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id < 400)
+    SELECT user_id, event_type, value AS final_value, ts AS final_ts
+    FROM v WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    ("events",),
+)
+
+
+# chsql_final_versioned_collapsing (round 14): VersionedCollapsingMergeTree
+# FINAL — per-(key, version) sign cancellation; survivors are the
+# |n(+1) − n(−1)| rows of the majority sign. The engines= override stands
+# in for reading the table's DDL (sign derived from event_id parity, the
+# ch_versioned_collapsing_final fixture convention); the oracle computes
+# the surviving multiset arithmetically.
+_FINAL_VC_SQL = """
+    SELECT user_id, event_type,
+           count() AS n_surviving,
+           sum(toInt64(event_id % 2 = 0 ? 1 : -1)) AS net_total
+    FROM events FINAL
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+"""
+
+_FINAL_VC_ORACLE = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END) AS net
+      FROM events GROUP BY 1, 2, 3)
+    SELECT user_id, event_type,
+           CAST(SUM(abs(net)) AS BIGINT) AS n_surviving,
+           CAST(SUM(net) AS BIGINT) AS net_total
+    FROM s WHERE net <> 0
+    GROUP BY 1, 2
+    ORDER BY user_id, event_type
+"""
+
+
+@register("chsql_final_versioned_collapsing", _FINAL_VC_ORACLE)
+def chsql_final_versioned_collapsing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse SQL via run_ch_sql with a per-call engine declaration —
+    the DDL-reading path a migrating user takes for tables the default
+    registry doesn't describe."""
+    return run_ch_sql(
+        spark,
+        _FINAL_VC_SQL,
+        sf_dir,
+        tables=("events",),
+        engines={
+            "events": {
+                "engine": "VersionedCollapsingMergeTree",
+                "key": ("user_id", "event_type"),
+                "version": ("toDate(ts)",),
+                "sign": "if(event_id % 2 = 0, 1, -1)",
+            }
+        },
+    )
+
+
+# chsql_sample (round 14, verdict r13 #2): `SAMPLE k OFFSET m` → the
+# deterministic hash-range subquery over the registered SAMPLE BY key
+# (orders: o_orderkey). Both sides compute the IDENTICAL md5-based 32-bit
+# hash (functions/hashing.py stable_hash32 / oracle_hash_sql), so the
+# oracle checks the exact row multiset, not just approximate counts.
+_SAMPLE_LO = int((2 / 10) * 4294967296)
+_SAMPLE_HI = int((2 / 10 + 1 / 10) * 4294967296)
+
+_ch(
+    "chsql_sample",
+    """
+    SELECT count() AS c,
+           uniqExact(o_custkey) AS u,
+           sum(toInt64(o_orderkey)) AS sk
+    FROM orders SAMPLE 1/10 OFFSET 2/10
+    """,
+    f"""
+    SELECT count(*) AS c,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS u,
+           CAST(sum(o_orderkey) AS BIGINT) AS sk
+    FROM orders
+    WHERE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT)
+            >= {_SAMPLE_LO}
+      AND (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT)
+            < {_SAMPLE_HI}
+    """,
+    ("orders",),
+)

@@ -1307,6 +1307,215 @@ def test_multi_week_interval_truncates_toward_zero(spark):
     ]
 
 
+# --- FROM t FINAL / SAMPLE k (round 14, run_ch_sql expansion) ---------------
+# Engine metadata comes from catalog.MERGETREE_ENGINES or the per-call
+# engines= override; constructed frames pin the collapse algebra exactly.
+
+
+@pytest.fixture()
+def final_views(spark):
+    # ReplacingMergeTree shape: key k, version v — g1 has 3 versions,
+    # g2 has 1; the payload of the winning version must survive whole
+    spark.createDataFrame(
+        [(1, 1, "a"), (1, 3, "c"), (1, 2, "b"), (2, 7, "z")],
+        "k int, v int, payload string",
+    ).createOrReplaceTempView("final_r")
+    # CollapsingMergeTree shape: +1/-1 sign with an order column; key 1
+    # nets to one surviving +1 (the latest), key 2 cancels out entirely,
+    # key 3 has two surviving +1 states
+    spark.createDataFrame(
+        [
+            (1, 1, 1, "s1"), (1, 2, -1, "s1"), (1, 3, 1, "s2"),
+            (2, 1, 1, "x"), (2, 2, -1, "x"),
+            (3, 1, 1, "p"), (3, 2, 1, "q"),
+        ],
+        "k int, ord int, sign int, st string",
+    ).createOrReplaceTempView("final_c")
+
+
+_R_ENGINE = {
+    "final_r": {
+        "engine": "ReplacingMergeTree", "key": ("k",), "version": ("v",),
+    }
+}
+_C_ENGINE = {
+    "final_c": {
+        "engine": "CollapsingMergeTree", "key": ("k",),
+        "version": ("ord",), "sign": "sign",
+    }
+}
+_VC_ENGINE = {
+    "final_c": {
+        "engine": "VersionedCollapsingMergeTree", "key": ("k",),
+        "version": ("ord",), "sign": "sign",
+    }
+}
+
+
+def test_final_replacing_executes(spark, final_views):
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, v, payload FROM final_r FINAL ORDER BY k",
+        engines=_R_ENGINE,
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 3, "c"), (2, 7, "z")]
+    # alias + WHERE-after-FINAL (ClickHouse applies WHERE to the merged
+    # rows): filtering on the non-winning version value returns nothing
+    rows = run_ch_sql(
+        spark,
+        "SELECT f.k FROM final_r AS f FINAL WHERE f.v = 1",
+        engines=_R_ENGINE,
+    ).collect()
+    assert rows == []
+
+
+def test_final_collapsing_executes(spark, final_views):
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, ord, sign, st FROM final_c FINAL ORDER BY k, ord",
+        engines=_C_ENGINE,
+    ).collect()
+    # key 1: one net +1 → the LATEST +1 state (s2) survives; key 2 fully
+    # cancels; key 3: both +1 rows survive
+    assert [tuple(r) for r in rows] == [
+        (1, 3, 1, "s2"), (3, 1, 1, "p"), (3, 2, 1, "q"),
+    ]
+
+
+def test_final_versioned_collapsing_executes(spark, final_views):
+    # versions are the ord column itself → nothing cancels (each version
+    # block has a single row); all +1 AND -1 rows survive per version
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, ord, sign FROM final_c FINAL ORDER BY k, ord",
+        engines=_VC_ENGINE,
+    ).collect()
+    assert len(rows) == 7
+    # make cancellation bite: version = constant per key → same blocks as
+    # plain collapsing, but survivors keep contract-identical rows
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, count() AS n FROM final_c FINAL GROUP BY k ORDER BY k",
+        engines={
+            "final_c": {
+                "engine": "VersionedCollapsingMergeTree", "key": ("k",),
+                "version": ("1",), "sign": "sign",
+            }
+        },
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 1), (3, 2)]
+
+
+def test_final_refusals(spark, final_views):
+    cases = [
+        ("SELECT * FROM final_r FINAL", {}, "no engine metadata"),
+        (
+            "SELECT * FROM final_r FINAL",
+            {"final_r": {"engine": "ReplacingMergeTree", "key": ("k",)}},
+            "ARBITRARY row",
+        ),
+        (
+            "SELECT * FROM final_r FINAL",
+            {"final_r": {"engine": "SummingMergeTree", "key": ("k",)}},
+            "GROUP BY IS the merge",
+        ),
+        (
+            "SELECT * FROM final_c FINAL",
+            {"final_c": {"engine": "CollapsingMergeTree", "key": ("k",),
+                         "sign": "sign"}},
+            "insertion order",
+        ),
+        ("SELECT * FROM (SELECT 1 AS x) FINAL", {}, "subquery"),
+        ("SELECT * FROM final_r FINAL SAMPLE 0.5", _R_ENGINE, "combined"),
+    ]
+    for sql, engines, needle in cases:
+        with pytest.raises(UnsupportedCHSQL) as exc:
+            run_ch_sql(spark, sql, engines=engines)
+        assert needle.lower() in str(exc.value).lower(), sql
+
+
+def test_sample_semantics(spark):
+    spark.sql(
+        "SELECT id AS k FROM range(2000)"
+    ).createOrReplaceTempView("sample_t")
+    eng = {"sample_t": {"engine": "MergeTree", "sample_by": "k"}}
+    s10 = {
+        r.k for r in run_ch_sql(
+            spark, "SELECT k FROM sample_t SAMPLE 0.1", engines=eng
+        ).collect()
+    }
+    # deterministic across runs
+    again = {
+        r.k for r in run_ch_sql(
+            spark, "SELECT k FROM sample_t SAMPLE 1/10", engines=eng
+        ).collect()
+    }
+    assert s10 == again and 0 < len(s10) < 2000
+    # nesting: SAMPLE 0.05 ⊂ SAMPLE 0.1 (ClickHouse's subset contract)
+    s05 = {
+        r.k for r in run_ch_sql(
+            spark, "SELECT k FROM sample_t SAMPLE 0.05", engines=eng
+        ).collect()
+    }
+    assert s05 <= s10
+    # OFFSET slices are disjoint and cover the table
+    slices = [
+        {
+            r.k for r in run_ch_sql(
+                spark,
+                f"SELECT k FROM sample_t SAMPLE 1/4 OFFSET {i}/4",
+                engines=eng,
+            ).collect()
+        }
+        for i in range(4)
+    ]
+    assert set().union(*slices) == set(range(2000))
+    assert sum(len(s) for s in slices) == 2000
+    # SAMPLE 1 is the whole table
+    assert run_ch_sql(
+        spark, "SELECT count() AS c FROM sample_t SAMPLE 1", engines=eng
+    ).collect()[0].c == 2000
+
+
+def test_sample_refusals(spark):
+    spark.sql("SELECT id AS k FROM range(10)").createOrReplaceTempView(
+        "sample_t"
+    )
+    eng = {"sample_t": {"engine": "MergeTree", "sample_by": "k"}}
+    cases = [
+        ("SELECT * FROM sample_t SAMPLE 100", eng, "absolute-rows"),
+        ("SELECT * FROM sample_t SAMPLE 0.5 OFFSET 0.7", eng, "hash range"),
+        ("SELECT * FROM sample_t SAMPLE x", eng, "literal fraction"),
+        ("SELECT * FROM sample_t SAMPLE 1/0", eng, "nonzero"),
+        ("SELECT * FROM sample_t SAMPLE 1/x", eng, "denominator"),
+        (
+            "SELECT * FROM sample_t SAMPLE 0.1",
+            {"sample_t": {"engine": "MergeTree"}},
+            "sample_by",
+        ),
+        ("SELECT * FROM sample_t SAMPLE 0.1", {}, "no engine metadata"),
+    ]
+    for sql, engines, needle in cases:
+        with pytest.raises(UnsupportedCHSQL) as exc:
+            run_ch_sql(spark, sql, engines=engines)
+        assert needle.lower() in str(exc.value).lower(), sql
+
+
+def test_final_explain_syntax_shows_expansion(spark):
+    """EXPLAIN SYNTAX surfaces the expanded dedup subquery — the user can
+    SEE what FINAL became."""
+    text = "\n".join(
+        r.statement
+        for r in run_ch_sql(
+            spark,
+            "EXPLAIN SYNTAX SELECT user_id FROM events FINAL",
+            SF01,
+            tables=("events",),
+        ).collect()
+    )
+    assert "row_number() OVER" in text and "__final_rn" in text
+
+
 # --- ORDER BY … WITH FILL (run_ch_sql dense-axis rewrite) ------------------
 # ClickHouse FillingTransform semantics: the cursor RE-ANCHORS at every
 # original row (not a static grid), FROM seeds a head segment, TO is
