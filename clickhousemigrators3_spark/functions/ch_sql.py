@@ -730,7 +730,11 @@ _PARAMETRIC = {
 # custom-coded parametric aggregates (handled in _emit_call, not by a
 # _PARAMETRIC template) — listed so the tokenizer still consumes their
 # `(N)(args)` second group
-_CUSTOM_PARAMETRIC = {"topk", "topkif", "summapfiltered", "topkweighted", "uniqupto"}
+_CUSTOM_PARAMETRIC = {
+    "topk", "topkif", "summapfiltered", "topkweighted", "uniqupto",
+    # round 14: the flagship event-analytics parametric aggregates
+    "windowfunnel", "sequencematch",
+}
 
 # parametric names that default to the median when the (params) group is
 # omitted — ClickHouse's documented default level is 0.5
@@ -882,9 +886,8 @@ _UNSUPPORTED_FUNCS = {
         "fixed-width bit rendering differs from Spark bin — use "
         "format_string/conv explicitly"
     ),
-    "windowfunnel": "operators/event_analytics.py ev_window_funnel_*",
-    "retention": "operators/event_analytics.py ev_retention_day0",
-    "sequencematch": "operators/event_analytics.py ev_sequence_match",
+    # (windowFunnel / retention / sequenceMatch translate since round 14 —
+    # see _emit_window_funnel/_emit_retention/_emit_sequence_match)
     "sequencecount": "operators/event_analytics.py ev_sequence_count",
     "dictget": "operators/mergetree.py ch_dict_get_nation_name (broadcast join)",
     "quantileexactweighted": (
@@ -1319,12 +1322,177 @@ def _emit_multi_array_fold(args: list[str]) -> str:
     return f"aggregate({zipped}, {init}, ({acc}, _zs) -> ({new_body}))"
 
 
+# --- windowFunnel / retention / sequenceMatch (round 14, verdict r13 #4) ----
+# The flagship ClickHouse event-analytics aggregates, emitted as pure
+# aggregate EXPRESSIONS (collect the group's condition-tagged events, fold
+# with JVM higher-order functions) so they compose with any GROUP BY /
+# HAVING / sibling aggregate. Scale shape: the aggregation state is the
+# group's matched-event list — O(events-matching-a-condition) per group,
+# the same contract ClickHouse's own AggregateFunctionWindowFunnel state
+# carries — and the fold is whole-stage-codegen'd; one shuffle on the
+# GROUP BY key, zero Python. Semantics follow ClickHouse's documented
+# algorithms; ties at equal timestamps resolve by condition index (CH
+# sorts (timestamp, event_index) pairs), giving deterministic output.
+
+
+def _emit_retention(args: list[str]) -> str:
+    """retention(c1, …, cN) → Array(UInt8): r[0] = some event matched c1;
+    r[i] = (c1 matched) AND (c(i+1) matched) — ClickHouse's definition."""
+    if not 1 <= len(args) <= 32:
+        raise UnsupportedCHSQL("retention takes 1 to 32 conditions")
+    maxes = [
+        f"max(CASE WHEN ({a.strip()}) THEN 1 ELSE 0 END)" for a in args
+    ]
+    items = [f"CAST({maxes[0]} AS INT)"]
+    items += [f"CAST({maxes[0]} * {m} AS INT)" for m in maxes[1:]]
+    return f"array({', '.join(items)})"
+
+
+def _emit_window_funnel(args: list[str], params: list[str] | None) -> str:
+    """windowFunnel(window)(timestamp, c1, …, cN) → the longest condition
+    chain c1→c2→… whose events are time-ordered and all within `window`
+    SECONDS of the chain's FIRST event. Exactly ClickHouse's algorithm:
+    one (ts, cond_idx) entry per matched condition, sorted; level 0
+    re-anchors at every c1 event; level i inherits the level-(i-1) chain's
+    start timestamp when within window. The fold carries one BIGINT per
+    level (the chain-start µs), so state is N numbers plus the sorted
+    entry list."""
+    if params is None:
+        raise UnsupportedCHSQL(
+            "windowFunnel needs its parameters group: "
+            "windowFunnel(window)(timestamp, cond1, …)"
+        )
+    if len(params) != 1:
+        raise UnsupportedCHSQL(
+            "windowFunnel modes ('strict_order' / 'strict_dedup' / "
+            "'strict_increase') are not translated — see "
+            "operators/event_analytics.py ev_window_funnel_strict_order / "
+            "ev_window_funnel_strict_dedup"
+        )
+    w = params[0].strip()
+    if not re.fullmatch(r"\d+", w):
+        raise UnsupportedCHSQL(
+            "windowFunnel window must be an integer literal (seconds)"
+        )
+    if len(args) < 2:
+        raise UnsupportedCHSQL("windowFunnel needs (timestamp, cond1, …)")
+    conds = [a.strip() for a in args[1:]]
+    n = len(conds)
+    if n > 32:
+        raise UnsupportedCHSQL("windowFunnel takes at most 32 conditions")
+    tsu = f"unix_micros(CAST(({args[0].strip()}) AS TIMESTAMP))"
+    win_us = int(w) * 1_000_000
+    entries = ", ".join(
+        f"CASE WHEN ({c}) THEN named_struct('t', {tsu}, 'i', {i + 1}) END"
+        for i, c in enumerate(conds)
+    )
+    update = (
+        "(acc, e) -> transform(acc, (t, p) -> "
+        "CASE WHEN e.i = 1 AND p = 0 THEN e.t "
+        "WHEN p > 0 AND e.i = p + 1 AND element_at(acc, p) IS NOT NULL "
+        f"AND e.t <= element_at(acc, p) + {win_us} "
+        "THEN element_at(acc, p) ELSE t END)"
+    )
+    return (
+        "aggregate("
+        f"array_sort(flatten(collect_list(filter(array({entries}), "
+        "_wf -> _wf IS NOT NULL)))), "
+        f"array_repeat(CAST(NULL AS BIGINT), {n}), "
+        f"{update}, "
+        "acc -> CAST(size(filter(acc, _lv -> _lv IS NOT NULL)) AS INT))"
+    )
+
+
+def _emit_sequence_match(args: list[str], params: list[str] | None) -> str:
+    """sequenceMatch('(?a).*(?b)…')(timestamp, c1, …, cN) → 1 when the
+    group's events contain the pattern as a time-ordered SUBSEQUENCE.
+    Greedy earliest-match over the sorted condition-bitmask entries —
+    optimal for subsequence existence, so it is exact for the
+    `.*`-separated patterns this translates. Time constraints ((?t…)) and
+    strictly-adjacent specifiers refuse with operator pointers."""
+    if params is None or len(params) != 1:
+        raise UnsupportedCHSQL(
+            "sequenceMatch needs ('pattern')(timestamp, cond1, …)"
+        )
+    pat = params[0].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise UnsupportedCHSQL("sequenceMatch pattern must be a literal string")
+    pattern = _string_value(pat)
+    toks = re.findall(r"\(\?t[^)]*\)|\(\?\d+\)|\.\*|.", pattern)
+    steps: list[int] = []
+    expect_spec = True
+    for tk in toks:
+        if tk.startswith("(?t"):
+            raise UnsupportedCHSQL(
+                "sequenceMatch time constraints ((?t…)) are not translated "
+                "— see operators/event_analytics.py ev_sequence_match for "
+                "the windowed-operator form"
+            )
+        if expect_spec:
+            m = re.fullmatch(r"\(\?(\d+)\)", tk)
+            if not m:
+                raise UnsupportedCHSQL(
+                    f"sequenceMatch pattern element {tk!r} not supported — "
+                    "only '(?a).*(?b)…' subsequence patterns translate"
+                )
+            steps.append(int(m.group(1)))
+            expect_spec = False
+        elif tk == ".*":
+            expect_spec = True
+        else:
+            raise UnsupportedCHSQL(
+                "strictly-adjacent sequenceMatch specifiers ('(?1)(?2)') "
+                "are not translated — separate them with .* for the "
+                "subsequence form, or see operators/event_analytics.py "
+                "ch_sequence_next_node for adjacency"
+            )
+    if expect_spec or not steps:
+        raise UnsupportedCHSQL(
+            "sequenceMatch pattern must be '(?a)[.*(?b)…]'"
+        )
+    if len(args) < 2:
+        raise UnsupportedCHSQL("sequenceMatch needs (timestamp, cond1, …)")
+    conds = [a.strip() for a in args[1:]]
+    n = len(conds)
+    if n > 32:
+        raise UnsupportedCHSQL("sequenceMatch takes at most 32 conditions")
+    bad = [s for s in steps if not 1 <= s <= n]
+    if bad:
+        raise UnsupportedCHSQL(
+            f"sequenceMatch pattern references condition ?{bad[0]} but "
+            f"only {n} conditions were given"
+        )
+    tsu = f"unix_micros(CAST(({args[0].strip()}) AS TIMESTAMP))"
+    mask = " + ".join(
+        f"CAST(coalesce(CAST(({c}) AS BOOLEAN), false) AS BIGINT) * {1 << i}"
+        for i, c in enumerate(conds)
+    )
+    step_masks = ", ".join(f"CAST({1 << (s - 1)} AS BIGINT)" for s in steps)
+    length = len(steps)
+    return (
+        "aggregate("
+        f"array_sort(collect_list(CASE WHEN ({mask}) > 0 THEN "
+        f"named_struct('t', {tsu}, 'm', ({mask})) END)), "
+        "0, "
+        f"(p, e) -> CASE WHEN p < {length} AND "
+        f"(e.m & element_at(array({step_masks}), p + 1)) != 0 "
+        "THEN p + 1 ELSE p END, "
+        f"p -> CAST(CASE WHEN p = {length} THEN 1 ELSE 0 END AS INT))"
+    )
+
+
 def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
     """Render one translated function call from already-translated args."""
     if low == "count":
         # ClickHouse count() is zero-arg count(*); Spark requires the star
         return f"count({', '.join(a.strip() for a in args) or '*'})"
     args = _apply_tz_argument(low, args)
+    if low == "retention":
+        return _emit_retention(args)
+    if low == "windowfunnel":
+        return _emit_window_funnel(args, params)
+    if low == "sequencematch":
+        return _emit_sequence_match(args, params)
     if low in _UNSUPPORTED_FUNCS:
         raise UnsupportedCHSQL(  # no-golden: shadowed by the scan-level early raise (same message); kept for non-scan callers
             f"ClickHouse {low}() needs an operator-level rewrite — see "
@@ -2216,7 +2384,8 @@ _KNOWN = (
        "summap", "minmap", "maxmap", "avgmap", "summapfiltered",
        "sumforeach", "minforeach", "maxforeach", "avgforeach",
        "countforeach", "topk", "topkif", "topkweighted", "uniqupto",
-       "anyheavy", "entropy", "toweek", "toyearweek"}
+       "anyheavy", "entropy", "toweek", "toyearweek",
+       "windowfunnel", "retention", "sequencematch"}
     | set(_FIXED_INTERVALS)
 )
 

@@ -2623,3 +2623,126 @@ _ch(
     """,
     ("orders",),
 )
+
+# chsql_window_funnel (round 14, verdict r13 #4): the flagship ClickHouse
+# event-analytics aggregate in VERBATIM SQL — windowFunnel(window)(ts,
+# cond…) emits a pure aggregate expression (sorted condition-tagged
+# entries folded with JVM HOFs; one shuffle on the GROUP BY key, zero
+# Python). The oracle is the cascaded-running-max formulation proven
+# equivalent to ClickHouse's chain algorithm (the ev_window_funnel_sliding
+# shape: choosing the LATEST qualifying anchor maximizes slack for every
+# inner condition, and the within-window check on intermediate steps is
+# subsumed by the final step's check).
+_ch(
+    "chsql_window_funnel",
+    """
+    WITH lv AS (
+      SELECT user_id,
+             windowFunnel(14400)(ts, event_type = 'view',
+                                 event_type = 'click',
+                                 event_type = 'purchase') AS level
+      FROM events GROUP BY user_id)
+    SELECT level, count() AS n_users FROM lv GROUP BY level ORDER BY level
+    """,
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lv
+      FROM events),
+    seq2 AS (
+      SELECT user_id, ts, event_type, lv,
+             MAX(CASE WHEN event_type = 'click' THEN lv END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS bc
+      FROM seq),
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                      AND ts <= lv + INTERVAL 4 HOUR THEN 1 ELSE 0 END)
+               AS s2,
+             MAX(CASE WHEN event_type = 'purchase' AND bc IS NOT NULL
+                      AND ts <= bc + INTERVAL 4 HOUR THEN 1 ELSE 0 END)
+               AS s3
+      FROM seq2 GROUP BY user_id)
+    SELECT CASE WHEN s3 = 1 THEN 3 WHEN s2 = 1 THEN 2
+                WHEN s1 = 1 THEN 1 ELSE 0 END AS level,
+           count(*) AS n_users
+    FROM per_user GROUP BY 1 ORDER BY 1
+    """,
+    ("events",),
+)
+
+# chsql_retention (round 14): retention(c1, …) — r[0] = c1 matched,
+# r[i] = c1 AND c(i+1) matched — scalarized via 1-based arrayElement.
+_ch(
+    "chsql_retention",
+    """
+    WITH r AS (
+      SELECT user_id,
+             retention(event_type = 'view', event_type = 'click',
+                       event_type = 'purchase') AS r
+      FROM events GROUP BY user_id)
+    SELECT sum(arrayElement(r, 1)) AS n_viewed,
+           sum(arrayElement(r, 2)) AS n_viewed_clicked,
+           sum(arrayElement(r, 3)) AS n_viewed_purchased,
+           count() AS n_users
+    FROM r
+    """,
+    """
+    WITH m AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+      FROM events GROUP BY user_id)
+    SELECT CAST(sum(c1) AS BIGINT) AS n_viewed,
+           CAST(sum(c1 * c2) AS BIGINT) AS n_viewed_clicked,
+           CAST(sum(c1 * c3) AS BIGINT) AS n_viewed_purchased,
+           count(*) AS n_users
+    FROM m
+    """,
+    ("events",),
+)
+
+# chsql_sequence_match (round 14): subsequence patterns ('(?a).*(?b)') via
+# a greedy fold over the sorted condition-bitmask entries — greedy
+# earliest-match is exact for subsequence existence. The oracle derives
+# the same fact from min/max timestamps per condition (valid because the
+# fixture has no same-user timestamp ties, asserted in TESTDATA checks).
+_ch(
+    "chsql_sequence_match",
+    """
+    WITH m AS (
+      SELECT user_id,
+             sequenceMatch('(?1).*(?2)')(ts, event_type = 'view',
+                                         event_type = 'purchase') AS vp,
+             sequenceMatch('(?2).*(?1)')(ts, event_type = 'view',
+                                         event_type = 'purchase') AS pv
+      FROM events GROUP BY user_id)
+    SELECT sum(vp) AS n_view_then_purchase,
+           sum(pv) AS n_purchase_then_view,
+           count() AS n_users
+    FROM m
+    """,
+    """
+    WITH m AS (
+      SELECT user_id,
+             CASE WHEN min(CASE WHEN event_type = 'view' THEN ts END)
+                       < max(CASE WHEN event_type = 'purchase' THEN ts END)
+                  THEN 1 ELSE 0 END AS vp,
+             CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       < max(CASE WHEN event_type = 'view' THEN ts END)
+                  THEN 1 ELSE 0 END AS pv
+      FROM events GROUP BY user_id)
+    SELECT CAST(sum(vp) AS BIGINT) AS n_view_then_purchase,
+           CAST(sum(pv) AS BIGINT) AS n_purchase_then_view,
+           count(*) AS n_users
+    FROM m
+    """,
+    ("events",),
+)

@@ -405,7 +405,23 @@ def test_ternary_executes_correctly(spark):
         ),
         ("SELECT * FROM t ANY LEFT JOIN u ON t.x = u.x", "ch_any_left_join"),
         ("SELECT * FROM t ASOF JOIN u ON t.k = u.k", "asof"),
-        ("SELECT windowFunnel(60)(ts, a=1, a=2) FROM t", "funnel"),
+        # round 14: windowFunnel/retention/sequenceMatch TRANSLATE now —
+        # only modes, time constraints, adjacency, and shape errors refuse
+        ("SELECT windowFunnel(60, 'strict_order')(ts, a=1, a=2) FROM t",
+         "strict_order"),
+        ("SELECT windowFunnel(60)(ts) FROM t", "cond1"),
+        ("SELECT windowFunnel(w)(ts, a=1) FROM t", "integer literal"),
+        ("SELECT retention() FROM t", "1 to 32"),
+        ("SELECT sequenceMatch('(?1)(?2)')(ts, a=1, a=2) FROM t",
+         "adjacent"),
+        ("SELECT sequenceMatch('(?t<=3600)(?1).*(?2)')(ts, a=1, a=2) "
+         "FROM t", "time constraints"),
+        ("SELECT sequenceMatch('(?1).*(?3)')(ts, a=1, a=2) FROM t",
+         "only 2 conditions"),
+        ("SELECT sequenceMatch('(?1).*x')(ts, a=1) FROM t",
+         "not supported"),
+        ("SELECT sequenceCount('(?1).*(?2)')(ts, a=1, a=2) FROM t",
+         "ev_sequence_count"),
         ("SELECT extract(s, col) FROM t", "non-literal"),
         ("SELECT * FROM t PREWHERE a=1 PREWHERE b=2", "multiple PREWHERE"),
         ("SELECT x FROM t ARRAY JOIN a, b AS y", "alias"),
@@ -1514,6 +1530,61 @@ def test_final_explain_syntax_shows_expansion(spark):
         ).collect()
     )
     assert "row_number() OVER" in text and "__final_rn" in text
+
+
+# --- windowFunnel / retention / sequenceMatch (round 14) -------------------
+
+
+def test_event_analytics_aggregates_execute(spark):
+    """Hand-computed chains: re-anchoring at a later view, out-of-window
+    purchases, and missing steps — the documented ClickHouse contracts."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "view"), (1, base + dt.timedelta(minutes=30), "click"),
+        (1, base + dt.timedelta(minutes=90), "purchase"),  # > 1h window
+        (2, base, "view"), (2, base + dt.timedelta(hours=2), "click"),
+        (3, base, "click"),
+        (4, base, "view"), (4, base + dt.timedelta(hours=1), "view"),
+        (4, base + dt.timedelta(minutes=90), "click"),
+        (4, base + dt.timedelta(minutes=105), "purchase"),  # re-anchored
+    ]
+    spark.createDataFrame(
+        rows, "u long, ts timestamp_ntz, et string"
+    ).createOrReplaceTempView("ev_agg_t")
+    out = run_ch_sql(
+        spark,
+        "SELECT u, windowFunnel(3600)(ts, et = 'view', et = 'click', "
+        "et = 'purchase') AS lv FROM ev_agg_t GROUP BY u ORDER BY u",
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, 2), (2, 1), (3, 0), (4, 3)]
+    out = run_ch_sql(
+        spark,
+        "SELECT u, retention(et = 'view', et = 'click', et = 'purchase') "
+        "AS r FROM ev_agg_t GROUP BY u ORDER BY u",
+    ).collect()
+    assert [(r.u, list(r.r)) for r in out] == [
+        (1, [1, 1, 1]), (2, [1, 1, 0]), (3, [0, 0, 0]), (4, [1, 1, 1]),
+    ]
+    out = run_ch_sql(
+        spark,
+        "SELECT u, sequenceMatch('(?1).*(?2)')(ts, et = 'view', "
+        "et = 'click') AS m, sequenceMatch('(?2).*(?1)')(ts, "
+        "et = 'view', et = 'click') AS rev "
+        "FROM ev_agg_t GROUP BY u ORDER BY u",
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (1, 1, 0), (2, 1, 0), (3, 0, 0), (4, 1, 0),
+    ]
+    # a three-step subsequence and a repeated-condition pattern
+    out = run_ch_sql(
+        spark,
+        "SELECT u, sequenceMatch('(?1).*(?1).*(?2)')(ts, et = 'view', "
+        "et = 'purchase') AS m FROM ev_agg_t GROUP BY u ORDER BY u",
+    ).collect()
+    # only user 4 has two views before a purchase
+    assert [tuple(r) for r in out] == [(1, 0), (2, 0), (3, 0), (4, 1)]
 
 
 # --- ORDER BY … WITH FILL (run_ch_sql dense-axis rewrite) ------------------

@@ -228,6 +228,68 @@ def test_sliding_funnel_property(spark, events):
 @given(
     st.lists(
         st.tuples(
+            st.integers(min_value=0, max_value=1),           # user
+            st.integers(min_value=0, max_value=30) | st.integers(min_value=0, max_value=4 * 3600),  # ts offset s (tie-heavy | wide)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_sql_window_funnel_matches_clickhouse_algorithm(spark, events):
+    """Round 14: the translated windowFunnel(w)(ts, c…) aggregate must
+    equal a literal Python transcription of ClickHouse's
+    AggregateFunctionWindowFunnel for ARBITRARY sequences — including
+    same-instant events, where CH sorts (timestamp, condition_index)
+    pairs and a same-timestamp later-condition event may extend the
+    chain (`<=` window comparison)."""
+    import datetime
+
+    from clickhousemigrators3_spark.functions.ch_sql import run_ch_sql
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, base + datetime.timedelta(seconds=off), typ)
+        for (u, off, typ) in events
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string"
+    ).createOrReplaceTempView("wf_prop_t")
+    got = {
+        r.user_id: r.lv
+        for r in run_ch_sql(
+            spark,
+            "SELECT user_id, windowFunnel(3600)(ts, "
+            "event_type = 'view', event_type = 'click', "
+            "event_type = 'purchase') AS lv "
+            "FROM wf_prop_t GROUP BY user_id",
+        ).collect()
+    }
+
+    conds = {"view": 1, "click": 2, "purchase": 3}
+    win = 3600.0
+    expected = {}
+    for u in {r[0] for r in rows}:
+        entries = sorted(
+            (t.timestamp(), conds[typ])
+            for uu, t, typ in rows
+            if uu == u and typ in conds
+        )
+        levels = [None, None, None]  # chain-start ts per level
+        for t, i in entries:
+            if i == 1:
+                levels[0] = t
+            elif levels[i - 2] is not None and t <= levels[i - 2] + win:
+                levels[i - 1] = levels[i - 2]
+        lv = sum(1 for x in levels if x is not None)
+        expected[u] = lv
+    assert got == expected, (rows, got, expected)
+
+
+@given(
+    st.lists(
+        st.tuples(
             st.integers(min_value=0, max_value=4),  # score (tie-heavy)
             st.integers(min_value=0, max_value=1),  # label
         ),
