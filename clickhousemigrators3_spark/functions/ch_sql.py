@@ -2694,6 +2694,183 @@ def _limit_by_ahead(tokens: list[str], i: int) -> bool:
     return k < len(tokens) and tokens[k].lower() == "by"
 
 
+def _collect_array_join_items(
+    tokens: list[str], i: int
+) -> tuple[list[tuple[list[int], bool]], int]:
+    """Item spans of the ARRAY JOIN clause whose ``array`` keyword sits at
+    token i. Returns (items, clause_end) — each item is (code-token
+    indices, has_alias). Mirrors _array_join's clause parse exactly, but
+    records positions instead of translating."""
+    j = _next_code(tokens, i + 1)  # 'join'
+    k = _next_code(tokens, j + 1)
+    items: list[tuple[list[int], bool]] = []
+    cur: list[int] = []
+    has_alias = False
+    depth = 0
+    while k < len(tokens):
+        t = tokens[k]
+        if _is_ws(t):
+            k += 1
+            continue
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                break
+        if depth == 0:
+            lw = t.lower()
+            if lw == "as":
+                has_alias = True
+                k = _next_code(tokens, k + 1)  # the alias token
+                nxt = _next_code(tokens, k + 1)
+                if nxt < len(tokens) and tokens[nxt] == ",":
+                    items.append((cur, True))
+                    cur, has_alias = [], False
+                    k = nxt + 1
+                    continue
+                k += 1
+                break
+            if lw in ("where", "prewhere", "group", "order", "limit",
+                      "having", "settings", "left", "inner", "join",
+                      "union", "format"):
+                break
+            if t == ",":
+                items.append((cur, has_alias))
+                cur, has_alias = [], False
+                k += 1
+                continue
+        cur.append(k)
+        k += 1
+    items.append((cur, has_alias))
+    return items, k
+
+
+def _rewrite_bare_array_joins(tokens: list[str]) -> list[str]:
+    """Expand alias-less ``ARRAY JOIN a`` items (round 14, verdict r13
+    #5): ClickHouse makes the array NAME refer to the ELEMENTS within the
+    owning SELECT's scope, which Spark's LATERAL VIEW cannot express
+    directly (an alias equal to the source column is AMBIGUOUS_REFERENCE).
+    The rewrite aliases the element ``__aj_<name>`` and renames every
+    unqualified in-scope reference — exactly ClickHouse's shadowing, made
+    explicit. Qualified ``t.a`` keeps pointing at the ARRAY (table scope),
+    and the ARRAY JOIN clause's own items stay table-scope too. A nested
+    subquery inside the scope that mentions the bare name refuses loudly
+    (its own resolution rules would silently diverge). Bare NON-identifier
+    items (expressions) still refuse in _array_join — ClickHouse itself
+    demands an alias there, there is no name to shadow."""
+    for _ in range(8):  # one bare item per pass; bounded
+        target = None
+        for i, t in enumerate(tokens):
+            if not t or not (t[0].isalpha() or t[0] == "_"):
+                continue
+            if t.lower() != "array" or not _next_word_is(tokens, i, "join"):
+                continue
+            items, clause_end = _collect_array_join_items(tokens, i)
+            for code_idxs, has_alias in items:
+                if has_alias or len(code_idxs) != 1:
+                    continue
+                idx = code_idxs[0]
+                if _is_ident_tok(tokens[idx]):
+                    target = (i, idx, clause_end)
+                    break
+            if target:
+                break
+        if target is None:
+            return tokens
+        aj_idx, ident_idx, clause_end = target
+        name = tokens[ident_idx]
+        alias = f"__aj_{name.strip('`')}"
+        sel_idx = _owning_select_idx(tokens, aj_idx)
+        start = sel_idx if sel_idx is not None else 0
+        # scope: to the enclosing group's close or a same-depth UNION
+        depth = 0
+        span_end = len(tokens)
+        for q in range(start, len(tokens)):
+            t = tokens[q]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth < 0:
+                    span_end = q
+                    break
+            elif depth == 0 and t.lower() == "union":
+                span_end = q
+                break
+        new = list(tokens)
+        # first depth-0 FROM after the SELECT bounds the select list — a
+        # renamed BARE select item there gets `AS <name>` appended so the
+        # result header keeps ClickHouse's column name
+        from_idx = span_end
+        depth = 0
+        for q in range(start, span_end):
+            if new[q] == "(":
+                depth += 1
+            elif new[q] == ")":
+                depth -= 1
+            elif depth == 0 and new[q].lower() == "from":
+                from_idx = q
+                break
+        alias_back: list[int] = []
+        q = start
+        depth = 0
+        while q < span_end:
+            t = new[q]
+            if t == "(":
+                nxt = _next_code(new, q + 1)
+                if nxt < len(new) and new[nxt].lower() in ("select", "with"):
+                    close = _find_close(new, q)
+                    for r in range(q + 1, min(close, len(new))):
+                        if new[r] == name:
+                            p = _prev_code_idx(new, r)
+                            if p < 0 or new[p] != ".":
+                                raise UnsupportedCHSQL(
+                                    f"bare ARRAY JOIN {name}: a nested "
+                                    "subquery in the same scope also "
+                                    "references that name — the shadowing "
+                                    "is ambiguous; alias the array "
+                                    f"(ARRAY JOIN {name} AS elem) and "
+                                    "reference the alias"
+                                )
+                    q = close + 1
+                    continue
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if (
+                q != ident_idx
+                and not (aj_idx <= q < clause_end)  # clause items: arrays
+                and t == name
+            ):
+                p = _prev_code_idx(new, q)
+                nxtc = _next_code(new, q + 1)
+                if (
+                    (p < 0 or new[p] != ".")
+                    and (p < 0 or new[p].lower() != "as")
+                    and not (nxtc < len(new) and new[nxtc] == "(")
+                ):
+                    new[q] = alias
+                    if (
+                        depth == 0
+                        and q < from_idx
+                        and p >= 0
+                        and (new[p] == "," or new[p].lower() in
+                             ("select", "distinct"))
+                        and nxtc < len(new)
+                        and (new[nxtc] == "," or new[nxtc].lower() == "from")
+                    ):
+                        alias_back.append(q)
+            q += 1
+        inserts = [(ident_idx, [" ", "AS", " ", alias])] + [
+            (q, [" ", "AS", " ", name]) for q in alias_back
+        ]
+        for pos, toks in sorted(inserts, key=lambda x: -x[0]):
+            new = new[: pos + 1] + toks + new[pos + 1 :]
+        tokens = new
+    raise UnsupportedCHSQL("too many bare ARRAY JOIN expansions")  # no-golden: defensive loop bound
+
+
 def _array_join(tokens: list[str], i: int, outer: bool = False) -> tuple[int, str]:
     """ARRAY JOIN <expr> AS <alias> [, <expr2> AS <alias2> …] → LATERAL
     VIEW chain. Single array: one explode. Multiple arrays (ClickHouse's
@@ -4416,6 +4593,7 @@ def _translate_impl(
     tokens = _rewrite_tuple_dots(tokens)
     tokens = _rewrite_offset_fetch(tokens)
     tokens = _expand_with_macros(tokens)
+    tokens = _rewrite_bare_array_joins(tokens)
     tokens = _rewrite_ternaries(tokens)
     tokens = _rewrite_group_modifiers(tokens, gm_mode, gm_types)
     tokens = _rewrite_running_funcs(tokens)

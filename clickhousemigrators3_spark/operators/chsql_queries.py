@@ -2746,3 +2746,26 @@ _ch(
     """,
     ("events",),
 )
+
+# chsql_bare_array_join (round 14, verdict r13 #5): alias-less ARRAY JOIN
+# — ClickHouse makes the array NAME refer to the elements in scope; the
+# translator aliases the element and renames in-scope references, keeping
+# ClickHouse's result header (the bare select item aliases back). One
+# generator, no shuffle beyond the ORDER BY.
+_ch(
+    "chsql_bare_array_join",
+    """
+    WITH w AS (SELECT doc_id, array(lang, source) AS tags
+               FROM documents WHERE doc_id < 300)
+    SELECT doc_id, tags, upper(tags) AS u
+    FROM w ARRAY JOIN tags
+    ORDER BY doc_id, tags
+    """,
+    """
+    SELECT doc_id, t.tags AS tags, upper(t.tags) AS u
+    FROM (SELECT doc_id, unnest([lang, source]) AS tags
+          FROM documents WHERE doc_id < 300) t
+    ORDER BY doc_id, tags
+    """,
+    ("documents",),
+)

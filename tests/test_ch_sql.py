@@ -424,7 +424,9 @@ def test_ternary_executes_correctly(spark):
          "ev_sequence_count"),
         ("SELECT extract(s, col) FROM t", "non-literal"),
         ("SELECT * FROM t PREWHERE a=1 PREWHERE b=2", "multiple PREWHERE"),
-        ("SELECT x FROM t ARRAY JOIN a, b AS y", "alias"),
+        # round 14: bare IDENTIFIER items expand (name → element rename);
+        # only bare EXPRESSIONS still refuse — CH itself demands an alias
+        ("SELECT x FROM t ARRAY JOIN arrayConcat(a, b)", "alias"),
         ("SELECT cityHash64(x) FROM t", "engine-specific"),
         ("SELECT MD5(x) FROM t", "engine-specific"),
         ("SELECT runningDifference(x) FROM t", "block-order"),
@@ -1530,6 +1532,70 @@ def test_final_explain_syntax_shows_expansion(spark):
         ).collect()
     )
     assert "row_number() OVER" in text and "__final_rn" in text
+
+
+# --- bare ARRAY JOIN (round 14) ---------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "ch, expected",
+    [
+        (
+            "SELECT id, a FROM ajt ARRAY JOIN a",
+            "SELECT id, __aj_a AS a FROM ajt "
+            "LATERAL VIEW explode(a) _aj AS __aj_a",
+        ),
+        # the rename reaches WHERE/GROUP BY/ORDER BY and function args;
+        # qualified t.a keeps pointing at the ARRAY (table scope)
+        (
+            "SELECT id, sum(a) AS s FROM ajt ARRAY JOIN a "
+            "WHERE a > 5 GROUP BY id",
+            "SELECT id, sum(__aj_a) AS s FROM ajt "
+            "LATERAL VIEW explode(a) _aj AS __aj_a "
+            "WHERE __aj_a > 5 GROUP BY id",
+        ),
+        (
+            "SELECT size(t.a) AS n, a FROM ajt AS t ARRAY JOIN a",
+            "SELECT size(t.a) AS n, __aj_a AS a FROM ajt AS t "
+            "LATERAL VIEW explode(a) _aj AS __aj_a",
+        ),
+        (
+            "SELECT a FROM ajt LEFT ARRAY JOIN a ORDER BY a",
+            "SELECT __aj_a AS a FROM ajt "
+            "LATERAL VIEW OUTER explode(a) _aj AS __aj_a ORDER BY __aj_a",
+        ),
+    ],
+)
+def test_bare_array_join_golden(ch: str, expected: str):
+    assert " ".join(translate_ch_sql(ch).split()) == " ".join(
+        expected.split()
+    )
+
+
+def test_bare_array_join_executes(spark):
+    spark.createDataFrame(
+        [(1, [10, 20], ["x", "y"]), (2, [30], ["z"])],
+        "id int, a array<int>, b array<string>",
+    ).createOrReplaceTempView("aj_exec_t")
+    df = run_ch_sql(
+        spark, "SELECT id, a FROM aj_exec_t ARRAY JOIN a ORDER BY id, a"
+    )
+    assert df.columns == ["id", "a"]  # ClickHouse's result header
+    assert [tuple(r) for r in df.collect()] == [(1, 10), (1, 20), (2, 30)]
+    # mixed bare + aliased multi-array item share one position
+    rows = run_ch_sql(
+        spark,
+        "SELECT id, a, y FROM aj_exec_t ARRAY JOIN a, b AS y "
+        "ORDER BY id, a",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, 10, "x"), (1, 20, "y"), (2, 30, "z"),
+    ]
+    # nested subquery referencing the bare name → loud ambiguity refusal
+    with pytest.raises(UnsupportedCHSQL, match="ambiguous"):
+        translate_ch_sql(
+            "SELECT (SELECT max(a) FROM u) AS m, a FROM t ARRAY JOIN a"
+        )
 
 
 # --- windowFunnel / retention / sequenceMatch (round 14) -------------------
@@ -3046,9 +3112,12 @@ def test_multi_array_join(spark):
             "SELECT id, x, y FROM maj_first_empty "
             "LEFT ARRAY JOIN a AS x, b AS y WHERE id = 1",
         ).collect()
-    # every array still needs an alias
+    # bare IDENTIFIER items expand since round 14 (element rename); bare
+    # EXPRESSIONS still need an alias — ClickHouse demands one there too
     with pytest.raises(UnsupportedCHSQL, match="alias"):
-        translate_ch_sql("SELECT x FROM t ARRAY JOIN a, b AS y")
+        translate_ch_sql(
+            "SELECT x FROM t ARRAY JOIN arrayConcat(a, b), b AS y"
+        )
 
 
 def test_group_array_pinned_rewrite(spark):
