@@ -6273,8 +6273,10 @@ def _running_window_expr(
         if len(args) == 2:
             raise UnsupportedCHSQL(
                 "neighbor(x, offset) out of range fills the TYPE's default "
-                "value (0 / '' / epoch), which needs the column type — pass "
-                "an explicit default: neighbor(x, offset, default)"
+                "value (0 / '' / epoch), which needs the column type — run "
+                "it through run_ch_sql (the FROM schema supplies the "
+                "default there), or pass an explicit default: "
+                "neighbor(x, offset, default)"
             )
         if len(args) != 3:
             raise UnsupportedCHSQL("neighbor takes (x, offset, default)")
@@ -8091,6 +8093,73 @@ def _expand_table_modifiers(spark, sql: str, engines: dict) -> str:
     raise UnsupportedCHSQL("too many FINAL/SAMPLE expansions")  # no-golden: defensive loop bound
 
 
+def _neighbor_type_default(simple: str) -> str | None:
+    """ClickHouse's type default as a CH-dialect literal (what a 2-arg
+    neighbor() fills out-of-range rows with): 0 / '' / epoch."""
+    t = simple.lower()
+    if t in ("bigint", "int", "smallint", "tinyint", "double", "float") or \
+            t.startswith("decimal"):
+        return "0"
+    if t == "string":
+        return "''"
+    if t == "boolean":
+        return "false"
+    if t == "date":
+        return "toDate('1970-01-01')"
+    if t in ("timestamp", "timestamp_ntz"):
+        return "toDateTime('1970-01-01 00:00:00')"
+    return None
+
+
+def _expand_neighbor_defaults(spark, sql: str) -> str:
+    """Fill the 2-arg ``neighbor(x, offset)`` form's implicit default
+    (round 14, verdict r13 #7): ClickHouse fills the COLUMN TYPE's
+    default on out-of-range rows, which the string-only translator cannot
+    know — here the owning SELECT's FROM is probed (analysis only) for
+    x's type and the matching literal is spliced in as the third
+    argument. The pin discipline is untouched: the 3-arg form still
+    demands a block-order-fixing ORDER BY downstream."""
+    for _ in range(16):
+        tokens = _tokenize(sql)
+        site = None
+        for i, t in enumerate(tokens):
+            if t.lower() == "neighbor" and _next_code_word(tokens, i) == "(":
+                open_i = _next_code(tokens, i + 1)
+                close = _find_close(tokens, open_i)
+                args = [a for a in _split_args(tokens[open_i + 1 : close]) if a]
+                if len(args) == 2:
+                    site = (i, open_i, close, args)
+                    break
+        if site is None:
+            return sql
+        i, open_i, close, args = site
+        sel_idx = _owning_select_idx(tokens, i)
+        if sel_idx is None:
+            raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql neighbor) -- pytest test_neighbor_type_default
+                "neighbor(x, offset) outside a SELECT list — pass an "
+                "explicit default: neighbor(x, offset, default)"
+            )
+        f_start, f_end = _from_clause_span(tokens, sel_idx)
+        from_sql = "".join(tokens[f_start:f_end]).strip()
+        with_prefix = _with_prefix(tokens, before=i)
+        x_sql = "".join(args[0]).strip()
+        probe = f"{with_prefix}SELECT {x_sql} AS __nb FROM {from_sql}"
+        simple = _probe_schema(spark, probe)["__nb"].dataType.simpleString()
+        default = _neighbor_type_default(simple)
+        if default is None:
+            raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql neighbor) -- pytest test_neighbor_type_default
+                f"neighbor(x, offset): no default literal for x's type "
+                f"{simple} — pass an explicit default: "
+                "neighbor(x, offset, default)"
+            )
+        sql = (
+            "".join(tokens[:close])
+            + f", {default}"
+            + "".join(tokens[close:])
+        )
+    raise UnsupportedCHSQL("too many neighbor expansions")  # no-golden: defensive loop bound
+
+
 def _merged_engines(engines) -> dict:
     """catalog.MERGETREE_ENGINES with the per-call override on top."""
     from ..catalog import MERGETREE_ENGINES
@@ -8167,6 +8236,8 @@ def run_ch_sql(
                 )
             if _has_column_matchers(base2):
                 base2 = _expand_column_matchers(spark, base2)
+            if re.search(r"(?i)\bneighbor\s*\(", base2):
+                base2 = _expand_neighbor_defaults(spark, base2)
             try:
                 text = translate_ch_sql(base2)
             except _NeedsSchemaTyping:
@@ -8212,6 +8283,10 @@ def run_ch_sql(
 
             register_system_views(spark, sf_dir)
         base_sql = _expand_column_matchers(spark, base_sql)
+    if re.search(r"(?i)\bneighbor\s*\(", base_sql):
+        # round 14: the 2-arg form's implicit TYPE default is probed from
+        # the FROM schema here; the 3-arg result still needs the pin
+        base_sql = _expand_neighbor_defaults(spark, base_sql)
     try:
         translated = translate_ch_sql(base_sql)
     except _NeedsSchemaTyping:

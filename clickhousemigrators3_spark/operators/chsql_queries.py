@@ -2769,3 +2769,28 @@ _ch(
     """,
     ("documents",),
 )
+
+# chsql_neighbor_type_default (round 14, verdict r13 #7): the 2-arg
+# neighbor — ClickHouse fills the COLUMN TYPE's default out of range;
+# run_ch_sql probes value's type (Float64 → 0) from the FROM schema and
+# splices the literal, then the usual pin rewrite applies.
+_ch(
+    "chsql_neighbor_type_default",
+    """
+    SELECT event_id,
+           neighbor(value, 1) AS next_v,
+           neighbor(event_type, -1) AS prev_type
+    FROM events
+    WHERE user_id < 20
+    ORDER BY ts, event_id
+    """,
+    """
+    SELECT event_id,
+           lead(value, 1, 0.0) OVER (ORDER BY ts, event_id) AS next_v,
+           lag(event_type, 1, '') OVER (ORDER BY ts, event_id) AS prev_type
+    FROM events
+    WHERE user_id < 20
+    ORDER BY ts, event_id
+    """,
+    ("events",),
+)

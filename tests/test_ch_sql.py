@@ -1598,6 +1598,46 @@ def test_bare_array_join_executes(spark):
         )
 
 
+# --- neighbor(x, offset) type-default form (round 14) ----------------------
+
+
+def test_neighbor_type_default(spark):
+    """The 2-arg neighbor fills ClickHouse's TYPE default out of range —
+    run_ch_sql probes x's type from the FROM schema and splices the
+    matching literal; the pin discipline still applies."""
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "k int, v int, s string",
+    ).createOrReplaceTempView("nb_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT k, neighbor(v, 1) AS nv, neighbor(s, -1) AS ps "
+        "FROM nb_t ORDER BY k",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, 20, ""), (2, 30, "a"), (3, 0, "b"),
+    ]
+    # date input → epoch default
+    spark.sql(
+        "SELECT * FROM VALUES (1, DATE '2024-01-02') AS t(k, d)"
+    ).createOrReplaceTempView("nb_d")
+    row = run_ch_sql(
+        spark, "SELECT neighbor(d, 1) AS nd FROM nb_d ORDER BY k"
+    ).collect()[0]
+    assert str(row.nd) == "1970-01-01"
+    # unpinned 2-arg form still demands the block-order ORDER BY
+    with pytest.raises(UnsupportedCHSQL, match="ORDER BY"):
+        run_ch_sql(spark, "SELECT neighbor(v, 1) FROM nb_t")
+    # no default literal for complex types → loud
+    spark.createDataFrame(
+        [(1, [1, 2])], "k int, arr array<int>"
+    ).createOrReplaceTempView("nb_c")
+    with pytest.raises(UnsupportedCHSQL, match="explicit default"):
+        run_ch_sql(
+            spark, "SELECT neighbor(arr, 1) FROM nb_c ORDER BY k"
+        )
+
+
 # --- windowFunnel / retention / sequenceMatch (round 14) -------------------
 
 
