@@ -99,6 +99,16 @@ HEADLINE = [
     "chsql_column_matchers",
     "chsql_any_right_join_first_order",
     "chsql_multi_array_fold",
+    # round-14: FROM t FINAL (window dedup with a map-side WindowGroupLimit
+    # partial; a regression to a full-history shuffle would show here),
+    # SAMPLE k OFFSET m (hash-range scan filter — the sample predicate
+    # must stay a row-local expression inside the scan's stage), and the
+    # windowFunnel aggregate fold (condition-tagged entry lists — state
+    # O(matched events) per group; a regression to an anchors×events join
+    # or a Python boundary would show here)
+    "chsql_final_replacing",
+    "chsql_sample",
+    "chsql_window_funnel",
 ]
 
 

@@ -123,6 +123,25 @@ Covered surface (the high-frequency ClickHouse idioms):
   the pairs; decomposable count/sum/min/max/uniqExact siblings merge via
   partials) — see _rewrite_count_combinators; non-restructurable shapes
   keep the collect-form expressions above, twin-equal by test
+* round 14 — literal TIMEZONE arguments on the date functions
+  (toStartOf*/toDate/toYear…/toStartOfWeek/toStartOfInterval/dateDiff)
+  via the from_utc_timestamp wrap (_apply_tz_argument; computed zones and
+  unknown names refuse); ``FROM t FINAL`` and ``SAMPLE k [OFFSET m]``
+  expand in run_ch_sql against catalog.MERGETREE_ENGINES
+  (_expand_table_modifiers — Replacing window-dedup, Collapsing/
+  Versioned pairwise cancellation, deterministic md5 hash-range
+  sampling with ClickHouse's nesting contract); windowFunnel(window)(…) /
+  retention(…) / sequenceMatch('(?a).*(?b)')(…) emit pure aggregate
+  expressions (sorted condition-tagged entries folded with JVM HOFs —
+  _emit_window_funnel/_emit_retention/_emit_sequence_match; funnel modes
+  and sequence time-constraints/adjacency refuse with operator pointers);
+  bare ``ARRAY JOIN a`` expands (element aliased, in-scope references
+  renamed, result header preserved — _rewrite_bare_array_joins);
+  2-arg neighbor(x, offset) gets its TYPE default from a run_ch_sql
+  schema probe (_expand_neighbor_defaults); quantified comparisons
+  (``> ALL/ANY (SELECT …)``) refuse with a scalar-subquery hint (Spark
+  has no quantified grammar); template mappings refuse surplus
+  arguments instead of silently dropping them
 * round 13 — the ternary ``cond ? a : b`` → CASE WHEN on the full token
   list (_rewrite_ternaries: lowest precedence, right-associative,
   paren/CASE-aware, lambda arrows scope the condition); SQL comments
@@ -140,14 +159,16 @@ Covered surface (the high-frequency ClickHouse idioms):
   the string-only path refuses with the run_ch_sql pointer)
 
 Refused loudly (pointer to the operator that implements the semantics):
-FINAL, SAMPLE, LIMIT n BY without
+FINAL / SAMPLE in the string-only path (run_ch_sql translates them with
+engine metadata), LIMIT n BY without
 ORDER BY (nondeterministic), unpinned ANY / ASOF join strictness,
-windowFunnel / retention / sequenceMatch / dictGet / groupBitmap,
-running/block-order functions
+sequenceCount / dictGet / groupBitmap, windowFunnel modes and
+sequenceMatch time-constraints/adjacency, running/block-order functions
 without a pinning ORDER BY, engine-specific hash families
 (cityHash64/sipHash64/…/MD5 — same name, different values or types),
 three-plus-array lambdas, non-literal extract()/dateDiff units,
-ARRAY JOIN without AS aliases.
+ARRAY JOIN with bare non-identifier expressions, quantified
+``<cmp> ALL/ANY (SELECT …)`` comparisons.
 """
 
 from __future__ import annotations

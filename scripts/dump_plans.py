@@ -167,6 +167,24 @@ SHOW = [
     "chsql_any_right_join_first_order",
     "chsql_multi_array_fold",
     "chsql_first_significant_subdomain",
+    # round-14: FROM t FINAL (row_number window dedup — what to look for:
+    # map-side WindowGroupLimit PARTIAL before the key exchange, the WHERE
+    # pushed into the parquet scan below the window); SAMPLE (the hash
+    # range as a row-local Filter inside the scan's stage — no shuffle,
+    # no sampling operator); windowFunnel/retention/sequenceMatch (one
+    # two-phase ObjectHashAggregate over the entry lists — no join, no
+    # explode, no Python); tz date functions (row-local project over a
+    # pushed scan); bare ARRAY JOIN (one Generate, header preserved);
+    # neighbor type-default (lead window over the pinned order)
+    "chsql_final_replacing",
+    "chsql_final_versioned_collapsing",
+    "chsql_sample",
+    "chsql_window_funnel",
+    "chsql_retention",
+    "chsql_sequence_match",
+    "chsql_tz_date_functions",
+    "chsql_bare_array_join",
+    "chsql_neighbor_type_default",
 ]
 
 HEADER = """# Physical plans — headline queries at sf0.1

@@ -422,6 +422,18 @@ def test_ternary_executes_correctly(spark):
          "not supported"),
         ("SELECT sequenceCount('(?1).*(?2)')(ts, a=1, a=2) FROM t",
          "ev_sequence_count"),
+        ("SELECT windowFunnel(ts, a=1) FROM t", "parameters group"),
+        ("SELECT windowFunnel(60)(" + ", ".join(["ts"] + ["a=1"] * 33)
+         + ") FROM t", "at most 32"),
+        ("SELECT sequenceMatch(ts, a=1) FROM t", "('pattern')"),
+        ("SELECT sequenceMatch(p)(ts, a=1) FROM t", "literal string"),
+        ("SELECT sequenceMatch('(?1).*')(ts, a=1) FROM t",
+         "pattern must be"),
+        ("SELECT sequenceMatch('(?1)')(ts) FROM t", "timestamp, cond1"),
+        ("SELECT sequenceMatch('(?1)')(" + ", ".join(["ts"] + ["a=1"] * 33)
+         + ") FROM t", "at most 32"),
+        ("SELECT (SELECT max(a) FROM u) AS m, a FROM t ARRAY JOIN a",
+         "ambiguous"),
         ("SELECT extract(s, col) FROM t", "non-literal"),
         ("SELECT * FROM t PREWHERE a=1 PREWHERE b=2", "multiple PREWHERE"),
         # round 14: bare IDENTIFIER items expand (name → element rename);
