@@ -754,7 +754,7 @@ _PARAMETRIC = {
 _CUSTOM_PARAMETRIC = {
     "topk", "topkif", "summapfiltered", "topkweighted", "uniqupto",
     # round 14: the flagship event-analytics parametric aggregates
-    "windowfunnel", "sequencematch",
+    "windowfunnel", "sequencematch", "sequencecount",
 }
 
 # parametric names that default to the median when the (params) group is
@@ -907,9 +907,9 @@ _UNSUPPORTED_FUNCS = {
         "fixed-width bit rendering differs from Spark bin — use "
         "format_string/conv explicitly"
     ),
-    # (windowFunnel / retention / sequenceMatch translate since round 14 —
-    # see _emit_window_funnel/_emit_retention/_emit_sequence_match)
-    "sequencecount": "operators/event_analytics.py ev_sequence_count",
+    # (windowFunnel / retention / sequenceMatch / sequenceCount translate
+    # since round 14 — _emit_window_funnel/_emit_retention/
+    # _emit_sequence_match)
     "dictget": "operators/mergetree.py ch_dict_get_nation_name (broadcast join)",
     "quantileexactweighted": (
         "operators/ch_aggregates.py quantile_exact_weighted (Spark has no "
@@ -1424,20 +1424,28 @@ def _emit_window_funnel(args: list[str], params: list[str] | None) -> str:
     )
 
 
-def _emit_sequence_match(args: list[str], params: list[str] | None) -> str:
+def _emit_sequence_match(
+    args: list[str], params: list[str] | None, count: bool = False
+) -> str:
     """sequenceMatch('(?a).*(?b)…')(timestamp, c1, …, cN) → 1 when the
-    group's events contain the pattern as a time-ordered SUBSEQUENCE.
-    Greedy earliest-match over the sorted condition-bitmask entries —
-    optimal for subsequence existence, so it is exact for the
-    `.*`-separated patterns this translates. Time constraints ((?t…)) and
-    strictly-adjacent specifiers refuse with operator pointers."""
+    group's events contain the pattern as a time-ordered SUBSEQUENCE;
+    sequenceCount (``count=True``) → how many NON-OVERLAPPING chains the
+    events contain (the next search starts after the previous chain
+    completes — ClickHouse's documented contract). Greedy earliest-match
+    over the sorted condition-bitmask entries — optimal for subsequence
+    existence and for maximal non-overlapping counting, so both are exact
+    for the `.*`-separated patterns this translates. Time constraints
+    ((?t…)) and strictly-adjacent specifiers refuse with operator
+    pointers. The count fold packs (chains, position) into one BIGINT
+    (state = chains·(L+1) + p)."""
+    fname = "sequenceCount" if count else "sequenceMatch"
     if params is None or len(params) != 1:
         raise UnsupportedCHSQL(
-            "sequenceMatch needs ('pattern')(timestamp, cond1, …)"
+            f"{fname} needs ('pattern')(timestamp, cond1, …)"
         )
     pat = params[0].strip()
     if not (pat.startswith("'") and pat.endswith("'")):
-        raise UnsupportedCHSQL("sequenceMatch pattern must be a literal string")
+        raise UnsupportedCHSQL(f"{fname} pattern must be a literal string")
     pattern = _string_value(pat)
     toks = re.findall(r"\(\?t[^)]*\)|\(\?\d+\)|\.\*|.", pattern)
     steps: list[int] = []
@@ -1445,7 +1453,7 @@ def _emit_sequence_match(args: list[str], params: list[str] | None) -> str:
     for tk in toks:
         if tk.startswith("(?t"):
             raise UnsupportedCHSQL(
-                "sequenceMatch time constraints ((?t…)) are not translated "
+                f"{fname} time constraints ((?t…)) are not translated "
                 "— see operators/event_analytics.py ev_sequence_match for "
                 "the windowed-operator form"
             )
@@ -1453,7 +1461,7 @@ def _emit_sequence_match(args: list[str], params: list[str] | None) -> str:
             m = re.fullmatch(r"\(\?(\d+)\)", tk)
             if not m:
                 raise UnsupportedCHSQL(
-                    f"sequenceMatch pattern element {tk!r} not supported — "
+                    f"{fname} pattern element {tk!r} not supported — "
                     "only '(?a).*(?b)…' subsequence patterns translate"
                 )
             steps.append(int(m.group(1)))
@@ -1462,25 +1470,25 @@ def _emit_sequence_match(args: list[str], params: list[str] | None) -> str:
             expect_spec = True
         else:
             raise UnsupportedCHSQL(
-                "strictly-adjacent sequenceMatch specifiers ('(?1)(?2)') "
+                f"strictly-adjacent {fname} specifiers ('(?1)(?2)') "
                 "are not translated — separate them with .* for the "
                 "subsequence form, or see operators/event_analytics.py "
                 "ch_sequence_next_node for adjacency"
             )
     if expect_spec or not steps:
         raise UnsupportedCHSQL(
-            "sequenceMatch pattern must be '(?a)[.*(?b)…]'"
+            f"{fname} pattern must be '(?a)[.*(?b)…]'"
         )
     if len(args) < 2:
-        raise UnsupportedCHSQL("sequenceMatch needs (timestamp, cond1, …)")
+        raise UnsupportedCHSQL(f"{fname} needs (timestamp, cond1, …)")
     conds = [a.strip() for a in args[1:]]
     n = len(conds)
     if n > 32:
-        raise UnsupportedCHSQL("sequenceMatch takes at most 32 conditions")
+        raise UnsupportedCHSQL(f"{fname} takes at most 32 conditions")
     bad = [s for s in steps if not 1 <= s <= n]
     if bad:
         raise UnsupportedCHSQL(
-            f"sequenceMatch pattern references condition ?{bad[0]} but "
+            f"{fname} pattern references condition ?{bad[0]} but "
             f"only {n} conditions were given"
         )
     tsu = f"unix_micros(CAST(({args[0].strip()}) AS TIMESTAMP))"
@@ -1490,15 +1498,28 @@ def _emit_sequence_match(args: list[str], params: list[str] | None) -> str:
     )
     step_masks = ", ".join(f"CAST({1 << (s - 1)} AS BIGINT)" for s in steps)
     length = len(steps)
-    return (
-        "aggregate("
+    sorted_entries = (
         f"array_sort(collect_list(CASE WHEN ({mask}) > 0 THEN "
-        f"named_struct('t', {tsu}, 'm', ({mask})) END)), "
-        "0, "
-        f"(p, e) -> CASE WHEN p < {length} AND "
-        f"(e.m & element_at(array({step_masks}), p + 1)) != 0 "
-        "THEN p + 1 ELSE p END, "
-        f"p -> CAST(CASE WHEN p = {length} THEN 1 ELSE 0 END AS INT))"
+        f"named_struct('t', {tsu}, 'm', ({mask})) END))"
+    )
+    if not count:
+        return (
+            f"aggregate({sorted_entries}, 0, "
+            f"(p, e) -> CASE WHEN p < {length} AND "
+            f"(e.m & element_at(array({step_masks}), p + 1)) != 0 "
+            "THEN p + 1 ELSE p END, "
+            f"p -> CAST(CASE WHEN p = {length} THEN 1 ELSE 0 END AS INT))"
+        )
+    base = length + 1  # state = chains*base + position
+    return (
+        f"aggregate({sorted_entries}, CAST(0 AS BIGINT), "
+        f"(s, e) -> CASE WHEN (s % {base}) < {length} AND "
+        f"(e.m & element_at(array({step_masks}), "
+        f"CAST(s % {base} AS INT) + 1)) != 0 "
+        f"THEN IF(s % {base} = {length - 1}, "
+        f"(s div {base} + 1) * {base}, s + 1) "
+        "ELSE s END, "
+        f"s -> CAST(s div {base} AS BIGINT))"
     )
 
 
@@ -1514,6 +1535,8 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
         return _emit_window_funnel(args, params)
     if low == "sequencematch":
         return _emit_sequence_match(args, params)
+    if low == "sequencecount":
+        return _emit_sequence_match(args, params, count=True)
     if low in _UNSUPPORTED_FUNCS:
         raise UnsupportedCHSQL(  # no-golden: shadowed by the scan-level early raise (same message); kept for non-scan callers
             f"ClickHouse {low}() needs an operator-level rewrite — see "
@@ -2406,7 +2429,7 @@ _KNOWN = (
        "sumforeach", "minforeach", "maxforeach", "avgforeach",
        "countforeach", "topk", "topkif", "topkweighted", "uniqupto",
        "anyheavy", "entropy", "toweek", "toyearweek",
-       "windowfunnel", "retention", "sequencematch"}
+       "windowfunnel", "retention", "sequencematch", "sequencecount"}
     | set(_FIXED_INTERVALS)
 )
 

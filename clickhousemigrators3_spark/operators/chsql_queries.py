@@ -2794,3 +2794,45 @@ _ch(
     """,
     ("events",),
 )
+
+# chsql_sequence_count (round 14): non-overlapping chain counting — the
+# fold is ClickHouse's sequential state machine (restart AFTER each
+# completed chain). The oracle uses the closed form for the 2-step
+# pattern: in the view/purchase subsequence, a chain completes exactly at
+# each view-run → purchase-run boundary (the first purchase after a
+# pending view), so the count is the number of (prev='view',
+# cur='purchase') adjacencies. NOTE this is NOT max disjoint-pair
+# matching — 'v v p p' counts 1 (the scan consumes both views before the
+# first purchase), which the first draft of this oracle got wrong.
+_ch(
+    "chsql_sequence_count",
+    """
+    WITH m AS (
+      SELECT user_id,
+             sequenceCount('(?1).*(?2)')(ts, event_type = 'view',
+                                         event_type = 'purchase') AS c
+      FROM events GROUP BY user_id)
+    SELECT sum(c) AS total_chains, max(c) AS max_chains,
+           count() AS n_users
+    FROM m
+    """,
+    """
+    WITH f AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    m AS (
+      SELECT u.user_id,
+             coalesce(sum(CASE WHEN f.event_type = 'purchase'
+                                AND f.prev = 'view' THEN 1 END), 0) AS c
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN f ON f.user_id = u.user_id
+      GROUP BY u.user_id)
+    SELECT CAST(sum(c) AS BIGINT) AS total_chains,
+           CAST(max(c) AS BIGINT) AS max_chains,
+           count(*) AS n_users
+    FROM m
+    """,
+    ("events",),
+)

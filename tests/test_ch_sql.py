@@ -420,8 +420,12 @@ def test_ternary_executes_correctly(spark):
          "only 2 conditions"),
         ("SELECT sequenceMatch('(?1).*x')(ts, a=1) FROM t",
          "not supported"),
-        ("SELECT sequenceCount('(?1).*(?2)')(ts, a=1, a=2) FROM t",
-         "ev_sequence_count"),
+        # round 14: subsequence sequenceCount translates too (greedy
+        # non-overlapping fold) — only the constrained shapes refuse
+        ("SELECT sequenceCount('(?t<=60)(?1).*(?2)')(ts, a=1, a=2) FROM t",
+         "time constraints"),
+        ("SELECT sequenceCount('(?1)(?2)')(ts, a=1, a=2) FROM t",
+         "adjacent"),
         ("SELECT windowFunnel(ts, a=1) FROM t", "parameters group"),
         ("SELECT windowFunnel(60)(" + ", ".join(["ts"] + ["a=1"] * 33)
          + ") FROM t", "at most 32"),
@@ -1703,6 +1707,50 @@ def test_event_analytics_aggregates_execute(spark):
     ).collect()
     # only user 4 has two views before a purchase
     assert [tuple(r) for r in out] == [(1, 0), (2, 0), (3, 0), (4, 1)]
+
+
+def test_sequence_count_non_overlapping(spark):
+    """sequenceCount counts NON-overlapping chains, the next search
+    starting after the previous chain completes (ClickHouse contract)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    seqs = {
+        1: ["view", "click", "view", "click", "view"],  # 2 chains
+        2: ["view", "view", "click"],                    # 1 (one click)
+        3: ["click", "view"],                            # 0 (wrong order)
+        4: ["view", "click", "click"],                   # 1 (one view)
+    }
+    rows = [
+        (u, base + dt.timedelta(minutes=i), et)
+        for u, evs in seqs.items()
+        for i, et in enumerate(evs)
+    ]
+    spark.createDataFrame(
+        rows, "u long, ts timestamp_ntz, et string"
+    ).createOrReplaceTempView("sc_t")
+    out = run_ch_sql(
+        spark,
+        "SELECT u, sequenceCount('(?1).*(?2)')(ts, et = 'view', "
+        "et = 'click') AS c FROM sc_t GROUP BY u ORDER BY u",
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, 2), (2, 1), (3, 0), (4, 1)]
+    # three-step chains: v c p v c p → 2; the fold resets after each
+    spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=i), et)
+            for i, et in enumerate(
+                ["view", "click", "purchase", "view", "click", "purchase"]
+            )
+        ],
+        "u long, ts timestamp_ntz, et string",
+    ).createOrReplaceTempView("sc3_t")
+    out = run_ch_sql(
+        spark,
+        "SELECT sequenceCount('(?1).*(?2).*(?3)')(ts, et = 'view', "
+        "et = 'click', et = 'purchase') AS c FROM sc3_t",
+    ).collect()
+    assert out[0].c == 2
 
 
 # --- ORDER BY … WITH FILL (run_ch_sql dense-axis rewrite) ------------------

@@ -290,6 +290,75 @@ def test_sql_window_funnel_matches_clickhouse_algorithm(spark, events):
 @given(
     st.lists(
         st.tuples(
+            st.integers(min_value=0, max_value=1),           # user
+            st.integers(min_value=0, max_value=20) | st.integers(min_value=0, max_value=3600),  # ts offset (tie-heavy | wide)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_sql_sequence_match_count_match_state_machine(spark, events):
+    """Round 14: translated sequenceMatch/sequenceCount must equal the
+    literal sequential state machine (CH restarts the pattern AFTER each
+    completed chain — NOT max disjoint matching: 'v v p p' counts 1)."""
+    import datetime
+
+    from clickhousemigrators3_spark.functions.ch_sql import run_ch_sql
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, base + datetime.timedelta(seconds=off), typ)
+        for (u, off, typ) in events
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string"
+    ).createOrReplaceTempView("sm_prop_t")
+    got = {
+        r.user_id: (r.m, r.c)
+        for r in run_ch_sql(
+            spark,
+            "SELECT user_id, "
+            "sequenceMatch('(?1).*(?2).*(?3)')(ts, event_type = 'view', "
+            "event_type = 'click', event_type = 'purchase') AS m, "
+            "sequenceCount('(?1).*(?2)')(ts, event_type = 'view', "
+            "event_type = 'click') AS c "
+            "FROM sm_prop_t GROUP BY user_id",
+        ).collect()
+    }
+
+    conds = {"view": 1, "click": 2, "purchase": 3}
+    expected = {}
+    for u in {r[0] for r in rows}:
+        # sorted like the fold: (timestamp, bitmask); condition-less
+        # events are skipped entirely
+        evs = sorted(
+            (t.timestamp(), 1 << (conds[typ] - 1))
+            for uu, t, typ in rows
+            if uu == u and typ in conds
+        )
+        pat3 = [1, 2, 4]
+        p = 0
+        for _, m in evs:
+            if p < 3 and m & pat3[p]:
+                p += 1
+        match3 = 1 if p == 3 else 0
+        pat2 = [1, 2]
+        p = cnt = 0
+        for _, m in evs:
+            if p < 2 and m & pat2[p]:
+                p += 1
+                if p == 2:
+                    cnt += 1
+                    p = 0
+        expected[u] = (match3, cnt)
+    assert got == expected, (rows, got, expected)
+
+
+@given(
+    st.lists(
+        st.tuples(
             st.integers(min_value=0, max_value=4),  # score (tie-heavy)
             st.integers(min_value=0, max_value=1),  # label
         ),
