@@ -8045,6 +8045,40 @@ def _parse_fraction(tokens: list[str], j: int) -> tuple[float, str, int]:
     return float(num), num, j + 1
 
 
+def _sample_condition(
+    tokens: list[str], i: int, sample_by: str
+) -> tuple[str | None, int]:
+    """Parse ``SAMPLE k [OFFSET m]`` at token i and build the hash-range
+    condition over ``sample_by`` (None for SAMPLE 1 — the whole table).
+    Returns (condition_sql, end_token_idx)."""
+    j = _next_code(tokens, i + 1)
+    k_val, k_text, after = _parse_fraction(tokens, j)
+    if k_val > 1:
+        raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql SAMPLE) -- pytest test_sample_refusals
+            f"SAMPLE {k_text}: the absolute-rows form (n > 1) "
+            "needs the table's total size — use a fraction "
+            "(SAMPLE 0.1) or LIMIT over a hash ORDER"
+        )
+    m_val = 0.0
+    end = after
+    o = _next_code(tokens, after)
+    if o < len(tokens) and tokens[o].lower() == "offset":
+        m_val, _, end = _parse_fraction(tokens, _next_code(tokens, o + 1))
+    if m_val + k_val > 1.0 + 1e-12:
+        raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql SAMPLE) -- pytest test_sample_refusals
+            f"SAMPLE {k_val} OFFSET {m_val}: the sample window "
+            "exceeds the [0, 1) hash range"
+        )
+    lo = int(m_val * 4294967296)
+    hi = min(int((m_val + k_val) * 4294967296), 4294967296)
+    h = f"__stable_hash32__({sample_by})"
+    if lo == 0 and hi >= 4294967296:
+        return None, end  # SAMPLE 1 — whole table
+    if lo == 0:
+        return f"{h} < {hi}", end
+    return f"{h} >= {lo} AND {h} < {hi}", end
+
+
 def _expand_table_modifiers(spark, sql: str, engines: dict) -> str:
     """Expand every ``FROM t FINAL`` and ``FROM t SAMPLE k [OFFSET m]``
     into explicit subqueries using the registered engine metadata. SAMPLE
@@ -8077,15 +8111,48 @@ def _expand_table_modifiers(spark, sql: str, engines: dict) -> str:
             )
         with_prefix = _with_prefix(tokens, before=start)
         if kind == "final":
-            nxt = _next_code_word(tokens, i)
-            if nxt == "sample":
-                raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql FINAL SAMPLE combo) -- pytest test_final_refusals
-                    "FINAL SAMPLE combined is not expanded — sample the "
-                    "FINAL result explicitly: SELECT … FROM (SELECT … "
-                    "FROM t FINAL) WHERE <hash sample>"
-                )
-            replacement = _final_subquery(spark, base, spec, with_prefix)
+            inner_base = base
             end = i + 1
+            s_i = _next_code(tokens, i + 1)
+            if s_i < len(tokens) and tokens[s_i].lower() == "sample":
+                # FINAL SAMPLE: ClickHouse requires SAMPLE BY to be a
+                # function of the primary key, so every version of a key
+                # lands in the same sample bucket and sampling COMMUTES
+                # with the collapse — sample first (cheaper: the window
+                # sees only the sampled rows), then dedup. Enforce the
+                # precondition: every identifier in sample_by must be a
+                # registered key column.
+                sample_by = spec.get("sample_by")
+                if not sample_by:
+                    raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql FINAL SAMPLE) -- pytest test_final_refusals
+                        f"FINAL SAMPLE on {base}: the registration has no "
+                        "`sample_by` expression"
+                    )
+                sb_toks = _tokenize(sample_by)
+                sb_idents = {
+                    tok.lower()
+                    for q, tok in enumerate(sb_toks)
+                    if _is_ident_tok(tok)
+                    and _next_code_word(sb_toks, q) != "("
+                }
+                key_cols = {str(k).lower() for k in spec.get("key", ())}
+                if not sb_idents <= key_cols:
+                    raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql FINAL SAMPLE) -- pytest test_final_refusals
+                        f"FINAL SAMPLE on {base}: sample_by "
+                        f"({sample_by}) is not a function of the FINAL "
+                        f"key columns {sorted(key_cols)} — sampling would "
+                        "not commute with the collapse (ClickHouse's own "
+                        "SAMPLE BY must be in the primary key); sample "
+                        "the FINAL result explicitly instead"
+                    )
+                cond, end = _sample_condition(tokens, s_i, sample_by)
+                if cond is not None:
+                    inner_base = (
+                        f"(SELECT * FROM {base} WHERE {cond}) __final_smp"
+                    )
+            replacement = _final_subquery(
+                spark, inner_base, spec, with_prefix
+            )
         else:
             sample_by = spec.get("sample_by")
             if not sample_by:
@@ -8094,35 +8161,7 @@ def _expand_table_modifiers(spark, sql: str, engines: dict) -> str:
                     "`sample_by` expression (ClickHouse's SAMPLE BY "
                     "declaration)"
                 )
-            j = _next_code(tokens, i + 1)
-            k_val, k_text, after = _parse_fraction(tokens, j)
-            if k_val > 1:
-                raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql SAMPLE) -- pytest test_sample_refusals
-                    f"SAMPLE {k_text}: the absolute-rows form (n > 1) "
-                    "needs the table's total size — use a fraction "
-                    "(SAMPLE 0.1) or LIMIT over a hash ORDER"
-                )
-            m_val = 0.0
-            end = after
-            o = _next_code(tokens, after)
-            if o < len(tokens) and tokens[o].lower() == "offset":
-                m_val, _, end = _parse_fraction(
-                    tokens, _next_code(tokens, o + 1)
-                )
-            if m_val + k_val > 1.0 + 1e-12:
-                raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql SAMPLE) -- pytest test_sample_refusals
-                    f"SAMPLE {k_val} OFFSET {m_val}: the sample window "
-                    "exceeds the [0, 1) hash range"
-                )
-            lo = int(m_val * 4294967296)
-            hi = min(int((m_val + k_val) * 4294967296), 4294967296)
-            h = f"__stable_hash32__({sample_by})"
-            if lo == 0 and hi >= 4294967296:
-                cond = None  # SAMPLE 1 — whole table
-            elif lo == 0:
-                cond = f"{h} < {hi}"
-            else:
-                cond = f"{h} >= {lo} AND {h} < {hi}"
+            cond, end = _sample_condition(tokens, i, sample_by)
             replacement = (
                 f"(SELECT * FROM {base} WHERE {cond})"
                 if cond

@@ -1460,12 +1460,64 @@ def test_final_refusals(spark, final_views):
             "insertion order",
         ),
         ("SELECT * FROM (SELECT 1 AS x) FINAL", {}, "subquery"),
-        ("SELECT * FROM final_r FINAL SAMPLE 0.5", _R_ENGINE, "combined"),
+        # FINAL SAMPLE translates when sample_by is a function of the
+        # FINAL key (ClickHouse's own SAMPLE BY constraint); these are
+        # the two ways it can be ineligible
+        ("SELECT * FROM final_r FINAL SAMPLE 0.5", _R_ENGINE, "sample_by"),
+        (
+            "SELECT * FROM final_r FINAL SAMPLE 0.5",
+            {"final_r": {"engine": "ReplacingMergeTree", "key": ("k",),
+                         "version": ("v",), "sample_by": "payload"}},
+            "not commute",
+        ),
     ]
     for sql, engines, needle in cases:
         with pytest.raises(UnsupportedCHSQL) as exc:
             run_ch_sql(spark, sql, engines=engines)
         assert needle.lower() in str(exc.value).lower(), sql
+
+
+def test_final_sample_combination(spark, final_views):
+    """FINAL SAMPLE: sampling on a key-derived SAMPLE BY commutes with
+    the collapse (every version of a key shares the bucket), so the
+    rewrite samples FIRST (the dedup window sees only sampled rows)."""
+    eng = {
+        "final_r": {
+            "engine": "ReplacingMergeTree", "key": ("k",),
+            "version": ("v",), "sample_by": "k",
+        }
+    }
+    full = {
+        tuple(r)
+        for r in run_ch_sql(
+            spark, "SELECT k, v, payload FROM final_r FINAL", engines=eng
+        ).collect()
+    }
+    half_keys = {
+        r.k
+        for r in run_ch_sql(
+            spark, "SELECT k FROM final_r SAMPLE 0.5", engines=eng
+        ).collect()
+    }
+    samp = {
+        tuple(r)
+        for r in run_ch_sql(
+            spark,
+            "SELECT k, v, payload FROM final_r FINAL SAMPLE 0.5",
+            engines=eng,
+        ).collect()
+    }
+    # exactly the FINAL survivors of the sampled keys — commute, by value
+    assert samp == {row for row in full if row[0] in half_keys}
+    # SAMPLE 1 short-circuits to plain FINAL
+    assert {
+        tuple(r)
+        for r in run_ch_sql(
+            spark,
+            "SELECT k, v, payload FROM final_r FINAL SAMPLE 1",
+            engines=eng,
+        ).collect()
+    } == full
 
 
 def test_sample_semantics(spark):
