@@ -2857,6 +2857,13 @@ def _rewrite_bare_array_joins(tokens: list[str]) -> list[str]:
                 from_idx = q
                 break
         alias_back: list[int] = []
+        # positions renamed inside the top-level ORDER BY / LIMIT … BY
+        # clauses: when the select list aliases the element BACK to the
+        # original name, these must keep that name instead — the LIMIT BY
+        # / WITH TIES clause rewrites hoist them outside a derived
+        # subquery that only exposes the output alias (round-14 review)
+        late_clause_renames: list[int] = []
+        clause0 = "select"
         q = start
         depth = 0
         while q < span_end:
@@ -2882,6 +2889,13 @@ def _rewrite_bare_array_joins(tokens: list[str]) -> list[str]:
                 depth += 1
             elif t == ")":
                 depth -= 1
+            elif depth == 0 and t and (t[0].isalpha() or t[0] == "_"):
+                lw = t.lower()
+                if lw in ("select", "from", "where", "prewhere", "having",
+                          "limit", "window"):
+                    clause0 = lw
+                elif lw in ("group", "order") and _next_word_is(new, q, "by"):
+                    clause0 = lw
             if (
                 q != ident_idx
                 and not (aj_idx <= q < clause_end)  # clause items: arrays
@@ -2895,6 +2909,8 @@ def _rewrite_bare_array_joins(tokens: list[str]) -> list[str]:
                     and not (nxtc < len(new) and new[nxtc] == "(")
                 ):
                     new[q] = alias
+                    if depth == 0 and clause0 in ("order", "limit"):
+                        late_clause_renames.append(q)
                     if (
                         depth == 0
                         and q < from_idx
@@ -2906,6 +2922,9 @@ def _rewrite_bare_array_joins(tokens: list[str]) -> list[str]:
                     ):
                         alias_back.append(q)
             q += 1
+        if alias_back:
+            for q in late_clause_renames:
+                new[q] = name  # resolve against the output alias instead
         inserts = [(ident_idx, [" ", "AS", " ", alias])] + [
             (q, [" ", "AS", " ", name]) for q in alias_back
         ]
@@ -8045,6 +8064,16 @@ def _parse_fraction(tokens: list[str], j: int) -> tuple[float, str, int]:
     return float(num), num, j + 1
 
 
+# words that can directly follow `t FINAL` / `t SAMPLE k` without being a
+# bare relation alias — clause keywords and join syntax
+_POST_MODIFIER_STOPS = frozenset((
+    "where", "prewhere", "group", "order", "limit", "having", "settings",
+    "format", "union", "window", "left", "right", "inner", "full", "cross",
+    "join", "on", "using", "sample", "final", "any", "asof", "semi",
+    "anti", "global", "array", "lateral", "offset",
+))
+
+
 def _sample_condition(
     tokens: list[str], i: int, sample_by: str
 ) -> tuple[str | None, int]:
@@ -8167,6 +8196,23 @@ def _expand_table_modifiers(spark, sql: str, engines: dict) -> str:
                 if cond
                 else f"(SELECT * FROM {base})"
             )
+        # the alias may also FOLLOW the modifier (`FROM t FINAL AS a`,
+        # `… SAMPLE 0.1 a`) — consume it so the replacement doesn't emit
+        # a double alias (round-14 review)
+        if alias is None:
+            nxt_a = _next_code(tokens, end)
+            if nxt_a < len(tokens) and tokens[nxt_a].lower() == "as":
+                a2 = _next_code(tokens, nxt_a + 1)
+                if a2 < len(tokens) and _is_ident_tok(tokens[a2]):
+                    alias = tokens[a2]
+                    end = a2 + 1
+            elif (
+                nxt_a < len(tokens)
+                and _is_ident_tok(tokens[nxt_a])
+                and tokens[nxt_a].lower() not in _POST_MODIFIER_STOPS
+            ):
+                alias = tokens[nxt_a]
+                end = nxt_a + 1
         alias_txt = alias or parts[-1]
         sql = (
             "".join(tokens[:start])

@@ -1477,6 +1477,52 @@ def test_final_refusals(spark, final_views):
         assert needle.lower() in str(exc.value).lower(), sql
 
 
+def test_final_review_edges(spark, final_views):
+    """Round-14 self-review regressions: the alias may FOLLOW the
+    modifier (`FROM t FINAL AS a`, bare `t FINAL e`), FINAL composes with
+    PREWHERE, and two FINALs self-join."""
+    rows = run_ch_sql(
+        spark,
+        "SELECT f.k, f.v FROM final_r FINAL AS f WHERE f.k = 1",
+        engines=_R_ENGINE,
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 3)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT e.k FROM final_r FINAL e PREWHERE e.v > 2",
+        engines=_R_ENGINE,
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1,), (2,)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT count() AS c FROM final_r FINAL AS a "
+        "JOIN final_r FINAL AS b ON a.k = b.k",
+        engines=_R_ENGINE,
+    ).collect()
+    assert rows[0].c == 2
+
+
+def test_bare_array_join_limit_by(spark):
+    """Round-14 self-review regression: the LIMIT BY / WITH TIES clause
+    rewrites hoist ORDER BY keys outside a derived subquery that only
+    exposes the aliased-back name — those references must keep the
+    original name when the select list aliases the element back."""
+    spark.createDataFrame(
+        [(1, [3, 1, 2]), (2, [9, 8])], "id int, a array<int>"
+    ).createOrReplaceTempView("ajl_t")
+    rows = run_ch_sql(
+        spark,
+        "SELECT id, a FROM ajl_t ARRAY JOIN a ORDER BY id, a LIMIT 1 BY id",
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 1), (2, 8)]
+    rows = run_ch_sql(
+        spark,
+        "SELECT id, a FROM ajl_t ARRAY JOIN a ORDER BY a DESC "
+        "LIMIT 1 WITH TIES",
+    ).collect()
+    assert [tuple(r) for r in rows] == [(2, 9)]
+
+
 def test_final_sample_combination(spark, final_views):
     """FINAL SAMPLE: sampling on a key-derived SAMPLE BY commutes with
     the collapse (every version of a key shares the bucket), so the
@@ -1627,10 +1673,13 @@ def test_final_explain_syntax_shows_expansion(spark):
             "SELECT size(t.a) AS n, __aj_a AS a FROM ajt AS t "
             "LATERAL VIEW explode(a) _aj AS __aj_a",
         ),
+        # with an alias-back select item, top-level ORDER BY references
+        # keep the original name (they resolve to the output alias — and
+        # survive the LIMIT BY / WITH TIES clause hoists)
         (
             "SELECT a FROM ajt LEFT ARRAY JOIN a ORDER BY a",
             "SELECT __aj_a AS a FROM ajt "
-            "LATERAL VIEW OUTER explode(a) _aj AS __aj_a ORDER BY __aj_a",
+            "LATERAL VIEW OUTER explode(a) _aj AS __aj_a ORDER BY a",
         ),
     ],
 )
