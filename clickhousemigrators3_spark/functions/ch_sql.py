@@ -577,6 +577,46 @@ _TEMPLATE = {
         "WHEN size(_cs) >= 2 THEN array_join(slice(_cs, -2, 2), '.') "
         "ELSE '' END), 1)"
     ),
+    # greatCircleDistance(lon1, lat1, lon2, lat2) — LONGITUDE FIRST per
+    # ClickHouse's argument order — as the exact haversine on the 6371 km
+    # sphere, the same text as operators/geo.py _haversine_sql (round 15).
+    # Documented divergence (docs/CHSQL.md): ClickHouse evaluates a fast
+    # Float32 approximation, so values agree only to ~4 significant
+    # digits; this emits the exact double-precision form.
+    "greatcircledistance": (
+        "(2.0 * 6371000.0 * asin(sqrt("
+        "pow(sin(radians(({3}) - ({1})) / 2), 2) + "
+        "cos(radians({1})) * cos(radians({3})) * "
+        "pow(sin(radians(({2}) - ({0})) / 2), 2))))"
+    ),
+    # arrayAUC(scores, labels) — tie-corrected pairwise AUC (the trapezoid
+    # ROC area equals the pairwise count with 0.5 per score tie; matches
+    # the docs example arrayAUC([0.1,0.4,0.35,0.8],[0,0,1,1]) = 0.75 and
+    # the rank-statistic form in operators/mleval.py ml_roc_auc_daily).
+    # Labels are truthiness-tested like ClickHouse (nonzero = positive);
+    # unequal sizes raise (the CH contract); a single-class input returns
+    # NaN. Row-local O(P*N) JVM fold — for corpus-scale AUC over rows use
+    # the grouped relational form in operators/mleval.py instead.
+    "arrayauc": (
+        "(CASE WHEN coalesce(size({0}), 0) <> coalesce(size({1}), 0) "
+        "THEN raise_error('arrayauc: arrays must have equal sizes') "
+        "WHEN size(filter({1}, _pl -> CAST(_pl AS DOUBLE) <> 0.0D)) = 0 "
+        "OR size(filter({1}, _nl -> CAST(_nl AS DOUBLE) = 0.0D)) = 0 "
+        "THEN CAST('NaN' AS DOUBLE) "
+        "ELSE aggregate(transform(filter(zip_with({0}, {1}, (_zs, _zl) -> "
+        "struct(_zs AS s, _zl AS l)), _zp -> CAST(_zp.l AS DOUBLE) <> "
+        "0.0D), _zp -> CAST(_zp.s AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(_aa, _ap) -> _aa + "
+        "aggregate(transform(filter(zip_with({0}, {1}, (_ys, _yl) -> "
+        "struct(_ys AS s, _yl AS l)), _yp -> CAST(_yp.l AS DOUBLE) = "
+        "0.0D), _yp -> CAST(_yp.s AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(_ab, _an) -> _ab + (CASE WHEN _ap > _an THEN 1.0D "
+        "WHEN _ap = _an THEN 0.5D ELSE 0.0D END))) / "
+        "(CAST(size(filter({1}, _dl -> CAST(_dl AS DOUBLE) <> 0.0D)) "
+        "AS DOUBLE) * "
+        "CAST(size(filter({1}, _el -> CAST(_el AS DOUBLE) = 0.0D)) "
+        "AS DOUBLE)) END)"
+    ),
     # CH %-encodes spaces; Spark's url_encode/url_decode use the
     # form-encoding '+' — the replaces keep the ClickHouse contract
     "decodeurlcomponent": "url_decode(replace({0}, '+', '%2B'))",
@@ -893,10 +933,6 @@ _UNSUPPORTED_FUNCS = {
         "no Spark builtin for Unicode normalization — unicodedata"
         ".normalize in a Pandas UDF (operators/textops.py patterns)"
     ),
-    "greatcircledistance": (
-        "operators/geo.py _haversine_sql (identical haversine text on "
-        "both engines)"
-    ),
     "pointinpolygon": "no Spark twin — operators/geo.py shapes",
     "hex": (
         "fixed-width big-endian numeric rendering differs from Spark hex "
@@ -937,10 +973,6 @@ _UNSUPPORTED_FUNCS = {
         "ORDER BY to this SELECT (the translator then rewrites "
         "runningAccumulate(sumState(x)) to SUM OVER that ordering), or "
         "see operators/event_analytics.py counter running totals"
-    ),
-    "arrayauc": (
-        "operators/mleval.py ml_roc_auc_daily (tie-corrected rank-statistic "
-        "AUC — the grouped relational form scales; per-row arrays don't)"
     ),
     "sparkbar": (
         "renders text art — operators/analytics.py histogram_value_buckets "

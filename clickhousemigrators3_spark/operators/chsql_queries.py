@@ -2836,3 +2836,95 @@ _ch(
     """,
     ("events",),
 )
+
+
+# Round 15: greatCircleDistance translates inline (lon-first argument
+# order) as the exact haversine on the 6371 km sphere — the identical
+# formula text evaluates on both engines (operators/geo.py discipline).
+# Coordinates are derived deterministically from c_custkey because the
+# fixtures carry none.
+_ch(
+    "chsql_great_circle",
+    """
+    SELECT c_custkey,
+           round(greatCircleDistance(
+               toFloat64(c_custkey * 73 % 3600) / 10.0 - 180.0,
+               toFloat64(c_custkey * 37 % 1800) / 10.0 - 90.0,
+               -122.4194, 37.7749) / 1000.0, 3) AS dist_sf_km,
+           round(greatCircleDistance(
+               toFloat64(c_custkey * 73 % 3600) / 10.0 - 180.0,
+               toFloat64(c_custkey * 37 % 1800) / 10.0 - 90.0,
+               103.8198, 1.3521) / 1000.0, 3) AS dist_sg_km
+    FROM customer
+    WHERE c_custkey <= 500
+    ORDER BY c_custkey
+    """,
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey * 37 % 1800 AS DOUBLE) / 10.0 - 90.0 AS lat,
+             CAST(c_custkey * 73 % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+      FROM customer WHERE c_custkey <= 500)
+    SELECT c_custkey,
+           ROUND(2.0 * 6371000.0 * asin(sqrt(
+               pow(sin(radians(37.7749 - lat) / 2), 2) +
+               cos(radians(lat)) * cos(radians(37.7749)) *
+               pow(sin(radians(-122.4194 - lon) / 2), 2))) / 1000.0, 3)
+             AS dist_sf_km,
+           ROUND(2.0 * 6371000.0 * asin(sqrt(
+               pow(sin(radians(1.3521 - lat) / 2), 2) +
+               cos(radians(lat)) * cos(radians(1.3521)) *
+               pow(sin(radians(103.8198 - lon) / 2), 2))) / 1000.0, 3)
+             AS dist_sg_km
+    FROM pts
+    ORDER BY c_custkey
+    """,
+    ("customer",),
+)
+
+# Round 15: arrayAUC as a per-group ranking quality score — the Spark side
+# folds the pairwise tie-corrected definition row-locally (JVM HOFs, no
+# Python); the DuckDB oracle derives the SAME quantity through the
+# INDEPENDENT Mann-Whitney rank-statistic form (average ranks over ties),
+# so a defect in either derivation cannot hide. Groups with a single
+# class are excluded on both sides (CH would return NaN there).
+_ch(
+    "chsql_array_auc",
+    """
+    SELECT user_id,
+           round(arrayAUC(groupArray(score), groupArray(label)), 6) AS auc
+    FROM (SELECT user_id, ts, event_id, value AS score,
+                 if(event_type IN ('click', 'purchase'), 1, 0) AS label
+          FROM events WHERE user_id < 40 ORDER BY ts, event_id)
+    GROUP BY user_id
+    HAVING min(label) = 0 AND max(label) = 1
+    ORDER BY user_id
+    """,
+    """
+    WITH src AS (
+      SELECT user_id, value AS score,
+             CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 1 ELSE 0 END AS label
+      FROM events WHERE user_id < 40),
+    ranked AS (
+      SELECT user_id, label,
+             CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY score
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+             - (CAST(COUNT(*) OVER (PARTITION BY user_id, score)
+                     AS DOUBLE) - 1) / 2.0 AS avg_rank
+      FROM src),
+    agg AS (
+      SELECT user_id,
+             SUM(CASE WHEN label = 1 THEN avg_rank ELSE 0 END)
+               AS pos_rank_sum,
+             SUM(label) AS p, SUM(1 - label) AS n
+      FROM ranked GROUP BY user_id)
+    SELECT user_id,
+           ROUND((pos_rank_sum - p * (p + 1) / 2.0) / (p * n), 6) AS auc
+    FROM agg
+    WHERE p > 0 AND n > 0
+    ORDER BY user_id
+    """,
+    ("events",),
+)

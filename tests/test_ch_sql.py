@@ -1301,6 +1301,64 @@ def test_first_significant_subdomain(spark):
     assert got["not a url"] == ("", "")
 
 
+def test_great_circle_distance_executed(spark):
+    """Round 15: greatCircleDistance(lon1, lat1, lon2, lat2) — LONGITUDE
+    first, ClickHouse's argument order — translates to the exact haversine
+    on the 6371 km sphere (operators/geo.py's formula). Documented
+    divergence: ClickHouse evaluates a Float32 fast approximation, so
+    agreement is ~4 significant digits (docs/CHSQL.md)."""
+    rows = spark.sql(
+        translate_ch_sql(
+            "SELECT greatCircleDistance(-122.4194, 37.7749, "
+            "-74.0060, 40.7128) AS sf_nyc, "
+            "greatCircleDistance(0.0, 0.0, 0.0, 0.0) AS zero, "
+            "greatCircleDistance(0.0, 0.0, 180.0, 0.0) AS antipodal"
+        )
+    ).collect()
+    r = rows[0]
+    # SF -> NYC is ~4 129 km on the 6371 km sphere
+    assert abs(r.sf_nyc - 4_129_086.0) < 1_000
+    assert r.zero == 0.0
+    # equatorial antipodes: half the sphere circumference = pi * R
+    assert abs(r.antipodal - 3.141592653589793 * 6_371_000.0) < 1.0
+    # wrong arity refuses loudly (the template arity guard)
+    with pytest.raises(UnsupportedCHSQL):
+        translate_ch_sql("SELECT greatCircleDistance(a, b, c) FROM t")
+
+
+def test_array_auc_executed(spark):
+    """Round 15: arrayAUC(scores, labels) — pairwise tie-corrected AUC.
+    The docs example gives 0.75; ties contribute 0.5 per (pos, neg) pair;
+    a single-class input is NaN; unequal sizes raise (the CH contract)."""
+    import math
+
+    rows = spark.sql(
+        translate_ch_sql(
+            "SELECT arrayAUC(array(0.1, 0.4, 0.35, 0.8), "
+            "array(0, 0, 1, 1)) AS docs_example, "
+            "arrayAUC(array(1.0, 1.0), array(1, 0)) AS tie, "
+            "arrayAUC(array(2.0, 1.0), array(1, 0)) AS perfect, "
+            "arrayAUC(array(1.0, 2.0), array(1, 0)) AS inverted, "
+            "arrayAUC(array(1.0, 2.0), array(1, 1)) AS one_class"
+        )
+    ).collect()
+    r = rows[0]
+    assert r.docs_example == 0.75
+    assert r.tie == 0.5
+    assert r.perfect == 1.0 and r.inverted == 0.0
+    assert math.isnan(r.one_class)
+    # unequal array sizes raise at execution (ClickHouse errors too)
+    with pytest.raises(Exception, match="equal sizes"):
+        spark.sql(
+            translate_ch_sql(
+                "SELECT arrayAUC(array(1.0, 2.0), array(1)) AS a"
+            )
+        ).collect()
+    # the 3-argument (scale) form stays refused via the arity guard
+    with pytest.raises(UnsupportedCHSQL, match="arity"):
+        translate_ch_sql("SELECT arrayAUC(s, l, true) FROM t")
+
+
 def test_first_significant_subdomain_bare_composite_suffix(spark):
     """Round 14 (advice r13): a host that IS a bare composite suffix
     ('com.tr') has no significant subdomain — ClickHouse returns '' for
@@ -2377,7 +2435,6 @@ def test_math_wave2_functions(spark):
         # and absurd scales stay refused
         ("SELECT trunc(x, s) FROM t", "integer literal"),
         ("SELECT trunc(x, 99) FROM t", "integer literal"),
-        ("SELECT greatCircleDistance(a, b, c, d) FROM t", "haversine"),
         ("SELECT pointInPolygon(a, b) FROM t", "geo"),
     ],
 )
@@ -2537,7 +2594,6 @@ def test_wave3_functions(spark):
 @pytest.mark.parametrize(
     "ch, needle",
     [
-        ("SELECT arrayAUC(s, l) FROM t", "ml_roc_auc"),
         ("SELECT sparkbar(9)(x, y) FROM t", "histogram"),
         ("SELECT deltaSumTimestamp(v, ts) FROM t", "delta_sum"),
         ("SELECT toWeek(d) FROM t", "ISO mode 3"),

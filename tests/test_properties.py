@@ -394,6 +394,42 @@ def test_roc_auc_matches_pairwise_definition(spark, rows):
             st.integers(min_value=0, max_value=4),  # score (tie-heavy)
             st.integers(min_value=0, max_value=1),  # label
         ),
+        min_size=2,
+        max_size=18,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_sql_array_auc_matches_pairwise_definition(spark, rows):
+    """Round 15: the translated arrayAUC(scores, labels) SQL fold must
+    equal the literal pairwise P(score⁺ > score⁻) + ½P(tie) for arbitrary
+    tie-heavy inputs — the same definition the relational
+    roc_auc_by_group is pinned to, so both AUC surfaces agree with each
+    other by transitivity. Single-class inputs are NaN."""
+    import math
+
+    from clickhousemigrators3_spark.functions.ch_sql import translate_ch_sql
+
+    scores = "array(" + ", ".join(f"{float(s)!r}" for s, _ in rows) + ")"
+    labels = "array(" + ", ".join(str(y) for _, y in rows) + ")"
+    got = spark.sql(
+        translate_ch_sql(f"SELECT arrayAUC({scores}, {labels}) AS auc")
+    ).collect()[0].auc
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    if not pos or not neg:
+        assert math.isnan(got), (rows, got)
+        return
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    expected = wins / (len(pos) * len(neg))
+    assert abs(got - expected) < 1e-9, (rows, got, expected)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # score (tie-heavy)
+            st.integers(min_value=0, max_value=1),  # label
+        ),
         min_size=1,
         max_size=20,
     )
