@@ -1102,6 +1102,24 @@ _TZ_ARG_FUNCS: dict[str, int] = {
 }
 
 
+# MySQL week modes (toWeek/toYearWeek): mode → (week start day in Spark's
+# dayofweek numbering (1=Sunday, 2=Monday), the January day whose week is
+# week 1 (7 = first full week, 4 = the ">= 4 days" ISO-like rule, 1 =
+# "contains January 1"), week_year flag (roll into the adjacent year's
+# numbering instead of returning 0 / 53 at the edges)). Mode 3 (ISO) rides
+# Spark's native weekofyear instead.
+_WEEK_MODES = {
+    0: (1, 7, False),
+    1: (2, 4, False),
+    2: (1, 7, True),
+    4: (1, 4, False),
+    5: (2, 7, False),
+    6: (1, 4, True),
+    7: (2, 7, True),
+    8: (1, 1, True),
+    9: (2, 1, True),
+}
+
 _TPL_ARITY_CACHE: dict[str, int] = {}
 
 
@@ -1726,27 +1744,68 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             f"_fi -> {red}), 1, {maxlen})"
         )
     if low in ("toweek", "toyearweek"):
-        # only ISO mode 3 has a Spark twin (weekofyear / YEAROFWEEK);
-        # mode 0 (the default) starts weeks on Sunday and renumbers at
-        # Jan 1 — no equivalent, refused so values can't silently shift
-        mode = args[1].strip() if len(args) >= 2 else "0"
-        if len(args) not in (1, 2) or mode != "3":
+        # Round 15: ALL MySQL-compatible week modes 0-9 (ClickHouse ports
+        # MySQL's calc_week). Each mode = (week start day, week-1 anchor,
+        # year-rolling flag); week 1 starts at the week containing the
+        # anchor date — Jan 7 for "first full week" modes, Jan 4 for the
+        # ">= 4 days" (ISO-like) modes, Jan 1 for "contains Jan 1" —
+        # and the week number is 1 + floor(days since week-1 start / 7).
+        # Zero modes (0/1/4/5) return 0 before week 1; week_year modes
+        # roll into the adjacent year's numbering both directions.
+        # Validated against the MySQL manual's published examples
+        # (WEEK('2008-02-20', 0/1) = 7/8, WEEK('2008-12-31', 1) = 53,
+        # YEARWEEK('1987-01-01') = 198652) and fuzzed against Python's
+        # independent %U / %W / isocalendar week numberings.
+        if len(args) not in (1, 2):
             raise UnsupportedCHSQL(
-                f"{low} is only mapped for ISO mode 3 — write "
-                f"{'toWeek' if low == 'toweek' else 'toYearWeek'}(d, 3); "
-                "mode-0/1/2 week numbering (Sunday starts, Jan-1 renumber) "
-                "has no Spark twin — use toISOWeek or spell the bucket"
+                f"{low} takes (date[, mode[, 'timezone']]) — the timezone "
+                "must be a literal string"
             )
+        mode = args[1].strip() if len(args) == 2 else "0"
+        if not re.fullmatch(r"[0-9]", mode):
+            raise UnsupportedCHSQL(
+                f"{low} mode must be a literal integer 0-9 — MySQL-"
+                "compatible week numbering is chosen at translate time"
+            )
+        m = int(mode)
         d = args[0].strip()
-        if low == "toweek":
-            return f"weekofyear({d})"
-        # ISO year * 100 + ISO week (the ISO year differs from the
-        # calendar year around Jan 1 / Dec 31 — extract(YEAROFWEEK) is
-        # exactly that)
-        return (
-            f"(CAST(extract(YEAROFWEEK FROM ({d})) AS INT) * 100 "
-            f"+ weekofyear({d}))"
+        if low == "toyearweek" and m in (0, 1, 4, 5):
+            # MySQL/ClickHouse YEARWEEK never returns week 0: the zero
+            # modes silently use their week_year sibling (documented
+            # MySQL contract, mode 0→2, 1→3, 4→6, 5→7)
+            m = {0: 2, 1: 3, 4: 6, 5: 7}[m]
+        if m == 3:
+            # the ISO fast path — Spark's own weekofyear/YEAROFWEEK
+            if low == "toweek":
+                return f"weekofyear({d})"
+            return (
+                f"(CAST(extract(YEAROFWEEK FROM ({d})) AS INT) * 100 "
+                f"+ weekofyear({d}))"
+            )
+        start, anchor, week_year = _WEEK_MODES[m]
+        dd = f"CAST(({d}) AS DATE)"
+        y = f"year({dd})"
+
+        def _ws(yex: str) -> str:
+            a = f"make_date({yex}, 1, {anchor})"
+            return f"date_sub({a}, (dayofweek({a}) + {7 - start}) % 7)"
+
+        cur = f"datediff({dd}, {_ws(y)})"
+        if not week_year:
+            return f"(CASE WHEN {cur} < 0 THEN 0 ELSE ({cur} div 7) + 1 END)"
+        nxt = f"datediff({dd}, {_ws(f'({y} + 1)')})"
+        prv = f"datediff({dd}, {_ws(f'({y} - 1)')})"
+        week = (
+            f"(CASE WHEN {nxt} >= 0 THEN 1 WHEN {cur} < 0 "
+            f"THEN ({prv} div 7) + 1 ELSE ({cur} div 7) + 1 END)"
         )
+        if low == "toweek":
+            return week
+        yadj = (
+            f"(CASE WHEN {nxt} >= 0 THEN {y} + 1 WHEN {cur} < 0 "
+            f"THEN {y} - 1 ELSE {y} END)"
+        )
+        return f"({yadj} * 100 + {week})"
     if low == "entropy":
         # Shannon entropy of the value distribution in bits (ClickHouse
         # uses log2; NULLs skipped per the aggregate contract) — exact

@@ -2928,3 +2928,58 @@ _ch(
     """,
     ("events",),
 )
+
+
+# Round 15: the full MySQL week-mode family. The Spark side translates
+# toWeek/toYearWeek modes through the anchored-week formula (ch_sql.py
+# _WEEK_MODES); the oracle RE-DERIVES the same numbering in DuckDB from
+# its OWN primitives (dayofweek with Sunday=0, date-integer arithmetic),
+# so the two engines share no formula text; mode 3 additionally rides
+# DuckDB's native ISO weekofyear/isoyear. Row-local projections — no
+# shuffle at any scale.
+_ch(
+    "chsql_week_modes",
+    """
+    SELECT o_orderkey,
+           toWeek(o_orderdate, 0) AS w0,
+           toWeek(o_orderdate, 3) AS w3,
+           toWeek(o_orderdate, 8) AS w8,
+           toYearWeek(o_orderdate, 0) AS yw0,
+           toYearWeek(o_orderdate, 3) AS yw3
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(year(o_orderdate) AS INTEGER) AS y
+      FROM orders WHERE o_orderkey <= 2000),
+    ws AS (
+      SELECT o_orderkey, d, y,
+             make_date(y, 1, 7) - CAST(dayofweek(make_date(y, 1, 7)) AS INTEGER) AS s0c,
+             make_date(y+1, 1, 7)
+               - CAST(dayofweek(make_date(y+1, 1, 7)) AS INTEGER) AS s0n,
+             make_date(y-1, 1, 7)
+               - CAST(dayofweek(make_date(y-1, 1, 7)) AS INTEGER) AS s0p,
+             make_date(y, 1, 1) - CAST(dayofweek(make_date(y, 1, 1)) AS INTEGER) AS s8c,
+             make_date(y+1, 1, 1)
+               - CAST(dayofweek(make_date(y+1, 1, 1)) AS INTEGER) AS s8n
+      FROM base)
+    SELECT o_orderkey,
+           CASE WHEN date_diff('day', s0c, d) < 0 THEN 0
+                ELSE date_diff('day', s0c, d) // 7 + 1 END AS w0,
+           weekofyear(d) AS w3,
+           CASE WHEN date_diff('day', s8n, d) >= 0 THEN 1
+                ELSE date_diff('day', s8c, d) // 7 + 1 END AS w8,
+           CASE WHEN date_diff('day', s0n, d) >= 0 THEN (y+1) * 100 + 1
+                WHEN date_diff('day', s0c, d) < 0
+                  THEN (y-1) * 100 + date_diff('day', s0p, d) // 7 + 1
+                ELSE y * 100 + date_diff('day', s0c, d) // 7 + 1
+           END AS yw0,
+           isoyear(d) * 100 + weekofyear(d) AS yw3
+    FROM ws
+    ORDER BY o_orderkey
+    """,
+    ("orders",),
+)

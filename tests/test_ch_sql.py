@@ -2596,8 +2596,9 @@ def test_wave3_functions(spark):
     [
         ("SELECT sparkbar(9)(x, y) FROM t", "histogram"),
         ("SELECT deltaSumTimestamp(v, ts) FROM t", "delta_sum"),
-        ("SELECT toWeek(d) FROM t", "ISO mode 3"),
-        ("SELECT toYearWeek(d, 1) FROM t", "ISO mode 3"),
+        ("SELECT toWeek(d, m) FROM t", "literal integer 0-9"),
+        ("SELECT toYearWeek(d, 11) FROM t", "literal integer 0-9"),
+        ("SELECT toWeek(d, 0, tz_col) FROM t", "literal string"),
         ("SELECT tupleElement(tp, 1, 0) FROM t", "default argument"),
         ("SELECT tupleElement(tp, n) FROM t", "literal"),
         ("SELECT arrayReduce('quantile', arr) FROM t", "not mapped"),
@@ -5335,10 +5336,9 @@ def test_bracket_grammar_formatting_fuzz():
 
 
 def test_toweek_iso_mode3(spark):
-    """toWeek/toYearWeek map ONLY for ISO mode 3 (weekofyear/YEAROFWEEK
-    are exactly that); the ISO year differs from the calendar year at the
-    boundaries — Dec 31 2024 is ISO 2025-W01, Jan 1 2021 is ISO
-    2020-W53."""
+    """toWeek/toYearWeek ISO mode 3 rides Spark's weekofyear/YEAROFWEEK;
+    the ISO year differs from the calendar year at the boundaries —
+    Dec 31 2024 is ISO 2025-W01, Jan 1 2021 is ISO 2020-W53."""
     r = run_ch_sql(
         spark,
         "SELECT toWeek(toDate('2024-01-01'), 3) AS w, "
@@ -5346,3 +5346,90 @@ def test_toweek_iso_mode3(spark):
         "toYearWeek(toDate('2021-01-01'), 3) AS yw2",
     ).collect()[0]
     assert (r.w, r.yw, r.yw2) == (1, 202501, 202053)
+
+
+def test_toweek_mysql_manual_examples(spark):
+    """Round 15: every MySQL week mode 0-9 translates. These expected
+    values are the MySQL manual's own published WEEK()/YEARWEEK()
+    examples — the authoritative external anchor for the mode table
+    (ClickHouse ports MySQL's calc_week)."""
+    r = run_ch_sql(
+        spark,
+        "SELECT toWeek(toDate('2008-02-20'), 0) AS a, "
+        "toWeek(toDate('2008-02-20'), 1) AS b, "
+        "toWeek(toDate('2008-12-31'), 1) AS c, "
+        "toYearWeek(toDate('1987-01-01'), 0) AS d, "
+        "toWeek(toDate('2008-02-20')) AS dflt, "
+        "toWeek(toDate('2000-01-01'), 0) AS z, "
+        "toWeek(toDate('2000-01-01'), 2) AS roll",
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == (7, 8, 53)
+    # YEARWEEK's zero modes use their week_year sibling (never week 0)
+    assert r.d == 198652
+    assert r.dflt == 7  # default mode is 0
+    # Sat Jan 1 2000: week 0 in mode 0; mode 2 rolls to 1999's numbering
+    assert (r.z, r.roll) == (0, 52)
+
+
+def test_toweek_contains_jan1_modes(spark):
+    """Round 15: modes 8/9 anchor week 1 at the week CONTAINING Jan 1.
+    2016-01-01 is a Friday: its Sunday-start week runs Dec 27 2015 -
+    Jan 2 2016, so Dec 27-28 2015 roll FORWARD to 2016 week 1 and
+    Sunday Jan 3 2016 starts week 2."""
+    r = run_ch_sql(
+        spark,
+        "SELECT toWeek(toDate('2016-01-02'), 8) AS a, "
+        "toWeek(toDate('2016-01-03'), 8) AS b, "
+        "toWeek(toDate('2015-12-27'), 8) AS c, "
+        "toYearWeek(toDate('2015-12-27'), 8) AS yc, "
+        "toWeek(toDate('2015-12-26'), 8) AS d",
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.yc) == (1, 2, 1, 201601)
+    assert r.d == 52  # Saturday before the rolled week stays in 2015
+
+
+def test_toweek_all_modes_vs_python_references(spark):
+    """Round 15: bulk cross-check of the mode formulas against Python's
+    INDEPENDENT week numberings — %U is exactly MySQL mode 0, %W exactly
+    mode 5, isocalendar exactly mode 3 — plus the documented invariants
+    tying the week_year modes to their zero siblings, over every day of
+    seven year-boundary windows."""
+    import datetime
+
+    dates = []
+    for y in (1999, 2000, 2015, 2016, 2020, 2021, 2024):
+        d0 = datetime.date(y - 1, 12, 24)
+        dates += [d0 + datetime.timedelta(days=i) for i in range(25)]
+        d1 = datetime.date(y, 6, 1)
+        dates += [d1 + datetime.timedelta(days=i * 13) for i in range(8)]
+    vals = ", ".join(f"('{d.isoformat()}')" for d in dates)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW wk_ref_t AS "
+        f"SELECT CAST(col1 AS DATE) AS d FROM VALUES {vals}"
+    )
+    rows = run_ch_sql(
+        spark,
+        "SELECT d, toWeek(d, 0) AS w0, toWeek(d, 1) AS w1, "
+        "toWeek(d, 2) AS w2, toWeek(d, 3) AS w3, toWeek(d, 5) AS w5, "
+        "toWeek(d, 7) AS w7 FROM wk_ref_t",
+    ).collect()
+    assert len(rows) == len(dates)
+    for r in rows:
+        d = r.d
+        assert r.w0 == int(d.strftime("%U")), (d, r.w0)
+        assert r.w5 == int(d.strftime("%W")), (d, r.w5)
+        iy, iw, _ = d.isocalendar()
+        assert r.w3 == iw, (d, r.w3)
+        # mode 1 = ISO except clamped to the calendar year (0 before its
+        # ISO week 1, 53 for days in next year's ISO week 1)
+        assert r.w1 == (0 if iy < d.year else 53 if iy > d.year else iw), (
+            d, r.w1)
+        # week_year siblings agree wherever the zero mode is nonzero
+        if r.w0 != 0:
+            assert r.w2 == r.w0, (d, r.w2, r.w0)
+        else:
+            assert r.w2 in (52, 53), (d, r.w2)
+        if r.w5 != 0:
+            assert r.w7 == r.w5, (d, r.w7, r.w5)
+        else:
+            assert r.w7 in (52, 53), (d, r.w7)
