@@ -579,7 +579,7 @@ _TEMPLATE = {
     ),
     # greatCircleDistance(lon1, lat1, lon2, lat2) — LONGITUDE FIRST per
     # ClickHouse's argument order — as the exact haversine on the 6371 km
-    # sphere, the same text as operators/geo.py _haversine_sql (round 15).
+    # sphere, the same text as operators/geo.py _haversine_sql (round 14b).
     # Documented divergence (docs/CHSQL.md): ClickHouse evaluates a fast
     # Float32 approximation, so values agree only to ~4 significant
     # digits; this emits the exact double-precision form.
@@ -1744,7 +1744,7 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             f"_fi -> {red}), 1, {maxlen})"
         )
     if low in ("toweek", "toyearweek"):
-        # Round 15: ALL MySQL-compatible week modes 0-9 (ClickHouse ports
+        # Round 14b: ALL MySQL-compatible week modes 0-9 (ClickHouse ports
         # MySQL's calc_week). Each mode = (week start day, week-1 anchor,
         # year-rolling flag); week 1 starts at the week containing the
         # anchor date — Jan 7 for "first full week" modes, Jan 4 for the

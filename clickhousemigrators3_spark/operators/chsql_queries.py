@@ -2838,7 +2838,7 @@ _ch(
 )
 
 
-# Round 15: greatCircleDistance translates inline (lon-first argument
+# Round 14b: greatCircleDistance translates inline (lon-first argument
 # order) as the exact haversine on the 6371 km sphere — the identical
 # formula text evaluates on both engines (operators/geo.py discipline).
 # Coordinates are derived deterministically from c_custkey because the
@@ -2882,7 +2882,7 @@ _ch(
     ("customer",),
 )
 
-# Round 15: arrayAUC as a per-group ranking quality score — the Spark side
+# Round 14b: arrayAUC as a per-group ranking quality score — the Spark side
 # folds the pairwise tie-corrected definition row-locally (JVM HOFs, no
 # Python); the DuckDB oracle derives the SAME quantity through the
 # INDEPENDENT Mann-Whitney rank-statistic form (average ranks over ties),
@@ -2930,7 +2930,7 @@ _ch(
 )
 
 
-# Round 15: the full MySQL week-mode family. The Spark side translates
+# Round 14b: the full MySQL week-mode family. The Spark side translates
 # toWeek/toYearWeek modes through the anchored-week formula (ch_sql.py
 # _WEEK_MODES); the oracle RE-DERIVES the same numbering in DuckDB from
 # its OWN primitives (dayofweek with Sunday=0, date-integer arithmetic),

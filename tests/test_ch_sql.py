@@ -1302,7 +1302,7 @@ def test_first_significant_subdomain(spark):
 
 
 def test_great_circle_distance_executed(spark):
-    """Round 15: greatCircleDistance(lon1, lat1, lon2, lat2) — LONGITUDE
+    """Round 14b: greatCircleDistance(lon1, lat1, lon2, lat2) — LONGITUDE
     first, ClickHouse's argument order — translates to the exact haversine
     on the 6371 km sphere (operators/geo.py's formula). Documented
     divergence: ClickHouse evaluates a Float32 fast approximation, so
@@ -1327,7 +1327,7 @@ def test_great_circle_distance_executed(spark):
 
 
 def test_array_auc_executed(spark):
-    """Round 15: arrayAUC(scores, labels) — pairwise tie-corrected AUC.
+    """Round 14b: arrayAUC(scores, labels) — pairwise tie-corrected AUC.
     The docs example gives 0.75; ties contribute 0.5 per (pos, neg) pair;
     a single-class input is NaN; unequal sizes raise (the CH contract)."""
     import math
@@ -5349,7 +5349,7 @@ def test_toweek_iso_mode3(spark):
 
 
 def test_toweek_mysql_manual_examples(spark):
-    """Round 15: every MySQL week mode 0-9 translates. These expected
+    """Round 14b: every MySQL week mode 0-9 translates. These expected
     values are the MySQL manual's own published WEEK()/YEARWEEK()
     examples — the authoritative external anchor for the mode table
     (ClickHouse ports MySQL's calc_week)."""
@@ -5372,7 +5372,7 @@ def test_toweek_mysql_manual_examples(spark):
 
 
 def test_toweek_contains_jan1_modes(spark):
-    """Round 15: modes 8/9 anchor week 1 at the week CONTAINING Jan 1.
+    """Round 14b: modes 8/9 anchor week 1 at the week CONTAINING Jan 1.
     2016-01-01 is a Friday: its Sunday-start week runs Dec 27 2015 -
     Jan 2 2016, so Dec 27-28 2015 roll FORWARD to 2016 week 1 and
     Sunday Jan 3 2016 starts week 2."""
@@ -5389,7 +5389,7 @@ def test_toweek_contains_jan1_modes(spark):
 
 
 def test_toweek_all_modes_vs_python_references(spark):
-    """Round 15: bulk cross-check of the mode formulas against Python's
+    """Round 14b: bulk cross-check of the mode formulas against Python's
     INDEPENDENT week numberings — %U is exactly MySQL mode 0, %W exactly
     mode 5, isocalendar exactly mode 3 — plus the documented invariants
     tying the week_year modes to their zero siblings, over every day of

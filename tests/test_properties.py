@@ -400,7 +400,7 @@ def test_roc_auc_matches_pairwise_definition(spark, rows):
 )
 @settings(max_examples=15, deadline=None)
 def test_sql_array_auc_matches_pairwise_definition(spark, rows):
-    """Round 15: the translated arrayAUC(scores, labels) SQL fold must
+    """Round 14b: the translated arrayAUC(scores, labels) SQL fold must
     equal the literal pairwise P(score⁺ > score⁻) + ½P(tie) for arbitrary
     tie-heavy inputs — the same definition the relational
     roc_auc_by_group is pinned to, so both AUC surfaces agree with each
