@@ -5388,6 +5388,32 @@ def test_toweek_contains_jan1_modes(spark):
     assert r.d == 52  # Saturday before the rolled week stays in 2015
 
 
+def test_toweek_remaining_modes_hand_computed(spark):
+    """Round 14b: direct values for the modes without a Python-native
+    reference. 2016-01-01 is a Friday: mode 4 (Sunday start, >=4-days
+    anchor Jan 4) puts week 1 at Jan 3-9, so Jan 1-2 are week 0 and the
+    week_year sibling mode 6 rolls them to 2015's numbering (week-1
+    start Jan 4 2015 -> day 362 -> week 52); mode 9 (Monday start,
+    contains-Jan-1) spans Dec 28 2015 - Jan 3 2016 as week 1, so Monday
+    Jan 4 starts week 2 and Dec 28 2015 rolls FORWARD to 201601."""
+    r = run_ch_sql(
+        spark,
+        "SELECT toWeek(toDate('2016-01-01'), 4) AS a, "
+        "toWeek(toDate('2016-01-03'), 4) AS b, "
+        "toWeek(toDate('2016-01-01'), 6) AS c, "
+        "toYearWeek(toDate('2016-01-01'), 6) AS yc, "
+        "toWeek(toDate('2016-01-01'), 9) AS d, "
+        "toWeek(toDate('2016-01-04'), 9) AS e, "
+        "toYearWeek(toDate('2015-12-28'), 9) AS yf, "
+        "toYearWeek(toDate('2016-01-01'), 4) AS ya",
+    ).collect()[0]
+    assert (r.a, r.b) == (0, 1)
+    assert (r.c, r.yc) == (52, 201552)
+    assert (r.d, r.e, r.yf) == (1, 2, 201601)
+    # toYearWeek mode 4 uses the week_year sibling (mode 6)
+    assert r.ya == 201552
+
+
 def test_toweek_all_modes_vs_python_references(spark):
     """Round 14b: bulk cross-check of the mode formulas against Python's
     INDEPENDENT week numberings — %U is exactly MySQL mode 0, %W exactly
