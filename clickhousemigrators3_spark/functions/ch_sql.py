@@ -795,6 +795,8 @@ _CUSTOM_PARAMETRIC = {
     "topk", "topkif", "summapfiltered", "topkweighted", "uniqupto",
     # round 14: the flagship event-analytics parametric aggregates
     "windowfunnel", "sequencematch", "sequencecount",
+    # round 14b: the exact weighted quantile
+    "quantileexactweighted",
 }
 
 # parametric names that default to the median when the (params) group is
@@ -947,10 +949,6 @@ _UNSUPPORTED_FUNCS = {
     # since round 14 — _emit_window_funnel/_emit_retention/
     # _emit_sequence_match)
     "dictget": "operators/mergetree.py ch_dict_get_nation_name (broadcast join)",
-    "quantileexactweighted": (
-        "operators/ch_aggregates.py quantile_exact_weighted (Spark has no "
-        "weighted percentile builtin)"
-    ),
     "groupbitmap": "operators/ch_aggregates.py ch_group_bitmap_weekly_users",
     "runningdifference": (
         "block-order dependent without an ORDER BY — add a top-level "
@@ -1824,6 +1822,69 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
             f"(0.0D - aggregate(transform(array_distinct({cl}), "
             f"_ev -> {p} * log2({p})), 0.0D, (_ea, _eb) -> _ea + _eb))"
         )
+    if low == "quantileexactweighted":
+        # quantileExactWeighted(level)(x, w) — round 14b: the smallest x
+        # whose cumulative weight, ascending by value, reaches
+        # level * total_weight (the >= threshold rule — exactly the rule
+        # the relational operator weighted_median_price_per_flag pins,
+        # and ClickHouse's own Float64 threshold arithmetic, so boundary
+        # behavior matches bit-for-bit for integer-valued weights).
+        # Collect-then-fold shape: state is the group's (value, weight)
+        # list sorted once and scanned once — the same O(rows-in-group)
+        # nuance as the xMap folds; for corpus-sized groups use the
+        # windowed relational form in operators/ch_aggregates.py.
+        # NULL values/weights skipped (the aggregate contract); the
+        # result is DOUBLE (the arrayCumSum accumulation posture —
+        # values match, the input's integer type does not survive).
+        if params is None:
+            level = "0.5"  # ClickHouse's documented median default
+        else:
+            if len(params) != 1:
+                raise UnsupportedCHSQL(
+                    "quantileExactWeighted takes one level parameter — "
+                    "quantilesExactWeighted(l1, l2, …) is not mapped"
+                )
+            level = params[0].strip()
+            try:
+                lv = float(level)
+            except ValueError:
+                raise UnsupportedCHSQL(
+                    "quantileExactWeighted level must be a numeric "
+                    "literal in [0, 1]"
+                ) from None
+            if not 0.0 <= lv <= 1.0:
+                raise UnsupportedCHSQL(
+                    "quantileExactWeighted level must be a numeric "
+                    "literal in [0, 1]"
+                )
+        if len(args) != 2:
+            raise UnsupportedCHSQL(
+                "quantileExactWeighted takes (value, weight)"
+            )
+        qx, qw = args[0].strip(), args[1].strip()
+        pairs = (
+            f"array_sort(collect_list(CASE WHEN ({qx}) IS NOT NULL AND "
+            f"({qw}) IS NOT NULL THEN struct(CAST({qx} AS DOUBLE) AS _qv, "
+            f"CAST({qw} AS DOUBLE) AS _qw) END))"
+        )
+        total = (
+            f"aggregate({pairs}, CAST(0 AS DOUBLE), "
+            f"(_qa, _qe) -> _qa + _qe._qw)"
+        )
+        # the threshold binds ONCE through a single-element transform
+        # (the intDivOrZero bound-lambda discipline) — inlining the total
+        # aggregate into the scan lambda would re-evaluate it per element
+        # and turn the linear scan quadratic
+        return (
+            f"try_element_at(transform(array(({level}) * {total}), "
+            f"_qt -> aggregate({pairs}, "
+            f"struct(CAST(0 AS DOUBLE) AS _qc, CAST(NULL AS DOUBLE) AS _qr), "
+            f"(_qs, _qe) -> IF(_qs._qr IS NOT NULL, _qs, "
+            f"IF(_qs._qc + _qe._qw >= _qt, "
+            f"struct(_qs._qc + _qe._qw AS _qc, _qe._qv AS _qr), "
+            f"struct(_qs._qc + _qe._qw AS _qc, _qs._qr AS _qr))), "
+            f"_qf -> _qf._qr)), 1)"
+        )
     if low == "uniqupto":
         # uniqUpTo(N)(x): "the number of different values if <= N, else
         # N+1" — least(exact distinct count, N+1) IS that definition,
@@ -2520,7 +2581,8 @@ _KNOWN = (
        "sumforeach", "minforeach", "maxforeach", "avgforeach",
        "countforeach", "topk", "topkif", "topkweighted", "uniqupto",
        "anyheavy", "entropy", "toweek", "toyearweek",
-       "windowfunnel", "retention", "sequencematch", "sequencecount"}
+       "windowfunnel", "retention", "sequencematch", "sequencecount",
+       "quantileexactweighted"}
     | set(_FIXED_INTERVALS)
 )
 

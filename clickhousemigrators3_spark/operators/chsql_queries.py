@@ -2983,3 +2983,46 @@ _ch(
     """,
     ("orders",),
 )
+
+
+# Round 14b: quantileExactWeighted as a grouped aggregate. The Spark side
+# folds the sorted (value, weight) list against the level*total threshold
+# (the rule weighted_median_price_per_flag pins); the DuckDB oracle
+# derives the same values RELATIONALLY — a cumulative-weight window over
+# value order and a MIN-over-threshold pick — so the two paths share no
+# mechanism. Weights are integers, so every double sum is exact and the
+# >= boundary cannot drift between engines. The bounded WHERE keeps the
+# per-group collected state test-sized; corpus-scale weighted quantiles
+# belong to the windowed relational form.
+_ch(
+    "chsql_quantile_weighted",
+    """
+    SELECT l_returnflag AS flag,
+           quantileExactWeighted(0.25)(l_extendedprice, l_quantity) AS q25,
+           quantileExactWeighted(l_extendedprice, l_quantity) AS q50,
+           quantileExactWeighted(0.9)(l_extendedprice, l_quantity) AS q90
+    FROM lineitem
+    WHERE l_orderkey < 30000
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """,
+    """
+    WITH cum AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_extendedprice AS DOUBLE) AS v,
+             SUM(CAST(l_quantity AS DOUBLE)) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(CAST(l_quantity AS DOUBLE)) OVER (
+               PARTITION BY l_returnflag) AS tw
+      FROM lineitem WHERE l_orderkey < 30000)
+    SELECT flag,
+           MIN(CASE WHEN cw >= 0.25 * tw THEN v END) AS q25,
+           MIN(CASE WHEN cw >= 0.5 * tw THEN v END) AS q50,
+           MIN(CASE WHEN cw >= 0.9 * tw THEN v END) AS q90
+    FROM cum
+    GROUP BY flag
+    ORDER BY flag
+    """,
+    ("lineitem",),
+)

@@ -1051,7 +1051,10 @@ def test_type_and_interval_mapping(ch: str, expected: str):
         ("SELECT toStartOfInterval(ts, INTERVAL 2 fortnight) FROM t",
          "alignment"),
         ("SELECT CAST(x, 'AggregateFunction(uniq, UInt64)') FROM t", "not mapped"),
-        ("SELECT quantileExactWeighted(0.5)(x, w) FROM t", "quantile_exact_weighted"),
+        ("SELECT quantileExactWeighted(0.5, 0.9)(x, w) FROM t", "one level"),
+        ("SELECT quantileExactWeighted(p)(x, w) FROM t", "numeric literal"),
+        ("SELECT quantileExactWeighted(2)(x, w) FROM t", "numeric literal"),
+        ("SELECT quantileExactWeighted(0.5)(x) FROM t", "(value, weight)"),
     ],
 )
 def test_type_and_interval_refusals(ch: str, needle: str):
@@ -5386,6 +5389,34 @@ def test_toweek_contains_jan1_modes(spark):
     ).collect()[0]
     assert (r.a, r.b, r.c, r.yc) == (1, 2, 1, 201601)
     assert r.d == 52  # Saturday before the rolled week stays in 2015
+
+
+def test_quantile_exact_weighted_executed(spark):
+    """Round 14b: quantileExactWeighted(level)(x, w) — the smallest value
+    whose cumulative weight (ascending by value) reaches level * total,
+    the >= rule the relational weighted_median_price_per_flag operator
+    pins. NULL values skip; the bare form defaults to the median."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW qew_t AS SELECT * FROM VALUES "
+        "(1, 10.0, 1), (1, 20.0, 1), (1, 30.0, 1), (1, 40.0, 1), "
+        "(2, 1.0, 9), (2, 100.0, 1), "
+        "(3, 5.0, 2), (3, NULL, 50), (3, 7.0, 2) AS t(g, v, w)"
+    )
+    rows = run_ch_sql(
+        spark,
+        "SELECT g, quantileExactWeighted(0.5)(v, w) AS med, "
+        "quantileExactWeighted(0.0)(v, w) AS lo, "
+        "quantileExactWeighted(1)(v, w) AS hi, "
+        "quantileExactWeighted(v, w) AS dflt "
+        "FROM qew_t GROUP BY g ORDER BY g",
+    ).collect()
+    got = {r.g: (r.med, r.lo, r.hi, r.dflt) for r in rows}
+    # equal weights: the lower-middle element (matches quantileExact)
+    assert got[1] == (20.0, 10.0, 40.0, 20.0)
+    # weight 9 on the small value dominates every level up to 0.9
+    assert got[2] == (1.0, 1.0, 100.0, 1.0)
+    # the NULL value's weight contributes nothing
+    assert got[3] == (5.0, 5.0, 7.0, 5.0)
 
 
 def test_toweek_remaining_modes_hand_computed(spark):

@@ -427,6 +427,52 @@ def test_sql_array_auc_matches_pairwise_definition(spark, rows):
 @given(
     st.lists(
         st.tuples(
+            st.integers(min_value=0, max_value=6),  # value (tie-heavy)
+            st.integers(min_value=1, max_value=5),  # weight
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+)
+@settings(max_examples=15, deadline=None)
+def test_sql_quantile_exact_weighted_matches_threshold_rule(
+    spark, pairs, level
+):
+    """Round 14b: the translated quantileExactWeighted fold must equal
+    the literal threshold rule — sort by value, pick the first whose
+    cumulative weight reaches level * total (>=) — for arbitrary
+    tie-heavy inputs, the same rule the relational
+    weighted_median_price_per_flag operator is pinned to."""
+    from clickhousemigrators3_spark.functions.ch_sql import translate_ch_sql
+
+    vals = ", ".join(f"({float(v)!r}, {w})" for v, w in pairs)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW qew_prop_t AS "
+        f"SELECT * FROM VALUES {vals} AS t(v, w)"
+    )
+    got = spark.sql(
+        translate_ch_sql(
+            f"SELECT quantileExactWeighted({level!r})(v, w) AS q "
+            "FROM qew_prop_t"
+        )
+    ).collect()[0].q
+    ordered = sorted((float(v), w) for v, w in pairs)
+    total = float(sum(w for _, w in pairs))
+    thr = level * total
+    cum = 0.0
+    expected = ordered[-1][0]
+    for v, w in ordered:
+        cum += w
+        if cum >= thr:
+            expected = v
+            break
+    assert got == expected, (pairs, level, got, expected)
+
+
+@given(
+    st.lists(
+        st.tuples(
             st.integers(min_value=0, max_value=4),  # score (tie-heavy)
             st.integers(min_value=0, max_value=1),  # label
         ),
