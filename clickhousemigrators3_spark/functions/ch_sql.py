@@ -8228,19 +8228,46 @@ _POST_MODIFIER_STOPS = frozenset((
 
 
 def _sample_condition(
-    tokens: list[str], i: int, sample_by: str
+    tokens: list[str], i: int, sample_by: str, total_fn=None
 ) -> tuple[str | None, int]:
     """Parse ``SAMPLE k [OFFSET m]`` at token i and build the hash-range
     condition over ``sample_by`` (None for SAMPLE 1 — the whole table).
-    Returns (condition_sql, end_token_idx)."""
+    Returns (condition_sql, end_token_idx).
+
+    Round 14b: the absolute-rows form ``SAMPLE n`` (integer n > 1)
+    translates too — ClickHouse computes a relative coefficient from the
+    table's approximate size, and ``total_fn`` supplies the exact size
+    here (one metadata-cheap count(*) probe at translate time, the same
+    discipline as the schema probes). The emitted plan carries a LITERAL
+    hash threshold, so the sampled set stays deterministic across runs
+    and partitionings; like ClickHouse, the row count is approximate
+    (hash-uniform around n). OFFSET applies to the fraction form only."""
     j = _next_code(tokens, i + 1)
     k_val, k_text, after = _parse_fraction(tokens, j)
     if k_val > 1:
-        raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql SAMPLE) -- pytest test_sample_refusals
-            f"SAMPLE {k_text}: the absolute-rows form (n > 1) "
-            "needs the table's total size — use a fraction "
-            "(SAMPLE 0.1) or LIMIT over a hash ORDER"
-        )
+        if not k_text.isdigit():
+            raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql SAMPLE) -- pytest test_sample_refusals
+                f"SAMPLE {k_text}: a sampling fraction must be in [0, 1] "
+                "— the absolute-rows form needs a plain integer literal"
+            )
+        o = _next_code(tokens, after)
+        if o < len(tokens) and tokens[o].lower() == "offset":
+            raise UnsupportedCHSQL(  # no-golden: run-path (run_ch_sql SAMPLE) -- pytest test_sample_refusals
+                f"SAMPLE {k_text} OFFSET …: OFFSET applies to the "
+                "fraction form only (the ClickHouse contract)"
+            )
+        assert total_fn is not None  # run-path callers always supply it
+        total = int(total_fn())
+        h = f"__stable_hash32__({sample_by})"
+        if total <= 0:
+            return None, after  # empty table — nothing to bound
+        # identical IEEE arithmetic to the DuckDB oracle twin:
+        # floor(least(1.0, n/total) * 2^32)
+        frac = min(1.0, float(k_text) / float(total))
+        hi = min(int(frac * 4294967296), 4294967296)
+        if hi >= 4294967296:
+            return None, after  # n >= table size — the whole table
+        return f"{h} < {hi}", after
     m_val = 0.0
     end = after
     o = _next_code(tokens, after)
@@ -8327,7 +8354,12 @@ def _expand_table_modifiers(spark, sql: str, engines: dict) -> str:
                         "SAMPLE BY must be in the primary key); sample "
                         "the FINAL result explicitly instead"
                     )
-                cond, end = _sample_condition(tokens, s_i, sample_by)
+                cond, end = _sample_condition(
+                    tokens, s_i, sample_by,
+                    total_fn=lambda b=base: spark.sql(
+                        f"SELECT count(*) FROM {b}"
+                    ).collect()[0][0],
+                )
                 if cond is not None:
                     inner_base = (
                         f"(SELECT * FROM {base} WHERE {cond}) __final_smp"
@@ -8343,7 +8375,12 @@ def _expand_table_modifiers(spark, sql: str, engines: dict) -> str:
                     "`sample_by` expression (ClickHouse's SAMPLE BY "
                     "declaration)"
                 )
-            cond, end = _sample_condition(tokens, i, sample_by)
+            cond, end = _sample_condition(
+                tokens, i, sample_by,
+                total_fn=lambda b=base: spark.sql(
+                    f"SELECT count(*) FROM {b}"
+                ).collect()[0][0],
+            )
             replacement = (
                 f"(SELECT * FROM {base} WHERE {cond})"
                 if cond

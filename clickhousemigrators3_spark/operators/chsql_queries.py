@@ -3026,3 +3026,31 @@ _ch(
     """,
     ("lineitem",),
 )
+
+
+# Round 14b: the absolute-rows SAMPLE form. The Spark side resolves
+# `SAMPLE 1500` through a translate-time count(*) probe into a LITERAL
+# hash threshold (ClickHouse does the same against its approximate table
+# statistics); the oracle recomputes floor(least(1.0, n/total) * 2^32)
+# from ITS OWN count — identical IEEE arithmetic, so the two thresholds
+# and therefore the exact sampled row multisets agree at every SF.
+_ch(
+    "chsql_sample_rows",
+    """
+    SELECT count() AS c,
+           uniqExact(o_custkey) AS u,
+           sum(toInt64(o_orderkey)) AS sk
+    FROM orders SAMPLE 1500
+    """,
+    """
+    SELECT count(*) AS c,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS u,
+           CAST(sum(o_orderkey) AS BIGINT) AS sk
+    FROM orders
+    WHERE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT)
+          < FLOOR(LEAST(1.0, 1500.0 /
+                  (SELECT CAST(count(*) AS DOUBLE) FROM orders))
+                  * 4294967296.0)
+    """,
+    ("orders",),
+)

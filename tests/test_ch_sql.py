@@ -1676,7 +1676,12 @@ def test_sample_refusals(spark):
     )
     eng = {"sample_t": {"engine": "MergeTree", "sample_by": "k"}}
     cases = [
-        ("SELECT * FROM sample_t SAMPLE 100", eng, "absolute-rows"),
+        # round 14b: SAMPLE n translates; what refuses now is a non-
+        # integer over 1 and OFFSET combined with the absolute form
+        ("SELECT * FROM sample_t SAMPLE 1.5", eng, "integer literal"),
+        ("SELECT * FROM sample_t SAMPLE 3/2", eng, "integer literal"),
+        ("SELECT * FROM sample_t SAMPLE 5 OFFSET 0.5", eng,
+         "fraction form only"),
         ("SELECT * FROM sample_t SAMPLE 0.5 OFFSET 0.7", eng, "hash range"),
         ("SELECT * FROM sample_t SAMPLE x", eng, "literal fraction"),
         ("SELECT * FROM sample_t SAMPLE 1/0", eng, "nonzero"),
@@ -1692,6 +1697,36 @@ def test_sample_refusals(spark):
         with pytest.raises(UnsupportedCHSQL) as exc:
             run_ch_sql(spark, sql, engines=engines)
         assert needle.lower() in str(exc.value).lower(), sql
+
+
+def test_sample_absolute_rows_executed(spark):
+    """Round 14b: ``SAMPLE n`` (integer rows) translates — ClickHouse
+    derives a relative coefficient from the table size; here a
+    translate-time count(*) probe supplies it exactly, and the emitted
+    literal hash threshold keeps the set deterministic. Contracts:
+    approximate-n row count, nesting (smaller n ⊆ larger n), n >= size
+    is the whole table, and SAMPLE n ≡ SAMPLE n/size as a fraction."""
+    eng = {"sample_abs_t": {"engine": "MergeTree", "sample_by": "k"}}
+    spark.sql("SELECT id AS k FROM range(1000)").createOrReplaceTempView(
+        "sample_abs_t"
+    )
+    def run(sql):
+        return {
+            r.k for r in run_ch_sql(spark, sql, engines=eng).collect()
+        }
+    full = run("SELECT k FROM sample_abs_t")
+    s100 = run("SELECT k FROM sample_abs_t SAMPLE 100")
+    s300 = run("SELECT k FROM sample_abs_t SAMPLE 300")
+    assert s100 <= s300 <= full
+    # hash-uniform around n (md5 over 1000 keys; generous bounds)
+    assert 40 <= len(s100) <= 180, len(s100)
+    assert 200 <= len(s300) <= 420, len(s300)
+    # deterministic: a second translation selects the identical set
+    assert run("SELECT k FROM sample_abs_t SAMPLE 100") == s100
+    # the absolute form IS the fraction form at n/size
+    assert run("SELECT k FROM sample_abs_t SAMPLE 0.1") == s100
+    # n >= table size -> the whole table
+    assert run("SELECT k FROM sample_abs_t SAMPLE 5000") == full
 
 
 def test_final_explain_syntax_shows_expansion(spark):
