@@ -2515,18 +2515,25 @@ def _emit_call(low: str, args: list[str], params: list[str] | None) -> str:
                 "timezone must be a literal string"
             )
         mode = args[1].strip() if len(args) > 1 else "0"
-        if mode in ("0", "2"):
-            # ClickHouse's DEFAULT mode 0 (and 2) weeks start SUNDAY —
-            # Spark's date_trunc('week') is Monday-anchored, so roll back
-            # to the preceding Sunday arithmetically (round 13; Spark
-            # dayofweek: Sunday=1 … Saturday=7)
+        # round 14b: all toWeek modes 0-9 accepted — the START of the
+        # week containing d depends only on the mode's Sunday/Monday
+        # parity (the week-1 anchor and year-roll flags shift NUMBERING,
+        # never which day a week begins on): even modes start Sunday,
+        # odd modes Monday
+        if not re.fullmatch(r"[0-9]", mode):
+            raise UnsupportedCHSQL(
+                "toStartOfWeek mode must be a literal integer 0-9 "
+                "(even modes Sunday-start, odd Monday)"
+            )
+        if int(mode) % 2 == 0:
+            # ClickHouse's DEFAULT mode 0 (and every even mode) weeks
+            # start SUNDAY — Spark's date_trunc('week') is
+            # Monday-anchored, so roll back to the preceding Sunday
+            # arithmetically (round 13; Spark dayofweek: Sunday=1 …
+            # Saturday=7)
             arg = args[0].strip()
             return (
                 f"date_sub(CAST({arg} AS DATE), dayofweek({arg}) - 1)"
-            )
-        if mode not in ("1", "3"):
-            raise UnsupportedCHSQL(
-                "toStartOfWeek mode must be 0-3 (0/2 Sunday, 1/3 Monday)"
             )
         return f"CAST(date_trunc('week', {args[0]}) AS DATE)"
     if low == "numbers":

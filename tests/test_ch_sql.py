@@ -4302,7 +4302,8 @@ def test_any_join_refusals(ch: str, needle: str):
         # round 13: Sunday modes (0/2 — 0 is ClickHouse's DEFAULT) now
         # translate arithmetically; only out-of-range modes refuse. Round
         # 14: literal timezone args translate; computed zones refuse
-        ("SELECT toStartOfWeek(d, 9) FROM t", "mode must be 0-3"),
+        ("SELECT toStartOfWeek(d, 99) FROM t", "literal integer 0-9"),
+        ("SELECT toStartOfWeek(d, m) FROM t", "literal integer 0-9"),
         ("SELECT toStartOfWeek(d, 0, tz_col) FROM t", "literal string"),
         ("SELECT toStartOfInterval(ts, INTERVAL 2 WEEK, tz_col) FROM t",
          "literal string"),
@@ -4841,6 +4842,17 @@ def test_start_of_week_modes_executed(spark):
     assert str(row.mon1) == "2024-08-12"
     assert str(row.on_sun) == "2024-08-11"  # a Sunday maps to itself
     assert str(row.on_mon) == "2024-08-12"  # a Monday maps to itself
+    # round 14b: every toWeek mode 0-9 is accepted — the start of a
+    # week depends only on the mode's Sunday/Monday parity
+    row2 = run_ch_sql(
+        spark,
+        "SELECT toStartOfWeek(toDate('2024-08-14'), 4) AS sun4, "
+        "toStartOfWeek(toDate('2024-08-14'), 8) AS sun8, "
+        "toStartOfWeek(toDate('2024-08-14'), 5) AS mon5, "
+        "toStartOfWeek(toDate('2024-08-14'), 9) AS mon9",
+    ).collect()[0]
+    assert str(row2.sun4) == "2024-08-11" and str(row2.sun8) == "2024-08-11"
+    assert str(row2.mon5) == "2024-08-12" and str(row2.mon9) == "2024-08-12"
 
 
 def test_multi_week_interval_executed(spark):
