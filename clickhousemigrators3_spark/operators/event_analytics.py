@@ -60,45 +60,47 @@ def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain view → click → purchase progresses within 24 h of the first view.
     Output: funnel histogram (step 0-3 → user count).
 
-    Spark shape: three filtered grouped mins, each joined back on user_id —
-    per-step predicates stay in JVM expressions, and the chain condition
-    (strictly increasing timestamps inside the anchor window) is plain
-    column arithmetic."""
+    Spark shape (optimization round 14 — guide §2.4): the three step mins
+    are whole-partition window aggregates over ONE user_id exchange instead
+    of three grouped mins joined back (the old form scanned events 8× and
+    planned 17 runtime exchanges). Each step's min is conditional on the
+    previous step's window result — null propagation through the
+    comparison reproduces the join chain's inner-join semantics exactly
+    (no t1 → the t2 condition is null → t2 is null). The per-user step is
+    then a first() over the user partitioning the windows already
+    established, so the whole funnel is one scan + one exchange + the
+    final tiny histogram aggregate."""
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     win = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
 
-    u = e.select("user_id").distinct()
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .join(c, "user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + win))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    steps = (
-        u.join(v, "user_id", "left")
-        .join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + win),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + win),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    steps = staged.groupBy("user_id").agg(
+        F.first(
             F.when(F.col("t3").isNotNull(), 3)
             .when(F.col("t2").isNotNull(), 2)
             .when(F.col("t1").isNotNull(), 1)
             .otherwise(0)
-            .alias("step")
-        )
+        ).alias("step")
     )
     return steps.groupBy("step").agg(F.count(F.lit(1)).alias("n_users")).orderBy("step")
 

@@ -235,6 +235,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches one bucket per query (multi-probe = OR over Hamming-adjacent
     buckets, same plan)."""
     e = _vectors(spark, sf_dir)
+    # Optimization round 14 (guide §2.4): the 6 hyperplanes collapse into
+    # ONE broadcast row of (hp_id, hv) structs, so bucket assignment is a
+    # pure projection — a commutative long-sum fold over the 6 sign bits —
+    # instead of the old explode(×NBITS) + corpus-wide groupBy(vec_id)
+    # shuffle. The docstring's production shape, now the actual plan: the
+    # corpus is scanned once, never shuffled; candidates come from one
+    # broadcast hash join on the 8-byte bucket; the per-pair rescore reads
+    # the corpus row it is already holding (no third join). Bit-identical:
+    # the old SUM(b) over per-hyperplane rows and this fold add the same
+    # longs, and addition of longs is order-free.
     hp = (
         e.filter(
             (F.col("vec_id") >= LSH_HP_BASE)
@@ -242,34 +252,36 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("vec_id") - LSH_HP_BASE).alias("hp_id"), F.col("v").alias("hv"))
     )
-    bits = e.crossJoin(F.broadcast(hp)).select(
-        "vec_id",
-        F.when(dot(F.col("v"), F.col("hv")) > 0, F.expr("shiftleft(CAST(1 AS BIGINT), hp_id)"))
-        .otherwise(F.lit(0).cast("long"))
-        .alias("b"),
+    hp_row = hp.select(
+        F.expr("shiftleft(CAST(1 AS BIGINT), hp_id)").alias("bit"), "hv"
+    ).agg(F.collect_list(F.struct("bit", "hv")).alias("hps"))
+    bucket = F.aggregate(
+        F.col("hps"),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc
+        + F.when(dot(F.col("v"), h["hv"]) > 0, h["bit"]).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
-    buckets = bits.groupBy("vec_id").agg(F.sum("b").cast("long").alias("bucket"))
-    q = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .join(buckets, "vec_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("bucket"),
-        )
+    eb = (
+        e.crossJoin(F.broadcast(hp_row))
+        .select("vec_id", "v", bucket.alias("bucket"))
     )
-    cand = (
-        F.broadcast(q)
-        .join(buckets, "bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("cand_id"), "qv")
+    q = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket"),
     )
     # per-pair cosine on purpose (contrast knn_bruteforce_topk's
     # precomputed norms): bucketing prunes candidates to ~Q·N/2^NBITS,
     # so a corpus-wide norm projection (N traversals) costs MORE than
     # per-pair norms whenever Q < 2^NBITS — the common serving regime
-    scored = cand.join(e, cand.cand_id == e.vec_id).withColumn(
-        "c", cosine(F.col("qv"), F.col("v"))
+    scored = (
+        F.broadcast(q)
+        .join(eb, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), "qv", "v")
+        .withColumn("c", cosine(F.col("qv"), F.col("v")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("cand_id"))
     return (

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.money import (
@@ -351,22 +352,29 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cascaded regular aggregations instead of COUNT(DISTINCT)s: the first
     # groupBy collapses to one row per (order, supplier) with map-side
     # partial aggregation — keeping the late-row count so the fact rows are
-    # never revisited; the second counts suppliers per order and
-    # co-partitions with the first (AQE reuses the hash partitioning)
+    # never revisited. The per-order supplier counts are WINDOW aggregates
+    # over that small relation (opt round 14, guide §2.4): the old
+    # groupBy(order) + join re-planned the per_supp subtree twice — two
+    # lineitem scans, two fact joins, and a sort-merge self-join; the
+    # window reuses the one aggregated relation and only re-keys it from
+    # (order, supplier) to order.
     per_supp = lo.groupBy(
         F.col("o_orderkey").alias("po_orderkey"), F.col("l_suppkey").alias("ps")
     ).agg(
         F.max("is_late").alias("supp_late"),
         F.sum(F.col("is_late").cast("long")).alias("n_late_rows"),
     )
-    per_order = per_supp.groupBy("po_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.col("supp_late").cast("long")).alias("n_late_supp"),
-    )
+    w_order = Window.partitionBy("po_orderkey")
     return (
-        per_supp.filter(F.col("supp_late"))
-        .join(per_order, "po_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w_order))
+        .withColumn(
+            "n_late_supp", F.sum(F.col("supp_late").cast("long")).over(w_order)
+        )
+        .filter(
+            F.col("supp_late")
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
         .join(s, F.col("ps") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("s_name")

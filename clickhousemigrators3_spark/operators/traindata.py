@@ -878,16 +878,30 @@ def ccnet_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus pass); lp is precomputed per DISTINCT bigram so the corpus-
     # sized instance relation is shuffled exactly once; |V| is a one-row
     # broadcast.
+    #
+    # Optimization round 14 (guide §2.4/§5): the CTE text referenced d
+    # twice and db twice, and Spark plans each reference as its own
+    # subtree — documents was scanned and re-split THREE times and the
+    # bigram explode ran twice. Persisting the word-array and
+    # bigram-instance relations (registered as views, read by the same
+    # SQL text) makes it one scan + one split + one explode; expressions
+    # are character-identical, so values are unchanged.
+    d_df = spark.sql("""
+SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS w
+FROM _ccnet_docs WHERE trim(text) != ''""")
+    d_df.persist()
+    d_df.createOrReplaceTempView("_ccnet_d")
+    db_df = spark.sql("""
+SELECT doc_id,
+       explode(zip_with(slice(w, 1, size(w) - 1),
+                        slice(w, 2, size(w) - 1),
+                        (a, b) -> concat(a, ' ', b))) AS bg
+FROM _ccnet_d WHERE size(w) >= 2""")
+    db_df.persist()
+    db_df.createOrReplaceTempView("_ccnet_db")
     return spark.sql(f"""
-WITH d AS (
-  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS w
-  FROM _ccnet_docs WHERE trim(text) != ''),
-db AS (
-  SELECT doc_id,
-         explode(zip_with(slice(w, 1, size(w) - 1),
-                          slice(w, 2, size(w) - 1),
-                          (a, b) -> concat(a, ' ', b))) AS bg
-  FROM d WHERE size(w) >= 2),
+WITH d AS (SELECT doc_id, w FROM _ccnet_d),
+db AS (SELECT doc_id, bg FROM _ccnet_db),
 bgc AS (SELECT bg, count(1) AS cbg FROM db GROUP BY bg),
 ctx AS (
   SELECT split_part(bg, ' ', 1) AS w1, sum(cbg) AS cctx
