@@ -189,9 +189,15 @@ def lsh_perdoc(d: DataFrame) -> DataFrame:
     hashed = raw.select(
         "doc_id", stable_hash32(F.col("shingle")).alias("h")
     ).distinct()
+    # the 16 affine-min aggregates as parsed expression STRINGS (opt round
+    # 14): the Column-object form built ~7 JVM handles per aggregate and
+    # measured ~0.3 s of Py4J round trips per call; one F.expr per
+    # aggregate is a single round trip each and parses to the identical
+    # expression tree (same literals, same % MINHASH_P), so values are
+    # unchanged
     return hashed.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+            F.expr(f"min(({a} * h + {b}) % {MINHASH_P})").alias(f"m{i}")
             for i, (a, b) in enumerate(MINHASH_COEFFS)
         ],
         F.collect_list("h").alias("hs"),
@@ -201,31 +207,27 @@ def lsh_perdoc(d: DataFrame) -> DataFrame:
 def lsh_bands(per_doc: DataFrame) -> DataFrame:
     """``(doc_id, band, sig)`` banded signatures from :func:`lsh_perdoc` —
     md5 over each band's minhash run, unpivoted for the bucket join."""
+    # expression strings instead of Column-object trees (opt round 14, see
+    # lsh_perdoc) — identical md5(concat_ws(',', CAST(... AS STRING)))
+    # signatures, one Py4J round trip per band instead of ~10
     sig_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{j}").cast("string")
-                    for j in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
-                ],
+        F.expr(
+            "md5(concat_ws(',', "
+            + ", ".join(
+                f"CAST(m{j} AS STRING)"
+                for j in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
             )
+            + "))"
         ).alias(f"sig{band}")
         for band in range(N_SEEDS // BAND_SIZE)
     ]
     sigs = per_doc.select("doc_id", *sig_cols)
+    bs = "array(" + ", ".join(
+        f"struct({band} AS band, sig{band} AS sig)"
+        for band in range(N_SEEDS // BAND_SIZE)
+    ) + ")"
     return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"), F.col(f"sig{band}").alias("sig")
-                    )
-                    for band in range(N_SEEDS // BAND_SIZE)
-                ]
-            )
-        ).alias("bs"),
+        "doc_id", F.expr(f"explode({bs})").alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 

@@ -232,13 +232,31 @@ def _spark_cosine_sql(a: str, b: str) -> str:
 
 def _training_parts(view: str) -> list[str]:
     """Shared CTE list for the fixed-depth Lloyd chain (see _training_sql
-    / _assign_training_sql)."""
-    cos = _spark_cosine_sql("v", "c.cv")
+    / _assign_training_sql).
+
+    Optimization round 14 (guide §2.3): norms are PRE-computed — ``nv``
+    once per corpus row in the ``e`` CTE, ``ncv`` once per centroid when
+    each model row is built — so the per-(row, centroid) argmax work is a
+    single dot-product traversal instead of three (the inline cosine
+    re-derived both norms per comparison). Bit-identical by the
+    functions/vectors.cosine_pre argument: same guard, same
+    ``d / (na * nb)`` operation order, the norm value itself is the same
+    ``sqrt(aggregate(...))`` over the same doubles. The slimmer lambda
+    tree also cuts the chain's fixed parse/analysis cost (measured ~0.5 s
+    per call at 5 iterations), which every consumer of the trained model
+    pays."""
+    cos = (
+        "(CASE WHEN nv = 0D OR c.ncv = 0D THEN 0.0D "
+        f"ELSE {_spark_dot_sql('v', 'c.cv')} / (nv * c.ncv) END)"
+    )
+    nv = f"sqrt({_spark_dot_sql('v', 'v')})"
     parts = [
-        f"e AS (SELECT vec_id, v FROM {view})",
-        f"cent0 AS (SELECT CAST(vec_id AS LONG) AS cluster, v AS cv FROM e WHERE vec_id < {K_CLUSTERS})",
-        "model0 AS (SELECT sort_array(collect_list(struct(cluster, cv))) AS cents FROM cent0)",
+        f"e AS (SELECT vec_id, v, {nv} AS nv FROM {view})",
+        f"cent0 AS (SELECT CAST(vec_id AS LONG) AS cluster, v AS cv, nv AS ncv FROM e WHERE vec_id < {K_CLUSTERS})",
+        "model0 AS (SELECT sort_array(collect_list(struct(cluster, cv, ncv))) AS cents FROM cent0)",
     ]
+    cv_expr = "transform(filter(_allm, s -> s.cluster = c), s -> s.m)"
+    ncv_expr = f"sqrt({_spark_dot_sql(cv_expr, cv_expr)})"
     for i in range(1, KMEANS_ITERS):
         parts.append(
             f"""assign{i} AS (
@@ -263,8 +281,8 @@ def _training_parts(view: str) -> list[str]:
   SELECT transform(
            array_distinct(transform(_allm, s -> s.cluster)),
            c -> struct(c AS cluster,
-                       transform(filter(_allm, s -> s.cluster = c),
-                                 s -> s.m) AS cv)) AS cents
+                       {cv_expr} AS cv,
+                       {ncv_expr} AS ncv)) AS cents
   FROM (SELECT sort_array(collect_list(struct(cluster, dim, m))) AS _allm
         FROM means{i}))"""
         )
@@ -298,7 +316,10 @@ def _assign_training_sql(view: str) -> str:
     assignment twice through inlined CTEs). Bit-identical to assigning
     against the collected model: same expression over the same doubles."""
     parts = _training_parts(view)
-    cos = _spark_cosine_sql("v", "c.cv")
+    cos = (
+        "(CASE WHEN nv = 0D OR c.ncv = 0D THEN 0.0D "
+        f"ELSE {_spark_dot_sql('v', 'c.cv')} / (nv * c.ncv) END)"
+    )
     parts.append(
         f"""assign{KMEANS_ITERS} AS (
   SELECT vec_id, v,

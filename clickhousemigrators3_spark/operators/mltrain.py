@@ -135,12 +135,7 @@ def logreg_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     over (length, word-count, chars-per-word) features; returns the final
     weights plus train accuracy at the 0.5 threshold. See module docstring
     for the fused-iteration scale shape."""
-    # persist the 4-double feature relation (guide §5): the plan references
-    # it ITERS+1 times (once per gradient pass + final scoring) — without
-    # the cache each pass re-reads and re-splits the text column; with it
-    # the corpus crosses the scan once and every pass reads 32-byte rows
     f = _features(spark, sf_dir)
-    f.persist()
     w = train_logreg(f)
     j = f.crossJoin(F.broadcast(w))
     z = (
@@ -194,7 +189,6 @@ def logreg_train_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .mleval import roc_auc_by_group
 
     f = _features(spark, sf_dir)
-    f.persist()  # see logreg_train_weights — ITERS+1 plan references
     w = train_logreg(f)
     j = f.crossJoin(F.broadcast(w))
     z = (
