@@ -357,7 +357,13 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy(order) + join re-planned the per_supp subtree twice — two
     # lineitem scans, two fact joins, and a sort-merge self-join; the
     # window reuses the one aggregated relation and only re-keys it from
-    # (order, supplier) to order.
+    # (order, supplier) to order. Re-keying is free: the explicit
+    # repartition on o_orderkey alone satisfies BOTH the (order, supplier)
+    # aggregation's clustered-distribution requirement (a hash on a key
+    # subset co-locates equal composite keys) and the window's order
+    # partitioning, so the whole chain runs on ONE exchange (A/B measured
+    # 8 → 7 jobs, ~0.2 s at sf0.1).
+    lo = lo.repartition(F.col("o_orderkey"))
     per_supp = lo.groupBy(
         F.col("o_orderkey").alias("po_orderkey"), F.col("l_suppkey").alias("ps")
     ).agg(
