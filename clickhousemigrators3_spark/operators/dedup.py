@@ -519,9 +519,19 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    # norms projected ONCE per side before the pair join (opt round 14 —
+    # the cosine_pre pattern knn_bruteforce_topk already used): the inline
+    # cosine re-derived both norms per pair, i.e. 3 interpreted array
+    # traversals × N²/2 pairs; per-pair work is now a single dot product.
+    # Bit-identical: same guard, same d / (na * nb) operation order.
+    pre = e.withColumn("_n", norm(F.col("v")))
+    a = pre.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("_n").alias("na")
+    )
+    b = pre.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("_n").alias("nb")
+    )
+    cos = cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("a_id") < F.col("b_id"))
@@ -624,9 +634,16 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
-    ea = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    eb = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    # pre-projected norms, one dot per verified pair (see the brute-force
+    # twin) — bit-identical to the inline cosine
+    pre = e.withColumn("_n", norm(F.col("v")))
+    ea = pre.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("_n").alias("na")
+    )
+    eb = pre.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("_n").alias("nb")
+    )
+    cos = cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         cand.join(ea, "a_id")
         .join(eb, "b_id")

@@ -86,6 +86,41 @@ def _oracle_weight_ctes() -> str:
     return ",\n".join(ctes)
 
 
+_SPARK_X = {
+    "x1": "(n_chars / 300.0D)",
+    "x2": "(size(split(text, ' ')) / 60.0D)",
+    "x3": "((n_chars / CAST(size(split(text, ' ')) AS DOUBLE)) / 6.0D)",
+}
+
+
+def _spark_weight_ctes() -> str:
+    """Spark-SQL twin of the fused Column-API trainer (opt round 14): the
+    same w0 → w{ITERS} recurrence as ONE parsed text — the Column-object
+    loop measured ~0.35 s of Py4J round trips per call re-building the
+    iteration chain. Double literals are explicit (`0.0D`) so literal
+    types match the Column form's Python-float lits; every arithmetic
+    expression mirrors train_logreg operation-for-operation, so the
+    trained weights are bit-identical (oracle-checked)."""
+    z = "(b + a1 * x1 + a2 * x2 + a3 * x3)"
+    p = f"(1.0D / (1.0D + exp(-{z})))"
+    ctes = [
+        "f AS (SELECT "
+        + ", ".join(f"{e} AS {k}" for k, e in _SPARK_X.items())
+        + ", CAST(lang = 'en' AS INT) AS y FROM _logreg_docs)",
+        "w0 AS (SELECT 0.0D AS b, 0.0D AS a1, 0.0D AS a2, 0.0D AS a3)",
+    ]
+    for i in range(1, ITERS + 1):
+        ctes.append(
+            f"w{i} AS (SELECT /*+ BROADCAST(w{i - 1}) */ "
+            f"min(b) + {LR}D * avg(y - {p}) AS b, "
+            f"min(a1) + {LR}D * avg((y - {p}) * x1) AS a1, "
+            f"min(a2) + {LR}D * avg((y - {p}) * x2) AS a2, "
+            f"min(a3) + {LR}D * avg((y - {p}) * x3) AS a3 "
+            f"FROM f CROSS JOIN w{i - 1})"
+        )
+    return ",\n".join(ctes)
+
+
 def train_logreg(f: DataFrame) -> DataFrame:
     """Fused {ITERS}-iteration trainer over a (x1, x2, x3, y) relation:
     returns the 1-row final weight relation. Each step: broadcast the
@@ -134,25 +169,26 @@ def logreg_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the is-English quality gate: {ITERS} full-batch GD iterations
     over (length, word-count, chars-per-word) features; returns the final
     weights plus train accuracy at the 0.5 threshold. See module docstring
-    for the fused-iteration scale shape."""
-    f = _features(spark, sf_dir)
-    w = train_logreg(f)
-    j = f.crossJoin(F.broadcast(w))
-    z = (
-        F.col("b")
-        + F.col("a1") * F.col("x1")
-        + F.col("a2") * F.col("x2")
-        + F.col("a3") * F.col("x3")
+    for the fused-iteration scale shape. Plan travels as ONE generated
+    Spark-SQL text (see _spark_weight_ctes) — same expressions, same
+    values, a fraction of the per-call construction cost."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_logreg_docs"
     )
-    pred = (1.0 / (1.0 + F.exp(-z)) >= 0.5).cast("int")
-    return j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.round(F.min("b"), 6).alias("w_bias"),
-        F.round(F.min("a1"), 6).alias("w1"),
-        F.round(F.min("a2"), 6).alias("w2"),
-        F.round(F.min("a3"), 6).alias("w3"),
-        F.round(F.avg((pred == F.col("y")).cast("int")), 6).alias("accuracy"),
-    )
+    z = "(b + a1 * x1 + a2 * x2 + a3 * x3)"
+    p = f"(1.0D / (1.0D + exp(-{z})))"
+    return spark.sql(f"""
+WITH {_spark_weight_ctes()}
+SELECT /*+ BROADCAST(w{ITERS}) */
+       count(1) AS n_docs,
+       round(min(b), 6) AS w_bias,
+       round(min(a1), 6) AS w1,
+       round(min(a2), 6) AS w2,
+       round(min(a3), 6) AS w3,
+       round(avg(CAST((CAST(({p} >= 0.5D) AS INT) = y) AS INT)), 6)
+         AS accuracy
+FROM f CROSS JOIN w{ITERS}
+""")
 
 
 @register(
@@ -253,23 +289,44 @@ def _bow_weight_ctes() -> str:
     return ",\n".join(ctes)
 
 
-def _bow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bow_feature_frame(d: DataFrame, carry_doc_id: bool = False) -> DataFrame:
+    """(y, x0..x{NB-1}) hashed-BoW features, optionally carrying doc_id.
+
+    Optimization round 14 (guide §1 hot-path rule): the md5 bucket of each
+    token is computed ONCE into a bound `_bk` array column, and each
+    bucket count filters that array of small longs. The old form passed
+    the token-array EXPRESSION into {NB} separate filter lambdas —
+    Catalyst does not CSE across HOF lambdas, so the split ran {NB}× and
+    the md5 {NB}× per token per row. Counts (and therefore features,
+    weights, and scores) are unchanged.
+
+    NOTE: the filter lambdas must stay single-parameter — a second
+    parameter makes F.filter pass the array INDEX there, silently."""
     from ..functions.hashing import stable_hash32
 
-    d = load_table(spark, sf_dir, "documents")
+    carry = ["doc_id"] if carry_doc_id else []
     toks = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
     )
-
-    def bucket_count(b: int):
-        # NOTE: the lambda must stay single-parameter — a second parameter
-        # makes F.filter pass the array INDEX there, silently
-        return F.size(F.filter(toks, lambda t: stable_hash32(t) % NB == b))
-
-    cols = [(F.col("lang") == "en").cast("int").alias("y")]
+    staged = d.select(*carry, "lang", toks.alias("_toks")).select(
+        *carry,
+        "lang",
+        F.transform(F.col("_toks"), lambda t: stable_hash32(t) % NB).alias(
+            "_bk"
+        ),
+    )
+    cols = [*[F.col(c) for c in carry], (F.col("lang") == "en").cast("int").alias("y")]
     for b in range(NB):
-        cols.append((bucket_count(b) / 10.0).alias(f"x{b}"))
-    return d.select(*cols)
+        cols.append(
+            (F.size(F.filter(F.col("_bk"), lambda v: v == b)) / 10.0).alias(
+                f"x{b}"
+            )
+        )
+    return staged.select(*cols)
+
+
+def _bow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bow_feature_frame(load_table(spark, sf_dir, "documents"))
 
 
 def train_logreg_bow(f: DataFrame) -> DataFrame:
@@ -375,23 +432,9 @@ def bow_quality_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: training per train_logreg_bow; scoring is a narrow map with the
     (NB+1)-scalar weight row broadcast — the retained relation streams
     straight into whatever writes the curated corpus."""
-    from ..functions.hashing import stable_hash32
-
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    f = _bow_feature_frame(
+        load_table(spark, sf_dir, "documents"), carry_doc_id=True
     )
-
-    def bucket_count(b: int):
-        return F.size(F.filter(toks, lambda t: stable_hash32(t) % NB == b))
-
-    cols = [
-        F.col("doc_id"),
-        (F.col("lang") == "en").cast("int").alias("y"),
-    ]
-    for b in range(NB):
-        cols.append((bucket_count(b) / 10.0).alias(f"x{b}"))
-    f = d.select(*cols)
     w = train_logreg_bow(f.drop("doc_id"))
     j = f.crossJoin(F.broadcast(w))
     z = F.col("b")

@@ -425,9 +425,18 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus.persist()
     merges: list[tuple[str, str, int]] = []
-    cur = F.col("toks")
     for _ in range(BPE_MERGES):
-        pairs = corpus.select(F.explode(_bpe_pairs(cur)).alias("p"))
+        # `toks` is a BOUND column here, not a nested fold expression:
+        # each round re-projects the merged tokens under its own Project
+        # (CollapseProject keeps a non-cheap expression referenced more
+        # than once in its own projection), so the merge fold runs once
+        # per row per round. The previous form threaded the accumulated
+        # fold EXPRESSION into _bpe_pairs, whose lambda references it
+        # three times per produced pair — Catalyst does not CSE inside
+        # HOF lambdas, so round N re-evaluated the round-(N−1) fold once
+        # per adjacent pair per row: measured 315 s → ~3 s at sf0.1
+        # (opt round 14, guide §1/§4 hot-path rule in functions/text.py).
+        pairs = corpus.select(F.explode(_bpe_pairs(F.col("toks"))).alias("p"))
         top = (
             pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -439,7 +448,11 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
         merges.append((l, r, int(cnt)))
-        cur = _bpe_merge(cur, l, r)
+        # persist each round's merged corpus: round N+1's pair count then
+        # folds only ONE merge over cached rows instead of re-folding the
+        # whole merge chain from the base tokens
+        corpus = corpus.select(_bpe_merge(F.col("toks"), l, r).alias("toks"))
+        corpus.persist()
     return spark.createDataFrame(
         [
             (i + 1, l.replace(BPE_JOINER, "+"), r.replace(BPE_JOINER, "+"), c)

@@ -136,23 +136,45 @@ def stream_stateful_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame
 
     State is a 2-tuple (count, sum) per user — constant memory per key; the
     GroupStateTimeout would evict idle users in continuous operation."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     stream = _events_stream(spark, sf_dir)
 
     def flag(key, pdfs, state: GroupState):
+        # vectorized running mean (opt round 14, guide §4.2 — the old
+        # per-row iterrows loop was the row-at-a-time anti-pattern):
+        # cumsum is the same sequential left-to-right double accumulation
+        # as the loop's `total += value`, so every emitted mean and the
+        # carried (cnt, total) state are bit-identical
         (user_id,) = key
         cnt, total = state.get if state.exists else (0, 0.0)
         rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values("event_id")
-            for _, r in pdf.iterrows():
-                mean = total / cnt if cnt else None
-                if mean is not None and r["value"] > 3.0 * mean:
-                    rows.append((int(user_id), int(r["event_id"]), float(r["value"]), float(mean)))
-                cnt += 1
-                total += float(r["value"])
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            if len(v) == 0:
+                continue
+            # seed the cumsum with the carried total so every partial sum
+            # is the loop's exact add sequence ((total + v0) + v1) + …,
+            # not total + (v0 + v1 + …) — float addition isn't associative
+            csum = np.cumsum(np.concatenate(([total], v)))
+            total_before = csum[:-1]
+            cnt_before = cnt + np.arange(len(v), dtype=np.int64)
+            mean = np.divide(
+                total_before,
+                cnt_before,
+                out=np.zeros_like(total_before),
+                where=cnt_before > 0,
+            )
+            hit = (cnt_before > 0) & (v > 3.0 * mean)
+            if hit.any():
+                eids = pdf["event_id"].to_numpy()[hit]
+                for eid, val, m in zip(eids, v[hit], mean[hit]):
+                    rows.append((int(user_id), int(eid), float(val), float(m)))
+            cnt += len(v)
+            total = float(csum[-1])
         state.update((cnt, total))
         yield pd.DataFrame(rows, columns=["user_id", "event_id", "value", "running_mean"])
 

@@ -92,14 +92,16 @@ def test_window_topn_uses_group_limit(spark):
     assert "WindowGroupLimit" in plan  # partial top-k before the shuffle
 
 
-def test_funnel_broadcasts_user_aggregates(spark):
-    """The funnel's per-user step aggregates are tiny relative to the event
-    log — they must broadcast (at fixture scale), never sort-merge."""
+def test_funnel_single_scan_single_user_exchange(spark):
+    """Opt round 14: the funnel is window aggregates over ONE user_id
+    exchange — one events scan, zero joins (the old grouped-min + join
+    chain scanned events 8x and planned 17 runtime exchanges)."""
     from clickhousemigrators3_spark.operators.event_analytics import ev_funnel_steps
 
     plan = _plan(ev_funnel_steps(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 1, "funnel must scan events once"
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
 
 
 def test_wau_spine_broadcasts(spark):
@@ -333,3 +335,46 @@ def test_sequence_next_node_shares_window(spark):
 
     plan = _plan(ch_sequence_next_node(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q21_single_fact_scan_no_self_join(spark):
+    """Opt round 14: q21's per-order supplier counts are window aggregates
+    over the one (order, supplier) relation sharing a single o_orderkey
+    exchange — one lineitem scan, no sort-merge self-join (the old
+    groupBy + join re-planned the fact subtree twice)."""
+    from clickhousemigrators3_spark.operators.tpch_rest import tpch_q21
+
+    plan = _formatted(tpch_q21(spark, SF_DIR))
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "lineitem" in line
+    ]
+    assert len(scans) == 1, "lineitem must be scanned once"
+    assert "SortMergeJoin" not in plan
+
+
+def test_substring_retained_window_form(spark):
+    """Opt round 14: the df gate + first-writer min + drop test are one
+    window pass over the distinct (doc_id, fp) relation — a Window node,
+    no second fp-keyed aggregation join chain."""
+    from clickhousemigrators3_spark.operators.dedup import (
+        dedup_substring_retained,
+    )
+
+    plan = _plan(dedup_substring_retained(spark, SF_DIR))
+    assert "Window" in plan
+    # the anti-join build side is the window output — the old shape had an
+    # extra fp-keyed HashAggregate + inner join feeding it
+    assert "LeftAnti" in plan
+
+
+def test_ann_lsh_bucket_assignment_is_map_side(spark):
+    """Opt round 14: bucket assignment folds the one-row hyperplane model
+    into a projection — the corpus must NOT be shuffled by vec_id to build
+    buckets (the old form exploded x NBITS and ran a corpus-wide
+    groupBy)."""
+    from clickhousemigrators3_spark.operators.similarity import ann_lsh_topk
+
+    plan = _plan(ann_lsh_topk(spark, SF_DIR))
+    assert "Exchange hashpartitioning(vec_id" not in plan
