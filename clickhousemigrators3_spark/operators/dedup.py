@@ -185,22 +185,33 @@ def lsh_perdoc(d: DataFrame) -> DataFrame:
     set. The reusable half of the LSH pipeline — the persisted incremental
     index (operators/dedup_index.py) stores exactly this relation."""
     raw = exploded_word_shingles(d, "text", SHINGLE_N, "shingle")
-    # single distinct over (doc_id, hash) — strings never shuffle
-    hashed = raw.select(
-        "doc_id", stable_hash32(F.col("shingle")).alias("h")
-    ).distinct()
+    hashed = raw.select("doc_id", stable_hash32(F.col("shingle")).alias("h"))
     # the 16 affine-min aggregates as parsed expression STRINGS (opt round
     # 14): the Column-object form built ~7 JVM handles per aggregate and
     # measured ~0.3 s of Py4J round trips per call; one F.expr per
     # aggregate is a single round trip each and parses to the identical
     # expression tree (same literals, same % MINHASH_P), so values are
-    # unchanged
+    # unchanged.
+    #
+    # ONE exchange, not two (opt round 15, guide §2.4): the old form ran
+    # distinct() over (doc_id, h) — a full shuffle of the corpus-sized
+    # hashed-shingle relation — and then groupBy(doc_id), a SECOND full
+    # shuffle of the same rows. min((a·h+b) % P) over a multiset equals the
+    # min over its distinct set, and collect_set(h) IS the distinct hash
+    # set, so the set semantics the distinct provided live inside the one
+    # aggregation. Values are identical: same mins, same set elements (hs
+    # consumers — array_intersect/size here, in dedup_index, and in the
+    # containment/levenshtein verifies — are element-order-insensitive,
+    # and the old collect_list-after-shuffle order was nondeterministic
+    # anyway). Because a document's exploded shingles never leave its scan
+    # partition, the partial aggregate dedups each doc map-side and the
+    # single exchange carries one (doc_id, mins, set) row per document.
     return hashed.groupBy("doc_id").agg(
         *[
             F.expr(f"min(({a} * h + {b}) % {MINHASH_P})").alias(f"m{i}")
             for i, (a, b) in enumerate(MINHASH_COEFFS)
         ],
-        F.collect_list("h").alias("hs"),
+        F.collect_set("h").alias("hs"),
     )
 
 

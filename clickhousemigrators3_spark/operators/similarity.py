@@ -236,52 +236,88 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, same plan)."""
     e = _vectors(spark, sf_dir)
     # Optimization round 14 (guide §2.4): the 6 hyperplanes collapse into
-    # ONE broadcast row of (hp_id, hv) structs, so bucket assignment is a
+    # ONE broadcast row of (bit, hv) structs, so bucket assignment is a
     # pure projection — a commutative long-sum fold over the 6 sign bits —
     # instead of the old explode(×NBITS) + corpus-wide groupBy(vec_id)
-    # shuffle. The docstring's production shape, now the actual plan: the
-    # corpus is scanned once, never shuffled; candidates come from one
-    # broadcast hash join on the 8-byte bucket; the per-pair rescore reads
-    # the corpus row it is already holding (no third join). Bit-identical:
-    # the old SUM(b) over per-hyperplane rows and this fold add the same
-    # longs, and addition of longs is order-free.
-    hp = (
+    # shuffle. Bit-identical: the old SUM(b) over per-hyperplane rows and
+    # this fold add the same longs, and addition of longs is order-free.
+    #
+    # Optimization round 15 (guide §2.4/§5): the hyperplane MODEL crosses
+    # the driver once — NBITS×DIM doubles, the same bounded-model collect
+    # the Lloyd trainer uses for its centroids — and re-enters as a one-row
+    # LOCAL relation. The previous aggregate-built hp_row was a subtree the
+    # plan referenced twice (bucket assignment for the corpus side and for
+    # the query side), and Spark plans each reference separately: two extra
+    # embeddings scans, two collect_list exchanges, two broadcast stages.
+    # A local relation is free to reference anywhere — the executed plan
+    # keeps ONE corpus scan plus the pushed-filter query-side scan. The
+    # explicit NBITS check is the degenerate-input guard (advice r14): with
+    # the hyperplane rows absent, the fold over an empty model row would
+    # send every vector to bucket 0 and the bucket join would go quadratic.
+    hp_rows = sorted(
         e.filter(
             (F.col("vec_id") >= LSH_HP_BASE)
             & (F.col("vec_id") < LSH_HP_BASE + LSH_NBITS)
         )
-        .select((F.col("vec_id") - LSH_HP_BASE).alias("hp_id"), F.col("v").alias("hv"))
+        .select((F.col("vec_id") - LSH_HP_BASE).alias("hp_id"), "v")
+        .collect(),
+        key=lambda r: r["hp_id"],
     )
-    hp_row = hp.select(
-        F.expr("shiftleft(CAST(1 AS BIGINT), hp_id)").alias("bit"), "hv"
-    ).agg(F.collect_list(F.struct("bit", "hv")).alias("hps"))
-    bucket = F.aggregate(
-        F.col("hps"),
-        F.lit(0).cast("long"),
-        lambda acc, h: acc
-        + F.when(dot(F.col("v"), h["hv"]) > 0, h["bit"]).otherwise(
-            F.lit(0).cast("long")
+    if len(hp_rows) != LSH_NBITS:
+        raise ValueError(
+            f"ann_lsh_topk: expected {LSH_NBITS} hyperplane vectors "
+            f"(vec_id in [{LSH_HP_BASE}, {LSH_HP_BASE + LSH_NBITS})), "
+            f"found {len(hp_rows)} — refusing the degenerate all-pairs join"
+        )
+    hp_row = spark.createDataFrame(
+        [([(1 << int(r["hp_id"]), [float(x) for x in r["v"]]) for r in hp_rows],)],
+        "hps array<struct<bit: long, hv: array<double>>>",
+    )
+    # coalesce(..., 0) makes the bucket provably non-nullable: the fold
+    # itself never returns null (non-null init, when/otherwise arms both
+    # non-null), but Catalyst can't see that, and the join-key
+    # isnotnull(bucket) it would otherwise infer re-evaluates the WHOLE
+    # NBITS×dot fold a second time per row as a BroadcastNestedLoopJoin
+    # condition (observed in the r14 executed plan). With a non-nullable
+    # key the inferred filter constant-folds away and each row pays the
+    # fold exactly once, in its projection.
+    bucket = F.coalesce(
+        F.aggregate(
+            F.col("hps"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(dot(F.col("v"), h["hv"]) > 0, h["bit"]).otherwise(
+                F.lit(0).cast("long")
+            ),
         ),
+        F.lit(0).cast("long"),
     )
+    # norms are precomputed per ROW, not per pair (guide §2.3, the same
+    # cosine_pre move the r14 embedding-pairs family took): the rescore
+    # touches ~Q·N/2^NBITS pairs (Q = {N_QUERIES} here, far above the
+    # 2^NBITS break-even where per-pair norms would win), and the inline
+    # cosine's guard + denominator re-derived BOTH norms twice per pair —
+    # five array traversals per pair against one dot here. Bit-identical:
+    # same guard, same d / (na * nb) order, the norm itself the same
+    # sqrt(aggregate(...)) fold.
     eb = (
         e.crossJoin(F.broadcast(hp_row))
-        .select("vec_id", "v", bucket.alias("bucket"))
+        .select("vec_id", "v", norm(F.col("v")).alias("nv"), bucket.alias("bucket"))
     )
     q = eb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
         F.col("bucket"),
     )
-    # per-pair cosine on purpose (contrast knn_bruteforce_topk's
-    # precomputed norms): bucketing prunes candidates to ~Q·N/2^NBITS,
-    # so a corpus-wide norm projection (N traversals) costs MORE than
-    # per-pair norms whenever Q < 2^NBITS — the common serving regime
     scored = (
         F.broadcast(q)
         .join(eb, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("cand_id"), "qv", "v")
-        .withColumn("c", cosine(F.col("qv"), F.col("v")))
+        .select("query_id", F.col("vec_id").alias("cand_id"), "qv", "nq", "v", "nv")
+        .withColumn(
+            "c", cosine_pre(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("cand_id"))
     return (
