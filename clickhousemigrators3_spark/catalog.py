@@ -27,6 +27,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def dataset_tag(sf_dir: str) -> str:
+    """Deterministic identifier-safe tag for a dataset root — used to
+    scope session-global temp-view names per dataset (advice r14: two
+    concurrent drives against different sf_dirs in one SparkSession could
+    read each other's table between a shared view's registration and the
+    spark.sql that consumes it)."""
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+
+
 # Analyzed-plan cache: file listing + parquet footer/schema reads happen once
 # per (session, dataset, table) instead of once per query build. DataFrames
 # are immutable logical plans, so sharing one across queries is safe. Each

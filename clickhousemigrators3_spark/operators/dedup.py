@@ -1499,9 +1499,13 @@ def dedup_substring_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter → anti-join. fps now has a single consumer, so the cache and
     its materialization pass are gone outright; the anti-join build side
     tolerates the (bounded, ≤{SUB_MAX_DF}-fold) duplicate doc_ids, so no
-    distinct is re-introduced. Per-fp window state is bounded the same
-    way the old per-fp groups were — boilerplate fps beyond the cap are
-    filtered, not exploded into pairs."""
+    distinct is re-introduced. Skew caveat for the 100 TB shape (advice
+    r14): WindowExec buffers every row of a partition before the df
+    filter runs, so a boilerplate fingerprint with df far above
+    {SUB_MAX_DF} buffers (and spills) all its rows where the old hash
+    aggregate kept O(1) state per fp and killed boilerplate before any
+    join — on a corpus with extreme template repetition, pre-gate the df
+    with an aggregate (the old shape) or salt the window key."""
     d = load_table(spark, sf_dir, "documents")
     spans = exploded_word_shingles(d, "text", SUB_K, "span")
     fps = spans.select(

@@ -373,10 +373,13 @@ def _lloyd_assign_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only, so one reducer is the scale-right width — see
     _lloyd_unrolled). Downstream consumers read the persisted rows, so
     later queries plan under the session's normal AQE/width settings."""
+    from ..catalog import dataset_tag
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
-    e.createOrReplaceTempView("_lloyd_e")
+    view = f"_lloyd_e_{dataset_tag(sf_dir)}"  # dataset-scoped (advice r14)
+    e.createOrReplaceTempView(view)
     _confs = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.shuffle.partitions": "1",
@@ -385,7 +388,7 @@ def _lloyd_assign_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for k, v in _confs.items():
             spark.conf.set(k, v)
-        assign = spark.sql(_assign_training_sql("_lloyd_e"))
+        assign = spark.sql(_assign_training_sql(view))
         assign.persist()
         assign.count()  # materialize under the training-window confs
     finally:
@@ -411,11 +414,15 @@ def _lloyd_unrolled(spark: SparkSession, sf_dir: str):
     so the fixed-depth chain lands on the identical final assignment —
     which is why both the driver-looped and the unrolled form value-match
     the same fixed-depth oracle. Returns (assign, cent, cent_rows)."""
+    from ..catalog import dataset_tag
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
     e.persist()
-    e.createOrReplaceTempView("_lloyd_e")  # SQL chain reads the cached rows
+    # SQL chain reads the cached rows; dataset-scoped name (advice r14)
+    view = f"_lloyd_e_{dataset_tag(sf_dir)}"
+    e.createOrReplaceTempView(view)
     # Model-update shuffles carry K×DIM partial rows (the corpus side is
     # map-only), so one reducer IS the scale-right width — and AQE's
     # per-stage re-planning only adds driver latency to the 2·ITERS tiny
@@ -431,7 +438,7 @@ def _lloyd_unrolled(spark: SparkSession, sf_dir: str):
             spark.conf.set(k, v)
         cent_rows = {
             int(c["cluster"]): list(c["cv"])
-            for c in spark.sql(_training_sql("_lloyd_e")).collect()[0]["cents"]
+            for c in spark.sql(_training_sql(view)).collect()[0]["cents"]
         }  # ← the single training job
     finally:
         for k, v in _saved.items():

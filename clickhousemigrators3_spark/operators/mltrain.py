@@ -93,20 +93,21 @@ _SPARK_X = {
 }
 
 
-def _spark_weight_ctes() -> str:
+def _spark_weight_ctes(view: str = "_logreg_docs") -> str:
     """Spark-SQL twin of the fused Column-API trainer (opt round 14): the
     same w0 → w{ITERS} recurrence as ONE parsed text — the Column-object
     loop measured ~0.35 s of Py4J round trips per call re-building the
     iteration chain. Double literals are explicit (`0.0D`) so literal
     types match the Column form's Python-float lits; every arithmetic
     expression mirrors train_logreg operation-for-operation, so the
-    trained weights are bit-identical (oracle-checked)."""
+    trained weights are bit-identical (oracle-checked). ``view`` is the
+    dataset-scoped documents view the caller registered."""
     z = "(b + a1 * x1 + a2 * x2 + a3 * x3)"
     p = f"(1.0D / (1.0D + exp(-{z})))"
     ctes = [
         "f AS (SELECT "
         + ", ".join(f"{e} AS {k}" for k, e in _SPARK_X.items())
-        + ", CAST(lang = 'en' AS INT) AS y FROM _logreg_docs)",
+        + f", CAST(lang = 'en' AS INT) AS y FROM {view})",
         "w0 AS (SELECT 0.0D AS b, 0.0D AS a1, 0.0D AS a2, 0.0D AS a3)",
     ]
     for i in range(1, ITERS + 1):
@@ -172,13 +173,14 @@ def logreg_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the fused-iteration scale shape. Plan travels as ONE generated
     Spark-SQL text (see _spark_weight_ctes) — same expressions, same
     values, a fraction of the per-call construction cost."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "_logreg_docs"
-    )
+    from ..catalog import dataset_tag
+
+    view = f"_logreg_docs_{dataset_tag(sf_dir)}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
     z = "(b + a1 * x1 + a2 * x2 + a3 * x3)"
     p = f"(1.0D / (1.0D + exp(-{z})))"
     return spark.sql(f"""
-WITH {_spark_weight_ctes()}
+WITH {_spark_weight_ctes(view)}
 SELECT /*+ BROADCAST(w{ITERS}) */
        count(1) AS n_docs,
        round(min(b), 6) AS w_bias,

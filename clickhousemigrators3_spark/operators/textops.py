@@ -424,8 +424,9 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") >= 2)
     )
     corpus.persist()
+    cached = [corpus]
     merges: list[tuple[str, str, int]] = []
-    for _ in range(BPE_MERGES):
+    for step in range(BPE_MERGES):
         # `toks` is a BOUND column here, not a nested fold expression:
         # each round re-projects the merged tokens under its own Project
         # (CollapseProject keeps a non-cheap expression referenced more
@@ -444,15 +445,30 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()
         )
+        # the collect above materialized THIS round's corpus cache, so the
+        # superseded previous round's cache can go (opt round 15, advice
+        # r14: the rounds used to accumulate BPE_MERGES+1 corpus-sized
+        # cache entries per call, and the final round's never-read persist
+        # on top)
+        while len(cached) > 1:
+            cached.pop(0).unpersist()
         if not top:
             break
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
         merges.append((l, r, int(cnt)))
-        # persist each round's merged corpus: round N+1's pair count then
-        # folds only ONE merge over cached rows instead of re-folding the
-        # whole merge chain from the base tokens
-        corpus = corpus.select(_bpe_merge(F.col("toks"), l, r).alias("toks"))
-        corpus.persist()
+        if step < BPE_MERGES - 1:
+            # persist each round's merged corpus: round N+1's pair count
+            # then folds only ONE merge over cached rows instead of
+            # re-folding the whole merge chain from the base tokens. The
+            # FINAL round's merged corpus is never read — skip it.
+            corpus = corpus.select(_bpe_merge(F.col("toks"), l, r).alias("toks"))
+            corpus.persist()
+            cached.append(corpus)
+    # every action this query runs happened above (the per-round collects);
+    # the returned frame is a driver-built local relation with no lineage
+    # into the corpus, so nothing stays resident after the call
+    while cached:
+        cached.pop().unpersist()
     return spark.createDataFrame(
         [
             (i + 1, l.replace(BPE_JOINER, "+"), r.replace(BPE_JOINER, "+"), c)

@@ -819,6 +819,11 @@ def pack_sequence_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CCNET_ALPHA = 1.0  # Laplace smoothing
 
+# last dataset whose ccnet intermediates are persisted (tag, frames) — see
+# ccnet_bigram_perplexity: the previous dataset's cache is evicted when a
+# new dataset is driven, bounding residency to one dataset per session
+_CCNET_CACHE: dict = {}
+
 CCNET_PPL_ORACLE = """
 WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
@@ -869,8 +874,11 @@ def ccnet_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Py4J round-trips PER CALL (40% of this query's bench-min) — the same
     finding that shaped the Lloyd trainer. Expressions are character-
     identical to the previous Column form, so values are bit-equal."""
+    from ..catalog import dataset_tag
+
+    tag = dataset_tag(sf_dir)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "_ccnet_docs"
+        f"_ccnet_docs_{tag}"
     )
     # bigram construction mirrors the oracle's list_transform; adjacent-
     # pair zip streams both slices once (~1.7x the element_at form).
@@ -886,22 +894,33 @@ def ccnet_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram-instance relations (registered as views, read by the same
     # SQL text) makes it one scan + one split + one explode; expressions
     # are character-identical, so values are unchanged.
-    d_df = spark.sql("""
+    d_df = spark.sql(f"""
 SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS w
-FROM _ccnet_docs WHERE trim(text) != ''""")
+FROM _ccnet_docs_{tag} WHERE trim(text) != ''""")
     d_df.persist()
-    d_df.createOrReplaceTempView("_ccnet_d")
-    db_df = spark.sql("""
+    d_df.createOrReplaceTempView(f"_ccnet_d_{tag}")
+    db_df = spark.sql(f"""
 SELECT doc_id,
        explode(zip_with(slice(w, 1, size(w) - 1),
                         slice(w, 2, size(w) - 1),
                         (a, b) -> concat(a, ' ', b))) AS bg
-FROM _ccnet_d WHERE size(w) >= 2""")
+FROM _ccnet_d_{tag} WHERE size(w) >= 2""")
     db_df.persist()
-    db_df.createOrReplaceTempView("_ccnet_db")
+    db_df.createOrReplaceTempView(f"_ccnet_db_{tag}")
+    # the two persists must OUTLIVE this call (the returned plan's action
+    # reads them), so in-call unpersist is impossible — instead evict the
+    # cache a PREVIOUS dataset left behind, bounding residency to one
+    # dataset per session (advice r14: per-sf_dir plans otherwise
+    # accumulate cache entries without bound). Same-dataset repeat calls
+    # re-persist plan-identical frames, which the CacheManager dedups.
+    prev = _CCNET_CACHE.pop(None, None)
+    if prev is not None and prev[0] != tag:
+        for f in prev[1]:
+            f.unpersist()
+    _CCNET_CACHE[None] = (tag, (d_df, db_df))
     return spark.sql(f"""
-WITH d AS (SELECT doc_id, w FROM _ccnet_d),
-db AS (SELECT doc_id, bg FROM _ccnet_db),
+WITH d AS (SELECT doc_id, w FROM _ccnet_d_{tag}),
+db AS (SELECT doc_id, bg FROM _ccnet_db_{tag}),
 bgc AS (SELECT bg, count(1) AS cbg FROM db GROUP BY bg),
 ctx AS (
   SELECT split_part(bg, ' ', 1) AS w1, sum(cbg) AS cctx
