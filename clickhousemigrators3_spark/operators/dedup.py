@@ -1416,9 +1416,16 @@ def _substring_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate head before anything quadratic can see them."""
     d = load_table(spark, sf_dir, "documents")
     spans = exploded_word_shingles(d, "text", SUB_K, "span")
+    # hash-repartitioned by fp BEFORE the pair-distinct (opt round 15,
+    # guide §2.4 — must stay expression-identical to the retained/
+    # incremental queries' fps so the whole family shares ONE cache
+    # entry): the one exchange satisfies the distinct's (doc_id, fp)
+    # clustering, the df gate's fp grouping, the gated join, and the
+    # pairs query's bucket self-join — all of which read the persisted
+    # fp-partitioned rows with no further shuffle.
     fps = spans.select(
         "doc_id", stable_hash60(F.col("span")).alias("fp")
-    ).distinct()
+    ).repartition(F.col("fp")).distinct()
     # persist: the explode+hash+distinct corpus pass feeds the df gate AND
     # the gated join AND (in retained) the min-doc aggregate — without the
     # cache the physical plan re-scans documents once per consumer
@@ -1508,9 +1515,20 @@ def dedup_substring_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an aggregate (the old shape) or salt the window key."""
     d = load_table(spark, sf_dir, "documents")
     spans = exploded_word_shingles(d, "text", SUB_K, "span")
+    # ONE exchange for the whole chain (opt round 15, guide §2.4): the
+    # explicit hash repartition on fp satisfies the pair-distinct's
+    # (doc_id, fp) clustering requirement (a hash on a key subset
+    # co-locates equal composite keys — the q21 move) AND every downstream
+    # fp-keyed consumer: the window below, the df gate, and the pairs
+    # query's bucket self-join all read the persisted rows already
+    # partitioned by fp, so the per-call re-shuffle of the corpus-sized
+    # fingerprint relation is gone. Bytes through the one exchange are
+    # ~unchanged (partial distinct only deduped within-document repeats —
+    # a doc's spans never leave their scan partition). Same boilerplate-fp
+    # skew caveat as the window itself (see docstring).
     fps = spans.select(
         "doc_id", stable_hash60(F.col("span")).alias("fp")
-    ).distinct()
+    ).repartition(F.col("fp")).distinct()
     # the corpus explode+hash+distinct pass is the expensive half — keep it
     # persisted so repeated drives in one session (bench iterations, the
     # pairs/retained family sharing a session) read it instead of
@@ -1696,9 +1714,12 @@ def dedup_substring_incremental_retained(
     d = load_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % INC_MOD == 0
     spans = exploded_word_shingles(d, "text", SUB_K, "span")
+    # fp-repartitioned before the distinct — expression-identical to
+    # dedup_substring_retained's fps (one shared cache entry, one
+    # exchange for distinct + window; opt round 15, guide §2.4)
     fps = spans.select(
         "doc_id", stable_hash60(F.col("span")).alias("fp")
-    ).distinct()
+    ).repartition(F.col("fp")).distinct()
     # corpus pass persisted for repeated drives — see
     # dedup_substring_retained
     fps.persist(_CORPUS_CACHE)

@@ -378,3 +378,51 @@ def test_ann_lsh_bucket_assignment_is_map_side(spark):
 
     plan = _plan(ann_lsh_topk(spark, SF_DIR))
     assert "Exchange hashpartitioning(vec_id" not in plan
+
+
+def test_substring_window_reuses_cached_fp_partitioning(spark):
+    """Opt round 15: the fps relation is persisted already hash-partitioned
+    by fp, so the retention window reads the cache with NO exchange between
+    the InMemoryTableScan and the Window (the per-call corpus re-shuffle is
+    gone); the one REPARTITION_BY_COL exchange lives inside the cached
+    plan and also serves the pair-distinct."""
+    from clickhousemigrators3_spark.operators.dedup import (
+        dedup_substring_retained,
+    )
+
+    df = dedup_substring_retained(spark, SF_DIR)
+    df.count()  # materialize the cache so the executed plan is the steady one
+    plan = _plan(dedup_substring_retained(spark, SF_DIR))
+    win_seg = plan[: plan.index("Window")]
+    # everything above the window: anti-join + final sort only — no fp
+    # hash exchange re-partitioning the cached rows
+    assert "REPARTITION_BY_COL" not in win_seg
+    between = plan[plan.index("Window"): plan.index("InMemoryTableScan")]
+    assert "Exchange" not in between, between
+
+
+def test_minhash_perdoc_single_exchange(spark):
+    """Opt round 15: lsh_perdoc folds the (doc_id, h) distinct into the
+    doc-level aggregation (collect_set + min over the multiset), so the
+    corpus-sized hashed-shingle relation is shuffled ONCE — a single
+    Exchange in the per-doc subtree, not distinct + groupBy."""
+    from clickhousemigrators3_spark.catalog import load_table
+    from clickhousemigrators3_spark.operators.dedup import lsh_perdoc
+
+    plan = _plan(lsh_perdoc(load_table(spark, SF_DIR, "documents")))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "collect_set" in plan
+
+
+def test_ann_lsh_hyperplanes_are_local_relation(spark):
+    """Opt round 15: the hyperplane model crosses the driver once and
+    re-enters as a local relation — the executed plan must not scan
+    embeddings for the hyperplane subtree (2 scans total: corpus + the
+    pushed-filter query side) nor re-aggregate it per reference."""
+    from clickhousemigrators3_spark.operators.similarity import ann_lsh_topk
+
+    plan = _plan(ann_lsh_topk(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert "ObjectHashAggregate" not in plan
+    # the model row appears as a local/RDD relation, never a parquet scan
+    assert ("LocalTableScan" in plan) or ("Scan ExistingRDD" in plan)
