@@ -365,6 +365,10 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
     )
     found = dedup_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    # truth and found are each referenced twice below but deliberately NOT
+    # persisted — exchange/subquery reuse already shares the pipelines, and
+    # a persist A/B on the embedding twin measured the cache barrier ~2x
+    # slower (see dedup_embedding_lsh_recall)
     hits = found.join(truth, ["a_id", "b_id"]).agg(
         F.count(F.lit(1)).alias("n_hits")
     )
@@ -686,6 +690,12 @@ def dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan (two pair pipelines + an intersection count) is unchanged."""
     truth = dedup_embedding_cosine_pairs(spark, sf_dir).select("a_id", "b_id")
     found = dedup_embedding_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    # NOT persisted, deliberately (opt round 15 negative result): truth and
+    # found are each referenced twice below, but Spark's exchange/subquery
+    # reuse already computes the expensive pipelines once — an A/B measured
+    # persist at ~2x SLOWER (20.7-25.3 s vs 9.6-13.2 s per call, 3 rounds,
+    # alternating): the cache materialization is a barrier that blocks the
+    # optimizer's cross-subtree reuse without saving any work.
     n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     n_found = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
     n_hits = (
